@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.ReferenceQueries
+import graft.queries.{ExtendedQueries, ReferenceQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,9 @@ object SparkEntry {
     ReferenceQueries.q14(spark, "/root/testdata/sf0.001")
 
   private val registry: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] =
-    ReferenceQueries.all.map { case (name, (fn, sql)) => name -> ((fn, Option(sql))) }
+    ReferenceQueries.all.map { case (name, (fn, sql)) => name -> ((fn, Option(sql))) } ++
+    TpchQueries.all ++
+    ExtendedQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (name, (fn, _)) => name -> fn }.toMap

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * Everything here is composed from built-in (codegen'd) expressions —
+  * no UDFs — so these run inside WholeStageCodegen at full scan speed and
+  * are usable in both batch and Structured Streaming plans.
+  *
+  * Where a function participates in the DuckDB oracle, the construction is
+  * deliberately restricted to operations with identical semantics in both
+  * engines (length/replace arithmetic, RE2-compatible regexes), see
+  * graft.queries.ExtendedQueries for the paired SQL.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count (single-space-delimited text). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: maximal alnum runs; punctuation splits. */
+  def wordpieceCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0)))
+
+  /** Number of (non-overlapping) occurrences of `needle` as a whole word. */
+  def wordOccurrences(text: Column, needle: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val token = s" $needle "
+    (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(token), " ")))
+      ./(lit(token.length - 1)).cast("long")
+  }
+
+  /** Marker words per language for the n-gram-heuristic language ID.
+    * Ordered: ties resolve to the earlier entry. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "fr" -> Seq("le", "et", "les"),
+    "es" -> Seq("el", "y", "los"),
+    "zh" -> Seq("的", "是", "在"),
+  )
+
+  /** Score for one language = Σ occurrences of its marker words. */
+  def langScore(text: Column, lang: String): Column =
+    LangMarkers.toMap.apply(lang)
+      .map(wordOccurrences(text, _))
+      .reduce(_ + _)
+
+  /** Heuristic language ID: argmax of marker-word scores, 'und' when all
+    * scores are zero. Deterministic tie-break = LangMarkers order. */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, _) => l -> langScore(text, l) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((l, s), elseCol) =>
+      when(s === maxScore && maxScore > 0, lit(l)).otherwise(elseCol)
+    }
+  }
+
+  /** Fraction of alphanumeric (non-space, non-punct) characters. */
+  def alnumRatio(text: Column): Column =
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(lower(text), "[^a-z0-9]", "")).cast("double") / length(text))
+
+  /** Fraction of tokens that are high-frequency stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = Seq("the", "a", "and", "of")): Column = {
+    val occ = stopwords.map(wordOccurrences(text, _)).reduce(_ + _)
+    when(tokenCount(text) === 0, 0.0)
+      .otherwise(occ.cast("double") / tokenCount(text))
+  }
+
+  /** Mean token length in characters (single-spaced text). */
+  def avgTokenLen(text: Column): Column =
+    when(tokenCount(text) === 0, 0.0)
+      .otherwise((length(text) - tokenCount(text) + 1).cast("double") / tokenCount(text))
+
+  /** Composite document-quality score in [0, 1]:
+    * rewards reasonable length, plausible word lengths, alphanumeric
+    * content; penalizes stopword stuffing. Heuristic weights — the shape
+    * (bounded linear combination of cheap per-doc stats) is what a
+    * pretraining-data filter needs, each component is independently
+    * usable. */
+  def qualityScore(text: Column): Column = {
+    val lengthTerm = least(tokenCount(text).cast("double") / 64.0, lit(1.0))
+    val tokenLenTerm =
+      when(avgTokenLen(text).between(3.0, 8.0), 1.0).otherwise(0.5)
+    val alnumTerm = alnumRatio(text)
+    val stopTerm = lit(1.0) - stopwordRatio(text)
+    lit(0.3) * lengthTerm + lit(0.2) * tokenLenTerm + lit(0.2) * alnumTerm + lit(0.3) * stopTerm
+  }
+
+  /** Normalize for fingerprinting: lowercase, collapse whitespace, trim. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Content fingerprint = md5 of the normalized text. Used as the exact
+    * dedup key: hash-groupBy on this beats groupBy on a long text column
+    * (fixed-width shuffle keys). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit. */
+  def shingles(text: Column, n: Int): Column =
+    if (n <= 1) array_distinct(tokens(text))
+    else {
+      val toks = tokens(text)
+      array_distinct(
+        transform(
+          sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    }
+}

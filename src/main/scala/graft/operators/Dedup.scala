@@ -1,0 +1,210 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact → MinHash/LSH → SimHash → n-gram Jaccard →
+  * embedding-cosine near-dup.
+  *
+  * Scale design notes (the 100 TB posture):
+  *  - Exact dedup shuffles a 32-char md5 key, never the document text.
+  *  - MinHash/SimHash signatures are computed in ONE pass over an
+  *    exploded (doc, shingle) relation with hash-aggregations — partial
+  *    (map-side) aggregation applies, so the shuffle carries one row per
+  *    document, not per shingle.
+  *  - Candidate generation is a self-equi-join on (band, band_hash) —
+  *    a hash-partitioned join, never a cross join. Only candidate PAIRS
+  *    (a vanishing fraction of n²) reach the verification stage.
+  *  - Verification re-joins the candidates to the shingle sets by key —
+  *    again equi-joins. Nothing in this file materializes n² rows.
+  */
+object Dedup {
+
+  // -------------------------------------------------------------------
+  // Exact dedup
+  // -------------------------------------------------------------------
+
+  /** Keep exactly one row (smallest `idCol`) per distinct value of
+    * `fingerprint(textCol)`. Equivalent to dropDuplicates, but with a
+    * deterministic keeper and a fixed-width shuffle key. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(fingerprint(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Per-source exact-duplication stats (documents table shape). */
+  def exactStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", fingerprint(col("text")))
+      .groupBy(col("source"))
+      .agg(
+        count("*").as("n_docs"),
+        count_distinct(col("fp")).as("distinct_texts"))
+      .withColumn("dup_docs", col("n_docs") - col("distinct_texts"))
+
+  // -------------------------------------------------------------------
+  // MinHash + LSH
+  // -------------------------------------------------------------------
+
+  /** Distinct (id, shingle) pairs — the common input of MinHash, SimHash
+    * and Jaccard verification. */
+  private def shingleSet(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+                explode(shingles(col(textCol), n)).as("sh"))
+
+  /** MinHash signatures: numHashes independent permutations approximated
+    * by seeded xxhash64. One shuffle: groupBy(id) with numHashes `min`
+    * partial aggregates. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, numHashes: Int): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol, n)
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH banding: (id, band index, hash of the band's signature slice).
+    * Equal band hash ⇒ candidate pair. */
+  private def banded(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("id"), posexplode(
+      array((0 until bands).map { b =>
+        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+      }: _*)).as(Seq("band", "bh")))
+
+  /** Candidate near-duplicate pairs from banded MinHash signatures,
+    * verified with EXACT shingle-set Jaccard, filtered at `threshold`.
+    *
+    * Output: (id_a, id_b, jaccard), id_a < id_b.
+    */
+  def minhashNearDups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                      n: Int = 1, numHashes: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.9): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = shingleSet(docs, idCol, textCol, n).cache()
+    val sigs = minhashSignatures(docs, idCol, textCol, n, numHashes)
+    val bd = banded(sigs, bands, rowsPerBand)
+
+    val cands = bd.as("x").join(bd.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+
+    verifyJaccard(cands, sh, threshold)
+  }
+
+  /** Exact Jaccard for candidate pairs given the (id, shingle) relation:
+    * |A∩B| via equi-join restricted to candidates, |A∪B| = |A|+|B|−|A∩B|. */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count("*").as("sz"))
+    val inter = cands
+      .join(sh.as("sa"), col("id_a") === col("sa.id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count("*").as("inter"))
+    cands
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.as("za"), col("id_a") === col("za.id"))
+      .join(sizes.as("zb"), col("id_b") === col("zb.id"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("za.sz") + col("zb.sz") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------
+
+  /** 64-bit SimHash over token multiset: bit j of the signature is the
+    * sign of Σ_tokens count · (±1 from bit j of xxhash64(token)).
+    * Computed as 64 conditional-sum partial aggregates in one shuffle. */
+  def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
+      .groupBy(col("id"), col("t")).agg(count("*").as("cnt"))
+      .withColumn("h", xxhash64(col("t")))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("cnt"))
+            .otherwise(-col("cnt"))).as(s"b$j")
+    }
+    val agg = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64).map { j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce[Column](_.bitwiseOR(_))
+    agg.select(col("id"), simhash.as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash: candidates share at least one of four
+    * 16-bit chunks (guarantees recall for hamming ≤ 3 by pigeonhole);
+    * verified with exact popcount of the XOR. */
+  def simhashNearDups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                      maxHamming: Int = 3): DataFrame = {
+    val sig = simhashSignatures(docs, idCol, textCol)
+    val chunks = sig.select(col("id"), col("simhash"), posexplode(
+      array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "ch")))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+              col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  // -------------------------------------------------------------------
+  // n-gram Jaccard (top-k most similar pairs)
+  // -------------------------------------------------------------------
+
+  /** Exact word-n-gram Jaccard for every pair sharing ≥1 shingle
+    * (the shingle equi-join IS the blocking — pairs with zero overlap
+    * never materialize), top-k by similarity. */
+  def ngramJaccardTopK(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                       n: Int = 3, k: Int = 50): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(col("id")).agg(count("*").as("sz"))
+    val inter = sh.as("sa").join(sh.as("sb"),
+        col("sa.sh") === col("sb.sh") && col("sa.id") < col("sb.id"))
+      .groupBy(col("sa.id").as("id_a"), col("sb.id").as("id_b"))
+      .agg(count("*").as("inter"))
+    inter
+      .join(sizes.as("za"), col("id_a") === col("za.id"))
+      .join(sizes.as("zb"), col("id_b") === col("zb.id"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("za.sz") + col("zb.sz") - col("inter"))).as("jaccard"))
+      .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
+      .limit(k)
+  }
+
+  // -------------------------------------------------------------------
+  // Embedding-cosine near-dup
+  // -------------------------------------------------------------------
+
+  /** Pairs of embeddings with cosine ≥ threshold.
+    *
+    * Brute-force variant: block-nested-loop over the (small) broadcast
+    * side. Correct baseline; for n beyond ~10⁵ use the LSH-bucketed
+    * variant in [[SimilaritySearch]] as the candidate generator. */
+  def embeddingNearDups(emb: DataFrame, idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        threshold: Double = 0.3): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFunctions.cosine_similarity(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

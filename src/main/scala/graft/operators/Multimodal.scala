@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads travel as
+  * opaque `binary` columns with a typed metadata struct, and per-asset
+  * compute (decode, feature extraction, resize, frame sampling) runs as
+  * partition-batched transforms.
+  *
+  * The actual media decode is STUBBED — this container has no image/audio
+  * codecs — behind [[FakeCodec]], a deterministic byte-level fake with the
+  * same signature a real decoder would have. Everything AROUND the stub is
+  * real and load-bearing at scale:
+  *  - schema: (asset_id, modality, content: binary, meta struct) — the
+  *    binary column is never shuffled by value, only projected/filtered;
+  *  - `mapPartitions` over a typed Dataset = the JVM analogue of
+  *    `mapInPandas` batch shape: one iterator per partition, codec state
+  *    (here: the per-thread buffer a real decoder would hold) amortized
+  *    across the partition, output is a new typed column set;
+  *  - feature vectors come back as `array<float>`, directly consumable by
+  *    [[SimilaritySearch]] / [[Dedup.embeddingNearDups]].
+  */
+object Multimodal {
+
+  case class AssetMeta(width: Int, height: Int, sampleRateHz: Int, durationMs: Long)
+  case class Asset(asset_id: Long, modality: String, content: Array[Byte], meta: AssetMeta)
+  case class AssetFeatures(asset_id: Long, modality: String, n_bytes: Int,
+                           features: Array[Float], feature_norm: Double)
+  case class FrameSample(asset_id: Long, frame_idx: Int, frame_ms: Long, frame: Array[Byte])
+
+  /** Deterministic stand-in for a media codec. A real deployment swaps
+    * this object for JNI/FFI bindings (libjpeg/ffmpeg); the Spark plumbing
+    * above it is unchanged. */
+  object FakeCodec {
+    val FeatureDim = 16
+
+    /** "Decode" bytes to a feature vector: rolling-hash-seeded, unit-free,
+      * deterministic in the content — a fake embedding. */
+    def decodeFeatures(content: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](FeatureDim)
+      var h = 1125899906842597L // FNV-ish rolling seed
+      var i = 0
+      while (i < content.length) {
+        h = h * 31 + (content(i) & 0xff)
+        out(i % FeatureDim) += ((h >>> 16) & 0xffff) / 65536.0f - 0.5f
+        i += 1
+      }
+      out
+    }
+
+    /** "Sample" every `everyMs` milliseconds: returns (offset ms, fake frame
+      * bytes = a deterministic slice of the content). */
+    def sampleFrames(content: Array[Byte], durationMs: Long, everyMs: Long): Seq[(Long, Array[Byte])] =
+      (0L until durationMs by everyMs).map { t =>
+        val off = if (content.isEmpty) 0 else ((t * 31) % content.length).toInt
+        (t, content.slice(off, math.min(off + 64, content.length)))
+      }
+  }
+
+  /** Build an asset table from the documents fixture: text bytes stand in
+    * for media payloads (deterministic, scale-proportional). Modality and
+    * fake dimensions derive from doc_id. */
+  def assetsFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(
+        (col("doc_id") % 640 + 64).cast("int").as("width"),
+        (col("doc_id") % 480 + 48).cast("int").as("height"),
+        lit(16000).as("sampleRateHz"),
+        (col("n_chars") * 10).as("durationMs")).as("meta"))
+
+  /** Batched feature extraction — the `mapInPandas` analogue. One codec
+    * "session" per partition; binary stays on the executor. */
+  def extractFeatures(spark: SparkSession, assets: DataFrame): Dataset[AssetFeatures] = {
+    import spark.implicits._
+    assets.as[Asset].mapPartitions { it =>
+      // per-partition codec init would go here (decoder tables, buffers)
+      it.map { a =>
+        val f = FakeCodec.decodeFeatures(a.content)
+        AssetFeatures(a.asset_id, a.modality, a.content.length, f,
+          math.sqrt(f.map(x => x.toDouble * x).sum))
+      }
+    }
+  }
+
+  /** Frame sampling for video assets: one row per sampled frame.
+    * flatMap shape — output cardinality is data-dependent. */
+  def sampleFrames(spark: SparkSession, assets: DataFrame, everyMs: Long = 1000L): Dataset[FrameSample] = {
+    import spark.implicits._
+    assets.filter(col("modality") === "video").as[Asset].mapPartitions { it =>
+      it.flatMap { a =>
+        FakeCodec.sampleFrames(a.content, a.meta.durationMs, everyMs).zipWithIndex.map {
+          case ((ms, bytes), idx) => FrameSample(a.asset_id, idx, ms, bytes)
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact. Broadcast the (small) query set, score
+  *    every (query, item) pair with the codegen'd cosine expression,
+  *    per-query top-k via window rank. Cost O(|Q|·n) — the right answer
+  *    whenever |Q| is bounded; at 100 TB the scan side stays fully
+  *    distributed, the broadcast is |Q|·dim floats.
+  *  - [[lshTopK]]: random-hyperplane LSH. Items are bucketed by the sign
+  *    pattern of `planes` projections, repeated over `tables` independent
+  *    hash tables (union of candidates ⇒ recall amplification); scoring
+  *    happens only inside matching buckets via an equi-join on
+  *    (table, bucket). Cost O(n·tables) hashing + per-bucket scoring —
+  *    this is the scale path when |Q| is large.
+  */
+object SimilaritySearch {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, vec_id, cosine, rank), rank 1..k, ties broken by
+    * item id for determinism. Self-matches excluded. */
+  def bruteForceTopK(items: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val it = items.select(col(idCol).as("vec_id"), col(vecCol).as("i_vec"))
+    val scored = it.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", VectorFunctions.cosine_similarity(col("q_vec"), col("i_vec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes: `tables × planes × dim`, seeded. */
+  private def hyperplanes(dim: Int, planes: Int, tables: Int, seed: Long): Array[Array[Array[Float]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables, planes, dim)(rnd.nextGaussian().toFloat)
+  }
+
+  /** Bucket id = sign-bit pattern of the plane projections (one long). */
+  private def bucketExpr(vec: org.apache.spark.sql.Column, table: Array[Array[Float]]) =
+    table.zipWithIndex.map { case (plane, j) =>
+      val planeCol = array(plane.map(x => lit(x)): _*)
+      when(VectorFunctions.dot_product(vec, planeCol) >= 0, shiftleft(lit(1L), j)).otherwise(0L)
+    }.reduce[org.apache.spark.sql.Column](_.bitwiseOR(_))
+
+  /** Approximate top-k via random-hyperplane LSH with multiple tables.
+    * Same output shape as [[bruteForceTopK]]; recall < 1 by construction
+    * (tested ≥ 0.5 @ 16 planes × 8 tables on the fixture set). */
+  def lshTopK(spark: SparkSession, items: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              dim: Int = 64, planes: Int = 12, tables: Int = 8,
+              seed: Long = 42L): DataFrame = {
+    val hp = hyperplanes(dim, planes, tables, seed)
+
+    def bucketed(df: DataFrame, id: String, vec: String, pfx: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        posexplode(array(hp.map(t => bucketExpr(col(vecCol), t)): _*))
+          .as(Seq(s"${pfx}tbl", s"${pfx}bucket")))
+
+    val it = bucketed(items, "vec_id", "i_vec", "i_")
+    val q = bucketed(queries, "query_id", "q_vec", "q_")
+
+    val scored = it.join(broadcast(q),
+        col("i_tbl") === col("q_tbl") && col("i_bucket") === col("q_bucket") &&
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("q_vec"), col("i_vec"))
+      .distinct() // union of candidates across tables
+      .withColumn("cosine", VectorFunctions.cosine_similarity(col("q_vec"), col("i_vec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+  }
+}

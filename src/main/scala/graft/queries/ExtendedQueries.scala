@@ -1,0 +1,268 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextFunctions => TF, VectorFunctions}
+import graft.operators.{Dedup, Multimodal, SimilaritySearch}
+
+/** Beyond-reference operators (SURVEY.md §7.7 / north star): text
+  * analysis, dedup family, similarity search, multimodal plumbing —
+  * each exposed as a driver-checkable query. SQL-expressible ones carry a
+  * DuckDB oracle; hash-based ones (MinHash/SimHash/LSH/codec) get the
+  * rows-only check plus ScalaTest invariants (see test/…).
+  *
+  * Oracle-parity note: the SQL for occurrence counting / language ID is
+  * GENERATED from the same marker-word constants the Spark implementation
+  * uses (single source of truth — the two sides cannot drift apart).
+  */
+object ExtendedQueries {
+
+  // ---- SQL generators mirroring TextFunctions -------------------------
+
+  /** DuckDB expression: whole-word occurrence count of `w` in padded text
+    * `p` (same replace-arithmetic as TF.wordOccurrences). */
+  private def occSql(p: String, w: String): String =
+    s"CAST((length($p) - length(regexp_replace($p, ' $w ', ' ', 'g'))) / ${w.length + 1} AS BIGINT)"
+
+  private def langScoreSql(p: String, lang: String): String =
+    TF.LangMarkers.toMap.apply(lang).map(occSql(p, _)).mkString("(", " + ", ")")
+
+  private val normalizedSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  // ---------------------------------------------------------------------
+  // x01 — token counting (whitespace + BPE-ish regex)
+  // ---------------------------------------------------------------------
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+              TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+              TF.wordpieceCount(col("text")).cast("long").as("n_wordpieces"),
+              length(col("text")).cast("long").as("n_chars_computed"))
+      .orderBy("doc_id")
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_wordpieces,
+      |  CAST(length(text) AS BIGINT) AS n_chars_computed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x02 — quality scoring (length / stopword / alnum ratios)
+  // ---------------------------------------------------------------------
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+              TF.avgTokenLen(col("text")).as("avg_token_len"),
+              TF.stopwordRatio(col("text")).as("stopword_ratio"),
+              TF.alnumRatio(col("text")).as("alnum_ratio"),
+              TF.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val textQualitySql: String = {
+    val p = "(' ' || text || ' ')"
+    val nTok = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    val stopOcc = Seq("the", "a", "and", "of").map(occSql(p, _)).mkString(" + ")
+    s"""SELECT doc_id,
+       |  CASE WHEN $nTok = 0 THEN 0.0
+       |       ELSE CAST(length(text) - $nTok + 1 AS DOUBLE) / $nTok END AS avg_token_len,
+       |  CASE WHEN $nTok = 0 THEN 0.0
+       |       ELSE CAST($stopOcc AS DOUBLE) / $nTok END AS stopword_ratio,
+       |  CASE WHEN length(text) = 0 THEN 0.0
+       |       ELSE CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text) END AS alnum_ratio,
+       |  0.3 * least(CAST($nTok AS DOUBLE) / 64.0, 1.0)
+       |  + 0.2 * (CASE WHEN (CASE WHEN $nTok = 0 THEN 0.0
+       |                      ELSE CAST(length(text) - $nTok + 1 AS DOUBLE) / $nTok END) BETWEEN 3.0 AND 8.0
+       |           THEN 1.0 ELSE 0.5 END)
+       |  + 0.2 * (CASE WHEN length(text) = 0 THEN 0.0
+       |           ELSE CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text) END)
+       |  + 0.3 * (1.0 - CASE WHEN $nTok = 0 THEN 0.0
+       |                 ELSE CAST($stopOcc AS DOUBLE) / $nTok END) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // x03 — language ID (marker-word n-gram heuristic)
+  // ---------------------------------------------------------------------
+  def langId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+              TF.langId(col("text")).as("pred_lang"),
+              TF.langScore(col("text"), "en").cast("long").as("en_score"))
+      .orderBy("doc_id")
+
+  val langIdSql: String = {
+    val p = "(' ' || text || ' ')"
+    val scores = TF.LangMarkers.map { case (l, _) => l -> langScoreSql(p, l) }
+    val mx = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val caseArm = scores.map { case (l, e) => s"WHEN $e = $mx AND $mx > 0 THEN '$l'" }.mkString(" ")
+    s"""SELECT doc_id, lang AS labeled_lang,
+       |  CASE $caseArm ELSE 'und' END AS pred_lang,
+       |  ${scores.toMap.apply("en")} AS en_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // x04 — document fingerprinting
+  // ---------------------------------------------------------------------
+  def fingerprintQ(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    s"SELECT doc_id, md5($normalizedSql) AS fp FROM documents ORDER BY doc_id"
+
+  // ---------------------------------------------------------------------
+  // x05 — exact dedup stats per source
+  // ---------------------------------------------------------------------
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactStats(Tables.documents(s, dir)).orderBy("source")
+
+  val dedupExactSql: String =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT md5($normalizedSql)) AS distinct_texts,
+       |  COUNT(*) - COUNT(DISTINCT md5($normalizedSql)) AS dup_docs
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x06/x07 — MinHash-LSH and SimHash near-dups (hash-based: rows-only
+  // driver check; recall/precision invariants covered in ScalaTest)
+  // ---------------------------------------------------------------------
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(Tables.documents(s, dir), threshold = 0.9)
+      .orderBy("id_a", "id_b")
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(Tables.documents(s, dir), maxHamming = 8)
+      .orderBy("id_a", "id_b")
+
+  // ---------------------------------------------------------------------
+  // x08 — n-gram Jaccard top-k (exact; oracle via lateral unnest)
+  // ---------------------------------------------------------------------
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardTopK(Tables.documents(s, dir), n = 3, k = 50)
+
+  val ngramJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+      |  FROM toks, generate_series(1, greatest(len(w) - 2, 0)) AS g(i)
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      |  FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b,
+      |       CAST(i AS DOUBLE) / (za.sz + zb.sz - i) AS jaccard
+      |FROM inter
+      |JOIN sizes za ON id_a = za.doc_id
+      |JOIN sizes zb ON id_b = zb.doc_id
+      |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x09 — embedding-cosine near-dup (exact pairs ≥ threshold)
+  // ---------------------------------------------------------------------
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Dedup.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Double-precision cosine in DuckDB (list_cosine_similarity is
+    * float32 — not oracle-grade). */
+  private val cosSql =
+    """list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+      |   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x))))""".stripMargin
+
+  val embeddingNearDupSql: String =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cosSql AS cosine
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE $cosSql >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x10 — brute-force top-k cosine search (exact ANN baseline)
+  // ---------------------------------------------------------------------
+  def knnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val knnBruteForceSql: String =
+    s"""SELECT query_id, vec_id, cosine, rank FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, $cosSql AS cosine,
+       |         CAST(row_number() OVER (PARTITION BY a.vec_id
+       |                            ORDER BY $cosSql DESC, b.vec_id) AS BIGINT) AS rank
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) a
+       |  JOIN embeddings b ON a.vec_id <> b.vec_id
+       |) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x11 — LSH-bucketed ANN (scale path; rows-only check + recall spec)
+  // ---------------------------------------------------------------------
+  def knnLsh(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    SimilaritySearch.lshTopK(s, emb, emb.filter(col("vec_id") < 5), k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------------
+  // x12 — multimodal feature extraction (stubbed codec, real plumbing;
+  // rows-only check + determinism spec)
+  // ---------------------------------------------------------------------
+  def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(s, Multimodal.assetsFromDocuments(Tables.documents(s, dir)))
+      .toDF()
+      .select(col("asset_id"), col("modality"), col("n_bytes"), col("feature_norm"))
+      .orderBy("asset_id")
+
+  // ---------------------------------------------------------------------
+  // x13 — JSON payload parsing over events.props (A3 parse semantics,
+  // batch shape: PERMISSIVE from_json + aggregate over extracted field)
+  // ---------------------------------------------------------------------
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k",
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+          .getField("k"))
+      .filter(col("k").isNotNull)
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count("*").as("n"), avg(col("value")).as("avg_value"))
+      .orderBy("k_bucket")
+
+  val jsonPropsSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+      |       COUNT(*) AS n, AVG("value") AS avg_value
+      |FROM events
+      |WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |GROUP BY 1 ORDER BY k_bucket""".stripMargin
+
+  /** Registry: name → (fn, optional oracle). */
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
+    "x01_token_count"        -> ((tokenCount _, Some(tokenCountSql))),
+    "x02_text_quality"       -> ((textQuality _, Some(textQualitySql))),
+    "x03_lang_id"            -> ((langId _, Some(langIdSql))),
+    "x04_fingerprint"        -> ((fingerprintQ _, Some(fingerprintSql))),
+    "x05_dedup_exact"        -> ((dedupExact _, Some(dedupExactSql))),
+    "x06_dedup_minhash"      -> ((dedupMinhash _, None)),
+    "x07_dedup_simhash"      -> ((dedupSimhash _, None)),
+    "x08_ngram_jaccard"      -> ((ngramJaccard _, Some(ngramJaccardSql))),
+    "x09_embedding_neardup"  -> ((embeddingNearDup _, Some(embeddingNearDupSql))),
+    "x10_knn_bruteforce"     -> ((knnBruteForce _, Some(knnBruteForceSql))),
+    "x11_knn_lsh"            -> ((knnLsh _, None)),
+    "x12_multimodal_features" -> ((multimodalFeatures _, None)),
+    "x13_json_props"         -> ((jsonProps _, Some(jsonPropsSql))),
+  )
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Join/aggregation coverage over the TPC-H-ish star schema — beyond the
+  * reference surface (it has no joins, SURVEY.md §2 end note) but core to
+  * "complete analytics engine" and to demonstrating the scale posture:
+  *
+  *  - dimension tables (region/nation/customer/supplier/part) are
+  *    broadcast — no shuffle of the fact table for dimension joins;
+  *  - fact-fact joins (lineitem ⋈ orders) hash-shuffle on the join key
+  *    once, with AQE free to pick broadcast when the filtered side fits;
+  *  - every aggregate is partial-aggregation friendly.
+  */
+object TpchQueries {
+
+  /** j01 — TPC-H Q1 shape: pricing summary over lineitem. The scan filter
+    * is pushed to parquet; one shuffle for the 6-group aggregation. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+          .as("sum_charge"),
+        avg(col("l_quantity")).as("avg_qty"),
+        avg(col("l_extendedprice")).as("avg_price"),
+        avg(col("l_discount")).as("avg_disc"),
+        count("*").as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  SUM(l_quantity) AS sum_qty,
+      |  SUM(l_extendedprice) AS sum_base_price,
+      |  SUM(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+      |  SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+      |  AVG(l_quantity) AS avg_qty,
+      |  AVG(l_extendedprice) AS avg_price,
+      |  AVG(l_discount) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** j02 — TPC-H Q5 shape: revenue by nation for one region & year.
+    * customer/nation/region broadcast; lineitem⋈orders is the only
+    * fact-side shuffle. */
+  def revenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2024-01-01") && col("o_orderdate") < lit("2025-01-01"))
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+           count("*").as("n_lineitems"))
+      .orderBy(desc("revenue"), col("r_name"), col("n_name"))
+  }
+
+  val revenueByNationSql: String =
+    """SELECT r_name, n_name,
+      |  SUM(l_extendedprice * (1 - l_discount)) AS revenue,
+      |  COUNT(*) AS n_lineitems
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '2024-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '2025-01-01 00:00:00'
+      |GROUP BY r_name, n_name
+      |ORDER BY revenue DESC, r_name, n_name""".stripMargin
+
+  /** j03 — TPC-H Q10 shape: top-20 customers by revenue. */
+  def topCustomers(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("c_custkey"))
+      .limit(20)
+  }
+
+  val topCustomersSql: String =
+    """SELECT c_custkey, c_name, n_name, c_acctbal,
+      |  SUM(l_extendedprice * (1 - l_discount)) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name, c_acctbal
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** j04 — TPC-H Q4 shape: order-priority distribution with an EXISTS
+    * (left-semi join) against lineitem shipped after the order date. */
+  def orderPriority(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val late = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(late,
+        col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count("*").as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val orderPrioritySql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** j05 — parts by supplier nation: part ⋈ lineitem ⋈ supplier ⋈ nation,
+    * grouped by (nation, brand): volume + distinct parts. */
+  def partsBySupplierNation(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    val su = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("p_brand"))
+      .agg(sum(col("l_quantity")).as("total_qty"),
+           count_distinct(col("p_partkey")).as("distinct_parts"))
+      .orderBy(col("n_name"), col("p_brand"))
+  }
+
+  val partsBySupplierNationSql: String =
+    """SELECT n_name, p_brand, SUM(l_quantity) AS total_qty,
+      |  COUNT(DISTINCT p_partkey) AS distinct_parts
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name, p_brand ORDER BY n_name, p_brand""".stripMargin
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
+    "j01_pricing_summary"   -> ((pricingSummary _, Some(pricingSummarySql))),
+    "j02_revenue_by_nation" -> ((revenueByNation _, Some(revenueByNationSql))),
+    "j03_top_customers"     -> ((topCustomers _, Some(topCustomersSql))),
+    "j04_order_priority"    -> ((orderPriority _, Some(orderPrioritySql))),
+    "j05_parts_by_supplier" -> ((partsBySupplierNation _, Some(partsBySupplierNationSql))),
+  )
+}
