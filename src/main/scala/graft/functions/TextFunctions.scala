@@ -102,14 +102,17 @@ object TextFunctions {
     * (fixed-width shuffle keys). */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
-  /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit. */
+  /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit.
+    * Documents with fewer than n tokens yield an EMPTY set (no truncated
+    * shingle) — mirrored by the DuckDB oracle's `range(len-n+1)`. */
   def shingles(text: Column, n: Int): Column =
     if (n <= 1) array_distinct(tokens(text))
     else {
       val toks = tokens(text)
-      array_distinct(
-        transform(
-          sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(
+          transform(
+            sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
     }
 }

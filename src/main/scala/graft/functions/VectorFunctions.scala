@@ -103,8 +103,10 @@ case class CosineSimilarity(left: Expression, right: Expression) extends FloatVe
 object VectorFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es.head, es(1)), "builtin")
-    reg.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es.head, es(1)), "builtin")
+    // Source string must be exactly "built-in" — Spark 4 validates it
+    // against ExpressionInfo's accepted set and throws otherwise.
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("cosine_similarity", es => CosineSimilarity(es.head, es(1)), "built-in")
   }
 
   /** Requires [[register]] to have been called on the active session. */

@@ -82,16 +82,33 @@ object Dedup {
     * verified with EXACT shingle-set Jaccard, filtered at `threshold`.
     *
     * Output: (id_a, id_b, jaccard), id_a < id_b.
-    */
+    *
+    * Parameter rationale (the 100 TB posture): unigram shingles collide
+    * on shared vocabulary and degenerate the band-join toward all-pairs —
+    * word TRIGRAMS are the default shingle unit. 32 hashes in 8 bands × 4
+    * rows puts the LSH S-curve's 50% collision point at (1/8)^(1/4) ≈ 0.59
+    * — high recall at threshold 0.9 with few spurious candidates. Buckets
+    * larger than `maxBucketSize` (mass exact/near-exact duplicates or
+    * degenerate content) are excluded from PAIR GENERATION — a bucket of
+    * size m contributes m² candidate pairs, so one pathological bucket
+    * can dominate the whole job; such content is better handled by exact
+    * dedup first. The shingle relation is NOT cached: it is a row-local
+    * scan+explode recomputed cheaper than it could be stored. */
   def minhashNearDups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                      n: Int = 1, numHashes: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.9): DataFrame = {
+                      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.9, maxBucketSize: Int = 200): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = shingleSet(docs, idCol, textCol, n).cache()
+    val sh = shingleSet(docs, idCol, textCol, n)
     val sigs = minhashSignatures(docs, idCol, textCol, n, numHashes)
     val bd = banded(sigs, bands, rowsPerBand)
 
-    val cands = bd.as("x").join(bd.as("y"),
+    val okBuckets = bd.groupBy(col("band"), col("bh"))
+      .agg(count("*").as("__bsz"))
+      .filter(col("__bsz") <= maxBucketSize)
+      .select(col("band"), col("bh"))
+
+    val pruned = bd.join(okBuckets, Seq("band", "bh"))
+    val cands = pruned.as("x").join(pruned.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
@@ -143,15 +160,18 @@ object Dedup {
     agg.select(col("id"), simhash.as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash: candidates share at least one of four
-    * 16-bit chunks (guarantees recall for hamming ≤ 3 by pigeonhole);
-    * verified with exact popcount of the XOR. */
+  /** Near-dup pairs by SimHash: candidates share at least one of EIGHT
+    * 8-bit chunks — by pigeonhole, any pair with hamming distance ≤ 7 has
+    * all differing bits spread over ≤ 7 chunks, so at least one chunk is
+    * equal: recall is guaranteed (exactly 1.0) for maxHamming ≤ 7.
+    * Verified with exact popcount of the XOR (see DedupSpec recall test). */
   def simhashNearDups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7, s"8-chunk banding guarantees recall only for hamming <= 7, got $maxHamming")
     val sig = simhashSignatures(docs, idCol, textCol)
     val chunks = sig.select(col("id"), col("simhash"), posexplode(
-      array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*)).as(Seq("chunk", "ch")))
+      array((0 until 8).map(c =>
+        shiftright(col("simhash"), c * 8).bitwiseAND(0xFFL)): _*)).as(Seq("chunk", "ch")))
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch") &&
         col("x.id") < col("y.id"))
@@ -192,17 +212,41 @@ object Dedup {
   // Embedding-cosine near-dup
   // -------------------------------------------------------------------
 
-  /** Pairs of embeddings with cosine ≥ threshold.
-    *
-    * Brute-force variant: block-nested-loop over the (small) broadcast
-    * side. Correct baseline; for n beyond ~10⁵ use the LSH-bucketed
-    * variant in [[SimilaritySearch]] as the candidate generator. */
+  /** Pairs of embeddings with cosine ≥ threshold — EXACT all-pairs
+    * baseline (block-nested-loop). Correct by construction and the oracle
+    * anchor; O(n²) scoring means it is the right plan only for bounded n
+    * (≲10⁵ rows). The scale path is [[embeddingNearDupsLsh]]. */
   def embeddingNearDups(emb: DataFrame, idCol: String = "vec_id",
                         vecCol: String = "embedding",
                         threshold: Double = 0.3): DataFrame = {
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFunctions.cosine_similarity(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Scale path for embedding near-dup: random-hyperplane LSH bucketing
+    * as the candidate generator, exact cosine verification only inside
+    * matching (table, bucket) cells — an equi-join, never a cross join.
+    * Candidate volume is O(n · tables · E[bucket size]) instead of O(n²);
+    * recall < 1 by construction (amplified by `tables` independent hash
+    * tables; measured vs the exact baseline in DedupSpec). */
+  def embeddingNearDupsLsh(emb: DataFrame, idCol: String = "vec_id",
+                           vecCol: String = "embedding",
+                           threshold: Double = 0.3,
+                           dim: Int = 64, planes: Int = 8, tables: Int = 8,
+                           seed: Long = 42L): DataFrame = {
+    val bucketed = SimilaritySearch.bucketize(
+      emb.select(col(idCol).as("id"), col(vecCol).as("v")),
+      "v", dim, planes, tables, seed)
+    bucketed.as("x").join(bucketed.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+              col("x.v").as("v_a"), col("y.v").as("v_b"))
+      .distinct()
       .withColumn("cosine", VectorFunctions.cosine_similarity(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

@@ -52,9 +52,20 @@ object SimilaritySearch {
       when(VectorFunctions.dot_product(vec, planeCol) >= 0, shiftleft(lit(1L), j)).otherwise(0L)
     }.reduce[org.apache.spark.sql.Column](_.bitwiseOR(_))
 
+  /** (tbl, bucket) assignment of every row of `df` under `tables`
+    * independent hyperplane hash tables — the shared candidate generator
+    * for [[lshTopK]] and [[graft.operators.Dedup.embeddingNearDupsLsh]]. */
+  def bucketize(df: DataFrame, vecCol: String,
+                dim: Int, planes: Int, tables: Int, seed: Long): DataFrame = {
+    val hp = hyperplanes(dim, planes, tables, seed)
+    df.select(col("*"),
+      posexplode(array(hp.map(t => bucketExpr(col(vecCol), t)): _*))
+        .as(Seq("tbl", "bucket")))
+  }
+
   /** Approximate top-k via random-hyperplane LSH with multiple tables.
     * Same output shape as [[bruteForceTopK]]; recall < 1 by construction
-    * (tested ≥ 0.5 @ 16 planes × 8 tables on the fixture set). */
+    * (recall-vs-brute-force invariant measured in SimilaritySearchSpec). */
   def lshTopK(spark: SparkSession, items: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
               dim: Int = 64, planes: Int = 12, tables: Int = 8,

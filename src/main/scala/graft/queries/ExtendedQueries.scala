@@ -134,9 +134,11 @@ object ExtendedQueries {
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(s, dir), threshold = 0.9)
       .orderBy("id_a", "id_b")
+  // (defaults: word-trigram shingles, 32 hashes in 8×4 bands — see
+  // Dedup.minhashNearDups scale rationale; recall invariants in DedupSpec)
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDups(Tables.documents(s, dir), maxHamming = 8)
+    Dedup.simhashNearDups(Tables.documents(s, dir), maxHamming = 7)
       .orderBy("id_a", "id_b")
 
   // ---------------------------------------------------------------------
@@ -145,12 +147,18 @@ object ExtendedQueries {
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardTopK(Tables.documents(s, dir), n = 3, k = 50)
 
+  // No lateral table function (DuckDB rejects column-parameterized
+  // generate_series): shingles come from unnest(list_transform(range(…))).
+  // range(len-2) is empty for len<3 — same short-doc semantics as
+  // TF.shingles (no truncated shingle).
   val ngramJaccardSql: String =
     """WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
       |), grams AS (
-      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
-      |  FROM toks, generate_series(1, greatest(len(w) - 2, 0)) AS g(i)
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(greatest(len(w) - 2, 0)),
+      |                               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+      |  FROM toks
       |), sizes AS (
       |  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
       |), inter AS (
@@ -187,6 +195,16 @@ object ExtendedQueries {
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
        |WHERE $cosSql >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x14 — embedding near-dup, LSH-bucketed scale path (rows-only check;
+  // recall-vs-exact invariant in DedupSpec)
+  // ---------------------------------------------------------------------
+  def embeddingNearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Dedup.embeddingNearDupsLsh(Tables.embeddings(s, dir), threshold = 0.3)
+      .orderBy("id_a", "id_b")
+  }
 
   // ---------------------------------------------------------------------
   // x10 — brute-force top-k cosine search (exact ANN baseline)
@@ -264,5 +282,6 @@ object ExtendedQueries {
     "x11_knn_lsh"            -> ((knnLsh _, None)),
     "x12_multimodal_features" -> ((multimodalFeatures _, None)),
     "x13_json_props"         -> ((jsonProps _, Some(jsonPropsSql))),
+    "x14_embedding_neardup_lsh" -> ((embeddingNearDupLsh _, None)),
   )
 }

@@ -56,7 +56,7 @@ object TpchQueries {
   def revenueByNation(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val o = Tables.orders(s, dir)
-      .filter(col("o_orderdate") >= lit("2024-01-01") && col("o_orderdate") < lit("2025-01-01"))
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
     val r = Tables.region(s, dir)
@@ -79,8 +79,8 @@ object TpchQueries {
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
-      |WHERE o_orderdate >= TIMESTAMP '2024-01-01 00:00:00'
-      |  AND o_orderdate < TIMESTAMP '2025-01-01 00:00:00'
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       |GROUP BY r_name, n_name
       |ORDER BY revenue DESC, r_name, n_name""".stripMargin
 
