@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.queries.{ExtendedQueries, ReferenceQueries, TpchQueries}
+import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +21,8 @@ object SparkEntry {
   private val registry: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] =
     ReferenceQueries.all.map { case (name, (fn, sql)) => name -> ((fn, Option(sql))) } ++
     TpchQueries.all ++
-    ExtendedQueries.all
+    ExtendedQueries.all ++
+    StreamingQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (name, (fn, _)) => name -> fn }.toMap

@@ -236,7 +236,7 @@ object Dedup {
   def embeddingNearDupsLsh(emb: DataFrame, idCol: String = "vec_id",
                            vecCol: String = "embedding",
                            threshold: Double = 0.3,
-                           dim: Int = 64, planes: Int = 8, tables: Int = 8,
+                           dim: Int = 64, planes: Int = 4, tables: Int = 8,
                            seed: Long = 42L): DataFrame = {
     val bucketed = SimilaritySearch.bucketize(
       emb.select(col(idCol).as("id"), col(vecCol).as("v")),

@@ -65,10 +65,16 @@ object SimilaritySearch {
 
   /** Approximate top-k via random-hyperplane LSH with multiple tables.
     * Same output shape as [[bruteForceTopK]]; recall < 1 by construction
-    * (recall-vs-brute-force invariant measured in SimilaritySearchSpec). */
+    * (recall-vs-brute-force invariant measured in SimilaritySearchSpec).
+    *
+    * Plane-count trade-off: P(pair collides in one table) =
+    * (1 − θ/π)^planes, so for the WIDE angles this fixture's neighbor
+    * structure lives at (cosine 0.3–0.5 ⇒ θ ≈ 60–73°), few planes + more
+    * tables is the only regime with useful recall; planes should grow
+    * with log(n) as the corpus grows to keep buckets bounded. */
   def lshTopK(spark: SparkSession, items: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              dim: Int = 64, planes: Int = 12, tables: Int = 8,
+              dim: Int = 64, planes: Int = 4, tables: Int = 8,
               seed: Long = 42L): DataFrame = {
     val hp = hyperplanes(dim, planes, tables, seed)
 

@@ -43,7 +43,7 @@ object ReferenceQueries {
     * table / page_stats_mv materialized view, clickhouse_tables.sql:75-85).
     * Single aggregation path — intentionally fixes the reference's
     * double-insert quirk (SURVEY.md §2.B B4/B7 note). */
-  private def minuteAgg(s: SparkSession, dir: String): DataFrame =
+  def minuteAgg(s: SparkSession, dir: String): DataFrame =
     clicks(s, dir)
       .groupBy(
         date_trunc("minute", col("ts")).as("window_start"),

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** The reference's streaming dataflow (SURVEY.md §2.A; StreamJob.java:193-332)
+  * as one Structured Streaming pipeline:
+  *
+  *   source (Kafka | JSON file-stream) → PERMISSIVE parse + sentinel filter
+  *   → event-time + 10 s watermark → 1-minute tumbling window aggregation
+  *   → parquet-append sinks stamping ingest time, with checkpointing.
+  *
+  * Exact-distinct-at-scale design: Spark's streaming aggregation forbids
+  * `count_distinct`, and the reference's per-window `HashSet`
+  * (StreamJob.java:102-109) is an unbounded per-key memory bet. Instead
+  * the streamed aggregate keeps the USER grain — one state row per
+  * (window, page, country, user_id) with a count — which the watermark
+  * evicts like any windowed state; the finalizing rollup
+  * ([[minuteAggFromUserGrain]]) then gets `unique_users` as a plain
+  * `count(*)` and `cnt` as `sum`, both exact. At 100 TB the user-grain
+  * shuffle is the honest cost of exactness; `approx_count_distinct` on
+  * the direct grain is the sketch-based alternative when ±2% is fine.
+  *
+  * The sandbox has no Kafka broker; [[fromKafka]] is the production source
+  * (StreamJob.java:205-211 semantics — latest offsets, value-only), and
+  * [[fromJsonDir]] is the hermetic file-stream flavor used by tests and
+  * the driver entries. Both feed the identical downstream pipeline.
+  */
+object ClickPipeline {
+
+  /** Wire schema of one click event (produce.py:127-135, README.md:83-93);
+    * `ts` is epoch MILLISECONDS (produce.py:130). */
+  val clickSchema: StructType = StructType(Seq(
+    StructField("event_id", StringType),
+    StructField("user_id", StringType),
+    StructField("ts", LongType),
+    StructField("page", StringType),
+    StructField("referrer", StringType),
+    StructField("country", StringType),
+    StructField("device", StringType)))
+
+  /** A3 + A4: PERMISSIVE JSON deserialize (malformed → null struct, the
+    * from_json analogue of the reference's sentinel record,
+    * StreamJob.java:228-249) then filter; epoch-ms → TimestampType. */
+  def parse(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value"), clickSchema).as("c"))
+      .select(col("c.*"))
+      .filter(col("event_id").isNotNull && col("event_id") =!= "parse-error")
+      .withColumn("ts", timestamp_millis(col("ts")))
+
+  /** A1, file-stream flavor: JSON lines under `dir`. All files present at
+    * start are consumed in the first micro-batch (no maxFilesPerTrigger),
+    * so a bounded replay is never late-dropped against the initial
+    * watermark. */
+  def fromJsonDir(spark: SparkSession, dir: String): DataFrame =
+    parse(spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .text(dir))
+
+  /** A1, production flavor: Kafka topic, latest offsets, value-only string
+    * deserialization (StreamJob.java:205-211). Compiles against the Spark
+    * Kafka connector; not runnable in the sandbox (no broker). */
+  def fromKafka(spark: SparkSession, brokers: String,
+                topic: String = "click_events"): DataFrame =
+    parse(spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "latest")
+      .load()
+      .select(col("value").cast("string").as("value")))
+
+  /** A2: event-time with 10 s bounded out-of-orderness
+    * (StreamJob.java:214-225). Records later than watermark are dropped —
+    * same drop-after-watermark semantics as Flink without allowedLateness. */
+  def withEventTime(clicks: DataFrame): DataFrame =
+    clicks.withWatermark("ts", "10 seconds")
+
+  /** A5–A7 (streamed part): epoch-aligned 1-minute tumbling window
+    * `[start, end)`, keyed by (page, country) — held at USER grain so the
+    * final distinct count stays exact (see object doc). */
+  def minuteUserGrain(clicks: DataFrame): DataFrame =
+    clicks
+      .groupBy(window(col("ts"), "1 minute").as("w"),
+               col("page"), col("country"), col("user_id"))
+      .agg(count("*").as("cnt"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+              col("page"), col("country"), col("user_id"), col("cnt"))
+
+  /** Finalizing rollup of the streamed user-grain output to the
+    * page_minute_agg shape (clickhouse_tables.sql:23-37): exact `cnt` and
+    * exact `unique_users`, one aggregation path (the documented fix of
+    * the reference's SummingMergeTree double-count, SURVEY.md §2.B). */
+  def minuteAggFromUserGrain(userGrain: DataFrame): DataFrame =
+    userGrain
+      .groupBy(col("window_start"), col("window_end"), col("page"), col("country"))
+      .agg(sum(col("cnt")).as("cnt"), count("*").as("unique_users"))
+
+  /** A12/A13 + B8 + A14: parquet-append sink stamping ingest-time
+    * `created_at` (clickhouse_tables.sql:14), checkpointed, running until
+    * all currently-available input is processed (Trigger.AvailableNow —
+    * the bounded-replay analogue of the reference's continuous run).
+    * Append output mode ⇒ each window is emitted exactly once, when the
+    * watermark passes its end. */
+  def runAppendParquet(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = df
+      .withColumn("created_at", current_timestamp())
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,166 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.queries.ReferenceQueries
+
+/** Driver-checkable entries that run the REAL streaming pipeline end-to-end
+  * (source → watermark → windowed state → checkpointed sink) over the
+  * events fixture, then read the sink back as a batch DataFrame so the
+  * result can be hash-compared against the SAME DuckDB oracle as the
+  * batch twin:
+  *
+  *  - s01: full A1→A7+A12+A14 pipeline ≡ q14 (oracle: q14Sql)
+  *  - s02: A8–A9 keyed Welford anomaly state ≡ q17 (oracle: q17Sql)
+  *  - s03: A13 raw-event sink with ingest-time stamping; row-level parity
+  *
+  * Watermark-flush protocol for bounded replays: a streaming window in
+  * APPEND mode is emitted only once the watermark passes its end, and the
+  * watermark only advances between micro-batches — so after one
+  * AvailableNow pass over the fixture the final ~70 s of windows are
+  * still sitting in state. The entries therefore run a SECOND AvailableNow
+  * pass from the same checkpoint (a genuine A14 stop/restart) over one
+  * appended `__flush__` sentinel event stamped far past max(ts): its only
+  * effect is advancing the watermark so every real window flushes; the
+  * sentinel's own window stays unemitted and is filtered on read-back.
+  * Nothing is ever late-dropped because the entire fixture is consumed in
+  * the first micro-batch, while the initial watermark is still at epoch.
+  */
+object StreamingQueries {
+
+  private def tempDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  /** Fixture clicks in the producer's wire shape (string ids, epoch-ms ts,
+    * produce.py:127-135), one JSON object per line. */
+  private def wireJson(s: SparkSession, dir: String): DataFrame =
+    Tables.clicks(s, dir).select(
+      col("event_id").cast("string").as("event_id"),
+      col("user_id").cast("string").as("user_id"),
+      unix_millis(col("ts")).as("ts"),
+      col("page"), col("referrer"), col("country"), col("device"))
+
+  private def writeSentinel(inDir: String, tsMs: Long): Unit = {
+    val json = s"""{"event_id":"flush","user_id":"u0","ts":$tsMs,"page":"__flush__","referrer":"/","country":"XX","device":"mobile"}"""
+    Files.writeString(Paths.get(inDir, "zz_flush_sentinel.json"), json + "\n")
+  }
+
+  // ---------------------------------------------------------------------
+  // s01 — the reference's whole streaming spine, oracle-checked vs q14
+  // ---------------------------------------------------------------------
+  def streamMinuteAgg(s: SparkSession, dir: String): DataFrame = {
+    val work = tempDir("graft_s01_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    val wire = wireJson(s, dir)
+    val maxTs = wire.agg(max(col("ts"))).head.getLong(0)
+    wire.toJSON.write.text(inDir)
+
+    def runOnce(): Unit = ClickPipeline.runAppendParquet(
+      ClickPipeline.minuteUserGrain(
+        ClickPipeline.withEventTime(ClickPipeline.fromJsonDir(s, inDir))),
+      outDir, ck)
+
+    runOnce()                                  // pass 1: all real data
+    writeSentinel(inDir, maxTs + 600000L)      // advance the watermark…
+    runOnce()                                  // pass 2: restart from checkpoint, flush
+
+    val streamed = s.read.parquet(outDir)
+      .filter(col("page") =!= "__flush__")
+      .drop("created_at")
+    ClickPipeline.minuteAggFromUserGrain(streamed)
+      .select(unix_millis(col("window_start")).as("window_start_ms"),
+              unix_millis(col("window_end")).as("window_end_ms"),
+              col("page"), col("country"), col("cnt"), col("unique_users"))
+      .orderBy("window_start_ms", "page", "country")
+  }
+
+  // ---------------------------------------------------------------------
+  // s02 — keyed Welford anomaly state, oracle-checked vs q17
+  // ---------------------------------------------------------------------
+  def streamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = tempDir("graft_s02_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    // Input stream = the canonical per-minute agg table (what A8 re-keys).
+    // One parquet file ⇒ one micro-batch ⇒ each key's full history reaches
+    // the state function together, in window order after the batch sort.
+    ReferenceQueries.minuteAgg(s, dir)
+      .select(unix_millis(col("window_start")).as("window_start_ms"),
+              col("page"), col("country"), col("cnt"))
+      .coalesce(1)
+      .write.parquet(inDir)
+
+    val inputSchema = StructType(Seq(
+      StructField("window_start_ms", LongType),
+      StructField("page", StringType),
+      StructField("country", StringType),
+      StructField("cnt", LongType)))
+    val stream = s.readStream.schema(inputSchema).parquet(inDir)
+      .as[AnomalyDetector.AggRow]
+
+    ClickPipeline.runAppendParquet(AnomalyDetector.detect(stream).toDF(), outDir, ck)
+
+    // mean is exact on both sides (sum/n over integer counts — see
+    // WelfordState); z_score involves the M2 accumulator, where Welford
+    // and DuckDB's var_samp agree only to ~1e-14 — which can straddle the
+    // driver's 9-significant-digit canonicalization — so it is rounded to
+    // 6 decimals on BOTH sides.
+    s.read.parquet(outDir)
+      .select(col("window_start_ms"), col("page"), col("country"), col("cnt"),
+              col("n"), col("mean"),
+              round(col("z_score"), 6).as("z_score"), col("is_anomaly"))
+      .orderBy("page", "country", "window_start_ms")
+  }
+
+  /** q17's oracle with the same 6-decimal z_score rounding as
+    * [[streamAnomaly]]. */
+  val streamAnomalySql: String =
+    s"""SELECT window_start_ms, page, country, cnt, n, mean,
+       |       round(z_score, 6) AS z_score, is_anomaly
+       |FROM (${ReferenceQueries.q17Sql})
+       |ORDER BY page, country, window_start_ms""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // s03 — raw-event sink (A13): stream → parquet append + created_at stamp
+  // ---------------------------------------------------------------------
+  def streamRawSink(s: SparkSession, dir: String): DataFrame = {
+    val work = tempDir("graft_s03_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    wireJson(s, dir).toJSON.write.text(inDir)
+    // No aggregation ⇒ no watermark needed: every event is appended in
+    // pass 1; created_at is the ingest stamp (excluded from the compared
+    // columns — it is wall-clock by design, clickhouse_tables.sql:14).
+    ClickPipeline.runAppendParquet(ClickPipeline.fromJsonDir(s, inDir), outDir, ck)
+
+    s.read.parquet(outDir)
+      .groupBy(col("page"))
+      .agg(count("*").as("events"),
+           count_distinct(col("user_id")).as("unique_users"),
+           unix_millis(min(col("ts"))).as("first_ms"),
+           unix_millis(max(col("ts"))).as("last_ms"))
+      .orderBy("page")
+  }
+
+  val streamRawSinkSql: String =
+    s"""WITH clicks AS (${Tables.clicksSql})
+       |SELECT page, COUNT(*) AS events, COUNT(DISTINCT user_id) AS unique_users,
+       |       epoch_ms(MIN(CAST(ts AS TIMESTAMP))) AS first_ms,
+       |       epoch_ms(MAX(CAST(ts AS TIMESTAMP))) AS last_ms
+       |FROM clicks GROUP BY page ORDER BY page""".stripMargin
+
+  /** Registry: the streaming entries reuse the BATCH oracles — streamed
+    * results must equal the batch computation on the same data. */
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
+    "s01_stream_minute_agg" -> ((streamMinuteAgg _, Some(ReferenceQueries.q14Sql))),
+    "s02_stream_anomaly"    -> ((streamAnomaly _, Some(streamAnomalySql))),
+    "s03_stream_raw_sink"   -> ((streamRawSink _, Some(streamRawSinkSql))),
+  )
+}

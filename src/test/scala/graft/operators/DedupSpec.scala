@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.VectorFunctions
+
+/** Dedup-family invariants: exact keeper semantics, MinHash recall on
+  * planted near-duplicates, the SimHash pigeonhole recall guarantee, and
+  * LSH-vs-exact recall for embedding near-dup. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vocab = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+    "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+
+  /** Deterministic 40-word doc from a seed. */
+  private def doc(seed: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(40)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+  }
+
+  test("exact dedup keeps exactly one row (smallest id) per normalized text") {
+    val df = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "different text entirely"),
+      (4L, "HELLO WORLD")).toDF("doc_id", "text")
+    val kept = Dedup.exact(df, "text", "doc_id").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L)) // 2 and 4 normalize to doc 1's text
+  }
+
+  test("minhash finds planted near-duplicates and nothing else") {
+    val base = doc(1)
+    val nearDup = base.split(" ").updated(39, "zulu").mkString(" ") // last word changed
+    val docs = (Seq((100L, base), (101L, nearDup), (102L, base)) ++
+      (0 until 20).map(i => (i.toLong, doc(i + 10)))).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 101L)) && pairs.contains((100L, 102L)) && pairs.contains((101L, 102L)))
+    // random docs share few trigrams — no spurious pairs at 0.7
+    assert(pairs.forall { case (a, b) => a >= 100L && b >= 100L })
+    // and the exact-dup pair has jaccard exactly 1.0
+    val j = Dedup.minhashNearDups(docs, threshold = 0.7)
+      .filter(col("id_a") === 100 && col("id_b") === 102)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("simhash 8-chunk banding: output EQUALS brute-force hamming<=7 pairs (recall 1.0)") {
+    val docs = (Seq((100L, doc(1)), (101L, doc(1)), // exact dup → hamming 0
+      (102L, doc(1).split(" ").updated(0, "zulu").mkString(" "))) ++ // near dup
+      (0 until 15).map(i => (i.toLong, doc(i + 50)))).toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(docs).as[(Long, Long)].collect().toMap
+    val expected = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 7
+    } yield (a, b)).toSet
+    val actual = Dedup.simhashNearDups(docs, maxHamming = 7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(actual == expected)          // exact: guaranteed recall AND exact verify
+    assert(expected.contains((100L, 101L))) // the planted exact dup is in there
+  }
+
+  test("simhash rejects maxHamming beyond the banding guarantee") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assertThrows[IllegalArgumentException] {
+      Dedup.simhashNearDups(docs, maxHamming = 8)
+    }
+  }
+
+  test("embedding LSH near-dup: recall >= 0.5 vs the exact baseline at threshold 0.3") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val exact = Dedup.embeddingNearDups(emb, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupsLsh(emb, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact)) // precision 1.0: every LSH pair is cosine-verified
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall below 0.5 (${lsh.size}/${exact.size})")
+  }
+
+  test("ngram jaccard: shared-shingle blocking never emits zero-overlap pairs") {
+    val docs = Seq(
+      (1L, "w x y z w x y"), (2L, "w x y q r s t"), (3L, "completely different words here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardTopK(docs, n = 3, k = 10)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(out.forall(_._3 > 0.0))
+    assert(out.map(t => (t._1, t._2)).toSet == Set((1L, 2L))) // only the w-x-y sharers
+  }
+}

@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.VectorFunctions
+
+class SimilaritySearchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bruteForceTopK: exact ranks on a hand-checkable set") {
+    VectorFunctions.register(spark)
+    val items = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)), (3L, Array(-1f, 0f))).toDF("vec_id", "embedding")
+    val out = SimilaritySearch.bruteForceTopK(items, items.filter(col("vec_id") === 0), k = 2)
+      .select("vec_id", "rank").as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 1, 2L -> 2)) // cos: 0.994, 0.0, -1.0
+  }
+
+  test("lshTopK: recall >= 0.5 vs brute force on the fixture embeddings") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(SimilaritySearch.bruteForceTopK(emb, queries, k = 10))
+    val approx = pairs(SimilaritySearch.lshTopK(spark, emb, queries, k = 10))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH top-k recall $recall below 0.5")
+  }
+}

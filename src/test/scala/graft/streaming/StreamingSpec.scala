@@ -1,0 +1,171 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Streaming-harness invariants from FIXTURES.md §1: window boundaries
+  * `[start, end)`, watermark late-drop, PERMISSIVE parse + filter, and
+  * keyed Welford state across micro-batches. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def jsonClick(eventId: String, user: String, tsMs: Long, page: String): String =
+    s"""{"event_id":"$eventId","user_id":"$user","ts":$tsMs,"page":"$page","referrer":"/","country":"US","device":"mobile"}"""
+
+  // t0 = 2024-01-01 12:00:00 UTC, minute-aligned
+  private val t0 = 1704110400000L
+
+  test("parse: PERMISSIVE malformed-JSON handling drops bad rows, keeps good ones") {
+    val raw = Seq(
+      jsonClick("e1", "u1", t0, "/"),
+      """{not json at all""",
+      """{"event_id":"parse-error","user_id":"u9","ts":1,"page":"/x","referrer":"/","country":"US","device":"mobile"}""",
+      jsonClick("e2", "u2", t0 + 1000, "/cart")).toDF("value")
+    val parsed = ClickPipeline.parse(raw).collect()
+    assert(parsed.map(_.getAs[String]("event_id")).sorted.toSeq == Seq("e1", "e2"))
+  }
+
+  test("windowed agg: [start,end) boundaries, late-beyond-watermark rows dropped") {
+    val input = MemoryStream[String](spark)
+    // only the user-grain agg streams (chained streaming aggregations are
+    // unsupported); the finalizing rollup is batch over the sink — exactly
+    // the s01 driver-entry shape
+    val agg = ClickPipeline.minuteUserGrain(
+      ClickPipeline.withEventTime(
+        ClickPipeline.parse(input.toDF())))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_test")
+      .option("checkpointLocation", Files.createTempDirectory("ck_win").toString)
+      .start()
+    try {
+      // batch 1: two events in [12:00,12:01) — one at start, one at 59.999 s
+      // — plus the boundary event at exactly 12:01:00 (belongs to the NEXT
+      // window) and a driver event at 12:02:30 that sets the watermark.
+      input.addData(
+        jsonClick("e1", "u1", t0, "/"),
+        jsonClick("e2", "u2", t0 + 59999, "/"),
+        jsonClick("e3", "u3", t0 + 60000, "/"),
+        jsonClick("e4", "u4", t0 + 150000, "/"))
+      q.processAllAvailable()
+      // watermark now 12:02:20 — batch 2's late event at 12:00:30 lands in
+      // a window whose end (12:01) is before the watermark: DROPPED.
+      input.addData(jsonClick("late", "u9", t0 + 30000, "/"))
+      q.processAllAvailable()
+      // flush: advance watermark far past every real window
+      input.addData(jsonClick("flush", "u0", t0 + 600000, "__flush__"))
+      q.processAllAvailable()
+
+      val rows = ClickPipeline.minuteAggFromUserGrain(
+          spark.table("win_test").filter(col("page") =!= "__flush__"))
+        .select(unix_millis(col("window_start")).as("ws"), col("cnt"), col("unique_users"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        (t0, 2L, 2L),            // [12:00,12:01): e1+e2 only — late row dropped
+        (t0 + 60000, 1L, 1L),    // [12:01,12:02): boundary event e3
+        (t0 + 150000 - 30000, 1L, 1L))) // [12:02,12:03): e4
+    } finally q.stop()
+  }
+
+  test("Welford step: update-before-test, n>5 gate, sample stddev, z>2.5") {
+    import AnomalyDetector._
+    var st = WelfordState(0, 0.0, 0.0)
+    // five identical observations: never flagged (gate), stddev 0
+    (1 to 5).foreach { i =>
+      val (s2, row) = step(st, AggRow(i * 60000L, "/", "US", 10))
+      st = s2
+      assert(!row.is_anomaly && row.z_score == 0.0 && row.n == i)
+    }
+    assert(st.mean == 10.0 && st.m2 == 0.0)
+    // 6th observation is a spike. Because the spike is folded into the
+    // stats BEFORE its own z-score (reference update-precedes-test), z is
+    // bounded by (n-1)/√n — for n=6 that is 5/√6 ≈ 2.04 < 2.5, so a
+    // single spike after a constant history can NEVER flag at n=6.
+    val (st6, row6) = step(st, AggRow(6 * 60000L, "/", "US", 100))
+    assert(row6.n == 6 && math.abs(st6.mean - 25.0) < 1e-12)
+    val expectedStd = math.sqrt(st6.m2 / 5)
+    assert(math.abs(row6.z_score - (100 - 25.0) / expectedStd) < 1e-12)
+    assert(math.abs(row6.z_score - 5.0 / math.sqrt(6.0)) < 1e-12)
+    assert(!row6.is_anomaly)
+    // 8 steady + spike: n=9 ⇒ bound 8/3 ≈ 2.67 > 2.5 and a constant
+    // history attains it ⇒ flagged. mean=20, m2=7200, std=30, z=8/3.
+    var s8 = WelfordState(0, 0.0, 0.0)
+    (1 to 8).foreach { i => s8 = step(s8, AggRow(i * 60000L, "/", "US", 10))._1 }
+    val (_, spike) = step(s8, AggRow(9 * 60000L, "/", "US", 100))
+    assert(spike.n == 9 && math.abs(spike.mean - 20.0) < 1e-12)
+    assert(math.abs(spike.z_score - 8.0 / 3.0) < 1e-12)
+    assert(spike.is_anomaly)
+    // constant series with n>5: stddev=0 → z defined as 0, not NaN
+    var c = WelfordState(0, 0.0, 0.0)
+    val rows = (1 to 7).map { i =>
+      val (s2, r) = step(c, AggRow(i * 60000L, "/p", "DE", 3)); c = s2; r
+    }
+    assert(rows.forall(r => r.z_score == 0.0 && !r.is_anomaly))
+  }
+
+  test("AnomalyDetector.detect: keyed state persists across micro-batches") {
+    import AnomalyDetector._
+    val input = MemoryStream[AggRow](spark)
+    val q = detect(input.toDS()).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anomaly_test")
+      .option("checkpointLocation", Files.createTempDirectory("ck_anom").toString)
+      .start()
+    try {
+      // batch 1: eight steady windows (out of order — detector must sort)
+      input.addData(Seq(3L, 1L, 8L, 5L, 2L, 7L, 4L, 6L).map(i => AggRow(i * 60000, "/", "US", 10)): _*)
+      q.processAllAvailable()
+      // batch 2: the spike — state (n=8, mean=10) must have survived;
+      // n=9 ⇒ z = 8/3 > 2.5 (see Welford step test for the bound)
+      input.addData(AggRow(9 * 60000, "/", "US", 100))
+      q.processAllAvailable()
+      val out = spark.table("anomaly_test").orderBy("window_start_ms")
+        .as[AnomalyRow].collect()
+      assert(out.length == 9)
+      assert(out.take(8).forall(r => !r.is_anomaly && r.z_score == 0.0))
+      val spike = out.last
+      assert(spike.n == 9 && spike.is_anomaly && math.abs(spike.mean - 20.0) < 1e-12)
+      // and the batch-order independence: window order, not arrival order
+      assert(out.map(_.window_start_ms).toSeq == (1 to 9).map(_ * 60000L))
+    } finally q.stop()
+  }
+
+  test("anomalies(): reference-style alert message for flagged rows only") {
+    import AnomalyDetector._
+    val rows = Seq(
+      AnomalyRow(60000, "/", "US", 100, 6, 25.0, 3.2, true),
+      AnomalyRow(120000, "/", "US", 10, 7, 22.9, 0.5, false)).toDS()
+    val msgs = anomalies(rows).as[String].collect()
+    assert(msgs.length == 1)
+    assert(msgs.head.startsWith("ANOMALY DETECTED: page=/ country=US window_start_ms=60000 cnt=100 z=3.20"))
+  }
+
+  test("checkpointed restart resumes without re-emitting (A14)") {
+    val work = Files.createTempDirectory("ck_restart").toString
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+    new java.io.File(inDir).mkdirs()
+    def writeFile(name: String, lines: Seq[String]): Unit =
+      Files.write(java.nio.file.Paths.get(inDir, name),
+        String.join("\n", lines: _*).getBytes)
+    def runOnce(): Unit = ClickPipeline.runAppendParquet(
+      ClickPipeline.minuteUserGrain(ClickPipeline.withEventTime(
+        ClickPipeline.fromJsonDir(spark, inDir))), outDir, ck)
+
+    writeFile("a.json", Seq(
+      jsonClick("e1", "u1", t0, "/"),
+      jsonClick("e2", "u2", t0 + 10000, "/")))
+    runOnce()
+    writeFile("b.json", Seq(jsonClick("flush", "u0", t0 + 600000, "__flush__")))
+    runOnce() // restart from checkpoint; only the sentinel is new input
+    val out = spark.read.parquet(outDir).filter(col("page") =!= "__flush__")
+    // exactly one emission of the [12:00,12:01) user-grain rows
+    assert(out.count() == 2)
+    assert(out.agg(sum("cnt")).head.getLong(0) == 2)
+  }
+}
