@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtendedQueries, ReferenceQueries, TpchQueries}
+import graft.queries.{ExtendedQueries, InfraQueries, ReferenceQueries, TpchQueries}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,7 +22,8 @@ object SparkEntry {
     ReferenceQueries.all.map { case (name, (fn, sql)) => name -> ((fn, Option(sql))) } ++
     TpchQueries.all ++
     ExtendedQueries.all ++
-    StreamingQueries.all
+    StreamingQueries.all ++
+    InfraQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (name, (fn, _)) => name -> fn }.toMap

@@ -1,0 +1,113 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.gen.EventGenerator
+import graft.store.EventStore
+
+/** Driver entries for the storage layer (B2/B3/B5) and the event
+  * generator — each runs the real write→read (or generate→aggregate)
+  * path and returns a deterministic relation.
+  *
+  * s04/s05 use DAY partition grain: the fixture spans one calendar month,
+  * so the reference's monthly toYYYYMM grain would put everything in a
+  * single partition and prune nothing (the grain is a parameter of
+  * [[EventStore]]; month remains the production default).
+  */
+object InfraQueries {
+
+  private def tempDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  // ---------------------------------------------------------------------
+  // s04 — partitioned warehouse round-trip with partition-pruned scan
+  // ---------------------------------------------------------------------
+  def storePartitioned(s: SparkSession, dir: String): DataFrame = {
+    val wh = tempDir("graft_s04_wh_")
+    EventStore.write(Tables.clicks(s, dir), wh, grain = EventStore.DayGrain)
+    // predicate on the partition column: Catalyst prunes to 10 of ~30
+    // partitions (plan-asserted in StoreSpec)
+    EventStore.read(s, wh)
+      .filter(col("day") >= "20240110" && col("day") <= "20240119")
+      .groupBy(col("page"))
+      .agg(count("*").as("events"),
+           count_distinct(col("user_id")).as("unique_users"),
+           unix_millis(min(col("ts"))).as("first_ms"),
+           unix_millis(max(col("ts"))).as("last_ms"))
+      .orderBy("page")
+  }
+
+  val storePartitionedSql: String =
+    s"""WITH clicks AS (${Tables.clicksSql})
+       |SELECT page, COUNT(*) AS events, COUNT(DISTINCT user_id) AS unique_users,
+       |       epoch_ms(MIN(CAST(ts AS TIMESTAMP))) AS first_ms,
+       |       epoch_ms(MAX(CAST(ts AS TIMESTAMP))) AS last_ms
+       |FROM clicks
+       |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+       |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
+       |GROUP BY page ORDER BY page""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // s05 — TTL retention: partitions past the cutoff are dropped (B3)
+  // ---------------------------------------------------------------------
+  def storeRetention(s: SparkSession, dir: String): DataFrame = {
+    val wh = tempDir("graft_s05_wh_")
+    EventStore.write(Tables.clicks(s, dir), wh, grain = EventStore.DayGrain)
+    EventStore.expire(s, wh, EventStore.DayGrain,
+      java.sql.Timestamp.valueOf(Tables.AsOf), retainDays = 15)
+    EventStore.read(s, wh)
+      .groupBy(col("page"))
+      .agg(count("*").as("events"),
+           unix_millis(min(col("ts"))).as("first_ms"))
+      .orderBy("page")
+  }
+
+  val storeRetentionSql: String =
+    s"""WITH clicks AS (${Tables.clicksSql})
+       |SELECT page, COUNT(*) AS events,
+       |       epoch_ms(MIN(CAST(ts AS TIMESTAMP))) AS first_ms
+       |FROM clicks
+       |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '${Tables.AsOf}' - INTERVAL 15 DAY
+       |GROUP BY page ORDER BY page""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // g01 — generator distribution summary (hash-seeded generation is not
+  // reproducible in DuckDB → rows-only check; distributions asserted in
+  // GeneratorSpec)
+  // ---------------------------------------------------------------------
+  def generatorStats(s: SparkSession, dir: String): DataFrame =
+    EventGenerator.events(s, 50000)
+      .groupBy(col("page"))
+      .agg(count("*").as("events"),
+           count_distinct(col("user_id")).as("unique_users"),
+           avg(when(col("referrer") === "/", 0).otherwise(1)).as("chained_ratio"))
+      .orderBy("page")
+
+  // ---------------------------------------------------------------------
+  // g02 — generated stream through the minute-agg pipeline (the
+  // generator→engine integration the reference runs via Kafka)
+  // ---------------------------------------------------------------------
+  def generatorPipeline(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.ClickPipeline.minuteAggFromUserGrain(
+      EventGenerator.events(s, 20000)
+        .withColumn("ts", timestamp_millis(col("ts")))
+        .groupBy(window(col("ts"), "1 minute").as("w"),
+                 col("page"), col("country"), col("user_id"))
+        .agg(count("*").as("cnt"))
+        .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+                col("page"), col("country"), col("user_id"), col("cnt")))
+      .select(unix_millis(col("window_start")).as("window_start_ms"),
+              col("page"), col("country"), col("cnt"), col("unique_users"))
+      .orderBy("window_start_ms", "page", "country")
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
+    "s04_store_partitioned" -> ((storePartitioned _, Some(storePartitionedSql))),
+    "s05_store_retention"   -> ((storeRetention _, Some(storeRetentionSql))),
+    "g01_generator_stats"   -> ((generatorStats _, None)),
+    "g02_generator_pipeline" -> ((generatorPipeline _, None)),
+  )
+}
