@@ -236,6 +236,17 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x15 — IVF ANN (learned coarse quantizer; rows-only check + recall
+  // spec vs the exact baseline)
+  // ---------------------------------------------------------------------
+  def knnIvf(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    SimilaritySearch.ivfTopK(s, emb, emb.filter(col("vec_id") < 5), k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------------
   // x12 — multimodal feature extraction (stubbed codec, real plumbing;
   // rows-only check + determinism spec)
   // ---------------------------------------------------------------------
@@ -283,5 +294,6 @@ object ExtendedQueries {
     "x12_multimodal_features" -> ((multimodalFeatures _, None)),
     "x13_json_props"         -> ((jsonProps _, Some(jsonPropsSql))),
     "x14_embedding_neardup_lsh" -> ((embeddingNearDupLsh _, None)),
+    "x15_knn_ivf"            -> ((knnIvf _, None)),
   )
 }

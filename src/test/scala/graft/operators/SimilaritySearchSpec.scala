@@ -31,4 +31,19 @@ class SimilaritySearchSpec extends AnyFunSuite {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"LSH top-k recall $recall below 0.5")
   }
+
+  test("ivfTopK: recall >= 0.5 vs brute force; probes only nProbe cells") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(SimilaritySearch.bruteForceTopK(emb, queries, k = 10))
+    val ivf = pairs(SimilaritySearch.ivfTopK(spark, emb, queries, k = 10))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF top-k recall $recall below 0.5")
+    // determinism: seeded k-means + seeded assignment
+    val again = pairs(SimilaritySearch.ivfTopK(spark, emb, queries, k = 10))
+    assert(ivf == again)
+  }
 }
