@@ -20,6 +20,7 @@ object SparkEntry {
 
   private val registry: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] =
     ReferenceQueries.all.map { case (name, (fn, sql)) => name -> ((fn, Option(sql))) } ++
+    ReferenceQueries.allNoOracle ++
     TpchQueries.all ++
     ExtendedQueries.all ++
     StreamingQueries.all ++

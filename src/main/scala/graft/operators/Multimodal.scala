@@ -56,6 +56,26 @@ object Multimodal {
         val off = if (content.isEmpty) 0 else ((t * 31) % content.length).toInt
         (t, content.slice(off, math.min(off + 64, content.length)))
       }
+
+    /** "Resize" srcW×srcH "pixels" (bytes, row-major over the content,
+      * wrapped) to dstW×dstH by nearest-neighbor index mapping —
+      * deterministic, output size exactly dstW·dstH bytes. */
+    def resize(content: Array[Byte], srcW: Int, srcH: Int, dstW: Int, dstH: Int): Array[Byte] = {
+      val out = new Array[Byte](dstW * dstH)
+      if (content.isEmpty) return out
+      var y = 0
+      while (y < dstH) {
+        val sy = (y.toLong * srcH / dstH).toInt
+        var x = 0
+        while (x < dstW) {
+          val sx = (x.toLong * srcW / dstW).toInt
+          out(y * dstW + x) = content((sy * srcW + sx) % content.length)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
   }
 
   /** Build an asset table from the documents fixture: text bytes stand in
@@ -83,6 +103,22 @@ object Multimodal {
         val f = FakeCodec.decodeFeatures(a.content)
         AssetFeatures(a.asset_id, a.modality, a.content.length, f,
           math.sqrt(f.map(x => x.toDouble * x).sum))
+      }
+    }
+  }
+
+  case class ResizedAsset(asset_id: Long, width: Int, height: Int, content: Array[Byte])
+
+  /** Image resize over the binary column — same batched mapPartitions
+    * shape as [[extractFeatures]]; the real-codec swap point is
+    * [[FakeCodec.resize]]. Output binary is exactly dstW·dstH bytes. */
+  def resizeImages(spark: SparkSession, assets: DataFrame,
+                   dstW: Int = 64, dstH: Int = 64): Dataset[ResizedAsset] = {
+    import spark.implicits._
+    assets.filter(col("modality") === "image").as[Asset].mapPartitions { it =>
+      it.map { a =>
+        ResizedAsset(a.asset_id, dstW, dstH,
+          FakeCodec.resize(a.content, a.meta.width, a.meta.height, dstW, dstH))
       }
     }
   }

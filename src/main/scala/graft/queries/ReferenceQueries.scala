@@ -101,6 +101,24 @@ object ReferenceQueries {
        |FROM (SELECT epoch_ms(created_at) - epoch_ms(CAST(ts AS TIMESTAMP)) AS latency_ms
        |      FROM clicks WHERE created_at >= $asOf - INTERVAL 5 DAY)""".stripMargin)
 
+  /** Q2's scale-out twin: the reference's ClickHouse `quantile()` is
+    * APPROXIMATE (reservoir, metrics_queries.sql:17-18) — q2 pins exact
+    * percentiles for the deterministic oracle; this variant is the
+    * sketch-based (GK) form whose memory is bounded regardless of group
+    * size — the right default at 100 TB. Rows-only driver check
+    * (approximate ⇒ not DuckDB-hashable); accuracy bounded in tests via
+    * the exact result. */
+  def q2approx(s: SparkSession, dir: String): DataFrame =
+    clicks(s, dir)
+      .filter(col("created_at") >= expr(s"$asOf - INTERVAL 5 DAYS"))
+      .withColumn("latency_ms", unix_millis(col("created_at")) - unix_millis(col("ts")))
+      .agg(
+        avg(col("latency_ms")).as("avg_latency_ms"),
+        expr("approx_percentile(latency_ms, 0.95, 10000)").as("p95_latency_ms"),
+        expr("approx_percentile(latency_ms, 0.99, 10000)").as("p99_latency_ms"),
+        max(col("latency_ms")).as("max_latency_ms"),
+        count("*").as("total_events"))
+
   // ---------------------------------------------------------------------
   // Q3 — rows inserted per minute (metrics_queries.sql:24-31)
   // ---------------------------------------------------------------------
@@ -420,6 +438,11 @@ object ReferenceQueries {
        |ORDER BY page, country, window_start_ms""".stripMargin)
 
   /** Registry: name → (query fn, oracle SQL). */
+  /** Entries without a DuckDB oracle (approximate results). */
+  val allNoOracle: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
+    "q02a_latency_approx" -> ((q2approx _, None)),
+  )
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, String))] = Seq(
     "q01_events_per_minute"  -> ((q1 _, q1Sql)),
     "q02_latency_stats"      -> ((q2 _, q2Sql)),

@@ -28,6 +28,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize: output is exactly dstW*dstH bytes, deterministic") {
+    val r1 = Multimodal.resizeImages(spark, assets, 32, 24)
+      .collect().map(r => r.asset_id -> r.content.toSeq).toMap
+    assert(r1.nonEmpty)
+    assert(r1.values.forall(_.length == 32 * 24))
+    val r2 = Multimodal.resizeImages(spark, assets, 32, 24)
+      .collect().map(r => r.asset_id -> r.content.toSeq).toMap
+    assert(r1 == r2)
+  }
+
+  test("quantile sketch variant tracks the exact percentiles") {
+    val dir = TestSpark.Sf0001
+    val exact = graft.queries.ReferenceQueries.q2(spark, dir).head
+    val approx = graft.queries.ReferenceQueries.q2approx(spark, dir).head
+    // GK sketch with accuracy 10000 on ~1000 rows: p95/p99 within 2%
+    Seq(1, 2).foreach { i =>
+      val e = exact.getDouble(i); val a = approx.getAs[Number](i).doubleValue()
+      assert(math.abs(a - e) <= math.max(0.02 * e, 1.0), s"col $i: approx $a vs exact $e")
+    }
+  }
+
   test("frame sampling: one row per everyMs tick of a video's duration") {
     val frames = Multimodal.sampleFrames(spark, assets, everyMs = 1000L)
     val byAsset = frames.groupBy("asset_id").agg(count("*").as("n"))
