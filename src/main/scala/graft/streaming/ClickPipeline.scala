@@ -116,4 +116,31 @@ object ClickPipeline {
       .start()
     q.awaitTermination()
   }
+
+  /** A12/A13, JDBC flavor (StreamJob.java:283-329 parity): batched
+    * appends (`batchsize` — agg 100 / raw 1000 in the reference) with
+    * bounded retries (3 in the reference). Retrying inside foreachBatch
+    * is at-least-once into the table, same as the reference's JDBC sink;
+    * dedup key for exactly-once consumers is event_id. Production path —
+    * compiles against Spark's JDBC writer; the sandbox has no database,
+    * so the hermetic entries use [[runAppendParquet]]. */
+  def jdbcBatchWriter(url: String, table: String, props: java.util.Properties,
+                      batchSize: Int = 1000, maxRetries: Int = 3)
+                     : (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
+    val stamped = batch.withColumn("created_at", current_timestamp())
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try {
+        stamped.write.mode("append")
+          .option("batchsize", batchSize.toString)
+          .jdbc(url, table, props)
+        done = true
+      } catch {
+        case e: Exception if attempt < maxRetries =>
+          attempt += 1
+          Thread.sleep(1000L * attempt)
+      }
+    }
+  }
 }
