@@ -102,6 +102,30 @@ object TextFunctions {
     * (fixed-width shuffle keys). */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** Winnowing fingerprint (the MOSS scheme): hash every word k-gram with
+    * a rolling-hash stand-in (xxhash64 — content-seeded, order-preserved),
+    * then select the MINIMUM hash of every window of `w` consecutive
+    * k-gram hashes. Guarantee: any shared token run of length ≥ w+k-1
+    * between two documents contributes at least one common selected
+    * fingerprint — the local-minimum selection is position-independent.
+    * Output: sorted distinct selected hashes; built entirely from
+    * codegen'd higher-order functions (no UDF). */
+  def winnowingFingerprint(text: Column, k: Int = 3, w: Int = 4): Column = {
+    val toks = tokens(text)
+    val grams = when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    val hashes = transform(grams, g => xxhash64(g))
+    val sel =
+      when(size(hashes) === 0, array().cast("array<bigint>"))
+        .when(size(hashes) < w, array(array_min(hashes)))
+        .otherwise(array_distinct(transform(
+          sequence(lit(0), size(hashes) - w),
+          i => array_min(slice(hashes, i + 1, lit(w))))))
+    sort_array(sel)
+  }
+
   /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit.
     * Documents with fewer than n tokens yield an EMPTY set (no truncated
     * shingle) — mirrored by the DuckDB oracle's `range(len-n+1)`. */

@@ -209,6 +209,28 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Winnowing (rolling-hash fingerprint) overlap detection
+  // -------------------------------------------------------------------
+
+  /** Document pairs sharing ≥ `minShared` winnowing fingerprints — the
+    * plagiarism/shared-passage detector. The fingerprint equi-join IS the
+    * blocking (pairs with no common selected hash never materialize);
+    * by the winnowing guarantee every shared token run of length
+    * ≥ w+k-1 is caught. Same scale shape as the shingle joins: explode →
+    * equi-join on a 8-byte key → count. */
+  def winnowingOverlaps(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text",
+                        k: Int = 3, w: Int = 4, minShared: Int = 3): DataFrame = {
+    val fps = docs.select(col(idCol).as("id"),
+      explode(winnowingFingerprint(col(textCol), k, w)).as("fp"))
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count("*").as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
+  // -------------------------------------------------------------------
   // Embedding-cosine near-dup
   // -------------------------------------------------------------------
 

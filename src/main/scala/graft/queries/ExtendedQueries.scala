@@ -236,6 +236,14 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x16 — winnowing (rolling-hash) fingerprint overlap pairs (hash-based:
+  // rows-only check; shared-passage guarantee tested in DedupSpec)
+  // ---------------------------------------------------------------------
+  def winnowingOverlap(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowingOverlaps(Tables.documents(s, dir))
+      .orderBy("id_a", "id_b")
+
+  // ---------------------------------------------------------------------
   // x15 — IVF ANN (learned coarse quantizer; rows-only check + recall
   // spec vs the exact baseline)
   // ---------------------------------------------------------------------
@@ -295,5 +303,6 @@ object ExtendedQueries {
     "x13_json_props"         -> ((jsonProps _, Some(jsonPropsSql))),
     "x14_embedding_neardup_lsh" -> ((embeddingNearDupLsh _, None)),
     "x15_knn_ivf"            -> ((knnIvf _, None)),
+    "x16_winnowing_overlap"  -> ((winnowingOverlap _, None)),
   )
 }

@@ -83,6 +83,29 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall $recall below 0.5 (${lsh.size}/${exact.size})")
   }
 
+  test("winnowing: a shared passage of >= w+k-1 tokens is always detected") {
+    val passage = "quick brown foxes jump over the lazy sleeping dog tonight again"
+    val docs = Seq(
+      (1L, s"${doc(70)} $passage ${doc(71)}"),
+      (2L, s"${doc(72)} $passage"),
+      (3L, doc(73)), (4L, doc(74))).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingOverlaps(docs, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"shared passage missed: $pairs")
+    // determinism + fingerprint shape
+    import graft.functions.TextFunctions
+    val fp = docs.filter(col("doc_id") === 1)
+      .select(TextFunctions.winnowingFingerprint(col("text")).as[Seq[Long]]).head()
+    assert(fp.nonEmpty && fp == fp.sorted && fp.distinct == fp)
+    // short docs: below k tokens → empty; below w grams → single min
+    val tiny = Seq((9L, "a b")).toDF("doc_id", "text")
+      .select(TextFunctions.winnowingFingerprint(col("text")).as[Seq[Long]]).head()
+    assert(tiny.isEmpty)
+    val small = Seq((9L, "a b c d")).toDF("doc_id", "text")
+      .select(TextFunctions.winnowingFingerprint(col("text")).as[Seq[Long]]).head()
+    assert(small.length == 1)
+  }
+
   test("ngram jaccard: shared-shingle blocking never emits zero-overlap pairs") {
     val docs = Seq(
       (1L, "w x y z w x y"), (2L, "w x y q r s t"), (3L, "completely different words here now")
