@@ -7,6 +7,9 @@ object Bench {
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JVM/codegen/session init otherwise lands entirely on
+    // whichever query happens to sort first.
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // A failed query must never masquerade as a fast success: failures are
     // excluded from timings and reported in an explicit "errors" map.
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()

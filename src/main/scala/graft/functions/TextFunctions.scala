@@ -102,28 +102,54 @@ object TextFunctions {
     * (fixed-width shuffle keys). */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
-  /** Winnowing fingerprint (the MOSS scheme): hash every word k-gram with
-    * a rolling-hash stand-in (xxhash64 — content-seeded, order-preserved),
-    * then select the MINIMUM hash of every window of `w` consecutive
-    * k-gram hashes. Guarantee: any shared token run of length ≥ w+k-1
-    * between two documents contributes at least one common selected
-    * fingerprint — the local-minimum selection is position-independent.
-    * Output: sorted distinct selected hashes; built entirely from
-    * codegen'd higher-order functions (no UDF). */
-  def winnowingFingerprint(text: Column, k: Int = 3, w: Int = 4): Column = {
-    val toks = tokens(text)
-    val grams = when(size(toks) < k, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-    val hashes = transform(grams, g => xxhash64(g))
-    val sel =
-      when(size(hashes) === 0, array().cast("array<bigint>"))
-        .when(size(hashes) < w, array(array_min(hashes)))
-        .otherwise(array_distinct(transform(
-          sequence(lit(0), size(hashes) - w),
-          i => array_min(slice(hashes, i + 1, lit(w))))))
-    sort_array(sel)
+  /** Winnowing fingerprint (the MOSS scheme), plain-JVM kernel: hash
+    * every word k-gram (64-bit, deterministic), then select the MINIMUM
+    * hash of every window of `w` consecutive k-gram hashes. Guarantee:
+    * any shared token run of length ≥ w+k-1 between two documents
+    * contributes at least one common selected fingerprint — minimum
+    * selection is position-independent.
+    *
+    * Deliberately NOT a Column expression: Spark's higher-order
+    * functions (`transform`/`slice`/`array_min`) are CodegenFallback —
+    * interpreted, tree-not-DAG, so a nested sliding-window-minimum
+    * re-evaluates the whole gram pipeline per window (measured 40×
+    * slower at sf0.1). The kernel runs batched per partition via
+    * `mapPartitions` (see Dedup.winnowingOverlaps), like the multimodal
+    * codecs. Output: sorted distinct selected hashes. */
+  def winnow(text: String, k: Int = 3, w: Int = 4): Array[Long] = {
+    val toks = text.split(" ")
+    if (toks.length < k) return Array.empty
+    val nGrams = toks.length - k + 1
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      // 64-bit gram hash from two seeded 32-bit murmurs — stable across
+      // JVMs (MurmurHash3 is a pure function of the content)
+      val g = {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+        sb.toString
+      }
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(g, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(g, 0x85ebca6b)
+      hashes(i) = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      i += 1
+    }
+    if (nGrams < w) return Array(hashes.min)
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    i = 0
+    while (i <= nGrams - w) {
+      var m = hashes(i)
+      var j = i + 1
+      while (j < i + w) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      sel.add(m)
+      i += 1
+    }
+    val out = new Array[Long](sel.size)
+    val it = sel.iterator(); i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
   }
 
   /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit.

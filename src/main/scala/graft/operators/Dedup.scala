@@ -217,13 +217,35 @@ object Dedup {
     * blocking (pairs with no common selected hash never materialize);
     * by the winnowing guarantee every shared token run of length
     * ≥ w+k-1 is caught. Same scale shape as the shingle joins: explode →
-    * equi-join on a 8-byte key → count. */
+    * equi-join on a 8-byte key → count.
+    *
+    * Common-fingerprint elimination (MOSS's "common code" handling, and
+    * the scale guard): minimum-selection BIASES every document toward the
+    * globally smallest gram hashes, so without suppression the join's
+    * biggest buckets grow with the corpus and the pair count goes
+    * quadratic — a fingerprint held by m docs contributes m² pairs.
+    * Fingerprints appearing in more than `maxDocFreq` documents are
+    * vocabulary-level, not passage-level, evidence and are dropped from
+    * pair generation. Detection guarantee therefore applies to passages
+    * shared by ≤ maxDocFreq documents (boilerplate shared by more is
+    * exactly what a dedup pipeline wants to handle separately). */
   def winnowingOverlaps(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text",
-                        k: Int = 3, w: Int = 4, minShared: Int = 3): DataFrame = {
-    val fps = docs.select(col(idCol).as("id"),
-      explode(winnowingFingerprint(col(textCol), k, w)).as("fp"))
-    fps.as("a").join(fps.as("b"),
+                        k: Int = 3, w: Int = 4, minShared: Int = 3,
+                        maxDocFreq: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fps = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        winnow(text, k, w).map(fp => (id, fp))
+      })
+      .toDF("id", "fp")
+    val rare = fps.groupBy(col("fp")).agg(count("*").as("__df"))
+      .filter(col("__df") <= maxDocFreq)
+      .select(col("fp"))
+    val kept = fps.join(rare, Seq("fp"))
+    kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count("*").as("shared_fps"))

@@ -92,18 +92,17 @@ class DedupSpec extends AnyFunSuite {
     val pairs = Dedup.winnowingOverlaps(docs, minShared = 1)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)), s"shared passage missed: $pairs")
-    // determinism + fingerprint shape
-    import graft.functions.TextFunctions
-    val fp = docs.filter(col("doc_id") === 1)
-      .select(TextFunctions.winnowingFingerprint(col("text")).as[Seq[Long]]).head()
+    // kernel: determinism + fingerprint shape
+    import graft.functions.TextFunctions.winnow
+    val fp = winnow(s"${doc(70)} $passage ${doc(71)}").toSeq
     assert(fp.nonEmpty && fp == fp.sorted && fp.distinct == fp)
+    assert(fp == winnow(s"${doc(70)} $passage ${doc(71)}").toSeq)
+    // the winnowing guarantee itself: shared run >= w+k-1 tokens (here 11
+    // > 4+3-1) shares at least one selected fingerprint
+    assert(winnow(s"${doc(72)} $passage").toSet.intersect(fp.toSet).nonEmpty)
     // short docs: below k tokens → empty; below w grams → single min
-    val tiny = Seq((9L, "a b")).toDF("doc_id", "text")
-      .select(TextFunctions.winnowingFingerprint(col("text")).as[Seq[Long]]).head()
-    assert(tiny.isEmpty)
-    val small = Seq((9L, "a b c d")).toDF("doc_id", "text")
-      .select(TextFunctions.winnowingFingerprint(col("text")).as[Seq[Long]]).head()
-    assert(small.length == 1)
+    assert(winnow("a b").isEmpty)
+    assert(winnow("a b c d").length == 1)
   }
 
   test("ngram jaccard: shared-shingle blocking never emits zero-overlap pairs") {
