@@ -77,16 +77,25 @@ object ClickPipeline {
   def withEventTime(clicks: DataFrame): DataFrame =
     clicks.withWatermark("ts", "10 seconds")
 
-  /** A5–A7 (streamed part): epoch-aligned 1-minute tumbling window
-    * `[start, end)`, keyed by (page, country) — held at USER grain so the
-    * final distinct count stays exact (see object doc). */
-  def minuteUserGrain(clicks: DataFrame): DataFrame =
+  /** A5–A7 (streamed part), generalized over window duration and key
+    * columns: epoch-aligned tumbling window `[start, end)` held at USER
+    * grain so the final distinct counts stay exact (see object doc).
+    * Instantiated at 1-min/(page,country) for the page_minute_agg path,
+    * 5-min/(page,country) and 1-h/(page,country,device) for the rollup
+    * tables the reference declares writer-less (clickhouse_tables.sql:
+    * 40-72). */
+  def windowedUserGrain(clicks: DataFrame, duration: String,
+                        keys: Seq[String]): DataFrame =
     clicks
-      .groupBy(window(col("ts"), "1 minute").as("w"),
-               col("page"), col("country"), col("user_id"))
+      .groupBy(window(col("ts"), duration).as("w") +:
+               (keys :+ "user_id").map(col): _*)
       .agg(count("*").as("cnt"))
-      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
-              col("page"), col("country"), col("user_id"), col("cnt"))
+      .select(col("w.start").as("window_start") +: col("w.end").as("window_end") +:
+              (keys :+ "user_id" :+ "cnt").map(col): _*)
+
+  /** The canonical 1-minute instantiation (page_minute_agg). */
+  def minuteUserGrain(clicks: DataFrame): DataFrame =
+    windowedUserGrain(clicks, "1 minute", Seq("page", "country"))
 
   /** Finalizing rollup of the streamed user-grain output to the
     * page_minute_agg shape (clickhouse_tables.sql:23-37): exact `cnt` and

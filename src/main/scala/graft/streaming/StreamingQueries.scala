@@ -50,11 +50,12 @@ object StreamingQueries {
     Files.writeString(Paths.get(inDir, "zz_flush_sentinel.json"), json + "\n")
   }
 
-  // ---------------------------------------------------------------------
-  // s01 — the reference's whole streaming spine, oracle-checked vs q14
-  // ---------------------------------------------------------------------
-  def streamMinuteAgg(s: SparkSession, dir: String): DataFrame = {
-    val work = tempDir("graft_s01_")
+  /** Run the full streaming pipeline (source → watermark → windowed
+    * user-grain state → checkpointed sink, with the two-pass sentinel
+    * flush) and return the streamed user-grain relation. */
+  private def runWindowedStream(s: SparkSession, dir: String, tag: String,
+                                duration: String, keys: Seq[String]): DataFrame = {
+    val work = tempDir(s"graft_${tag}_")
     val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
 
     val wire = wireJson(s, dir)
@@ -62,23 +63,57 @@ object StreamingQueries {
     wire.toJSON.write.text(inDir)
 
     def runOnce(): Unit = ClickPipeline.runAppendParquet(
-      ClickPipeline.minuteUserGrain(
-        ClickPipeline.withEventTime(ClickPipeline.fromJsonDir(s, inDir))),
+      ClickPipeline.windowedUserGrain(
+        ClickPipeline.withEventTime(ClickPipeline.fromJsonDir(s, inDir)),
+        duration, keys),
       outDir, ck)
 
     runOnce()                                  // pass 1: all real data
-    writeSentinel(inDir, maxTs + 600000L)      // advance the watermark…
+    writeSentinel(inDir, maxTs + 7200000L)     // advance the watermark…
     runOnce()                                  // pass 2: restart from checkpoint, flush
 
-    val streamed = s.read.parquet(outDir)
+    s.read.parquet(outDir)
       .filter(col("page") =!= "__flush__")
       .drop("created_at")
-    ClickPipeline.minuteAggFromUserGrain(streamed)
+  }
+
+  // ---------------------------------------------------------------------
+  // s01 — the reference's whole streaming spine, oracle-checked vs q14
+  // ---------------------------------------------------------------------
+  def streamMinuteAgg(s: SparkSession, dir: String): DataFrame =
+    ClickPipeline.minuteAggFromUserGrain(
+        runWindowedStream(s, dir, "s01", "1 minute", Seq("page", "country")))
       .select(unix_millis(col("window_start")).as("window_start_ms"),
               unix_millis(col("window_end")).as("window_end_ms"),
               col("page"), col("country"), col("cnt"), col("unique_users"))
       .orderBy("window_start_ms", "page", "country")
-  }
+
+  // ---------------------------------------------------------------------
+  // s06/s07 — the declared-but-writerless rollup tables (page_5min_agg /
+  // page_hourly_agg, clickhouse_tables.sql:40-72) as streaming writers,
+  // oracle-checked vs their batch twins q15/q16
+  // ---------------------------------------------------------------------
+  def stream5minAgg(s: SparkSession, dir: String): DataFrame =
+    runWindowedStream(s, dir, "s06", "5 minutes", Seq("page", "country"))
+      .groupBy(col("window_start"), col("window_end"), col("page"))
+      .agg(sum(col("cnt")).as("cnt"),
+           count_distinct(col("user_id")).as("unique_users"),
+           count_distinct(col("country")).as("unique_countries"))
+      .select(unix_millis(col("window_start")).as("window_start_ms"),
+              unix_millis(col("window_end")).as("window_end_ms"),
+              col("page"), col("cnt"), col("unique_users"), col("unique_countries"))
+      .orderBy("window_start_ms", "page")
+
+  def streamHourlyAgg(s: SparkSession, dir: String): DataFrame =
+    runWindowedStream(s, dir, "s07", "1 hour", Seq("page", "country", "device"))
+      .groupBy(col("window_start"), col("window_end"),
+               col("page"), col("country"), col("device"))
+      .agg(sum(col("cnt")).as("cnt"), count("*").as("unique_users"))
+      .select(unix_millis(col("window_start")).as("window_start_ms"),
+              unix_millis(col("window_end")).as("window_end_ms"),
+              col("page"), col("country"), col("device"),
+              col("cnt"), col("unique_users"))
+      .orderBy("window_start_ms", "page", "country", "device")
 
   // ---------------------------------------------------------------------
   // s02 — keyed Welford anomaly state, oracle-checked vs q17
@@ -162,5 +197,7 @@ object StreamingQueries {
     "s01_stream_minute_agg" -> ((streamMinuteAgg _, Some(ReferenceQueries.q14Sql))),
     "s02_stream_anomaly"    -> ((streamAnomaly _, Some(streamAnomalySql))),
     "s03_stream_raw_sink"   -> ((streamRawSink _, Some(streamRawSinkSql))),
+    "s06_stream_5min_agg"   -> ((stream5minAgg _, Some(ReferenceQueries.q15Sql))),
+    "s07_stream_hourly_agg" -> ((streamHourlyAgg _, Some(ReferenceQueries.q16Sql))),
   )
 }
