@@ -102,12 +102,15 @@ object Dedup {
     val sigs = minhashSignatures(docs, idCol, textCol, n, numHashes)
     val bd = banded(sigs, bands, rowsPerBand)
 
-    val okBuckets = bd.groupBy(col("band"), col("bh"))
-      .agg(count("*").as("__bsz"))
+    // bucket-size suppression via a window count rather than groupBy+join:
+    // Spark plans are trees, not DAGs — every reference to `bd` re-executes
+    // the whole signature pipeline, so keeping the filter to ONE reference
+    // (instead of join's two) saves a full signature computation.
+    val pruned = bd
+      .withColumn("__bsz", count("*").over(
+        Window.partitionBy(col("band"), col("bh"))))
       .filter(col("__bsz") <= maxBucketSize)
-      .select(col("band"), col("bh"))
-
-    val pruned = bd.join(okBuckets, Seq("band", "bh"))
+      .drop("__bsz")
     val cands = pruned.as("x").join(pruned.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.id") < col("y.id"))
