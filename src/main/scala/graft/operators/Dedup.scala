@@ -144,17 +144,18 @@ object Dedup {
   // SimHash
   // -------------------------------------------------------------------
 
-  /** 64-bit SimHash over token multiset: bit j of the signature is the
-    * sign of Σ_tokens count · (±1 from bit j of xxhash64(token)).
-    * Computed as 64 conditional-sum partial aggregates in one shuffle. */
+  /** 64-bit SimHash over the token multiset: bit j of the signature is
+    * the sign of Σ_occurrences (±1 from bit j of xxhash64(token)).
+    * Summing ±1 per OCCURRENCE is identical to summing ±count per
+    * distinct token, so no (id, token) pre-aggregation exists — one
+    * shuffle total, with the 64 conditional sums partially aggregated
+    * map-side. */
   def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
-      .groupBy(col("id"), col("t")).agg(count("*").as("cnt"))
       .withColumn("h", xxhash64(col("t")))
     val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("cnt"))
-            .otherwise(-col("cnt"))).as(s"b$j")
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j")
     }
     val agg = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
     val simhash = (0 until 64).map { j =>
