@@ -51,10 +51,20 @@ object StreamingQueries {
   }
 
   /** Run the full streaming pipeline (source → watermark → windowed
-    * user-grain state → checkpointed sink, with the two-pass sentinel
-    * flush) and return the streamed user-grain relation. */
+    * user-grain state → checkpointed sink) and return the streamed
+    * user-grain relation.
+    *
+    * Two flush shapes: `restart = true` runs two AvailableNow passes with
+    * the sentinel appended between them — a genuine checkpoint stop/
+    * restart (s01 uses this). `restart = false` pre-seeds the sentinel
+    * before the single pass: the entire input (real + sentinel) lands in
+    * micro-batch 1 while the watermark is still at epoch (nothing
+    * late-dropped), then the no-data batch runs with the watermark at
+    * sentinel−10 s and every real window flushes — one streaming run
+    * instead of two. */
   private def runWindowedStream(s: SparkSession, dir: String, tag: String,
-                                duration: String, keys: Seq[String]): DataFrame = {
+                                duration: String, keys: Seq[String],
+                                restart: Boolean = false): DataFrame = {
     val work = tempDir(s"graft_${tag}_")
     val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
 
@@ -68,9 +78,14 @@ object StreamingQueries {
         duration, keys),
       outDir, ck)
 
-    runOnce()                                  // pass 1: all real data
-    writeSentinel(inDir, maxTs + 7200000L)     // advance the watermark…
-    runOnce()                                  // pass 2: restart from checkpoint, flush
+    if (restart) {
+      runOnce()                                // pass 1: all real data
+      writeSentinel(inDir, maxTs + 7200000L)   // advance the watermark…
+      runOnce()                                // pass 2: restart from checkpoint, flush
+    } else {
+      writeSentinel(inDir, maxTs + 7200000L)
+      runOnce()
+    }
 
     s.read.parquet(outDir)
       .filter(col("page") =!= "__flush__")
@@ -82,7 +97,8 @@ object StreamingQueries {
   // ---------------------------------------------------------------------
   def streamMinuteAgg(s: SparkSession, dir: String): DataFrame =
     ClickPipeline.minuteAggFromUserGrain(
-        runWindowedStream(s, dir, "s01", "1 minute", Seq("page", "country")))
+        runWindowedStream(s, dir, "s01", "1 minute", Seq("page", "country"),
+          restart = true))
       .select(unix_millis(col("window_start")).as("window_start_ms"),
               unix_millis(col("window_end")).as("window_end_ms"),
               col("page"), col("country"), col("cnt"), col("unique_users"))
