@@ -111,7 +111,13 @@ object ClickPipeline {
     * all currently-available input is processed (Trigger.AvailableNow —
     * the bounded-replay analogue of the reference's continuous run).
     * Append output mode ⇒ each window is emitted exactly once, when the
-    * watermark passes its end. */
+    * watermark passes its end.
+    *
+    * Exactly-once output: each micro-batch OVERWRITES its own
+    * `batch=<id>` subdirectory, so a batch replayed after a mid-write
+    * failure replaces its partial output instead of appending a
+    * duplicate — the standard idempotent-foreachBatch pattern. Readers
+    * see `batch` as a partition column and ignore it. */
   def runAppendParquet(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
     val q = df
       .withColumn("created_at", current_timestamp())
@@ -119,8 +125,8 @@ object ClickPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .start()
     q.awaitTermination()
