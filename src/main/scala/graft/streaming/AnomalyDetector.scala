@@ -63,7 +63,14 @@ object AnomalyDetector {
 
   /** Streaming operator: keyed Welford state over (page, country).
     * State is O(1) per key — three doubles — regardless of stream length;
-    * at 100 TB the key cardinality (pages × countries) bounds total state. */
+    * at 100 TB the key cardinality (pages × countries) bounds total state.
+    *
+    * Two interchangeable engines with identical semantics (parity-tested
+    * in StreamingSpec): [[detect]] uses `flatMapGroupsWithState`, which
+    * runs on every state-store provider; [[detectTws]] uses Spark 4's
+    * `transformWithState` (the current arbitrary-state API — typed state
+    * handles, optional TTL, timers), which requires the RocksDB state
+    * store provider. */
   def detect(ds: Dataset[AggRow]): Dataset[AnomalyRow] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(r => (r.page, r.country))
@@ -78,6 +85,40 @@ object AnomalyDetector {
           state.update(st)
           out.iterator
       }
+  }
+
+  /** [[detect]]'s StatefulProcessor implementation for `transformWithState`. */
+  class WelfordProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      (String, String), AggRow, AnomalyRow] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    @transient private var state: ValueState[WelfordState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[WelfordState]("welford",
+        org.apache.spark.sql.Encoders.product[WelfordState], TTLConfig.NONE)
+
+    override def handleInputRows(key: (String, String), rows: Iterator[AggRow],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[AnomalyRow] = {
+      var st = if (state.exists()) state.get() else WelfordState(0, 0.0, 0.0)
+      val out = rows.toIndexedSeq.sortBy(_.window_start_ms).map { r =>
+        val (s2, row) = step(st, r)
+        st = s2
+        row
+      }
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  /** transformWithState flavor of [[detect]]. The session must run the
+    * RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). */
+  def detectTws(ds: Dataset[AggRow]): Dataset[AnomalyRow] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(r => (r.page, r.country))
+      .transformWithState(new WelfordProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
   }
 
   /** A10: keep only anomalies, format the reference's alert message

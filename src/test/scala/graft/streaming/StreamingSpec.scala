@@ -136,6 +136,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("detectTws (transformWithState + RocksDB) matches detect across batches") {
+    import AnomalyDetector._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[AggRow](spark)
+      val q = detectTws(input.toDS()).toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName("anomaly_tws_test")
+        .option("checkpointLocation", Files.createTempDirectory("ck_tws").toString)
+        .start()
+      try {
+        input.addData(Seq(3L, 1L, 8L, 5L, 2L, 7L, 4L, 6L).map(i => AggRow(i * 60000, "/", "US", 10)): _*)
+        q.processAllAvailable()
+        input.addData(AggRow(9 * 60000, "/", "US", 100))
+        q.processAllAvailable()
+        val out = spark.table("anomaly_tws_test").orderBy("window_start_ms")
+          .as[AnomalyRow].collect()
+        // identical to the flatMapGroupsWithState run in the previous test
+        assert(out.length == 9)
+        assert(out.take(8).forall(r => !r.is_anomaly && r.z_score == 0.0))
+        assert(out.last.n == 9 && out.last.is_anomaly
+          && math.abs(out.last.z_score - 8.0 / 3.0) < 1e-12)
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("anomalies(): reference-style alert message for flagged rows only") {
     import AnomalyDetector._
     val rows = Seq(
