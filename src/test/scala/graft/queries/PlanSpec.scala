@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.VectorFunctions
+
+/** Physical-plan regression guards: the properties that make these plans
+  * scale-safe must survive refactors. String-level assertions on
+  * `executedPlan` — deliberately coarse (exact operator counts are
+  * AQE/version-dependent; the presence/absence of a join strategy is not). */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = TestSpark.Sf0001
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("j01: lineitem date filter is pushed to the parquet scan") {
+    val p = plan(TpchQueries.pricingSummary(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("j02: all dimension joins broadcast; no sort-merge, no cartesian") {
+    val p = plan(TpchQueries.revenueByNation(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "dimension join degraded to sort-merge")
+    assert(!p.contains("CartesianProduct"), "cartesian product in star join")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("near-dup candidate generation never plans a cross join") {
+    VectorFunctions.register(spark)
+    val docs = graft.Tables.documents(spark, dir)
+    val emb = graft.Tables.embeddings(spark, dir)
+    Seq(
+      "x06" -> plan(graft.operators.Dedup.minhashNearDups(docs)),
+      "x07" -> plan(graft.operators.Dedup.simhashNearDups(docs)),
+      "x14" -> plan(graft.operators.Dedup.embeddingNearDupsLsh(emb)),
+      "x16" -> plan(graft.operators.Dedup.winnowingOverlaps(docs))
+    ).foreach { case (name, p) =>
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join")
+    }
+  }
+
+  test("q14: aggregation runs with map-side partial aggregation") {
+    val p = plan(ReferenceQueries.q14(spark, dir))
+    // two-phase exact distinct: partial HashAggregate before each exchange
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), "hash agg degraded to sort agg")
+  }
+}
