@@ -95,4 +95,19 @@ object EventGenerator {
       .select(col("event_id"), col("user_id"), col("ts"),
               col("page"), col("referrer"), col("country"), col("device"))
   }
+
+  /** Producer → Kafka parity (produce.py:150-166): JSON value, record
+    * KEYED BY user_id so one user's events land in one partition and
+    * arrive in order — the property the referrer chain depends on
+    * downstream. Compiles against the Spark Kafka connector; not
+    * runnable in the sandbox (no broker). */
+  def writeKafka(events: DataFrame, brokers: String,
+                 topic: String = "click_events"): Unit =
+    events.select(
+        col("user_id").cast("string").as("key"),
+        to_json(struct(events.columns.map(col): _*)).as("value"))
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .save()
 }
