@@ -2,6 +2,7 @@ package graft.store
 
 import java.sql.Timestamp
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -16,9 +17,9 @@ import org.apache.spark.sql.functions._
   *    multi-year retention design; `day` is for short-spanning data
   *    (the 30-day fixture would otherwise land in ONE partition and
   *    pruning would be untestable).
-  *  - O2: `sortWithinPartitions(ts)` at write time mirrors the MergeTree
-  *    primary ORDER BY (ts, …) (sql:18): parquet row-group min/max stats
-  *    on ts become selective, so time-range scans skip row groups.
+  *  - O2: a ts-sorted write mirrors the MergeTree primary ORDER BY
+  *    (ts, …) (sql:18): parquet row-group min/max stats on ts become
+  *    selective, so time-range scans skip row groups.
   *  - B5/O3: parquet bloom filters on `user_id` and `page` mirror the two
   *    bloom_filter skip indexes (sql:105-108) for point lookups.
   *  - B3: TTL retention (sql:19,36,53,71) as partition drops — the
@@ -36,21 +37,38 @@ object EventStore {
     case g => throw new IllegalArgumentException(s"unknown grain: $g")
   }
 
-  /** Write the clicks relation as a partitioned warehouse table. One
-    * shuffle (repartition by the partition value) so each partition is
-    * written by one task as few, large, ts-sorted files — the layout that
-    * survives a 1000-executor write without small-file explosion. */
+  /** Write the clicks relation as a partitioned warehouse table.
+    *
+    * Shuffle shape: `repartitionByRange(numWriteTasks, grain, ts)` — a
+    * sampled range partition over the (grain, ts) timeline. Each write
+    * task owns a bounded, contiguous time slice, so a hot grain value
+    * (one calendar month at the production grain holds ~1/12 of the
+    * table) is split across MANY tasks proportionally to its data volume
+    * — never the one-task-per-partition fan-in of `repartition(grain)`,
+    * which cannot survive a 100 TB month. Files per partition directory
+    * scale with that partition's share of the data; files are few and
+    * large, with NON-OVERLAPPING ts ranges (each task's slice is
+    * contiguous), which is strictly better for row-group skipping than k
+    * salted files each spanning the full range.
+    *
+    * The in-task `sortWithinPartitions(grain, ts)` keeps each emitted
+    * file ts-sorted (and satisfies the writer's partition-column
+    * clustering requirement without an extra sort). */
   def write(clicks: DataFrame, warehouseDir: String,
-            grain: String = MonthGrain, mode: String = "overwrite"): Unit =
+            grain: String = MonthGrain, mode: String = "overwrite",
+            numWriteTasks: Option[Int] = None): Unit = {
+    val n = numWriteTasks.getOrElse(
+      clicks.sparkSession.sessionState.conf.numShufflePartitions)
     clicks
       .withColumn(grain, grainCol(grain))
-      .repartition(col(grain))
-      .sortWithinPartitions(col("ts"))
+      .repartitionByRange(n, col(grain), col("ts"))
+      .sortWithinPartitions(col(grain), col("ts"))
       .write.mode(mode)
       .partitionBy(grain)
       .option("parquet.bloom.filter.enabled#user_id", "true")
       .option("parquet.bloom.filter.enabled#page", "true")
       .parquet(warehouseDir)
+  }
 
   /** Scan the warehouse. Partition pruning and filter pushdown are
     * Catalyst's — callers just filter on the partition column / ts. */
@@ -60,7 +78,13 @@ object EventStore {
   /** B3: drop whole partitions whose entire grain is older than
     * `retainDays` before `asOf`. Conservative by construction: a
     * partition that straddles the cutoff is kept. Returns dropped
-    * partition values. */
+    * partition values.
+    *
+    * Filesystem access goes through the Hadoop `FileSystem` resolved
+    * from the warehouse path + session Hadoop conf, so the same code
+    * retains on local disk, HDFS and S3A. A missing/unlistable root is
+    * an error, not an empty result — a silently no-op retention run on
+    * a mistyped path must be loud. */
   def expire(spark: SparkSession, warehouseDir: String, grain: String,
              asOf: Timestamp, retainDays: Int): Seq[String] = {
     val fmt = new java.text.SimpleDateFormat(
@@ -68,23 +92,23 @@ object EventStore {
     fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
     val cutoff = fmt.format(new java.util.Date(
       asOf.getTime - retainDays * 86400000L))
-    val root = new java.io.File(warehouseDir)
-    val expired = Option(root.listFiles()).getOrElse(Array.empty)
+
+    val root = new Path(warehouseDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root))
+      throw new IllegalArgumentException(
+        s"retention root does not exist: $warehouseDir")
+
+    val expired = fs.listStatus(root)
       .filter(_.isDirectory)
-      .filter(_.getName.startsWith(s"$grain="))
-      .filter { d =>
-        val value = d.getName.substring(grain.length + 1)
+      .filter(_.getPath.getName.startsWith(s"$grain="))
+      .filter { st =>
+        val value = st.getPath.getName.substring(grain.length + 1)
         // month=202312 is entirely expired iff its grain value sorts
         // strictly below the cutoff's grain value (same fixed-width fmt)
         value < cutoff
       }
-    expired.foreach { d =>
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete()
-      }
-      rm(d)
-    }
-    expired.map(_.getName.substring(grain.length + 1)).toSeq
+    expired.foreach(st => fs.delete(st.getPath, true))
+    expired.map(_.getPath.getName.substring(grain.length + 1)).toSeq
   }
 }

@@ -62,11 +62,43 @@ class StoreSpec extends AnyFunSuite {
     assert(after.filter(col("day") < "20240121").count() == 0)
   }
 
-  test("writer emits files sorted by ts within partitions (row-group skipping)") {
-    // read one partition's file back raw and check ts is non-decreasing
+  test("writer emits ts-sorted files (row-group skipping)") {
+    // every file must be internally ts-sorted; with range partitioning the
+    // files of one partition dir additionally cover non-overlapping ranges
     val part = EventStore.read(spark, warehouse).filter(col("day") === "20240110")
-    val ts = part.select(col("ts")).collect().map(_.getTimestamp(0).getTime)
-    // collect preserves file order per split; a sorted write keeps it sorted
-    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    val byFile = part.select(input_file_name().as("f"), col("ts"))
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getTimestamp(1).getTime))
+    byFile.foreach { case (f, ts) =>
+      assert(ts.zip(ts.tail).forall { case (a, b) => a <= b }, s"unsorted file $f")
+    }
+  }
+
+  test("write fan-out: a partition's data is split across multiple tasks/files") {
+    // the 100 TB guard: repartitionByRange(grain, ts) must give a hot grain
+    // value MANY write tasks, not one — here 90 tasks over 30 days ⇒ ~3
+    // files per day partition
+    val wh = Files.createTempDirectory("store_spec_fanout").toString
+    val clicks = Tables.clicks(spark, TestSpark.Sf0001)
+    EventStore.write(clicks, wh, grain = EventStore.DayGrain,
+      numWriteTasks = Some(90))
+    val filesPerDay = EventStore.read(spark, wh)
+      .select(col("day"), input_file_name().as("f"))
+      .groupBy(col("day")).agg(count_distinct(col("f")).as("nf"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(filesPerDay.values.max > 1,
+      s"no partition got more than one file: $filesPerDay")
+    // and the round-trip still preserves every row
+    assert(EventStore.read(spark, wh).count() == clicks.count())
+  }
+
+  test("retention on a missing root fails loudly instead of no-op") {
+    val missing = new java.io.File("/tmp/graft_no_such_warehouse_xyz")
+    assert(!missing.exists())
+    intercept[IllegalArgumentException] {
+      EventStore.expire(spark, missing.getAbsolutePath, EventStore.DayGrain,
+        java.sql.Timestamp.valueOf(Tables.AsOf), retainDays = 10)
+    }
   }
 }
