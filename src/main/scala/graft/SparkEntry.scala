@@ -24,7 +24,8 @@ object SparkEntry {
     TpchQueries.all ++
     ExtendedQueries.all ++
     StreamingQueries.all ++
-    InfraQueries.all
+    InfraQueries.all ++
+    graft.streaming.PipelineMetrics.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (name, (fn, _)) => name -> fn }.toMap

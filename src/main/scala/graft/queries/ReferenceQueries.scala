@@ -82,15 +82,11 @@ object ReferenceQueries {
   // Q2 — end-to-end latency avg/p95/p99/max (metrics_queries.sql:14-22)
   // ---------------------------------------------------------------------
   def q2(s: SparkSession, dir: String): DataFrame =
-    clicks(s, dir)
-      .filter(col("created_at") >= expr(s"$asOf - INTERVAL 5 DAYS"))
-      .withColumn("latency_ms", unix_millis(col("created_at")) - unix_millis(col("ts")))
-      .agg(
-        avg(col("latency_ms")).as("avg_latency_ms"),
-        expr("percentile(latency_ms, 0.95)").as("p95_latency_ms"),
-        expr("percentile(latency_ms, 0.99)").as("p99_latency_ms"),
-        max(col("latency_ms")).as("max_latency_ms"),
-        count("*").as("total_events"))
+    // one methodology, two consumers: the dashboard query (this, DuckDB
+    // hash-checked) and the engine's self-metrics (PipelineMetrics.m01)
+    graft.streaming.PipelineMetrics.latencyStats(
+      clicks(s, dir)
+        .filter(col("created_at") >= expr(s"$asOf - INTERVAL 5 DAYS")))
 
   val q2Sql: String = withClicks(
     s"""SELECT AVG(latency_ms) AS avg_latency_ms,

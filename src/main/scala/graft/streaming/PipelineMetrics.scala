@@ -1,0 +1,180 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+import graft.Tables
+
+/** The engine's self-metrics surface — the analogue of the reference's
+  * published operational numbers (README.md:208: end-to-end latency
+  * avg 4.7 s / P95 9 s, methodology sql/metrics_queries.sql:16-19) and
+  * its Prometheus/Grafana dashboards (MONITORING_SETUP.md:1-50,
+  * docker/prometheus/prometheus.yml):
+  *
+  *  - [[MetricsListener]]: a `StreamingQueryListener` recording one row
+  *    per micro-batch — input rows, rates, trigger duration, event-time
+  *    watermark, state-store rows — the per-component throughput/health
+  *    series the reference scrapes into Prometheus. The buffer is
+  *    driver-side and O(#batches), the same cardinality Prometheus
+  *    itself would hold; at 100 TB the data plane is untouched (the
+  *    listener only reads `StreamingQueryProgress`, which Spark already
+  *    computes per batch).
+  *  - [[latencyStats]]: the end-to-end latency (created_at − ts)
+  *    percentile computation over any sunk relation — the EXACT
+  *    methodology of metrics_queries.sql:16-19, shared with the q02
+  *    driver entry so the self-measured numbers and the dashboard query
+  *    are one code path by construction.
+  *  - [[selfMetrics]]: driver entry (m01) — runs the real watermarked
+  *    stream → checkpointed parquet sink over the fixture with the
+  *    listener attached, then returns a tall (metric, value) table:
+  *    per-run throughput/batch/watermark gauges + the latency
+  *    percentiles of what actually landed. Values are wall-clock by
+  *    nature → rows-only driver check; invariants are spec-asserted.
+  */
+object PipelineMetrics {
+
+  /** One micro-batch's progress snapshot (StreamingQueryProgress
+    * projection). `watermark_ms` is None until the first batch that
+    * carries event-time columns; rates are NaN on zero-duration batches
+    * exactly as Spark reports them. */
+  case class BatchMetric(query_id: String, batch_id: Long,
+                         input_rows: Long, batch_duration_ms: Long,
+                         input_rows_per_sec: Double,
+                         processed_rows_per_sec: Double,
+                         watermark_ms: Option[Long], state_rows: Long,
+                         wall_time_ms: Long)
+
+  /** Per-batch metrics recorder. Register with
+    * `spark.streams.addListener`; progress events arrive asynchronously
+    * on the listener bus, so read [[batches]] only after
+    * [[awaitTerminated]] (the terminated event is queued AFTER every
+    * progress event of its query, so its delivery proves the buffer is
+    * complete). */
+  class MetricsListener extends StreamingQueryListener {
+    private val buf = new java.util.concurrent.ConcurrentLinkedQueue[BatchMetric]()
+    private val terminated = java.util.concurrent.ConcurrentHashMap.newKeySet[UUID]()
+
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val p = e.progress
+      val wm = Option(p.eventTime.get("watermark"))
+        .map(s => java.time.Instant.parse(s).toEpochMilli)
+        // Spark reports epoch (1970-01-01) before any watermark exists
+        .filter(_ > 0L)
+      buf.add(BatchMetric(
+        p.id.toString, p.batchId, p.numInputRows,
+        Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L),
+        p.inputRowsPerSecond, p.processedRowsPerSecond,
+        wm, p.stateOperators.map(_.numRowsTotal).sum,
+        java.time.Instant.parse(p.timestamp).toEpochMilli))
+    }
+
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+      terminated.add(e.id); ()
+    }
+
+    def batches: Seq[BatchMetric] = buf.asScala.toSeq
+
+    /** Block until `n` queries observed through this listener have
+      * terminated (⇒ all their progress events are in [[batches]]). */
+    def awaitTerminated(n: Int = 1, timeoutMs: Long = 60000L): Unit = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (terminated.size < n) {
+        if (System.nanoTime() > deadline)
+          throw new java.util.concurrent.TimeoutException(
+            s"listener saw ${terminated.size}/$n terminated queries after ${timeoutMs} ms")
+        Thread.sleep(20)
+      }
+    }
+
+    def snapshot(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      batches.toDF()
+    }
+  }
+
+  /** End-to-end latency stats of a sunk relation carrying event-time
+    * `ts` and ingest-time `created_at` — metrics_queries.sql:16-19
+    * re-expressed: avg / exact P95 / exact P99 / max of
+    * (created_at − ts) in ms, plus the event count. Shared verbatim by
+    * the q02 driver entry (DuckDB hash-checked) and [[selfMetrics]]. */
+  def latencyStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("latency_ms",
+        unix_millis(col("created_at")) - unix_millis(col("ts")))
+      .agg(
+        avg(col("latency_ms")).as("avg_latency_ms"),
+        expr("percentile(latency_ms, 0.95)").as("p95_latency_ms"),
+        expr("percentile(latency_ms, 0.99)").as("p99_latency_ms"),
+        max(col("latency_ms")).as("max_latency_ms"),
+        count("*").as("total_events"))
+
+  /** m01 — self-measured run: the watermarked stream → checkpointed
+    * parquet sink over the fixture's wire-format events, with a
+    * [[MetricsListener]] attached; returns the tall (metric, value)
+    * gauge table described in the object doc. */
+  def selfMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = Files.createTempDirectory("graft_m01_").toFile.getAbsolutePath
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    Tables.clicks(s, dir).select(
+        col("event_id").cast("string").as("event_id"),
+        col("user_id").cast("string").as("user_id"),
+        unix_millis(col("ts")).as("ts"),
+        col("page"), col("referrer"), col("country"), col("device"))
+      .toJSON.repartition(4).write.text(inDir)
+
+    val listener = new MetricsListener
+    s.streams.addListener(listener)
+    try {
+      // several micro-batches (one file each) so the per-batch series is
+      // real and the watermark — reported with one-batch lag — shows up;
+      // the stream is non-stateful, so the advancing watermark drops
+      // nothing and every input row reaches the sink
+      val raw = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .text(inDir)
+      ClickPipeline.runAppendParquet(
+        ClickPipeline.withEventTime(ClickPipeline.parse(raw)),
+        outDir, ck)
+      listener.awaitTerminated(n = 1)
+    } finally s.streams.removeListener(listener)
+
+    val bm = listener.batches
+    val sunk = s.read.parquet(outDir)
+    val lat = latencyStats(sunk).head()
+
+    val rows = Seq(
+      "input_rows_total" -> bm.map(_.input_rows).sum.toDouble,
+      "micro_batches" -> bm.size.toDouble,
+      "batch_duration_ms_avg" ->
+        (if (bm.isEmpty) 0.0 else bm.map(_.batch_duration_ms).sum.toDouble / bm.size),
+      "batch_duration_ms_max" -> bm.map(_.batch_duration_ms).max.toDouble,
+      "rows_per_sec_overall" -> (bm.map(_.input_rows).sum.toDouble * 1000.0
+        / math.max(1L, bm.map(_.batch_duration_ms).sum)),
+      "watermark_ms_last" -> bm.flatMap(_.watermark_ms).lastOption.getOrElse(0L).toDouble,
+      "state_rows_last" -> bm.map(_.state_rows).lastOption.getOrElse(0L).toDouble,
+      "sink_rows" -> sunk.count().toDouble,
+      "latency_avg_ms" -> lat.getDouble(0),
+      "latency_p95_ms" -> lat.getDouble(1),
+      "latency_p99_ms" -> lat.getDouble(2),
+      "latency_max_ms" -> lat.getLong(3).toDouble)
+    rows.toDF("metric", "value").orderBy("metric")
+  }
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
+    "m01_self_metrics" -> ((selfMetrics _, None)),
+  )
+}
