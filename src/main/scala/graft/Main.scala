@@ -17,14 +17,22 @@ import graft.streaming.{AnomalyDetector, ClickPipeline}
   *   keyed Welford state → land raw events in the partitioned warehouse
   *   → answer the reference's analytic queries over the results.
   *
-  * Usage: `sbt "runMain graft.Main [nEvents] [workDir]"`. Defaults:
-  * 100k events, a temp directory. Everything is deterministic except
-  * the ingest-time `created_at` stamps.
+  * Usage: `sbt "runMain graft.Main [nEvents] [workDir] [--continuous]"`.
+  * Defaults: 100k events, a temp directory. Everything is deterministic
+  * except the ingest-time `created_at` stamps.
+  *
+  * `--continuous` runs the stream with `Trigger.ProcessingTime` (the
+  * reference's always-on posture) instead of a bounded AvailableNow
+  * replay: the producer drops a second wave of events while the query is
+  * live, and the run ends through the clean-stop hook
+  * ([[graft.streaming.ClickPipeline.stopWhenIdle]]).
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(100000L)
-    val work = args.lift(1).getOrElse(
+    val continuous = args.contains("--continuous")
+    val positional = args.filterNot(_.startsWith("--"))
+    val n = positional.headOption.map(_.toLong).getOrElse(100000L)
+    val work = positional.lift(1).getOrElse(
       Files.createTempDirectory("graft_demo_").toFile.getAbsolutePath)
     val spark = GraftSession.local()
     import spark.implicits._
@@ -35,16 +43,36 @@ object Main {
     val events = EventGenerator.events(spark, n)
     val maxTs = events.agg(max(col("ts"))).head.getLong(0)
     events.toJSON.write.text(s"$work/wire")
-    // flush sentinel so the bounded replay emits every window (see
-    // StreamingQueries for the watermark mechanics)
-    Files.writeString(java.nio.file.Paths.get(s"$work/wire/zz_flush.json"),
-      s"""{"event_id":"flush","user_id":"u0","ts":${maxTs + 7200000L},"page":"__flush__","referrer":"/","country":"XX","device":"mobile"}\n""")
+    // flush sentinel so the replay emits every window (see
+    // StreamingQueries for the watermark mechanics); written AFTER the
+    // last wave of real events, or its watermark would late-drop them
+    def writeSentinel(sentinelTs: Long): Unit =
+      Files.writeString(java.nio.file.Paths.get(s"$work/wire/zz_flush.json"),
+        s"""{"event_id":"flush","user_id":"u0","ts":$sentinelTs,"page":"__flush__","referrer":"/","country":"XX","device":"mobile"}\n""")
 
     // 2. stream: source → parse → watermark → 1-min window agg → sink
-    val parsed = ClickPipeline.withEventTime(
-      ClickPipeline.fromJsonDir(spark, s"$work/wire"))
-    ClickPipeline.runAppendParquet(
-      ClickPipeline.minuteUserGrain(parsed), s"$work/agg_user_grain", s"$work/ck_agg")
+    def windowed = ClickPipeline.minuteUserGrain(
+      ClickPipeline.withEventTime(
+        ClickPipeline.fromJsonDir(spark, s"$work/wire")))
+    if (continuous) {
+      // always-on flavor: the query polls every interval; a second wave
+      // of events arrives mid-run; end via the clean-stop hook
+      val q = ClickPipeline.startContinuous(
+        windowed, s"$work/agg_user_grain", s"$work/ck_agg", "2 seconds")
+      val wave2 = EventGenerator.events(spark, n / 10, seed = 43L,
+        startMs = maxTs + 1000L)
+      Thread.sleep(3000)
+      wave2.toJSON.write.mode("append").text(s"$work/wire")
+      Thread.sleep(3000)
+      writeSentinel(maxTs + 7200000L)
+      Thread.sleep(3000)
+      ClickPipeline.stopWhenIdle(q)
+      println(s"== continuous run stopped cleanly after ${q.lastProgress.batchId + 1} micro-batches")
+    } else {
+      writeSentinel(maxTs + 7200000L)
+      ClickPipeline.runAppendParquet(
+        windowed, s"$work/agg_user_grain", s"$work/ck_agg")
+    }
 
     // 3. raw events → partitioned warehouse (sorted, bloom-indexed)
     val raw = ClickPipeline.parse(

@@ -118,18 +118,51 @@ object ClickPipeline {
     * failure replaces its partial output instead of appending a
     * duplicate — the standard idempotent-foreachBatch pattern. Readers
     * see `batch` as a partition column and ignore it. */
-  def runAppendParquet(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
-    val q = df
+  private def appendParquetWriter(df: DataFrame, outDir: String, checkpointDir: String) =
+    df
       .withColumn("created_at", current_timestamp())
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
+
+  def runAppendParquet(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = appendParquetWriter(df, outDir, checkpointDir)
+      .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** The reference's always-on posture (StreamJob.java:332 runs forever,
+    * checkpointing every 30 s): same sink/stamping/checkpoint as
+    * [[runAppendParquet]] but `Trigger.ProcessingTime` — micro-batches
+    * fire every `interval` for as long as the query runs. Returns the
+    * live query; the caller owns its lifecycle (stop via
+    * [[stopWhenIdle]], or hard `query.stop()` — the per-batch overwrite
+    * sink makes even an unclean stop replay-safe). */
+  def startContinuous(df: DataFrame, outDir: String, checkpointDir: String,
+                      interval: String = "5 seconds")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    appendParquetWriter(df, outDir, checkpointDir)
+      .trigger(Trigger.ProcessingTime(interval))
+      .start()
+
+  /** Clean stop hook for [[startContinuous]]: wait until the query is
+    * idle (no batch in flight, no unconsumed input), then stop — so no
+    * started work is thrown away and the checkpoint ends on a batch
+    * boundary. Times out into a hard stop (which is still replay-safe,
+    * see [[startContinuous]]). */
+  def stopWhenIdle(query: org.apache.spark.sql.streaming.StreamingQuery,
+                   timeoutMs: Long = 60000L): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while ((query.status.isDataAvailable || query.status.isTriggerActive) &&
+           System.nanoTime() < deadline) {
+      Thread.sleep(50)
+    }
+    query.stop()
+    query.awaitTermination(timeoutMs)
   }
 
   /** A12/A13, JDBC flavor (StreamJob.java:283-329 parity): batched
@@ -145,6 +178,7 @@ object ClickPipeline {
     val stamped = batch.withColumn("created_at", current_timestamp())
     var attempt = 0
     var done = false
+    var lastFailure: Exception = null
     while (!done) {
       try {
         stamped.write.mode("append")
@@ -152,9 +186,26 @@ object ClickPipeline {
           .jdbc(url, table, props)
         done = true
       } catch {
+        // an interrupt is a shutdown signal, never a retryable failure
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw e
         case e: Exception if attempt < maxRetries =>
           attempt += 1
-          Thread.sleep(1000L * attempt)
+          if (lastFailure != null) e.addSuppressed(lastFailure)
+          lastFailure = e
+          try Thread.sleep(1000L * attempt)
+          catch {
+            case ie: InterruptedException =>
+              Thread.currentThread().interrupt()
+              ie.addSuppressed(e)
+              throw ie
+          }
+        // exhausted: propagate the final failure carrying every prior
+        // attempt's exception as suppressed, so the error explains itself
+        case e: Exception =>
+          if (lastFailure != null) e.addSuppressed(lastFailure)
+          throw e
       }
     }
   }
