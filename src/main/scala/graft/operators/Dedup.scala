@@ -239,7 +239,19 @@ object Dedup {
                         maxDocFreq: Int = 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val fps = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    // the typed kernel decodes ids as Long: a silent cast would turn a
+    // string id into null and fail far away with an opaque encoder error,
+    // so reject non-integral id columns up front
+    val idType = docs.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(idType),
+      s"winnowingOverlaps needs an integral id column; '$idCol' is $idType — " +
+      "map your ids to long (e.g. monotonically_increasing_id or a hash) first")
+    val fps = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]
       .mapPartitions(_.flatMap { case (id, text) =>
         winnow(text, k, w).map(fp => (id, fp))
@@ -262,11 +274,20 @@ object Dedup {
 
   /** Pairs of embeddings with cosine ≥ threshold — EXACT all-pairs
     * baseline (block-nested-loop). Correct by construction and the oracle
-    * anchor; O(n²) scoring means it is the right plan only for bounded n
-    * (≲10⁵ rows). The scale path is [[embeddingNearDupsLsh]]. */
+    * anchor; O(n²) scoring means it is the right plan only for bounded n.
+    * The bound is ENFORCED: pointing the exact baseline at an unbounded
+    * corpus is a quadratic explosion by design, so corpora larger than
+    * `maxRows` are rejected with a pointer to the scale path,
+    * [[embeddingNearDupsLsh]]. */
   def embeddingNearDups(emb: DataFrame, idCol: String = "vec_id",
                         vecCol: String = "embedding",
-                        threshold: Double = 0.3): DataFrame = {
+                        threshold: Double = 0.3,
+                        maxRows: Long = 100000L): DataFrame = {
+    val n = emb.count()
+    require(n <= maxRows,
+      s"embeddingNearDups is the EXACT all-pairs baseline: O(n^2) at n=$n rows " +
+      s"exceeds maxRows=$maxRows. Use embeddingNearDupsLsh (bucketed candidates) " +
+      "for unbounded corpora, or raise maxRows deliberately.")
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(b, col("id_a") < col("id_b"))

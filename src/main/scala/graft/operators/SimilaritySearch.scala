@@ -116,7 +116,8 @@ object SimilaritySearch {
     * never a cross join against the corpus. */
   def ivfTopK(spark: SparkSession, items: DataFrame, queries: DataFrame, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              nLists: Int = 16, nProbe: Int = 6, seed: Long = 42L): DataFrame = {
+              nLists: Int = 16, nProbe: Int = 6, seed: Long = 42L,
+              maxFitRows: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -130,9 +131,17 @@ object SimilaritySearch {
 
     val itemsU = withUnitVec(
       items.select(col(idCol).as("vec_id"), col(vecCol).as("i_vec")), "i_vec")
+    // fit on a bounded SAMPLE (k-means centroids converge on a fraction of
+    // the corpus; 10 full passes over 10^9 rows before the first query is
+    // the wrong trade) — the full corpus pays only the one assignment pass
+    val total = itemsU.count()
+    val fitInput =
+      if (total <= maxFitRows) itemsU
+      else itemsU.sample(withReplacement = false,
+        math.min(1.0, maxFitRows.toDouble / total * 1.05), seed)
     val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("__unit").setPredictionCol("list")
-      .fit(itemsU)
+      .fit(fitInput)
     val assigned = model.transform(itemsU)
       .select(col("vec_id"), col("i_vec"), col("list"))
 

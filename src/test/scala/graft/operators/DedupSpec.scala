@@ -70,6 +70,23 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding exact near-dup refuses an over-bound corpus (O(n^2) guard)") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDups(emb, maxRows = 10)
+    }
+    assert(e.getMessage.contains("embeddingNearDupsLsh"))
+  }
+
+  test("winnowing rejects a non-integral id column with a clear message") {
+    val docs = Seq(("a", "some text here")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.winnowingOverlaps(docs)
+    }
+    assert(e.getMessage.contains("integral id column"))
+  }
+
   test("embedding LSH near-dup: recall >= 0.5 vs the exact baseline at threshold 0.3") {
     VectorFunctions.register(spark)
     val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")

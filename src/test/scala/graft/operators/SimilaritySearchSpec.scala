@@ -46,4 +46,22 @@ class SimilaritySearchSpec extends AnyFunSuite {
     val again = pairs(SimilaritySearch.ivfTopK(spark, emb, queries, k = 10))
     assert(ivf == again)
   }
+
+  test("ivfTopK: sampled fit preserves recall (the 100 TB fit path)") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(SimilaritySearch.bruteForceTopK(emb, queries, k = 10))
+    // force the sampling branch: cap the fit well below the corpus size
+    val n = emb.count()
+    val sampled = pairs(SimilaritySearch.ivfTopK(spark, emb, queries, k = 10,
+      maxFitRows = n / 2))
+    val recall = (exact intersect sampled).size.toDouble / exact.size
+    assert(recall >= 0.5, s"sampled-fit IVF recall $recall below 0.5")
+    // still deterministic under sampling (seeded sample + seeded k-means)
+    assert(sampled == pairs(SimilaritySearch.ivfTopK(spark, emb, queries, k = 10,
+      maxFitRows = n / 2)))
+  }
 }
