@@ -96,16 +96,24 @@ object EventGenerator {
               col("page"), col("referrer"), col("country"), col("device"))
   }
 
-  /** Producer → Kafka parity (produce.py:150-166): JSON value, record
-    * KEYED BY user_id so one user's events land in one partition and
-    * arrive in order — the property the referrer chain depends on
-    * downstream. Compiles against the Spark Kafka connector; not
-    * runnable in the sandbox (no broker). */
+  /** The exact (key, value) relation [[writeKafka]] publishes — split out
+    * so the producer contract is unit-testable without a broker: key =
+    * user_id (one user's events land in ONE partition and arrive in
+    * order — the property the referrer chain depends on downstream,
+    * produce.py:166), value = the full event as JSON, losslessly
+    * re-parseable by [[graft.streaming.ClickPipeline.parse]]. */
+  def kafkaRecords(events: DataFrame): DataFrame =
+    events.select(
+      col("user_id").cast("string").as("key"),
+      to_json(struct(events.columns.map(col): _*)).as("value"))
+
+  /** Producer → Kafka parity (produce.py:150-166). Compiles against the
+    * Spark Kafka connector; not runnable in the sandbox (no broker) —
+    * the produced relation itself is covered by the
+    * [[kafkaRecords]] contract spec. */
   def writeKafka(events: DataFrame, brokers: String,
                  topic: String = "click_events"): Unit =
-    events.select(
-        col("user_id").cast("string").as("key"),
-        to_json(struct(events.columns.map(col): _*)).as("value"))
+    kafkaRecords(events)
       .write.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("topic", topic)

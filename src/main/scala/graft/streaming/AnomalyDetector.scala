@@ -121,15 +121,20 @@ object AnomalyDetector {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append)
   }
 
-  /** A10: keep only anomalies, format the reference's alert message
-    * (StreamJob.java:274-277 `"ANOMALY DETECTED: %s - %s"`). */
+  /** A10: keep only anomalies; `message` carries the reference's exact
+    * alert shape — `"ANOMALY DETECTED: %s - %s"` of (agg.toString, reason)
+    * with agg rendered as PageMinuteAgg{...} (StreamJob.java:86-88,276)
+    * and reason as `"Z-score %.2f exceeds threshold %.2f"`
+    * (StreamJob.java:185) — alongside the full detector columns for
+    * consumers that want structure, not strings. */
   def anomalies(ds: Dataset[AnomalyRow]): DataFrame =
     ds.toDF()
       .filter(col("is_anomaly"))
-      .select(format_string(
-        "ANOMALY DETECTED: page=%s country=%s window_start_ms=%d cnt=%d z=%.2f mean=%.2f",
-        col("page"), col("country"), col("window_start_ms"),
-        col("cnt"), col("z_score"), col("mean")).as("message"))
+      .withColumn("message", format_string(
+        "ANOMALY DETECTED: PageMinuteAgg{window_start=%s, page='%s', country='%s', cnt=%d} - Z-score %.2f exceeds threshold %.2f",
+        date_format(timestamp_millis(col("window_start_ms")), "yyyy-MM-dd HH:mm:ss"),
+        col("page"), col("country"), col("cnt"),
+        col("z_score"), lit(ZThreshold)))
 
   /** A10 console sink (print-to-stdout analogue). Caller starts/stops. */
   def consoleSink(ds: Dataset[AnomalyRow]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

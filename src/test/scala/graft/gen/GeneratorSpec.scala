@@ -74,4 +74,24 @@ class GeneratorSpec extends AnyFunSuite {
     assert(parsed.count() == 500)
     assert(parsed.schema("ts").dataType.typeName == "timestamp")
   }
+
+  test("Kafka producer contract: key = user_id, value round-trips losslessly") {
+    val ev = EventGenerator.events(spark, 2000)
+    val records = EventGenerator.kafkaRecords(ev)
+
+    // the partitioning contract the referrer chain depends on
+    // (produce.py:166): every record is keyed by its own user_id
+    val keyed = records
+      .withColumn("uid", get_json_object(col("value"), "$.user_id"))
+    assert(keyed.filter(col("key") =!= col("uid")).count() == 0)
+
+    // the value survives the consumer's parse with zero loss: parse(value)
+    // must reproduce the original relation field-for-field
+    val parsed = graft.streaming.ClickPipeline.parse(records.select("value"))
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts"),
+              col("page"), col("referrer"), col("country"), col("device"))
+    assert(parsed.count() == 2000)
+    assert(parsed.exceptAll(ev).count() == 0)
+    assert(ev.exceptAll(parsed).count() == 0)
+  }
 }

@@ -167,14 +167,20 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("anomalies(): reference-style alert message for flagged rows only") {
+  test("anomalies(): reference-exact alert message for flagged rows only") {
     import AnomalyDetector._
     val rows = Seq(
       AnomalyRow(60000, "/", "US", 100, 6, 25.0, 3.2, true),
       AnomalyRow(120000, "/", "US", 10, 7, 22.9, 0.5, false)).toDS()
-    val msgs = anomalies(rows).as[String].collect()
-    assert(msgs.length == 1)
-    assert(msgs.head.startsWith("ANOMALY DETECTED: page=/ country=US window_start_ms=60000 cnt=100 z=3.20"))
+    val out = anomalies(rows).collect()
+    assert(out.length == 1)
+    // StreamJob.java:276 shape: "ANOMALY DETECTED: <agg.toString> - <reason>"
+    assert(out.head.getAs[String]("message") ==
+      "ANOMALY DETECTED: PageMinuteAgg{window_start=1970-01-01 00:01:00, " +
+      "page='/', country='US', cnt=100} - Z-score 3.20 exceeds threshold 2.50")
+    // the structured columns ride along for non-string consumers
+    assert(out.head.getAs[Double]("z_score") == 3.2)
+    assert(out.head.getAs[Long]("cnt") == 100)
   }
 
   test("checkpointed restart resumes without re-emitting (A14)") {
