@@ -191,11 +191,12 @@ object Dedup {
   // n-gram Jaccard (top-k most similar pairs)
   // -------------------------------------------------------------------
 
-  /** Exact word-n-gram Jaccard for every pair sharing ≥1 shingle
-    * (the shingle equi-join IS the blocking — pairs with zero overlap
-    * never materialize), top-k by similarity. */
-  def ngramJaccardTopK(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                       n: Int = 3, k: Int = 50): DataFrame = {
+  /** Exact word-n-gram Jaccard for every pair sharing ≥1 shingle — the
+    * shingle equi-join IS the blocking; zero-overlap pairs never
+    * materialize. Shared core of [[ngramJaccardTopK]] and
+    * [[ngramJaccardPairs]]. */
+  private def ngramJaccardAll(docs: DataFrame, idCol: String, textCol: String,
+                              n: Int): DataFrame = {
     val sh = shingleSet(docs, idCol, textCol, n)
     val sizes = sh.groupBy(col("id")).agg(count("*").as("sz"))
     val inter = sh.as("sa").join(sh.as("sb"),
@@ -208,9 +209,22 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
           (col("za.sz") + col("zb.sz") - col("inter"))).as("jaccard"))
+  }
+
+  /** Top-k most similar pairs by exact n-gram Jaccard. */
+  def ngramJaccardTopK(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                       n: Int = 3, k: Int = 50): DataFrame =
+    ngramJaccardAll(docs, idCol, textCol, n)
       .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
       .limit(k)
-  }
+
+  /** Every pair at or above an exact-Jaccard threshold — the
+    * deterministic near-dup EDGE LIST, i.e. the input of
+    * [[Components.connectedComponents]] for dedup-group resolution. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                        n: Int = 3, threshold: Double = 0.5): DataFrame =
+    ngramJaccardAll(docs, idCol, textCol, n)
+      .filter(col("jaccard") >= threshold)
 
   // -------------------------------------------------------------------
   // Winnowing (rolling-hash fingerprint) overlap detection

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions => TF, VectorFunctions}
-import graft.operators.{Dedup, Multimodal, SimilaritySearch}
+import graft.operators.{Components, Dedup, Multimodal, SimilaritySearch}
 
 /** Beyond-reference operators (SURVEY.md §7.7 / north star): text
   * analysis, dedup family, similarity search, multimodal plumbing —
@@ -286,6 +286,49 @@ object ExtendedQueries {
       |WHERE json_extract_string(props, '$.k') IS NOT NULL
       |GROUP BY 1 ORDER BY k_bucket""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x17 — dedup-group resolution: connected components over the
+  // deterministic n-gram-Jaccard near-dup pairs (large-star/small-star;
+  // oracle via recursive-CTE transitive closure — tiny graph at oracle
+  // scale, O(log n) rounds on the Spark side at any scale)
+  // ---------------------------------------------------------------------
+  def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    Components.connectedComponents(
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.5))
+      .orderBy("doc_id")
+
+  val dedupComponentsSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(greatest(len(w) - 2, 0)),
+      |                               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+      |  FROM toks
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      |  FROM grams a JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), jac AS (
+      |  SELECT id_a, id_b
+      |  FROM inter
+      |  JOIN sizes za ON id_a = za.doc_id
+      |  JOIN sizes zb ON id_b = zb.doc_id
+      |  WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= 0.5
+      |), edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM jac
+      |  UNION ALL
+      |  SELECT id_b, id_a FROM jac
+      |), reach(a, b) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+      |)
+      |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+      |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   /** Registry: name → (fn, optional oracle). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x01_token_count"        -> ((tokenCount _, Some(tokenCountSql))),
@@ -304,5 +347,6 @@ object ExtendedQueries {
     "x14_embedding_neardup_lsh" -> ((embeddingNearDupLsh _, None)),
     "x15_knn_ivf"            -> ((knnIvf _, None)),
     "x16_winnowing_overlap"  -> ((winnowingOverlap _, None)),
+    "x17_dedup_components"   -> ((dedupComponents _, Some(dedupComponentsSql))),
   )
 }
