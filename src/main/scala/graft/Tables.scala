@@ -28,9 +28,14 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     import org.apache.spark.sql.types.LongType
+    // ns → µs must be INTEGRAL division: `/` on longs is double division,
+    // and epoch-nanos (~1.7e18) exceed double's 2^53 exact range — the
+    // ~256 ns representation error can flip a timestamp across an exact
+    // millisecond boundary and break ms-level parity with the oracle's
+    // exact truncation (caught by x19's session durations).
     val tsCol =
       if (raw.schema("ts").dataType == LongType)
-        timestamp_micros((col("ts") / 1000L).cast("long"))
+        timestamp_micros(expr("ts DIV 1000"))
       else col("ts")
     raw.withColumn("ts", tsCol)
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions => TF, VectorFunctions}
-import graft.operators.{Components, Dedup, Multimodal, SimilaritySearch}
+import graft.operators.{AsOfJoin, Components, Dedup, Multimodal, Sessionize, SimilaritySearch}
 
 /** Beyond-reference operators (SURVEY.md §7.7 / north star): text
   * analysis, dedup family, similarity search, multimodal plumbing —
@@ -329,6 +329,81 @@ object ExtendedQueries {
       |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x18 — as-of (point-in-time) join: enrich every click with the latest
+  // COMPLETED minute aggregate of its (page, country) at event time.
+  // Spark side is the no-join union+window formulation (AsOfJoin); the
+  // oracle is DuckDB's native ASOF LEFT JOIN.
+  // ---------------------------------------------------------------------
+  def asofEnrichment(s: SparkSession, dir: String): DataFrame = {
+    val clicksDf = Tables.clicks(s, dir).select(col("ts"), col("page"), col("country"))
+    val agg = ReferenceQueries.minuteAgg(s, dir)
+      .select(col("window_end"), col("page"), col("country"), col("cnt"))
+    AsOfJoin.asOf(clicksDf, agg, keys = Seq("page", "country"),
+        leftTs = "ts", rightTs = "window_end", payload = Seq("cnt"))
+      .groupBy(col("page"))
+      .agg(count("*").as("n_clicks"),
+           count(col("r_cnt")).as("n_matched"),
+           avg(col("r_cnt")).as("avg_prev_cnt"),
+           avg(unix_millis(col("ts")) - unix_millis(col("r_window_end")))
+             .as("avg_staleness_ms"))
+      .orderBy("page")
+  }
+
+  val asofEnrichmentSql: String =
+    s"""WITH clicks AS (${Tables.clicksSql}),
+       |agg AS (
+       |  SELECT date_trunc('minute', CAST(ts AS TIMESTAMP)) + INTERVAL 1 MINUTE AS window_end,
+       |         page, country, COUNT(*) AS cnt
+       |  FROM clicks GROUP BY 1, 2, 3
+       |)
+       |SELECT c.page, COUNT(*) AS n_clicks,
+       |       COUNT(a.cnt) AS n_matched,
+       |       AVG(a.cnt) AS avg_prev_cnt,
+       |       AVG(epoch_ms(CAST(c.ts AS TIMESTAMP)) - epoch_ms(a.window_end)) AS avg_staleness_ms
+       |FROM clicks c
+       |ASOF LEFT JOIN agg a
+       |  ON c.page = a.page AND c.country = a.country
+       | AND CAST(c.ts AS TIMESTAMP) >= a.window_end
+       |GROUP BY c.page ORDER BY c.page""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x19 — gap-based sessionization (30-min gap), histogrammed by session
+  // size. Spark side is native session_window (the same expression runs
+  // streaming — s08 is the streamed twin on this oracle); DuckDB oracle
+  // is the classic gaps-and-islands formulation. Session-boundary parity
+  // (pinned in SessionizeSpec): session_window merges an event that
+  // arrives AT OR within gap of the previous — adjacent [a,a+gap) and
+  // [a+gap, ...) windows coalesce — so the oracle starts a new island
+  // only at diff STRICTLY greater than the gap.
+  // ---------------------------------------------------------------------
+  def sessionization(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessionHistogram(Sessionize.sessions(Tables.clicks(s, dir)))
+
+  val sessionizationSql: String =
+    s"""WITH clicks AS (${Tables.clicksSql}),
+       |seq AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+       |         CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+       |               OR epoch_ms(CAST(ts AS TIMESTAMP))
+       |                  - epoch_ms(LAG(CAST(ts AS TIMESTAMP)) OVER w) > 1800000
+       |              THEN 1 ELSE 0 END AS new_session
+       |  FROM clicks
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+       |), sess AS (
+       |  SELECT user_id, t,
+       |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+       |                                ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM seq
+       |), per AS (
+       |  SELECT user_id, sid, COUNT(*) AS n_events,
+       |         epoch_ms(MAX(t)) - epoch_ms(MIN(t)) AS duration_ms
+       |  FROM sess GROUP BY 1, 2
+       |)
+       |SELECT n_events AS events_per_session, COUNT(*) AS n_sessions,
+       |       CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms
+       |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Registry: name → (fn, optional oracle). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x01_token_count"        -> ((tokenCount _, Some(tokenCountSql))),
@@ -348,5 +423,7 @@ object ExtendedQueries {
     "x15_knn_ivf"            -> ((knnIvf _, None)),
     "x16_winnowing_overlap"  -> ((winnowingOverlap _, None)),
     "x17_dedup_components"   -> ((dedupComponents _, Some(dedupComponentsSql))),
+    "x18_asof_join"          -> ((asofEnrichment _, Some(asofEnrichmentSql))),
+    "x19_sessionization"     -> ((sessionization _, Some(sessionizationSql))),
   )
 }

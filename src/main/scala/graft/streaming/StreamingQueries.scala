@@ -132,6 +132,39 @@ object StreamingQueries {
       .orderBy("window_start_ms", "page", "country", "device")
 
   // ---------------------------------------------------------------------
+  // s08 — STREAMED gap-based sessionization (session_window state merging
+  // across the watermark lifecycle), oracle-checked against the same
+  // gaps-and-islands SQL as the batch twin x19. The sentinel is pre-seeded
+  // so all real input lands in micro-batch 1 (watermark at epoch — nothing
+  // late-dropped, sessions merge freely); the no-data batch then runs with
+  // the watermark past every real session's close, flushing them all. The
+  // sentinel's own session (user "u0", non-numeric — cannot collide with
+  // the fixture's numeric user ids) closes after the watermark and is
+  // never emitted; it is filtered on read-back for safety.
+  // ---------------------------------------------------------------------
+  def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    val work = tempDir("graft_s08_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    val wire = wireJson(s, dir)
+    val maxTs = wire.agg(max(col("ts"))).head.getLong(0)
+    wire.toJSON.write.text(inDir)
+    writeSentinel(inDir, maxTs + 7200000L)
+
+    ClickPipeline.runAppendParquet(
+      graft.operators.Sessionize.sessions(
+        ClickPipeline.withEventTime(ClickPipeline.fromJsonDir(s, inDir))),
+      outDir, ck)
+
+    s.read.parquet(outDir)
+      .filter(col("user_id") =!= "u0")
+      .groupBy(col("n_events").as("events_per_session"))
+      .agg(count("*").as("n_sessions"),
+           sum(col("duration_ms")).as("total_duration_ms"))
+      .orderBy("events_per_session")
+  }
+
+  // ---------------------------------------------------------------------
   // s02 — keyed Welford anomaly state, oracle-checked vs q17
   // ---------------------------------------------------------------------
   def streamAnomaly(s: SparkSession, dir: String): DataFrame = {
@@ -215,5 +248,7 @@ object StreamingQueries {
     "s03_stream_raw_sink"   -> ((streamRawSink _, Some(streamRawSinkSql))),
     "s06_stream_5min_agg"   -> ((stream5minAgg _, Some(ReferenceQueries.q15Sql))),
     "s07_stream_hourly_agg" -> ((streamHourlyAgg _, Some(ReferenceQueries.q16Sql))),
+    "s08_stream_sessions"   -> ((streamSessions _,
+      Some(graft.queries.ExtendedQueries.sessionizationSql))),
   )
 }
