@@ -50,4 +50,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("SortAggregate"), "hash agg degraded to sort agg")
   }
+
+  test("x17 connected components: every round is equi-join only") {
+    val docs = graft.Tables.documents(spark, dir)
+    val p = plan(graft.operators.Components.connectedComponents(
+      graft.operators.Dedup.ngramJaccardPairs(docs, threshold = 0.5)))
+    assert(!p.contains("CartesianProduct"), "CC plans a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "CC plans a nested-loop join")
+  }
+
+  test("x18 as-of enrichment keeps the no-join shape through the full entry") {
+    val p = plan(ExtendedQueries.asofEnrichment(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "as-of degraded to a nested-loop range join")
+  }
+
+  test("x19 sessionization: one shuffle grain (user), hash aggregation") {
+    val p = plan(ExtendedQueries.sessionization(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
