@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ExtendedQueries, InfraQueries, ReferenceQueries, TpchQueries}
+import graft.queries.{CurationQueries, ExtendedQueries, InfraQueries, ReferenceQueries, TpchQueries}
 import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -23,6 +23,7 @@ object SparkEntry {
     ReferenceQueries.allNoOracle ++
     TpchQueries.all ++
     ExtendedQueries.all ++
+    CurationQueries.all ++
     StreamingQueries.all ++
     InfraQueries.all ++
     graft.streaming.PipelineMetrics.all

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+
+/** Training-data curation operators: deterministic splits, rule-based
+  * quality filtering (the C4/Gopher-style rule family), PII scrubbing,
+  * sequence packing, and per-stratum heavy hitters.
+  *
+  * All of these are row-local column expressions or single-shuffle
+  * window/agg plans — the shapes that survive a 100 TB corpus:
+  * no UDFs, no collects, no joins wider than the explicit groupBy key.
+  *
+  * Every constant that a DuckDB oracle must agree on (hash prefixes,
+  * regexes, rule thresholds, pack capacity) lives HERE and the SQL in
+  * `queries.CurationQueries` is generated from it — the two engines
+  * cannot drift apart.
+  */
+object Curation {
+
+  // ---- x20: deterministic, stratified train/val/test split -------------
+
+  /** Hex-prefix boundaries on md5(id): [00,cc) train (~79.7%),
+    * [cc,e6) val (~10.2%), [e6,ff] test (~10.2%). Two lowercase hex
+    * chars compare identically as strings and as numbers, so the same
+    * boundary works lexicographically in any engine — no hex→int
+    * conversion (which DuckDB and Spark spell differently) is needed. */
+  val TrainUpper = "cc"
+  val ValUpper   = "e6"
+
+  /** Deterministic split assignment: md5 of the STRING form of the id.
+    * Content-stable — re-running on a grown corpus never reassigns an
+    * existing id, which is what makes the split reproducible across
+    * ingestion batches at scale (a random() split is not). Row-local;
+    * zero shuffles. */
+  def withSplit(df: DataFrame, idCol: Column): DataFrame = {
+    val bucket = substring(md5(idCol.cast("string")), 1, 2)
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(bucket < TrainUpper, "train")
+          .when(bucket < ValUpper, "val")
+          .otherwise("test"))
+  }
+
+  // ---- x21: rule-based quality filter (C4/Gopher rule family) ----------
+
+  val MinWords     = 20
+  val MaxWords     = 80
+  val MinMeanWlen  = 3.0
+  val MaxMeanWlen  = 8.0
+  val MinAlnum     = 0.8
+  /** Presence (not frequency) of high-frequency function words — the
+    * Gopher "stop word" rule: require ≥ MinStopHits distinct hits. */
+  val StopSet: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+  val MinStopHits  = 2
+
+  /** Per-document rule flags + the conjunctive keep decision. Pure
+    * codegen'd column exprs over one row — the 100 TB plan is a single
+    * scan with every rule fused into one WholeStageCodegen span. */
+  def qualityRules(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val stopHits = StopSet
+      .map(w => when(TF.wordOccurrences(t, w) > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    docs.select(
+      col("doc_id"), col("source"),
+      TF.tokenCount(t).cast("long").as("n_words"),
+      TF.tokenCount(t).between(MinWords, MaxWords).as("rule_words"),
+      TF.avgTokenLen(t).between(MinMeanWlen, MaxMeanWlen).as("rule_word_len"),
+      (TF.alnumRatio(t) >= MinAlnum).as("rule_alnum"),
+      (stopHits.cast("long") >= MinStopHits).as("rule_stopwords"))
+      .withColumn("keep",
+        col("rule_words") && col("rule_word_len") &&
+        col("rule_alnum") && col("rule_stopwords"))
+  }
+
+  // ---- x22: PII scrubbing ----------------------------------------------
+
+  /** Patterns restricted to syntax Java regex and RE2 (DuckDB) read
+    * identically: character classes, bounded repetition, literals. */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pat  = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  val PhonePat = "\\+\\d \\d{3}-\\d{3}-\\d{4}"
+
+  val EmailToken = "<EMAIL>"
+  val IpToken    = "<IP>"
+  val PhoneToken = "<PHONE>"
+
+  /** Count + redact emails, IPv4s, phone numbers. Order matters (emails
+    * contain dot-separated digits an IP pattern could bite): emails
+    * first, then IPs, then phones — counts are taken on the ORIGINAL
+    * text so they report what was present, not what survived earlier
+    * passes. Row-local, zero shuffles. */
+  def scrubPii(df: DataFrame, textCol: Column): DataFrame =
+    df.withColumn("n_emails", regexp_count(textCol, lit(EmailPat)).cast("long"))
+      .withColumn("n_ips",    regexp_count(textCol, lit(Ipv4Pat)).cast("long"))
+      .withColumn("n_phones", regexp_count(textCol, lit(PhonePat)).cast("long"))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(textCol, EmailPat, EmailToken),
+            Ipv4Pat, IpToken),
+          PhonePat, PhoneToken))
+
+  // ---- x23: sequence packing -------------------------------------------
+
+  val PackCapacity = 512
+
+  /** Chunked packing: documents ordered by id within each source,
+    * assigned to the pack their exclusive prefix-sum of tokens falls in.
+    * Deterministic and expressible as one window pass — the oracle-
+    * checkable contract. Documents may straddle a boundary (the reader
+    * splits them); `greedyPack` below is the no-straddle variant.
+    *
+    * Scale shape: one shuffle on `source` (the stratum), a sequential
+    * scan within each partition — at 100 TB you pack within
+    * (source, shard) strata so no single partition is unbounded. */
+  def packChunks(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tokens", TF.tokenCount(col("text")).cast("long"))
+      .withColumn("cum_excl", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_excl DIV $PackCapacity"))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tokens")).as("pack_tokens"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+  }
+
+  /** Greedy first-fit packing with NO straddling: a doc that would
+    * overflow the open pack closes it and starts the next; a single doc
+    * larger than the capacity gets a pack of its own. Runs as a plain
+    * JVM scan per source partition (the stateful fold a window function
+    * can't express). Invariants proved in CurationSpec: every pack
+    * except oversized singletons fits the capacity; every doc packed
+    * exactly once; deterministic. */
+  def greedyPack(docs: DataFrame, capacity: Int = PackCapacity): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sized = docs
+      .select(col("source"), col("doc_id").cast("long"),
+              TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .as[(String, Long, Long)]
+      .repartition(col("source"))
+      .sortWithinPartitions("source", "doc_id")
+    sized.mapPartitions { it =>
+      var src: String = null
+      var pack = -1L
+      var used = 0L
+      it.map { case (source, docId, n) =>
+        if (source != src) { src = source; pack = -1L; used = 0L }
+        if (pack < 0L || used + n > capacity) { pack += 1; used = 0L }
+        used += n
+        (source, pack, docId, n)
+      }
+    }.toDF("source", "pack_id", "doc_id", "n_tokens")
+  }
+
+  // ---- x24: heavy hitters per stratum ----------------------------------
+
+  val TopK = 20
+
+  /** Exact top-K tokens per language: explode → one partial-agg'd
+    * shuffle on (lang, token) → per-lang rank. The rank window's input
+    * is already one row per distinct token, so the second shuffle moves
+    * vocabulary, not corpus. Deterministic tie-break (count desc, token
+    * asc). */
+  def heavyHitters(docs: DataFrame, k: Int = TopK): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token").asc)
+    docs
+      .select(col("lang"),
+              explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+}

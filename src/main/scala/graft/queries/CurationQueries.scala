@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Curation
+
+/** Driver entries for the training-data curation operators (x20–x25).
+  *
+  * Every threshold / regex / boundary the DuckDB oracle must agree on is
+  * read from `operators.Curation` — single source of truth, the SQL is
+  * generated, the engines cannot drift.
+  */
+object CurationQueries {
+
+  // ---------------------------------------------------------------------
+  // x20 — deterministic stratified split (hash-bucket train/val/test)
+  // ---------------------------------------------------------------------
+  def deterministicSplit(s: SparkSession, dir: String): DataFrame =
+    Curation.withSplit(Tables.documents(s, dir), col("doc_id"))
+      .select("doc_id", "source", "bucket", "split")
+      .orderBy("doc_id")
+
+  val deterministicSplitSql: String =
+    s"""SELECT doc_id, source,
+       |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+       |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '${Curation.TrainUpper}' THEN 'train'
+       |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '${Curation.ValUpper}' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x21 — rule-based quality filter (C4/Gopher rule family)
+  // ---------------------------------------------------------------------
+  def qualityFilter(s: SparkSession, dir: String): DataFrame =
+    Curation.qualityRules(Tables.documents(s, dir)).orderBy("doc_id")
+
+  val qualityFilterSql: String = {
+    val p = "(' ' || text || ' ')"
+    val nTok = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    def occ(w: String) =
+      s"CAST((length($p) - length(regexp_replace($p, ' $w ', ' ', 'g'))) / ${w.length + 1} AS BIGINT)"
+    val stopHits = Curation.StopSet
+      .map(w => s"(CASE WHEN ${occ(w)} > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    val meanWl = s"(CAST(length(text) - $nTok + 1 AS DOUBLE) / $nTok)"
+    val alnum =
+      "(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text))"
+    s"""SELECT doc_id, source,
+       |  $nTok AS n_words,
+       |  $nTok BETWEEN ${Curation.MinWords} AND ${Curation.MaxWords} AS rule_words,
+       |  $meanWl BETWEEN ${Curation.MinMeanWlen} AND ${Curation.MaxMeanWlen} AS rule_word_len,
+       |  $alnum >= ${Curation.MinAlnum} AS rule_alnum,
+       |  CAST($stopHits AS BIGINT) >= ${Curation.MinStopHits} AS rule_stopwords,
+       |  ($nTok BETWEEN ${Curation.MinWords} AND ${Curation.MaxWords})
+       |    AND ($meanWl BETWEEN ${Curation.MinMeanWlen} AND ${Curation.MaxMeanWlen})
+       |    AND ($alnum >= ${Curation.MinAlnum})
+       |    AND (CAST($stopHits AS BIGINT) >= ${Curation.MinStopHits}) AS keep
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // x22 — PII scrubbing (count + redact emails / IPv4s / phone numbers)
+  // ---------------------------------------------------------------------
+  // The fixture text is synthetic and PII-free, so each doc is augmented
+  // with a deterministic id-derived contact line in BOTH engines — the
+  // scrub path is exercised on every row, not vacuously green.
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val augmented = Tables.documents(s, dir).withColumn("aug",
+      concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 192.168."), (col("doc_id") % 256).cast("string"),
+        lit("."), (col("doc_id") % 100).cast("string"),
+        lit(" or +1 555-014-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(".")))
+    Curation.scrubPii(augmented, col("aug"))
+      .select("doc_id", "n_emails", "n_ips", "n_phones", "scrubbed")
+      .orderBy("doc_id")
+  }
+
+  val piiScrubSql: String = {
+    val aug = "(text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 192.168.' " +
+      "|| CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) " +
+      "|| ' or +1 555-014-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.')"
+    val (e, i, ph) = (Curation.EmailPat, Curation.Ipv4Pat, Curation.PhonePat)
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all($aug, '$e')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all($aug, '$i')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all($aug, '$ph')) AS BIGINT) AS n_phones,
+       |  regexp_replace(regexp_replace(regexp_replace($aug,
+       |    '$e', '${Curation.EmailToken}', 'g'),
+       |    '$i', '${Curation.IpToken}', 'g'),
+       |    '$ph', '${Curation.PhoneToken}', 'g') AS scrubbed
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // x23 — sequence packing (prefix-sum chunk assignment per source)
+  // ---------------------------------------------------------------------
+  def sequencePacking(s: SparkSession, dir: String): DataFrame =
+    Curation.packChunks(Tables.documents(s, dir)).orderBy("source", "pack_id")
+
+  val sequencePackingSql: String =
+    s"""WITH sized AS (
+       |  SELECT source, doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |cum AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_excl
+       |  FROM sized)
+       |SELECT source, cum_excl // ${Curation.PackCapacity} AS pack_id,
+       |  count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM cum GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x24 — exact heavy hitters (top-K tokens per language)
+  // ---------------------------------------------------------------------
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    Curation.heavyHitters(Tables.documents(s, dir)).orderBy("lang", "rnk")
+
+  val heavyHittersSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |  FROM documents),
+       |counts AS (SELECT lang, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT lang, token, cnt,
+       |         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token ASC) AS rnk
+       |  FROM counts)
+       |SELECT lang, token, cnt, rnk FROM ranked
+       |WHERE rnk <= ${Curation.TopK} ORDER BY lang, rnk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x25 — greedy no-straddle packing (stateful scan; invariants in
+  // CurationSpec — a window function can't express the running reset)
+  // ---------------------------------------------------------------------
+  def greedyPacking(s: SparkSession, dir: String): DataFrame =
+    Curation.greedyPack(Tables.documents(s, dir))
+      .groupBy(col("source"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+      .orderBy("source", "pack_id")
+
+  val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
+    "x20_deterministic_split" -> ((deterministicSplit _, Some(deterministicSplitSql))),
+    "x21_quality_filter"      -> ((qualityFilter _, Some(qualityFilterSql))),
+    "x22_pii_scrub"           -> ((piiScrub _, Some(piiScrubSql))),
+    "x23_sequence_packing"    -> ((sequencePacking _, Some(sequencePackingSql))),
+    "x24_heavy_hitters"       -> ((heavyHitters _, Some(heavyHittersSql))),
+    "x25_greedy_pack"         -> ((greedyPacking _, None)),
+  )
+}

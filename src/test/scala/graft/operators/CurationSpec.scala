@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** Invariants for the curation operators (x20–x25). The SQL-expressible
+  * entries are also hash-checked against DuckDB by the driver; these
+  * specs pin the semantic contracts the hash can't state (ratios,
+  * capacity bounds, determinism, idempotence). */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val docs = Tables.documents(spark, TestSpark.Sf0001)
+
+  test("x20 split: total partition, ~80/10/10, content-stable") {
+    val split = Curation.withSplit(docs, col("doc_id")).cache()
+    val n = split.count()
+    val bySplit = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum == n, "split is not a partition of the corpus")
+    assert(bySplit("train").toDouble / n > 0.65 && bySplit("train").toDouble / n < 0.92)
+    assert(bySplit.getOrElse("val", 0L) > 0 && bySplit.getOrElse("test", 0L) > 0)
+    // content-stable: assignment depends only on the id, so a subset of
+    // the corpus gets the identical assignment (growing data never
+    // reshuffles an existing id's split)
+    val sub = Curation.withSplit(docs.filter(col("doc_id") % 3 === 0), col("doc_id"))
+    val joined = split.select(col("doc_id"), col("split").as("full"))
+      .join(sub.select(col("doc_id"), col("split").as("part")), "doc_id")
+    assert(joined.filter(col("full") =!= col("part")).count() == 0)
+    split.unpersist()
+  }
+
+  test("x21 quality rules: keep is the conjunction; filter is non-degenerate") {
+    val r = Curation.qualityRules(docs).cache()
+    val broken = r.filter(col("keep") =!=
+      (col("rule_words") && col("rule_word_len") && col("rule_alnum") && col("rule_stopwords")))
+    assert(broken.count() == 0)
+    val kept = r.filter(col("keep")).count()
+    assert(kept > 0 && kept < r.count(), s"degenerate filter: kept $kept of ${r.count()}")
+    r.unpersist()
+  }
+
+  test("x22 pii scrub: every pattern found and fully redacted") {
+    val aug = docs.withColumn("aug",
+      concat(col("text"), lit(" mail a@b.io ip 10.0.0.1 call +1 555-014-7777 end")))
+    val out = Curation.scrubPii(aug, col("aug")).cache()
+    assert(out.filter(col("n_emails") < 1 || col("n_ips") < 1 || col("n_phones") < 1).count() == 0)
+    // nothing sensitive survives the scrub
+    val leak = out.filter(
+      regexp_count(col("scrubbed"), lit(Curation.EmailPat)) > 0 ||
+      regexp_count(col("scrubbed"), lit(Curation.Ipv4Pat)) > 0 ||
+      regexp_count(col("scrubbed"), lit(Curation.PhonePat)) > 0)
+    assert(leak.count() == 0)
+    assert(out.filter(!col("scrubbed").contains(Curation.EmailToken)).count() == 0)
+    out.unpersist()
+  }
+
+  test("x23 chunk packing conserves tokens and numbers packs contiguously") {
+    val packs = Curation.packChunks(docs).cache()
+    val total = packs.agg(sum("pack_tokens")).head.getLong(0)
+    val expected = docs.select(sum(size(split(col("text"), " ")))).head.getLong(0)
+    assert(total == expected, "packing lost or duplicated tokens")
+    // pack ids are 0..max contiguous within each source
+    val gaps = packs.groupBy("source")
+      .agg(min("pack_id").as("lo"), max("pack_id").as("hi"), count(lit(1)).as("n"))
+      .filter(col("lo") =!= 0 || col("n") =!= col("hi") + 1)
+    assert(gaps.count() == 0, "pack ids not contiguous from 0")
+    packs.unpersist()
+  }
+
+  test("x25 greedy pack: capacity bound, exactly-once, deterministic") {
+    val cap = 64
+    val packed = Curation.greedyPack(docs, cap).cache()
+    assert(packed.count() == docs.count(), "a doc was lost or duplicated")
+    assert(packed.select("doc_id").distinct().count() == docs.count())
+    // every pack fits unless it is a single oversized doc
+    val over = Curation.greedyPack(docs, cap)
+      .groupBy("source", "pack_id")
+      .agg(sum("n_tokens").as("tok"), count(lit(1)).as("n"))
+      .filter(col("tok") > cap && col("n") > 1)
+    assert(over.count() == 0, "a multi-doc pack exceeds capacity")
+    // deterministic across runs
+    val again = Curation.greedyPack(docs, cap)
+    assert(packed.except(again).count() == 0 && again.except(packed).count() == 0)
+    packed.unpersist()
+  }
+
+  test("x24 heavy hitters: exactly K per lang, counts non-increasing") {
+    val k = 5
+    val hh = Curation.heavyHitters(docs, k).cache()
+    val perLang = hh.groupBy("lang").count().collect()
+    assert(perLang.nonEmpty)
+    perLang.foreach(r => assert(r.getLong(1) <= k))
+    // rank order is count order
+    val bad = hh.as("a").join(hh.as("b"),
+        col("a.lang") === col("b.lang") && col("a.rnk") < col("b.rnk") &&
+        col("a.cnt") < col("b.cnt"))
+    assert(bad.count() == 0, "a lower rank has a smaller count")
+    hh.unpersist()
+  }
+}
