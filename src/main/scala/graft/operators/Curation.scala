@@ -57,21 +57,32 @@ object Curation {
   val StopSet: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
   val MinStopHits  = 2
 
+  private def stopHits(t: Column): Column = StopSet
+    .map(w => when(TF.wordOccurrences(t, w) > 0, 1).otherwise(0))
+    .reduce(_ + _)
+
+  def ruleWords(t: Column): Column    = TF.tokenCount(t).between(MinWords, MaxWords)
+  def ruleWordLen(t: Column): Column  = TF.avgTokenLen(t).between(MinMeanWlen, MaxMeanWlen)
+  def ruleAlnum(t: Column): Column    = TF.alnumRatio(t) >= MinAlnum
+  def ruleStopword(t: Column): Column = stopHits(t).cast("long") >= MinStopHits
+
+  /** The conjunctive keep decision — the single expression both the
+    * per-rule report (x21) and the composed pipeline (x27) filter on. */
+  def keepRule(t: Column): Column =
+    ruleWords(t) && ruleWordLen(t) && ruleAlnum(t) && ruleStopword(t)
+
   /** Per-document rule flags + the conjunctive keep decision. Pure
     * codegen'd column exprs over one row — the 100 TB plan is a single
     * scan with every rule fused into one WholeStageCodegen span. */
   def qualityRules(docs: DataFrame): DataFrame = {
     val t = col("text")
-    val stopHits = StopSet
-      .map(w => when(TF.wordOccurrences(t, w) > 0, 1).otherwise(0))
-      .reduce(_ + _)
     docs.select(
       col("doc_id"), col("source"),
       TF.tokenCount(t).cast("long").as("n_words"),
-      TF.tokenCount(t).between(MinWords, MaxWords).as("rule_words"),
-      TF.avgTokenLen(t).between(MinMeanWlen, MaxMeanWlen).as("rule_word_len"),
-      (TF.alnumRatio(t) >= MinAlnum).as("rule_alnum"),
-      (stopHits.cast("long") >= MinStopHits).as("rule_stopwords"))
+      ruleWords(t).as("rule_words"),
+      ruleWordLen(t).as("rule_word_len"),
+      ruleAlnum(t).as("rule_alnum"),
+      ruleStopword(t).as("rule_stopwords"))
       .withColumn("keep",
         col("rule_words") && col("rule_word_len") &&
         col("rule_alnum") && col("rule_stopwords"))
@@ -159,6 +170,48 @@ object Curation {
         (source, pack, docId, n)
       }
     }.toDF("source", "pack_id", "doc_id", "n_tokens")
+  }
+
+  // ---- x26: benchmark contamination ------------------------------------
+
+  val ContamN    = 4
+  val BenchMod   = 97
+
+  /** Which corpus documents share a full word n-gram with any document
+    * of the benchmark set (here: the deterministic `id % BenchMod == 0`
+    * subset, standing in for an eval suite). The n-gram equi-join IS the
+    * blocking — non-colliding pairs never materialize — and the
+    * benchmark side is broadcast: at 100 TB the corpus streams past a
+    * few MB of eval-set shingles with NO shuffle of the corpus at all. */
+  def contamination(docs: DataFrame, n: Int = ContamN, benchMod: Int = BenchMod): DataFrame = {
+    val grams = docs.select(col("doc_id"), explode(TF.shingles(col("text"), n)).as("sh"))
+    val bench = grams.filter(col("doc_id") % benchMod === 0)
+      .select(col("doc_id").as("bench_id"), col("sh"))
+    grams.filter(col("doc_id") % benchMod =!= 0)
+      .join(broadcast(bench), "sh")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("sh")).as("n_shared_grams"),
+           countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
+  // ---- x27: the composed curation pipeline -----------------------------
+
+  /** Quality filter → exact dedup (keep the lowest id per content
+    * fingerprint) → deterministic split, reported as per-(source, split)
+    * doc/token counts. One scan, one shuffle on the 32-char fingerprint,
+    * one on (source, split) — the end-to-end shape of a pretraining
+    * ingest job, composed purely from the operators above. */
+  def curate(docs: DataFrame): DataFrame = {
+    val kept = docs.filter(keepRule(col("text")))
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    val deduped = kept
+      .withColumn("fp", TF.fingerprint(col("text")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+    withSplit(deduped, col("doc_id"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
   }
 
   // ---- x24: heavy hitters per stratum ----------------------------------

@@ -36,26 +36,31 @@ object CurationQueries {
   def qualityFilter(s: SparkSession, dir: String): DataFrame =
     Curation.qualityRules(Tables.documents(s, dir)).orderBy("doc_id")
 
+  // DuckDB mirrors of the four rule expressions (generated from the
+  // same Curation constants the Spark side reads)
+  private val p = "(' ' || text || ' ')"
+  private val nTok = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+  private def occ(w: String) =
+    s"CAST((length($p) - length(regexp_replace($p, ' $w ', ' ', 'g'))) / ${w.length + 1} AS BIGINT)"
+  private val stopHits = Curation.StopSet
+    .map(w => s"(CASE WHEN ${occ(w)} > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+  private val meanWl = s"(CAST(length(text) - $nTok + 1 AS DOUBLE) / $nTok)"
+  private val alnum =
+    "(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text))"
+  private val keepSql =
+    s"""($nTok BETWEEN ${Curation.MinWords} AND ${Curation.MaxWords})
+       |    AND ($meanWl BETWEEN ${Curation.MinMeanWlen} AND ${Curation.MaxMeanWlen})
+       |    AND ($alnum >= ${Curation.MinAlnum})
+       |    AND (CAST($stopHits AS BIGINT) >= ${Curation.MinStopHits})""".stripMargin
+
   val qualityFilterSql: String = {
-    val p = "(' ' || text || ' ')"
-    val nTok = "CAST(len(string_split(text, ' ')) AS BIGINT)"
-    def occ(w: String) =
-      s"CAST((length($p) - length(regexp_replace($p, ' $w ', ' ', 'g'))) / ${w.length + 1} AS BIGINT)"
-    val stopHits = Curation.StopSet
-      .map(w => s"(CASE WHEN ${occ(w)} > 0 THEN 1 ELSE 0 END)").mkString(" + ")
-    val meanWl = s"(CAST(length(text) - $nTok + 1 AS DOUBLE) / $nTok)"
-    val alnum =
-      "(CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text))"
     s"""SELECT doc_id, source,
        |  $nTok AS n_words,
        |  $nTok BETWEEN ${Curation.MinWords} AND ${Curation.MaxWords} AS rule_words,
        |  $meanWl BETWEEN ${Curation.MinMeanWlen} AND ${Curation.MaxMeanWlen} AS rule_word_len,
        |  $alnum >= ${Curation.MinAlnum} AS rule_alnum,
        |  CAST($stopHits AS BIGINT) >= ${Curation.MinStopHits} AS rule_stopwords,
-       |  ($nTok BETWEEN ${Curation.MinWords} AND ${Curation.MaxWords})
-       |    AND ($meanWl BETWEEN ${Curation.MinMeanWlen} AND ${Curation.MaxMeanWlen})
-       |    AND ($alnum >= ${Curation.MinAlnum})
-       |    AND (CAST($stopHits AS BIGINT) >= ${Curation.MinStopHits}) AS keep
+       |  $keepSql AS keep
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
@@ -142,6 +147,59 @@ object CurationQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
       .orderBy("source", "pack_id")
 
+  // ---------------------------------------------------------------------
+  // x26 — benchmark contamination (shared word n-grams vs the eval set)
+  // ---------------------------------------------------------------------
+  def contamination(s: SparkSession, dir: String): DataFrame =
+    Curation.contamination(Tables.documents(s, dir)).orderBy("doc_id")
+
+  // n-gram construction mirrors the x08 oracle convention:
+  // unnest(list_transform(range(len-n+1))) — empty for short docs.
+  val contaminationSql: String = {
+    val n = Curation.ContamN
+    val gram = (1 to n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), grams AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(greatest(len(w) - ${n - 1}, 0)),
+       |                               i -> $gram)) AS sh
+       |  FROM toks)
+       |SELECT a.doc_id,
+       |  CAST(count(DISTINCT a.sh) AS BIGINT) AS n_shared_grams,
+       |  CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+       |FROM grams a
+       |JOIN (SELECT doc_id AS bench_id, sh FROM grams
+       |      WHERE doc_id % ${Curation.BenchMod} = 0) b USING (sh)
+       |WHERE a.doc_id % ${Curation.BenchMod} <> 0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // x27 — the composed pipeline: filter → dedup → split → stats
+  // ---------------------------------------------------------------------
+  def curationPipeline(s: SparkSession, dir: String): DataFrame =
+    Curation.curate(Tables.documents(s, dir)).orderBy("source", "split")
+
+  val curationPipelineSql: String = {
+    val fp = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    val bucket = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)"
+    s"""WITH kept AS (
+       |  SELECT doc_id, source, text FROM documents
+       |  WHERE $keepSql
+       |), dedup AS (
+       |  SELECT * FROM kept
+       |  QUALIFY row_number() OVER (PARTITION BY $fp ORDER BY doc_id) = 1
+       |)
+       |SELECT source,
+       |  CASE WHEN $bucket < '${Curation.TrainUpper}' THEN 'train'
+       |       WHEN $bucket < '${Curation.ValUpper}' THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  count(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |FROM dedup GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x20_deterministic_split" -> ((deterministicSplit _, Some(deterministicSplitSql))),
     "x21_quality_filter"      -> ((qualityFilter _, Some(qualityFilterSql))),
@@ -149,5 +207,7 @@ object CurationQueries {
     "x23_sequence_packing"    -> ((sequencePacking _, Some(sequencePackingSql))),
     "x24_heavy_hitters"       -> ((heavyHitters _, Some(heavyHittersSql))),
     "x25_greedy_pack"         -> ((greedyPacking _, None)),
+    "x26_contamination"       -> ((contamination _, Some(contaminationSql))),
+    "x27_curation_pipeline"   -> ((curationPipeline _, Some(curationPipelineSql))),
   )
 }

@@ -86,6 +86,31 @@ class CurationSpec extends AnyFunSuite {
     packed.unpersist()
   }
 
+  test("x26 contamination: only train docs, every hit shares a real n-gram") {
+    val out = Curation.contamination(docs).cache()
+    assert(out.count() > 0, "vacuous: no contaminated docs in the fixture")
+    assert(out.filter(col("doc_id") % Curation.BenchMod === 0).count() == 0,
+      "a benchmark doc reported as contaminated")
+    assert(out.filter(col("n_shared_grams") < 1 || col("n_bench_docs") < 1).count() == 0)
+    // broadcast of the bench side, never a shuffle of the corpus by pair
+    val p = Curation.contamination(docs).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    out.unpersist()
+  }
+
+  test("x27 composed pipeline: stats equal an independent recomputation") {
+    val stats = Curation.curate(docs).cache()
+    val expectedDocs = docs.filter(Curation.keepRule(col("text")))
+      .select(graft.functions.TextFunctions.fingerprint(col("text")))
+      .distinct().count()
+    assert(stats.agg(sum("n_docs")).head.getLong(0) == expectedDocs,
+      "pipeline doc count != keep-filtered distinct-fingerprint count")
+    val splits = stats.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")) && splits.contains("train"))
+    stats.unpersist()
+  }
+
   test("x24 heavy hitters: exactly K per lang, counts non-increasing") {
     val k = 5
     val hh = Curation.heavyHitters(docs, k).cache()
