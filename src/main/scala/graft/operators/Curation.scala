@@ -172,6 +172,29 @@ object Curation {
     }.toDF("source", "pack_id", "doc_id", "n_tokens")
   }
 
+  // ---- x28: repetition scoring (the Gopher repetition rules) -----------
+
+  val MaxDupWordRatio = 0.65
+  val MaxDup2gRatio   = 0.06
+
+  /** Duplicate-word and duplicate-2-gram ratios per document, plus the
+    * pass flag. Entirely row-local — no explode: the distinct-shingle
+    * count is the SIZE of the (already-distinct) shingle array, so the
+    * grams never leave the row. One HOF level (the shingle transform),
+    * which measured fine in this repo; nesting HOFs is what degrades. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = TF.tokens(col("text"))
+    val n = size(toks)
+    val dupWord = lit(1.0) - size(array_distinct(toks)).cast("double") / n
+    val dup2g = when(n < 2, 0.0)
+      .otherwise(lit(1.0) - size(TF.shingles(col("text"), 2)).cast("double") / (n - 1))
+    docs.select(col("doc_id"), col("source"),
+        dupWord.as("dup_word_ratio"), dup2g.as("dup_2gram_ratio"))
+      .withColumn("rule_repetition",
+        col("dup_word_ratio") <= MaxDupWordRatio &&
+        col("dup_2gram_ratio") <= MaxDup2gRatio)
+  }
+
   // ---- x26: benchmark contamination ------------------------------------
 
   val ContamN    = 4

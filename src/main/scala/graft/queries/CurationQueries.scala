@@ -200,6 +200,26 @@ object CurationQueries {
        |FROM dedup GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // x28 — repetition scoring (Gopher duplicate-word / duplicate-2-gram)
+  // ---------------------------------------------------------------------
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    Curation.repetitionStats(Tables.documents(s, dir)).orderBy("doc_id")
+
+  val repetitionSql: String = {
+    val dupWord = "(1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w))"
+    val dup2g = "(CASE WHEN len(w) < 2 THEN 0.0 ELSE 1.0 - " +
+      "CAST(len(list_distinct(list_transform(range(len(w) - 1), " +
+      "i -> w[i+1] || ' ' || w[i+2]))) AS DOUBLE) / (len(w) - 1) END)"
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+       |SELECT doc_id, source,
+       |  $dupWord AS dup_word_ratio,
+       |  $dup2g AS dup_2gram_ratio,
+       |  ($dupWord <= ${Curation.MaxDupWordRatio})
+       |    AND ($dup2g <= ${Curation.MaxDup2gRatio}) AS rule_repetition
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x20_deterministic_split" -> ((deterministicSplit _, Some(deterministicSplitSql))),
     "x21_quality_filter"      -> ((qualityFilter _, Some(qualityFilterSql))),
@@ -209,5 +229,6 @@ object CurationQueries {
     "x25_greedy_pack"         -> ((greedyPacking _, None)),
     "x26_contamination"       -> ((contamination _, Some(contaminationSql))),
     "x27_curation_pipeline"   -> ((curationPipeline _, Some(curationPipelineSql))),
+    "x28_repetition"          -> ((repetition _, Some(repetitionSql))),
   )
 }

@@ -165,6 +165,43 @@ object StreamingQueries {
   }
 
   // ---------------------------------------------------------------------
+  // s09 — STREAMED exact dedup: `dropDuplicates` keyed state over the
+  // content fingerprint — the streaming twin of x05's batch dedup, i.e.
+  // dedup-at-ingest for a continuously-arriving corpus. Emitted columns
+  // are functions of the fingerprint (n_tokens is computed on the
+  // NORMALIZED text), so the result is identical whichever duplicate
+  // arrives first — which is what makes a batch oracle possible at all.
+  // Production note: state here is one row per distinct fingerprint;
+  // with a `withWatermark` + `dropDuplicatesWithinWatermark` the state
+  // becomes time-bounded (dedup within the rolling horizon).
+  // ---------------------------------------------------------------------
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val work = tempDir("graft_s09_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    Tables.documents(s, dir).coalesce(1).write.parquet(inDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = s.readStream.schema(schema).parquet(inDir)
+      .withColumn("fp", TF.fingerprint(col("text")))
+      .withColumn("n_tokens",
+        TF.tokenCount(TF.normalized(col("text"))).cast("long"))
+      .select("fp", "n_tokens")
+      .dropDuplicates("fp")
+
+    ClickPipeline.runAppendParquet(stream, outDir, ck)
+    s.read.parquet(outDir).select("fp", "n_tokens").orderBy("fp")
+  }
+
+  val streamDedupSql: String =
+    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+      |  CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+      |FROM documents GROUP BY 1, 2 ORDER BY fp""".stripMargin
+
+  // ---------------------------------------------------------------------
   // s02 — keyed Welford anomaly state, oracle-checked vs q17
   // ---------------------------------------------------------------------
   def streamAnomaly(s: SparkSession, dir: String): DataFrame = {
@@ -250,5 +287,6 @@ object StreamingQueries {
     "s07_stream_hourly_agg" -> ((streamHourlyAgg _, Some(ReferenceQueries.q16Sql))),
     "s08_stream_sessions"   -> ((streamSessions _,
       Some(graft.queries.ExtendedQueries.sessionizationSql))),
+    "s09_stream_dedup"      -> ((streamDedup _, Some(streamDedupSql))),
   )
 }

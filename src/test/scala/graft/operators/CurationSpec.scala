@@ -111,6 +111,21 @@ class CurationSpec extends AnyFunSuite {
     stats.unpersist()
   }
 
+  test("x28 repetition: ratios bounded, repetitive text flagged") {
+    import spark.implicits._
+    val r = Curation.repetitionStats(docs)
+    assert(r.filter(col("dup_word_ratio") < 0 || col("dup_word_ratio") > 1 ||
+                    col("dup_2gram_ratio") < 0 || col("dup_2gram_ratio") > 1).count() == 0)
+    val planted = Seq(
+      (1L, "s", Seq.fill(30)("spam").mkString(" ")),
+      (2L, "s", (1 to 30).map("w" + _).mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val flags = Curation.repetitionStats(planted).collect()
+      .map(row => row.getLong(0) -> row.getBoolean(4)).toMap
+    assert(!flags(1L), "fully repetitive doc passed the repetition rule")
+    assert(flags(2L), "all-distinct doc failed the repetition rule")
+  }
+
   test("x24 heavy hitters: exactly K per lang, counts non-increasing") {
     val k = 5
     val hh = Curation.heavyHitters(docs, k).cache()
