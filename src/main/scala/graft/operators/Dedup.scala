@@ -197,7 +197,12 @@ object Dedup {
     * [[ngramJaccardPairs]]. */
   private def ngramJaccardAll(docs: DataFrame, idCol: String, textCol: String,
                               n: Int): DataFrame = {
-    val sh = shingleSet(docs, idCol, textCol, n)
+    // Plans are trees, not DAGs: `sh` feeds both self-join sides and the
+    // size relation (4 references), so without materialization the
+    // shingle explode runs 4×. localCheckpoint computes it once and
+    // truncates the lineage — the standard Spark pattern for a relation
+    // fanned out into a self-join (measured ~2× on x08/x17 at sf0.1).
+    val sh = shingleSet(docs, idCol, textCol, n).localCheckpoint()
     val sizes = sh.groupBy(col("id")).agg(count("*").as("sz"))
     val inter = sh.as("sa").join(sh.as("sb"),
         col("sa.sh") === col("sb.sh") && col("sa.id") < col("sb.id"))
