@@ -207,10 +207,13 @@ object Curation {
     * benchmark side is broadcast: at 100 TB the corpus streams past a
     * few MB of eval-set shingles with NO shuffle of the corpus at all. */
   def contamination(docs: DataFrame, n: Int = ContamN, benchMod: Int = BenchMod): DataFrame = {
-    val grams = docs.select(col("doc_id"), explode(TF.shingles(col("text"), n)).as("sh"))
-    val bench = grams.filter(col("doc_id") % benchMod === 0)
+    // filter BEFORE shingling so each side's predicate pushes to the scan
+    // and only the 1/benchMod benchmark slice is ever shingled twice-over
+    def grams(d: DataFrame) =
+      d.select(col("doc_id"), explode(TF.shingles(col("text"), n)).as("sh"))
+    val bench = grams(docs.filter(col("doc_id") % benchMod === 0))
       .select(col("doc_id").as("bench_id"), col("sh"))
-    grams.filter(col("doc_id") % benchMod =!= 0)
+    grams(docs.filter(col("doc_id") % benchMod =!= 0))
       .join(broadcast(bench), "sh")
       .groupBy("doc_id")
       .agg(countDistinct(col("sh")).as("n_shared_grams"),

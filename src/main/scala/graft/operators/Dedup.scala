@@ -98,7 +98,10 @@ object Dedup {
                       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.9, maxBucketSize: Int = 200): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = shingleSet(docs, idCol, textCol, n)
+    // materialized once: `sh` has 4 downstream references (verifyJaccard)
+    // and the banded signatures feed both self-join sides — without the
+    // checkpoints each reference re-runs the shingle/signature pipeline
+    val sh = shingleSet(docs, idCol, textCol, n).localCheckpoint()
     val sigs = minhashSignatures(docs, idCol, textCol, n, numHashes)
     val bd = banded(sigs, bands, rowsPerBand)
 
@@ -111,11 +114,13 @@ object Dedup {
         Window.partitionBy(col("band"), col("bh"))))
       .filter(col("__bsz") <= maxBucketSize)
       .drop("__bsz")
+      .localCheckpoint()
     val cands = pruned.as("x").join(pruned.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
+      .localCheckpoint()
 
     verifyJaccard(cands, sh, threshold)
   }
@@ -173,9 +178,12 @@ object Dedup {
                       maxHamming: Int = 7): DataFrame = {
     require(maxHamming <= 7, s"8-chunk banding guarantees recall only for hamming <= 7, got $maxHamming")
     val sig = simhashSignatures(docs, idCol, textCol)
+    // materialized once: both self-join sides would otherwise re-run the
+    // 64-column signature aggregation
     val chunks = sig.select(col("id"), col("simhash"), posexplode(
       array((0 until 8).map(c =>
         shiftright(col("simhash"), c * 8).bitwiseAND(0xFFL)): _*)).as(Seq("chunk", "ch")))
+      .localCheckpoint()
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch") &&
         col("x.id") < col("y.id"))
@@ -276,10 +284,13 @@ object Dedup {
         winnow(text, k, w).map(fp => (id, fp))
       })
       .toDF("id", "fp")
+      // materialized once: referenced by the doc-frequency relation and
+      // both self-join sides — 3 re-runs of the JVM winnow kernel otherwise
+      .localCheckpoint()
     val rare = fps.groupBy(col("fp")).agg(count("*").as("__df"))
       .filter(col("__df") <= maxDocFreq)
       .select(col("fp"))
-    val kept = fps.join(rare, Seq("fp"))
+    val kept = fps.join(rare, Seq("fp")).localCheckpoint()
     kept.as("a").join(kept.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -329,6 +340,7 @@ object Dedup {
     val bucketed = SimilaritySearch.bucketize(
       emb.select(col(idCol).as("id"), col(vecCol).as("v")),
       "v", dim, planes, tables, seed)
+      .localCheckpoint() // both self-join sides; see ngramJaccardAll note
     bucketed.as("x").join(bucketed.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
         col("x.id") < col("y.id"))
