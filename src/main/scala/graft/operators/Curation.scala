@@ -240,6 +240,32 @@ object Curation {
            sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
   }
 
+  // ---- x29: deterministic stratum rebalancing --------------------------
+
+  /** Downsample every stratum (language, source, domain, …) to the size
+    * of the smallest one — the "data mixing" step of a pretraining
+    * pipeline — with DETERMINISTIC membership: a doc is kept iff its
+    * md5 bucket falls under the stratum's keep-threshold, so the sample
+    * is reproducible and content-stable, never `rand()`-dependent.
+    *
+    * Thresholds are derived from the data (per-stratum counts), compared
+    * as 2-hex-char strings (`printf('%02x')` semantics — identical in
+    * any engine). The count relation is a handful of rows and is
+    * broadcast; the corpus itself is scanned twice (count + filter) and
+    * never shuffled. The smallest-stratum keep-everything case is
+    * handled by the `c = min` disjunct, not a threshold of 0x100 (which
+    * would compare wrongly as a 3-char string). */
+  def rebalance(docs: DataFrame, stratumCol: String): DataFrame = {
+    val cnts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("c"))
+    val minC = cnts.agg(min(col("c")).as("mc"))
+    docs
+      .join(broadcast(cnts), stratumCol)
+      .crossJoin(broadcast(minC))
+      .filter(col("c") === col("mc") ||
+        substring(md5(col("doc_id").cast("string")), 1, 2) <
+          format_string("%02x", expr("(256 * mc) DIV c")))
+  }
+
   // ---- x24: heavy hitters per stratum ----------------------------------
 
   val TopK = 20

@@ -220,6 +220,24 @@ object CurationQueries {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // x29 — deterministic language rebalancing (downsample to smallest)
+  // ---------------------------------------------------------------------
+  def langRebalance(s: SparkSession, dir: String): DataFrame =
+    Curation.rebalance(Tables.documents(s, dir), "lang")
+      .groupBy("lang")
+      .agg(max(col("c")).as("n_orig"), count(lit(1)).as("n_kept"))
+      .orderBy("lang")
+
+  val langRebalanceSql: String =
+    """WITH cnts AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+      |m AS (SELECT min(c) AS mc FROM cnts)
+      |SELECT d.lang, CAST(max(c.c) AS BIGINT) AS n_orig, count(*) AS n_kept
+      |FROM documents d JOIN cnts c USING (lang) CROSS JOIN m
+      |WHERE c.c = m.mc
+      |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < printf('%02x', (256 * m.mc) // c.c)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x20_deterministic_split" -> ((deterministicSplit _, Some(deterministicSplitSql))),
     "x21_quality_filter"      -> ((qualityFilter _, Some(qualityFilterSql))),
@@ -230,5 +248,6 @@ object CurationQueries {
     "x26_contamination"       -> ((contamination _, Some(contaminationSql))),
     "x27_curation_pipeline"   -> ((curationPipeline _, Some(curationPipelineSql))),
     "x28_repetition"          -> ((repetition _, Some(repetitionSql))),
+    "x29_lang_rebalance"      -> ((langRebalance _, Some(langRebalanceSql))),
   )
 }

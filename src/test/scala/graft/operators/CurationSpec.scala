@@ -126,6 +126,27 @@ class CurationSpec extends AnyFunSuite {
     assert(flags(2L), "all-distinct doc failed the repetition rule")
   }
 
+  test("x29 rebalance: smallest stratum intact, others downsampled toward it") {
+    val kept = Curation.rebalance(docs, "lang").cache()
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minLang = before.minBy(_._2)._1
+    assert(after(minLang) == before(minLang), "smallest stratum was downsampled")
+    // hash sampling is binomial around the target: allow generous slack,
+    // but a stratum must never grow and big strata must actually shrink
+    before.foreach { case (l, b) =>
+      assert(after.getOrElse(l, 0L) <= b)
+      if (b > 2 * before(minLang)) assert(after(l) < b, s"stratum $l was not downsampled")
+    }
+    // deterministic membership
+    val again = Curation.rebalance(docs, "lang").select("doc_id")
+    assert(kept.select("doc_id").except(again).count() == 0 &&
+           again.except(kept.select("doc_id")).count() == 0)
+    kept.unpersist()
+  }
+
   test("x24 heavy hitters: exactly K per lang, counts non-increasing") {
     val k = 5
     val hh = Curation.heavyHitters(docs, k).cache()
