@@ -71,4 +71,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("x21 quality rules: one fused scan, no join, no pre-sort shuffle") {
+    val p = plan(CurationQueries.qualityFilter(spark, dir))
+    assert(!p.contains("Join"), p)
+    // column pruning reached the scan: only the 3 needed columns are read
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      "scan reads more than doc_id/text/source: " + p)
+    // the only exchange is the final presentation orderBy's range partition
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"expected at most the orderBy exchange, got $exchanges:\n$p")
+  }
+
+  test("x24 heavy hitters: map-side partial aggregation, hash not sort") {
+    val p = plan(CurationQueries.heavyHitters(spark, dir))
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), "token count degraded to sort agg")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("x27 composed pipeline: filter, window, agg — never a join") {
+    val p = plan(CurationQueries.curationPipeline(spark, dir))
+    assert(!p.contains("Join"), "the pipeline should dedup via window, not join: " + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x29 rebalance: count relations broadcast, corpus never shuffle-joined") {
+    val p = plan(CurationQueries.langRebalance(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "per-stratum counts were shuffle-joined: " + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
