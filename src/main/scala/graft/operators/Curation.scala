@@ -178,16 +178,20 @@ object Curation {
   val MaxDup2gRatio   = 0.06
 
   /** Duplicate-word and duplicate-2-gram ratios per document, plus the
-    * pass flag. Entirely row-local — no explode: the distinct-shingle
-    * count is the SIZE of the (already-distinct) shingle array, so the
-    * grams never leave the row. One HOF level (the shingle transform),
-    * which measured fine in this repo; nesting HOFs is what degrades. */
+    * pass flag. Entirely row-local — no explode, and no HOFs either:
+    * distinct-gram counting runs through the codegen'd
+    * [[graft.functions.DistinctNgramCount]] expression (one token pass
+    * per n; the HOF `transform`+`array_distinct` composition it replaced
+    * is CodegenFallback and measured 4× slower on this entry). */
   def repetitionStats(docs: DataFrame): DataFrame = {
-    val toks = TF.tokens(col("text"))
-    val n = size(toks)
-    val dupWord = lit(1.0) - size(array_distinct(toks)).cast("double") / n
+    import graft.functions.TextKernels
+    TextKernels.register(docs.sparkSession)
+    val n = size(TF.tokens(col("text")))
+    val dupWord =
+      lit(1.0) - TextKernels.distinct_ngram_count(col("text"), 1).cast("double") / n
     val dup2g = when(n < 2, 0.0)
-      .otherwise(lit(1.0) - size(TF.shingles(col("text"), 2)).cast("double") / (n - 1))
+      .otherwise(lit(1.0) -
+        TextKernels.distinct_ngram_count(col("text"), 2).cast("double") / (n - 1))
     docs.select(col("doc_id"), col("source"),
         dupWord.as("dup_word_ratio"), dup2g.as("dup_2gram_ratio"))
       .withColumn("rule_repetition",

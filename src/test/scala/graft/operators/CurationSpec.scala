@@ -111,6 +111,21 @@ class CurationSpec extends AnyFunSuite {
     stats.unpersist()
   }
 
+  test("distinct_ngram_count kernel == the HOF shingle composition, every doc") {
+    import graft.functions.{TextFunctions => TF, TextKernels}
+    TextKernels.register(spark)
+    val t = col("text")
+    val mism = docs.select(
+        TextKernels.distinct_ngram_count(t, 1).as("k1"),
+        size(array_distinct(TF.tokens(t))).cast("long").as("h1"),
+        TextKernels.distinct_ngram_count(t, 2).as("k2"),
+        size(TF.shingles(t, 2)).cast("long").as("h2"),
+        TextKernels.distinct_ngram_count(t, 3).as("k3"),
+        size(TF.shingles(t, 3)).cast("long").as("h3"))
+      .filter(col("k1") =!= col("h1") || col("k2") =!= col("h2") || col("k3") =!= col("h3"))
+    assert(mism.count() == 0)
+  }
+
   test("x28 repetition: ratios bounded, repetitive text flagged") {
     import spark.implicits._
     val r = Curation.repetitionStats(docs)
