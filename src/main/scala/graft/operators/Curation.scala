@@ -244,6 +244,27 @@ object Curation {
            sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
   }
 
+  // ---- x30: quantile-based quality selection ---------------------------
+
+  val TopQuantile = 0.25
+
+  /** Keep each source's top quality quartile: `percent_rank` over the
+    * (quality desc, doc_id) order within the stratum. Rank-based rather
+    * than threshold-based on purpose: a float threshold makes membership
+    * depend on exact tie behavior at the cut value; ranks are integers
+    * and the deterministic tie-break makes the selection reproducible.
+    * One shuffle (by source) + one in-partition sort — at 100 TB each
+    * stratum sorts in parallel and nothing is global. */
+  def topQualityQuantile(docs: DataFrame, q: Double = TopQuantile): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    docs
+      .withColumn("quality", TF.qualityScore(col("text")))
+      .withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") <= q)
+      .select(col("doc_id"), col("source"), col("quality"), col("pr"))
+  }
+
   // ---- x29: deterministic stratum rebalancing --------------------------
 
   /** Downsample every stratum (language, source, domain, …) to the size

@@ -238,6 +238,33 @@ object CurationQueries {
       |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < printf('%02x', (256 * m.mc) // c.c)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x30 — per-source top quality quartile (percent_rank selection)
+  // ---------------------------------------------------------------------
+  def qualityTopQuantile(s: SparkSession, dir: String): DataFrame =
+    Curation.topQualityQuantile(Tables.documents(s, dir)).orderBy("doc_id")
+
+  // quality formula mirrors x02's (hash-proven) composite exactly,
+  // including its {the, a, and, of} stopword set
+  val qualityTopQuantileSql: String = {
+    val stopOcc = Seq("the", "a", "and", "of").map(occ).mkString(" + ")
+    val quality =
+      s"""0.3 * least(CAST($nTok AS DOUBLE) / 64.0, 1.0)
+         |  + 0.2 * (CASE WHEN (CASE WHEN $nTok = 0 THEN 0.0 ELSE CAST(length(text) - $nTok + 1 AS DOUBLE) / $nTok END) BETWEEN 3.0 AND 8.0
+         |           THEN 1.0 ELSE 0.5 END)
+         |  + 0.2 * (CASE WHEN length(text) = 0 THEN 0.0 ELSE $alnum END)
+         |  + 0.3 * (1.0 - CASE WHEN $nTok = 0 THEN 0.0 ELSE CAST($stopOcc AS DOUBLE) / $nTok END)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT doc_id, source, $quality AS quality FROM documents
+       |), r AS (
+       |  SELECT doc_id, source, quality,
+       |         percent_rank() OVER (PARTITION BY source
+       |                              ORDER BY quality DESC, doc_id ASC) AS pr
+       |  FROM q)
+       |SELECT doc_id, source, quality, pr FROM r
+       |WHERE pr <= ${Curation.TopQuantile} ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x20_deterministic_split" -> ((deterministicSplit _, Some(deterministicSplitSql))),
     "x21_quality_filter"      -> ((qualityFilter _, Some(qualityFilterSql))),
@@ -249,5 +276,6 @@ object CurationQueries {
     "x27_curation_pipeline"   -> ((curationPipeline _, Some(curationPipelineSql))),
     "x28_repetition"          -> ((repetition _, Some(repetitionSql))),
     "x29_lang_rebalance"      -> ((langRebalance _, Some(langRebalanceSql))),
+    "x30_quality_top_quantile" -> ((qualityTopQuantile _, Some(qualityTopQuantileSql))),
   )
 }

@@ -162,6 +162,26 @@ class CurationSpec extends AnyFunSuite {
     kept.unpersist()
   }
 
+  test("x30 quality quantile: ~q of each source kept, all kept beat all dropped") {
+    val kept = Curation.topQualityQuantile(docs).cache()
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept.groupBy("source").count().collect().foreach { r =>
+      val (src, k, n) = (r.getString(0), r.getLong(1), perSource(r.getString(0)))
+      assert(k >= 1 && k <= n * Curation.TopQuantile + 1, s"$src kept $k of $n")
+    }
+    // selection is by quality: each source's minimum kept quality must be
+    // at least its maximum dropped quality
+    val dropped = docs.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("quality", graft.functions.TextFunctions.qualityScore(col("text")))
+    val worstKept = kept.groupBy("source").agg(min("quality").as("min_kept"))
+    val bestDropped = dropped.groupBy("source").agg(max("quality").as("max_dropped"))
+    val bad = worstKept.join(bestDropped, "source")
+      .filter(col("min_kept") < col("max_dropped"))
+    assert(bad.count() == 0, "a dropped doc outranks a kept one")
+    kept.unpersist()
+  }
+
   test("x24 heavy hitters: exactly K per lang, counts non-increasing") {
     val k = 5
     val hh = Curation.heavyHitters(docs, k).cache()
