@@ -75,6 +75,34 @@ object InfraQueries {
        |GROUP BY page ORDER BY page""".stripMargin
 
   // ---------------------------------------------------------------------
+  // s10 — partition compaction (O4): many small files → few large ones,
+  // content bit-identical (same oracle relation), sortedness + file
+  // counts asserted in StoreSpec
+  // ---------------------------------------------------------------------
+  def storeCompaction(s: SparkSession, dir: String): DataFrame = {
+    val wh = tempDir("graft_s10_wh_")
+    EventStore.write(Tables.clicks(s, dir), wh, grain = EventStore.DayGrain)
+    val rewritten = EventStore.compact(s, wh, EventStore.DayGrain)
+    require(rewritten.nonEmpty, "compaction found nothing to rewrite — entry is vacuous")
+    EventStore.read(s, wh)
+      .groupBy(col("page"))
+      .agg(count("*").as("events"),
+           count_distinct(col("user_id")).as("unique_users"),
+           count_distinct(col("day")).as("days"),
+           unix_millis(min(col("ts"))).as("first_ms"),
+           unix_millis(max(col("ts"))).as("last_ms"))
+      .orderBy("page")
+  }
+
+  val storeCompactionSql: String =
+    s"""WITH clicks AS (${Tables.clicksSql})
+       |SELECT page, COUNT(*) AS events, COUNT(DISTINCT user_id) AS unique_users,
+       |       COUNT(DISTINCT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d')) AS days,
+       |       epoch_ms(MIN(CAST(ts AS TIMESTAMP))) AS first_ms,
+       |       epoch_ms(MAX(CAST(ts AS TIMESTAMP))) AS last_ms
+       |FROM clicks GROUP BY page ORDER BY page""".stripMargin
+
+  // ---------------------------------------------------------------------
   // g01 — generator distribution summary (hash-seeded generation is not
   // reproducible in DuckDB → rows-only check; distributions asserted in
   // GeneratorSpec)
@@ -107,6 +135,7 @@ object InfraQueries {
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "s04_store_partitioned" -> ((storePartitioned _, Some(storePartitionedSql))),
     "s05_store_retention"   -> ((storeRetention _, Some(storeRetentionSql))),
+    "s10_store_compaction"  -> ((storeCompaction _, Some(storeCompactionSql))),
     "g01_generator_stats"   -> ((generatorStats _, None)),
     "g02_generator_pipeline" -> ((generatorPipeline _, None)),
   )

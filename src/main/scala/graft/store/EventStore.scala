@@ -75,6 +75,58 @@ object EventStore {
   def read(spark: SparkSession, warehouseDir: String): DataFrame =
     spark.read.parquet(warehouseDir)
 
+  /** O4: partition compaction — the analogue of MergeTree's background
+    * part merges. Streaming appends leave each partition with one file
+    * per micro-batch-task; scans then pay per-file open/footer cost and
+    * lose row-group locality. Compaction rewrites every partition whose
+    * file count exceeds what `targetFileBytes` warrants into few, large,
+    * ts-sorted files (ceil(bytes / target)), preserving the bloom
+    * filters and the non-overlapping ts ranges of the write path.
+    *
+    * Pattern is write-new-parts-then-swap, per partition: materialize
+    * the compacted files into a dot-hidden temp dir under the root
+    * (invisible to concurrent readers), then delete the old directory
+    * and rename the temp into place — the same two-phase shape a real
+    * warehouse compactor uses, and the Hadoop FS API keeps it portable
+    * (local/HDFS/S3A). Each partition is an independent unit of work;
+    * a 100 TB compactor runs them as separate parallel jobs.
+    *
+    * Returns (partition value, files before, files after) for the
+    * partitions that were rewritten. */
+  def compact(spark: SparkSession, warehouseDir: String, grain: String,
+              targetFileBytes: Long = 128L << 20): Seq[(String, Int, Int)] = {
+    val root = new Path(warehouseDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(root), s"compaction root does not exist: $warehouseDir")
+
+    def dataFiles(p: Path) = fs.listStatus(p)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+        && !st.getPath.getName.startsWith("."))
+
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$grain="))
+      .flatMap { st =>
+        val value = st.getPath.getName.substring(grain.length + 1)
+        val files = dataFiles(st.getPath)
+        val target = math.max(1L,
+          math.ceil(files.map(_.getLen).sum.toDouble / targetFileBytes).toLong).toInt
+        if (files.length <= target) None
+        else {
+          val tmp = new Path(root, s".compact_tmp_$value")
+          spark.read.parquet(st.getPath.toString)
+            .repartitionByRange(target, col("ts"))
+            .sortWithinPartitions(col("ts"))
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#user_id", "true")
+            .option("parquet.bloom.filter.enabled#page", "true")
+            .parquet(tmp.toString)             // materialized BEFORE the swap
+          fs.delete(st.getPath, true)
+          fs.rename(tmp, st.getPath)
+          Some((value, files.length, dataFiles(st.getPath).length))
+        }
+      }
+  }
+
   /** B3: drop whole partitions whose entire grain is older than
     * `retainDays` before `asOf`. Conservative by construction: a
     * partition that straddles the cutoff is kept. Returns dropped

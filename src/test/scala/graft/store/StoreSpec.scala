@@ -93,6 +93,36 @@ class StoreSpec extends AnyFunSuite {
     assert(EventStore.read(spark, wh).count() == clicks.count())
   }
 
+  test("compaction merges small files, preserves content and ts order") {
+    val wh = Files.createTempDirectory("store_spec_compact").toString
+    val clicks = Tables.clicks(spark, TestSpark.Sf0001)
+    EventStore.write(clicks, wh, grain = EventStore.DayGrain)
+    val before = EventStore.read(spark, wh)
+      .select(input_file_name()).distinct().count()
+    val sumBefore = clicks.agg(sum("user_id"), count("*")).head
+
+    val rewritten = EventStore.compact(spark, wh, EventStore.DayGrain)
+    assert(rewritten.nonEmpty, "nothing compacted — fixture write made 1 file/partition?")
+    rewritten.foreach { case (v, b, a) =>
+      assert(a < b, s"partition $v: $b files -> $a, not reduced")
+      assert(a == 1, s"partition $v should compact to 1 file at 128MB target, got $a")
+    }
+
+    val back = EventStore.read(spark, wh)
+    val after = back.select(input_file_name()).distinct().count()
+    assert(after < before, s"file count not reduced: $before -> $after")
+    assert(back.agg(sum("user_id"), count("*")).head == sumBefore,
+      "compaction changed the data")
+
+    // per-file ts-sortedness survives the rewrite
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(input_file_name())
+      .orderBy(monotonically_increasing_id())
+    val unsorted = back.select(col("ts"), lag("ts", 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull && col("prev") > col("ts"))
+    assert(unsorted.count() == 0, "a compacted file is not ts-sorted")
+  }
+
   test("retention on a missing root fails loudly instead of no-op") {
     val missing = new java.io.File("/tmp/graft_no_such_warehouse_xyz")
     assert(!missing.exists())
