@@ -103,6 +103,36 @@ object InfraQueries {
        |FROM clicks GROUP BY page ORDER BY page""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x31 — salted skew join: page is the canonical hot key (5 values over
+  // ~1M events); the salted join's result must be row-identical to the
+  // plain join, proven by the unsalted oracle
+  // ---------------------------------------------------------------------
+  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val clicks = Tables.clicks(s, dir)
+    val dim = clicks.groupBy(col("page"))
+      .agg(count("*").as("page_total"),
+           count_distinct(col("country")).as("page_countries"))
+    graft.operators.Skew.saltedJoin(
+        clicks, dim, key = "page", saltBy = col("event_id"), k = 8)
+      .groupBy(col("page"), col("device"))
+      .agg(count("*").as("events"),
+           max(col("page_total")).as("page_total"),
+           max(col("page_countries")).as("page_countries"))
+      .orderBy("page", "device")
+  }
+
+  val saltedJoinSql: String =
+    s"""WITH clicks AS (${Tables.clicksSql}),
+       |dim AS (SELECT page, COUNT(*) AS page_total,
+       |               COUNT(DISTINCT country) AS page_countries
+       |        FROM clicks GROUP BY page)
+       |SELECT c.page, c.device, COUNT(*) AS events,
+       |       MAX(d.page_total) AS page_total,
+       |       MAX(d.page_countries) AS page_countries
+       |FROM clicks c JOIN dim d ON c.page = d.page
+       |GROUP BY c.page, c.device ORDER BY c.page, c.device""".stripMargin
+
+  // ---------------------------------------------------------------------
   // g01 — generator distribution summary (hash-seeded generation is not
   // reproducible in DuckDB → rows-only check; distributions asserted in
   // GeneratorSpec)
@@ -136,6 +166,7 @@ object InfraQueries {
     "s04_store_partitioned" -> ((storePartitioned _, Some(storePartitionedSql))),
     "s05_store_retention"   -> ((storeRetention _, Some(storeRetentionSql))),
     "s10_store_compaction"  -> ((storeCompaction _, Some(storeCompactionSql))),
+    "x31_salted_join"       -> ((saltedJoin _, Some(saltedJoinSql))),
     "g01_generator_stats"   -> ((generatorStats _, None)),
     "g02_generator_pipeline" -> ((generatorPipeline _, None)),
   )
