@@ -202,6 +202,53 @@ object StreamingQueries {
       |FROM documents GROUP BY 1, 2 ORDER BY fp""".stripMargin
 
   // ---------------------------------------------------------------------
+  // s11 — STREAM-STREAM interval join: purchase attribution (each
+  // 'purchase' joined to the same user's 'view' events in the preceding
+  // hour — the wire 'page' field carries the fixture's event_type role).
+  // Both sides carry the 10 s event-time watermark and the join
+  // condition bounds p_ts to (v_ts, v_ts + 1 h], so Spark can evict
+  // joined state as the watermark advances — the production-shape
+  // stream-stream join. Inner-join matches emit as soon as both rows
+  // have arrived (no watermark flush needed), which is what makes the
+  // bounded replay complete and batch-oracle-comparable.
+  // ---------------------------------------------------------------------
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val work = tempDir("graft_s11_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+    wireJson(s, dir).toJSON.write.text(inDir)
+
+    def side(eventType: String, prefix: String) =
+      ClickPipeline.fromJsonDir(s, inDir)
+        .filter(col("page") === eventType)
+        .select(col("user_id").as(s"${prefix}_user"),
+                col("ts").as(s"${prefix}_ts"))
+        .withWatermark(s"${prefix}_ts", "10 seconds")
+
+    val joined = side("view", "v").join(side("purchase", "p"),
+      expr("""v_user = p_user
+             |AND p_ts > v_ts
+             |AND p_ts <= v_ts + interval 1 hour""".stripMargin))
+
+    ClickPipeline.runAppendParquet(joined, outDir, ck)
+    s.read.parquet(outDir)
+      .select(col("v_user").cast("long").as("user_id"),
+              unix_millis(col("v_ts")).as("view_ms"),
+              unix_millis(col("p_ts")).as("purchase_ms"))
+      .withColumn("lag_ms", col("purchase_ms") - col("view_ms"))
+      .orderBy("user_id", "view_ms", "purchase_ms")
+  }
+
+  val streamStreamJoinSql: String =
+    s"""WITH clicks AS (${Tables.clicksSql}),
+       |v AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM clicks WHERE page = 'view'),
+       |p AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms FROM clicks WHERE page = 'purchase')
+       |SELECT v.user_id, v.ms AS view_ms, p.ms AS purchase_ms,
+       |       p.ms - v.ms AS lag_ms
+       |FROM v JOIN p ON v.user_id = p.user_id
+       |              AND p.ms > v.ms AND p.ms <= v.ms + 3600000
+       |ORDER BY v.user_id, view_ms, purchase_ms""".stripMargin
+
+  // ---------------------------------------------------------------------
   // s02 — keyed Welford anomaly state, oracle-checked vs q17
   // ---------------------------------------------------------------------
   def streamAnomaly(s: SparkSession, dir: String): DataFrame = {
@@ -288,5 +335,6 @@ object StreamingQueries {
     "s08_stream_sessions"   -> ((streamSessions _,
       Some(graft.queries.ExtendedQueries.sessionizationSql))),
     "s09_stream_dedup"      -> ((streamDedup _, Some(streamDedupSql))),
+    "s11_stream_stream_join" -> ((streamStreamJoin _, Some(streamStreamJoinSql))),
   )
 }
