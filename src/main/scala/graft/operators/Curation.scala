@@ -244,6 +244,32 @@ object Curation {
            sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
   }
 
+  // ---- x32: document chunking ------------------------------------------
+
+  val ChunkSize   = 32
+  val ChunkStride = 24
+
+  /** Split each document into fixed-size overlapping word windows —
+    * the unit an embedding model consumes. Chunk i covers words
+    * [i·stride, i·stride + size); the last chunk may be short; a doc
+    * shorter than one window yields exactly one chunk. Row-local
+    * explode: chunk count per doc is ceil(max(n-size,0)/stride)+1, so
+    * output size is a bounded multiple of input size (size/stride
+    * overlap factor) — no shuffle at all until a downstream consumer
+    * aggregates. */
+  def chunk(docs: DataFrame, size: Int = ChunkSize, stride: Int = ChunkStride): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val toks = TF.tokens(col("text"))
+    val n = size_(toks)
+    val nChunks = ceil(greatest(n - size, lit(0)).cast("double") / stride).cast("int") + 1
+    docs.select(col("doc_id"), col("source"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(toks, i * stride + 1, lit(size))))).as(Seq("chunk_id", "chunk")))
+      .withColumn("chunk_tokens", size_(TF.tokens(col("chunk"))).cast("long"))
+  }
+  private def size_(c: Column) = org.apache.spark.sql.functions.size(c)
+
   // ---- x30: quantile-based quality selection ---------------------------
 
   val TopQuantile = 0.25

@@ -265,6 +265,25 @@ object CurationQueries {
        |WHERE pr <= ${Curation.TopQuantile} ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // x32 — document chunking (overlapping word windows for embedding)
+  // ---------------------------------------------------------------------
+  def chunking(s: SparkSession, dir: String): DataFrame =
+    Curation.chunk(Tables.documents(s, dir)).orderBy("doc_id", "chunk_id")
+
+  val chunkingSql: String = {
+    val (sz, st) = (Curation.ChunkSize, Curation.ChunkStride)
+    s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |c AS (
+       |  SELECT doc_id, source, w,
+       |    CAST(unnest(range(CAST(ceil(CAST(greatest(len(w) - $sz, 0) AS DOUBLE) / $st) AS BIGINT) + 1)) AS INT) AS chunk_id
+       |  FROM t)
+       |SELECT doc_id, source, chunk_id,
+       |  array_to_string(w[chunk_id * $st + 1 : chunk_id * $st + $sz], ' ') AS chunk,
+       |  CAST(len(w[chunk_id * $st + 1 : chunk_id * $st + $sz]) AS BIGINT) AS chunk_tokens
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x20_deterministic_split" -> ((deterministicSplit _, Some(deterministicSplitSql))),
     "x21_quality_filter"      -> ((qualityFilter _, Some(qualityFilterSql))),
@@ -277,5 +296,6 @@ object CurationQueries {
     "x28_repetition"          -> ((repetition _, Some(repetitionSql))),
     "x29_lang_rebalance"      -> ((langRebalance _, Some(langRebalanceSql))),
     "x30_quality_top_quantile" -> ((qualityTopQuantile _, Some(qualityTopQuantileSql))),
+    "x32_chunking"            -> ((chunking _, Some(chunkingSql))),
   )
 }

@@ -182,6 +182,29 @@ class CurationSpec extends AnyFunSuite {
     kept.unpersist()
   }
 
+  test("x32 chunking: full coverage, correct overlap, short docs intact") {
+    import graft.functions.{TextFunctions => TF}
+    val chunks = Curation.chunk(docs).cache()
+    val sz = Curation.ChunkSize; val st = Curation.ChunkStride
+    // a doc shorter than one window is exactly its own single chunk
+    val short = docs.filter(TF.tokenCount(col("text")) <= sz)
+      .join(chunks, "doc_id")
+      .filter(col("chunk_id") =!= 0 || col("chunk") =!= col("text"))
+    assert(short.count() == 0)
+    // every chunk except a doc's last has exactly `size` tokens
+    val maxId = chunks.groupBy(col("doc_id").as("d")).agg(max("chunk_id").as("last"))
+    val bad = chunks.join(maxId, col("doc_id") === col("d"))
+      .filter(col("chunk_id") < col("last") && col("chunk_tokens") =!= sz)
+    assert(bad.count() == 0, "a non-final chunk is not full-size")
+    // chunks cover the doc: strides tile the token range
+    val cov = chunks.join(maxId, col("doc_id") === col("d"))
+      .filter(col("chunk_id") === col("last"))
+      .join(docs.select(col("doc_id"), TF.tokenCount(col("text")).as("n")), "doc_id")
+      .filter(lit(st) * col("chunk_id") + col("chunk_tokens") < col("n"))
+    assert(cov.count() == 0, "the last chunk does not reach the end of the doc")
+    chunks.unpersist()
+  }
+
   test("x24 heavy hitters: exactly K per lang, counts non-increasing") {
     val k = 5
     val hh = Curation.heavyHitters(docs, k).cache()
