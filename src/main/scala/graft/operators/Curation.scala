@@ -199,6 +199,37 @@ object Curation {
         col("dup_2gram_ratio") <= MaxDup2gRatio)
   }
 
+  // ---- x33: TF-IDF keyword extraction ----------------------------------
+
+  val TfidfK = 5
+
+  /** Top-K terms per document by smoothed TF-IDF
+    * (`tf · (ln((N+1)/(df+1)) + 1)`, the sklearn formulation). The
+    * score is rounded to 6 decimals BEFORE ranking: `ln` can differ by
+    * an ulp between runtimes, and the operator's selection contract
+    * must not depend on the last bit of a transcendental — after
+    * rounding, order (with the term tie-break) is exactly reproducible
+    * anywhere. Shapes: one explode→groupBy for tf, a vocabulary-sized
+    * aggregation for df (joined back ON TOKEN — shuffles vocabulary,
+    * not corpus), a broadcast scalar for N, a per-doc rank window. */
+  def tfidfTopK(docs: DataFrame, k: Int = TfidfK): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds both the df aggregation and the join
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(
+        col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("doc_id", "token", "tf", "df", "tfidf", "rnk")
+  }
+
   // ---- x26: benchmark contamination ------------------------------------
 
   val ContamN    = 4

@@ -284,6 +284,28 @@ object CurationQueries {
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // x33 — TF-IDF keyword extraction (top-K terms per doc)
+  // ---------------------------------------------------------------------
+  def tfidf(s: SparkSession, dir: String): DataFrame =
+    Curation.tfidfTopK(Tables.documents(s, dir)).orderBy("doc_id", "rnk")
+
+  val tfidfSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |  FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, token, tf, df,
+       |         round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+       |  FROM tf JOIN df USING (token) CROSS JOIN n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                ORDER BY tfidf DESC, token ASC) AS rnk FROM scored)
+       |SELECT doc_id, token, tf, df, tfidf, rnk FROM r
+       |WHERE rnk <= ${Curation.TfidfK} ORDER BY doc_id, rnk""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x20_deterministic_split" -> ((deterministicSplit _, Some(deterministicSplitSql))),
     "x21_quality_filter"      -> ((qualityFilter _, Some(qualityFilterSql))),
@@ -297,5 +319,6 @@ object CurationQueries {
     "x29_lang_rebalance"      -> ((langRebalance _, Some(langRebalanceSql))),
     "x30_quality_top_quantile" -> ((qualityTopQuantile _, Some(qualityTopQuantileSql))),
     "x32_chunking"            -> ((chunking _, Some(chunkingSql))),
+    "x33_tfidf"               -> ((tfidf _, Some(tfidfSql))),
   )
 }

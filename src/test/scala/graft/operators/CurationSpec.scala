@@ -205,6 +205,22 @@ class CurationSpec extends AnyFunSuite {
     chunks.unpersist()
   }
 
+  test("x33 tfidf: rank order consistent, a common term never outranks by df") {
+    val out = Curation.tfidfTopK(docs).cache()
+    assert(out.count() > 0)
+    // rank order within a doc follows the rounded score
+    val bad = out.as("a").join(out.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.rnk") < col("b.rnk") &&
+        col("a.tfidf") < col("b.tfidf"))
+    assert(bad.count() == 0)
+    // equal tf ⇒ the rarer term (smaller df) scores at least as high
+    val mono = out.as("a").join(out.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tf") === col("b.tf") &&
+        col("a.df") < col("b.df") && col("a.tfidf") < col("b.tfidf"))
+    assert(mono.count() == 0, "a more common term outscored a rarer one at equal tf")
+    out.unpersist()
+  }
+
   test("x24 heavy hitters: exactly K per lang, counts non-increasing") {
     val k = 5
     val hh = Curation.heavyHitters(docs, k).cache()
