@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// All suites share one SparkSession (TestSpark); running them in
+// parallel intermittently aborted a suite mid-plan-inspection. Serial
+// execution is deterministic, and Spark parallelizes within each test
+// anyway, so wall-clock is barely affected.
+Test / parallelExecution := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

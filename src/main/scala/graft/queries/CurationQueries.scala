@@ -138,14 +138,31 @@ object CurationQueries {
        |WHERE rnk <= ${Curation.TopK} ORDER BY lang, rnk""".stripMargin
 
   // ---------------------------------------------------------------------
-  // x25 — greedy no-straddle packing (stateful scan; invariants in
-  // CurationSpec — a window function can't express the running reset)
+  // x25 — greedy no-straddle packing (stateful scan; a window function
+  // can't express the running reset — the Spark side is a per-partition
+  // JVM fold, the oracle a recursive CTE walking each source's rows)
   // ---------------------------------------------------------------------
   def greedyPacking(s: SparkSession, dir: String): DataFrame =
     Curation.greedyPack(Tables.documents(s, dir))
       .groupBy(col("source"), col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
       .orderBy("source", "pack_id")
+
+  val greedyPackingSql: String =
+    s"""WITH RECURSIVE sized AS (
+       |  SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM documents),
+       |walk AS (
+       |  SELECT source, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS pack_id, n_tokens AS used
+       |  FROM sized WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.source, s.doc_id, s.n_tokens, s.rn,
+       |    CASE WHEN w.used + s.n_tokens > ${Curation.PackCapacity} THEN w.pack_id + 1 ELSE w.pack_id END,
+       |    CASE WHEN w.used + s.n_tokens > ${Curation.PackCapacity} THEN s.n_tokens ELSE w.used + s.n_tokens END
+       |  FROM sized s JOIN walk w ON s.source = w.source AND s.rn = w.rn + 1)
+       |SELECT source, pack_id, count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+       |FROM walk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------
   // x26 — benchmark contamination (shared word n-grams vs the eval set)
@@ -312,7 +329,7 @@ object CurationQueries {
     "x22_pii_scrub"           -> ((piiScrub _, Some(piiScrubSql))),
     "x23_sequence_packing"    -> ((sequencePacking _, Some(sequencePackingSql))),
     "x24_heavy_hitters"       -> ((heavyHitters _, Some(heavyHittersSql))),
-    "x25_greedy_pack"         -> ((greedyPacking _, None)),
+    "x25_greedy_pack"         -> ((greedyPacking _, Some(greedyPackingSql))),
     "x26_contamination"       -> ((contamination _, Some(contaminationSql))),
     "x27_curation_pipeline"   -> ((curationPipeline _, Some(curationPipelineSql))),
     "x28_repetition"          -> ((repetition _, Some(repetitionSql))),
