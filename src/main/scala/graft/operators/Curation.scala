@@ -348,6 +348,45 @@ object Curation {
           format_string("%02x", expr("(256 * mc) DIV c")))
   }
 
+  // ---- x34: weighted mixture sampling ----------------------------------
+
+  /** Target mixture proportions in integer percent (sum 100) — the
+    * DoReMi-style domain-weights configuration. */
+  val MixtureWeights: Seq[(String, Int)] =
+    Seq("en" -> 40, "de" -> 15, "es" -> 15, "fr" -> 15, "zh" -> 15)
+
+  /** Downsample strata to a TARGET MIXTURE: the largest feasible corpus
+    * with proportions `weights` is T = min_s floor(100·c_s / p_s) docs,
+    * of which stratum s contributes p_s·T/100 — enforced by an
+    * md5-bucket threshold per stratum, so membership is deterministic
+    * and content-stable (same contract as [[rebalance]]).
+    *
+    * All threshold arithmetic is INTEGER (`DIV`): the binding stratum's
+    * threshold would be 256·(p·(100c/p))/100c ≈ 256 in floats, where a
+    * 1-ulp error flips floor() across the keep-all boundary between
+    * engines; with integer division both engines compute the same
+    * number, and thresholds ≥ 256 mean keep-everything (the hex-string
+    * compare caps at 'ff'). */
+  def mixtureSample(docs: DataFrame, stratumCol: String,
+                    weights: Seq[(String, Int)] = MixtureWeights): DataFrame = {
+    require(weights.map(_._2).sum == 100, "mixture weights must sum to 100")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toDF(stratumCol, "w_pct")
+    val cnts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("c"))
+      .join(w, stratumCol)
+    // T = min_s floor(100*c_s/p_s), integer throughout
+    val t = cnts.select(expr("min(100 * c DIV w_pct)").as("t_total"))
+    docs
+      .join(broadcast(cnts), stratumCol)
+      .crossJoin(broadcast(t))
+      .withColumn("__thresh", expr("(256 * w_pct * t_total) DIV (100 * c)"))
+      .filter(col("__thresh") >= 256 ||
+        substring(md5(col("doc_id").cast("string")), 1, 2) <
+          format_string("%02x", col("__thresh")))
+      .drop("__thresh")
+  }
+
   // ---- x24: heavy hitters per stratum ----------------------------------
 
   val TopK = 20

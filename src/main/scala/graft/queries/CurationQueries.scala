@@ -323,6 +323,33 @@ object CurationQueries {
        |SELECT doc_id, token, tf, df, tfidf, rnk FROM r
        |WHERE rnk <= ${Curation.TfidfK} ORDER BY doc_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x34 — weighted mixture sampling (DoReMi-style domain weights)
+  // ---------------------------------------------------------------------
+  def mixtureSample(s: SparkSession, dir: String): DataFrame =
+    Curation.mixtureSample(Tables.documents(s, dir), "lang")
+      .groupBy("lang")
+      .agg(max(col("c")).as("n_orig"), max(col("w_pct")).as("w_pct"),
+           count(lit(1)).as("n_kept"))
+      .orderBy("lang")
+
+  val mixtureSampleSql: String = {
+    val values = Curation.MixtureWeights
+      .map { case (l, p) => s"('$l', $p)" }.mkString(", ")
+    val thresh = "(256 * cn.w_pct * t.t_total) // (100 * cn.c)"
+    s"""WITH w(lang, w_pct) AS (VALUES $values),
+       |cnts AS (
+       |  SELECT d.lang, count(*) AS c, max(w.w_pct) AS w_pct
+       |  FROM documents d JOIN w ON d.lang = w.lang GROUP BY 1),
+       |t AS (SELECT min(100 * c // w_pct) AS t_total FROM cnts)
+       |SELECT d.lang, CAST(max(cn.c) AS BIGINT) AS n_orig,
+       |       max(cn.w_pct) AS w_pct, count(*) AS n_kept
+       |FROM documents d JOIN cnts cn ON d.lang = cn.lang CROSS JOIN t
+       |WHERE $thresh >= 256
+       |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) < printf('%02x', $thresh)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x20_deterministic_split" -> ((deterministicSplit _, Some(deterministicSplitSql))),
     "x21_quality_filter"      -> ((qualityFilter _, Some(qualityFilterSql))),
@@ -337,5 +364,6 @@ object CurationQueries {
     "x30_quality_top_quantile" -> ((qualityTopQuantile _, Some(qualityTopQuantileSql))),
     "x32_chunking"            -> ((chunking _, Some(chunkingSql))),
     "x33_tfidf"               -> ((tfidf _, Some(tfidfSql))),
+    "x34_mixture_sample"      -> ((mixtureSample _, Some(mixtureSampleSql))),
   )
 }

@@ -221,6 +221,27 @@ class CurationSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("x34 mixture: kept counts approximate the target proportions") {
+    val kept = Curation.mixtureSample(docs, "lang").cache()
+    val n = kept.count().toDouble
+    assert(n > 0)
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hash-bucket thresholds are granular (1/256) and binomial: allow a
+    // wide tolerance, but the ordering en > others must hold and no
+    // stratum may exceed its original count
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Curation.MixtureWeights.foreach { case (l, pct) =>
+      val share = byLang.getOrElse(l, 0L) / n
+      assert(math.abs(share - pct / 100.0) < 0.10,
+        s"$l share $share vs target ${pct / 100.0}")
+      assert(byLang.getOrElse(l, 0L) <= before(l))
+    }
+    assert(byLang("en") > byLang("de"), "en must dominate the mixture")
+    kept.unpersist()
+  }
+
   test("x24 heavy hitters: exactly K per lang, counts non-increasing") {
     val k = 5
     val hh = Curation.heavyHitters(docs, k).cache()
