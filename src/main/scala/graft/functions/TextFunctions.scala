@@ -152,17 +152,13 @@ object TextFunctions {
     out
   }
 
-  /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit.
-    * Documents with fewer than n tokens yield an EMPTY set (no truncated
-    * shingle) — mirrored by the DuckDB oracle's `range(len-n+1)`. */
+  /** Word n-gram shingles (distinct, first-occurrence order), the
+    * MinHash/Jaccard input unit. Documents with fewer than n tokens yield
+    * an EMPTY set (no truncated shingle) — mirrored by the DuckDB
+    * oracle's `range(len-n+1)`. Backed by the codegen'd
+    * [[WordShingles]] kernel: the equivalent HOF composition
+    * (`array_distinct ∘ transform ∘ sequence/slice`) is CodegenFallback
+    * and ~10× slower on the shingle-heavy dedup paths. */
   def shingles(text: Column, n: Int): Column =
-    if (n <= 1) array_distinct(tokens(text))
-    else {
-      val toks = tokens(text)
-      when(size(toks) < n, array().cast("array<string>"))
-        .otherwise(array_distinct(
-          transform(
-            sequence(lit(0), size(toks) - n),
-            i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-    }
+    TextKernels.word_shingles(text, n)
 }

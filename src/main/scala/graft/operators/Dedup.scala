@@ -98,10 +98,6 @@ object Dedup {
                       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
                       threshold: Double = 0.9, maxBucketSize: Int = 200): DataFrame = {
     val rowsPerBand = numHashes / bands
-    // materialized once: `sh` has 4 downstream references (verifyJaccard)
-    // and the banded signatures feed both self-join sides — without the
-    // checkpoints each reference re-runs the shingle/signature pipeline
-    val sh = shingleSet(docs, idCol, textCol, n).localCheckpoint()
     val sigs = minhashSignatures(docs, idCol, textCol, n, numHashes)
     val bd = banded(sigs, bands, rowsPerBand)
 
@@ -121,6 +117,19 @@ object Dedup {
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
       .localCheckpoint()
+
+    // Verification re-shingles ONLY the documents that appear in a
+    // candidate pair (semi-join on the checkpointed candidate ids) — at
+    // corpus scale candidates are a vanishing fraction of n, so the
+    // verify stage never touches the full text again. The materialized
+    // relations here (signatures, banded ids, candidate pairs, candidate
+    // shingles) are all O(docs) or O(candidates) — the full shingle
+    // relation is streamed through one aggregation and never stored.
+    val candIds = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id")))
+      .distinct()
+    val candDocs = docs.join(candIds, docs(idCol) === candIds("id"), "left_semi")
+    val sh = shingleSet(candDocs, idCol, textCol, n).localCheckpoint()
 
     verifyJaccard(cands, sh, threshold)
   }

@@ -50,6 +50,30 @@ object StreamingQueries {
     Files.writeString(Paths.get(inDir, "zz_flush_sentinel.json"), json + "\n")
   }
 
+  /** Write the wire stream as a few large line files, not one shard per
+    * core: each input file stands in for a producer batch, and 32 shards
+    * of a ~100k-line fixture is all task overhead (measured 6.6 s → 0.8 s
+    * for the write, and fewer file-source tasks per micro-batch). */
+  private def writeWire(wire: DataFrame, inDir: String): Unit =
+    wire.toJSON.coalesce(4).write.text(inDir)
+
+  /** Run a bounded streaming replay with `n` state partitions.
+    *
+    * `spark.sql.shuffle.partitions` is read at query start and pinned in
+    * the checkpoint; every state partition then pays a per-micro-batch
+    * store commit (delta file + fsync), so state-partition count is a
+    * THROUGHPUT knob, not a cores knob — 32 partitions for a replay whose
+    * whole state fits in a handful of MB is pure commit overhead
+    * (measured 13.2 s → 3.7 s on the stream-stream join). Production
+    * sizing scales it with state volume; the batch plans around the
+    * streaming run keep the session's normal parallelism. */
+  private def withStatePartitions[A](s: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   /** Run the full streaming pipeline (source → watermark → windowed
     * user-grain state → checkpointed sink) and return the streamed
     * user-grain relation.
@@ -70,7 +94,7 @@ object StreamingQueries {
 
     val wire = wireJson(s, dir)
     val maxTs = wire.agg(max(col("ts"))).head.getLong(0)
-    wire.toJSON.write.text(inDir)
+    writeWire(wire, inDir)
 
     def runOnce(): Unit = ClickPipeline.runAppendParquet(
       ClickPipeline.windowedUserGrain(
@@ -78,13 +102,15 @@ object StreamingQueries {
         duration, keys),
       outDir, ck)
 
-    if (restart) {
-      runOnce()                                // pass 1: all real data
-      writeSentinel(inDir, maxTs + 7200000L)   // advance the watermark…
-      runOnce()                                // pass 2: restart from checkpoint, flush
-    } else {
-      writeSentinel(inDir, maxTs + 7200000L)
-      runOnce()
+    withStatePartitions(s, 8) {
+      if (restart) {
+        runOnce()                                // pass 1: all real data
+        writeSentinel(inDir, maxTs + 7200000L)   // advance the watermark…
+        runOnce()                                // pass 2: restart from checkpoint, flush
+      } else {
+        writeSentinel(inDir, maxTs + 7200000L)
+        runOnce()
+      }
     }
 
     s.read.parquet(outDir)
@@ -148,13 +174,15 @@ object StreamingQueries {
 
     val wire = wireJson(s, dir)
     val maxTs = wire.agg(max(col("ts"))).head.getLong(0)
-    wire.toJSON.write.text(inDir)
+    writeWire(wire, inDir)
     writeSentinel(inDir, maxTs + 7200000L)
 
-    ClickPipeline.runAppendParquet(
-      graft.operators.Sessionize.sessions(
-        ClickPipeline.withEventTime(ClickPipeline.fromJsonDir(s, inDir))),
-      outDir, ck)
+    withStatePartitions(s, 8) {
+      ClickPipeline.runAppendParquet(
+        graft.operators.Sessionize.sessions(
+          ClickPipeline.withEventTime(ClickPipeline.fromJsonDir(s, inDir))),
+        outDir, ck)
+    }
 
     s.read.parquet(outDir)
       .filter(col("user_id") =!= "u0")
@@ -192,7 +220,9 @@ object StreamingQueries {
       .select("fp", "n_tokens")
       .dropDuplicates("fp")
 
-    ClickPipeline.runAppendParquet(stream, outDir, ck)
+    withStatePartitions(s, 8) {
+      ClickPipeline.runAppendParquet(stream, outDir, ck)
+    }
     s.read.parquet(outDir).select("fp", "n_tokens").orderBy("fp")
   }
 
@@ -215,7 +245,7 @@ object StreamingQueries {
   def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
     val work = tempDir("graft_s11_")
     val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
-    wireJson(s, dir).toJSON.write.text(inDir)
+    writeWire(wireJson(s, dir), inDir)
 
     def side(eventType: String, prefix: String) =
       ClickPipeline.fromJsonDir(s, inDir)
@@ -229,7 +259,9 @@ object StreamingQueries {
              |AND p_ts > v_ts
              |AND p_ts <= v_ts + interval 1 hour""".stripMargin))
 
-    ClickPipeline.runAppendParquet(joined, outDir, ck)
+    withStatePartitions(s, 8) {
+      ClickPipeline.runAppendParquet(joined, outDir, ck)
+    }
     s.read.parquet(outDir)
       .select(col("v_user").cast("long").as("user_id"),
               unix_millis(col("v_ts")).as("view_ms"),
@@ -273,7 +305,9 @@ object StreamingQueries {
     val stream = s.readStream.schema(inputSchema).parquet(inDir)
       .as[AnomalyDetector.AggRow]
 
-    ClickPipeline.runAppendParquet(AnomalyDetector.detect(stream).toDF(), outDir, ck)
+    withStatePartitions(s, 8) {
+      ClickPipeline.runAppendParquet(AnomalyDetector.detect(stream).toDF(), outDir, ck)
+    }
 
     // mean is exact on both sides (sum/n over integer counts — see
     // WelfordState); z_score involves the M2 accumulator, where Welford
@@ -302,7 +336,7 @@ object StreamingQueries {
     val work = tempDir("graft_s03_")
     val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
 
-    wireJson(s, dir).toJSON.write.text(inDir)
+    writeWire(wireJson(s, dir), inDir)
     // No aggregation ⇒ no watermark needed: every event is appended in
     // pass 1; created_at is the ingest stamp (excluded from the compared
     // columns — it is wall-clock by design, clickhouse_tables.sql:14).
