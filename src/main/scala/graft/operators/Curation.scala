@@ -405,4 +405,70 @@ object Curation {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
+
+  // ---- x35: unigram LM cross-entropy scoring ---------------------------
+
+  /** Per-document cross-entropy against the CORPUS unigram distribution
+    * (mean −ln p(token), token-frequency weighted) — the CCNet-style
+    * language-model quality signal: text of common, naturally-distributed
+    * vocabulary scores low; rare-token soup scores high. Filtering on it
+    * is the classic "perplexity filter" of pretraining pipelines, here
+    * with the corpus itself as the model.
+    *
+    * Shapes (the 100 TB posture): token explode collapses immediately
+    * into a per-(doc, token) count (partial agg map-side — the shuffle
+    * carries tf rows, not occurrences); the model is a VOCABULARY-sized
+    * aggregate of that relation, joined back on token (shuffles
+    * vocabulary, not corpus); the total is one broadcast scalar. The tf
+    * relation feeds both the model and the join, so it is materialized
+    * once. Rounded to 6 decimals: the score involves `ln`, and a
+    * transcendental's last ulp differs across runtimes (same contract as
+    * [[tfidfTopK]]). */
+  def unigramScore(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds both the model aggregation and the join
+    val vocab = tf.groupBy("token").agg(sum(col("tf")).as("c"))
+    val total = vocab.agg(sum(col("c")).as("total"))
+    tf.join(vocab, "token")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+           round(
+             sum(col("tf") * -log(col("c") / col("total").cast("double"))) /
+               sum(col("tf")), 6).as("xent"))
+  }
+
+  // ---- x36: vocabulary construction with coverage ----------------------
+
+  val VocabK = 100
+
+  /** The top-K corpus vocabulary with cumulative token coverage — the
+    * "how big must the vocab be" table every tokenizer build starts
+    * from. Global ordering is computed as a distributed top-K
+    * (`orderBy.limit(k)` → TakeOrdered, every partition contributes its
+    * local top-K and only K rows reach the driver-side sort), NOT a
+    * global rank window — a one-partition window over the full
+    * vocabulary would serialize at scale. The running-coverage window
+    * then runs over K rows only. Coverage divides two exact longs, so
+    * both engines compute the identical double; round(6) is belt and
+    * braces. */
+  def vocabCoverage(docs: DataFrame, k: Int = VocabK): DataFrame = {
+    val vocab = docs
+      .select(explode(
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds both the total and the top-K
+    val total = vocab.agg(sum(col("cnt")).as("total"))
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    vocab.orderBy(col("cnt").desc, col("token").asc).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("coverage", round(
+        sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double") / col("total"), 6))
+      .select(col("rnk"), col("token"), col("cnt"), col("coverage"))
+  }
 }

@@ -350,6 +350,46 @@ object CurationQueries {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // x35 — unigram LM cross-entropy (perplexity-filter signal)
+  // ---------------------------------------------------------------------
+  def unigramLogprob(s: SparkSession, dir: String): DataFrame =
+    Curation.unigramScore(Tables.documents(s, dir)).orderBy("doc_id")
+
+  val unigramLogprobSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |vocab AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM vocab)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+      |       round(SUM(tf * -ln(c / CAST(total AS DOUBLE))) / SUM(tf), 6) AS xent
+      |FROM tf JOIN vocab USING (token) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x36 — vocabulary construction: top-K tokens + cumulative coverage
+  // ---------------------------------------------------------------------
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame =
+    Curation.vocabCoverage(Tables.documents(s, dir)).orderBy("rnk")
+
+  val vocabCoverageSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |  FROM documents),
+       |vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+       |r AS (SELECT token, cnt,
+       |             row_number() OVER (ORDER BY cnt DESC, token ASC) AS rnk,
+       |             SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+       |                            ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM vocab)
+       |SELECT rnk, token, CAST(cnt AS BIGINT) AS cnt,
+       |       round(CAST(cum AS DOUBLE) / total, 6) AS coverage
+       |FROM r CROSS JOIN tot
+       |WHERE rnk <= ${Curation.VocabK} ORDER BY rnk""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x20_deterministic_split" -> ((deterministicSplit _, Some(deterministicSplitSql))),
     "x21_quality_filter"      -> ((qualityFilter _, Some(qualityFilterSql))),
@@ -365,5 +405,7 @@ object CurationQueries {
     "x32_chunking"            -> ((chunking _, Some(chunkingSql))),
     "x33_tfidf"               -> ((tfidf _, Some(tfidfSql))),
     "x34_mixture_sample"      -> ((mixtureSample _, Some(mixtureSampleSql))),
+    "x35_unigram_logprob"     -> ((unigramLogprob _, Some(unigramLogprobSql))),
+    "x36_vocab_coverage"      -> ((vocabCoverage _, Some(vocabCoverageSql))),
   )
 }

@@ -111,6 +111,17 @@ class CurationSpec extends AnyFunSuite {
     stats.unpersist()
   }
 
+  // independent reference: the interpreted HOF composition the codegen'd
+  // kernels replaced (TF.shingles is itself kernel-backed now, so the
+  // reference must be built inline to stay independent)
+  private def hofShingles(t: org.apache.spark.sql.Column, n: Int) = {
+    val toks = graft.functions.TextFunctions.tokens(t)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
   test("distinct_ngram_count kernel == the HOF shingle composition, every doc") {
     import graft.functions.{TextFunctions => TF, TextKernels}
     TextKernels.register(spark)
@@ -119,11 +130,59 @@ class CurationSpec extends AnyFunSuite {
         TextKernels.distinct_ngram_count(t, 1).as("k1"),
         size(array_distinct(TF.tokens(t))).cast("long").as("h1"),
         TextKernels.distinct_ngram_count(t, 2).as("k2"),
-        size(TF.shingles(t, 2)).cast("long").as("h2"),
+        size(hofShingles(t, 2)).cast("long").as("h2"),
         TextKernels.distinct_ngram_count(t, 3).as("k3"),
-        size(TF.shingles(t, 3)).cast("long").as("h3"))
+        size(hofShingles(t, 3)).cast("long").as("h3"))
       .filter(col("k1") =!= col("h1") || col("k2") =!= col("h2") || col("k3") =!= col("h3"))
     assert(mism.count() == 0)
+  }
+
+  test("word_shingles kernel == the HOF shingle composition, arrays, every doc") {
+    import graft.functions.{TextFunctions => TF}
+    val t = col("text")
+    val mism = docs.select(
+        TF.shingles(t, 1).as("k1"), array_distinct(TF.tokens(t)).as("h1"),
+        TF.shingles(t, 2).as("k2"), hofShingles(t, 2).as("h2"),
+        TF.shingles(t, 3).as("k3"), hofShingles(t, 3).as("h3"))
+      .filter(col("k1") =!= col("h1") || col("k2") =!= col("h2") || col("k3") =!= col("h3"))
+    assert(mism.count() == 0)
+  }
+
+  test("x35 unigram xent: common-token text scores lower than rare-token text") {
+    val scored = Curation.unigramScore(docs).cache()
+    assert(scored.count() == docs.filter(
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)) =!=
+        array().cast("array<string>")).count())
+    assert(scored.filter(col("xent") <= 0).count() == 0, "cross-entropy must be positive")
+    // a synthetic doc of the corpus's top tokens must score below one
+    // made of its rarest (hapax) tokens
+    val vocab = Curation.vocabCoverage(docs, 5).select("token").collect().map(_.getString(0))
+    import spark.implicits._
+    val probe = Seq((900001L, vocab.mkString(" ")),
+                    (900002L, "zqxv wvv qqj xxkz vvqx")).toDF("doc_id", "text")
+    val both = Curation.unigramScore(docs.select(col("doc_id"), col("text"))
+        .unionAll(probe))
+      .filter(col("doc_id") >= 900001L)
+      .orderBy("doc_id").collect()
+    assert(both(0).getDouble(2) < both(1).getDouble(2),
+      s"common-token doc ${both(0).getDouble(2)} should score below rare-token doc ${both(1).getDouble(2)}")
+    scored.unpersist()
+  }
+
+  test("x36 vocab coverage: monotone, bounded, ranks contiguous, top is global max") {
+    val v = Curation.vocabCoverage(docs).orderBy("rnk").collect()
+    val vocabSize = docs.select(explode(
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("t"))
+      .agg(count_distinct(col("t"))).head.getLong(0)
+    assert(v.length == math.min(Curation.VocabK.toLong, vocabSize).toInt)
+    assert(v.map(_.getInt(0)).toSeq == (1 to v.length))
+    // the full vocabulary fits ⇒ coverage must close at exactly 1
+    if (vocabSize <= Curation.VocabK) assert(math.abs(v.last.getDouble(3) - 1.0) < 1e-9)
+    val cov = v.map(_.getDouble(3))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b }, "coverage must be monotone")
+    assert(cov.last <= 1.0 + 1e-9 && cov.head > 0)
+    val cnts = v.map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "counts must be non-increasing")
   }
 
   test("x28 repetition: ratios bounded, repetitive text flagged") {
