@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected pair list — the dedup-group
@@ -110,4 +111,37 @@ object Components {
   def groupStats(labels: DataFrame): DataFrame =
     labels.groupBy(col("component"))
       .agg(count("*").as("group_size"), min(col("doc_id")).as("keeper"))
+
+  /** The full dedup RESOLUTION a pipeline actually ships: keep exactly
+    * one document per near-dup group — the best one by `quality`
+    * (doc_id-tie-broken), not the arbitrary minimum id. Documents that
+    * appear in no pair are their own singleton group and always
+    * survive.
+    *
+    * `labels` is a [[connectedComponents]] output; `docs` is the full
+    * corpus. Scale shape: the labels relation holds only documents that
+    * occur in a candidate pair (a vanishing fraction of the corpus, so
+    * the left join is broadcast-able), and the keeper choice is one
+    * rank window partitioned by component — every group ranks in
+    * parallel, nothing global.
+    *
+    * Output: (component, keeper, group_size, quality) — one row per
+    * group; `quality` is the surviving document's score. */
+  def keepBest(docs: DataFrame, labels: DataFrame, quality: Column,
+               idCol: String = "doc_id"): DataFrame = {
+    val labeled = docs
+      .select(col(idCol).cast("long").as("doc_id"), quality.as("quality"))
+      .join(labels.withColumnRenamed("doc_id", "__lid"),
+            col("doc_id") === col("__lid"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .drop("__lid")
+    val byGroup = Window.partitionBy(col("component"))
+    val w = byGroup.orderBy(col("quality").desc, col("doc_id").asc)
+    labeled
+      .withColumn("group_size", count(lit(1)).over(byGroup))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("component"), col("doc_id").as("keeper"),
+              col("group_size"), col("quality"))
+  }
 }

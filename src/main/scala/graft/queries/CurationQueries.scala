@@ -262,15 +262,19 @@ object CurationQueries {
     Curation.topQualityQuantile(Tables.documents(s, dir)).orderBy("doc_id")
 
   // quality formula mirrors x02's (hash-proven) composite exactly,
-  // including its {the, a, and, of} stopword set
-  val qualityTopQuantileSql: String = {
+  // including its {the, a, and, of} stopword set; shared with x37's
+  // keeper selection so "best by quality" means the same thing everywhere
+  private[queries] val qualitySqlExpr: String = {
     val stopOcc = Seq("the", "a", "and", "of").map(occ).mkString(" + ")
-    val quality =
-      s"""0.3 * least(CAST($nTok AS DOUBLE) / 64.0, 1.0)
-         |  + 0.2 * (CASE WHEN (CASE WHEN $nTok = 0 THEN 0.0 ELSE CAST(length(text) - $nTok + 1 AS DOUBLE) / $nTok END) BETWEEN 3.0 AND 8.0
-         |           THEN 1.0 ELSE 0.5 END)
-         |  + 0.2 * (CASE WHEN length(text) = 0 THEN 0.0 ELSE $alnum END)
-         |  + 0.3 * (1.0 - CASE WHEN $nTok = 0 THEN 0.0 ELSE CAST($stopOcc AS DOUBLE) / $nTok END)""".stripMargin
+    s"""0.3 * least(CAST($nTok AS DOUBLE) / 64.0, 1.0)
+       |  + 0.2 * (CASE WHEN (CASE WHEN $nTok = 0 THEN 0.0 ELSE CAST(length(text) - $nTok + 1 AS DOUBLE) / $nTok END) BETWEEN 3.0 AND 8.0
+       |           THEN 1.0 ELSE 0.5 END)
+       |  + 0.2 * (CASE WHEN length(text) = 0 THEN 0.0 ELSE $alnum END)
+       |  + 0.3 * (1.0 - CASE WHEN $nTok = 0 THEN 0.0 ELSE CAST($stopOcc AS DOUBLE) / $nTok END)""".stripMargin
+  }
+
+  val qualityTopQuantileSql: String = {
+    val quality = qualitySqlExpr
     s"""WITH q AS (
        |  SELECT doc_id, source, $quality AS quality FROM documents
        |), r AS (

@@ -297,8 +297,11 @@ object ExtendedQueries {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, threshold = 0.5))
       .orderBy("doc_id")
 
-  val dedupComponentsSql: String =
-    """WITH RECURSIVE toks AS (
+  // the transitive-closure CTE chain shared by x17 (labels) and x37
+  // (keeper selection): word-trigram Jaccard ≥ 0.5 edges, then a
+  // recursive reachability walk — tiny graph at oracle scale
+  private val reachCtes: String =
+    """toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
       |), grams AS (
       |  SELECT DISTINCT doc_id,
@@ -325,9 +328,45 @@ object ExtendedQueries {
       |  SELECT a, b FROM edges
       |  UNION
       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-      |)
-      |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
-      |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+      |)""".stripMargin
+
+  val dedupComponentsSql: String =
+    s"""WITH RECURSIVE $reachCtes
+       |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x37 — dedup resolution end-to-end: keep the BEST document (by the
+  // x02 quality composite) of every near-dup group; singletons survive
+  // as their own group
+  // ---------------------------------------------------------------------
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Components.keepBest(
+        docs,
+        Components.connectedComponents(
+          Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)),
+        TF.qualityScore(col("text")))
+      .orderBy("component")
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE $reachCtes,
+       |comp AS (
+       |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+       |  FROM reach GROUP BY a
+       |), labeled AS (
+       |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+       |         ${CurationQueries.qualitySqlExpr} AS quality
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |), ranked AS (
+       |  SELECT *,
+       |         COUNT(*) OVER (PARTITION BY component) AS group_size,
+       |         row_number() OVER (PARTITION BY component
+       |                            ORDER BY quality DESC, doc_id ASC) AS rn
+       |  FROM labeled)
+       |SELECT component, doc_id AS keeper, group_size, quality
+       |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin
 
   // ---------------------------------------------------------------------
   // x18 — as-of (point-in-time) join: enrich every click with the latest
@@ -423,6 +462,7 @@ object ExtendedQueries {
     "x15_knn_ivf"            -> ((knnIvf _, None)),
     "x16_winnowing_overlap"  -> ((winnowingOverlap _, None)),
     "x17_dedup_components"   -> ((dedupComponents _, Some(dedupComponentsSql))),
+    "x37_dedup_keep_best"    -> ((dedupKeepBest _, Some(dedupKeepBestSql))),
     "x18_asof_join"          -> ((asofEnrichment _, Some(asofEnrichmentSql))),
     "x19_sessionization"     -> ((sessionization _, Some(sessionizationSql))),
   )

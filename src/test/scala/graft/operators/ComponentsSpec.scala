@@ -73,4 +73,33 @@ class ComponentsSpec extends AnyFunSuite {
     // under the pair relation
     pairSeq.foreach { case (a, b) => assert(labels(a) == labels(b)) }
   }
+
+  test("keepBest: one keeper per group, singletons survive, keeper maximizes quality") {
+    val docs = graft.Tables.documents(spark, TestSpark.Sf0001)
+    val labels = Components.connectedComponents(
+      Dedup.ngramJaccardPairs(docs, threshold = 0.5))
+    val quality = graft.functions.TextFunctions.qualityScore(col("text"))
+    val kept = Components.keepBest(docs, labels, quality)
+      .as[(Long, Long, Long, Double)].collect() // (component, keeper, size, quality)
+
+    val nDocs = docs.count()
+    assert(kept.map(_._3).sum == nDocs, "group sizes must partition the corpus")
+    assert(kept.map(_._1).distinct.length == kept.length, "one row per component")
+    // singletons: docs in no pair keep themselves
+    val inPairs = labels.select("doc_id").as[Long].collect().toSet
+    val singles = kept.filter(r => !inPairs.contains(r._2))
+    assert(singles.forall(r => r._1 == r._2 && r._3 == 1L))
+    assert(singles.nonEmpty && singles.length < kept.length)
+    // the keeper's quality is the maximum of its group (checked on the
+    // non-trivial groups via an independent recomputation)
+    val labelMap = labels.as[(Long, Long)].collect().toMap
+    val qual = docs.select(col("doc_id"), quality.as("q"))
+      .as[(Long, Double)].collect().toMap
+    kept.filter(_._3 > 1).foreach { case (comp, keeper, _, q) =>
+      val members = labelMap.collect { case (d, c) if c == comp => d }
+      val best = members.map(qual).max
+      assert(q == best && qual(keeper) == best,
+        s"component $comp keeper $keeper quality $q != group max $best")
+    }
+  }
 }
