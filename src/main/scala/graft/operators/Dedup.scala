@@ -248,6 +248,37 @@ object Dedup {
     ngramJaccardAll(docs, idCol, textCol, n)
       .filter(col("jaccard") >= threshold)
 
+  /** CROSS-corpus near-dup pairs: every (incoming, reference) pair at or
+    * above an exact n-gram-Jaccard threshold — the "dedup the new crawl
+    * against the existing training set" / "is this eval doc already in
+    * the corpus" operator. Same blocking as [[ngramJaccardPairs]] (the
+    * shingle equi-join IS the candidate generator; zero-overlap pairs
+    * never materialize) but between two corpora, so there is no
+    * self-join and no a<b asymmetry. The incoming side is typically a
+    * small fraction of the reference — only shingles occurring on BOTH
+    * sides survive the join, so the reference corpus is never expanded
+    * beyond its matching shingles.
+    *
+    * Output: (id_in, id_ref, jaccard). */
+  def ngramJaccardCross(incoming: DataFrame, reference: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // each side feeds its size aggregate and the cross join (2 refs)
+    val shIn = shingleSet(incoming, idCol, textCol, n).localCheckpoint()
+    val shRef = shingleSet(reference, idCol, textCol, n).localCheckpoint()
+    val szIn = shIn.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val szRef = shRef.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    shIn.as("a").join(shRef.as("b"), col("a.sh") === col("b.sh"))
+      .groupBy(col("a.id").as("id_in"), col("b.id").as("id_ref"))
+      .agg(count(lit(1)).as("inter"))
+      .join(szIn.as("za"), col("id_in") === col("za.id"))
+      .join(szRef.as("zb"), col("id_ref") === col("zb.id"))
+      .select(col("id_in"), col("id_ref"),
+        (col("inter").cast("double") /
+          (col("za.sz") + col("zb.sz") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // -------------------------------------------------------------------
   // Winnowing (rolling-hash fingerprint) overlap detection
   // -------------------------------------------------------------------

@@ -369,6 +369,43 @@ object ExtendedQueries {
        |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x38 — cross-corpus dedup: incoming sources (src0–src9) checked
+  // against the reference corpus (src10–src19) by exact n-gram Jaccard
+  // ---------------------------------------------------------------------
+  def crossCorpusDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val srcNum = expr("CAST(substring(source, 4) AS INT)")
+    Dedup.ngramJaccardCross(
+        docs.filter(srcNum < 10), docs.filter(srcNum >= 10),
+        n = 3, threshold = 0.5)
+      .orderBy("id_in", "id_ref")
+  }
+
+  val crossCorpusDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+      |), grams AS (
+      |  SELECT DISTINCT doc_id, source,
+      |         unnest(list_transform(range(greatest(len(w) - 2, 0)),
+      |                               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+      |  FROM toks
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_in, b.doc_id AS id_ref, COUNT(*) AS i
+      |  FROM grams a JOIN grams b ON a.sh = b.sh
+      |  WHERE CAST(substr(a.source, 4) AS INT) < 10
+      |    AND CAST(substr(b.source, 4) AS INT) >= 10
+      |  GROUP BY 1, 2)
+      |SELECT id_in, id_ref,
+      |       CAST(i AS DOUBLE) / (za.sz + zb.sz - i) AS jaccard
+      |FROM inter
+      |JOIN sizes za ON id_in = za.doc_id
+      |JOIN sizes zb ON id_ref = zb.doc_id
+      |WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= 0.5
+      |ORDER BY id_in, id_ref""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x18 — as-of (point-in-time) join: enrich every click with the latest
   // COMPLETED minute aggregate of its (page, country) at event time.
   // Spark side is the no-join union+window formulation (AsOfJoin); the
@@ -463,6 +500,7 @@ object ExtendedQueries {
     "x16_winnowing_overlap"  -> ((winnowingOverlap _, None)),
     "x17_dedup_components"   -> ((dedupComponents _, Some(dedupComponentsSql))),
     "x37_dedup_keep_best"    -> ((dedupKeepBest _, Some(dedupKeepBestSql))),
+    "x38_cross_corpus_dedup" -> ((crossCorpusDedup _, Some(crossCorpusDedupSql))),
     "x18_asof_join"          -> ((asofEnrichment _, Some(asofEnrichmentSql))),
     "x19_sessionization"     -> ((sessionization _, Some(sessionizationSql))),
   )

@@ -162,11 +162,33 @@ object InfraQueries {
               col("page"), col("country"), col("cnt"), col("unique_users"))
       .orderBy("window_start_ms", "page", "country")
 
+  // ---------------------------------------------------------------------
+  // x39 — mergeable-sketch distinct rollup: the scale answer to B7's
+  // "unique users per coarser window". Exact distincts do NOT merge
+  // (union ≠ sum), so a materialized daily table cannot produce weekly/
+  // monthly uniques — Datasketches HLL sketches CAN: store one small
+  // sketch per (page, day), union them per page at read time. The daily
+  // sketch table is what a 100 TB warehouse materializes (kilobytes per
+  // key, any rollup for free); the estimate's error bound vs the exact
+  // distinct is spec-asserted. Estimates are approximate by design ⇒
+  // rows-only driver check (same posture as q02a).
+  // ---------------------------------------------------------------------
+  def hllRollup(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.clicks(s, dir)
+      .groupBy(col("page"), date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    daily.groupBy(col("page"))
+      .agg(count(lit(1)).as("days"),
+           hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_unique_users"))
+      .orderBy("page")
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "s04_store_partitioned" -> ((storePartitioned _, Some(storePartitionedSql))),
     "s05_store_retention"   -> ((storeRetention _, Some(storeRetentionSql))),
     "s10_store_compaction"  -> ((storeCompaction _, Some(storeCompactionSql))),
     "x31_salted_join"       -> ((saltedJoin _, Some(saltedJoinSql))),
+    "x39_hll_rollup"        -> ((hllRollup _, None)),
     "g01_generator_stats"   -> ((generatorStats _, None)),
     "g02_generator_pipeline" -> ((generatorPipeline _, None)),
   )

@@ -131,4 +131,29 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall(_._3 > 0.0))
     assert(out.map(t => (t._1, t._2)).toSet == Set((1L, 2L))) // only the w-x-y sharers
   }
+
+  test("cross-corpus jaccard == within-corpus jaccard restricted to the split") {
+    val docs = graft.Tables.documents(spark, TestSpark.Sf0001)
+    val srcNum = expr("CAST(substring(source, 4) AS INT)")
+    val cross = Dedup.ngramJaccardCross(
+        docs.filter(srcNum < 10), docs.filter(srcNum >= 10), threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+
+    // independent reference: the full-corpus pair list restricted to
+    // (incoming, reference) membership must agree exactly — same pairs,
+    // same jaccard values
+    val split = docs.select(col("doc_id"),
+        (srcNum < 10).as("in_incoming")).as[(Long, Boolean)].collect().toMap
+    val expected = Dedup.ngramJaccardPairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .flatMap { case (a, b, j) =>
+        if (split(a) && !split(b)) Some((a, b) -> j)
+        else if (split(b) && !split(a)) Some((b, a) -> j)
+        else None
+      }.toMap
+    assert(cross.nonEmpty, "vacuous: no cross-corpus near-dups in the fixture")
+    assert(cross.keySet == expected.keySet)
+    cross.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-12) }
+  }
 }
