@@ -102,4 +102,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "per-stratum counts were shuffle-joined: " + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("x35 unigram scoring: no cartesian; scalar total broadcast; hash aggregation") {
+    val p = plan(CurationQueries.unigramLogprob(spark, dir))
+    // the 1-row total legitimately cross-joins as a BROADCAST nested loop;
+    // what must never appear is an unbroadcast cartesian
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), "tf aggregation must be hash, not sort: " + p)
+  }
+
+  test("x36 vocab: global top-K is TakeOrdered, never a one-partition global sort") {
+    val p = plan(CurationQueries.vocabCoverage(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-K must plan as TakeOrderedAndProject (distributed top-K): " + p)
+  }
+
+  test("x38 cross-corpus dedup: shingle blocking is an equi-join, no cartesian") {
+    val p = plan(ExtendedQueries.crossCorpusDedup(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("x39 hll rollup: sketch aggregation is two-phase (partial before exchange)") {
+    val p = plan(InfraQueries.hllRollup(spark, dir))
+    assert(p.contains("partial_hll_sketch_agg") || p.contains("partial_hllsketchagg")
+        || (p.contains("HllSketchAgg") && p.contains("Exchange")),
+      "daily sketches must partial-aggregate map-side: " + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
