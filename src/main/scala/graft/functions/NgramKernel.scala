@@ -125,12 +125,15 @@ case class WordShingles(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Registry facade — same Spark-4 `call_function` bridging as
-  * [[VectorFunctions]]. The column builders self-register against the
-  * thread's active session (registration is idempotent), so callers that
-  * build columns on the driver after `getOrCreate` — every entry point in
-  * this repo — never need an explicit [[register]]. */
+/** Column facade. The Scala builders construct the expression directly
+  * (via [[org.apache.spark.sql.GraftColumnBridge]] — no registry, no
+  * session needed, so a column can be built before any SparkSession
+  * exists); [[register]] remains for the SQL-text surface (see also
+  * [[graft.GraftExtensions]] for the application-wide
+  * `spark.sql.extensions` path). */
 object TextKernels {
+  import org.apache.spark.sql.{GraftColumnBridge => B}
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "distinct_ngram_count", es => DistinctNgramCount(es.head, es(1)), "built-in")
@@ -138,13 +141,9 @@ object TextKernels {
       "word_shingles", es => WordShingles(es.head, es(1)), "built-in")
   }
 
-  def distinct_ngram_count(text: Column, n: Int): Column = {
-    SparkSession.getActiveSession.foreach(register)
-    call_function("distinct_ngram_count", text, lit(n))
-  }
+  def distinct_ngram_count(text: Column, n: Int): Column =
+    B.column(DistinctNgramCount(B.expression(text), B.expression(lit(n))))
 
-  def word_shingles(text: Column, n: Int): Column = {
-    SparkSession.getActiveSession.foreach(register)
-    call_function("word_shingles", text, lit(n))
-  }
+  def word_shingles(text: Column, n: Int): Column =
+    B.column(WordShingles(B.expression(text), B.expression(lit(n))))
 }

@@ -110,6 +110,11 @@ object VectorFunctions {
   }
 
   /** Requires [[register]] to have been called on the active session. */
-  def dot_product(a: Column, b: Column): Column = call_function("dot_product", a, b)
-  def cosine_similarity(a: Column, b: Column): Column = call_function("cosine_similarity", a, b)
+  // Scala builders construct the expression directly — no registry and
+  // no active session needed (register stays for the SQL-text surface)
+  import org.apache.spark.sql.{GraftColumnBridge => B}
+  def dot_product(a: Column, b: Column): Column =
+    B.column(DotProduct(B.expression(a), B.expression(b)))
+  def cosine_similarity(a: Column, b: Column): Column =
+    B.column(CosineSimilarity(B.expression(a), B.expression(b)))
 }

@@ -131,6 +131,10 @@ object PipelineMetrics {
         col("user_id").cast("string").as("user_id"),
         unix_millis(col("ts")).as("ts"),
         col("page"), col("referrer"), col("country"), col("device"))
+      // repartition, NOT coalesce: the upstream may be a single partition
+      // (sf0.001's one parquet file), and this entry NEEDS ≥2 files —
+      // one file per micro-batch, and the watermark gauge is reported
+      // with a one-batch lag, so a single batch would read watermark 0
       .toJSON.repartition(4).write.text(inDir)
 
     val listener = new MetricsListener

@@ -21,6 +21,22 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(one[Seq[String]](TextFunctions.shingles(col("text"), 2), "a b a b") == Seq("a b", "b a"))
   }
 
+  test("shingles kernel edge cases match split-on-single-space semantics") {
+    // empty text: split yields one empty token — n=1 keeps it, n>=2 empty
+    assert(one[Seq[String]](TextFunctions.shingles(col("text"), 1), "") == Seq(""))
+    assert(one[Seq[String]](TextFunctions.shingles(col("text"), 2), "") == Seq.empty)
+    // consecutive spaces produce empty tokens, same as split(text, ' ')
+    assert(one[Seq[String]](TextFunctions.shingles(col("text"), 2), "a  b")
+      == Seq("a ", " b"))
+    // non-ASCII round-trips through the UTF8String boundary
+    assert(one[Seq[String]](TextFunctions.shingles(col("text"), 2), "héllo wörld ünïcode")
+      == Seq("héllo wörld", "wörld ünïcode"))
+    // null text: null-intolerant expression yields null, not a crash
+    val r = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "text")
+      .select(TextFunctions.shingles(col("text"), 2)).head()
+    assert(r.isNullAt(0))
+  }
+
   test("wordOccurrences counts whole words only") {
     assert(one[Long](TextFunctions.wordOccurrences(col("text"), "the"), "the theater the") == 2L)
     assert(one[Long](TextFunctions.wordOccurrences(col("text"), "the"), "theater") == 0L)
