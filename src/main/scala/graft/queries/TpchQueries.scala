@@ -155,11 +155,63 @@ object TpchQueries {
       |JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name, p_brand ORDER BY n_name, p_brand""".stripMargin
 
+  /** j06 — TPC-H Q22 shape: ANTI join. INACTIVE customers — no order
+    * since the cutoff — counted per nation (every fixture customer has
+    * *some* order, so "no orders ever" would be vacuous; churn-since is
+    * the realistic form anyway). The pushed date filter shrinks the anti
+    * side before the join; the anti join broadcasts the filtered
+    * custkeys when they fit and degrades to one hash shuffle on custkey
+    * at scale — never a cartesian. `left_anti` is the plan-native form
+    * of `NOT EXISTS` (no null-trap, unlike `NOT IN`). */
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+              .filter(col("o_orderdate") >= lit("1998-06-01"))
+              .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_custs"),
+           sum(col("c_acctbal")).as("total_acctbal"))
+      .orderBy(col("n_name"))
+
+  val customersWithoutOrdersSql: String =
+    """SELECT n.n_name, COUNT(*) AS n_custs, SUM(c.c_acctbal) AS total_acctbal
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
+      |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin
+
+  /** j07 — TPC-H Q13 shape: LEFT OUTER join + two-level aggregation.
+    * Orders-per-customer distribution, customers with zero orders
+    * included. First aggregation shuffles on custkey (partial agg
+    * map-side), second on the tiny count domain. */
+  def orderCountDistribution(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey")),
+            col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+
+  val orderCountDistributionSql: String =
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      |  GROUP BY c.c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "j01_pricing_summary"   -> ((pricingSummary _, Some(pricingSummarySql))),
     "j02_revenue_by_nation" -> ((revenueByNation _, Some(revenueByNationSql))),
     "j03_top_customers"     -> ((topCustomers _, Some(topCustomersSql))),
     "j04_order_priority"    -> ((orderPriority _, Some(orderPrioritySql))),
     "j05_parts_by_supplier" -> ((partsBySupplierNation _, Some(partsBySupplierNationSql))),
+    "j06_customers_no_orders" -> ((customersWithoutOrders _, Some(customersWithoutOrdersSql))),
+    "j07_order_count_dist"  -> ((orderCountDistribution _, Some(orderCountDistributionSql))),
   )
 }

@@ -44,6 +44,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("j06 anti join: plans as a hash anti join, never cartesian") {
+    val p = plan(TpchQueries.customersWithoutOrders(spark, dir))
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as a LeftAnti hash join: " + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("j07 outer-join distribution: two-phase aggregation, no cartesian") {
+    val p = plan(TpchQueries.orderCountDistribution(spark, dir))
+    assert(p.contains("LeftOuter"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q14: aggregation runs with map-side partial aggregation") {
     val p = plan(ReferenceQueries.q14(spark, dir))
     // two-phase exact distinct: partial HashAggregate before each exchange
