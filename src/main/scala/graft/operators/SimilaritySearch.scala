@@ -168,4 +168,71 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
   }
+
+  // -------------------------------------------------------------------
+  // Embedding clustering (x40)
+  // -------------------------------------------------------------------
+
+  /** Semantic corpus clustering — the SemDeDup/topic-bucketing step of an
+    * embedding-curation pipeline, and the same quantizer [[ivfTopK]] uses
+    * as its index. K-means over L2-normalized vectors (so Euclidean
+    * cells = cosine neighborhoods), fit on a bounded sample, one
+    * row-local assignment pass over the full corpus.
+    *
+    * Returns (assignments, centers):
+    *  - assignments: (vec_id, cluster, cos_to_center) — every input row,
+    *    cosine is to the ASSIGNED centroid;
+    *  - centers: (cluster, center float array) — nClusters rows.
+    *
+    * Assignment is ARGMAX-COSINE to the learned centroids (the spherical
+    * k-means assignment rule), not Euclidean nearest-centroid: centroids
+    * of unit vectors have unequal norms, so the two rules genuinely
+    * differ, and for embedding work the cosine one is the contract.
+    * The fit itself is Euclidean k-means over the unit vectors — the
+    * standard spherical approximation. Spec-asserted against an
+    * independent argmax recomputation. */
+  def clusterEmbeddings(spark: SparkSession, items: DataFrame,
+                        nClusters: Int = 8,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        seed: Long = 42L, maxFitRows: Long = 100000L)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val itemsU = items
+      .select(col(idCol).as("vec_id"), col(vecCol).as("i_vec"))
+      .withColumn("__norm",
+        sqrt(aggregate(col("i_vec"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))))
+      .withColumn("__unit", array_to_vector(
+        when(col("__norm") === 0.0d, col("i_vec").cast("array<double>"))
+          .otherwise(transform(col("i_vec"), x => x.cast("double") / col("__norm")))))
+
+    val total = itemsU.count()
+    val fitInput =
+      if (total <= maxFitRows) itemsU
+      else itemsU.sample(withReplacement = false,
+        math.min(1.0, maxFitRows.toDouble / total * 1.05), seed)
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__unit").setPredictionCol("cluster")
+      .fit(fitInput)
+
+    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq
+    val centersDf = spark.createDataFrame(centers).toDF("cluster", "center")
+
+    // one broadcast pass: n×k cosines, per-vector argmax (cluster-id
+    // tie-break) — row-local but for the tiny centroid broadcast
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("cos_to_center"), col("cluster"))
+    val assignments = itemsU
+      .crossJoin(broadcast(centersDf))
+      .withColumn("cos_to_center",
+        VectorFunctions.cosine_similarity(col("i_vec"), col("center")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("cluster"), col("cos_to_center"))
+    (assignments, centersDf)
+  }
 }

@@ -255,6 +255,20 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x40 — semantic embedding clustering (SemDeDup-style topic buckets):
+  // per-cluster size + cohesion summary. Centroids are learned ⇒
+  // rows-only check; nearest-centroid = argmax-cosine is spec-proven.
+  // ---------------------------------------------------------------------
+  def embeddingClusters(s: SparkSession, dir: String): DataFrame = {
+    val (assignments, _) = SimilaritySearch.clusterEmbeddings(
+      s, Tables.embeddings(s, dir), nClusters = 8)
+    assignments.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("size"),
+           round(avg(col("cos_to_center")), 6).as("cohesion"))
+      .orderBy("cluster")
+  }
+
+  // ---------------------------------------------------------------------
   // x12 — multimodal feature extraction (stubbed codec, real plumbing;
   // rows-only check + determinism spec)
   // ---------------------------------------------------------------------
@@ -497,6 +511,7 @@ object ExtendedQueries {
     "x13_json_props"         -> ((jsonProps _, Some(jsonPropsSql))),
     "x14_embedding_neardup_lsh" -> ((embeddingNearDupLsh _, None)),
     "x15_knn_ivf"            -> ((knnIvf _, None)),
+    "x40_embedding_clusters" -> ((embeddingClusters _, None)),
     "x16_winnowing_overlap"  -> ((winnowingOverlap _, None)),
     "x17_dedup_components"   -> ((dedupComponents _, Some(dedupComponentsSql))),
     "x37_dedup_keep_best"    -> ((dedupKeepBest _, Some(dedupKeepBestSql))),

@@ -64,4 +64,31 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(sampled == pairs(SimilaritySearch.ivfTopK(spark, emb, queries, k = 10,
       maxFitRows = n / 2)))
   }
+
+  test("clusterEmbeddings: total assignment, argmax-cosine membership, deterministic") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val (assignments, centers) = SimilaritySearch.clusterEmbeddings(spark, emb, nClusters = 8)
+    val a = assignments.cache()
+
+    // every vector assigned exactly once
+    assert(a.count() == emb.count())
+    assert(a.select("vec_id").distinct().count() == emb.count())
+    // nearest-centroid on unit vectors IS argmax cosine: the assigned
+    // center's cosine must equal the max over all centers, recomputed
+    // independently (tolerance for the float-vs-double centroid round-trip)
+    val maxPer = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(centers)
+      .withColumn("cos", VectorFunctions.cosine_similarity(col("embedding"), col("center")))
+      .groupBy("vec_id").agg(max(col("cos")).as("max_cos"))
+    val bad = a.join(maxPer, "vec_id")
+      .filter(col("cos_to_center") < col("max_cos") - 1e-5)
+    assert(bad.count() == 0, "a vector is assigned to a non-nearest centroid")
+    // deterministic under the fixed seed
+    val (a2, _) = SimilaritySearch.clusterEmbeddings(spark, emb, nClusters = 8)
+    val m1 = a.select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    val m2 = a2.select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    assert(m1 == m2)
+    a.unpersist()
+  }
 }
