@@ -116,6 +116,17 @@ object Curation {
             Ipv4Pat, IpToken),
           PhonePat, PhoneToken))
 
+  /** x22/s12 fixture augmentation: the synthetic corpus is PII-free, so
+    * a deterministic id-derived contact line (one email, one IPv4, one
+    * phone) is appended in BOTH engines — the scrub path is exercised on
+    * every row, never vacuously green. */
+  def contactAugmented(textCol: Column, idCol: Column): Column =
+    concat(textCol,
+      lit(" Contact user"), idCol.cast("string"),
+      lit("@example.com from 192.168."), (idCol % 256).cast("string"),
+      lit("."), (idCol % 100).cast("string"),
+      lit(" or +1 555-014-"), lpad((idCol % 10000).cast("string"), 4, "0"), lit("."))
+
   // ---- x23: sequence packing -------------------------------------------
 
   val PackCapacity = 512

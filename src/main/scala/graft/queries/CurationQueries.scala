@@ -72,30 +72,47 @@ object CurationQueries {
   // scrub path is exercised on every row, not vacuously green.
   def piiScrub(s: SparkSession, dir: String): DataFrame = {
     val augmented = Tables.documents(s, dir).withColumn("aug",
-      concat(col("text"),
-        lit(" Contact user"), col("doc_id").cast("string"),
-        lit("@example.com from 192.168."), (col("doc_id") % 256).cast("string"),
-        lit("."), (col("doc_id") % 100).cast("string"),
-        lit(" or +1 555-014-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(".")))
+      Curation.contactAugmented(col("text"), col("doc_id")))
     Curation.scrubPii(augmented, col("aug"))
       .select("doc_id", "n_emails", "n_ips", "n_phones", "scrubbed")
       .orderBy("doc_id")
   }
 
-  val piiScrubSql: String = {
-    val aug = "(text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 192.168.' " +
+  // SQL mirror of Curation.contactAugmented / the scrub cascade — shared
+  // by x22 and the streamed-curation oracle (s12)
+  private[graft] val augSql: String =
+    "(text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 192.168.' " +
       "|| CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) " +
       "|| ' or +1 555-014-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.')"
+
+  private[graft] def scrubbedSql(from: String): String =
+    s"""regexp_replace(regexp_replace(regexp_replace($from,
+       |    '${Curation.EmailPat}', '${Curation.EmailToken}', 'g'),
+       |    '${Curation.Ipv4Pat}', '${Curation.IpToken}', 'g'),
+       |    '${Curation.PhonePat}', '${Curation.PhoneToken}', 'g')""".stripMargin
+
+  val piiScrubSql: String = {
     val (e, i, ph) = (Curation.EmailPat, Curation.Ipv4Pat, Curation.PhonePat)
     s"""SELECT doc_id,
-       |  CAST(len(regexp_extract_all($aug, '$e')) AS BIGINT) AS n_emails,
-       |  CAST(len(regexp_extract_all($aug, '$i')) AS BIGINT) AS n_ips,
-       |  CAST(len(regexp_extract_all($aug, '$ph')) AS BIGINT) AS n_phones,
-       |  regexp_replace(regexp_replace(regexp_replace($aug,
-       |    '$e', '${Curation.EmailToken}', 'g'),
-       |    '$i', '${Curation.IpToken}', 'g'),
-       |    '$ph', '${Curation.PhoneToken}', 'g') AS scrubbed
+       |  CAST(len(regexp_extract_all($augSql, '$e')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all($augSql, '$i')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all($augSql, '$ph')) AS BIGINT) AS n_phones,
+       |  ${scrubbedSql(augSql)} AS scrubbed
        |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** s12's batch oracle: the x21 keep-filter composed with the x22 scrub —
+    * curation-at-ingest must equal curation-in-batch on the same corpus. */
+  private[graft] val streamCurationSql: String = {
+    val (e, i, ph) = (Curation.EmailPat, Curation.Ipv4Pat, Curation.PhonePat)
+    s"""SELECT doc_id, source,
+       |  CAST(len(regexp_extract_all($augSql, '$e'))
+       |     + len(regexp_extract_all($augSql, '$i'))
+       |     + len(regexp_extract_all($augSql, '$ph')) AS BIGINT) AS n_redactions,
+       |  CAST(length(${scrubbedSql(augSql)}) AS BIGINT) AS scrubbed_len
+       |FROM documents
+       |WHERE $keepSql
+       |ORDER BY doc_id""".stripMargin
   }
 
   // ---------------------------------------------------------------------

@@ -205,6 +205,34 @@ object TpchQueries {
       |  GROUP BY c.c_custkey)
       |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  /** j08 — ROLLUP grouping sets: pricing totals at (flag, status),
+    * (flag) and grand-total grains in ONE pass — Catalyst's Expand turns
+    * the rollup into one shuffle carrying all three grains with partial
+    * aggregation intact (vs 3 scans for 3 queries). NULL grouping slots
+    * are labeled 'ALL' on both sides so the oracle compare never
+    * depends on engine NULL-ordering. */
+  def pricingRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"),
+           sum(col("l_extendedprice")).as("sum_price"),
+           count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("sum_price"), col("n_rows"))
+      .orderBy("returnflag", "linestatus")
+
+  val pricingRollupSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       SUM(l_quantity) AS sum_qty,
+      |       SUM(l_extendedprice) AS sum_price,
+      |       COUNT(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "j01_pricing_summary"   -> ((pricingSummary _, Some(pricingSummarySql))),
     "j02_revenue_by_nation" -> ((revenueByNation _, Some(revenueByNationSql))),
@@ -213,5 +241,6 @@ object TpchQueries {
     "j05_parts_by_supplier" -> ((partsBySupplierNation _, Some(partsBySupplierNationSql))),
     "j06_customers_no_orders" -> ((customersWithoutOrders _, Some(customersWithoutOrdersSql))),
     "j07_order_count_dist"  -> ((orderCountDistribution _, Some(orderCountDistributionSql))),
+    "j08_pricing_rollup"    -> ((pricingRollup _, Some(pricingRollupSql))),
   )
 }

@@ -232,6 +232,37 @@ object StreamingQueries {
       |FROM documents GROUP BY 1, 2 ORDER BY fp""".stripMargin
 
   // ---------------------------------------------------------------------
+  // s12 — STREAMED curation-at-ingest: the x21 quality filter composed
+  // with the x22 PII scrub applied to a document stream before the sink —
+  // the "clean as it arrives" pipeline shape. All row-local expressions,
+  // no state, no watermark; streamed output must equal the batch
+  // composition on the same corpus (the CurationQueries oracle).
+  // ---------------------------------------------------------------------
+  def streamCuration(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    val work = tempDir("graft_s12_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    Tables.documents(s, dir).coalesce(1).write.parquet(inDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = s.readStream.schema(schema).parquet(inDir)
+      .filter(Curation.keepRule(col("text")))
+      .withColumn("aug", Curation.contactAugmented(col("text"), col("doc_id")))
+    val curated = Curation.scrubPii(stream, col("aug"))
+      .select(col("doc_id"), col("source"),
+        (col("n_emails") + col("n_ips") + col("n_phones")).as("n_redactions"),
+        length(col("scrubbed")).cast("long").as("scrubbed_len"))
+
+    ClickPipeline.runAppendParquet(curated, outDir, ck)
+    s.read.parquet(outDir)
+      .select("doc_id", "source", "n_redactions", "scrubbed_len")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------------
   // s11 — STREAM-STREAM interval join: purchase attribution (each
   // 'purchase' joined to the same user's 'view' events in the preceding
   // hour — the wire 'page' field carries the fixture's event_type role).
@@ -369,6 +400,8 @@ object StreamingQueries {
     "s08_stream_sessions"   -> ((streamSessions _,
       Some(graft.queries.ExtendedQueries.sessionizationSql))),
     "s09_stream_dedup"      -> ((streamDedup _, Some(streamDedupSql))),
+    "s12_stream_curation"   -> ((streamCuration _,
+      Some(graft.queries.CurationQueries.streamCurationSql))),
     "s11_stream_stream_join" -> ((streamStreamJoin _, Some(streamStreamJoinSql))),
   )
 }
