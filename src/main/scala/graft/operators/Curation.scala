@@ -224,11 +224,13 @@ object Curation {
     * aggregation for df (joined back ON TOKEN — shuffles vocabulary,
     * not corpus), a broadcast scalar for N, a per-doc rank window. */
   def tfidfTopK(docs: DataFrame, k: Int = TfidfK): DataFrame = {
-    val tf = docs
+    // tf is CORPUS-sized (distinct doc×token) — recomputed per reference
+    // rather than stored (row-local explode + map-side partial agg; see
+    // unigramScore for the same trade)
+    def tf = docs
       .select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // feeds both the df aggregation and the join
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token").asc)
@@ -436,12 +438,13 @@ object Curation {
     * transcendental's last ulp differs across runtimes (same contract as
     * [[tfidfTopK]]). */
   def unigramScore(docs: DataFrame): DataFrame = {
-    val tf = docs
-      .select(col("doc_id"),
-        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      .localCheckpoint() // feeds both the model aggregation and the join
-    val vocab = tf.groupBy("token").agg(sum(col("tf")).as("c"))
+    def toks = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("token"))
+    // tf is CORPUS-sized (distinct doc×token) — never stored; the model is
+    // an independent second pass over the row-local explode (map-side
+    // partial agg both times), so each relation is referenced exactly once
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("c"))
     val total = vocab.agg(sum(col("c")).as("total"))
     tf.join(vocab, "token")
       .crossJoin(broadcast(total))

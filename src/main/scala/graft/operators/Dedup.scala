@@ -215,11 +215,13 @@ object Dedup {
   private def ngramJaccardAll(docs: DataFrame, idCol: String, textCol: String,
                               n: Int): DataFrame = {
     // Plans are trees, not DAGs: `sh` feeds both self-join sides and the
-    // size relation (4 references), so without materialization the
-    // shingle explode runs 4×. localCheckpoint computes it once and
-    // truncates the lineage — the standard Spark pattern for a relation
-    // fanned out into a self-join (measured ~2× on x08/x17 at sf0.1).
-    val sh = shingleSet(docs, idCol, textCol, n).localCheckpoint()
+    // size relation, so the shingle explode runs once per reference —
+    // and that is the RIGHT trade: the relation is corpus-sized, so
+    // storing it (localCheckpoint) costs block-manager memory + GC at
+    // 100 TB scale, while the re-run is a row-local scan+explode through
+    // the codegen'd word_shingles kernel (re-measured at sf0.1: the
+    // checkpoint no longer wins once the kernel replaced the HOF path).
+    def sh = shingleSet(docs, idCol, textCol, n)
     val sizes = sh.groupBy(col("id")).agg(count("*").as("sz"))
     val inter = sh.as("sa").join(sh.as("sb"),
         col("sa.sh") === col("sb.sh") && col("sa.id") < col("sb.id"))
@@ -263,9 +265,11 @@ object Dedup {
   def ngramJaccardCross(incoming: DataFrame, reference: DataFrame,
                         idCol: String = "doc_id", textCol: String = "text",
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // each side feeds its size aggregate and the cross join (2 refs)
-    val shIn = shingleSet(incoming, idCol, textCol, n).localCheckpoint()
-    val shRef = shingleSet(reference, idCol, textCol, n).localCheckpoint()
+    // shingle relations are CORPUS-sized — never stored. Each side's size
+    // aggregate re-runs the row-local scan+explode (cheap with the
+    // codegen'd kernel) instead of materializing the explode.
+    def shIn = shingleSet(incoming, idCol, textCol, n)
+    def shRef = shingleSet(reference, idCol, textCol, n)
     val szIn = shIn.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val szRef = shRef.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     shIn.as("a").join(shRef.as("b"), col("a.sh") === col("b.sh"))
