@@ -109,6 +109,13 @@ object EventStore {
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
         && !st.getPath.getName.startsWith("."))
 
+    // a previously-failed run can orphan dot-hidden temp dirs (invisible
+    // to readers, but they hold space); a new run owns the root and
+    // clears them before starting
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".compact_tmp_"))
+      .foreach(st => fs.delete(st.getPath, true))
+
     val work = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$grain="))
       .flatMap { st =>
