@@ -459,6 +459,59 @@ object Curation {
 
   val VocabK = 100
 
+  // ---- x41: corpus datacard ---------------------------------------------
+
+  /** One row per source: the summary table a dataset release ships
+    * ("datacard"). The numeric statistics are algebraic aggregates over
+    * row-local expressions — one shuffle on the stratum key with
+    * map-side partials at any corpus size. The MODAL language needs a
+    * second grain ((source, lang) counts, then per-source argmax with a
+    * count-desc/lang-asc tie-break) — that relation is stratum×lang
+    * sized, so the rank window and the join back are tiny. */
+  def datacard(docs: DataFrame): DataFrame = {
+    val stats = docs
+      .withColumn("n_tokens", TF.tokenCount(col("text")).cast("long"))
+      .withColumn("quality", TF.qualityScore(col("text")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        round(avg(col("n_tokens")), 6).as("mean_tokens"),
+        round(avg(col("quality")), 6).as("mean_quality"),
+        count_distinct(col("lang")).as("n_langs"))
+    val modal = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(desc("__c"), col("lang"))))
+      .filter(col("__rn") === 1)
+      .select(col("source"), col("lang").as("modal_lang"))
+    stats.join(modal, "source")
+  }
+
+  // ---- x42: token-budget sampling ---------------------------------------
+
+  val TokenBudget = 20000L
+
+  /** Take documents per source, in deterministic doc_id order, until the
+    * stratum's token budget is exhausted — the "sample N tokens per
+    * domain" selection of a pretraining mix. A doc is kept iff the
+    * running token total THROUGH it stays within budget; one window
+    * cumsum per stratum (strata sort in parallel; nothing global). The
+    * first doc of a stratum is kept even if it alone overflows the
+    * budget (a non-empty stratum never vanishes). */
+  def tokenBudgetSample(docs: DataFrame, budget: Long = TokenBudget): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", TF.tokenCount(col("text")).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget ||
+        col("cum_tokens") === col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** The top-K corpus vocabulary with cumulative token coverage — the
     * "how big must the vocab be" table every tokenizer build starts
     * from. Global ordering is computed as a distributed top-K

@@ -411,6 +411,56 @@ object CurationQueries {
        |FROM r CROSS JOIN tot
        |WHERE rnk <= ${Curation.VocabK} ORDER BY rnk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x41 — corpus datacard: the per-source release summary table
+  // ---------------------------------------------------------------------
+  def datacard(s: SparkSession, dir: String): DataFrame =
+    Curation.datacard(Tables.documents(s, dir)).orderBy("source")
+
+  val datacardSql: String = {
+    val quality = qualitySqlExpr
+    s"""WITH t AS (
+       |  SELECT source, lang, $nTok AS n_tokens, $quality AS quality FROM documents
+       |), stats AS (
+       |  SELECT source,
+       |    COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       |    CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       |    round(AVG(n_tokens), 6) AS mean_tokens,
+       |    round(AVG(quality), 6) AS mean_quality,
+       |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+       |  FROM t GROUP BY source
+       |), lc AS (
+       |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2
+       |), modal AS (
+       |  SELECT source, lang AS modal_lang
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY source
+       |                                     ORDER BY c DESC, lang ASC) AS rn FROM lc)
+       |  WHERE rn = 1)
+       |SELECT s.*, m.modal_lang FROM stats s JOIN modal m USING (source)
+       |ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // x42 — token-budget sampling (N tokens per domain)
+  // ---------------------------------------------------------------------
+  def tokenBudget(s: SparkSession, dir: String): DataFrame =
+    Curation.tokenBudgetSample(Tables.documents(s, dir)).orderBy("doc_id")
+
+  val tokenBudgetSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, $nTok AS n_tokens FROM documents
+       |), c AS (
+       |  SELECT doc_id, source, n_tokens,
+       |         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM t)
+       |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
+       |FROM c
+       |WHERE cum_tokens <= ${Curation.TokenBudget} OR cum_tokens = n_tokens
+       |ORDER BY doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x20_deterministic_split" -> ((deterministicSplit _, Some(deterministicSplitSql))),
     "x21_quality_filter"      -> ((qualityFilter _, Some(qualityFilterSql))),
@@ -428,5 +478,7 @@ object CurationQueries {
     "x34_mixture_sample"      -> ((mixtureSample _, Some(mixtureSampleSql))),
     "x35_unigram_logprob"     -> ((unigramLogprob _, Some(unigramLogprobSql))),
     "x36_vocab_coverage"      -> ((vocabCoverage _, Some(vocabCoverageSql))),
+    "x41_datacard"            -> ((datacard _, Some(datacardSql))),
+    "x42_token_budget"        -> ((tokenBudget _, Some(tokenBudgetSql))),
   )
 }

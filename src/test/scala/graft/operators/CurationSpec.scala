@@ -169,6 +169,41 @@ class CurationSpec extends AnyFunSuite {
     scored.unpersist()
   }
 
+  test("x41 datacard: one row per source, totals partition the corpus, modal lang dominates") {
+    val card = Curation.datacard(docs).collect()
+    val nSources = docs.select("source").distinct().count()
+    assert(card.length == nSources)
+    assert(card.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // modal language: its count within the source must be the max
+    val langCounts = docs.groupBy("source", "lang").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    card.foreach { r =>
+      val (src, modal) = (r.getAs[String]("source"), r.getAs[String]("modal_lang"))
+      val counts = langCounts.collect { case ((s, l), c) if s == src => (l, c) }
+      val byLang = counts.toMap
+      assert(byLang(modal) == counts.map(_._2).max, s"$src modal $modal not dominant")
+    }
+  }
+
+  test("x42 token budget: per-source prefix in id order, budget respected, strata non-empty") {
+    val kept = Curation.tokenBudgetSample(docs).collect()
+    val bySource = kept.groupBy(_.getAs[String]("source"))
+    assert(bySource.keySet == docs.select("source").distinct().collect()
+      .map(_.getString(0)).toSet, "a non-empty stratum vanished")
+    bySource.foreach { case (src, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      // kept set is exactly the doc_id-order prefix of the stratum
+      val stratumIds = docs.filter(col("source") === src)
+        .orderBy("doc_id").select("doc_id").collect().map(_.getLong(0))
+      assert(sorted.map(_.getAs[Long]("doc_id")).toSeq ==
+        stratumIds.take(sorted.length).toSeq, s"$src kept set is not a prefix")
+      // within budget, except a first doc may alone overflow
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getAs[Long]("cum_tokens") <= Curation.TokenBudget || i == 0)
+      }
+    }
+  }
+
   test("x36 vocab coverage: monotone, bounded, ranks contiguous, top is global max") {
     val v = Curation.vocabCoverage(docs).orderBy("rnk").collect()
     val vocabSize = docs.select(explode(
