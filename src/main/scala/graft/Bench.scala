@@ -1,34 +1,47 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Untimed warmup: JVM/codegen/session init otherwise lands entirely on
+    * whichever query happens to sort first. Runs a registry query against
+    * the BENCHMARKED sfDir so warmup always executes real work on real
+    * data (an absent hardcoded path would silently skip it). */
+  private[graft] def warmup(spark: SparkSession, sfDir: String): Unit =
+    try SparkEntry.queries("q14_minute_agg")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+
+  /** Time one registry entry. Executes the FULL plan via a noop-format
+    * write: under a bare .count() Catalyst's EliminateSorts removes final
+    * orderBys, so sorted queries would be timed without their output
+    * sort. Returns Right(seconds) or Left(first line of the failure). */
+  private[graft] def timeEntry(spark: SparkSession, sfDir: String,
+                               fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : Either[String, Double] = {
+    val t0 = System.nanoTime()
+    try {
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      Right((System.nanoTime() - t0) / 1e9)
+    } catch { case e: Throwable =>
+      Left(Option(e.getMessage).getOrElse(e.getClass.getName)
+        .takeWhile(_ != '\n').take(200))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: JVM/codegen/session init otherwise lands entirely on
-    // whichever query happens to sort first. Runs a registry query against
-    // the BENCHMARKED sfDir so warmup always executes real work on real
-    // data (an absent hardcoded path would silently skip it).
-    try SparkEntry.queries("q14_minute_agg")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    warmup(spark, sfDir)
     // A failed query must never masquerade as a fast success: failures are
     // excluded from timings and reported in an explicit "errors" map.
-    //
-    // Timing executes the FULL plan via a noop-format write: under a bare
-    // .count() Catalyst's EliminateSorts removes final orderBys, so sorted
-    // queries would be timed without their output sort.
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        timings(name) = (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .takeWhile(_ != '\n').take(200)
+      timeEntry(spark, sfDir, fn) match {
+        case Right(sec) => timings(name) = sec
+        case Left(err)  => errors(name) = err
       }
     }
     def esc(s: String): String = s.flatMap {

@@ -431,10 +431,10 @@ object Curation {
     * Shapes (the 100 TB posture): token explode collapses immediately
     * into a per-(doc, token) count (partial agg map-side — the shuffle
     * carries tf rows, not occurrences); the model is a VOCABULARY-sized
-    * aggregate of that relation, joined back on token (shuffles
-    * vocabulary, not corpus); the total is one broadcast scalar. The tf
-    * relation feeds both the model and the join, so it is materialized
-    * once. Rounded to 6 decimals: the score involves `ln`, and a
+    * aggregate built from an independent second pass over the row-local
+    * explode (tf is corpus-sized and therefore NEVER stored — two cheap
+    * scans beat one materialization); the total is one broadcast scalar.
+    * Rounded to 6 decimals: the score involves `ln`, and a
     * transcendental's last ulp differs across runtimes (same contract as
     * [[tfidfTopK]]). */
   def unigramScore(docs: DataFrame): DataFrame = {

@@ -109,12 +109,23 @@ object EventStore {
       .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
         && !st.getPath.getName.startsWith("."))
 
-    // a previously-failed run can orphan dot-hidden temp dirs (invisible
-    // to readers, but they hold space); a new run owns the root and
-    // clears them before starting
+    // Recover-or-clear orphaned temp dirs from a previously crashed run.
+    // The swap order is write-tmp → delete-partition → rename-tmp, so a
+    // leftover tmp means one of two states, distinguished by whether the
+    // partition dir still exists:
+    //  - partition dir MISSING: the crash hit between delete and rename —
+    //    the tmp (fully written before the swap began) is the ONLY copy
+    //    of that partition. Finish the swap: rename it into place.
+    //  - partition dir present: the crash hit during the tmp write — the
+    //    tmp is incomplete and the original data is intact. Delete it.
     fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(".compact_tmp_"))
-      .foreach(st => fs.delete(st.getPath, true))
+      .foreach { st =>
+        val value = st.getPath.getName.substring(".compact_tmp_".length)
+        val part = new Path(root, s"$grain=$value")
+        if (!fs.exists(part)) fs.rename(st.getPath, part)
+        else fs.delete(st.getPath, true)
+      }
 
     val work = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$grain="))
@@ -147,9 +158,20 @@ object EventStore {
           (value, before, dataFiles(dir).length)
         }
       }
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(futures),
+      // settle EVERY task before returning or throwing: a fail-fast await
+      // would leave rewrite tasks mutating partition dirs in the
+      // background after compact() has already raised, racing any retry
+      val settled = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          futures.map(_.transform(scala.util.Success(_)))),
         scala.concurrent.duration.Duration.Inf)
+      val failures = settled.collect { case scala.util.Failure(e) => e }
+      if (failures.nonEmpty) {
+        val head = failures.head
+        failures.tail.foreach(head.addSuppressed)
+        throw head
+      }
+      settled.collect { case scala.util.Success(r) => r }
     } finally pool.shutdown()
   }
 

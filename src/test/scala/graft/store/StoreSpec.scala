@@ -123,6 +123,36 @@ class StoreSpec extends AnyFunSuite {
     assert(unsorted.count() == 0, "a compacted file is not ts-sorted")
   }
 
+  test("compaction recovers a crash between delete and rename; clears stale tmps") {
+    val wh = Files.createTempDirectory("store_spec_recover").toString
+    val clicks = Tables.clicks(spark, TestSpark.Sf0001)
+    EventStore.write(clicks, wh, grain = EventStore.DayGrain)
+    val total = EventStore.read(spark, wh).count()
+
+    val root = new java.io.File(wh)
+    val parts = root.listFiles().filter(_.getName.startsWith("day=")).sortBy(_.getName)
+    assert(parts.length >= 2)
+
+    // crash state A (between delete and rename): partition dir gone, its
+    // full content lives only in the tmp dir
+    val victim = parts.head
+    val value = victim.getName.stripPrefix("day=")
+    val tmp = new java.io.File(root, s".compact_tmp_$value")
+    assert(victim.renameTo(tmp))
+    // crash state B (during the tmp write): partition dir intact, an
+    // incomplete tmp beside it
+    val stale = new java.io.File(root, s".compact_tmp_${parts(1).getName.stripPrefix("day=")}")
+    assert(stale.mkdir())
+    java.nio.file.Files.writeString(stale.toPath.resolve("part-garbage"), "not parquet")
+
+    EventStore.compact(spark, wh, EventStore.DayGrain)
+
+    assert(!tmp.exists() && new java.io.File(root, victim.getName).exists(),
+      "crashed swap was not completed")
+    assert(!stale.exists(), "stale tmp beside an intact partition was not cleared")
+    assert(EventStore.read(spark, wh).count() == total, "recovery lost rows")
+  }
+
   test("retention on a missing root fails loudly instead of no-op") {
     val missing = new java.io.File("/tmp/graft_no_such_warehouse_xyz")
     assert(!missing.exists())
