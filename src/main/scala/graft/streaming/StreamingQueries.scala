@@ -263,6 +263,47 @@ object StreamingQueries {
   }
 
   // ---------------------------------------------------------------------
+  // s13 — SLIDING (hopping) window: 5-minute windows advancing every
+  // minute — each event contributes to exactly 5 overlapping windows.
+  // The reference's engine does tumbling only (StreamJob.java windows);
+  // sliding is native in Spark (`window(ts, len, slide)`), state is
+  // still watermark-evicted, and the batch oracle expands each event
+  // into its 5 member windows explicitly (minute_floor − k, k ∈ 0..4).
+  // ---------------------------------------------------------------------
+  def streamSlidingAgg(s: SparkSession, dir: String): DataFrame = {
+    val work = tempDir("graft_s13_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    val wire = wireJson(s, dir)
+    val maxTs = wire.agg(max(col("ts"))).head.getLong(0)
+    writeWire(wire, inDir)
+    writeSentinel(inDir, maxTs + 7200000L)
+
+    val agg = ClickPipeline.withEventTime(ClickPipeline.fromJsonDir(s, inDir))
+      .groupBy(window(col("ts"), "5 minutes", "1 minute").as("w"), col("page"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("page"), col("cnt"))
+
+    withStatePartitions(s, 8) {
+      ClickPipeline.runAppendParquet(agg, outDir, ck)
+    }
+    s.read.parquet(outDir)
+      .filter(col("page") =!= "__flush__")
+      .select(unix_millis(col("window_start")).as("window_start_ms"),
+              col("page"), col("cnt"))
+      .orderBy("window_start_ms", "page")
+  }
+
+  val streamSlidingAggSql: String =
+    s"""WITH clicks AS (${Tables.clicksSql}),
+       |m AS (SELECT epoch_ms(date_trunc('minute', CAST(ts AS TIMESTAMP))) AS floor_ms, page
+       |      FROM clicks),
+       |e AS (SELECT floor_ms - k * 60000 AS window_start_ms, page
+       |      FROM m CROSS JOIN (SELECT unnest(range(5)) AS k))
+       |SELECT window_start_ms, page, COUNT(*) AS cnt
+       |FROM e GROUP BY 1, 2 ORDER BY window_start_ms, page""".stripMargin
+
+  // ---------------------------------------------------------------------
   // s11 — STREAM-STREAM interval join: purchase attribution (each
   // 'purchase' joined to the same user's 'view' events in the preceding
   // hour — the wire 'page' field carries the fixture's event_type role).
@@ -402,6 +443,7 @@ object StreamingQueries {
     "s09_stream_dedup"      -> ((streamDedup _, Some(streamDedupSql))),
     "s12_stream_curation"   -> ((streamCuration _,
       Some(graft.queries.CurationQueries.streamCurationSql))),
+    "s13_stream_sliding_agg" -> ((streamSlidingAgg _, Some(streamSlidingAggSql))),
     "s11_stream_stream_join" -> ((streamStreamJoin _, Some(streamStreamJoinSql))),
   )
 }
