@@ -335,6 +335,53 @@ object Curation {
       .select(col("doc_id"), col("source"), col("quality"), col("pr"))
   }
 
+  // ---- x43: segment-level (paragraph) dedup, CCNet-style ---------------
+
+  /** Non-overlapping segment width in words — the "paragraph" unit for
+    * corpora whose documents carry no newline structure. */
+  val SegWords = 8
+
+  /** Cross-corpus segment dedup — the CCNet/RefinedWeb boilerplate
+    * removal step: split every document into non-overlapping
+    * `segWords`-word segments, keep only the globally FIRST occurrence
+    * (ordered by (doc_id, position)) of each distinct segment, and
+    * reassemble each document from its surviving segments in order.
+    * Unlike document-grain dedup (x05) this removes the repeated
+    * header/footer/menu text that never repeats at whole-document
+    * grain.
+    *
+    * Plan shape at 100 TB: segments shuffle ONCE, on md5(segment) (a
+    * fixed-width key); the rank window scans each hash bucket sorted by
+    * (doc_id, pos). Reassembly is one groupBy(doc_id) whose per-group
+    * state is bounded by document length. First-occurrence ranking
+    * (not frequency thresholding) keeps the survivor set deterministic
+    * under any partitioning or arrival order. */
+  def segmentDedup(docs: DataFrame, segWords: Int = SegWords): DataFrame = {
+    require(segWords > 0, s"segWords must be positive, got $segWords")
+    val toks = TF.tokens(col("text"))
+    val nSegs =
+      greatest(ceil(size_(toks).cast("double") / segWords).cast("int"), lit(1))
+    val segs = docs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), nSegs - 1),
+        i => concat_ws(" ", slice(toks, i * segWords + 1, lit(segWords)))))
+        .as(Seq("pos", "seg")))
+    val w = Window.partitionBy(md5(col("seg"))).orderBy(col("doc_id"), col("pos"))
+    val re = segs
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+            s => s.getField("seg"))).as("dedup_text"))
+    // n_segs is row-local on docs — recomputing it here avoids a second
+    // aggregation pass over the corpus-sized segment relation.
+    docs.select(col("doc_id"), nSegs.cast("long").as("n_segs"))
+      .join(re, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
   // ---- x29: deterministic stratum rebalancing --------------------------
 
   /** Downsample every stratum (language, source, domain, …) to the size

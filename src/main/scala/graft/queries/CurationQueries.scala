@@ -461,6 +461,34 @@ object CurationQueries {
        |WHERE cum_tokens <= ${Curation.TokenBudget} OR cum_tokens = n_tokens
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x43 — segment-level (paragraph) dedup, CCNet-style boilerplate removal
+  // ---------------------------------------------------------------------
+  def segmentDedup(s: SparkSession, dir: String): DataFrame =
+    Curation.segmentDedup(Tables.documents(s, dir)).orderBy("doc_id")
+
+  val segmentDedupSql: String = {
+    val sw = Curation.SegWords
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |n AS (SELECT doc_id, w,
+       |             greatest(CAST(ceil(len(w) / $sw.0) AS BIGINT), 1) AS n_segs
+       |      FROM t),
+       |s AS (SELECT doc_id, w, CAST(unnest(range(n_segs)) AS BIGINT) AS pos FROM n),
+       |seg AS (SELECT doc_id, pos,
+       |               array_to_string(w[pos * $sw + 1 : pos * $sw + $sw], ' ') AS seg
+       |        FROM s),
+       |k AS (SELECT doc_id, pos, seg,
+       |             row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rk
+       |      FROM seg),
+       |re AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |              string_agg(seg, ' ' ORDER BY pos) AS dedup_text
+       |       FROM k WHERE rk = 1 GROUP BY doc_id)
+       |SELECT n.doc_id, n.n_segs,
+       |       COALESCE(re.n_kept, 0) AS n_kept,
+       |       COALESCE(re.dedup_text, '') AS dedup_text
+       |FROM n LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x20_deterministic_split" -> ((deterministicSplit _, Some(deterministicSplitSql))),
     "x21_quality_filter"      -> ((qualityFilter _, Some(qualityFilterSql))),
@@ -480,5 +508,6 @@ object CurationQueries {
     "x36_vocab_coverage"      -> ((vocabCoverage _, Some(vocabCoverageSql))),
     "x41_datacard"            -> ((datacard _, Some(datacardSql))),
     "x42_token_budget"        -> ((tokenBudget _, Some(tokenBudgetSql))),
+    "x43_segment_dedup"       -> ((segmentDedup _, Some(segmentDedupSql))),
   )
 }

@@ -349,4 +349,35 @@ class CurationSpec extends AnyFunSuite {
     assert(bad.count() == 0, "a lower rank has a smaller count")
     hh.unpersist()
   }
+
+  test("x43 segment dedup: first occurrence survives, segments conserved") {
+    import spark.implicits._
+    // planted: doc 1 and doc 2 share their first 8-word segment; the
+    // earlier (doc_id, pos) keeps it, the later loses exactly that one
+    val planted = Seq(
+      (1L, "a b c d e f g h x x x x x x x x"),
+      (2L, "a b c d e f g h p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val out = Curation.segmentDedup(planted).orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_kept") == 2)
+    assert(out(0).getAs[String]("dedup_text") == "a b c d e f g h x x x x x x x x")
+    assert(out(1).getAs[Long]("n_kept") == 1)
+    assert(out(1).getAs[String]("dedup_text") == "p q r s t u v w")
+
+    // corpus invariant: every kept count is <= the segment count, and the
+    // total kept equals the number of DISTINCT segments in the corpus
+    val res = Curation.segmentDedup(docs).cache()
+    assert(res.filter(col("n_kept") > col("n_segs")).count() == 0)
+    val totKept = res.agg(sum("n_kept")).head.getLong(0)
+    val sw = Curation.SegWords
+    val toks = split(col("text"), " ")
+    val nSegs = greatest(ceil(size(toks).cast("double") / sw).cast("int"), lit(1))
+    val distinctSegs = docs.select(
+        explode(transform(sequence(lit(0), nSegs - 1),
+          i => concat_ws(" ", slice(toks, i * sw + 1, lit(sw))))).as("seg"))
+      .select(countDistinct("seg")).head.getLong(0)
+    assert(totKept == distinctSegs,
+      s"kept $totKept segments but corpus has $distinctSegs distinct ones")
+    res.unpersist()
+  }
 }
