@@ -430,6 +430,46 @@ object StreamingQueries {
        |       epoch_ms(MAX(CAST(ts AS TIMESTAMP))) AS last_ms
        |FROM clicks GROUP BY page ORDER BY page""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s14 — WATERMARK-BOUNDED streaming dedup: at-least-once delivery
+  // (every 10th event re-sent on the wire) deduped by event_id with
+  // `dropDuplicatesWithinWatermark`. Unlike s09's `dropDuplicates`, the
+  // per-key state is EVICTED once the watermark passes the key's event
+  // time + delay — the only dedup posture that survives an unbounded
+  // stream (s09's state grows with every distinct key ever seen).
+  // Dedup is not an aggregation, so first arrivals emit immediately (no
+  // flush sentinel); re-sent copies are byte-identical, so the surviving
+  // row is arrival-order-invariant and the result equals the
+  // exactly-once batch relation.
+  // ---------------------------------------------------------------------
+  def streamDedupWatermark(s: SparkSession, dir: String): DataFrame = {
+    val work = tempDir("graft_s14_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    val wire = wireJson(s, dir)
+    writeWire(wire.unionAll(wire.filter(col("event_id").cast("long") % 10 === 0)),
+      inDir)
+
+    val dedup = ClickPipeline.withEventTime(ClickPipeline.fromJsonDir(s, inDir))
+      .dropDuplicatesWithinWatermark("event_id")
+
+    withStatePartitions(s, 8) {
+      ClickPipeline.runAppendParquet(dedup, outDir, ck)
+    }
+    s.read.parquet(outDir)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+              col("page"), col("referrer"), col("country"), col("device"))
+      .orderBy(col("event_id").cast("long"))
+  }
+
+  val streamDedupWatermarkSql: String =
+    s"""WITH clicks AS (${Tables.clicksSql})
+       |SELECT CAST(event_id AS VARCHAR) AS event_id,
+       |       CAST(user_id AS VARCHAR) AS user_id,
+       |       epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+       |       page, referrer, country, device
+       |FROM clicks ORDER BY CAST(event_id AS BIGINT)""".stripMargin
+
   /** Registry: the streaming entries reuse the BATCH oracles — streamed
     * results must equal the batch computation on the same data. */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
@@ -444,6 +484,8 @@ object StreamingQueries {
     "s12_stream_curation"   -> ((streamCuration _,
       Some(graft.queries.CurationQueries.streamCurationSql))),
     "s13_stream_sliding_agg" -> ((streamSlidingAgg _, Some(streamSlidingAggSql))),
+    "s14_stream_dedup_watermark" -> ((streamDedupWatermark _,
+      Some(streamDedupWatermarkSql))),
     "s11_stream_stream_join" -> ((streamStreamJoin _, Some(streamStreamJoinSql))),
   )
 }

@@ -205,4 +205,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() == 2)
     assert(out.agg(sum("cnt")).head.getLong(0) == 2)
   }
+
+  test("s14 dedup-within-watermark: dups inside horizon dropped, state evicted after") {
+    val input = MemoryStream[String](spark)
+    val dedup = ClickPipeline.withEventTime(ClickPipeline.parse(input.toDF()))
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("wm_dedup_test")
+      .option("checkpointLocation", Files.createTempDirectory("ck_wmd").toString)
+      .start()
+    try {
+      // batch 1: e1 plus an identical re-send in the SAME batch → one row
+      input.addData(
+        jsonClick("e1", "u1", t0, "/"),
+        jsonClick("e1", "u1", t0, "/"))
+      q.processAllAvailable()
+      // batch 2: another e1 re-send while the watermark is still below
+      // t0 + delay → still deduped; the driver event advances the
+      // watermark far past t0 + 10 s, EVICTING e1's key state
+      input.addData(
+        jsonClick("e1", "u1", t0, "/"),
+        jsonClick("adv", "u2", t0 + 600000, "/"))
+      q.processAllAvailable()
+      // batch 3: e1 re-sent AFTER its state was evicted → re-emitted.
+      // This is the bounded-state contract: within the horizon dedup is
+      // exact, beyond it the key is forgotten (s09 trades unbounded state
+      // for never forgetting).
+      input.addData(jsonClick("e1", "u1", t0 + 600000, "/"))
+      q.processAllAvailable()
+
+      val e1Rows = spark.table("wm_dedup_test")
+        .filter(col("event_id") === "e1").count()
+      assert(e1Rows == 2,
+        s"expected 1 in-horizon emission + 1 post-eviction emission, got $e1Rows")
+      assert(spark.table("wm_dedup_test").count() == 3) // e1, adv, e1-again
+    } finally q.stop()
+  }
 }
