@@ -284,6 +284,54 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------
+  // Bloom-filter membership pre-filter (cross-corpus exact dedup)
+  // -------------------------------------------------------------------
+
+  /** Incoming docs that MIGHT be exact duplicates of a reference-corpus
+    * document, by Bloom-filter membership of the content fingerprint.
+    * One aggregation pass over the reference builds the filter
+    * (mergeable partials; the bitmap is MBs for 10⁹ docs at fpp 1%),
+    * which is then broadcast and applied ROW-LOCALLY to the incoming
+    * corpus — no shuffle of either corpus. No false negatives: every
+    * true duplicate survives; ~fpp of non-duplicates ride along. */
+  def bloomCandidates(incoming: DataFrame, reference: DataFrame,
+                      idCol: String, textCol: String,
+                      expectedItems: Long, fpp: Double): DataFrame = {
+    val bloom = reference
+      .select(xxhash64(fingerprint(col(textCol))).as("h"))
+      .stat.bloomFilter("h", expectedItems, fpp)
+    val bloomB = incoming.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
+    incoming
+      .select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .filter(mightContain(xxhash64(col("fp"))))
+  }
+
+  /** Exact document-grain cross-corpus dedup — "has this exact document
+    * already been ingested" — with the Bloom pre-filter ahead of the
+    * verify join. The final semi-join removes the Bloom's false
+    * positives, so the RESULT is exact; the filter changes the plan,
+    * not the answer: at 100 TB the verify join's probe side shrinks
+    * from the whole incoming corpus to its duplicate fraction + fpp,
+    * and the reference corpus is reduced to fingerprints before it
+    * shuffles. Near-dup variants of the same cross-corpus question are
+    * x38 (n-gram Jaccard) and x26 (n-gram contamination).
+    *
+    * Output: (idCol, fp) of incoming docs whose fingerprint exists in
+    * the reference corpus. */
+  def bloomCrossDedup(incoming: DataFrame, reference: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      expectedItems: Long = 1L << 20,
+                      fpp: Double = 0.01): DataFrame = {
+    val candidates =
+      bloomCandidates(incoming, reference, idCol, textCol, expectedItems, fpp)
+    candidates
+      .join(reference.select(fingerprint(col(textCol)).as("fp")).distinct(),
+        Seq("fp"), "left_semi")
+      .select(col(idCol), col("fp"))
+  }
+
+  // -------------------------------------------------------------------
   // Winnowing (rolling-hash fingerprint) overlap detection
   // -------------------------------------------------------------------
 

@@ -420,6 +420,47 @@ object ExtendedQueries {
       |ORDER BY id_in, id_ref""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x44 — Bloom-pre-filtered EXACT cross-corpus dedup. The fixture plants
+  // exact copies: incoming docs with doc_id % 20 == 9 (src9) take the text of
+  // their doc_id+1 neighbor (src10, always a reference doc; source is
+  // src(doc_id % 20)) — both engines build the identical planted corpus, so
+  // the expected duplicate set is deterministic.
+  // ---------------------------------------------------------------------
+  def bloomCrossDedup(s: SparkSession, dir: String): DataFrame = {
+    val srcNum = expr("CAST(substring(source, 4) AS INT)")
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), srcNum.as("sn"))
+    val nbr = base.select(col("doc_id").as("nid"), col("text").as("ntext"),
+      col("sn").as("nsn"))
+    val incoming = base.filter(col("sn") < 10)
+      .join(nbr, col("nid") === col("doc_id") + 1, "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % 20 === 9 && col("nsn") >= 10, col("ntext"))
+          .otherwise(col("text")).as("text"))
+    val reference = base.filter(col("sn") >= 10).select("doc_id", "text")
+    Dedup.bloomCrossDedup(incoming, reference).orderBy("doc_id")
+  }
+
+  val bloomCrossDedupSql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text, CAST(substr(source, 4) AS INT) AS sn FROM documents
+      |), inc AS (
+      |  SELECT a.doc_id,
+      |         CASE WHEN a.doc_id % 20 = 9 AND b.sn >= 10 THEN b.text
+      |              ELSE a.text END AS text
+      |  FROM base a LEFT JOIN base b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.sn < 10
+      |), ref AS (SELECT text FROM base WHERE sn >= 10)
+      |SELECT i.doc_id,
+      |       md5(trim(regexp_replace(lower(i.text), '\s+', ' ', 'g'))) AS fp
+      |FROM inc i
+      |WHERE EXISTS (
+      |  SELECT 1 FROM ref r
+      |  WHERE md5(trim(regexp_replace(lower(r.text), '\s+', ' ', 'g'))) =
+      |        md5(trim(regexp_replace(lower(i.text), '\s+', ' ', 'g'))))
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x18 — as-of (point-in-time) join: enrich every click with the latest
   // COMPLETED minute aggregate of its (page, country) at event time.
   // Spark side is the no-join union+window formulation (AsOfJoin); the
@@ -516,6 +557,7 @@ object ExtendedQueries {
     "x17_dedup_components"   -> ((dedupComponents _, Some(dedupComponentsSql))),
     "x37_dedup_keep_best"    -> ((dedupKeepBest _, Some(dedupKeepBestSql))),
     "x38_cross_corpus_dedup" -> ((crossCorpusDedup _, Some(crossCorpusDedupSql))),
+    "x44_bloom_cross_dedup"  -> ((bloomCrossDedup _, Some(bloomCrossDedupSql))),
     "x18_asof_join"          -> ((asofEnrichment _, Some(asofEnrichmentSql))),
     "x19_sessionization"     -> ((sessionization _, Some(sessionizationSql))),
   )

@@ -156,4 +156,29 @@ class DedupSpec extends AnyFunSuite {
     assert(cross.keySet == expected.keySet)
     cross.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-12) }
   }
+
+  test("bloom cross-dedup: exact result, no false negatives, candidates pruned") {
+    // 200 incoming docs, 100 reference docs; 20 incoming are exact copies
+    // of reference docs (possibly whitespace-mangled — fingerprint grain)
+    val reference = (0 until 100).map(i => (1000L + i, doc(i))).toDF("doc_id", "text")
+    val incoming = (0 until 200).map { i =>
+      val text = if (i % 10 == 0) "  " + doc(i / 10) + " " else doc(10000 + i)
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+
+    val out = Dedup.bloomCrossDedup(incoming, reference)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == (0 until 200 by 10).map(_.toLong),
+      s"expected exactly the 20 planted copies, got ${out.toSeq}")
+
+    // the pre-filter alone: a superset of the true duplicates (no false
+    // negatives) and a small fraction of the incoming corpus (fpp 0.01
+    // over 180 non-dups => a handful of false positives at most)
+    val cand = Dedup.bloomCandidates(incoming, reference,
+      "doc_id", "text", 1L << 20, 0.01)
+      .select("doc_id").as[Long].collect().toSet
+    assert((0 until 200 by 10).forall(i => cand(i.toLong)),
+      "bloom pre-filter dropped a true duplicate")
+    assert(cand.size <= 20 + 18, s"bloom pruned too little: ${cand.size} of 200")
+  }
 }
