@@ -183,10 +183,42 @@ object InfraQueries {
       .orderBy("page")
   }
 
+  // ---------------------------------------------------------------------
+  // s15 — z-order clustered warehouse (O5): round-trip through the
+  // Morton-interleaved layout, read back under a user point-lookup set +
+  // time-range predicate — the two-dimensional skipping case a ts-only
+  // sort cannot serve. Content parity is the oracle; the file-locality
+  // claims are measured in StoreSpec.
+  // ---------------------------------------------------------------------
+  def storeZorder(s: SparkSession, dir: String): DataFrame = {
+    val wh = tempDir("graft_s15_wh_")
+    EventStore.zorderWrite(Tables.clicks(s, dir), wh)
+    EventStore.read(s, wh)
+      .filter(col("user_id") % 100 === 0 &&
+        col("ts") >= to_timestamp(lit("2024-01-10 00:00:00")))
+      .groupBy(col("page"))
+      .agg(count("*").as("events"),
+           count_distinct(col("user_id")).as("unique_users"),
+           unix_millis(min(col("ts"))).as("first_ms"),
+           unix_millis(max(col("ts"))).as("last_ms"))
+      .orderBy("page")
+  }
+
+  val storeZorderSql: String =
+    s"""WITH clicks AS (${Tables.clicksSql})
+       |SELECT page, COUNT(*) AS events, COUNT(DISTINCT user_id) AS unique_users,
+       |       epoch_ms(MIN(CAST(ts AS TIMESTAMP))) AS first_ms,
+       |       epoch_ms(MAX(CAST(ts AS TIMESTAMP))) AS last_ms
+       |FROM clicks
+       |WHERE user_id % 100 = 0
+       |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+       |GROUP BY page ORDER BY page""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "s04_store_partitioned" -> ((storePartitioned _, Some(storePartitionedSql))),
     "s05_store_retention"   -> ((storeRetention _, Some(storeRetentionSql))),
     "s10_store_compaction"  -> ((storeCompaction _, Some(storeCompactionSql))),
+    "s15_store_zorder"      -> ((storeZorder _, Some(storeZorderSql))),
     "x31_salted_join"       -> ((saltedJoin _, Some(saltedJoinSql))),
     "x39_hll_rollup"        -> ((hllRollup _, None)),
     "g01_generator_stats"   -> ((generatorStats _, None)),

@@ -3,7 +3,7 @@ package graft.store
 import java.sql.Timestamp
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The storage layer (SURVEY.md §2.B B1–B5 / §4 O1–O3): partitioned,
@@ -74,6 +74,63 @@ object EventStore {
     * Catalyst's — callers just filter on the partition column / ts. */
   def read(spark: SparkSession, warehouseDir: String): DataFrame =
     spark.read.parquet(warehouseDir)
+
+  /** Morton (z-order) code: bit-interleave of two 16-bit bucket ranks.
+    * Pure integer shift/mask arithmetic — stays in whole-stage codegen. */
+  private[store] def morton16(a: Column, b: Column): Column =
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+
+  /** O5: z-order clustered write — two-dimensional data skipping.
+    *
+    * A ts-sorted write (O2) gives narrow per-file ts envelopes, but a
+    * point lookup on a second column (the reference's `user_id` bloom
+    * index use case, clickhouse_tables.sql:105-108) still touches every
+    * file because each file spans all users. Clustering by the Morton
+    * interleave of (ts rank, hash(user_id)) bounds every file in BOTH
+    * dimensions at the usual z-order cost — each dimension's skipping
+    * degrades from ~1 file to ~√files:
+    *
+    *  - ts is bucketed to a 16-bit MIN-MAX RANK (two scalar aggregates,
+    *    broadcast — no global sort window, which would serialize at
+    *    scale); event time is near-uniform so min-max ranks are honest.
+    *  - user_id is bucketed by HASH: skew-proof with no boundary
+    *    estimation, and exactly right for equality lookups — a user's
+    *    rows collapse into few z-contiguous files, so the per-file
+    *    parquet bloom filters and dictionary stats reject the rest.
+    *    (Hash bucketing deliberately gives up RANGE predicates on
+    *    user_id — ids are opaque; ranges over them are meaningless.)
+    *
+    * The write itself is the same shape as [[write]]: range-partition
+    * by z (each task owns a contiguous z-slice, so file z-ranges never
+    * overlap), sort within tasks, emit with bloom filters. Readers need
+    * nothing special — parquet row-group stats + blooms do the skipping
+    * under ordinary pushed filters. */
+  def zorderWrite(clicks: DataFrame, warehouseDir: String,
+                  mode: String = "overwrite",
+                  numWriteTasks: Option[Int] = None): Unit = {
+    val n = numWriteTasks.getOrElse(
+      clicks.sparkSession.sessionState.conf.numShufflePartitions)
+    val bounds = clicks
+      .agg(unix_millis(min(col("ts"))).as("lo"), unix_millis(max(col("ts"))).as("hi"))
+      .head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(hi - lo, 1L)
+    val tBucket = (unix_millis(col("ts")) - lit(lo)) * 65535L / lit(span)
+    val uBucket = pmod(xxhash64(col("user_id")), lit(65536L))
+    clicks
+      .withColumn("__z", morton16(tBucket, uBucket))
+      .repartitionByRange(n, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(mode)
+      .option("parquet.bloom.filter.enabled#user_id", "true")
+      .option("parquet.bloom.filter.enabled#page", "true")
+      .parquet(warehouseDir)
+  }
 
   /** O4: partition compaction — the analogue of MergeTree's background
     * part merges. Streaming appends leave each partition with one file

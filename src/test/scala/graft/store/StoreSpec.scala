@@ -153,6 +153,38 @@ class StoreSpec extends AnyFunSuite {
     assert(EventStore.read(spark, wh).count() == total, "recovery lost rows")
   }
 
+  test("zorder write: round-trip exact; user rows collapse into few files") {
+    val orig = Tables.clicks(spark, TestSpark.Sf0001)
+    val whZ = Files.createTempDirectory("store_spec_zwh").toString
+    val whT = Files.createTempDirectory("store_spec_twh").toString
+    val files = 16
+    EventStore.zorderWrite(orig, whZ, numWriteTasks = Some(files))
+    // ts-sorted baseline with the same file count (no day partitioning —
+    // isolate the clustering effect)
+    orig.repartitionByRange(files, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(whT)
+
+    // content parity through the rewrite
+    val back = EventStore.read(spark, whZ)
+    assert(back.count() == orig.count())
+    assert(back.agg(sum(col("user_id")), count_distinct(col("event_id"))).head ==
+           orig.agg(sum(col("user_id")), count_distinct(col("event_id"))).head)
+
+    // locality: avg #files holding a given user's rows. In the ts-sorted
+    // layout an active user (spread over the whole month) touches ~every
+    // file; z-ordering must cut that several-fold — that collapse is what
+    // makes per-file blooms/dictionaries reject point lookups.
+    def avgFilesPerUser(wh: String): Double = {
+      val per = spark.read.parquet(wh)
+        .select(col("user_id"), input_file_name().as("f"))
+        .groupBy("user_id").agg(countDistinct(col("f")).as("nf"))
+      val r = per.agg(avg(col("nf"))).head
+      r.getDouble(0)
+    }
+    val (z, t) = (avgFilesPerUser(whZ), avgFilesPerUser(whT))
+    assert(z * 2 < t, s"z-order locality not better: z=$z vs ts-sorted=$t")
+  }
+
   test("retention on a missing root fails loudly instead of no-op") {
     val missing = new java.io.File("/tmp/graft_no_such_warehouse_xyz")
     assert(!missing.exists())
