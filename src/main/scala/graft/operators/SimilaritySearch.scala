@@ -169,6 +169,93 @@ object SimilaritySearch {
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
   }
 
+  /** x45: product-quantization ANN with asymmetric-distance scoring —
+    * the MEMORY-scale path. IVF ([[ivfTopK]]) prunes which vectors get
+    * scored; PQ shrinks what is stored and scanned: each item vector is
+    * encoded as `m` small codebook indices (a per-subspace k-means,
+    * fit on a bounded sample), so the scan-side index carries m bytes
+    * instead of dim floats — at 10⁹ × 64-dim that is ~8 GB of codes vs
+    * ~256 GB of floats. Scoring is asymmetric (ADC): the query stays
+    * full precision; its dot products against every centroid of every
+    * subspace form an m×codes lookup table (built with the codegen'd
+    * dot expression, broadcast with the query set), and an item's
+    * approximate cosine is m TABLE LOOKUPS — no float-vector access at
+    * all until the final rerank, which re-scores only the top
+    * `k·refine` shortlist per query with the exact cosine expression.
+    * All vectors are unit-normalized first, so per-subspace Euclidean
+    * quantization and the ADC dot both approximate cosine. In a full
+    * 100 TB deployment this composes with IVF (probe cells, then ADC
+    * within them); here the two paths are kept separate so each is
+    * independently measurable against the exact baseline. */
+  def pqTopK(spark: SparkSession, items: DataFrame, queries: DataFrame, k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             m: Int = 8, codes: Int = 16, refine: Int = 4,
+             seed: Long = 42L, maxFitRows: Long = 100000L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    def unit(vc: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val norm = sqrt(aggregate(vc, lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      when(norm === 0.0d, vc)
+        .otherwise(transform(vc, x => (x.cast("double") / norm).cast("float")))
+    }
+
+    val it = items.select(col(idCol).as("vec_id"), col(vecCol).as("i_vec"))
+      .withColumn("__u", unit(col("i_vec")))
+    val dim = it.select(size(col("__u"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    def subCol(j: Int) =
+      array_to_vector(slice(col("__u"), j * dsub + 1, dsub)).as(s"__s$j")
+
+    // fit: per-subspace k-means over a bounded sample (same trade as the
+    // IVF fit — centroids converge on a fraction of the corpus)
+    val total = it.count()
+    val fitInput =
+      if (total <= maxFitRows) it
+      else it.sample(withReplacement = false,
+        math.min(1.0, maxFitRows.toDouble / total * 1.05), seed)
+    val fitDf = fitInput.select((0 until m).map(subCol): _*).localCheckpoint()
+    val models = (0 until m).map { j =>
+      new KMeans().setK(codes).setSeed(seed + j).setMaxIter(10)
+        .setFeaturesCol(s"__s$j").setPredictionCol(s"code_$j").fit(fitDf)
+    }
+
+    // encode: ONE pass over the corpus, m nearest-centroid assignments;
+    // everything downstream of this line touches codes, not vectors
+    val withSubs = it.select(
+      (col("vec_id") +: (0 until m).map(subCol)): _*)
+    val encoded = models.foldLeft(withSubs)((df, mod) => mod.transform(df))
+      .select((col("vec_id") +: (0 until m).map(j => col(s"code_$j"))): _*)
+
+    // ADC tables: adc[j*codes + c] = dot(query subvector j, centroid c)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("__qu", unit(col("q_vec")))
+    val adcCols = for (j <- 0 until m; c <- 0 until codes) yield
+      VectorFunctions.dot_product(
+        slice(col("__qu"), j * dsub + 1, dsub),
+        array(models(j).clusterCenters(c).toArray.map(x => lit(x.toFloat)): _*))
+    val qtab = q.select(col("query_id"), col("q_vec"), array(adcCols: _*).as("adc"))
+
+    // approximate cosine = m table lookups; shortlist by it, then exact
+    // rerank of k·refine rows per query
+    val approx = (0 until m)
+      .map(j => element_at(col("adc"), col(s"code_$j") + lit(j * codes + 1)))
+      .reduce(_ + _)
+    val wA = Window.partitionBy(col("query_id")).orderBy(desc("approx"), col("vec_id"))
+    val shortlist = encoded.join(broadcast(qtab), col("query_id") =!= col("vec_id"))
+      .withColumn("approx", approx)
+      .withColumn("__r", row_number().over(wA)).filter(col("__r") <= k * refine)
+      .select(col("query_id"), col("vec_id"), col("q_vec"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("vec_id"))
+    shortlist.join(it.select(col("vec_id"), col("i_vec")), "vec_id")
+      .withColumn("cosine", VectorFunctions.cosine_similarity(col("q_vec"), col("i_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+  }
+
   // -------------------------------------------------------------------
   // Embedding clustering (x40)
   // -------------------------------------------------------------------

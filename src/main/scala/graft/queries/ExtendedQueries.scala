@@ -255,6 +255,16 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x45 — PQ-ADC ANN (learned codebooks ⇒ rows-only check; recall spec
+  // vs the exact baseline in SimilaritySearchSpec)
+  // ---------------------------------------------------------------------
+  def knnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    SimilaritySearch.pqTopK(s, emb, emb.filter(col("vec_id") < 5), k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------------
   // x40 — semantic embedding clustering (SemDeDup-style topic buckets):
   // per-cluster size + cohesion summary. Centroids are learned ⇒
   // rows-only check; nearest-centroid = argmax-cosine is spec-proven.
@@ -552,6 +562,7 @@ object ExtendedQueries {
     "x13_json_props"         -> ((jsonProps _, Some(jsonPropsSql))),
     "x14_embedding_neardup_lsh" -> ((embeddingNearDupLsh _, None)),
     "x15_knn_ivf"            -> ((knnIvf _, None)),
+    "x45_knn_pq"             -> ((knnPq _, None)),
     "x40_embedding_clusters" -> ((embeddingClusters _, None)),
     "x16_winnowing_overlap"  -> ((winnowingOverlap _, None)),
     "x17_dedup_components"   -> ((dedupComponents _, Some(dedupComponentsSql))),

@@ -91,4 +91,30 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(m1 == m2)
     a.unpersist()
   }
+
+  test("pqTopK: recall >= 0.5 vs brute force; rerank scores are exact") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exactDf = SimilaritySearch.bruteForceTopK(emb, queries, k = 10)
+    val pqDf = SimilaritySearch.pqTopK(spark, emb, queries, k = 10)
+    val exact = pairs(exactDf)
+    val pq = pairs(pqDf)
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ top-k recall $recall below 0.5")
+    // the rerank step scores survivors with the EXACT cosine: every pair
+    // PQ and brute force agree on must carry the identical score
+    val exactScores = exactDf.select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val pqScores = pqDf.select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    (exact intersect pq).foreach { p =>
+      assert(math.abs(exactScores(p) - pqScores(p)) < 1e-12,
+        s"rerank score differs from exact for $p")
+    }
+    // determinism: seeded sample + seeded per-subspace k-means
+    assert(pq == pairs(SimilaritySearch.pqTopK(spark, emb, queries, k = 10)))
+  }
 }
