@@ -41,14 +41,21 @@ object ClickPipeline {
     StructField("country", StringType),
     StructField("device", StringType)))
 
-  /** A3 + A4: PERMISSIVE JSON deserialize (malformed → null struct, the
+  /** A3: PERMISSIVE JSON deserialize only (malformed → null fields, the
     * from_json analogue of the reference's sentinel record,
-    * StreamJob.java:228-249) then filter; epoch-ms → TimestampType. */
-  def parse(raw: DataFrame): DataFrame =
+    * StreamJob.java:228-249). Kept separate from [[parseErrorFilter]]
+    * so observability hooks (m02) can count errors between the two. */
+  def deserialize(raw: DataFrame): DataFrame =
     raw.select(from_json(col("value"), clickSchema).as("c"))
       .select(col("c.*"))
-      .filter(col("event_id").isNotNull && col("event_id") =!= "parse-error")
+
+  /** A4: drop undeserializable + sentinel rows; epoch-ms → TimestampType. */
+  def parseErrorFilter(des: DataFrame): DataFrame =
+    des.filter(col("event_id").isNotNull && col("event_id") =!= "parse-error")
       .withColumn("ts", timestamp_millis(col("ts")))
+
+  /** A3 + A4 composed — the standard ingest head. */
+  def parse(raw: DataFrame): DataFrame = parseErrorFilter(deserialize(raw))
 
   /** A1, file-stream flavor: JSON lines under `dir`. All files present at
     * start are consumed in the first micro-batch (no maxFilesPerTrigger),

@@ -178,7 +178,100 @@ object PipelineMetrics {
     rows.toDF("metric", "value").orderBy("metric")
   }
 
+  /** Observed-metrics recorder: one (rows, parse_errors) pair per
+    * micro-batch from `df.observe(name, …)` aggregates, delivered via
+    * `StreamingQueryProgress.observedMetrics`. Same bus/completeness
+    * contract as [[MetricsListener]]. */
+  class ObservedQualityListener(metricName: String) extends StreamingQueryListener {
+    private val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    private val terminated = java.util.concurrent.ConcurrentHashMap.newKeySet[UUID]()
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val om = e.progress.observedMetrics
+      if (om.containsKey(metricName)) {
+        val r = om.get(metricName)
+        buf.add((r.getAs[Long]("rows"), r.getAs[Long]("parse_errors")))
+      }
+    }
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+      terminated.add(UUID.fromString(e.id.toString)); ()
+    }
+    def totals: (Long, Long) =
+      buf.asScala.foldLeft((0L, 0L)) { case ((r, p), (br, bp)) => (r + br, p + bp) }
+    def awaitTerminated(timeoutMs: Long = 60000L): Unit = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (terminated.isEmpty && System.nanoTime() < deadline) Thread.sleep(20)
+      require(terminated.size >= 1, "streaming query did not terminate in time")
+    }
+  }
+
+  /** m02 — `observe()` data-quality gauges on the PERMISSIVE parse path
+    * (A3/A4): per-micro-batch observed row/parse-error counts, summed
+    * across the run. `observe` aggregates ride INSIDE the streaming
+    * plan (computed where the data is, reported per batch through the
+    * progress bus) — the scale-correct way to count drops; a separate
+    * counting query would re-read the source.
+    *
+    * Every 100th event's wire line is corrupted deterministically
+    * (JSON-prefix mangle keyed on event_id), so the expected totals are
+    * a pure function of the fixture and the entry is HASH-checked:
+    * observed rows = all lines, parse errors = corrupted lines, sunk
+    * rows = the difference. */
+  def observedQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = Files.createTempDirectory("graft_m02_").toFile.getAbsolutePath
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    Tables.clicks(s, dir).select(
+        col("event_id").cast("string").as("event_id"),
+        col("user_id").cast("string").as("user_id"),
+        unix_millis(col("ts")).as("ts"),
+        col("page"), col("referrer"), col("country"), col("device"))
+      .toJSON
+      // mangle every 100th line into non-JSON (the braces survive in the
+      // payload, so the line count is unchanged)
+      .select(when(
+          get_json_object(col("value"), "$.event_id").cast("long") % 100 === 0,
+          concat(lit("corrupt::"), col("value"))).otherwise(col("value")).as("value"))
+      .coalesce(4).write.text(inDir)
+
+    val raw = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.StringType))))
+      .text(inDir)
+    val observed = ClickPipeline.parseErrorFilter(
+      ClickPipeline.deserialize(raw).observe("m02_quality",
+        count(lit(1)).as("rows"),
+        count(when(col("event_id").isNull, lit(1))).as("parse_errors")))
+
+    val listener = new ObservedQualityListener("m02_quality")
+    s.streams.addListener(listener)
+    try {
+      ClickPipeline.runAppendParquet(observed, outDir, ck)
+      listener.awaitTerminated()
+    } finally s.streams.removeListener(listener)
+
+    val (rows, errs) = listener.totals
+    val sunk = s.read.parquet(outDir).count()
+    Seq(
+      ("parse_errors_total", errs),
+      ("rows_observed_total", rows),
+      ("rows_sunk", sunk)).toDF("metric", "value").orderBy("metric")
+  }
+
+  val observedQualitySql: String =
+    s"""WITH clicks AS (${Tables.clicksSql}),
+       |n AS (SELECT COUNT(*) AS total,
+       |             CAST(SUM(CASE WHEN event_id % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad
+       |      FROM clicks)
+       |SELECT 'parse_errors_total' AS metric, bad AS value FROM n
+       |UNION ALL SELECT 'rows_observed_total', total FROM n
+       |UNION ALL SELECT 'rows_sunk', total - bad FROM n
+       |ORDER BY metric""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "m01_self_metrics" -> ((selfMetrics _, None)),
+    "m02_observed_quality" -> ((observedQuality _, Some(observedQualitySql))),
   )
 }
