@@ -214,11 +214,45 @@ object InfraQueries {
        |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
        |GROUP BY page ORDER BY page""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s16 — idempotent incremental ingest (O6): warehouse holds days 1–20,
+  // the next extract replays days 18–20 and adds 21+; ingest appends only
+  // the new event_ids (partition-pruned anti-join), a second run appends
+  // nothing, and the final content equals the exactly-once relation.
+  // ---------------------------------------------------------------------
+  def storeIncremental(s: SparkSession, dir: String): DataFrame = {
+    val wh = tempDir("graft_s16_wh_")
+    val clicks = Tables.clicks(s, dir)
+    val cut = to_timestamp(lit("2024-01-21 00:00:00"))
+    val overlap = to_timestamp(lit("2024-01-18 00:00:00"))
+    EventStore.write(clicks.filter(col("ts") < cut), wh,
+      grain = EventStore.DayGrain)
+    val batch = clicks.filter(col("ts") >= overlap)
+    EventStore.ingestIncrement(s, wh, batch, EventStore.DayGrain)
+    val second = EventStore.ingestIncrement(s, wh, batch, EventStore.DayGrain)
+    require(second == 0L, s"re-ingest appended $second rows — not idempotent")
+    EventStore.read(s, wh)
+      .groupBy(col("page"))
+      .agg(count("*").as("events"),
+           count_distinct(col("event_id")).as("unique_events"),
+           unix_millis(min(col("ts"))).as("first_ms"),
+           unix_millis(max(col("ts"))).as("last_ms"))
+      .orderBy("page")
+  }
+
+  val storeIncrementalSql: String =
+    s"""WITH clicks AS (${Tables.clicksSql})
+       |SELECT page, COUNT(*) AS events, COUNT(DISTINCT event_id) AS unique_events,
+       |       epoch_ms(MIN(CAST(ts AS TIMESTAMP))) AS first_ms,
+       |       epoch_ms(MAX(CAST(ts AS TIMESTAMP))) AS last_ms
+       |FROM clicks GROUP BY page ORDER BY page""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "s04_store_partitioned" -> ((storePartitioned _, Some(storePartitionedSql))),
     "s05_store_retention"   -> ((storeRetention _, Some(storeRetentionSql))),
     "s10_store_compaction"  -> ((storeCompaction _, Some(storeCompactionSql))),
     "s15_store_zorder"      -> ((storeZorder _, Some(storeZorderSql))),
+    "s16_store_incremental" -> ((storeIncremental _, Some(storeIncrementalSql))),
     "x31_salted_join"       -> ((saltedJoin _, Some(saltedJoinSql))),
     "x39_hll_rollup"        -> ((hllRollup _, None)),
     "g01_generator_stats"   -> ((generatorStats _, None)),

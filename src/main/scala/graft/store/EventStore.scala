@@ -132,6 +132,38 @@ object EventStore {
       .parquet(warehouseDir)
   }
 
+  /** O6: idempotent incremental ingest — exactly-once backfill over an
+    * at-least-once extract. Appends only the rows of `batch` whose
+    * `event_id` the warehouse does not already hold, so re-running an
+    * overlapping/replayed extract is a no-op and ingest converges to
+    * exactly-once content without a transactional table format.
+    *
+    * The existing-id scan is PARTITION-PRUNED: the batch's distinct
+    * grain values (a handful of calendar strings — collected, they are
+    * the pruning predicate, not data) select only the overlapping
+    * partition directories, and only the join key column is read
+    * (column pruning). The anti-join therefore shuffles
+    * |batch| + |overlapping slice| ids — never the warehouse. The
+    * fresh slice is batch-bounded and is localCheckpointed once so the
+    * returned count and the append run one anti-join, not two.
+    *
+    * Returns the number of rows appended. */
+  def ingestIncrement(spark: SparkSession, warehouseDir: String,
+                      batch: DataFrame, grain: String = MonthGrain): Long = {
+    val withGrain = batch.withColumn(grain, grainCol(grain))
+    val grains = withGrain.select(col(grain)).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val existing = read(spark, warehouseDir)
+      .filter(col(grain).isin(grains: _*))
+      .select(col("event_id"))
+    val fresh = withGrain.drop(grain)
+      .join(existing, Seq("event_id"), "left_anti")
+      .localCheckpoint()
+    val n = fresh.count()
+    if (n > 0) write(fresh, warehouseDir, grain, mode = "append")
+    n
+  }
+
   /** O4: partition compaction — the analogue of MergeTree's background
     * part merges. Streaming appends leave each partition with one file
     * per micro-batch-task; scans then pay per-file open/footer cost and
