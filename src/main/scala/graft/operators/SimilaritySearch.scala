@@ -2,9 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
-import graft.functions.VectorFunctions
+import graft.functions.{TopKAggregator, VectorFunctions}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -23,6 +22,24 @@ import graft.functions.VectorFunctions
   */
 object SimilaritySearch {
 
+  /** Per-query top-k finalization shared by the whole ANN family:
+    * bounded-heap partial aggregation ([[TopKAggregator]]) instead of a
+    * rank window. Each map task emits ≤ k rows per query into the
+    * exchange, so the post-scoring shuffle is O(|Q|·k) — independent of
+    * corpus size — where the window it replaces shuffled ALL n·|Q|
+    * scored rows and serialized each query onto one task.
+    * Input needs (query_id, <idCol>, <scoreCol>); output
+    * (query_id, idCol, scoreCol, rank) with rank 1..k ordered
+    * (score desc, id asc). */
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int,
+                                  scoreCol: String = "cosine",
+                                  idCol: String = "vec_id"): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(TopKAggregator.topk(k)(col(scoreCol), col(idCol)).as("__tk"))
+      .select(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__s")))
+      .select(col("query_id"), col("__s.id").as(idCol),
+              col("__s.score").as(scoreCol), (col("__pos") + 1).as("rank"))
+
   /** Exact top-k cosine neighbors for each query vector.
     * Output: (query_id, vec_id, cosine, rank), rank 1..k, ties broken by
     * item id for determinism. Self-matches excluded. */
@@ -32,11 +49,7 @@ object SimilaritySearch {
     val it = items.select(col(idCol).as("vec_id"), col(vecCol).as("i_vec"))
     val scored = it.join(broadcast(q), col("query_id") =!= col("vec_id"))
       .withColumn("cosine", VectorFunctions.cosine_similarity(col("q_vec"), col("i_vec")))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+    topKPerQuery(scored.select(col("query_id"), col("vec_id"), col("cosine")), k)
   }
 
   /** Deterministic random hyperplanes: `tables × planes × dim`, seeded. */
@@ -92,11 +105,7 @@ object SimilaritySearch {
       .select(col("query_id"), col("vec_id"), col("q_vec"), col("i_vec"))
       .distinct() // union of candidates across tables
       .withColumn("cosine", VectorFunctions.cosine_similarity(col("q_vec"), col("i_vec")))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+    topKPerQuery(scored.select(col("query_id"), col("vec_id"), col("cosine")), k)
   }
 
   /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
@@ -145,28 +154,25 @@ object SimilaritySearch {
     val assigned = model.transform(itemsU)
       .select(col("vec_id"), col("i_vec"), col("list"))
 
-    // probe-cell selection: broadcast the tiny centroid table, rank cells
-    // per query by distance to the (normalized) query vector
+    // probe-cell selection: broadcast the tiny centroid table, keep each
+    // query's nProbe most-cosine-similar cells (same bounded-heap top-k
+    // as the finalization — |Q|·nLists in, |Q|·nProbe out)
     val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
     }.toSeq
     val centersDf = spark.createDataFrame(centers).toDF("list", "center")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val probes = q.crossJoin(broadcast(centersDf))
+    val cellSims = q.crossJoin(broadcast(centersDf))
       .withColumn("sim", VectorFunctions.cosine_similarity(col("q_vec"), col("center")))
-      .withColumn("__pr", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(desc("sim"), col("list"))))
-      .filter(col("__pr") <= nProbe)
-      .select(col("query_id"), col("q_vec"), col("list"))
+      .select(col("query_id"), col("list").cast("long").as("list"), col("sim"))
+    val probes = topKPerQuery(cellSims, nProbe, scoreCol = "sim", idCol = "list")
+      .select(col("query_id"), col("list"))
+      .join(q, "query_id") // re-attach the query vector: |Q|·nProbe rows
 
-    val scored = assigned.join(broadcast(probes),
-        assigned("list") === probes("list") && col("query_id") =!= col("vec_id"))
+    val scored = assigned.as("it").join(broadcast(probes.as("pr")),
+        col("it.list") === col("pr.list") && col("query_id") =!= col("vec_id"))
       .withColumn("cosine", VectorFunctions.cosine_similarity(col("q_vec"), col("i_vec")))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+    topKPerQuery(scored.select(col("query_id"), col("vec_id"), col("cosine")), k)
   }
 
   /** x45: product-quantization ANN with asymmetric-distance scoring —
