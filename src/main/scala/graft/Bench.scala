@@ -33,7 +33,15 @@ object Bench {
     * single-session harness they would otherwise accumulate across 90+
     * entries (block-manager memory + GC pressure) and tax every LATER
     * entry — measured round 4 as a 2.5–4× inflation of x14/x15/x16 vs
-    * running them alone. */
+    * running them alone.
+    *
+    * INVARIANT this relies on: no persisted/localCheckpointed state is
+    * shared ACROSS registry entries — every entry builds its plan from
+    * the parquet sources alone. Unpersisting everything would silently
+    * drop a shared cache, and would FATALLY invalidate a shared
+    * localCheckpoint (truncated lineage cannot be recomputed). If a
+    * cross-entry cache is ever introduced, switch this to tracking and
+    * releasing only the blocks created inside the timed entry. */
   private[graft] def releaseScratchBlocks(spark: SparkSession): Unit = {
     spark.sparkContext.getPersistentRDDs.valuesIterator
       .foreach(_.unpersist(blocking = false))

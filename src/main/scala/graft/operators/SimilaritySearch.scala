@@ -34,7 +34,14 @@ object SimilaritySearch {
   private[graft] def topKPerQuery(scored: DataFrame, k: Int,
                                   scoreCol: String = "cosine",
                                   idCol: String = "vec_id"): DataFrame =
-    scored.groupBy(col("query_id"))
+    scored
+      // Explicit degenerate-input contract: cosine_similarity is
+      // null-intolerant (null embedding → null score) and a 0-norm vector
+      // can yield NaN. The typed aggregator's primitive (Double, Long)
+      // encoder throws on null and Java `>` silently drops NaN, so
+      // null/NaN scores are excluded up front — they are never neighbors.
+      .filter(col(scoreCol).isNotNull && !isnan(col(scoreCol)))
+      .groupBy(col("query_id"))
       .agg(TopKAggregator.topk(k)(col(scoreCol), col(idCol)).as("__tk"))
       .select(col("query_id"), posexplode(col("__tk")).as(Seq("__pos", "__s")))
       .select(col("query_id"), col("__s.id").as(idCol),
@@ -244,22 +251,23 @@ object SimilaritySearch {
         array(models(j).clusterCenters(c).toArray.map(x => lit(x.toFloat)): _*))
     val qtab = q.select(col("query_id"), col("q_vec"), array(adcCols: _*).as("adc"))
 
-    // approximate cosine = m table lookups; shortlist by it, then exact
-    // rerank of k·refine rows per query
+    // approximate cosine = m table lookups; shortlist by it via the same
+    // bounded-heap top-k as every other ANN path (the ADC scan emits
+    // ≤ k·refine rows per query into the exchange, never n·|Q|), then
+    // exact-rerank only the shortlist
     val approx = (0 until m)
       .map(j => element_at(col("adc"), col(s"code_$j") + lit(j * codes + 1)))
       .reduce(_ + _)
-    val wA = Window.partitionBy(col("query_id")).orderBy(desc("approx"), col("vec_id"))
-    val shortlist = encoded.join(broadcast(qtab), col("query_id") =!= col("vec_id"))
+    val scoredApprox = encoded.join(broadcast(qtab), col("query_id") =!= col("vec_id"))
       .withColumn("approx", approx)
-      .withColumn("__r", row_number().over(wA)).filter(col("__r") <= k * refine)
-      .select(col("query_id"), col("vec_id"), col("q_vec"))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("vec_id"))
-    shortlist.join(it.select(col("vec_id"), col("i_vec")), "vec_id")
+      .select(col("query_id"), col("vec_id"), col("approx"))
+    val shortlist = topKPerQuery(scoredApprox, k * refine, scoreCol = "approx")
+      .select(col("query_id"), col("vec_id"))
+    val reranked = shortlist
+      .join(it.select(col("vec_id"), col("i_vec")), "vec_id")
+      .join(broadcast(q.select(col("query_id"), col("q_vec"))), "query_id")
       .withColumn("cosine", VectorFunctions.cosine_similarity(col("q_vec"), col("i_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cosine"), col("rank"))
+    topKPerQuery(reranked.select(col("query_id"), col("vec_id"), col("cosine")), k)
   }
 
   // -------------------------------------------------------------------
@@ -315,17 +323,20 @@ object SimilaritySearch {
     }.toSeq
     val centersDf = spark.createDataFrame(centers).toDF("cluster", "center")
 
-    // one broadcast pass: n×k cosines, per-vector argmax (cluster-id
-    // tie-break) — row-local but for the tiny centroid broadcast
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(desc("cos_to_center"), col("cluster"))
+    // one broadcast pass: n×k cosines, per-vector argmax as a max_by
+    // AGGREGATE (partial map-side combine shrinks the exchange to one row
+    // per vector; the window it replaces shuffled all n×k scored rows).
+    // Tie-break: highest cosine, then LOWEST cluster id — struct ordering
+    // on (cos, -cluster) matches the old orderBy(desc cos, asc cluster).
     val assignments = itemsU
       .crossJoin(broadcast(centersDf))
       .withColumn("cos_to_center",
         VectorFunctions.cosine_similarity(col("i_vec"), col("center")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("cluster"), col("cos_to_center"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cluster"), col("cos_to_center")),
+                  struct(col("cos_to_center"), -col("cluster"))).as("__best"))
+      .select(col("vec_id"), col("__best.cluster").as("cluster"),
+              col("__best.cos_to_center").as("cos_to_center"))
     (assignments, centersDf)
   }
 }
