@@ -37,14 +37,15 @@ abstract class FloatVectorBinary extends BinaryExpression {
     if (elemIsDouble) a.getDouble(i) else a.getFloat(i).toDouble
   protected def getter: String = if (elemIsDouble) "getDouble" else "getFloat"
 
-  protected def loopCode(a: String, b: String, result: String): String
+  protected def loopCode(ctx: CodegenContext, a: String, b: String,
+                         result: String): String
   protected def eval(a: ArrayData, b: ArrayData): Double
 
   override def nullSafeEval(l: Any, r: Any): Any =
     eval(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => loopCode(a, b, ev.value.code))
+    nullSafeCodeGen(ctx, ev, (a, b) => loopCode(ctx, a, b, ev.value.code))
 }
 
 /** dot(a, b) = Σ aᵢ·bᵢ in double precision. */
@@ -56,15 +57,23 @@ case class DotProduct(left: Expression, right: Expression) extends FloatVectorBi
     while (i < n) { s += get(a, i) * get(b, i); i += 1 }
     s
   }
-  override protected def loopCode(a: String, b: String, result: String): String =
+  // Every Java local goes through ctx.freshName: two instances of this
+  // expression in one generated function would otherwise redeclare the
+  // same identifiers — a janino CompileException that silently drops the
+  // whole stage to interpreted execution.
+  override protected def loopCode(ctx: CodegenContext, a: String, b: String,
+                                  result: String): String = {
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val acc = ctx.freshName("acc")
     s"""
-       |int n = Math.min($a.numElements(), $b.numElements());
-       |double acc = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  acc += (double)$a.$getter(i) * (double)$b.$getter(i);
+       |int $n = Math.min($a.numElements(), $b.numElements());
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $acc += (double)$a.$getter($i) * (double)$b.$getter($i);
        |}
-       |$result = acc;
+       |$result = $acc;
        |""".stripMargin
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -82,17 +91,23 @@ case class CosineSimilarity(left: Expression, right: Expression) extends FloatVe
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
-  override protected def loopCode(a: String, b: String, result: String): String =
+  override protected def loopCode(ctx: CodegenContext, a: String, b: String,
+                                  result: String): String = {
+    val n = ctx.freshName("n"); val i = ctx.freshName("i")
+    val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+    val nb = ctx.freshName("nb")
+    val x = ctx.freshName("x"); val y = ctx.freshName("y")
     s"""
-       |int n = Math.min($a.numElements(), $b.numElements());
-       |double dot = 0.0, na = 0.0, nb = 0.0;
-       |for (int i = 0; i < n; i++) {
-       |  double x = (double)$a.$getter(i);
-       |  double y = (double)$b.$getter(i);
-       |  dot += x * y; na += x * x; nb += y * y;
+       |int $n = Math.min($a.numElements(), $b.numElements());
+       |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $x = (double)$a.$getter($i);
+       |  double $y = (double)$b.$getter($i);
+       |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
        |}
-       |$result = (na == 0.0 || nb == 0.0) ? 0.0 : dot / (Math.sqrt(na) * Math.sqrt(nb));
+       |$result = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / (Math.sqrt($na) * Math.sqrt($nb));
        |""".stripMargin
+  }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
