@@ -301,6 +301,12 @@ object Dedup {
       .select(xxhash64(fingerprint(col(textCol))).as("h"))
       .stat.bloomFilter("h", expectedItems, fpp)
     val bloomB = incoming.sparkSession.sparkContext.broadcast(bloom)
+    // Deliberate exception to the no-UDF rule: Spark's BloomFilterMightContain
+    // is not a public function, and a custom codegen'd Expression would have
+    // to carry the filter in the serialized expression tree — re-shipping the
+    // MB-scale bitmap with every stage where the broadcast ships it once per
+    // executor. The UDF body is one xxhash probe against broadcast-local
+    // bits; breaking codegen on this filter costs ~nothing next to the scan.
     val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
     incoming
       .select(col(idCol), fingerprint(col(textCol)).as("fp"))

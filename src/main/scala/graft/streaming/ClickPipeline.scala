@@ -66,17 +66,27 @@ object ClickPipeline {
       .schema(StructType(Seq(StructField("value", StringType))))
       .text(dir))
 
+  /** The production wire projection: the Kafka connector's source schema
+    * (key/value binary, topic, partition, offset, timestamp,
+    * timestampType) → the one-column string relation [[parse]] consumes.
+    * Factored out of [[fromKafka]] so the EXACT projection the broker
+    * path runs is exercisable without a broker — KafkaProjectionSpec
+    * drives it with a mock DataFrame carrying the connector's schema. */
+  def kafkaProjection(kafka: DataFrame): DataFrame =
+    kafka.select(col("value").cast("string").as("value"))
+
   /** A1, production flavor: Kafka topic, latest offsets, value-only string
     * deserialization (StreamJob.java:205-211). Compiles against the Spark
-    * Kafka connector; not runnable in the sandbox (no broker). */
+    * Kafka connector; not runnable in the sandbox (no broker) — the
+    * projection + parse stages are covered broker-less (see
+    * [[kafkaProjection]]). */
   def fromKafka(spark: SparkSession, brokers: String,
                 topic: String = "click_events"): DataFrame =
-    parse(spark.readStream.format("kafka")
+    parse(kafkaProjection(spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", topic)
       .option("startingOffsets", "latest")
-      .load()
-      .select(col("value").cast("string").as("value")))
+      .load()))
 
   /** A2: event-time with 10 s bounded out-of-orderness
     * (StreamJob.java:214-225). Records later than watermark are dropped —

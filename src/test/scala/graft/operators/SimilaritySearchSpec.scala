@@ -117,4 +117,37 @@ class SimilaritySearchSpec extends AnyFunSuite {
     // determinism: seeded sample + seeded per-subspace k-means
     assert(pq == pairs(SimilaritySearch.pqTopK(spark, emb, queries, k = 10)))
   }
+
+  test("ANN finalization plans as partial ObjectHashAggregate, never a rank window") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 3)
+    val fams = Seq(
+      "brute" -> SimilaritySearch.bruteForceTopK(emb, queries, k = 5),
+      "lsh" -> SimilaritySearch.lshTopK(spark, emb, queries, k = 5),
+      "ivf" -> SimilaritySearch.ivfTopK(spark, emb, queries, k = 5),
+      "pq" -> SimilaritySearch.pqTopK(spark, emb, queries, k = 5))
+    fams.foreach { case (name, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      // the scale contract (VERDICT r4 #2): per-query top-k is a
+      // bounded-heap aggregate with a map-side partial stage — each task
+      // emits <= k rows per query into the exchange — NOT a
+      // row_number window shuffling the whole scored relation
+      assert(p.contains("ObjectHashAggregate"),
+        s"$name: top-k did not plan as ObjectHashAggregate")
+      assert(p.contains("partial_topkaggregator"),
+        s"$name: no map-side partial top-k stage in plan")
+      assert(!p.contains("Window"), s"$name: a rank window survived in the plan")
+    }
+  }
+
+  test("clusterEmbeddings assignment plans as partial max_by aggregate, no window") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val (assignments, _) = SimilaritySearch.clusterEmbeddings(spark, emb, nClusters = 4)
+    val p = assignments.queryExecution.executedPlan.toString
+    assert(p.contains("partial_max_by"),
+      "argmax assignment lost its map-side partial stage")
+    assert(!p.contains("Window"), "a rank window survived in the assignment plan")
+  }
 }
