@@ -230,10 +230,7 @@ object SimilaritySearch {
       else it.sample(withReplacement = false,
         math.min(1.0, maxFitRows.toDouble / total * 1.05), seed)
     val fitDf = fitInput.select((0 until m).map(subCol): _*).localCheckpoint()
-    val models = (0 until m).map { j =>
-      new KMeans().setK(codes).setSeed(seed + j).setMaxIter(10)
-        .setFeaturesCol(s"__s$j").setPredictionCol(s"code_$j").fit(fitDf)
-    }
+    val models = fitSubspaceModels(fitDf, m, codes, seed)
 
     // encode: ONE pass over the corpus, m nearest-centroid assignments;
     // everything downstream of this line touches codes, not vectors
@@ -259,6 +256,115 @@ object SimilaritySearch {
       .map(j => element_at(col("adc"), col(s"code_$j") + lit(j * codes + 1)))
       .reduce(_ + _)
     val scoredApprox = encoded.join(broadcast(qtab), col("query_id") =!= col("vec_id"))
+      .withColumn("approx", approx)
+      .select(col("query_id"), col("vec_id"), col("approx"))
+    val shortlist = topKPerQuery(scoredApprox, k * refine, scoreCol = "approx")
+      .select(col("query_id"), col("vec_id"))
+    val reranked = shortlist
+      .join(it.select(col("vec_id"), col("i_vec")), "vec_id")
+      .join(broadcast(q.select(col("query_id"), col("q_vec"))), "query_id")
+      .withColumn("cosine", VectorFunctions.cosine_similarity(col("q_vec"), col("i_vec")))
+    topKPerQuery(reranked.select(col("query_id"), col("vec_id"), col("cosine")), k)
+  }
+
+  /** The m independent per-subspace codebook fits, submitted CONCURRENTLY:
+    * each is a small seeded k-means over the (localCheckpointed, bounded)
+    * fit sample, so the driver-side Future fan-out just lets the scheduler
+    * overlap their jobs — measured as the dominant cost of x45 when run
+    * sequentially. Seeds are per-subspace, so results are identical to the
+    * sequential fit. */
+  private def fitSubspaceModels(fitDf: DataFrame, m: Int, codes: Int, seed: Long)
+      : Seq[org.apache.spark.ml.clustering.KMeansModel] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import org.apache.spark.ml.clustering.KMeans
+    Await.result(Future.sequence((0 until m).map { j => Future {
+      new KMeans().setK(codes).setSeed(seed + j).setMaxIter(10)
+        .setFeaturesCol(s"__s$j").setPredictionCol(s"code_$j").fit(fitDf)
+    }}), Duration.Inf)
+  }
+
+  /** x46: IVF × PQ — the composed shape [[pqTopK]]'s doc promises
+    * ("probe cells, then ADC within them"), and the one you'd actually
+    * deploy at 100 TB: the coarse quantizer prunes WHICH items are
+    * scored (each query touches `nProbe` of `nLists` cells) while PQ
+    * shrinks WHAT the scan reads and does per item (m one-byte codes
+    * scored by table lookup, no float-vector access before the exact
+    * rerank of the k·refine shortlist). One corpus pass assigns cell +
+    * codes together; both fits share one bounded sample. Recall is
+    * bounded above by [[ivfTopK]] (same probes, approximate in-cell
+    * scores) and below by neither parent alone — the
+    * recall-vs-brute-force floor is spec-asserted next to PQ-alone's. */
+  def ivfPqTopK(spark: SparkSession, items: DataFrame, queries: DataFrame, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                nLists: Int = 16, nProbe: Int = 6,
+                m: Int = 8, codes: Int = 16, refine: Int = 4,
+                seed: Long = 42L, maxFitRows: Long = 100000L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    def unit(vc: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val norm = sqrt(aggregate(vc, lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")))
+      when(norm === 0.0d, vc)
+        .otherwise(transform(vc, x => (x.cast("double") / norm).cast("float")))
+    }
+
+    val it = items.select(col(idCol).as("vec_id"), col(vecCol).as("i_vec"))
+      .withColumn("__u", unit(col("i_vec")))
+      .withColumn("__unit", array_to_vector(col("__u")))
+    val dim = it.select(size(col("__u"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    def subCol(j: Int) =
+      array_to_vector(slice(col("__u"), j * dsub + 1, dsub)).as(s"__s$j")
+
+    val total = it.count()
+    val fitInput =
+      if (total <= maxFitRows) it
+      else it.sample(withReplacement = false,
+        math.min(1.0, maxFitRows.toDouble / total * 1.05), seed)
+    val fitDf = fitInput
+      .select((col("__unit") +: (0 until m).map(subCol)): _*).localCheckpoint()
+    val coarse = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__unit").setPredictionCol("list").fit(fitDf)
+    val pqModels = fitSubspaceModels(fitDf, m, codes, seed)
+
+    // ONE corpus pass: coarse cell + the m code assignments together
+    val withSubs = it.select(
+      (col("vec_id") +: col("__unit") +: (0 until m).map(subCol)): _*)
+    val encoded = pqModels.foldLeft(coarse.transform(withSubs))(
+        (df, mod) => mod.transform(df))
+      .select((col("vec_id") +: col("list").cast("long").as("list") +:
+               (0 until m).map(j => col(s"code_$j"))): _*)
+
+    // probe-cell selection: |Q|·nLists broadcast scoring → nProbe cells
+    val centers = coarse.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq
+    val centersDf = spark.createDataFrame(centers).toDF("list", "center")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("__qu", unit(col("q_vec")))
+    val cellSims = q.crossJoin(broadcast(centersDf))
+      .withColumn("sim", VectorFunctions.cosine_similarity(col("q_vec"), col("center")))
+      .select(col("query_id"), col("list").cast("long").as("list"), col("sim"))
+    val probes = topKPerQuery(cellSims, nProbe, scoreCol = "sim", idCol = "list")
+      .select(col("query_id"), col("list"))
+
+    // ADC tables ride along with the probes: |Q|·nProbe broadcast rows
+    val adcCols = for (j <- 0 until m; c <- 0 until codes) yield
+      VectorFunctions.dot_product(
+        slice(col("__qu"), j * dsub + 1, dsub),
+        array(pqModels(j).clusterCenters(c).toArray.map(x => lit(x.toFloat)): _*))
+    val qtab = q.select(col("query_id"), array(adcCols: _*).as("adc"))
+    val probedAdc = probes.join(qtab, "query_id")
+
+    val approx = (0 until m)
+      .map(j => element_at(col("adc"), col(s"code_$j") + lit(j * codes + 1)))
+      .reduce(_ + _)
+    val scoredApprox = encoded.as("it").join(broadcast(probedAdc.as("pr")),
+        col("it.list") === col("pr.list") && col("query_id") =!= col("vec_id"))
       .withColumn("approx", approx)
       .select(col("query_id"), col("vec_id"), col("approx"))
     val shortlist = topKPerQuery(scoredApprox, k * refine, scoreCol = "approx")

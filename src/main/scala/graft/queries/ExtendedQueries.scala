@@ -265,6 +265,18 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x46 — IVF × PQ composed ANN (probe cells, ADC within them — the
+  // deployable 100 TB shape; learned quantizers ⇒ rows-only check;
+  // recall spec vs the exact baseline in SimilaritySearchSpec)
+  // ---------------------------------------------------------------------
+  def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    SimilaritySearch.ivfPqTopK(s, emb, emb.filter(col("vec_id") < 5), k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------------
   // x40 — semantic embedding clustering (SemDeDup-style topic buckets):
   // per-cluster size + cohesion summary. Centroids are learned ⇒
   // rows-only check; nearest-centroid = argmax-cosine is spec-proven.
@@ -563,6 +575,7 @@ object ExtendedQueries {
     "x14_embedding_neardup_lsh" -> ((embeddingNearDupLsh _, None)),
     "x15_knn_ivf"            -> ((knnIvf _, None)),
     "x45_knn_pq"             -> ((knnPq _, None)),
+    "x46_knn_ivfpq"          -> ((knnIvfPq _, None)),
     "x40_embedding_clusters" -> ((embeddingClusters _, None)),
     "x16_winnowing_overlap"  -> ((winnowingOverlap _, None)),
     "x17_dedup_components"   -> ((dedupComponents _, Some(dedupComponentsSql))),

@@ -117,15 +117,15 @@ object PipelineMetrics {
         max(col("latency_ms")).as("max_latency_ms"),
         count("*").as("total_events"))
 
-  /** m01 — self-measured run: the watermarked stream → checkpointed
-    * parquet sink over the fixture's wire-format events, with a
-    * [[MetricsListener]] attached; returns the tall (metric, value)
-    * gauge table described in the object doc. */
-  def selfMetrics(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val work = Files.createTempDirectory("graft_m01_").toFile.getAbsolutePath
+  /** One self-measured streaming run over the fixture's wire-format
+    * events: JSON lines under `work/in` (`parts` files ⇒ ≥`parts`
+    * micro-batches), watermarked parse → checkpointed parquet sink at
+    * `work/out`, a [[MetricsListener]] attached for the duration.
+    * Returns the listener (complete — awaitTerminated has run).
+    * Shared by m01 (gauge snapshot) and m03 (durable series). */
+  private def measuredRun(s: SparkSession, dir: String, work: String,
+                          parts: Int): MetricsListener = {
     val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
-
     Tables.clicks(s, dir).select(
         col("event_id").cast("string").as("event_id"),
         col("user_id").cast("string").as("user_id"),
@@ -135,7 +135,7 @@ object PipelineMetrics {
       // (sf0.001's one parquet file), and this entry NEEDS ≥2 files —
       // one file per micro-batch, and the watermark gauge is reported
       // with a one-batch lag, so a single batch would read watermark 0
-      .toJSON.repartition(4).write.text(inDir)
+      .toJSON.repartition(parts).write.text(inDir)
 
     val listener = new MetricsListener
     s.streams.addListener(listener)
@@ -155,6 +155,18 @@ object PipelineMetrics {
         outDir, ck)
       listener.awaitTerminated(n = 1)
     } finally s.streams.removeListener(listener)
+    listener
+  }
+
+  /** m01 — self-measured run: the watermarked stream → checkpointed
+    * parquet sink over the fixture's wire-format events, with a
+    * [[MetricsListener]] attached; returns the tall (metric, value)
+    * gauge table described in the object doc. */
+  def selfMetrics(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = Files.createTempDirectory("graft_m01_").toFile.getAbsolutePath
+    val listener = measuredRun(s, dir, work, parts = 4)
+    val outDir = s"$work/out"
 
     val bm = listener.batches
     val sunk = s.read.parquet(outDir)
@@ -270,8 +282,56 @@ object PipelineMetrics {
        |UNION ALL SELECT 'rows_sunk', total - bad FROM n
        |ORDER BY metric""".stripMargin
 
+  // -------------------------------------------------------------------
+  // Durable metrics series (m03) — the reference scrapes its pipeline
+  // into Prometheus continuously (MONITORING_SETUP.md:1-50,
+  // docker/prometheus/prometheus.yml); the in-memory listener (m01)
+  // only lives for one run. The durable analogue: append each run's
+  // per-batch series to a schema'd parquet `metrics` table keyed by
+  // run_id, queryable across runs and restarts like any other table.
+  // -------------------------------------------------------------------
+
+  /** Append one run's per-batch series to the durable metrics table.
+    * Plain parquet append of an O(#batches) driver-side buffer — the
+    * data plane is untouched; at any scale this is metadata-sized. */
+  def persistRun(s: SparkSession, batches: Seq[BatchMetric],
+                 metricsDir: String, runId: String): Unit = {
+    import s.implicits._
+    batches.toDF().withColumn("run_id", lit(runId))
+      .write.mode("append").parquet(metricsDir)
+  }
+
+  /** Per-run operational rollup over the persisted series: batches,
+    * rows, overall throughput, and worst watermark lag (wall clock at
+    * batch end minus event-time watermark — the reference's
+    * freshness/lag dashboard panel). One scan, one agg; run_id count is
+    * O(runs), never large. */
+  def runSummary(s: SparkSession, metricsDir: String): DataFrame =
+    s.read.parquet(metricsDir)
+      .groupBy(col("run_id"))
+      .agg(
+        count("*").as("batches"),
+        sum(col("input_rows")).as("rows_total"),
+        (sum(col("input_rows")) * lit(1000.0) /
+          greatest(sum(col("batch_duration_ms")), lit(1L))).as("rows_per_sec"),
+        max(col("wall_time_ms") - col("watermark_ms")).as("max_watermark_lag_ms"))
+      .orderBy(col("run_id"))
+
+  /** m03 — one measured run appended to a durable metrics table, then
+    * the per-run rollup over that table. Values are wall-clock ⇒
+    * rows-only driver check; the across-runs append/union contract
+    * (the part a single entry invocation can't show) is spec-asserted
+    * by MetricsSpec with two runs against one table. */
+  def metricsHistory(s: SparkSession, dir: String): DataFrame = {
+    val work = Files.createTempDirectory("graft_m03_").toFile.getAbsolutePath
+    val listener = measuredRun(s, dir, work, parts = 2)
+    persistRun(s, listener.batches, s"$work/metrics", "run-001")
+    runSummary(s, s"$work/metrics")
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "m01_self_metrics" -> ((selfMetrics _, None)),
     "m02_observed_quality" -> ((observedQuality _, Some(observedQualitySql))),
+    "m03_metrics_history" -> ((metricsHistory _, None)),
   )
 }

@@ -118,6 +118,30 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(pq == pairs(SimilaritySearch.pqTopK(spark, emb, queries, k = 10)))
   }
 
+  test("ivfPqTopK: recall >= 0.5 vs brute force; rerank exact; deterministic") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exactDf = SimilaritySearch.bruteForceTopK(emb, queries, k = 10)
+    val composed = SimilaritySearch.ivfPqTopK(spark, emb, queries, k = 10)
+    val exact = pairs(exactDf)
+    val got = pairs(composed)
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF-PQ top-k recall $recall below 0.5")
+    // survivors carry the EXACT cosine (rerank contract, same as PQ-alone)
+    val exactScores = exactDf.select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    val composedScores = composed.select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    (exact intersect got).foreach { p =>
+      assert(math.abs(exactScores(p) - composedScores(p)) < 1e-12,
+        s"rerank score differs from exact for $p")
+    }
+    assert(got == pairs(SimilaritySearch.ivfPqTopK(spark, emb, queries, k = 10)))
+  }
+
   test("ANN finalization plans as partial ObjectHashAggregate, never a rank window") {
     VectorFunctions.register(spark)
     val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
@@ -126,7 +150,8 @@ class SimilaritySearchSpec extends AnyFunSuite {
       "brute" -> SimilaritySearch.bruteForceTopK(emb, queries, k = 5),
       "lsh" -> SimilaritySearch.lshTopK(spark, emb, queries, k = 5),
       "ivf" -> SimilaritySearch.ivfTopK(spark, emb, queries, k = 5),
-      "pq" -> SimilaritySearch.pqTopK(spark, emb, queries, k = 5))
+      "pq" -> SimilaritySearch.pqTopK(spark, emb, queries, k = 5),
+      "ivfpq" -> SimilaritySearch.ivfPqTopK(spark, emb, queries, k = 5))
     fams.foreach { case (name, df) =>
       val p = df.queryExecution.executedPlan.toString
       // the scale contract (VERDICT r4 #2): per-query top-k is a

@@ -136,4 +136,46 @@ class MetricsSpec extends AnyFunSuite {
     assert(out.select("event_id").as[String].collect().sorted.toSeq ==
       Seq("e1", "e2", "e3", "e4"))
   }
+
+  test("m03 durable metrics table: survives a second run, unions by run_id") {
+    import graft.streaming.PipelineMetrics.BatchMetric
+    val metricsDir =
+      Files.createTempDirectory("graft_m03_spec_").toFile.getAbsolutePath + "/metrics"
+    def bm(batch: Long, rows: Long, durMs: Long, wm: Option[Long], wall: Long) =
+      BatchMetric("q-1", batch, rows, durMs, rows * 1000.0 / durMs,
+        rows * 1000.0 / durMs, wm, 0L, wall)
+
+    // run 1: two batches; run 2 APPENDS — table must keep both
+    PipelineMetrics.persistRun(spark, Seq(
+      bm(0, 100, 50, None, 1000), bm(1, 300, 100, Some(900), 2000)),
+      metricsDir, "run-001")
+    PipelineMetrics.persistRun(spark, Seq(
+      bm(0, 40, 20, Some(2500), 3000)), metricsDir, "run-002")
+
+    val table = spark.read.parquet(metricsDir)
+    assert(table.count() == 3)
+    assert(table.select("run_id").distinct().as[String].collect().sorted.toSeq ==
+      Seq("run-001", "run-002"))
+
+    val summary = PipelineMetrics.runSummary(spark, metricsDir)
+      .collect().map(r => r.getAs[String]("run_id") -> r).toMap
+    assert(summary("run-001").getAs[Long]("batches") == 2)
+    assert(summary("run-001").getAs[Long]("rows_total") == 400L)
+    // 400 rows / 150 ms -> 2666.67 rows/s
+    assert(math.abs(summary("run-001").getAs[Double]("rows_per_sec") - 400 * 1000.0 / 150) < 1e-9)
+    // lag is computed only where a watermark exists: run-001's is batch 1's
+    assert(summary("run-001").getAs[Long]("max_watermark_lag_ms") == 2000L - 900L)
+    assert(summary("run-002").getAs[Long]("rows_total") == 40L)
+    assert(summary("run-002").getAs[Long]("max_watermark_lag_ms") == 3000L - 2500L)
+  }
+
+  test("m03 entry produces a one-run summary with positive throughput") {
+    val out = PipelineMetrics.metricsHistory(spark, TestSpark.Sf0001).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("run_id") == "run-001")
+    assert(r.getAs[Long]("batches") >= 2)
+    assert(r.getAs[Long]("rows_total") > 0)
+    assert(r.getAs[Double]("rows_per_sec") > 0.0)
+  }
 }
