@@ -447,6 +447,50 @@ object Curation {
       .drop("__thresh")
   }
 
+  // ---- x47: weighted priority sampling without replacement -------------
+
+  /** Exact-k-per-stratum weighted sampling WITHOUT replacement,
+    * P(selection) ∝ weight — Efraimidis–Spirakis priority sampling
+    * (the standard distributed formulation: every row gets priority
+    * u^(1/w), the k largest per stratum win; rank by the monotone
+    * equivalent ln(u)/w to stay in plain column arithmetic). The
+    * uniform u is a seeded md5-hash of the doc id, so the sample is a
+    * pure function of the data — re-runnable, and oracle-checkable by
+    * replaying the identical formula in SQL. The weight is the shared
+    * x02 quality composite (+0.05 so zero-quality docs keep a nonzero
+    * but tiny probability and ln(u)/w stays finite).
+    *
+    * This is the data-mixing primitive x34's RATE sampler can't
+    * provide: x34 thins each stratum to a target proportion; this
+    * draws an exact-size per-stratum sample biased toward quality —
+    * "give me the best-weighted n docs per language, sampled, not
+    * top-n" (top-n is x30; deterministic sampling beats it when
+    * diversity matters).
+    *
+    * Plan at 100 TB: the key is row-local (no shuffle); the per-stratum
+    * top-k is the same bounded-heap partial aggregate as the ANN
+    * finalization — every map task emits ≤ k rows per stratum, so the
+    * exchange carries O(strata·k) rows, never the corpus. The
+    * transcendental key is rounded to 6 dp on both engines before
+    * ranking, with the doc id as tie-break (the float-parity pattern
+    * proven by x35). */
+  def prioritySample(docs: DataFrame, k: Int,
+                     stratumCol: String = "lang",
+                     idCol: String = "doc_id"): DataFrame = {
+    val w = lit(0.05) + TF.qualityScore(col("text"))
+    // 60-bit md5 prefix → uniform in (0,1); +0.5 keeps u strictly
+    // positive (ln(0) guard) and is replayed verbatim in the oracle
+    val v = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val u = (v.cast("double") + lit(0.5)) / lit(1152921504606846976.0d) // 2^60
+    val keyed = docs.select(col(stratumCol).as("query_id"), col(idCol),
+      round(log(u) / w, 6).as("skey"))
+    graft.operators.SimilaritySearch
+      .topKPerQuery(keyed, k, scoreCol = "skey", idCol = idCol)
+      .select(col("query_id").as(stratumCol), col(idCol), col("skey"),
+        col("rank").cast("long").as("rank"))
+  }
+
   // ---- x24: heavy hitters per stratum ----------------------------------
 
   val TopK = 20

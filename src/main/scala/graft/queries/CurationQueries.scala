@@ -489,6 +489,32 @@ object CurationQueries {
        |FROM n LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // x47 — weighted priority sampling: exact k per stratum, P ∝ quality,
+  // without replacement (Efraimidis–Spirakis). Seeded md5 uniform ⇒ the
+  // identical key formula replays in SQL and the entry is HASH-checked.
+  // ---------------------------------------------------------------------
+  def prioritySample(s: SparkSession, dir: String): DataFrame =
+    Curation.prioritySample(Tables.documents(s, dir), k = 25)
+      .orderBy("lang", "rank")
+
+  val prioritySampleSql: String = {
+    val quality = qualitySqlExpr
+    s"""WITH keyed AS (
+       |  SELECT lang, doc_id,
+       |         round(ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 0.5)
+       |                  / 1152921504606846976.0)
+       |               / (0.05 + $quality), 6) AS skey
+       |  FROM documents
+       |), ranked AS (
+       |  SELECT lang, doc_id, skey,
+       |         CAST(row_number() OVER (PARTITION BY lang ORDER BY skey DESC, doc_id) AS BIGINT) AS rank
+       |  FROM keyed
+       |)
+       |SELECT lang, doc_id, skey, rank FROM ranked WHERE rank <= 25
+       |ORDER BY lang, rank""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x20_deterministic_split" -> ((deterministicSplit _, Some(deterministicSplitSql))),
     "x21_quality_filter"      -> ((qualityFilter _, Some(qualityFilterSql))),
@@ -509,5 +535,6 @@ object CurationQueries {
     "x41_datacard"            -> ((datacard _, Some(datacardSql))),
     "x42_token_budget"        -> ((tokenBudget _, Some(tokenBudgetSql))),
     "x43_segment_dedup"       -> ((segmentDedup _, Some(segmentDedupSql))),
+    "x47_priority_sample"     -> ((prioritySample _, Some(prioritySampleSql))),
   )
 }

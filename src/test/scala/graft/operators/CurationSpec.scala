@@ -380,4 +380,38 @@ class CurationSpec extends AnyFunSuite {
       s"kept $totKept segments but corpus has $distinctSegs distinct ones")
     res.unpersist()
   }
+
+  test("x47 priority sample: exact k per stratum, no replacement, matches window recompute") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.{TextFunctions => TF}
+    val k = 7
+    val out = Curation.prioritySample(docs, k).cache()
+
+    // exactly min(k, |stratum|) winners per stratum, each doc at most once
+    val perStratum = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (lang, n) =>
+      assert(perStratum(lang) == math.min(k.toLong, n),
+        s"stratum $lang: ${perStratum(lang)} winners, expected ${math.min(k.toLong, n)}")
+    }
+    assert(out.select("doc_id").distinct().count() == out.count(), "a doc sampled twice")
+
+    // the bounded-heap winners must be EXACTLY the window-rank winners
+    // over the same key formula (independent recompute of the semantics)
+    val w = lit(0.05) + TF.qualityScore(col("text"))
+    val v = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long")
+    val u = (v.cast("double") + lit(0.5)) / lit(1152921504606846976.0d)
+    val win = Window.partitionBy("lang").orderBy(col("skey").desc, col("doc_id").asc)
+    val expect = docs.select(col("lang"), col("doc_id"), round(log(u) / w, 6).as("skey"))
+      .withColumn("rank", row_number().over(win)).filter(col("rank") <= k)
+      .select("lang", "doc_id", "rank").as[(String, Long, Int)](
+        org.apache.spark.sql.Encoders.product[(String, Long, Int)]).collect().toSet
+    val got = out.select(col("lang"), col("doc_id"), col("rank").cast("int"))
+      .as[(String, Long, Int)](
+        org.apache.spark.sql.Encoders.product[(String, Long, Int)]).collect().toSet
+    assert(got == expect, "heap top-k disagrees with window-rank recompute")
+    out.unpersist()
+  }
 }
