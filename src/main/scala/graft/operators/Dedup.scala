@@ -430,6 +430,68 @@ object Dedup {
     * Candidate volume is O(n · tables · E[bucket size]) instead of O(n²);
     * recall < 1 by construction (amplified by `tables` independent hash
     * tables; measured vs the exact baseline in DedupSpec). */
+  /** x48: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * dedup via k-means cells: cluster the corpus (sampled spherical
+    * fit via [[SimilaritySearch.clusterEmbeddings]]), materialize
+    * candidate pairs ONLY within a cell, link pairs with cosine ≥
+    * `threshold`, resolve duplicate groups by connected components,
+    * and keep ONE representative per group — the member with the
+    * LOWEST cosine to its cell centroid (the paper's rule: the least
+    * typical exemplar preserves diversity), vec_id tie-break.
+    *
+    * vs [[embeddingNearDupsLsh]]: LSH blocking is data-oblivious;
+    * SemDeDup's learned cells follow corpus density, and the cell
+    * structure is shared with the IVF index (x15) — cluster once,
+    * dedup AND search on the same partition of the space. Pairwise
+    * work is Σ cellsize² — k must grow with n so cells stay bounded
+    * (the paper's setting; `maxCellPairs` makes the contract loud
+    * instead of letting one hot cell go quadratic).
+    *
+    * Output: (vec_id, cluster, component, cos_to_center, keep) for
+    * EVERY input row — `keep=false` rows are the semantic duplicates
+    * a pipeline drops. Learned centroids ⇒ rows-only driver check;
+    * keeper rule, partition totality, and agreement with the exact
+    * all-pairs baseline inside cells are spec-asserted. */
+  def semDedup(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+               threshold: Double = 0.3, nClusters: Int = 8,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               seed: Long = 42L, maxCellPairs: Long = 1000000000L): DataFrame = {
+    val (assignments, _) = SimilaritySearch.clusterEmbeddings(
+      spark, emb, nClusters, idCol, vecCol, seed)
+    val withVec = assignments
+      .join(emb.select(col(idCol).as("vec_id"), col(vecCol).as("__v")), "vec_id")
+      .localCheckpoint() // both self-join sides (plans are trees, not DAGs)
+
+    val pairBudget = withVec.groupBy(col("cluster")).count()
+      .agg(sum(col("count") * col("count"))).head.getLong(0)
+    require(pairBudget <= maxCellPairs,
+      s"semDedup cell-pair budget $pairBudget exceeds maxCellPairs=$maxCellPairs: " +
+      "raise nClusters so cells stay bounded (k must grow with n), or raise " +
+      "maxCellPairs deliberately.")
+
+    val pairs = withVec.as("a").join(withVec.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", VectorFunctions.cosine_similarity(col("a.__v"), col("b.__v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val labels = Components.connectedComponents(pairs)
+
+    // singletons keep their own id as component; keeper = argmin
+    // (cos_to_center, vec_id) per component via a partial-aggregable
+    // min_by (no rank window — same scale contract as topKPerQuery)
+    val labeled = assignments
+      .join(labels.withColumnRenamed("doc_id", "__lid"),
+        col("vec_id") === col("__lid"), "left")
+      .withColumn("component", coalesce(col("component"), col("vec_id")))
+      .drop("__lid")
+    val keepers = labeled.groupBy(col("component"))
+      .agg(min_by(col("vec_id"), struct(col("cos_to_center"), col("vec_id")))
+        .as("__keeper"))
+    labeled.join(keepers, "component")
+      .select(col("vec_id"), col("cluster"), col("component"),
+        col("cos_to_center"), (col("vec_id") === col("__keeper")).as("keep"))
+  }
+
   def embeddingNearDupsLsh(emb: DataFrame, idCol: String = "vec_id",
                            vecCol: String = "embedding",
                            threshold: Double = 0.3,

@@ -277,6 +277,17 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x48 — SemDeDup: semantic dedup within learned k-means cells
+  // (cluster-as-blocking + components + keep-least-typical; learned
+  // centroids ⇒ rows-only check; keeper rule + totality + in-cell
+  // agreement with the exact baseline spec-asserted in DedupSpec)
+  // ---------------------------------------------------------------------
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Dedup.semDedup(s, Tables.embeddings(s, dir)).orderBy("vec_id")
+  }
+
+  // ---------------------------------------------------------------------
   // x40 — semantic embedding clustering (SemDeDup-style topic buckets):
   // per-cluster size + cohesion summary. Centroids are learned ⇒
   // rows-only check; nearest-centroid = argmax-cosine is spec-proven.
@@ -576,6 +587,7 @@ object ExtendedQueries {
     "x15_knn_ivf"            -> ((knnIvf _, None)),
     "x45_knn_pq"             -> ((knnPq _, None)),
     "x46_knn_ivfpq"          -> ((knnIvfPq _, None)),
+    "x48_semdedup"           -> ((semDedup _, None)),
     "x40_embedding_clusters" -> ((embeddingClusters _, None)),
     "x16_winnowing_overlap"  -> ((winnowingOverlap _, None)),
     "x17_dedup_components"   -> ((dedupComponents _, Some(dedupComponentsSql))),

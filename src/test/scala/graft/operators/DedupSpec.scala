@@ -181,4 +181,41 @@ class DedupSpec extends AnyFunSuite {
       "bloom pre-filter dropped a true duplicate")
     assert(cand.size <= 20 + 18, s"bloom pruned too little: ${cand.size} of 200")
   }
+
+  test("x48 semdedup: totality, one keeper per group, keep-least-typical, in-cell agreement") {
+    graft.functions.VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val out = Dedup.semDedup(spark, emb, threshold = 0.3).cache()
+
+    // totality: every input row appears exactly once, keep is a partition
+    assert(out.count() == emb.count())
+    assert(out.select("vec_id").distinct().count() == emb.count())
+
+    // exactly one keeper per component, and it is the argmin
+    // (cos_to_center, vec_id) of its group — the SemDeDup keep rule
+    import org.apache.spark.sql.functions._
+    val badGroups = out.groupBy("component")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("keepers"),
+        min(struct(col("cos_to_center"), col("vec_id"))).as("best"),
+        min_by(struct(col("cos_to_center"), col("vec_id")), when(col("keep"), 0).otherwise(1))
+          .as("kept"))
+      .filter(col("keepers") =!= 1 || col("best") =!= col("kept"))
+    assert(badGroups.count() == 0, "a group has !=1 keeper or the wrong keeper")
+
+    // agreement: every exact-baseline pair (cosine >= t) whose two ends
+    // share a CELL must land in the same component (cross-cell misses
+    // are the algorithm's documented approximation)
+    val cells = out.select(col("vec_id"), col("cluster"), col("component"))
+    val exact = Dedup.embeddingNearDups(emb, threshold = 0.3)
+      .select("id_a", "id_b")
+      .join(cells.select(col("vec_id").as("id_a"), col("cluster").as("c_a"),
+        col("component").as("k_a")), "id_a")
+      .join(cells.select(col("vec_id").as("id_b"), col("cluster").as("c_b"),
+        col("component").as("k_b")), "id_b")
+    assert(exact.filter(col("c_a") === col("c_b") && col("k_a") =!= col("k_b")).count() == 0,
+      "an in-cell above-threshold pair was not merged into one component")
+    // and the dedup is real on this fixture: some duplicates exist
+    assert(out.filter(!col("keep")).count() > 0, "fixture produced no semantic dups")
+    out.unpersist()
+  }
 }
