@@ -474,17 +474,26 @@ object Curation {
     * transcendental key is rounded to 6 dp on both engines before
     * ranking, with the doc id as tie-break (the float-parity pattern
     * proven by x35). */
-  def prioritySample(docs: DataFrame, k: Int,
-                     stratumCol: String = "lang",
-                     idCol: String = "doc_id"): DataFrame = {
+  /** The ES priority key as a row-local column: round(ln(u)/w, 6) with
+    * u a seeded 60-bit-md5 uniform of the id and w the x02 quality
+    * composite (+0.05 floor). Shared by [[prioritySample]] and its
+    * streaming twin (s17) so batch and stream rank by the IDENTICAL
+    * value — that equality is what makes one oracle serve both. */
+  private[graft] def priorityKey(idCol: String = "doc_id"): Column = {
     val w = lit(0.05) + TF.qualityScore(col("text"))
     // 60-bit md5 prefix → uniform in (0,1); +0.5 keeps u strictly
     // positive (ln(0) guard) and is replayed verbatim in the oracle
     val v = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("long")
     val u = (v.cast("double") + lit(0.5)) / lit(1152921504606846976.0d) // 2^60
+    round(log(u) / w, 6)
+  }
+
+  def prioritySample(docs: DataFrame, k: Int,
+                     stratumCol: String = "lang",
+                     idCol: String = "doc_id"): DataFrame = {
     val keyed = docs.select(col(stratumCol).as("query_id"), col(idCol),
-      round(log(u) / w, 6).as("skey"))
+      priorityKey(idCol).as("skey"))
     graft.operators.SimilaritySearch
       .topKPerQuery(keyed, k, scoreCol = "skey", idCol = idCol)
       .select(col("query_id").as(stratumCol), col(idCol), col("skey"),

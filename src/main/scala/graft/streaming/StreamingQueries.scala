@@ -472,6 +472,57 @@ object StreamingQueries {
 
   /** Registry: the streaming entries reuse the BATCH oracles — streamed
     * results must equal the batch computation on the same data. */
+  // ---------------------------------------------------------------------
+  // s17 — STREAMED weighted priority sampling: the per-stratum bounded
+  // heap (TopKAggregator) AS STREAMING AGGREGATION STATE — x47's
+  // sampling-at-ingest twin. Update-mode emission per micro-batch with
+  // the idempotent per-batch-overwrite sink; read-back takes each
+  // stratum's LATEST emission, which IS its final heap. The priority
+  // key is a pure row-local function (Curation.priorityKey), so the
+  // final top-k is arrival-order-invariant — which is what lets the
+  // batch x47 oracle hash-check a streamed run. At scale this is "keep
+  // the best-weighted sample of an unbounded feed": state is
+  // O(strata·k), emission is O(updated strata) per trigger.
+  // ---------------------------------------------------------------------
+  def streamPrioritySample(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    import graft.functions.TopKAggregator
+    val work = tempDir("graft_s17_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    // several input files ⇒ several micro-batches ⇒ the heap genuinely
+    // accumulates across triggers (not a single-batch degenerate run)
+    Tables.documents(s, dir).repartition(4).write.parquet(inDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val keyed = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .select(col("lang"), col("doc_id"), Curation.priorityKey("doc_id").as("skey"))
+    val agg = keyed.groupBy(col("lang"))
+      .agg(TopKAggregator.topk(25)(col("skey"), col("doc_id")).as("tk"))
+
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    s.read.parquet(outDir)
+      .groupBy(col("lang"))
+      .agg(max_by(col("tk"), col("batch")).as("tk"))
+      .select(col("lang"), posexplode(col("tk")).as(Seq("__pos", "__s")))
+      .select(col("lang"), col("__s.id").as("doc_id"),
+        col("__s.score").as("skey"), (col("__pos") + 1).cast("long").as("rank"))
+      .orderBy("lang", "rank")
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "s01_stream_minute_agg" -> ((streamMinuteAgg _, Some(ReferenceQueries.q14Sql))),
     "s02_stream_anomaly"    -> ((streamAnomaly _, Some(streamAnomalySql))),
@@ -487,5 +538,7 @@ object StreamingQueries {
     "s14_stream_dedup_watermark" -> ((streamDedupWatermark _,
       Some(streamDedupWatermarkSql))),
     "s11_stream_stream_join" -> ((streamStreamJoin _, Some(streamStreamJoinSql))),
+    "s17_stream_priority_sample" -> ((streamPrioritySample _,
+      Some(graft.queries.CurationQueries.prioritySampleSql))),
   )
 }

@@ -22,6 +22,16 @@ class StreamingSpec extends AnyFunSuite {
   // t0 = 2024-01-01 12:00:00 UTC, minute-aligned
   private val t0 = 1704110400000L
 
+  test("s17 streamed priority sample == batch x47 on the same corpus") {
+    val streamed = StreamingQueries.streamPrioritySample(spark, graft.TestSpark.Sf0001)
+      .select("lang", "doc_id", "rank").as[(String, Long, Long)].collect().toSet
+    val batch = graft.queries.CurationQueries.prioritySample(spark, graft.TestSpark.Sf0001)
+      .select("lang", "doc_id", "rank").as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      "streamed per-stratum heap diverged from the batch priority sample")
+    assert(streamed.nonEmpty)
+  }
+
   test("parse: PERMISSIVE malformed-JSON handling drops bad rows, keeps good ones") {
     val raw = Seq(
       jsonClick("e1", "u1", t0, "/"),
