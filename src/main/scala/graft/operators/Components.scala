@@ -121,9 +121,11 @@ object Components {
     * `labels` is a [[connectedComponents]] output; `docs` is the full
     * corpus. Scale shape: the labels relation holds only documents that
     * occur in a candidate pair (a vanishing fraction of the corpus, so
-    * the left join is broadcast-able), and the keeper choice is one
-    * rank window partitioned by component — every group ranks in
-    * parallel, nothing global.
+    * the left join is broadcast-able), and the keeper choice is ONE
+    * partial-aggregable max_by aggregation — map tasks pre-reduce each
+    * group to a single candidate, so the exchange carries one row per
+    * (task, group), never the corpus (the rank window this replaces
+    * shuffled every labeled row and sorted each group on one task).
     *
     * Output: (component, keeper, group_size, quality) — one row per
     * group; `quality` is the surviving document's score. */
@@ -135,13 +137,15 @@ object Components {
             col("doc_id") === col("__lid"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
       .drop("__lid")
-    val byGroup = Window.partitionBy(col("component"))
-    val w = byGroup.orderBy(col("quality").desc, col("doc_id").asc)
     labeled
-      .withColumn("group_size", count(lit(1)).over(byGroup))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("component"), col("doc_id").as("keeper"),
-              col("group_size"), col("quality"))
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("group_size"),
+        // argmax (quality desc, doc_id asc): struct ordering is
+        // lexicographic, so maximize (quality, -doc_id)
+        max_by(struct(col("doc_id"), col("quality")),
+               struct(col("quality"), -col("doc_id"))).as("__best"))
+      .select(col("component"), col("__best.doc_id").as("keeper"),
+              col("group_size"), col("__best.quality").as("quality"))
   }
 }
