@@ -365,9 +365,18 @@ object Curation {
       posexplode(transform(sequence(lit(0), nSegs - 1),
         i => concat_ws(" ", slice(toks, i * segWords + 1, lit(segWords)))))
         .as(Seq("pos", "seg")))
-    val w = Window.partitionBy(md5(col("seg"))).orderBy(col("doc_id"), col("pos"))
-    val re = segs
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+    // first occurrence per distinct segment via partial-aggregable
+    // min_by: boilerplate repeated across millions of docs (the reason
+    // this operator exists) pre-reduces on every map task, where the
+    // rank window this replaces serialized each hot segment's whole
+    // group onto one task
+    val first = segs
+      .groupBy(md5(col("seg")).as("__h"))
+      .agg(min_by(struct(col("doc_id"), col("pos"), col("seg")),
+                  struct(col("doc_id"), col("pos"))).as("__f"))
+      .select(col("__f.doc_id").as("doc_id"), col("__f.pos").as("pos"),
+              col("__f.seg").as("seg"))
+    val re = first
       .groupBy("doc_id").agg(
         count(lit(1)).as("n_kept"),
         concat_ws(" ",

@@ -31,12 +31,15 @@ object Dedup {
 
   /** Keep exactly one row (smallest `idCol`) per distinct value of
     * `fingerprint(textCol)`. Equivalent to dropDuplicates, but with a
-    * deterministic keeper and a fixed-width shuffle key. */
+    * deterministic keeper and a fixed-width shuffle key. Keeper choice
+    * is a partial-aggregable min_by, not a rank window: a
+    * mass-duplicated text (the case dedup exists for) pre-reduces on
+    * every map task instead of serializing its whole group onto one. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(fingerprint(col(textCol))).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val cols = df.columns
+    df.groupBy(fingerprint(col(textCol)).as("__fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
+      .select(cols.map(c => col(s"__r.`$c`").as(c)): _*)
   }
 
   /** Per-source exact-duplication stats (documents table shape). */
