@@ -93,4 +93,79 @@ object TopKAggregator {
     * position + 1 is the rank. */
   def topk(k: Int): UserDefinedFunction =
     udaf(new TopKAggregator(k), Encoders.product[Scored])
+
+  /** String-id flavor: `topkStr(k)(scoreCol, idCol)`. Same ordering
+    * contract — (score desc, id asc, lexicographic). */
+  def topkStr(k: Int): UserDefinedFunction =
+    udaf(new TopKStringAggregator(k), Encoders.product[ScoredS])
+}
+
+/** One (score, string-id) candidate — the token/term flavor of
+  * [[Scored]] for vocab-keyed top-k (TF-IDF terms, heavy hitters). */
+case class ScoredS(score: Double, id: String)
+
+/** String-id buffer; same parallel-array layout as [[TopKState]]. */
+case class TopKStateS(scores: Array[Double], ids: Array[String])
+
+/** [[TopKAggregator]] with String ids — identical bounded-heap
+  * semantics and (score desc, id asc) total order, with the id
+  * comparison lexicographic (matches `ORDER BY score DESC, id ASC` on
+  * a string column in both Spark and DuckDB, which is what lets the
+  * hash-checked entries swap their rank windows for this). Caveat:
+  * Java compareTo is UTF-16 code-unit order while SQL engines compare
+  * UTF-8 bytes — identical on ASCII; rank only ASCII-tokenized ids
+  * here (x24/x33 tokens are `[a-z0-9]+`). */
+class TopKStringAggregator(k: Int)
+    extends Aggregator[ScoredS, TopKStateS, Array[ScoredS]] {
+  require(k > 0, s"top-k needs k > 0, got $k")
+
+  private def beats(s1: Double, i1: String, s2: Double, i2: String): Boolean =
+    s1 > s2 || (s1 == s2 && i1.compareTo(i2) < 0)
+
+  override def zero: TopKStateS =
+    TopKStateS(Array.emptyDoubleArray, Array.empty[String])
+
+  override def reduce(b: TopKStateS, a: ScoredS): TopKStateS = {
+    val n = b.ids.length
+    if (n >= k && !beats(a.score, a.id, b.scores(n - 1), b.ids(n - 1))) b
+    else {
+      var p = 0
+      while (p < n && !beats(a.score, a.id, b.scores(p), b.ids(p))) p += 1
+      val m = math.min(n + 1, k)
+      val ss = new Array[Double](m); val is = new Array[String](m)
+      System.arraycopy(b.scores, 0, ss, 0, p)
+      System.arraycopy(b.ids, 0, is, 0, p)
+      ss(p) = a.score; is(p) = a.id
+      if (p + 1 < m) {
+        System.arraycopy(b.scores, p, ss, p + 1, m - p - 1)
+        System.arraycopy(b.ids, p, is, p + 1, m - p - 1)
+      }
+      TopKStateS(ss, is)
+    }
+  }
+
+  override def merge(x: TopKStateS, y: TopKStateS): TopKStateS =
+    if (y.ids.isEmpty) x
+    else if (x.ids.isEmpty) y
+    else {
+      val m = math.min(x.ids.length + y.ids.length, k)
+      val ss = new Array[Double](m); val is = new Array[String](m)
+      var i = 0; var j = 0; var o = 0
+      while (o < m) {
+        val takeX = j >= y.ids.length ||
+          (i < x.ids.length && beats(x.scores(i), x.ids(i), y.scores(j), y.ids(j)))
+        if (takeX) { ss(o) = x.scores(i); is(o) = x.ids(i); i += 1 }
+        else       { ss(o) = y.scores(j); is(o) = y.ids(j); j += 1 }
+        o += 1
+      }
+      TopKStateS(ss, is)
+    }
+
+  override def finish(b: TopKStateS): Array[ScoredS] =
+    Array.tabulate(b.ids.length)(i => ScoredS(b.scores(i), b.ids(i)))
+
+  override def bufferEncoder: ExpressionEncoder[TopKStateS] =
+    ExpressionEncoder[TopKStateS]()
+  override def outputEncoder: ExpressionEncoder[Array[ScoredS]] =
+    ExpressionEncoder[Array[ScoredS]]()
 }

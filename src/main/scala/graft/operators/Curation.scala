@@ -514,18 +514,26 @@ object Curation {
   val TopK = 20
 
   /** Exact top-K tokens per language: explode → one partial-agg'd
-    * shuffle on (lang, token) → per-lang rank. The rank window's input
-    * is already one row per distinct token, so the second shuffle moves
-    * vocabulary, not corpus. Deterministic tie-break (count desc, token
-    * asc). */
+    * shuffle on (lang, token) → bounded-heap top-k per lang
+    * ([[graft.functions.TopKAggregator.topkStr]]). The heap's partial
+    * stage emits ≤ k tokens per (task, lang) into the exchange, so the
+    * second shuffle carries O(tasks·langs·k) — the rank window it
+    * replaces moved each language's ENTIRE vocabulary onto one task
+    * (billions of distinct tokens at corpus scale). Deterministic
+    * tie-break (count desc, token asc); cnt rides as the score, so no
+    * join-back is needed. */
   def heavyHitters(docs: DataFrame, k: Int = TopK): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token").asc)
+    import graft.functions.TopKAggregator
     docs
       .select(col("lang"),
               explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("token"))
       .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+      .groupBy(col("lang"))
+      .agg(TopKAggregator.topkStr(k)(col("cnt").cast("double"), col("token")).as("__tk"))
+      .select(col("lang"), posexplode(col("__tk")).as(Seq("__pos", "__s")))
+      .select(col("lang"), col("__s.id").as("token"),
+              col("__s.score").cast("long").as("cnt"),
+              (col("__pos") + 1).cast("int").as("rnk"))
   }
 
   // ---- x35: unigram LM cross-entropy scoring ---------------------------
