@@ -233,6 +233,47 @@ object TpchQueries {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** j09 — RANGE (interval) join without a cartesian: for every order
+    * date, count the shipments (any order) falling in its 7-day
+    * forward window. The declarative inequality join would plan as a
+    * nested-loop; the scale-safe shape is TIME-BIN BUCKETING: bin both
+    * sides by 7-day units of epoch time, explode each window onto the
+    * (≤2) bins it overlaps, equi-join on the bin, and re-check the
+    * exact range on the survivors — the bin join IS the blocking, the
+    * filter restores exact semantics (the same
+    * bucket-then-verify pattern as the dedup family). Here the
+    * order-date side is aggregate-small and broadcast, so the plan is
+    * a BroadcastHashJoin on the bin (spec-asserted: no nested-loop);
+    * at fact×fact scale the identical code shuffles both sides on the
+    * bin instead. Inner-join semantics: dates with zero shipments in
+    * window don't appear (mirrored in the oracle). */
+  def shipmentsInWindow(s: SparkSession, dir: String): DataFrame = {
+    val W = 7L * 86400L // window = bin width, seconds
+    val o = Tables.orders(s, dir)
+      .groupBy(col("o_orderdate")).agg(count(lit(1)).as("n_orders"))
+      .select(col("o_orderdate"), col("n_orders"),
+        explode(array_distinct(array(
+          floor(unix_timestamp(col("o_orderdate")) / W),
+          floor((unix_timestamp(col("o_orderdate")) + W - 1) / W)))).as("bin"))
+    val li = Tables.lineitem(s, dir).select(col("l_shipdate"),
+      floor(unix_timestamp(col("l_shipdate")) / W).as("bin"))
+    broadcast(o).join(li, Seq("bin"))
+      .filter(col("l_shipdate") >= col("o_orderdate") &&
+              col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("o_orderdate"), col("n_orders"))
+      .agg(count(lit(1)).as("n_shipments"))
+      .orderBy(col("o_orderdate"))
+  }
+
+  val shipmentsInWindowSql: String =
+    """WITH o AS (SELECT o_orderdate, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |           FROM orders GROUP BY 1)
+      |SELECT o.o_orderdate, o.n_orders, CAST(COUNT(*) AS BIGINT) AS n_shipments
+      |FROM o JOIN lineitem l
+      |  ON l.l_shipdate >= o.o_orderdate
+      | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "j01_pricing_summary"   -> ((pricingSummary _, Some(pricingSummarySql))),
     "j02_revenue_by_nation" -> ((revenueByNation _, Some(revenueByNationSql))),
@@ -242,5 +283,6 @@ object TpchQueries {
     "j06_customers_no_orders" -> ((customersWithoutOrders _, Some(customersWithoutOrdersSql))),
     "j07_order_count_dist"  -> ((orderCountDistribution _, Some(orderCountDistributionSql))),
     "j08_pricing_rollup"    -> ((pricingRollup _, Some(pricingRollupSql))),
+    "j09_range_join"        -> ((shipmentsInWindow _, Some(shipmentsInWindowSql))),
   )
 }

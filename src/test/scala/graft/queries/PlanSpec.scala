@@ -144,4 +144,11 @@ class PlanSpec extends AnyFunSuite {
       "daily sketches must partial-aggregate map-side: " + p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("j09: bin-bucketed range join plans as broadcast hash, never nested-loop") {
+    val p = plan(TpchQueries.shipmentsInWindow(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join degraded to a nested loop: " + p)
+  }
 }
