@@ -655,4 +655,37 @@ object Curation {
           .cast("double") / col("total"), 6))
       .select(col("rnk"), col("token"), col("cnt"), col("coverage"))
   }
+
+  // ---- x51: per-domain document cap ------------------------------------
+
+  val DomainCap = 10
+
+  /** Cap each domain (source) at `cap` documents, selected
+    * deterministically by content hash — the RefinedWeb/C4-style defense
+    * against a handful of giant hosts dominating the corpus. The keep
+    * set is a pure function of content (md5 over doc_id:text), so it is
+    * stable under corpus reordering and growth of OTHER domains.
+    *
+    * Scale shape: the bounded-heap string top-k
+    * ([[graft.functions.TopKAggregator.topkStr]]) with a constant score
+    * reduces to "k smallest hashes per domain" — each map task emits
+    * ≤ cap rows per domain into the exchange, so a domain with 10⁸ docs
+    * still moves only O(tasks·cap) rows. The rank-window alternative
+    * would shuffle the whole corpus and serialize each domain onto one
+    * task. */
+  def domainCap(docs: DataFrame, cap: Int = DomainCap,
+                domainCol: String = "source"): DataFrame = {
+    import graft.functions.TopKAggregator
+    // Hash input includes doc_id, so ids are collision-free and the
+    // lexicographic order needs no tie-break.
+    val keyed = docs.select(col(domainCol),
+      concat(md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))),
+             lit(":"), col("doc_id").cast("string")).as("h"))
+    keyed.groupBy(col(domainCol))
+      .agg(TopKAggregator.topkStr(cap)(lit(0.0), col("h")).as("__tk"))
+      .select(col(domainCol), posexplode(col("__tk")).as(Seq("__pos", "__s")))
+      .select(col(domainCol),
+              split(col("__s.id"), ":").getItem(1).cast("long").as("doc_id"),
+              (col("__pos") + 1).cast("long").as("sel_rank"))
+  }
 }

@@ -515,6 +515,24 @@ object CurationQueries {
        |ORDER BY lang, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // x51 — per-domain document cap (RefinedWeb-style host capping)
+  // ---------------------------------------------------------------------
+  def domainCapQ(s: SparkSession, dir: String): DataFrame =
+    Curation.domainCap(Tables.documents(s, dir))
+      .orderBy("source", "doc_id")
+
+  val domainCapSql: String =
+    s"""WITH r AS (
+       |  SELECT source, doc_id,
+       |         CAST(row_number() OVER (
+       |           PARTITION BY source
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || text)) AS BIGINT) AS sel_rank
+       |  FROM documents
+       |)
+       |SELECT source, doc_id, sel_rank FROM r WHERE sel_rank <= ${Curation.DomainCap}
+       |ORDER BY source, doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x20_deterministic_split" -> ((deterministicSplit _, Some(deterministicSplitSql))),
     "x21_quality_filter"      -> ((qualityFilter _, Some(qualityFilterSql))),
@@ -536,5 +554,6 @@ object CurationQueries {
     "x42_token_budget"        -> ((tokenBudget _, Some(tokenBudgetSql))),
     "x43_segment_dedup"       -> ((segmentDedup _, Some(segmentDedupSql))),
     "x47_priority_sample"     -> ((prioritySample _, Some(prioritySampleSql))),
+    "x51_domain_cap"          -> ((domainCapQ _, Some(domainCapSql))),
   )
 }

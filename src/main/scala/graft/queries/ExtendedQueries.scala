@@ -568,6 +568,66 @@ object ExtendedQueries {
        |       CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms
        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x49 — windowFunnel: per-user ordered-step matching (ClickHouse's
+  // signature event-sequence function over the reference's click domain).
+  // Chain order is strict (ts, event_id) tuple order — deterministic
+  // under timestamp ties, which the SQL oracle mirrors with tuple
+  // comparisons.
+  // ---------------------------------------------------------------------
+  private val FunnelSteps = Seq("view", "click", "purchase")
+  private val FunnelWindowUs = 3600L * 1000000L // 1 hour
+
+  def windowFunnelQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel
+      .windowFunnel(Tables.events(s, dir), FunnelSteps, FunnelWindowUs)
+      .orderBy("user_id")
+
+  val windowFunnelSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, event_type FROM events),
+      |v AS (SELECT user_id, t, event_id FROM e WHERE event_type = 'view'),
+      |c AS (SELECT user_id, t, event_id FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, t, event_id FROM e WHERE event_type = 'purchase'),
+      |l2 AS (
+      |  SELECT DISTINCT v.user_id FROM v JOIN c ON c.user_id = v.user_id
+      |    AND (c.t, c.event_id) > (v.t, v.event_id)
+      |    AND c.t <= v.t + INTERVAL 1 HOUR),
+      |l3 AS (
+      |  SELECT DISTINCT v.user_id FROM v
+      |  JOIN c ON c.user_id = v.user_id AND (c.t, c.event_id) > (v.t, v.event_id)
+      |         AND c.t <= v.t + INTERVAL 1 HOUR
+      |  JOIN p ON p.user_id = v.user_id AND (p.t, p.event_id) > (c.t, c.event_id)
+      |         AND p.t <= v.t + INTERVAL 1 HOUR)
+      |SELECT u.user_id,
+      |       CASE WHEN l3.user_id IS NOT NULL THEN 3
+      |            WHEN l2.user_id IS NOT NULL THEN 2
+      |            WHEN lv.user_id IS NOT NULL THEN 1
+      |            ELSE 0 END AS funnel_level
+      |FROM (SELECT DISTINCT user_id FROM e) u
+      |LEFT JOIN (SELECT DISTINCT user_id FROM v) lv ON lv.user_id = u.user_id
+      |LEFT JOIN l2 ON l2.user_id = u.user_id
+      |LEFT JOIN l3 ON l3.user_id = u.user_id
+      |ORDER BY u.user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x50 — retention cohort matrix (first-seen-day cohorts × day offset)
+  // ---------------------------------------------------------------------
+  def retentionQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.retentionMatrix(Tables.events(s, dir))
+      .orderBy("cohort_day", "day_offset")
+
+  val retentionSql: String =
+    """WITH d AS (
+      |  SELECT user_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(day_idx) AS cohort_idx FROM d GROUP BY 1)
+      |SELECT CAST(DATE '1970-01-01' + CAST(f.cohort_idx AS INTEGER) AS VARCHAR) AS cohort_day,
+      |       d.day_idx - f.cohort_idx AS day_offset,
+      |       CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+      |FROM d JOIN f ON d.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Registry: name → (fn, optional oracle). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x01_token_count"        -> ((tokenCount _, Some(tokenCountSql))),
@@ -596,5 +656,7 @@ object ExtendedQueries {
     "x44_bloom_cross_dedup"  -> ((bloomCrossDedup _, Some(bloomCrossDedupSql))),
     "x18_asof_join"          -> ((asofEnrichment _, Some(asofEnrichmentSql))),
     "x19_sessionization"     -> ((sessionization _, Some(sessionizationSql))),
+    "x49_window_funnel"      -> ((windowFunnelQ _, Some(windowFunnelSql))),
+    "x50_retention_cohort"   -> ((retentionQ _, Some(retentionSql))),
   )
 }
