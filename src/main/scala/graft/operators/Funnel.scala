@@ -1,7 +1,20 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event on the streamed funnel wire. */
+case class FunnelEvent(user_id: Long, ts_us: Long, event_id: Long,
+                       event_type: String)
+
+/** Streamed funnel state: the DP anchors over the SEALED prefix (events
+  * at or before the watermark as of the last trigger — no later arrival
+  * can precede them, so their fold is final) plus the sorted buffer of
+  * unsealed events. Parallel primitive arrays for cheap ser/de. */
+case class FunnelStreamState(anchors: Array[Long], sealedUs: Long,
+                             bufTs: Array[Long], bufId: Array[Long],
+                             bufTpe: Array[String])
 
 /** Event-sequence analytics over the click stream — the ClickHouse
   * `windowFunnel` / retention family (the reference's OLAP store is
@@ -60,25 +73,88 @@ object Funnel {
           val anchor = Array.fill(n)(Long.MinValue)
           while (in.hasNext && in.head._1 == user) {
             val (_, ts, _, tpe) = in.next()
-            // High-to-low so an event never extends a chain through itself
-            // (relevant only if a type appears at multiple levels).
-            var k = n - 1
-            while (k >= 0) {
-              if (stepArr(k) == tpe) {
-                if (k == 0) { if (ts > anchor(0)) anchor(0) = ts }
-                else if (anchor(k - 1) != Long.MinValue &&
-                         ts - anchor(k - 1) <= windowMicros &&
-                         anchor(k - 1) > anchor(k)) anchor(k) = anchor(k - 1)
-              }
-              k -= 1
-            }
+            applyEvent(anchor, stepArr, ts, tpe, windowMicros)
           }
-          var lvl = 0
-          while (lvl < n && anchor(lvl) != Long.MinValue) lvl += 1
-          (user, lvl)
+          (user, level(anchor))
         }
       }
     }.toDF("user_id", "funnel_level")
+  }
+
+  /** One DP transition: fold the next event (in (ts, event_id) order)
+    * into the per-level anchor array. Mutates `anchor` in place.
+    * Shared by the batch scan above and the streamed twin's sealed-prefix
+    * fold ([[graft.streaming.StreamingQueries]] s18). */
+  private[graft] def applyEvent(anchor: Array[Long], steps: Array[String],
+                                ts: Long, tpe: String,
+                                windowMicros: Long): Unit = {
+    // High-to-low so an event never extends a chain through itself
+    // (relevant only if a type appears at multiple levels).
+    var k = steps.length - 1
+    while (k >= 0) {
+      if (steps(k) == tpe) {
+        if (k == 0) { if (ts > anchor(0)) anchor(0) = ts }
+        else if (anchor(k - 1) != Long.MinValue &&
+                 ts - anchor(k - 1) <= windowMicros &&
+                 anchor(k - 1) > anchor(k)) anchor(k) = anchor(k - 1)
+      }
+      k -= 1
+    }
+  }
+
+  /** Completed level = longest non-empty anchor prefix. */
+  private[graft] def level(anchor: Array[Long]): Int = {
+    var lvl = 0
+    while (lvl < anchor.length && anchor(lvl) != Long.MinValue) lvl += 1
+    lvl
+  }
+
+  /** Streamed twin of [[windowFunnel]]: per-user funnel levels over an
+    * unbounded stream, exact and state-bounded.
+    *
+    * The batch DP is order-sensitive, so a streaming version must decide
+    * what to do about out-of-order arrival. The watermark decides: events
+    * at or before the current watermark can never gain a new predecessor
+    * (later arrivals below the watermark are dropped by the engine), so
+    * the (ts, event_id)-sorted prefix up to the watermark is folded into
+    * the sealed anchor array — O(steps) longs, final forever. Events
+    * beyond the watermark wait in a sorted buffer bounded by
+    * watermark lag × arrival rate. Each trigger emits the user's
+    * PROVISIONAL level (sealed fold + buffer fold): adding events never
+    * lowers a funnel level, so the last emission per user equals the
+    * batch answer over the same data.
+    *
+    * Emission is Update-mode: one (user_id, funnel_level) row per user
+    * per trigger in which the user has events. */
+  def streamFunnel(events: Dataset[FunnelEvent], steps: Seq[String],
+                   windowMicros: Long): Dataset[(Long, Int)] = {
+    val n = steps.length
+    val stepArr = steps.toArray
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[FunnelEvent],
+         state: GroupState[FunnelStreamState]) =>
+          val st = state.getOption.getOrElse(FunnelStreamState(
+            Array.fill(n)(Long.MinValue), Long.MinValue,
+            Array.emptyLongArray, Array.emptyLongArray, Array.empty[String]))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val merged = (st.bufTs.indices.iterator
+              .map(i => (st.bufTs(i), st.bufId(i), st.bufTpe(i))) ++
+            rows.map(e => (e.ts_us, e.event_id, e.event_type)))
+            .toIndexedSeq.sortBy(t => (t._1, t._2))
+          val anchors = st.anchors.clone()
+          val (sealNow, keep) = merged.partition(_._1 <= wmUs)
+          sealNow.foreach { case (ts, _, tpe) =>
+            applyEvent(anchors, stepArr, ts, tpe, windowMicros) }
+          val prov = anchors.clone()
+          keep.foreach { case (ts, _, tpe) =>
+            applyEvent(prov, stepArr, ts, tpe, windowMicros) }
+          state.update(FunnelStreamState(anchors, wmUs,
+            keep.map(_._1).toArray, keep.map(_._2).toArray,
+            keep.map(_._3).toArray))
+          Iterator.single((user, level(prov)))
+      }
   }
 
   /** Retention cohort matrix: users bucketed by first-seen day (the

@@ -575,8 +575,8 @@ object ExtendedQueries {
   // under timestamp ties, which the SQL oracle mirrors with tuple
   // comparisons.
   // ---------------------------------------------------------------------
-  private val FunnelSteps = Seq("view", "click", "purchase")
-  private val FunnelWindowUs = 3600L * 1000000L // 1 hour
+  private[graft] val FunnelSteps = Seq("view", "click", "purchase")
+  private[graft] val FunnelWindowUs = 3600L * 1000000L // 1 hour
 
   def windowFunnelQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Funnel

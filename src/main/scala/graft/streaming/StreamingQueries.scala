@@ -523,6 +523,66 @@ object StreamingQueries {
       .orderBy("lang", "rank")
   }
 
+  // ---------------------------------------------------------------------
+  // s18 — STREAMED windowFunnel: the order-sensitive funnel DP (x49)
+  // over a multi-batch replay. The stream is sliced into chronological
+  // non-overlapping ts ranges appended one file at a time, so the
+  // watermark advances batch-over-batch and genuinely exercises the
+  // sealed-prefix fold (events at/before the watermark collapse into
+  // O(steps) state; only the unsealed tail is buffered). Final level per
+  // user = last Update-mode emission, hash-checked against x49's oracle.
+  // ---------------------------------------------------------------------
+  def streamFunnel(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Funnel, FunnelEvent}
+    import graft.queries.ExtendedQueries.{FunnelSteps, FunnelWindowUs}
+    val work = tempDir("graft_s18_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    val ev = Tables.events(s, dir).select(
+      col("user_id").cast("long").as("user_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("event_id").cast("long").as("event_id"),
+      col("event_type"))
+    // 4 chronological slices with non-overlapping ts ranges, written
+    // sequentially (distinct mtimes) so the file source replays them in
+    // event-time order and the watermark never late-drops.
+    val cuts = ev.stat.approxQuantile("ts_us", Array(0.25, 0.5, 0.75), 0.0)
+    val edges = Long.MinValue +: cuts.map(_.toLong) :+ Long.MaxValue
+    edges.sliding(2).foreach { pair =>
+      ev.filter(col("ts_us") > pair(0) && col("ts_us") <= pair(1))
+        .coalesce(1).write.mode("append").json(inDir)
+      Thread.sleep(50)
+    }
+
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_us", LongType),
+      StructField("event_id", LongType), StructField("event_type", StringType)))
+    import s.implicits._
+    val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .json(inDir)
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "10 seconds")
+      .as[FunnelEvent]
+    val levels = Funnel.streamFunnel(stream, FunnelSteps, FunnelWindowUs)
+      .toDF("user_id", "funnel_level")
+
+    withStatePartitions(s, 8) {
+      val q = levels.writeStream.outputMode("update")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    s.read.parquet(outDir)
+      .groupBy("user_id")
+      .agg(max_by(col("funnel_level"), col("batch")).as("funnel_level"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "s01_stream_minute_agg" -> ((streamMinuteAgg _, Some(ReferenceQueries.q14Sql))),
     "s02_stream_anomaly"    -> ((streamAnomaly _, Some(streamAnomalySql))),
@@ -540,5 +600,7 @@ object StreamingQueries {
     "s11_stream_stream_join" -> ((streamStreamJoin _, Some(streamStreamJoinSql))),
     "s17_stream_priority_sample" -> ((streamPrioritySample _,
       Some(graft.queries.CurationQueries.prioritySampleSql))),
+    "s18_stream_funnel" -> ((streamFunnel _,
+      Some(graft.queries.ExtendedQueries.windowFunnelSql))),
   )
 }

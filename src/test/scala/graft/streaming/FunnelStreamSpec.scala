@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.{Funnel, FunnelEvent}
+
+/** s18 invariants: the streamed funnel's sealed-prefix DP must agree
+  * with the batch DP when chains SPAN micro-batches and when the
+  * watermark has already sealed the chain's early steps. (End-to-end
+  * parity with x49's oracle is the driver's hash check; these pin the
+  * cross-batch mechanics on controlled fixtures.) */
+class FunnelStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val W = 3600L * 1000000L
+  private val steps = Seq("view", "click", "purchase")
+
+  /** Drive the streamed funnel over explicit micro-batches; returns the
+    * final level per user (levels are monotone, so max == last). */
+  private def run(name: String)(batches: Seq[FunnelEvent]*): Map[Long, Int] = {
+    val input = MemoryStream[FunnelEvent](spark)
+    val withTime = input.toDS()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "10 seconds")
+      .as[FunnelEvent]
+    val q = Funnel.streamFunnel(withTime, steps, W)
+      .toDF("user_id", "funnel_level")
+      .writeStream.outputMode("update")
+      .format("memory").queryName(name)
+      .option("checkpointLocation", Files.createTempDirectory(s"ck_$name").toString)
+      .start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      spark.table(name).groupBy("user_id").agg(max("funnel_level").as("lvl"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    } finally q.stop()
+  }
+
+  private def sec(s: Long) = s * 1000000L
+
+  test("s18: chain spanning micro-batches completes after the anchor is sealed") {
+    // Batch 1: the view, plus a far-future event from another user that
+    // drags the watermark PAST the view — so by batch 2 the view has
+    // been folded into the sealed anchors and the buffer is empty.
+    // Batch 2: click + purchase extend the SEALED anchor within its
+    // 1-hour window.
+    val lv = run("s18_span")(
+      Seq(FunnelEvent(1L, sec(1000), 1L, "view"),
+          FunnelEvent(9L, sec(2000), 2L, "view")),
+      Seq(FunnelEvent(1L, sec(1200), 3L, "click"),
+          FunnelEvent(1L, sec(1400), 4L, "purchase")))
+    assert(lv(1L) == 3, s"sealed anchor did not extend across batches: $lv")
+    assert(lv(9L) == 1)
+  }
+
+  test("s18: provisional emissions are monotone and the last equals the batch DP") {
+    // Same user's steps drip-fed one per batch.
+    val lv = run("s18_drip")(
+      Seq(FunnelEvent(1L, sec(100), 1L, "view")),
+      Seq(FunnelEvent(1L, sec(200), 2L, "click")),
+      Seq(FunnelEvent(1L, sec(300), 3L, "purchase")))
+    assert(lv(1L) == 3)
+    val emitted = spark.table("s18_drip").filter(col("user_id") === 1L)
+      .select("funnel_level").as[Int].collect().sorted
+    assert(emitted.sameElements(Array(1, 2, 3)), "levels must grow 1→2→3 across batches")
+  }
+
+  test("s18: expired-window chain stays incomplete across batches") {
+    // click arrives 2 h after the only view — crosses batches but must
+    // NOT complete (window is 1 h); a second view then rescues it.
+    val lv = run("s18_exp")(
+      Seq(FunnelEvent(1L, sec(0), 1L, "view")),
+      Seq(FunnelEvent(1L, sec(7200), 2L, "click")),
+      Seq(FunnelEvent(1L, sec(7300), 3L, "view")),
+      Seq(FunnelEvent(1L, sec(7400), 4L, "click")))
+    assert(lv(1L) == 2)
+  }
+
+  test("s18: out-of-order WITHIN the watermark horizon is re-sorted") {
+    // Both events in one batch, reversed arrival order; the buffer sort
+    // must restore (ts, id) order so the chain completes.
+    val lv = run("s18_ooo")(
+      Seq(FunnelEvent(1L, sec(200), 2L, "click"),
+          FunnelEvent(1L, sec(100), 1L, "view")))
+    assert(lv(1L) == 2)
+  }
+}
