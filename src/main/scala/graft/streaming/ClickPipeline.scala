@@ -186,9 +186,10 @@ object ClickPipeline {
     * appends (`batchsize` — agg 100 / raw 1000 in the reference) with
     * bounded retries (3 in the reference). Retrying inside foreachBatch
     * is at-least-once into the table, same as the reference's JDBC sink;
-    * dedup key for exactly-once consumers is event_id. Production path —
-    * compiles against Spark's JDBC writer; the sandbox has no database,
-    * so the hermetic entries use [[runAppendParquet]]. */
+    * dedup key for exactly-once consumers is event_id. Executed
+    * end-to-end against embedded Derby in JdbcSinkSpec (multi-batch
+    * appends, table auto-creation, replay, bounded-retry chain); the
+    * hermetic registry entries use [[runAppendParquet]]. */
   def jdbcBatchWriter(url: String, table: String, props: java.util.Properties,
                       batchSize: Int = 1000, maxRetries: Int = 3)
                      : (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
