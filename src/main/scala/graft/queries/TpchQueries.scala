@@ -274,6 +274,107 @@ object TpchQueries {
       | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  /** j10 — set operations (INTERSECT / EXCEPT), a SQL-surface capability
+    * the reference's declared queries never use: suppliers who shipped
+    * in both 1996 and 1997, and those active in 1996 only. Spark plans
+    * both as aggregates/joins on the distinct key sets — the inputs are
+    * already distinct supplier keys (suppliers-sized, not fact-sized),
+    * so each set op is one co-partitioned shuffle of a dimension-scale
+    * relation. */
+  def supplierSetOps(s: SparkSession, dir: String): DataFrame = {
+    def shippers(year: Int) = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(s"$year-01-01") &&
+              col("l_shipdate") < lit(s"${year + 1}-01-01"))
+      .select(col("l_suppkey")).distinct()
+    val y96 = shippers(1996); val y97 = shippers(1997)
+    y96.intersect(y97).withColumn("set_op", lit("both"))
+      .unionByName(y96.except(y97).withColumn("set_op", lit("only_1996")))
+      .select(col("set_op"), col("l_suppkey"))
+      .orderBy("set_op", "l_suppkey")
+  }
+
+  val supplierSetOpsSql: String =
+    """WITH y96 AS (SELECT DISTINCT l_suppkey FROM lineitem
+      |             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |               AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'),
+      |     y97 AS (SELECT DISTINCT l_suppkey FROM lineitem
+      |             WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |               AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT 'both' AS set_op, l_suppkey
+      |FROM (SELECT l_suppkey FROM y96 INTERSECT SELECT l_suppkey FROM y97)
+      |UNION ALL
+      |SELECT 'only_1996' AS set_op, l_suppkey
+      |FROM (SELECT l_suppkey FROM y96 EXCEPT SELECT l_suppkey FROM y97)
+      |ORDER BY set_op, l_suppkey""".stripMargin
+
+  /** j11 — correlated-subquery shape: orders above 1.5× THEIR nation's
+    * average order value. The correlated scalar subquery decorrelates
+    * into a per-nation aggregate joined back — Spark-side that join is
+    * explicit: the nation-average relation is nations-sized and
+    * broadcast, so the fact table is filtered row-locally with no
+    * second fact shuffle. */
+  def bigSpenders(s: SparkSession, dir: String): DataFrame = {
+    val co = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+            col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey"), col("o_totalprice"))
+    val natAvg = co.groupBy(col("c_nationkey"))
+      .agg(avg(col("o_totalprice")).as("nat_avg"))
+    co.join(broadcast(natAvg), "c_nationkey")
+      .filter(col("o_totalprice") > lit(1.5) * col("nat_avg"))
+      .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_big_orders"),
+           max(col("o_totalprice")).as("max_price"))
+      .orderBy("n_name")
+  }
+
+  val bigSpendersSql: String =
+    """SELECT n.n_name,
+      |       CAST(COUNT(*) AS BIGINT) AS n_big_orders,
+      |       MAX(o.o_totalprice) AS max_price
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE o.o_totalprice > 1.5 * (
+      |  SELECT AVG(o2.o_totalprice)
+      |  FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
+      |  WHERE c2.c_nationkey = c.c_nationkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** j12 — window FRAME analytics: per-event-type daily counts with a
+    * trailing 7-row moving average. The frame runs over the PRE-AGGREGATED
+    * (type, day) relation — types × days rows, shuffled once on the
+    * low-cardinality type key — never over raw events; the partial agg
+    * below it is what touches the corpus. Sum of ≤7 longs then one
+    * division keeps float parity exact across engines. */
+  def dailyMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+               date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("ma7", sum(col("n")).over(w).cast("double") /
+                         count(lit(1)).over(w).cast("double"))
+      .orderBy("event_type", "day")
+  }
+
+  val dailyMovingAvgSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |         CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, n,
+      |       CAST(SUM(n) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE) AS ma7
+      |FROM daily
+      |WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, day""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "j01_pricing_summary"   -> ((pricingSummary _, Some(pricingSummarySql))),
     "j02_revenue_by_nation" -> ((revenueByNation _, Some(revenueByNationSql))),
@@ -284,5 +385,8 @@ object TpchQueries {
     "j07_order_count_dist"  -> ((orderCountDistribution _, Some(orderCountDistributionSql))),
     "j08_pricing_rollup"    -> ((pricingRollup _, Some(pricingRollupSql))),
     "j09_range_join"        -> ((shipmentsInWindow _, Some(shipmentsInWindowSql))),
+    "j10_set_ops"           -> ((supplierSetOps _, Some(supplierSetOpsSql))),
+    "j11_correlated_subq"   -> ((bigSpenders _, Some(bigSpendersSql))),
+    "j12_moving_avg"        -> ((dailyMovingAvg _, Some(dailyMovingAvgSql))),
   )
 }

@@ -151,4 +151,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "range join degraded to a nested loop: " + p)
   }
+
+  test("j10: set ops stay hash-based on the distinct key sets, never cartesian") {
+    val p = plan(TpchQueries.supplierSetOps(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the INTERSECT/EXCEPT inputs are pre-aggregated distinct key sets
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("j11: decorrelated nation-average threshold broadcasts; fact shuffled once") {
+    val p = plan(TpchQueries.bigSpenders(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("j12: the moving-average frame runs over the pre-aggregated daily relation") {
+    val df = TpchQueries.dailyMovingAvg(spark, dir)
+    val p = plan(df)
+    assert(p.contains("Window"), p)
+    // partial aggregation below the window: the corpus collapses to
+    // (type, day) BEFORE any window state is built
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.indexOf("Window") < optimized.indexOf("Aggregate"),
+      "window must sit above the daily aggregate, not over raw events:\n" + optimized)
+  }
 }
