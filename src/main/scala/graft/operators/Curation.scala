@@ -656,6 +656,52 @@ object Curation {
       .select(col("rnk"), col("token"), col("cnt"), col("coverage"))
   }
 
+  // ---- x52: collocation extraction (PMI-ranked bigrams) ----------------
+
+  val CollocMinCount = 5
+  val CollocK = 50
+
+  /** Top-K collocations: adjacent-token bigrams ranked by pointwise
+    * mutual information, the classic corpus-linguistics signal for
+    * multiword expressions ("new york" scores high, "of the" does not).
+    *
+    * Scale shape: the corpus collapses to a bigram-vocabulary count and
+    * a unigram-vocabulary count (both partial-agg'd — the shuffles move
+    * vocabularies, never the corpus); the two totals are 1-row broadcast
+    * scalars; the unigram joins key on tokens (vocabulary-scale). PMI is
+    * computed with the IDENTICAL expression shape on both engines and
+    * rounded to 6 decimals BEFORE ranking (the x33/x35 transcendental-
+    * parity rule), tie-broken on the bigram string. Top-K via
+    * orderBy+limit (TakeOrdered — never a global rank window over the
+    * bigram vocabulary). */
+  def collocations(docs: DataFrame, k: Int = CollocK,
+                   minCount: Int = CollocMinCount): DataFrame = {
+    val toks = docs.select(
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val biAll = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+      .localCheckpoint() // feeds both the total and the scored join
+    val totals = uni.agg(sum(col("cu")).cast("double").as("n_tok"))
+      .crossJoin(biAll.agg(sum(col("cb")).cast("double").as("n_bi")))
+    val scored = biAll.filter(col("cb") >= minCount)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("w").as("w1"), col("cu").as("cu1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cu").as("cu2")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(log(
+        (col("cb").cast("double") * col("n_tok") * col("n_tok")) /
+        (col("n_bi") * col("cu1") * col("cu2"))), 6))
+    val w = Window.orderBy(col("pmi").desc, col("bg").asc)
+    scored.orderBy(col("pmi").desc, col("bg").asc).limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("bg"), col("cb"), col("pmi"))
+  }
+
   // ---- x51: per-domain document cap ------------------------------------
 
   val DomainCap = 10

@@ -533,6 +533,40 @@ object CurationQueries {
        |SELECT source, doc_id, sel_rank FROM r WHERE sel_rank <= ${Curation.DomainCap}
        |ORDER BY source, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x52 — collocation extraction: PMI-ranked adjacent bigrams
+  // ---------------------------------------------------------------------
+  def collocationsQ(s: SparkSession, dir: String): DataFrame =
+    Curation.collocations(Tables.documents(s, dir)).orderBy("rnk")
+
+  val collocationsSql: String = {
+    val (k, mc) = (Curation.CollocK, Curation.CollocMinCount)
+    s"""WITH toks AS (
+       |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+       |uc AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cu
+       |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+       |big AS (
+       |  SELECT unnest(list_transform(range(len(t) - 1),
+       |                               i -> t[i + 1] || ' ' || t[i + 2])) AS bg
+       |  FROM toks WHERE len(t) >= 2),
+       |bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cb FROM big GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n_tok FROM uc),
+       |totb AS (SELECT CAST(SUM(cb) AS DOUBLE) AS n_bi FROM bc),
+       |scored AS (
+       |  SELECT bc.bg, bc.cb,
+       |         round(ln((CAST(bc.cb AS DOUBLE) * t.n_tok * t.n_tok)
+       |                  / (tb.n_bi * u1.cu * u2.cu)), 6) AS pmi
+       |  FROM bc
+       |  JOIN uc u1 ON u1.w = string_split(bc.bg, ' ')[1]
+       |  JOIN uc u2 ON u2.w = string_split(bc.bg, ' ')[2]
+       |  CROSS JOIN tot t CROSS JOIN totb tb
+       |  WHERE bc.cb >= $mc)
+       |SELECT CAST(row_number() OVER (ORDER BY pmi DESC, bg) AS BIGINT) AS rnk,
+       |       bg, cb, pmi
+       |FROM scored ORDER BY pmi DESC, bg LIMIT $k""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x20_deterministic_split" -> ((deterministicSplit _, Some(deterministicSplitSql))),
     "x21_quality_filter"      -> ((qualityFilter _, Some(qualityFilterSql))),
@@ -555,5 +589,6 @@ object CurationQueries {
     "x43_segment_dedup"       -> ((segmentDedup _, Some(segmentDedupSql))),
     "x47_priority_sample"     -> ((prioritySample _, Some(prioritySampleSql))),
     "x51_domain_cap"          -> ((domainCapQ _, Some(domainCapSql))),
+    "x52_collocations"        -> ((collocationsQ _, Some(collocationsSql))),
   )
 }

@@ -414,4 +414,28 @@ class CurationSpec extends AnyFunSuite {
     assert(got == expect, "heap top-k disagrees with window-rank recompute")
     out.unpersist()
   }
+
+  test("x52 collocations: planted pair outranks frequent independent bigrams") {
+    val spark2 = spark
+    import spark2.implicits._
+    // "zq xw" always co-occurs (12 times, only as a pair); filler tokens
+    // are frequent and independently shuffled, so their bigrams carry
+    // low PMI. The planted pair must take rank 1.
+    val fill = Seq("alpha", "beta", "gamma", "delta")
+    val planted = (0 until 12).map { i =>
+      val pad = (0 until 8).map(j => fill((i + j) % 4)).mkString(" ")
+      (i.toLong, s"$pad zq xw $pad")
+    }
+    val fixture = planted.toDF("doc_id", "text")
+    val out = Curation.collocations(fixture, k = 10, minCount = 5).cache()
+    val top = out.filter(col("rnk") === 1).select("bg").as[String].head()
+    assert(top == "zq xw", s"planted collocation not top-ranked: got $top")
+    // PMI of the planted pair strictly exceeds every filler bigram's
+    val pmis = out.select("bg", "pmi").as[(String, Double)].collect().toMap
+    assert(pmis.filter(_._1 != "zq xw").values.forall(_ < pmis("zq xw")))
+    // deterministic
+    val again = Curation.collocations(fixture, k = 10, minCount = 5)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    out.unpersist()
+  }
 }
