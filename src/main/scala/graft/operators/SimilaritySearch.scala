@@ -149,7 +149,10 @@ object SimilaritySearch {
       items.select(col(idCol).as("vec_id"), col(vecCol).as("i_vec")), "i_vec")
     // fit on a bounded SAMPLE (k-means centroids converge on a fraction of
     // the corpus; 10 full passes over 10^9 rows before the first query is
-    // the wrong trade) — the full corpus pays only the one assignment pass
+    // the wrong trade) — the full corpus pays only the one assignment pass.
+    // The gating count is NOT a data pass: column pruning drops every
+    // derived column, so it plans as a zero-column scan answered from
+    // parquet row-group metadata (verified: ReadSchema: struct<>).
     val total = itemsU.count()
     val fitInput =
       if (total <= maxFitRows) itemsU
