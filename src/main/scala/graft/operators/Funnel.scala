@@ -16,6 +16,14 @@ case class FunnelStreamState(anchors: Array[Long], sealedUs: Long,
                              bufTs: Array[Long], bufId: Array[Long],
                              bufTpe: Array[String])
 
+/** One event on the streamed retention wire — only the key and time. */
+case class DayEvent(user_id: Long, ts_us: Long)
+
+/** Streamed retention state: the user's distinct active epoch-days,
+  * sorted ascending (head = cohort day). Bounded by STREAM AGE in
+  * calendar days, not by event count. */
+case class RetentionState(days: Array[Long])
+
 /** Event-sequence analytics over the click stream — the ClickHouse
   * `windowFunnel` / retention family (the reference's OLAP store is
   * ClickHouse, `sql/clickhouse_tables.sql:1-108`; these are the standard
@@ -154,6 +162,34 @@ object Funnel {
             keep.map(_._1).toArray, keep.map(_._2).toArray,
             keep.map(_._3).toArray))
           Iterator.single((user, level(prov)))
+      }
+  }
+
+  /** Streamed twin of [[retentionMatrix]]'s per-user core. Unlike the
+    * funnel DP, retention state is fully ORDER-INSENSITIVE (a min and a
+    * distinct-set are commutative), so no watermark sealing is needed —
+    * the subtlety is instead that a user's COHORT can change
+    * retroactively: an earlier first-day arriving in a later batch
+    * re-assigns every previously-emitted (cohort, offset) pair. Each
+    * trigger therefore emits the user's full current SNAPSHOT
+    * (user, cohort_day_idx, active_day_idx)*, and the reader keeps only
+    * each user's LAST snapshot — stale cohort assignments die with the
+    * superseded batch. (At production scale the chatty snapshot would be
+    * replaced by changed-rows + retractions; the snapshot keeps the
+    * bounded-replay harness idempotent.) State per user: one long per
+    * distinct active day — bounded by stream age in days. */
+  def streamRetention(events: Dataset[DayEvent]): Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[DayEvent], state: GroupState[RetentionState]) =>
+          val prev = state.getOption.map(_.days).getOrElse(Array.emptyLongArray)
+          val days = (prev.iterator ++
+            rows.map(e => Math.floorDiv(e.ts_us, 86400000000L)))
+            .toArray.distinct.sorted
+          state.update(RetentionState(days))
+          val cohort = days.head
+          days.iterator.map(d => (user, cohort, d))
       }
   }
 

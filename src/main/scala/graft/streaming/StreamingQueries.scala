@@ -583,6 +583,61 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------------
+  // s19 — STREAMED retention cohorts: per-user first-seen + active-day
+  // state (order-insensitive, no watermark needed); the replay slices
+  // are deliberately NON-chronological so later batches retro-actively
+  // re-assign cohorts, exercising the snapshot-supersedes-snapshot
+  // contract. Final matrix ≡ the batch x50 oracle.
+  // ---------------------------------------------------------------------
+  def streamRetention(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{DayEvent, Funnel}
+    val work = tempDir("graft_s19_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    // hash-sliced (NOT time-sliced): a user's earliest event often lands
+    // in a later batch, forcing the retro-active cohort reassignment path
+    val ev = Tables.events(s, dir).select(
+      col("user_id").cast("long").as("user_id"),
+      unix_micros(col("ts")).as("ts_us"))
+    (0 until 4).foreach { i =>
+      ev.filter(pmod(xxhash64(col("ts_us")), lit(4)) === i)
+        .coalesce(1).write.mode("append").json(inDir)
+      Thread.sleep(50)
+    }
+
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_us", LongType)))
+    import s.implicits._
+    val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .json(inDir).as[DayEvent]
+    val snaps = Funnel.streamRetention(stream)
+      .toDF("user_id", "cohort_idx", "day_idx")
+
+    withStatePartitions(s, 8) {
+      val q = snaps.writeStream.outputMode("update")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    // keep each user's LAST snapshot only, then roll up the matrix
+    val emitted = s.read.parquet(outDir)
+    val last = emitted.groupBy("user_id").agg(max("batch").as("batch"))
+    emitted.join(last, Seq("user_id", "batch"))
+      .groupBy(col("cohort_idx"), (col("day_idx") - col("cohort_idx")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(
+        date_format(timestamp_seconds(col("cohort_idx") * 86400L), "yyyy-MM-dd")
+          .as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "s01_stream_minute_agg" -> ((streamMinuteAgg _, Some(ReferenceQueries.q14Sql))),
     "s02_stream_anomaly"    -> ((streamAnomaly _, Some(streamAnomalySql))),
@@ -602,5 +657,7 @@ object StreamingQueries {
       Some(graft.queries.CurationQueries.prioritySampleSql))),
     "s18_stream_funnel" -> ((streamFunnel _,
       Some(graft.queries.ExtendedQueries.windowFunnelSql))),
+    "s19_stream_retention" -> ((streamRetention _,
+      Some(graft.queries.ExtendedQueries.retentionSql))),
   )
 }

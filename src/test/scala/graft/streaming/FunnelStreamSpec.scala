@@ -90,4 +90,33 @@ class FunnelStreamSpec extends AnyFunSuite {
           FunnelEvent(1L, sec(100), 1L, "view")))
     assert(lv(1L) == 2)
   }
+
+  test("s19: a late-arriving earlier day retro-actively re-assigns the cohort") {
+    import graft.operators.{DayEvent, Funnel}
+    val day = 86400L * 1000000L
+    val input = MemoryStream[DayEvent](spark)
+    val q = Funnel.streamRetention(input.toDS())
+      .toDF("user_id", "cohort_idx", "day_idx")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("s19_retro")
+      .option("checkpointLocation", Files.createTempDirectory("ck_s19").toString)
+      .start()
+    try {
+      // batch 1: user active on days 10 and 12 → cohort 10
+      input.addData(DayEvent(1L, 10 * day), DayEvent(1L, 12 * day))
+      q.processAllAvailable()
+      val first = spark.table("s19_retro")
+        .select("cohort_idx", "day_idx").as[(Long, Long)].collect().toSet
+      assert(first == Set((10L, 10L), (10L, 12L)))
+      // batch 2: day 7 arrives late → cohort becomes 7 and the snapshot
+      // re-emits EVERY day under the new cohort
+      input.addData(DayEvent(1L, 7 * day))
+      q.processAllAvailable()
+      val latest = spark.table("s19_retro")
+        .select("cohort_idx", "day_idx").as[(Long, Long)].collect()
+        .groupBy(_._1)(7L).toSet
+      assert(latest == Set((7L, 7L), (7L, 10L), (7L, 12L)),
+        "second snapshot must carry all days under the re-assigned cohort")
+    } finally q.stop()
+  }
 }
