@@ -567,6 +567,50 @@ object CurationQueries {
        |FROM scored ORDER BY pmi DESC, bg LIMIT $k""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // x53 — APPROXIMATE heavy hitters via a Misra-Gries mergeable sketch.
+  // The vocabulary regime x24 can't reach: each map task reduces its
+  // partition to a k-entry summary, the exchange carries
+  // O(tasks·langs·k) regardless of vocabulary size, and survivors are
+  // exact-counted afterwards with a broadcast semi-join (candidate set
+  // is k·langs rows). The MG theorem guarantees every token with true
+  // frequency > n/(k+1) survives the sketch regardless of merge order,
+  // so survivors filtered by exact count > n/(k+1) equal EXACTLY the
+  // frequent-token set — deterministic and hash-oracle-able: a sketch
+  // that ever dropped a frequent token would fail this hash.
+  // ---------------------------------------------------------------------
+  private val MgK = 40
+
+  def approxHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MisraGriesAggregator
+    val toks = Tables.documents(s, dir).select(col("lang"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+        .as("token"))
+    val cands = toks.groupBy("lang")
+      .agg(MisraGriesAggregator.mg(MgK)(col("token")).as("mg"))
+      .select(col("lang"), explode(col("mg")).as("s"))
+      .select(col("lang"), col("s.id").as("token"))
+    val exact = toks.join(broadcast(cands), Seq("lang", "token"), "left_semi")
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val totals = toks.groupBy("lang").agg(count(lit(1)).as("n"))
+    exact.join(broadcast(totals), "lang")
+      .filter(col("cnt") * (MgK + 1) > col("n"))
+      .select(col("lang"), col("token"), col("cnt"))
+      .orderBy("lang", "token")
+  }
+
+  val approxHeavyHittersSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |  FROM documents),
+       |tc AS (SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS cnt
+       |       FROM toks GROUP BY 1, 2),
+       |tot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n FROM tc GROUP BY 1)
+       |SELECT tc.lang, tc.token, tc.cnt
+       |FROM tc JOIN tot ON tc.lang = tot.lang
+       |WHERE tc.cnt * ${MgK + 1} > tot.n
+       |ORDER BY tc.lang, tc.token""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x20_deterministic_split" -> ((deterministicSplit _, Some(deterministicSplitSql))),
     "x21_quality_filter"      -> ((qualityFilter _, Some(qualityFilterSql))),
@@ -590,5 +634,6 @@ object CurationQueries {
     "x47_priority_sample"     -> ((prioritySample _, Some(prioritySampleSql))),
     "x51_domain_cap"          -> ((domainCapQ _, Some(domainCapSql))),
     "x52_collocations"        -> ((collocationsQ _, Some(collocationsSql))),
+    "x53_approx_heavy_hitters" -> ((approxHeavyHitters _, Some(approxHeavyHittersSql))),
   )
 }

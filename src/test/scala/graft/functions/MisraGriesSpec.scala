@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** The Misra-Gries contract (x53): frequency guarantee and estimate
+  * bound must hold through Spark's partial aggregation + merge path —
+  * the fixture is deliberately repartitioned so summaries genuinely
+  * merge across tasks. */
+class MisraGriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("planted heavy hitter survives the sketch with bounded under-count") {
+    val k = 10
+    // 1000 tokens: "hot" appears 200× (20% ≫ n/(k+1) ≈ 9%), the rest is
+    // an adversarial tail of 800 distinct singletons that constantly
+    // forces evictions.
+    val tokens = (Seq.fill(200)("hot") ++ (0 until 800).map(i => s"t$i"))
+    val df = tokens.toDF("token").repartition(8) // force cross-task merges
+    val out = df.agg(MisraGriesAggregator.mg(k)(col("token")).as("mg"))
+      .select(explode(col("mg")).as("s"))
+      .select(col("s.id").as("token"), col("s.score").cast("long").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.contains("hot"), s"frequent token evicted: $out")
+    val est = out("hot")
+    val n = tokens.length
+    assert(est <= 200, "MG estimates must never over-count a raw stream")
+    assert(200 - est <= n / (k + 1),
+      s"under-count ${200 - est} exceeds the n/(k+1) bound ${n / (k + 1)}")
+  }
+
+  test("every token above the n/(k+1) threshold survives on real docs") {
+    val k = 25
+    val toks = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("lang"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .as("token"))
+      .repartition(8)
+    val survivors = toks.groupBy("lang")
+      .agg(MisraGriesAggregator.mg(k)(col("token")).as("mg"))
+      .select(col("lang"), explode(col("mg")).as("s"))
+      .select(col("lang"), col("s.id").as("token"))
+      .as[(String, String)].collect().toSet
+    val exact = toks.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val totals = toks.groupBy("lang").agg(count(lit(1)).as("n"))
+    val mustSurvive = exact.join(totals, "lang")
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .select(col("lang"), col("token"))
+      .as[(String, String)].collect().toSet
+    assert(mustSurvive.nonEmpty, "fixture has no frequent tokens at this k — test is vacuous")
+    assert(mustSurvive.subsetOf(survivors),
+      s"MG guarantee violated; missing: ${mustSurvive -- survivors}")
+  }
+}
