@@ -579,7 +579,7 @@ object CurationQueries {
   // frequent-token set — deterministic and hash-oracle-able: a sketch
   // that ever dropped a frequent token would fail this hash.
   // ---------------------------------------------------------------------
-  private val MgK = 40
+  private[graft] val MgK = 40
 
   def approxHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.MisraGriesAggregator

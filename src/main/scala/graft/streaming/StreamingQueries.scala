@@ -638,6 +638,61 @@ object StreamingQueries {
       .orderBy("cohort_day", "day_offset")
   }
 
+  // ---------------------------------------------------------------------
+  // s20 — STREAMED sketch heavy hitters: the Misra-Gries summary as
+  // streaming aggregation state (same partial/merge path as the batch
+  // x53 — a micro-batch IS a partial aggregation). The sketch's k-entry
+  // state per language is the whole streaming footprint regardless of
+  // vocabulary; the final snapshot's survivors are exact-counted batch-
+  // side and thresholded, which by the MG guarantee reproduces x53's
+  // exact frequent-token set — same oracle.
+  // ---------------------------------------------------------------------
+  def streamSketchHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MisraGriesAggregator
+    val work = tempDir("graft_s20_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+    val k = graft.queries.CurationQueries.MgK // shared with x53's oracle threshold
+
+    Tables.documents(s, dir).repartition(4).write.parquet(inDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val toksStream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .select(col("lang"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .as("token"))
+    val agg = toksStream.groupBy(col("lang"))
+      .agg(MisraGriesAggregator.mg(k)(col("token")).as("mg"))
+
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream.outputMode("update")
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    val cands = s.read.parquet(outDir)
+      .groupBy(col("lang")).agg(max_by(col("mg"), col("batch")).as("mg"))
+      .select(col("lang"), explode(col("mg")).as("s"))
+      .select(col("lang"), col("s.id").as("token"))
+    val toks = Tables.documents(s, dir).select(col("lang"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+        .as("token"))
+    val exact = toks.join(broadcast(cands), Seq("lang", "token"), "left_semi")
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val totals = toks.groupBy("lang").agg(count(lit(1)).as("n"))
+    exact.join(broadcast(totals), "lang")
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .select(col("lang"), col("token"), col("cnt"))
+      .orderBy("lang", "token")
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "s01_stream_minute_agg" -> ((streamMinuteAgg _, Some(ReferenceQueries.q14Sql))),
     "s02_stream_anomaly"    -> ((streamAnomaly _, Some(streamAnomalySql))),
@@ -659,5 +714,7 @@ object StreamingQueries {
       Some(graft.queries.ExtendedQueries.windowFunnelSql))),
     "s19_stream_retention" -> ((streamRetention _,
       Some(graft.queries.ExtendedQueries.retentionSql))),
+    "s20_stream_sketch_hh" -> ((streamSketchHeavyHitters _,
+      Some(graft.queries.CurationQueries.approxHeavyHittersSql))),
   )
 }
