@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * compute (decode, feature extraction, resize, frame sampling) runs as
   * partition-batched transforms.
   *
-  * The actual media decode is STUBBED — this container has no image/audio
-  * codecs — behind [[FakeCodec]], a deterministic byte-level fake with the
-  * same signature a real decoder would have. Everything AROUND the stub is
-  * real and load-bearing at scale:
+  * Compressed-media decode (JPEG/PNG/audio) is STUBBED — this container
+  * has no native codecs — behind [[FakeCodec]], a deterministic
+  * byte-level fake with the same signature a real decoder would have.
+  * [[PpmCodec]] is the exception: binary PPM is decodable in pure JVM
+  * bytes, so that path is a REAL parser, hash-verified end-to-end by the
+  * x54 entry against a closed-form pixel oracle. Everything AROUND the
+  * stub is real and load-bearing at scale:
   *  - schema: (asset_id, modality, content: binary, meta struct) — the
   *    binary column is never shuffled by value, only projected/filtered;
   *  - `mapPartitions` over a typed Dataset = the JVM analogue of
@@ -75,6 +78,41 @@ object Multimodal {
         y += 1
       }
       out
+    }
+  }
+
+  /** A REAL image codec for the one raster format decodable in pure JVM
+    * bytes: binary PPM (P6). Unlike [[FakeCodec]] this is not a stub —
+    * encode writes a spec-conformant header + packed RGB24, decode
+    * parses any conformant P6 payload (whitespace-separated header
+    * tokens, maxval 255; comments unsupported and rejected loudly).
+    * JPEG/PNG/audio still need the JNI swap point documented on
+    * [[FakeCodec]]; the x54 registry entry runs THIS decoder against a
+    * closed-form pixel oracle, so the encode→decode round-trip is
+    * hash-verified end-to-end. */
+  object PpmCodec {
+    def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == w * h * 3, s"need ${w * h * 3} bytes, got ${rgb.length}")
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb
+    }
+
+    /** → (width, height, packed RGB24). */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      var i = 0
+      def token(): String = {
+        while (i < bytes.length && Character.isWhitespace(bytes(i))) i += 1
+        require(i < bytes.length && bytes(i) != '#',
+          "truncated or commented PPM header (comments unsupported)")
+        val s = i
+        while (i < bytes.length && !Character.isWhitespace(bytes(i))) i += 1
+        new String(bytes, s, i - s, "US-ASCII")
+      }
+      require(token() == "P6", "not a binary (P6) PPM payload")
+      val w = token().toInt; val h = token().toInt
+      require(token().toInt == 255, "only maxval 255 supported")
+      i += 1 // exactly one whitespace byte separates header from raster
+      require(bytes.length - i >= w * h * 3, "raster shorter than header promises")
+      (w, h, java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3))
     }
   }
 

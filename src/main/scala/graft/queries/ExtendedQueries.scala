@@ -628,6 +628,67 @@ object ExtendedQueries {
       |FROM d JOIN f ON d.user_id = f.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x54 — REAL image decode over the binary column: deterministic pixel
+  // patterns are encoded to spec-conformant P6 PPM bytes, then the
+  // genuine parser (Multimodal.PpmCodec.decode — a separate code path
+  // from encode) recovers dimensions + raster and sums each channel.
+  // The DuckDB oracle computes the same channel sums from the
+  // closed-form pixel formula, so the hash verifies the encode→decode
+  // round-trip preserves pixel semantics exactly. Integer sums — no
+  // float parity surface at all.
+  // ---------------------------------------------------------------------
+  private val PpmAssets = 64
+
+  def imageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal.PpmCodec
+    val assets = s.range(PpmAssets).map { id =>
+      val w = 8 + (id % 5).toInt; val h = 6 + (id % 7).toInt
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val base = (y * w + x) * 3
+          rgb(base)     = ((id     + x * 3 + y * 7)  % 256).toByte
+          rgb(base + 1) = ((id * 2 + x * 5 + y * 11) % 256).toByte
+          rgb(base + 2) = ((id * 3 + x * 7 + y * 13) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      (id, PpmCodec.encode(w, h, rgb))
+    }.toDF("asset_id", "ppm")
+    assets.as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val (w, h, rgb) = PpmCodec.decode(bytes)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var p = 0
+        while (p < w * h) {
+          sr += rgb(p * 3) & 0xff; sg += rgb(p * 3 + 1) & 0xff
+          sb += rgb(p * 3 + 2) & 0xff; p += 1
+        }
+        (id, w, h, sr, sg, sb)
+      }
+    }.toDF("asset_id", "width", "height", "sum_r", "sum_g", "sum_b")
+      .orderBy("asset_id")
+  }
+
+  val imageDecodeSql: String =
+    s"""WITH ids AS (SELECT unnest(range($PpmAssets)) AS asset_id),
+       |dims AS (SELECT asset_id, 8 + asset_id % 5 AS width,
+       |                6 + asset_id % 7 AS height FROM ids),
+       |cols AS (SELECT asset_id, width, height,
+       |                unnest(range(width)) AS x FROM dims),
+       |px AS (SELECT asset_id, width, height, x,
+       |              unnest(range(height)) AS y FROM cols)
+       |SELECT asset_id, width, height,
+       |  CAST(SUM((asset_id     + x * 3 + y * 7)  % 256) AS BIGINT) AS sum_r,
+       |  CAST(SUM((asset_id * 2 + x * 5 + y * 11) % 256) AS BIGINT) AS sum_g,
+       |  CAST(SUM((asset_id * 3 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_b
+       |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
   /** Registry: name → (fn, optional oracle). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x01_token_count"        -> ((tokenCount _, Some(tokenCountSql))),
@@ -658,5 +719,6 @@ object ExtendedQueries {
     "x19_sessionization"     -> ((sessionization _, Some(sessionizationSql))),
     "x49_window_funnel"      -> ((windowFunnelQ _, Some(windowFunnelSql))),
     "x50_retention_cohort"   -> ((retentionQ _, Some(retentionSql))),
+    "x54_image_decode"       -> ((imageDecode _, Some(imageDecodeSql))),
   )
 }

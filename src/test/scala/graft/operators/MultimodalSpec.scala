@@ -60,4 +60,31 @@ class MultimodalSpec extends AnyFunSuite {
       assert(n == (durations(id) + 999) / 1000) // ceil(duration/everyMs)
     }
   }
+
+  test("PpmCodec: encode→decode round-trips arbitrary rasters exactly") {
+    import Multimodal.PpmCodec
+    val rnd = new scala.util.Random(7)
+    Seq((1, 1), (3, 5), (17, 2), (64, 64)).foreach { case (w, h) =>
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val (dw, dh, out) = PpmCodec.decode(PpmCodec.encode(w, h, rgb))
+      assert(dw == w && dh == h, s"dims mangled for ${w}x$h")
+      assert(java.util.Arrays.equals(out, rgb), s"raster mangled for ${w}x$h")
+    }
+  }
+
+  test("PpmCodec: malformed payloads fail loudly, never return garbage") {
+    import Multimodal.PpmCodec
+    // wrong magic
+    intercept[IllegalArgumentException] {
+      PpmCodec.decode("P3\n2 2\n255\n".getBytes("US-ASCII") ++ new Array[Byte](12))
+    }
+    // truncated raster: header promises 2x2 but carries 3 bytes
+    intercept[IllegalArgumentException] {
+      PpmCodec.decode("P6\n2 2\n255\n".getBytes("US-ASCII") ++ new Array[Byte](3))
+    }
+    // unsupported maxval
+    intercept[IllegalArgumentException] {
+      PpmCodec.decode("P6\n1 1\n65535\n".getBytes("US-ASCII") ++ new Array[Byte](3))
+    }
+  }
 }
