@@ -640,10 +640,13 @@ object ExtendedQueries {
   // ---------------------------------------------------------------------
   private val PpmAssets = 64
 
-  def imageDecode(s: SparkSession, dir: String): DataFrame = {
+  /** Deterministic PPM payloads: asset `id` is a (8+id%5)×(6+id%7)
+    * raster whose channel bytes follow the closed-form formulas the
+    * oracles re-evaluate. Shared by x54/x55. */
+  private def ppmAssets(s: SparkSession): DataFrame = {
     import s.implicits._
     import graft.operators.Multimodal.PpmCodec
-    val assets = s.range(PpmAssets).map { id =>
+    s.range(PpmAssets).map { id =>
       val w = 8 + (id % 5).toInt; val h = 6 + (id % 7).toInt
       val rgb = new Array[Byte](w * h * 3)
       var y = 0
@@ -660,7 +663,12 @@ object ExtendedQueries {
       }
       (id, PpmCodec.encode(w, h, rgb))
     }.toDF("asset_id", "ppm")
-    assets.as[(Long, Array[Byte])].mapPartitions { it =>
+  }
+
+  def imageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal.PpmCodec
+    ppmAssets(s).as[(Long, Array[Byte])].mapPartitions { it =>
       it.map { case (id, bytes) =>
         val (w, h, rgb) = PpmCodec.decode(bytes)
         var sr = 0L; var sg = 0L; var sb = 0L
@@ -688,6 +696,61 @@ object ExtendedQueries {
        |  CAST(SUM((asset_id * 2 + x * 5 + y * 11) % 256) AS BIGINT) AS sum_g,
        |  CAST(SUM((asset_id * 3 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_b
        |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x55 — image RESIZE on decoded pixels: decode the P6 payload, nearest-
+  // neighbor downsample to 4×4 (sx = x·srcW div 4 — real pixel indexing,
+  // not FakeCodec's byte-wrapping), re-encode, decode AGAIN, and sum
+  // channels. The oracle evaluates the pixel formula at the same
+  // nearest-neighbor source coordinates, so the hash verifies the whole
+  // decode → transform → encode → decode loop. Integer-only.
+  // ---------------------------------------------------------------------
+  def imageResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal.PpmCodec
+    val dst = 4
+    ppmAssets(s).as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val (w, h, rgb) = PpmCodec.decode(bytes)
+        val small = new Array[Byte](dst * dst * 3)
+        var y = 0
+        while (y < dst) {
+          val sy = y * h / dst
+          var x = 0
+          while (x < dst) {
+            val sx = x * w / dst
+            val src = (sy * w + sx) * 3; val d = (y * dst + x) * 3
+            small(d) = rgb(src); small(d + 1) = rgb(src + 1); small(d + 2) = rgb(src + 2)
+            x += 1
+          }
+          y += 1
+        }
+        // full loop: re-encode the thumbnail, decode it back, then sum
+        val (_, _, back) = PpmCodec.decode(PpmCodec.encode(dst, dst, small))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var p = 0
+        while (p < dst * dst) {
+          sr += back(p * 3) & 0xff; sg += back(p * 3 + 1) & 0xff
+          sb += back(p * 3 + 2) & 0xff; p += 1
+        }
+        (id, sr, sg, sb)
+      }
+    }.toDF("asset_id", "thumb_sum_r", "thumb_sum_g", "thumb_sum_b")
+      .orderBy("asset_id")
+  }
+
+  val imageResizeSql: String =
+    s"""WITH ids AS (SELECT unnest(range($PpmAssets)) AS asset_id),
+       |dims AS (SELECT asset_id, 8 + asset_id % 5 AS w,
+       |                6 + asset_id % 7 AS h FROM ids),
+       |cols AS (SELECT asset_id, w, h, unnest(range(4)) AS x FROM dims),
+       |px AS (SELECT asset_id, w, h, x, unnest(range(4)) AS y FROM cols),
+       |src AS (SELECT asset_id, (x * w) // 4 AS sx, (y * h) // 4 AS sy FROM px)
+       |SELECT asset_id,
+       |  CAST(SUM((asset_id     + sx * 3 + sy * 7)  % 256) AS BIGINT) AS thumb_sum_r,
+       |  CAST(SUM((asset_id * 2 + sx * 5 + sy * 11) % 256) AS BIGINT) AS thumb_sum_g,
+       |  CAST(SUM((asset_id * 3 + sx * 7 + sy * 13) % 256) AS BIGINT) AS thumb_sum_b
+       |FROM src GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Registry: name → (fn, optional oracle). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
@@ -720,5 +783,6 @@ object ExtendedQueries {
     "x49_window_funnel"      -> ((windowFunnelQ _, Some(windowFunnelSql))),
     "x50_retention_cohort"   -> ((retentionQ _, Some(retentionSql))),
     "x54_image_decode"       -> ((imageDecode _, Some(imageDecodeSql))),
+    "x55_image_resize"       -> ((imageResize _, Some(imageResizeSql))),
   )
 }
