@@ -134,6 +134,34 @@ object Funnel {
     *
     * Emission is Update-mode: one (user_id, funnel_level) row per user
     * per trigger in which the user has events. */
+  private[graft] def emptyStreamState(n: Int): FunnelStreamState =
+    FunnelStreamState(Array.fill(n)(Long.MinValue), Long.MinValue,
+      Array.emptyLongArray, Array.emptyLongArray, Array.empty[String])
+
+  /** One trigger's transition, shared by both streaming engines:
+    * merge buffer + arrivals in (ts, id) order, fold the ≤-watermark
+    * prefix into the sealed anchors, buffer the rest, and return the
+    * new state plus the provisional level over sealed + buffered. */
+  private[graft] def funnelStep(st: FunnelStreamState,
+                                rows: Iterator[FunnelEvent], wmUs: Long,
+                                steps: Array[String], windowMicros: Long)
+      : (FunnelStreamState, Int) = {
+    val merged = (st.bufTs.indices.iterator
+        .map(i => (st.bufTs(i), st.bufId(i), st.bufTpe(i))) ++
+      rows.map(e => (e.ts_us, e.event_id, e.event_type)))
+      .toIndexedSeq.sortBy(t => (t._1, t._2))
+    val anchors = st.anchors.clone()
+    val (sealNow, keep) = merged.partition(_._1 <= wmUs)
+    sealNow.foreach { case (ts, _, tpe) =>
+      applyEvent(anchors, steps, ts, tpe, windowMicros) }
+    val prov = anchors.clone()
+    keep.foreach { case (ts, _, tpe) =>
+      applyEvent(prov, steps, ts, tpe, windowMicros) }
+    (FunnelStreamState(anchors, wmUs,
+      keep.map(_._1).toArray, keep.map(_._2).toArray,
+      keep.map(_._3).toArray), level(prov))
+  }
+
   def streamFunnel(events: Dataset[FunnelEvent], steps: Seq[String],
                    windowMicros: Long): Dataset[(Long, Int)] = {
     val n = steps.length
@@ -143,26 +171,53 @@ object Funnel {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[FunnelEvent],
          state: GroupState[FunnelStreamState]) =>
-          val st = state.getOption.getOrElse(FunnelStreamState(
-            Array.fill(n)(Long.MinValue), Long.MinValue,
-            Array.emptyLongArray, Array.emptyLongArray, Array.empty[String]))
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val merged = (st.bufTs.indices.iterator
-              .map(i => (st.bufTs(i), st.bufId(i), st.bufTpe(i))) ++
-            rows.map(e => (e.ts_us, e.event_id, e.event_type)))
-            .toIndexedSeq.sortBy(t => (t._1, t._2))
-          val anchors = st.anchors.clone()
-          val (sealNow, keep) = merged.partition(_._1 <= wmUs)
-          sealNow.foreach { case (ts, _, tpe) =>
-            applyEvent(anchors, stepArr, ts, tpe, windowMicros) }
-          val prov = anchors.clone()
-          keep.foreach { case (ts, _, tpe) =>
-            applyEvent(prov, stepArr, ts, tpe, windowMicros) }
-          state.update(FunnelStreamState(anchors, wmUs,
-            keep.map(_._1).toArray, keep.map(_._2).toArray,
-            keep.map(_._3).toArray))
-          Iterator.single((user, level(prov)))
+          val st = state.getOption.getOrElse(emptyStreamState(n))
+          val (st2, lvl) = funnelStep(st, rows,
+            state.getCurrentWatermarkMs() * 1000L, stepArr, windowMicros)
+          state.update(st2)
+          Iterator.single((user, lvl))
       }
+  }
+
+  /** [[streamFunnel]]'s StatefulProcessor implementation for Spark 4's
+    * `transformWithState` (requires the RocksDB state store provider);
+    * identical transition via the shared [[funnelStep]], parity-tested
+    * in FunnelStreamSpec — the same dual-engine posture as
+    * [[graft.streaming.AnomalyDetector]]. One engine difference, by
+    * design: in EventTime mode transformWithState DROPS below-watermark
+    * arrivals before the processor sees them (the strict watermark
+    * contract), where flatMapGroupsWithState still delivers them and the
+    * sorted merge absorbs them. On watermark-conformant streams the two
+    * agree exactly; on late data TWS enforces the drop the watermark
+    * already promised. */
+  class FunnelProcessor(steps: Array[String], windowMicros: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, FunnelEvent, (Long, Int)] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TTLConfig, TimeMode, ValueState}
+    @transient private var state: ValueState[FunnelStreamState] = _
+
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[FunnelStreamState]("funnel",
+        org.apache.spark.sql.Encoders.product[FunnelStreamState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[FunnelEvent],
+                                 timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Int)] = {
+      val st = if (state.exists()) state.get() else emptyStreamState(steps.length)
+      val wmUs = math.max(timerValues.getCurrentWatermarkInMs(), 0L) * 1000L
+      val (st2, lvl) = funnelStep(st, rows, wmUs, steps, windowMicros)
+      state.update(st2)
+      Iterator.single((user, lvl))
+    }
+  }
+
+  /** transformWithState flavor of [[streamFunnel]]. */
+  def streamFunnelTws(events: Dataset[FunnelEvent], steps: Seq[String],
+                      windowMicros: Long): Dataset[(Long, Int)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(steps.toArray, windowMicros),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Update)
   }
 
   /** Streamed twin of [[retentionMatrix]]'s per-user core. Unlike the

@@ -23,13 +23,17 @@ class FunnelStreamSpec extends AnyFunSuite {
 
   /** Drive the streamed funnel over explicit micro-batches; returns the
     * final level per user (levels are monotone, so max == last). */
-  private def run(name: String)(batches: Seq[FunnelEvent]*): Map[Long, Int] = {
+  private def run(name: String, tws: Boolean = false)
+                 (batches: Seq[FunnelEvent]*): Map[Long, Int] = {
     val input = MemoryStream[FunnelEvent](spark)
     val withTime = input.toDS()
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withWatermark("ts", "10 seconds")
       .as[FunnelEvent]
-    val q = Funnel.streamFunnel(withTime, steps, W)
+    val levels =
+      if (tws) Funnel.streamFunnelTws(withTime, steps, W)
+      else Funnel.streamFunnel(withTime, steps, W)
+    val q = levels
       .toDF("user_id", "funnel_level")
       .writeStream.outputMode("update")
       .format("memory").queryName(name)
@@ -40,6 +44,19 @@ class FunnelStreamSpec extends AnyFunSuite {
       spark.table(name).groupBy("user_id").agg(max("funnel_level").as("lvl"))
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     } finally q.stop()
+  }
+
+  /** Run `f` with the RocksDB state store provider (transformWithState
+    * requires it), restoring the previous provider afterwards. */
+  private def withRocksDb[A](f: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   private def sec(s: Long) = s * 1000000L
@@ -89,6 +106,24 @@ class FunnelStreamSpec extends AnyFunSuite {
       Seq(FunnelEvent(1L, sec(200), 2L, "click"),
           FunnelEvent(1L, sec(100), 1L, "view")))
     assert(lv(1L) == 2)
+  }
+
+  test("s18: transformWithState engine matches flatMapGroupsWithState across batches") {
+    // Same WATERMARK-CONFORMANT drip through BOTH engines (TWS in
+    // EventTime mode enforces the late-drop the watermark promises, so
+    // parity is defined over conformant streams) — cross-batch sealed
+    // chains and an expired chain must agree exactly.
+    def drive(tws: Boolean) = run(s"s18_eng_$tws", tws)(
+      Seq(FunnelEvent(1L, sec(1000), 1L, "view"),
+          FunnelEvent(9L, sec(1010), 2L, "view")),
+      Seq(FunnelEvent(1L, sec(1015), 3L, "click")),
+      Seq(FunnelEvent(1L, sec(1020), 4L, "purchase"),
+          FunnelEvent(2L, sec(1030), 5L, "view")),
+      Seq(FunnelEvent(2L, sec(1030 + 7200), 6L, "click"))) // 2 h later: expired
+    val viaFmgws = drive(tws = false)
+    val viaTws = withRocksDb { drive(tws = true) }
+    assert(viaFmgws == viaTws, s"engines diverge: fmgws=$viaFmgws tws=$viaTws")
+    assert(viaFmgws(1L) == 3 && viaFmgws(9L) == 1 && viaFmgws(2L) == 1)
   }
 
   test("s19: a late-arriving earlier day retro-actively re-assigns the cohort") {
