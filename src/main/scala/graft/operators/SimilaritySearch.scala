@@ -330,9 +330,18 @@ object SimilaritySearch {
         math.min(1.0, maxFitRows.toDouble / total * 1.05), seed)
     val fitDf = fitInput
       .select((col("__unit") +: (0 until m).map(subCol)): _*).localCheckpoint()
-    val coarse = new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("__unit").setPredictionCol("list").fit(fitDf)
+    // coarse quantizer and PQ codebooks are independent fits over the
+    // same checkpointed sample — overlap the coarse fit's jobs with the
+    // subspace fan-out instead of paying it serially up front
+    val coarseF = {
+      import scala.concurrent.Future
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Future(new KMeans().setK(nLists).setSeed(seed).setMaxIter(10)
+        .setFeaturesCol("__unit").setPredictionCol("list").fit(fitDf))
+    }
     val pqModels = fitSubspaceModels(fitDf, m, codes, seed)
+    val coarse = scala.concurrent.Await.result(
+      coarseF, scala.concurrent.duration.Duration.Inf)
 
     // ONE corpus pass: coarse cell + the m code assignments together
     val withSubs = it.select(
