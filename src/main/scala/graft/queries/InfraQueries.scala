@@ -247,12 +247,58 @@ object InfraQueries {
        |       epoch_ms(MAX(CAST(ts AS TIMESTAMP))) AS last_ms
        |FROM clicks GROUP BY page ORDER BY page""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s21 — BUCKETED co-located join: fact and dimension both written as
+  // bucketed tables on user_id (same bucket count), so the join AND the
+  // per-user aggregation read pre-partitioned buckets and plan with NO
+  // hash exchange — the "bucketing for co-located joins" scale tool.
+  // At 100 TB this is the difference between re-shuffling the fact table
+  // on every join and shuffling it once at write time; the plan guard
+  // in PlanSpec pins the no-exchange property.
+  // ---------------------------------------------------------------------
+  private val S21Buckets = 8
+
+  /** The bucketed join, factored so the entry and the plan spec share
+    * one definition. Returns the aggregated result BEFORE the final
+    * orderBy (whose range exchange is presentation, not data motion). */
+  def bucketedJoinPlan(s: SparkSession, dir: String): DataFrame = {
+    val wh = tempDir("graft_s21_wh_")
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
+    val dim = ev.groupBy("user_id").agg(min("day_idx").as("first_day"))
+    ev.write.mode("overwrite").option("path", s"$wh/ev")
+      .bucketBy(S21Buckets, "user_id").sortBy("user_id")
+      .saveAsTable("graft_s21_ev")
+    dim.write.mode("overwrite").option("path", s"$wh/dim")
+      .bucketBy(S21Buckets, "user_id").sortBy("user_id")
+      .saveAsTable("graft_s21_dim")
+    s.table("graft_s21_ev").join(s.table("graft_s21_dim"), "user_id")
+      .groupBy(col("user_id"), col("first_day"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 6).as("total_value"))
+  }
+
+  def storeBucketed(s: SparkSession, dir: String): DataFrame =
+    bucketedJoinPlan(s, dir).orderBy("user_id")
+
+  val storeBucketedSql: String =
+    """WITH d AS (
+      |  SELECT user_id,
+      |         MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS first_day
+      |  FROM events GROUP BY 1)
+      |SELECT e.user_id, d.first_day, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       round(SUM(e."value"), 6) AS total_value
+      |FROM events e JOIN d ON e.user_id = d.user_id
+      |GROUP BY 1, 2 ORDER BY e.user_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "s04_store_partitioned" -> ((storePartitioned _, Some(storePartitionedSql))),
     "s05_store_retention"   -> ((storeRetention _, Some(storeRetentionSql))),
     "s10_store_compaction"  -> ((storeCompaction _, Some(storeCompactionSql))),
     "s15_store_zorder"      -> ((storeZorder _, Some(storeZorderSql))),
     "s16_store_incremental" -> ((storeIncremental _, Some(storeIncrementalSql))),
+    "s21_store_bucketed"    -> ((storeBucketed _, Some(storeBucketedSql))),
     "x31_salted_join"       -> ((saltedJoin _, Some(saltedJoinSql))),
     "x39_hll_rollup"        -> ((hllRollup _, None)),
     "g01_generator_stats"   -> ((generatorStats _, None)),

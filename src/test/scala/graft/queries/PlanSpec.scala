@@ -165,6 +165,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("s21: bucketed co-located join plans with NO hash exchange") {
+    val df = InfraQueries.bucketedJoinPlan(spark, dir)
+    df.collect() // materialize through AQE so the final plan is real
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      "bucketed join/agg must not re-shuffle on the bucket key:\n" + p)
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      "scan is not reading buckets:\n" + p)
+  }
+
   test("j12: the moving-average frame runs over the pre-aggregated daily relation") {
     val df = TpchQueries.dailyMovingAvg(spark, dir)
     val p = plan(df)
