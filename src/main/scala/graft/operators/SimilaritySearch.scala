@@ -283,7 +283,15 @@ object SimilaritySearch {
     import scala.concurrent.ExecutionContext.Implicits.global
     import org.apache.spark.ml.clustering.KMeans
     Await.result(Future.sequence((0 until m).map { j => Future {
+      // seeded RANDOM init, not k-means||: the parallel init's extra
+      // sampling passes cost ~4 driver jobs per fit — at m fits × 10
+      // iters the job-scheduling overhead, not the math, dominates this
+      // stage (measured: the suite-order variance of x45). Codebooks of
+      // 16-256 centroids over a bounded sample converge fine from random
+      // seeds, and the exact rerank downstream absorbs any marginal
+      // codebook-quality difference (recall floor is spec-asserted).
       new KMeans().setK(codes).setSeed(seed + j).setMaxIter(10)
+        .setInitMode("random")
         .setFeaturesCol(s"__s$j").setPredictionCol(s"code_$j").fit(fitDf)
     }}), Duration.Inf)
   }
