@@ -292,6 +292,57 @@ object InfraQueries {
       |FROM events e JOIN d ON e.user_id = d.user_id
       |GROUP BY 1, 2 ORDER BY e.user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s22 — multi-format storage round-trip: the same relation written to
+  // ORC (columnar, codegen'd vectorized read like parquet) and CSV (the
+  // interchange format), read back through each format's own reader, and
+  // fingerprinted. Both fingerprints must equal the oracle's — a lossy
+  // writer, a schema-drifting reader, or a type coercion bug in either
+  // format fails the hash. Timestamps travel as epoch-micros longs so
+  // the CSV path has no parser ambiguity (the CSV contract at scale:
+  // explicit schema, no inference).
+  // ---------------------------------------------------------------------
+  def storeFormats(s: SparkSession, dir: String): DataFrame = {
+    val work = tempDir("graft_s22_")
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"),
+      expr("unix_micros(ts)").as("ts_us"), col("event_type"))
+    ev.write.mode("overwrite").orc(s"$work/orc")
+    ev.write.mode("overwrite").option("header", "true").csv(s"$work/csv")
+    val csvSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType)))
+    val readers = Seq(
+      "csv" -> s.read.schema(csvSchema).option("header", "true").csv(s"$work/csv"),
+      "orc" -> s.read.orc(s"$work/orc"))
+    readers.map { case (fmt, df) =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("user_id")).as("sum_user_id"),
+        count_distinct(col("event_type")).as("n_types"),
+        min(col("ts_us")).as("min_ts_us"),
+        max(col("ts_us")).as("max_ts_us"))
+        .withColumn("format", lit(fmt))
+    }.reduce(_ unionByName _)
+      .select(col("format"), col("n_rows"), col("sum_user_id"),
+              col("n_types"), col("min_ts_us"), col("max_ts_us"))
+      .orderBy("format")
+  }
+
+  val storeFormatsSql: String =
+    """WITH base AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |         CAST(SUM(user_id) AS BIGINT) AS sum_user_id,
+      |         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+      |         MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS min_ts_us,
+      |         MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_ts_us
+      |  FROM events)
+      |SELECT f.format, b.n_rows, b.sum_user_id, b.n_types, b.min_ts_us, b.max_ts_us
+      |FROM (VALUES ('csv'), ('orc')) f(format) CROSS JOIN base b
+      |ORDER BY f.format""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "s04_store_partitioned" -> ((storePartitioned _, Some(storePartitionedSql))),
     "s05_store_retention"   -> ((storeRetention _, Some(storeRetentionSql))),
@@ -299,6 +350,7 @@ object InfraQueries {
     "s15_store_zorder"      -> ((storeZorder _, Some(storeZorderSql))),
     "s16_store_incremental" -> ((storeIncremental _, Some(storeIncrementalSql))),
     "s21_store_bucketed"    -> ((storeBucketed _, Some(storeBucketedSql))),
+    "s22_store_formats"     -> ((storeFormats _, Some(storeFormatsSql))),
     "x31_salted_join"       -> ((saltedJoin _, Some(saltedJoinSql))),
     "x39_hll_rollup"        -> ((hllRollup _, None)),
     "g01_generator_stats"   -> ((generatorStats _, None)),
