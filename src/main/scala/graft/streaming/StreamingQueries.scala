@@ -693,6 +693,58 @@ object StreamingQueries {
       .orderBy("lang", "token")
   }
 
+  // ---------------------------------------------------------------------
+  // s23 — STREAM-STATIC join: each micro-batch of the event stream is
+  // enriched against a STATIC per-user dimension (first-seen day) —
+  // the stateless per-batch join path, distinct from s11's stateful
+  // stream-stream join. At scale the static side is a broadcast or a
+  // co-partitioned table re-read per batch, and no join state is ever
+  // kept. Streamed enriched aggregate ≡ the batch join oracle.
+  // ---------------------------------------------------------------------
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val work = tempDir("graft_s23_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id").cast("long").as("user_id"),
+      expr("unix_micros(ts) DIV 86400000000").as("day_idx"),
+      col("event_type"))
+    // the static dimension: per-user first-seen day (computed batch-side)
+    val dim = ev.groupBy("user_id").agg(min("day_idx").as("first_day"))
+    ev.repartition(2).write.parquet(inDir)
+
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("day_idx", LongType), StructField("event_type", StringType)))
+    val stream = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .join(broadcast(dim), "user_id") // stream-static: stateless per batch
+      .withColumn("is_first_day", (col("day_idx") === col("first_day")).cast("int"))
+
+    ClickPipeline.runAppendParquet(
+      stream.select(col("event_id"), col("user_id"), col("event_type"),
+        col("first_day"), col("is_first_day")),
+      outDir, ck)
+    s.read.parquet(outDir)
+      .groupBy(col("event_type"), col("first_day"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("is_first_day")).cast("long").as("n_on_first_day"))
+      .orderBy("event_type", "first_day")
+  }
+
+  val streamStaticJoinSql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+      |         event_type
+      |  FROM events),
+      |d AS (SELECT user_id, MIN(day_idx) AS first_day FROM e GROUP BY 1)
+      |SELECT e.event_type, d.first_day, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(CASE WHEN e.day_idx = d.first_day THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_on_first_day
+      |FROM e JOIN d ON e.user_id = d.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "s01_stream_minute_agg" -> ((streamMinuteAgg _, Some(ReferenceQueries.q14Sql))),
     "s02_stream_anomaly"    -> ((streamAnomaly _, Some(streamAnomalySql))),
@@ -716,5 +768,6 @@ object StreamingQueries {
       Some(graft.queries.ExtendedQueries.retentionSql))),
     "s20_stream_sketch_hh" -> ((streamSketchHeavyHitters _,
       Some(graft.queries.CurationQueries.approxHeavyHittersSql))),
+    "s23_stream_static_join" -> ((streamStaticJoin _, Some(streamStaticJoinSql))),
   )
 }
