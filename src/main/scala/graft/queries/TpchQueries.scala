@@ -375,6 +375,36 @@ object TpchQueries {
       |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY event_type, day""".stripMargin
 
+  /** j13 — TPC-H Q18 shape (large-volume orders): `IN (SELECT … GROUP BY
+    * … HAVING …)` — the aggregate-membership subquery class. Decorrelated
+    * Spark-side as a LEFT SEMI join against the HAVING-filtered
+    * aggregate: the filter runs on the aggregated (orders-grain)
+    * relation, the semi-join carries only qualifying keys, and lineitem
+    * is shuffled once for the aggregate — never re-scanned per-row the
+    * way a naive subquery would. */
+  def largeVolumeOrders(s: SparkSession, dir: String,
+                        minQty: Double = 300.0): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val qualifying = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    Tables.orders(s, dir)
+      .join(qualifying.select(col("l_orderkey"), col("total_qty")),
+            col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+              col("o_totalprice"), col("total_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  val largeVolumeOrdersSql: String =
+    """WITH q AS (
+      |  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      |  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300)
+      |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, o.o_totalprice, q.total_qty
+      |FROM orders o JOIN q ON o.o_orderkey = q.l_orderkey
+      |WHERE o.o_orderkey IN (SELECT l_orderkey FROM q)
+      |ORDER BY o.o_orderkey""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "j01_pricing_summary"   -> ((pricingSummary _, Some(pricingSummarySql))),
     "j02_revenue_by_nation" -> ((revenueByNation _, Some(revenueByNationSql))),
@@ -388,5 +418,6 @@ object TpchQueries {
     "j10_set_ops"           -> ((supplierSetOps _, Some(supplierSetOpsSql))),
     "j11_correlated_subq"   -> ((bigSpenders _, Some(bigSpendersSql))),
     "j12_moving_avg"        -> ((dailyMovingAvg _, Some(dailyMovingAvgSql))),
+    "j13_large_volume"      -> ((largeVolumeOrders(_, _), Some(largeVolumeOrdersSql))),
   )
 }
