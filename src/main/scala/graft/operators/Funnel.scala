@@ -123,7 +123,8 @@ object Funnel {
     * The batch DP is order-sensitive, so a streaming version must decide
     * what to do about out-of-order arrival. The watermark decides: events
     * at or before the current watermark can never gain a new predecessor
-    * (later arrivals below the watermark are dropped by the engine), so
+    * (arrivals older than the seal boundary are dropped by the
+    * transition itself — see [[funnelStep]]), so
     * the (ts, event_id)-sorted prefix up to the watermark is folded into
     * the sealed anchor array — O(steps) longs, final forever. Events
     * beyond the watermark wait in a sorted buffer bounded by
@@ -141,14 +142,24 @@ object Funnel {
   /** One trigger's transition, shared by both streaming engines:
     * merge buffer + arrivals in (ts, id) order, fold the ≤-watermark
     * prefix into the sealed anchors, buffer the rest, and return the
-    * new state plus the provisional level over sealed + buffered. */
+    * new state plus the provisional level over sealed + buffered.
+    *
+    * Arrivals at or before the PREVIOUS seal boundary are dropped here:
+    * events up to that boundary were already folded, so a straggler
+    * older than it cannot enter the DP in (ts, id) order — folding it
+    * late would silently corrupt chain order. transformWithState in
+    * EventTime mode performs this drop at the engine; doing it in the
+    * transition makes flatMapGroupsWithState (which still delivers late
+    * rows) behave identically, so the late-data policy is the
+    * operator's, not the engine's. */
   private[graft] def funnelStep(st: FunnelStreamState,
                                 rows: Iterator[FunnelEvent], wmUs: Long,
                                 steps: Array[String], windowMicros: Long)
       : (FunnelStreamState, Int) = {
     val merged = (st.bufTs.indices.iterator
         .map(i => (st.bufTs(i), st.bufId(i), st.bufTpe(i))) ++
-      rows.map(e => (e.ts_us, e.event_id, e.event_type)))
+      rows.filter(_.ts_us > st.sealedUs)
+        .map(e => (e.ts_us, e.event_id, e.event_type)))
       .toIndexedSeq.sortBy(t => (t._1, t._2))
     val anchors = st.anchors.clone()
     val (sealNow, keep) = merged.partition(_._1 <= wmUs)

@@ -126,6 +126,25 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(viaFmgws(1L) == 3 && viaFmgws(9L) == 1 && viaFmgws(2L) == 1)
   }
 
+  test("s18: stragglers below the key's sealed boundary are dropped by BOTH engines") {
+    // Batch 1: u9 drags the watermark to ~19990 s while u1's view waits
+    // in the buffer. Batch 2: u1 is processed at the high watermark —
+    // the view seals, u1's seal boundary advances to 19990 s. Batch 3:
+    // a click@1200 s straggler arrives BELOW that boundary. Folding it
+    // would resurrect the view→click chain AFTER the view was sealed
+    // past it (silent order corruption); the transition must drop it —
+    // matching the drop transformWithState performs at the engine.
+    def drive(tws: Boolean) = run(s"s18_late_$tws", tws)(
+      Seq(FunnelEvent(1L, sec(1000), 1L, "view"),
+          FunnelEvent(9L, sec(20000), 2L, "view")),
+      Seq(FunnelEvent(1L, sec(25000), 3L, "click")), // >1 h after view: no chain
+      Seq(FunnelEvent(1L, sec(1200), 4L, "click")))  // below u1's sealed boundary
+    val viaFmgws = drive(tws = false)
+    val viaTws = withRocksDb { drive(tws = true) }
+    assert(viaFmgws == viaTws, s"late-drop policy diverges: $viaFmgws vs $viaTws")
+    assert(viaFmgws(1L) == 1, "straggler below the seal boundary must be dropped")
+  }
+
   test("s19: a late-arriving earlier day retro-actively re-assigns the cohort") {
     import graft.operators.{DayEvent, Funnel}
     val day = 86400L * 1000000L
