@@ -610,6 +610,43 @@ object ExtendedQueries {
       |ORDER BY u.user_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x56 — funnel conversion report: the funnel-chart artifact over x49's
+  // per-user levels — users reaching each step and the step-over-step
+  // conversion rate. Everything after the funnel scan is a 4-row
+  // relation; the lag window is presentation over those 4 rows.
+  // ---------------------------------------------------------------------
+  def funnelReport(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lv = graft.operators.Funnel
+      .windowFunnel(Tables.events(s, dir), FunnelSteps, FunnelWindowUs)
+    val per = lv.groupBy("funnel_level").agg(count(lit(1)).as("n"))
+    val steps = s.range(FunnelSteps.length + 1).toDF("step")
+    val cum = steps.join(per)
+      .groupBy("step")
+      .agg(sum(when(col("funnel_level") >= col("step"), col("n"))
+        .otherwise(0L)).cast("long").as("n_users"))
+    val w = Window.orderBy("step")
+    cum.withColumn("conversion",
+        round(col("n_users").cast("double") / lag(col("n_users"), 1).over(w), 6))
+      .select(col("step"), col("n_users"), col("conversion"))
+      .orderBy("step")
+  }
+
+  val funnelReportSql: String =
+    s"""WITH f AS ($windowFunnelSql),
+       |per AS (SELECT funnel_level, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY 1),
+       |steps AS (SELECT unnest(range(${FunnelSteps.length + 1})) AS step),
+       |cum AS (
+       |  SELECT s.step,
+       |         CAST(SUM(CASE WHEN p.funnel_level >= s.step THEN p.n ELSE 0 END) AS BIGINT)
+       |           AS n_users
+       |  FROM steps s CROSS JOIN per p GROUP BY 1)
+       |SELECT step, n_users,
+       |       round(CAST(n_users AS DOUBLE)
+       |             / LAG(n_users) OVER (ORDER BY step), 6) AS conversion
+       |FROM cum ORDER BY step""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x50 — retention cohort matrix (first-seen-day cohorts × day offset)
   // ---------------------------------------------------------------------
   def retentionQ(s: SparkSession, dir: String): DataFrame =
@@ -784,5 +821,6 @@ object ExtendedQueries {
     "x50_retention_cohort"   -> ((retentionQ _, Some(retentionSql))),
     "x54_image_decode"       -> ((imageDecode _, Some(imageDecodeSql))),
     "x55_image_resize"       -> ((imageResize _, Some(imageResizeSql))),
+    "x56_funnel_report"      -> ((funnelReport _, Some(funnelReportSql))),
   )
 }
