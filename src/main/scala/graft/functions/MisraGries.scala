@@ -6,8 +6,17 @@ import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
 import org.apache.spark.sql.functions.udaf
 
 /** Misra-Gries summary: ≤ k (key, counter) pairs. Parallel arrays for
-  * flat ser/de, same layout rationale as [[TopKState]]. */
-case class MGState(keys: Array[String], counts: Array[Long])
+  * flat ser/de, same layout rationale as [[TopKState]].
+  *
+  * `idx` is a lazily (re)built token→slot hash index so the per-token
+  * probe in [[MisraGriesAggregator.reduce]] is O(1), not an O(k) array
+  * scan — at k = 10⁴ (the "top-10k vocab" regime the sketch exists for)
+  * the linear probe made reduce quadratic. It is a body field, not a
+  * constructor param, so the buffer encoder never serializes it; after
+  * ser/de it is null and rebuilt on first probe. */
+case class MGState(keys: Array[String], counts: Array[Long]) {
+  @transient private[functions] var idx: java.util.HashMap[String, Integer] = _
+}
 
 /** Misra-Gries / space-saving APPROXIMATE heavy hitters — the mergeable
   * sketch for "top tokens" when the vocabulary itself is too large to
@@ -40,17 +49,36 @@ class MisraGriesAggregator(k: Int)
   override def zero: MGState =
     MGState(Array.empty[String], Array.emptyLongArray)
 
+  /** O(1) hash probe for `token`'s slot, (re)building the transient
+    * index on first use after construction or ser/de. */
+  private def slotOf(b: MGState, token: String): Int = {
+    if (b.idx == null) {
+      val m = new java.util.HashMap[String, Integer](math.max(8, b.keys.length * 2))
+      var i = 0
+      while (i < b.keys.length) { m.put(b.keys(i), i); i += 1 }
+      b.idx = m
+    }
+    val v = b.idx.get(token)
+    if (v == null) -1 else v.intValue
+  }
+
   override def reduce(b: MGState, token: String): MGState = {
-    val idx = b.keys.indexOf(token)
+    val idx = slotOf(b, token)
     if (idx >= 0) { b.counts(idx) += 1; b }
-    else if (b.keys.length < k)
-      MGState(b.keys :+ token, b.counts :+ 1L)
-    else {
+    else if (b.keys.length < k) {
+      val nb = MGState(b.keys :+ token, b.counts :+ 1L)
+      // carry the live index over: slotOf(b, _) above guarantees non-null
+      b.idx.put(token, b.keys.length)
+      nb.idx = b.idx
+      nb
+    } else {
       // full and unseen: decrement every counter, compact zeros — the
-      // classic MG step charging one occurrence of each tracked key
+      // classic MG step charging one occurrence of each tracked key.
+      // O(k), but it fires at most n/(k+1) times over a partition, so
+      // it amortizes to O(1) per token.
       var i = 0; var survivors = 0
       while (i < k) { b.counts(i) -= 1; if (b.counts(i) > 0) survivors += 1; i += 1 }
-      if (survivors == k) b
+      if (survivors == k) b // keys unchanged: the index stays valid
       else {
         val ks = new Array[String](survivors); val cs = new Array[Long](survivors)
         var j = 0; i = 0
@@ -58,7 +86,7 @@ class MisraGriesAggregator(k: Int)
           if (b.counts(i) > 0) { ks(j) = b.keys(i); cs(j) = b.counts(i); j += 1 }
           i += 1
         }
-        MGState(ks, cs)
+        MGState(ks, cs) // idx left null — lazily rebuilt for the survivors
       }
     }
   }

@@ -274,14 +274,21 @@ object Curation {
     * fingerprint) → deterministic split, reported as per-(source, split)
     * doc/token counts. One scan, one shuffle on the 32-char fingerprint,
     * one on (source, split) — the end-to-end shape of a pretraining
-    * ingest job, composed purely from the operators above. */
+    * ingest job, composed purely from the operators above.
+    *
+    * Keep-first is a partial-aggregable min_by (the same shape as
+    * [[Dedup.exact]]), not a rank window: a mass-duplicated text — the
+    * exact case dedup exists for — combines map-side instead of
+    * serializing its whole fingerprint group onto one task. */
   def curate(docs: DataFrame): DataFrame = {
     val kept = docs.filter(keepRule(col("text")))
-    val w = Window.partitionBy("fp").orderBy("doc_id")
     val deduped = kept
       .withColumn("fp", TF.fingerprint(col("text")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+      .groupBy("fp")
+      .agg(min_by(struct(col("doc_id"), col("source"), col("text")),
+                  col("doc_id")).as("__r"))
+      .select(col("__r.doc_id").as("doc_id"), col("__r.source").as("source"),
+              col("__r.text").as("text"))
     withSplit(deduped, col("doc_id"))
       .groupBy("source", "split")
       .agg(count(lit(1)).as("n_docs"),

@@ -156,11 +156,26 @@ object Funnel {
                                 rows: Iterator[FunnelEvent], wmUs: Long,
                                 steps: Array[String], windowMicros: Long)
       : (FunnelStreamState, Int) = {
-    val merged = (st.bufTs.indices.iterator
-        .map(i => (st.bufTs(i), st.bufId(i), st.bufTpe(i))) ++
-      rows.filter(_.ts_us > st.sealedUs)
-        .map(e => (e.ts_us, e.event_id, e.event_type)))
-      .toIndexedSeq.sortBy(t => (t._1, t._2))
+    // The buffer is kept sorted by (ts, id) across triggers (it is always
+    // a suffix of the previous trigger's sorted merge), so one trigger
+    // costs O(A log A + B + A) — only the ARRIVALS are sorted. A hot user
+    // far behind the watermark no longer pays an O(B log B) re-sort of
+    // its whole buffer on every trigger, including arrival-free ones.
+    val arr = rows.filter(_.ts_us > st.sealedUs)
+      .map(e => (e.ts_us, e.event_id, e.event_type))
+      .toArray.sortBy(t => (t._1, t._2))
+    val nb = st.bufTs.length
+    val merged = new Array[(Long, Long, String)](nb + arr.length)
+    var i = 0; var j = 0; var k = 0
+    while (i < nb && j < arr.length) {
+      val before = st.bufTs(i) < arr(j)._1 ||
+        (st.bufTs(i) == arr(j)._1 && st.bufId(i) <= arr(j)._2)
+      if (before) { merged(k) = (st.bufTs(i), st.bufId(i), st.bufTpe(i)); i += 1 }
+      else        { merged(k) = arr(j); j += 1 }
+      k += 1
+    }
+    while (i < nb) { merged(k) = (st.bufTs(i), st.bufId(i), st.bufTpe(i)); i += 1; k += 1 }
+    while (j < arr.length) { merged(k) = arr(j); j += 1; k += 1 }
     val anchors = st.anchors.clone()
     val (sealNow, keep) = merged.partition(_._1 <= wmUs)
     sealNow.foreach { case (ts, _, tpe) =>

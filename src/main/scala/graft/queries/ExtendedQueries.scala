@@ -621,7 +621,7 @@ object ExtendedQueries {
       .windowFunnel(Tables.events(s, dir), FunnelSteps, FunnelWindowUs)
     val per = lv.groupBy("funnel_level").agg(count(lit(1)).as("n"))
     val steps = s.range(FunnelSteps.length + 1).toDF("step")
-    val cum = steps.join(per)
+    val cum = steps.crossJoin(per)
       .groupBy("step")
       .agg(sum(when(col("funnel_level") >= col("step"), col("n"))
         .otherwise(0L)).cast("long").as("n_users"))

@@ -263,17 +263,23 @@ object InfraQueries {
     * orderBy (whose range exchange is presentation, not data motion). */
   def bucketedJoinPlan(s: SparkSession, dir: String): DataFrame = {
     val wh = tempDir("graft_s21_wh_")
+    // table names derive from the (unique) temp path: two invocations in
+    // one shared session never rewrite each other's catalog entries, and
+    // the returned (lazy) frame keeps resolving against ITS tables
+    val tag = new java.io.File(wh).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    val evTbl  = s"${tag}_ev"
+    val dimTbl = s"${tag}_dim"
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("event_type"), col("value"),
         expr("unix_micros(ts) DIV 86400000000").as("day_idx"))
     val dim = ev.groupBy("user_id").agg(min("day_idx").as("first_day"))
     ev.write.mode("overwrite").option("path", s"$wh/ev")
       .bucketBy(S21Buckets, "user_id").sortBy("user_id")
-      .saveAsTable("graft_s21_ev")
+      .saveAsTable(evTbl)
     dim.write.mode("overwrite").option("path", s"$wh/dim")
       .bucketBy(S21Buckets, "user_id").sortBy("user_id")
-      .saveAsTable("graft_s21_dim")
-    s.table("graft_s21_ev").join(s.table("graft_s21_dim"), "user_id")
+      .saveAsTable(dimTbl)
+    s.table(evTbl).join(s.table(dimTbl), "user_id")
       .groupBy(col("user_id"), col("first_day"))
       .agg(count(lit(1)).as("n_events"),
            round(sum(col("value")), 6).as("total_value"))

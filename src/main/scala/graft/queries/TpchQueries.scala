@@ -318,8 +318,11 @@ object TpchQueries {
       .join(broadcast(Tables.customer(s, dir)),
             col("o_custkey") === col("c_custkey"))
       .select(col("c_nationkey"), col("o_totalprice"))
+    // round the threshold to fixed precision on BOTH engines: partial-agg
+    // summation order differs between Spark and DuckDB, so an unrounded
+    // avg() could flip membership of a row sitting exactly on 1.5×avg
     val natAvg = co.groupBy(col("c_nationkey"))
-      .agg(avg(col("o_totalprice")).as("nat_avg"))
+      .agg(round(avg(col("o_totalprice")), 6).as("nat_avg"))
     co.join(broadcast(natAvg), "c_nationkey")
       .filter(col("o_totalprice") > lit(1.5) * col("nat_avg"))
       .join(broadcast(Tables.nation(s, dir)),
@@ -338,7 +341,7 @@ object TpchQueries {
       |JOIN customer c ON o.o_custkey = c.c_custkey
       |JOIN nation n ON c.c_nationkey = n.n_nationkey
       |WHERE o.o_totalprice > 1.5 * (
-      |  SELECT AVG(o2.o_totalprice)
+      |  SELECT round(AVG(o2.o_totalprice), 6)
       |  FROM orders o2 JOIN customer c2 ON o2.o_custkey = c2.c_custkey
       |  WHERE c2.c_nationkey = c.c_nationkey)
       |GROUP BY 1 ORDER BY 1""".stripMargin

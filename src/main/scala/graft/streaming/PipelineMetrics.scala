@@ -293,13 +293,30 @@ object PipelineMetrics {
 
   /** Append one run's per-batch series to the durable metrics table.
     * Plain parquet append of an O(#batches) driver-side buffer — the
-    * data plane is untouched; at any scale this is metadata-sized. */
+    * data plane is untouched; at any scale this is metadata-sized.
+    *
+    * Partitioned by UTC day of the batch wall clock so the series ages
+    * with the same B3 partition-drop machinery as the event store
+    * ([[expireRuns]]) — the reference's Prometheus keeps a bounded
+    * retention window too (docker/prometheus/prometheus.yml). */
   def persistRun(s: SparkSession, batches: Seq[BatchMetric],
                  metricsDir: String, runId: String): Unit = {
     import s.implicits._
     batches.toDF().withColumn("run_id", lit(runId))
-      .write.mode("append").parquet(metricsDir)
+      .withColumn(graft.store.EventStore.DayGrain,
+        date_format(timestamp_millis(col("wall_time_ms")), "yyyyMMdd"))
+      .write.mode("append")
+      .partitionBy(graft.store.EventStore.DayGrain).parquet(metricsDir)
   }
+
+  /** Retention for the durable metrics series: drop whole day
+    * partitions older than `retainDays` before `asOf` — B3's `expire`
+    * applied verbatim to the metrics table. Returns dropped partition
+    * values. */
+  def expireRuns(s: SparkSession, metricsDir: String,
+                 asOf: java.sql.Timestamp, retainDays: Int): Seq[String] =
+    graft.store.EventStore.expire(s, metricsDir,
+      graft.store.EventStore.DayGrain, asOf, retainDays)
 
   /** Per-run operational rollup over the persisted series: batches,
     * rows, overall throughput, and worst watermark lag (wall clock at

@@ -36,6 +36,26 @@ object StreamingQueries {
   private def tempDir(prefix: String): String =
     Files.createTempDirectory(prefix).toFile.getAbsolutePath
 
+  /** Stamp the data files added to `dir` since the last call with an
+    * explicit, strictly increasing mtime. FileStreamSource orders files
+    * by modification time; on filesystems with coarse (e.g. 1 s) mtime
+    * granularity two sequentially written slices can tie and replay out
+    * of order — for an order-sensitive consumer (s18's watermark seal)
+    * that silently drops a slice. Explicit stamps make the replay order
+    * a property of the writer, not the filesystem clock. */
+  private def stampSliceMtime(dir: String,
+                              seen: scala.collection.mutable.Set[String],
+                              mtimeMs: Long): Unit = {
+    val files = new java.io.File(dir).listFiles()
+    if (files != null)
+      files.filter(f => f.isFile && !f.getName.startsWith(".") &&
+                        !f.getName.startsWith("_") && !seen.contains(f.getName))
+        .foreach { f =>
+          require(f.setLastModified(mtimeMs), s"cannot set mtime on $f")
+          seen += f.getName
+        }
+  }
+
   /** Fixture clicks in the producer's wire shape (string ids, epoch-ms ts,
     * produce.py:127-135), one JSON object per line. */
   private def wireJson(s: SparkSession, dir: String): DataFrame =
@@ -543,15 +563,17 @@ object StreamingQueries {
       unix_micros(col("ts")).as("ts_us"),
       col("event_id").cast("long").as("event_id"),
       col("event_type"))
-    // 4 chronological slices with non-overlapping ts ranges, written
-    // sequentially (distinct mtimes) so the file source replays them in
-    // event-time order and the watermark never late-drops.
+    // 4 chronological slices with non-overlapping ts ranges, mtime-stamped
+    // in write order so the file source replays them in event-time order
+    // and the watermark never late-drops.
     val cuts = ev.stat.approxQuantile("ts_us", Array(0.25, 0.5, 0.75), 0.0)
     val edges = Long.MinValue +: cuts.map(_.toLong) :+ Long.MaxValue
-    edges.sliding(2).foreach { pair =>
+    val seen = scala.collection.mutable.Set.empty[String]
+    val base = System.currentTimeMillis() - 3600000L
+    edges.sliding(2).zipWithIndex.foreach { case (pair, i) =>
       ev.filter(col("ts_us") > pair(0) && col("ts_us") <= pair(1))
         .coalesce(1).write.mode("append").json(inDir)
-      Thread.sleep(50)
+      stampSliceMtime(inDir, seen, base + i * 60000L)
     }
 
     val schema = StructType(Seq(
@@ -600,10 +622,12 @@ object StreamingQueries {
     val ev = Tables.events(s, dir).select(
       col("user_id").cast("long").as("user_id"),
       unix_micros(col("ts")).as("ts_us"))
+    val seen = scala.collection.mutable.Set.empty[String]
+    val base = System.currentTimeMillis() - 3600000L
     (0 until 4).foreach { i =>
       ev.filter(pmod(xxhash64(col("ts_us")), lit(4)) === i)
         .coalesce(1).write.mode("append").json(inDir)
-      Thread.sleep(50)
+      stampSliceMtime(inDir, seen, base + i * 60000L)
     }
 
     val schema = StructType(Seq(

@@ -54,4 +54,22 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(mustSurvive.subsetOf(survivors),
       s"MG guarantee violated; missing: ${mustSurvive -- survivors}")
   }
+
+  test("reduce stays near-linear at k = 10k (hash probe, not array scan)") {
+    // 1M tokens over a 20k vocabulary at k = 10⁴: with the O(k) indexOf
+    // probe this was quadratic (~10¹⁰ slot visits); with the hash index
+    // it is one probe per token. Driver-side on purpose — it times the
+    // aggregator kernel, not Spark scheduling. Bound is ~20× slack over
+    // the measured time so the test never flakes on a loaded box.
+    val k = 10000
+    val agg = new MisraGriesAggregator(k)
+    val n = 1000000
+    val t0 = System.nanoTime()
+    var b = agg.zero
+    var i = 0
+    while (i < n) { b = agg.reduce(b, "tok" + (i * 7919 % 20000)); i += 1 }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(b.keys.length <= k)
+    assert(sec < 20.0, f"1M-token reduce at k=10000 took $sec%.1f s — quadratic probe regression?")
+  }
 }

@@ -104,10 +104,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
-  test("x27 composed pipeline: filter, window, agg — never a join") {
+  test("x27 composed pipeline: filter + min_by agg — never a join or rank window") {
     val p = plan(CurationQueries.curationPipeline(spark, dir))
-    assert(!p.contains("Join"), "the pipeline should dedup via window, not join: " + p)
+    assert(!p.contains("Join"), "the pipeline should dedup via min_by, not join: " + p)
     assert(!p.contains("CartesianProduct"), p)
+    // keep-first must be the partial-aggregable min_by, not a rank
+    // window that serializes each fingerprint group onto one task
+    assert(!p.contains("Window"), "rank-window keep-first crept back in:\n" + p)
   }
 
   test("x29 rebalance: count relations broadcast, corpus never shuffle-joined") {

@@ -169,6 +169,27 @@ class MetricsSpec extends AnyFunSuite {
     assert(summary("run-002").getAs[Long]("max_watermark_lag_ms") == 3000L - 2500L)
   }
 
+  test("m03 retention: expireRuns drops old day partitions, keeps recent") {
+    import graft.streaming.PipelineMetrics.BatchMetric
+    val metricsDir =
+      Files.createTempDirectory("graft_m03_exp_").toFile.getAbsolutePath + "/metrics"
+    def bm(wall: Long) =
+      BatchMetric("q-1", 0L, 10L, 10L, 1000.0, 1000.0, None, 0L, wall)
+
+    val day = 86400000L
+    // run-old lands on day 19700101, run-new on 19700301 (epoch + 59 days)
+    PipelineMetrics.persistRun(spark, Seq(bm(1000L)), metricsDir, "run-old")
+    PipelineMetrics.persistRun(spark, Seq(bm(59 * day + 1000L)), metricsDir, "run-new")
+
+    val dropped = PipelineMetrics.expireRuns(spark, metricsDir,
+      new java.sql.Timestamp(59 * day), retainDays = 30)
+    assert(dropped == Seq("19700101"), s"expected the old day dropped, got $dropped")
+
+    val left = PipelineMetrics.runSummary(spark, metricsDir)
+      .select("run_id").as[String].collect().toSeq
+    assert(left == Seq("run-new"), s"recent run must survive retention: $left")
+  }
+
   test("m03 entry produces a one-run summary with positive throughput") {
     val out = PipelineMetrics.metricsHistory(spark, TestSpark.Sf0001).collect()
     assert(out.length == 1)
