@@ -253,6 +253,44 @@ object Dedup {
     ngramJaccardAll(docs, idCol, textCol, n)
       .filter(col("jaccard") >= threshold)
 
+  /** Near-dup pairs with a DOCUMENT-FREQUENCY CAP on candidate
+    * generation — the corpus-scale-safe variant of
+    * [[ngramJaccardPairs]]. The uncapped shingle self-join is exact but
+    * quadratic in shingle document frequency: a boilerplate shingle
+    * present in m documents ("all rights reserved", navigation chrome,
+    * license headers) contributes m²/2 joined rows, and at corpus scale
+    * m reaches millions — measured concretely by `graft.ScaleCheck`,
+    * where welding 10-member families into shared-shingle cliques blew
+    * the uncapped join up 90× in shuffle volume for 10× the data.
+    *
+    * Here candidate pairs come only from shingles whose corpus document
+    * frequency is ≤ `maxDf` (one extra vocabulary-sized aggregation —
+    * partial-agg'd, shuffles only the shingle vocabulary), so one
+    * shingle contributes at most maxDf²/2 candidates no matter how
+    * pathological the corpus. Verification then recomputes EXACT
+    * Jaccard over the candidates' FULL shingle sets (capped shingles
+    * included), so every reported (pair, jaccard) is exact. The one
+    * semantic difference from the uncapped operator, stated rather than
+    * hidden: a pair whose shared shingles ALL have df > maxDf is never
+    * considered — at a sane cap such a pair shares only boilerplate,
+    * which is segment-dedup's job (x43), not near-dup's. */
+  def ngramJaccardPairsCapped(docs: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text", n: Int = 3,
+                              threshold: Double = 0.5,
+                              maxDf: Int = 100): DataFrame = {
+    def sh = shingleSet(docs, idCol, textCol, n)
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("sh"))
+    val blocked = sh.join(rare, "sh") // (sh, id) on rare shingles only
+    val cands = blocked.as("sa").join(blocked.as("sb"),
+        col("sa.sh") === col("sb.sh") && col("sa.id") < col("sb.id"))
+      .select(col("sa.id").as("id_a"), col("sb.id").as("id_b"))
+      .distinct()
+      .localCheckpoint() // candidate set is the small relation; cut the
+                         // double-scan lineage before the verify joins
+    verifyJaccard(cands, sh, threshold)
+  }
+
   /** CROSS-corpus near-dup pairs: every (incoming, reference) pair at or
     * above an exact n-gram-Jaccard threshold — the "dedup the new crawl
     * against the existing training set" / "is this eval doc already in

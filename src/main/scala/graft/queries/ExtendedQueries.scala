@@ -416,6 +416,65 @@ object ExtendedQueries {
        |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x57 — dedup-group resolution with DF-CAPPED candidate generation:
+  // the corpus-scale path for x17. Candidate pairs come only from
+  // shingles with document frequency ≤ CapDf (one boilerplate shingle
+  // can no longer contribute O(m²) join rows); Jaccard is then EXACT
+  // over candidates' full shingle sets. CapDf = 4 BINDS on the fixture
+  // (max df is 7 at sf0.01), so the oracle genuinely checks the capped
+  // semantics, not a no-op cap.
+  // ---------------------------------------------------------------------
+  private val CapDf = 4
+
+  def dedupComponentsCapped(s: SparkSession, dir: String): DataFrame =
+    Components.connectedComponents(
+      Dedup.ngramJaccardPairsCapped(Tables.documents(s, dir),
+        n = 3, threshold = 0.5, maxDf = CapDf))
+      .orderBy("doc_id")
+
+  val dedupComponentsCappedSql: String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), grams AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(greatest(len(w) - 2, 0)),
+       |                               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+       |  FROM toks
+       |), df AS (
+       |  SELECT sh, COUNT(*) AS df FROM grams GROUP BY sh
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM grams a
+       |  JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  JOIN df ON df.sh = a.sh
+       |  WHERE df.df <= $CapDf
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+       |  FROM grams a
+       |  JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+       |  GROUP BY 1, 2
+       |), jac AS (
+       |  SELECT id_a, id_b
+       |  FROM inter
+       |  JOIN sizes za ON id_a = za.doc_id
+       |  JOIN sizes zb ON id_b = zb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= 0.5
+       |), edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM jac
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM jac
+       |), reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |)
+       |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x38 — cross-corpus dedup: incoming sources (src0–src9) checked
   // against the reference corpus (src10–src19) by exact n-gram Jaccard
   // ---------------------------------------------------------------------
@@ -813,6 +872,7 @@ object ExtendedQueries {
     "x16_winnowing_overlap"  -> ((winnowingOverlap _, None)),
     "x17_dedup_components"   -> ((dedupComponents _, Some(dedupComponentsSql))),
     "x37_dedup_keep_best"    -> ((dedupKeepBest _, Some(dedupKeepBestSql))),
+    "x57_components_capped"  -> ((dedupComponentsCapped _, Some(dedupComponentsCappedSql))),
     "x38_cross_corpus_dedup" -> ((crossCorpusDedup _, Some(crossCorpusDedupSql))),
     "x44_bloom_cross_dedup"  -> ((bloomCrossDedup _, Some(bloomCrossDedupSql))),
     "x18_asof_join"          -> ((asofEnrichment _, Some(asofEnrichmentSql))),

@@ -132,6 +132,41 @@ class DedupSpec extends AnyFunSuite {
     assert(out.map(t => (t._1, t._2)).toSet == Set((1L, 2L))) // only the w-x-y sharers
   }
 
+  test("df-capped pairs: boilerplate shingle prunes candidates, values stay exact") {
+    // 6 docs: a/b are genuine near-dups (share rare shingles); EVERY doc
+    // carries the same boilerplate tail, so 'p q r' has df = 6. With
+    // maxDf = 5 the boilerplate can't generate candidates; a-b still
+    // qualify via their rare shingles, and their jaccard must equal the
+    // uncapped (exact) value — the cap restricts CANDIDATES, not math.
+    val boiler = "p q r p q r"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $boiler"),
+      (2L, s"alpha beta gamma delta epsilon eta $boiler"),
+      (3L, s"one two three four five six $boiler"),
+      (4L, s"seven eight nine ten eleven twelve $boiler"),
+      (5L, s"red orange yellow green blue indigo $boiler"),
+      (6L, s"cat dog bird fish horse goat $boiler")
+    ).toDF("doc_id", "text")
+
+    val uncapped = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.1)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    val capped = Dedup.ngramJaccardPairsCapped(docs, n = 3, threshold = 0.1, maxDf = 5)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
+
+    // uncapped: all 15 pairs share boilerplate shingles → all candidates
+    assert(uncapped.keySet.size == 15, s"fixture broken: ${uncapped.keySet}")
+    // capped: only the genuine near-dup pair survives candidate generation
+    assert(capped.keySet == Set((1L, 2L)), s"got ${capped.keySet}")
+    // and its similarity is the EXACT full-shingle-set jaccard
+    assert(math.abs(capped((1L, 2L)) - uncapped((1L, 2L))) < 1e-12)
+
+    // a cap that never binds reproduces the uncapped operator exactly
+    val loose = Dedup.ngramJaccardPairsCapped(docs, n = 3, threshold = 0.1, maxDf = 100)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(loose.keySet == uncapped.keySet)
+    loose.foreach { case (k, j) => assert(math.abs(j - uncapped(k)) < 1e-12) }
+  }
+
   test("cross-corpus jaccard == within-corpus jaccard restricted to the split") {
     val docs = graft.Tables.documents(spark, TestSpark.Sf0001)
     val srcNum = expr("CAST(substring(source, 4) AS INT)")
