@@ -79,6 +79,39 @@ class KafkaProjectionSpec extends AnyFunSuite {
     assert(ids == Seq("e1", "e3"))
   }
 
+  test("multi-partition interleave + headers column: projection is shape-indifferent") {
+    // the connector emits (partition, offset) per record and, with
+    // includeHeaders=true, an extra headers array column. The projection
+    // must (a) not depend on partition/offset ordering — Kafka only
+    // orders within a partition — and (b) tolerate the headers column's
+    // presence, since it selects value alone.
+    val withHeaders = kafkaSchema.add(StructField("headers",
+      ArrayType(StructType(Seq(
+        StructField("key", StringType), StructField("value", BinaryType))))))
+    def rec(eventId: String, user: String, tsMs: Long,
+            partition: Int, offset: Long, headers: Any): Row =
+      Row(user.getBytes(UTF_8), jsonClick(eventId, user, tsMs, "/p").getBytes(UTF_8),
+        "click_events", partition, offset, new Timestamp(t0), 0, headers)
+
+    val wire = spark.createDataFrame(
+      java.util.Arrays.asList(
+        // interleaved offsets ACROSS partitions; event-time disagrees
+        // with offset order on purpose
+        rec("e1", "u1", t0 + 300, 2, 0L, null),
+        rec("e2", "u2", t0 + 100, 0, 5L,
+          scala.collection.immutable.Seq(Row("trace", "abc".getBytes(UTF_8)))),
+        rec("e3", "u1", t0 + 200, 1, 2L, scala.collection.immutable.Seq.empty[Row]),
+        rec("e4", "u3", t0, 0, 6L, null)),
+      withHeaders)
+
+    val clicks = ClickPipeline.parse(ClickPipeline.kafkaProjection(wire))
+      .orderBy("event_id").collect()
+    assert(clicks.map(_.getAs[String]("event_id")).toSeq == Seq("e1", "e2", "e3", "e4"))
+    // ts comes from the payload, never from partition/offset/log timestamp
+    assert(clicks.map(_.getAs[Timestamp]("ts").getTime).toSeq ==
+      Seq(t0 + 300, t0 + 100, t0 + 200, t0))
+  }
+
   test("producer records parse back through the consumer projection (loop closure)") {
     import org.apache.spark.sql.functions._
     val ev = graft.gen.EventGenerator.events(spark, n = 200, seed = 7L)
