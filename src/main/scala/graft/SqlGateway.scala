@@ -18,6 +18,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   POST /sql       body = raw SQL text → one JSON object per row
   *                   (the `FORMAT JSONEachRow` analogue), ?limit=N
   *                   caps the rows collected (default 10 000)
+  *   POST /explain   body = raw SQL text → the formatted physical plan,
+  *                   without executing (check pushdown/broadcast shape
+  *                   before paying for the query)
   *   GET  /health    liveness probe
   *
   * Built on the JDK's own `com.sun.net.httpserver` — zero dependencies
@@ -51,6 +54,14 @@ object SqlGateway {
   /** Execute `sql` and render ≤ `limit` rows as JSON lines. */
   def runToJsonLines(spark: SparkSession, sql: String, limit: Int): String =
     spark.sql(sql).toJSON.take(limit).mkString("", "\n", "\n")
+
+  /** Formatted physical plan for `sql` WITHOUT executing it — the
+    * `EXPLAIN`/`.explain("formatted")` surface over HTTP, so an operator
+    * can check pushdown/broadcast/codegen shape before paying for a
+    * query. */
+  def explainSql(spark: SparkSession, sql: String): String =
+    spark.sql(sql).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
   /** Start the gateway on `port` (0 = ephemeral; read the bound port
     * from the returned server). Call `.stop(0)` to shut down. */
@@ -86,6 +97,24 @@ object SqlGateway {
               .replace("\n", "\\n").replace("\r", "").replace("\t", " ")
             respond(ex, 400, s"""{"error":"$msg"}""" + "\n")
           }
+      }
+    })
+
+    server.createContext("/explain", (ex: HttpExchange) => {
+      if (ex.getRequestMethod != "POST")
+        respond(ex, 405, """{"error":"POST raw SQL to /explain"}""" + "\n")
+      else {
+        val sql = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
+        val plain = (status: Int, body: String) => {
+          val bytes = body.getBytes(UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+          ex.sendResponseHeaders(status, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        }
+        try plain(200, explainSql(spark, sql))
+        catch { case e: Throwable =>
+          plain(400, Option(e.getMessage).getOrElse(e.getClass.getName)) }
       }
     })
 

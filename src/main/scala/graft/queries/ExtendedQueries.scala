@@ -475,6 +475,68 @@ object ExtendedQueries {
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x58 — time-series gap-fill + LOCF: the dashboard-series operator a
+  // store like the reference's feeds to Grafana. Per-type minute counts
+  // over one UTC day with missing minutes ZERO-FILLED from a generated
+  // grid and the per-minute average value carried forward (last
+  // observation) across gaps.
+  //
+  // Scale shape: events collapse to (type, minute) in ONE partial-agg'd
+  // shuffle; the grid is types × minutes (dashboard-sized, broadcast
+  // into the left join), and the LOCF window runs over per-type minute
+  // partitions bounded by the range (1440 rows/day) — never raw events.
+  // ---------------------------------------------------------------------
+  private val GapDayLo = "2024-01-05 00:00:00"
+  private val GapDayHi = "2024-01-06 00:00:00"
+
+  def gapFillLocf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .filter(col("ts") >= lit(GapDayLo).cast("timestamp") &&
+              col("ts") <  lit(GapDayHi).cast("timestamp"))
+      .withColumn("minute", date_trunc("minute", col("ts")))
+    val agg = ev.groupBy(col("event_type"), col("minute"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("avg_value"))
+    val bounds = agg.agg(min("minute").as("lo"), max("minute").as("hi"))
+    val grid = ev.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 minute"))).as("minute"))
+    val w = Window.partitionBy("event_type").orderBy("minute")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("event_type", "minute"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("locf_value", last(col("avg_value"), ignoreNulls = true).over(w))
+      .select(col("event_type"), col("minute"), col("n"), col("locf_value"))
+      .orderBy("event_type", "minute")
+  }
+
+  val gapFillLocfSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_type,
+       |         date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute, "value"
+       |  FROM events
+       |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '$GapDayLo'
+       |    AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '$GapDayHi'
+       |), agg AS (
+       |  SELECT event_type, minute, CAST(COUNT(*) AS BIGINT) AS n,
+       |         round(AVG("value"), 6) AS avg_value
+       |  FROM ev GROUP BY 1, 2
+       |), bounds AS (SELECT MIN(minute) AS lo, MAX(minute) AS hi FROM agg),
+       |grid AS (
+       |  SELECT t.event_type, g.minute
+       |  FROM (SELECT DISTINCT event_type FROM ev) t
+       |  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 minute)) AS minute
+       |              FROM bounds) g)
+       |SELECT g.event_type, g.minute, COALESCE(a.n, 0) AS n,
+       |       last_value(a.avg_value IGNORE NULLS) OVER (
+       |         PARTITION BY g.event_type ORDER BY g.minute
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+       |FROM grid g
+       |LEFT JOIN agg a ON a.event_type = g.event_type AND a.minute = g.minute
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x38 — cross-corpus dedup: incoming sources (src0–src9) checked
   // against the reference corpus (src10–src19) by exact n-gram Jaccard
   // ---------------------------------------------------------------------
@@ -873,6 +935,7 @@ object ExtendedQueries {
     "x17_dedup_components"   -> ((dedupComponents _, Some(dedupComponentsSql))),
     "x37_dedup_keep_best"    -> ((dedupKeepBest _, Some(dedupKeepBestSql))),
     "x57_components_capped"  -> ((dedupComponentsCapped _, Some(dedupComponentsCappedSql))),
+    "x58_gapfill_locf"       -> ((gapFillLocf _, Some(gapFillLocfSql))),
     "x38_cross_corpus_dedup" -> ((crossCorpusDedup _, Some(crossCorpusDedupSql))),
     "x44_bloom_cross_dedup"  -> ((bloomCrossDedup _, Some(bloomCrossDedupSql))),
     "x18_asof_join"          -> ((asofEnrichment _, Some(asofEnrichmentSql))),

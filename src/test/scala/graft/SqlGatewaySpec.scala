@@ -69,6 +69,15 @@ class SqlGatewaySpec extends AnyFunSuite {
         Some("SELECT count(DISTINCT country) AS c FROM clicks"))
       assert(s5 == 200, b5)
       assert(b5.trim == """{"c":8}""")
+
+      // /explain returns the formatted physical plan without executing
+      val (s6, b6) = http(port, "/explain", "POST",
+        Some("SELECT n_name, count(*) AS n FROM customer " +
+             "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1"))
+      assert(s6 == 200, b6)
+      assert(b6.contains("== Physical Plan =="), b6)
+      assert(b6.contains("BroadcastHashJoin"), // nation is dimension-sized
+        "expected a broadcast join in the ad-hoc plan:\n" + b6)
     }
   }
 }
