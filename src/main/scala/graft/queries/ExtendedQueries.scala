@@ -29,7 +29,7 @@ object ExtendedQueries {
   private def langScoreSql(p: String, lang: String): String =
     TF.LangMarkers.toMap.apply(lang).map(occSql(p, _)).mkString("(", " + ", ")")
 
-  private val normalizedSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private[queries] val normalizedSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
   // ---------------------------------------------------------------------
   // x01 — token counting (whitespace + BPE-ish regex)

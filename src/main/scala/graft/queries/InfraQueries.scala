@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.gen.EventGenerator
-import graft.store.EventStore
+import graft.store.{EventStore, FingerprintStore}
 
 /** Driver entries for the storage layer (B2/B3/B5) and the event
   * generator — each runs the real write→read (or generate→aggregate)
@@ -349,6 +349,42 @@ object InfraQueries {
       |FROM (VALUES ('csv'), ('orc')) f(format) CROSS JOIN base b
       |ORDER BY f.format""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s24 — incremental cross-run dedup against a durable fingerprint
+  // store: history (src10–19) is ingested as fingerprints only, the
+  // incoming batch (src0–9) is admitted with one left-anti semi-join
+  // against the store, and the SAME batch replayed afterwards must admit
+  // zero rows — the "dedup today's crawl against all history without
+  // rescanning history" operator, with the cross-run property asserted
+  // inside the entry itself.
+  // ---------------------------------------------------------------------
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val store = tempDir("graft_s24_fp_") + "/store"
+    val docs = Tables.documents(s, dir)
+    val srcNum = expr("CAST(substring(source, 4) AS INT)")
+    FingerprintStore.ingest(docs.filter(srcNum >= 10), store)
+    val survivors = FingerprintStore.dedupAgainst(s, store, docs.filter(srcNum < 10))
+    val readmitted = FingerprintStore.dedupAgainst(s, store, docs.filter(srcNum < 10)).count()
+    require(readmitted == 0,
+      s"replayed batch re-admitted $readmitted rows — store is not durable")
+    survivors.select(col("doc_id"), col("source"), col("fp")).orderBy("doc_id")
+  }
+
+  val incrementalDedupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, md5(${ExtendedQueries.normalizedSql}) AS fp
+       |  FROM documents
+       |), hist AS (
+       |  SELECT DISTINCT fp FROM d WHERE CAST(substring(source, 4) AS INT) >= 10
+       |), batch AS (
+       |  SELECT * FROM d WHERE CAST(substring(source, 4) AS INT) < 10
+       |), first AS (
+       |  SELECT fp, MIN(doc_id) AS doc_id FROM batch GROUP BY 1)
+       |SELECT b.doc_id, b.source, b.fp
+       |FROM batch b JOIN first f ON b.doc_id = f.doc_id AND b.fp = f.fp
+       |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp)
+       |ORDER BY b.doc_id""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "s04_store_partitioned" -> ((storePartitioned _, Some(storePartitionedSql))),
     "s05_store_retention"   -> ((storeRetention _, Some(storeRetentionSql))),
@@ -357,6 +393,7 @@ object InfraQueries {
     "s16_store_incremental" -> ((storeIncremental _, Some(storeIncrementalSql))),
     "s21_store_bucketed"    -> ((storeBucketed _, Some(storeBucketedSql))),
     "s22_store_formats"     -> ((storeFormats _, Some(storeFormatsSql))),
+    "s24_incremental_dedup" -> ((incrementalDedup _, Some(incrementalDedupSql))),
     "x31_salted_join"       -> ((saltedJoin _, Some(saltedJoinSql))),
     "x39_hll_rollup"        -> ((hllRollup _, None)),
     "g01_generator_stats"   -> ((generatorStats _, None)),

@@ -408,6 +408,61 @@ object TpchQueries {
       |WHERE o.o_orderkey IN (SELECT l_orderkey FROM q)
       |ORDER BY o.o_orderkey""".stripMargin
 
+  /** j14 — TPC-H Q21 shape (suppliers who kept orders waiting): the
+    * double-correlated EXISTS / NOT EXISTS class — "a late supplier on a
+    * multi-supplier order where NO OTHER supplier was late". The fixture
+    * lineitem has no commit/receipt dates, so "late" = shipped more than
+    * 60 days after the order date.
+    *
+    * Decorrelated Spark-side as two stacked aggregations instead of two
+    * correlated subqueries per row: one shuffle of lineitem on
+    * (orderkey, suppkey) collapses lines to per-(order, supplier) late
+    * flags; re-aggregating THAT relation per order gives supplier count
+    * and late-supplier count; the EXISTS/NOT-EXISTS pair becomes a
+    * row-local filter (has_late ∧ n_supp ≥ 2 ∧ n_late = 1). Lineitem is
+    * never re-scanned per subquery, supplier names broadcast, and the
+    * top-20 is a TakeOrdered, not a global sort. */
+  def waitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val flagged = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("interval 60 days"))
+          .cast("int").as("late"))
+    val perSupp = flagged.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("has_late"))
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("has_late")).as("n_late"))
+    perSupp.join(perOrder, "l_orderkey")
+      .filter(col("has_late") === 1 && col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), col("s_name"))
+      .limit(20)
+  }
+
+  val waitingSuppliersSql: String =
+    """WITH f AS (
+      |  SELECT l.l_orderkey, l.l_suppkey,
+      |         CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      |              THEN 1 ELSE 0 END AS late
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |), ps AS (
+      |  SELECT l_orderkey, l_suppkey, MAX(late) AS has_late
+      |  FROM f GROUP BY 1, 2
+      |), po AS (
+      |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_supp,
+      |         SUM(has_late) AS n_late
+      |  FROM ps GROUP BY 1)
+      |SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM ps
+      |JOIN po USING (l_orderkey)
+      |JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+      |WHERE ps.has_late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+      |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "j01_pricing_summary"   -> ((pricingSummary _, Some(pricingSummarySql))),
     "j02_revenue_by_nation" -> ((revenueByNation _, Some(revenueByNationSql))),
@@ -422,5 +477,6 @@ object TpchQueries {
     "j11_correlated_subq"   -> ((bigSpenders _, Some(bigSpendersSql))),
     "j12_moving_avg"        -> ((dailyMovingAvg _, Some(dailyMovingAvgSql))),
     "j13_large_volume"      -> ((largeVolumeOrders(_, _), Some(largeVolumeOrdersSql))),
+    "j14_waiting_suppliers" -> ((waitingSuppliers _, Some(waitingSuppliersSql))),
   )
 }

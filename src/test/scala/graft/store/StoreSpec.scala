@@ -193,4 +193,39 @@ class StoreSpec extends AnyFunSuite {
         java.sql.Timestamp.valueOf(Tables.AsOf), retainDays = 10)
     }
   }
+
+  test("fingerprint store: bootstrap, cross-batch dedup, replay, compact") {
+    import graft.store.FingerprintStore
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_fps_").toFile.getAbsolutePath + "/store"
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+    // batch 1 against a store that does not exist yet: internal dedup
+    // only — "b" keeps its lowest id
+    val b1 = FingerprintStore.dedupAgainst(spark, store,
+      docs(1L -> "alpha text", 2L -> "beta text", 3L -> "beta text"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(b1 == Seq(1L, 2L))
+
+    // batch 2 overlaps batch 1 and history-style duplicates drop; the
+    // genuinely new doc survives
+    val b2 = FingerprintStore.dedupAgainst(spark, store,
+      docs(10L -> "alpha text", 11L -> "gamma text"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(b2 == Seq(11L))
+
+    // full replay admits nothing (durable across calls = across runs;
+    // the store is plain parquet, nothing lives in this JVM)
+    assert(FingerprintStore.dedupAgainst(spark, store,
+      docs(1L -> "alpha text", 2L -> "beta text", 11L -> "gamma text")).count() == 0)
+
+    // compact dedups the stored relation without changing membership
+    val before = FingerprintStore.known(spark, store)
+      .distinct().collect().map(_.getString(0)).sorted.toSeq
+    FingerprintStore.compact(spark, store)
+    val after = FingerprintStore.known(spark, store)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(after == before)
+    assert(after.distinct == after)
+  }
 }
