@@ -70,6 +70,19 @@ class SqlGatewaySpec extends AnyFunSuite {
       assert(s5 == 200, b5)
       assert(b5.trim == """{"c":8}""")
 
+      // concurrent readers share the one session: fire parallel queries
+      // with distinct answers and check nothing cross-talks
+      val futures = (0 until 8).map { i =>
+        java.util.concurrent.CompletableFuture.supplyAsync(() =>
+          http(port, "/sql", "POST",
+            Some(s"SELECT $i AS i, count(*) AS n FROM events WHERE user_id % 8 = $i")))
+      }
+      futures.zipWithIndex.foreach { case (f, i) =>
+        val (st, body) = f.get(60, java.util.concurrent.TimeUnit.SECONDS)
+        assert(st == 200, body)
+        assert(body.contains(s""""i":$i,"""), s"cross-talk for $i: $body")
+      }
+
       // /explain returns the formatted physical plan without executing
       val (s6, b6) = http(port, "/explain", "POST",
         Some("SELECT n_name, count(*) AS n FROM customer " +

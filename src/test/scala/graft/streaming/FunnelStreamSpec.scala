@@ -145,6 +145,59 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(viaFmgws(1L) == 1, "straggler below the seal boundary must be dropped")
   }
 
+  test("funnelStep property: buffer stays (ts,id)-sorted and the final level equals the batch DP") {
+    // The O(B+A) merge in funnelStep RELIES on the buffer being sorted
+    // across triggers (it only sorts arrivals). Drive the transition
+    // directly with seeded-random trigger partitions and adversarial
+    // within-trigger order; after every step assert the invariant, and
+    // at the end assert parity with the one-pass batch DP.
+    val stepArr = steps.toArray
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 0 until 25) {
+      val n = 40 + rnd.nextInt(60)
+      val events = (0 until n).map { i =>
+        FunnelEvent(1L, sec(rnd.nextInt(10000)).abs, i.toLong,
+          stepArr(rnd.nextInt(stepArr.length)))
+      }
+
+      // streamed: random trigger slicing, shuffled within trigger, with
+      // the watermark trailing the max event time seen so far. Arrivals
+      // at/before the trigger's sealed boundary are LATE and dropped by
+      // funnelStep (the engine contract) — track the accepted set, the
+      // batch reference runs over exactly those.
+      var st = Funnel.emptyStreamState(stepArr.length)
+      var maxSeen = Long.MinValue
+      val accepted = scala.collection.mutable.Buffer[FunnelEvent]()
+      val shuffled = rnd.shuffle(events)
+      val cuts = (0 until rnd.nextInt(6)).map(_ => rnd.nextInt(n)).sorted
+      val triggers = (Seq(0) ++ cuts ++ Seq(n)).distinct.sliding(2)
+        .map { case Seq(a, b) => shuffled.slice(a, b) }.toSeq
+      triggers.foreach { trig =>
+        accepted ++= trig.filter(_.ts_us > st.sealedUs)
+        maxSeen = math.max(maxSeen, (trig.map(_.ts_us) :+ maxSeen).max)
+        val wm = maxSeen - sec(10) // 10s-trailing watermark, like the query
+        val (st2, _) = Funnel.funnelStep(st, trig.iterator, wm, stepArr, W)
+        // invariant: the kept buffer is sorted by (ts, id)
+        val pairs = st2.bufTs.zip(st2.bufId).toSeq
+        assert(pairs == pairs.sortBy(identity),
+          s"trial $trial: buffer lost sort order: $pairs")
+        assert(st2.bufTs.forall(_ > wm), s"trial $trial: sealed event left in buffer")
+        st = st2
+      }
+      // flush: advance the watermark past everything
+      val (_, fin) = Funnel.funnelStep(st, Iterator.empty, maxSeen + 1, stepArr, W)
+
+      // batch reference: the accepted events in full (ts, id) order
+      // through the same DP kernel
+      val anchors = Array.fill(stepArr.length)(Long.MinValue)
+      accepted.sortBy(e => (e.ts_us, e.event_id))
+        .foreach(e => Funnel.applyEvent(anchors, stepArr, e.ts_us, e.event_type, W))
+      val expected = Funnel.level(anchors)
+      assert(fin == expected,
+        s"trial $trial: streamed=$fin batch=$expected over ${accepted.length} accepted")
+    }
+  }
+
   test("s19: a late-arriving earlier day retro-actively re-assigns the cohort") {
     import graft.operators.{DayEvent, Funnel}
     val day = 86400L * 1000000L
