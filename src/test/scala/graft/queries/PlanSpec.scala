@@ -178,6 +178,42 @@ class PlanSpec extends AnyFunSuite {
       "scan is not reading buckets:\n" + p)
   }
 
+  test("j14: decorrelated Q21 — no cartesian, supplier broadcast, top-20 TakeOrdered") {
+    val p = plan(TpchQueries.waitingSuppliers(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), "supplier names must broadcast: " + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must be TakeOrdered, not a global sort: " + p)
+    // the EXISTS/NOT-EXISTS pair must be decorrelated: lineitem appears
+    // in the plan as scans, never as a per-row rescan loop — coarse
+    // proxy: hash aggregation present, no nested-loop join
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("s24: store admission is one left-anti semi-join, never a cartesian") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_s24_plan_").toFile.getAbsolutePath + "/store"
+    val docs = graft.Tables.documents(spark, dir)
+    graft.store.FingerprintStore.ingest(docs.limit(50), store)
+    val df = graft.store.FingerprintStore.dedupAgainst(spark, store, docs)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // the returned frame must be the PINNED checkpoint (immune to the
+    // fingerprint append), so its plan is an RDD scan, not a live join
+    assert(p.contains("Scan ExistingRDD"),
+      "survivors must answer from the pinned checkpoint:\n" + p)
+    // the admission join itself (as dedupAgainst builds it, before the
+    // pin) must be a left-anti semi-join against the store relation
+    import org.apache.spark.sql.functions.col
+    val admission = docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      .join(graft.store.FingerprintStore.known(spark, store), Seq("fp"), "left_anti")
+    val ap = plan(admission)
+    assert(ap.contains("LeftAnti"), ap)
+    assert(!ap.contains("CartesianProduct"), ap)
+  }
+
   test("j12: the moving-average frame runs over the pre-aggregated daily relation") {
     val df = TpchQueries.dailyMovingAvg(spark, dir)
     val p = plan(df)
