@@ -96,9 +96,10 @@ object Multimodal {
       s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb
     }
 
-    /** → (width, height, packed RGB24). */
-    def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
-      var i = 0
+    /** One frame starting at `start` → (width, height, packed RGB24,
+      * offset just past the raster). */
+    private def decodeAt(bytes: Array[Byte], start: Int): (Int, Int, Array[Byte], Int) = {
+      var i = start
       def token(): String = {
         while (i < bytes.length && Character.isWhitespace(bytes(i))) i += 1
         require(i < bytes.length && bytes(i) != '#',
@@ -112,7 +113,29 @@ object Multimodal {
       require(token().toInt == 255, "only maxval 255 supported")
       i += 1 // exactly one whitespace byte separates header from raster
       require(bytes.length - i >= w * h * 3, "raster shorter than header promises")
-      (w, h, java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3))
+      (w, h, java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3), i + w * h * 3)
+    }
+
+    /** → (width, height, packed RGB24). */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val (w, h, rgb, _) = decodeAt(bytes, 0)
+      (w, h, rgb)
+    }
+
+    /** Parse a back-to-back P6 FRAME STREAM — the raw-video contract of
+      * `ffmpeg -f image2pipe -vcodec ppm` pipes: independent conformant
+      * P6 payloads laid head-to-tail, one per frame. Strict: the stream
+      * must end exactly at the last raster byte (a truncated tail frame
+      * is an error, not a silent partial read). */
+    def decodeStream(bytes: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Array[Byte])]()
+      var off = 0
+      while (off < bytes.length) {
+        val (w, h, rgb, next) = decodeAt(bytes, off)
+        out += ((w, h, rgb))
+        off = next
+      }
+      out.toSeq
     }
   }
 

@@ -910,6 +910,80 @@ object ExtendedQueries {
        |  CAST(SUM((asset_id * 3 + sx * 7 + sy * 13) % 256) AS BIGINT) AS thumb_sum_b
        |FROM src GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x59 — REAL video frame-sampling: a "video" is a back-to-back P6
+  // frame stream (the `ffmpeg -f image2pipe -vcodec ppm` raw-video
+  // contract), parsed by the genuine PpmCodec.decodeStream — this
+  // upgrades the frame-sample path from the declared FakeCodec stub to a
+  // real decode. Every 2nd frame is sampled and channel-summed; the
+  // oracle re-evaluates the closed-form per-frame pixel formula at the
+  // sampled indices. Integer-only, like x54/x55.
+  // ---------------------------------------------------------------------
+  private val VideoAssets = 48
+
+  /** Deterministic frame streams: asset `id` is (3 + id%4) frames of a
+    * (4+id%5)×(3+id%4) raster; frame f's channel bytes follow the
+    * formulas the oracle re-evaluates. */
+  private def videoAssets(s: SparkSession): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal.PpmCodec
+    s.range(VideoAssets).map { id =>
+      val w = 4 + (id % 5).toInt; val h = 3 + (id % 4).toInt
+      val n = 3 + (id % 4).toInt
+      val stream = (0 until n).map { f =>
+        val rgb = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val base = (y * w + x) * 3
+            rgb(base)     = ((id     + f * 17 + x * 3 + y * 7)  % 256).toByte
+            rgb(base + 1) = ((id * 2 + f * 19 + x * 5 + y * 11) % 256).toByte
+            rgb(base + 2) = ((id * 3 + f * 23 + x * 7 + y * 13) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        PpmCodec.encode(w, h, rgb)
+      }.reduce(_ ++ _)
+      (id, stream)
+    }.toDF("asset_id", "video")
+  }
+
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal.PpmCodec
+    videoAssets(s).as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        PpmCodec.decodeStream(bytes).zipWithIndex.collect {
+          case ((w, h, rgb), f) if f % 2 == 0 =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var p = 0
+            while (p < w * h) {
+              sr += rgb(p * 3) & 0xff; sg += rgb(p * 3 + 1) & 0xff
+              sb += rgb(p * 3 + 2) & 0xff; p += 1
+            }
+            (id, f.toLong, sr, sg, sb)
+        }
+      }
+    }.toDF("asset_id", "frame_idx", "sum_r", "sum_g", "sum_b")
+      .orderBy("asset_id", "frame_idx")
+  }
+
+  val frameSampleSql: String =
+    s"""WITH ids AS (SELECT unnest(range($VideoAssets)) AS asset_id),
+       |dims AS (SELECT asset_id, 4 + asset_id % 5 AS w, 3 + asset_id % 4 AS h,
+       |                3 + asset_id % 4 AS n FROM ids),
+       |fr AS (SELECT asset_id, w, h, unnest(range(n)) AS f FROM dims),
+       |samp AS (SELECT * FROM fr WHERE f % 2 = 0),
+       |cols AS (SELECT asset_id, w, h, f, unnest(range(w)) AS x FROM samp),
+       |px AS (SELECT asset_id, w, h, f, x, unnest(range(h)) AS y FROM cols)
+       |SELECT asset_id, CAST(f AS BIGINT) AS frame_idx,
+       |  CAST(SUM((asset_id     + f * 17 + x * 3 + y * 7)  % 256) AS BIGINT) AS sum_r,
+       |  CAST(SUM((asset_id * 2 + f * 19 + x * 5 + y * 11) % 256) AS BIGINT) AS sum_g,
+       |  CAST(SUM((asset_id * 3 + f * 23 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_b
+       |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Registry: name → (fn, optional oracle). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x01_token_count"        -> ((tokenCount _, Some(tokenCountSql))),
@@ -944,6 +1018,7 @@ object ExtendedQueries {
     "x50_retention_cohort"   -> ((retentionQ _, Some(retentionSql))),
     "x54_image_decode"       -> ((imageDecode _, Some(imageDecodeSql))),
     "x55_image_resize"       -> ((imageResize _, Some(imageResizeSql))),
+    "x59_frame_sample"       -> ((frameSample _, Some(frameSampleSql))),
     "x56_funnel_report"      -> ((funnelReport _, Some(funnelReportSql))),
   )
 }

@@ -72,6 +72,30 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PpmCodec: frame streams round-trip; mixed dims; truncated tail is loud") {
+    import Multimodal.PpmCodec
+    val rnd = new scala.util.Random(11)
+    // frames of DIFFERENT dimensions back-to-back (the stream contract
+    // carries each frame's own header, like an image2pipe PPM pipe)
+    val frames = Seq((2, 3), (5, 1), (4, 4)).map { case (w, h) =>
+      (w, h, Array.fill(w * h * 3)(rnd.nextInt(256).toByte))
+    }
+    val stream = frames.map { case (w, h, rgb) => PpmCodec.encode(w, h, rgb) }
+      .reduce(_ ++ _)
+    val out = PpmCodec.decodeStream(stream)
+    assert(out.length == 3)
+    out.zip(frames).foreach { case ((dw, dh, drgb), (w, h, rgb)) =>
+      assert(dw == w && dh == h)
+      assert(java.util.Arrays.equals(drgb, rgb))
+    }
+    // single frame degenerates to decode()
+    assert(PpmCodec.decodeStream(PpmCodec.encode(1, 1, Array[Byte](1, 2, 3))).length == 1)
+    // a truncated TAIL frame fails the whole parse — no silent partials
+    intercept[IllegalArgumentException] {
+      PpmCodec.decodeStream(stream ++ "P6\n9 9\n255\n".getBytes("US-ASCII"))
+    }
+  }
+
   test("PpmCodec: malformed payloads fail loudly, never return garbage") {
     import Multimodal.PpmCodec
     // wrong magic
