@@ -5,10 +5,34 @@ object Bench {
   /** Untimed warmup: JVM/codegen/session init otherwise lands entirely on
     * whichever query happens to sort first. Runs a registry query against
     * the BENCHMARKED sfDir so warmup always executes real work on real
-    * data (an absent hardcoded path would silently skip it). */
-  private[graft] def warmup(spark: SparkSession, sfDir: String): Unit =
+    * data (an absent hardcoded path would silently skip it).
+    *
+    * Also runs one tiny checkpointed stateful streaming query: the
+    * micro-batch planner, state-store machinery and streaming sink paths
+    * JIT separately from the batch engine, and without this the first
+    * streaming entry in a session absorbs all of it (measured: s01
+    * 7.9 s cold vs 3.7 s warm; standalone `BenchOne s09` 4.2 s vs 2.3 s
+    * after any streaming entry). */
+  private[graft] def warmup(spark: SparkSession, sfDir: String): Unit = {
     try SparkEntry.queries("q14_minute_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    try {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val work = java.nio.file.Files.createTempDirectory("graft_warm_").toString
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(work, "w.json"),
+        """{"k":"a","v":1}""" + "\n" + """{"k":"b","v":2}""" + "\n")
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("k", StringType), StructField("v", LongType))))
+        .json(work)
+        .groupBy("k").count()
+        .writeStream.outputMode("update").format("noop")
+        .option("checkpointLocation", s"$work/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } catch { case _: Throwable => () }
+  }
 
   /** Time one registry entry. Executes the FULL plan via a noop-format
     * write: under a bare .count() Catalyst's EliminateSorts removes final
