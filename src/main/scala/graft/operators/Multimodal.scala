@@ -139,6 +139,76 @@ object Multimodal {
     }
   }
 
+  /** A REAL audio codec for the one container decodable in pure JVM
+    * bytes: RIFF/WAVE PCM16 mono. Like [[PpmCodec]] (and unlike
+    * [[FakeCodec]]) this is not a stub: encode writes a spec-conformant
+    * 44-byte canonical header + little-endian int16 samples; decode
+    * WALKS THE CHUNK LIST (fmt / data discovered wherever they sit,
+    * unknown chunks like LIST/INFO skipped by their declared size — the
+    * part naive offset-44 readers get wrong) and rejects compressed,
+    * multi-channel or non-16-bit payloads loudly. Lossy formats
+    * (MP3/AAC/...) keep the documented JNI swap point on [[FakeCodec]]. */
+  object WavCodec {
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+            ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+    def encode(sampleRateHz: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).put(le32(36 + dataLen))
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).put(le32(16))
+        .put(le16(1)).put(le16(1)) // PCM, mono
+        .put(le32(sampleRateHz)).put(le32(sampleRateHz * 2))
+        .put(le16(2)).put(le16(16)) // block align, bits
+        .put("data".getBytes("US-ASCII")).put(le32(dataLen))
+      samples.foreach(s => out.putShort(s))
+      out.array()
+    }
+
+    /** → (sampleRateHz, samples). */
+    def decode(bytes: Array[Byte]): (Int, Array[Short]) = {
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+      }
+      require(bytes.length >= 12 && tag() == "RIFF", "not a RIFF container")
+      bb.getInt // declared RIFF size — data chunk size is authoritative
+      require(tag() == "WAVE", "RIFF payload is not WAVE")
+      var rate = -1
+      var samples: Array[Short] = null
+      while (bb.remaining() >= 8 && (rate < 0 || samples == null)) {
+        val id = tag(); val size = bb.getInt
+        require(size >= 0 && size <= bb.remaining(),
+          s"chunk '$id' declares $size bytes but ${bb.remaining()} remain")
+        id match {
+          case "fmt " =>
+            val fmtEnd = bb.position() + size
+            require(bb.getShort() == 1, "only uncompressed PCM supported")
+            require(bb.getShort() == 1, "only mono supported")
+            rate = bb.getInt
+            bb.getInt; bb.getShort // byte rate, block align
+            require(bb.getShort() == 16, "only 16-bit samples supported")
+            bb.position(fmtEnd) // skip any fmt extension bytes
+          case "data" =>
+            require(size % 2 == 0, "odd PCM16 data length")
+            samples = new Array[Short](size / 2)
+            var i = 0
+            while (i < samples.length) { samples(i) = bb.getShort(); i += 1 }
+          case _ => // LIST/INFO/fact/...: skip by declared size (+pad)
+            bb.position(bb.position() + size + (size & 1))
+        }
+      }
+      require(rate > 0, "missing fmt chunk")
+      require(samples != null, "missing data chunk")
+      (rate, samples)
+    }
+  }
+
   /** Build an asset table from the documents fixture: text bytes stand in
     * for media payloads (deterministic, scale-proportional). Modality and
     * fake dimensions derive from doc_id. */

@@ -984,6 +984,75 @@ object ExtendedQueries {
        |  CAST(SUM((asset_id * 3 + f * 23 + x * 7 + y * 13) % 256) AS BIGINT) AS sum_b
        |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x60 — REAL audio decode + windowed energy: deterministic PCM16 mono
+  // signals are wrapped in spec-conformant RIFF/WAVE containers (with a
+  // skippable LIST chunk between fmt and data, so the chunk WALK is
+  // exercised — an offset-44 reader would misparse every asset), decoded
+  // by the genuine WavCodec, and analyzed per 64-sample window: energy =
+  // Σ s² and peak = max |s| — the VAD/loudness-segmentation primitives.
+  // Integer-only; the oracle re-evaluates the closed-form sample formula.
+  // Completes the real-codec trio: image (x54/x55), video (x59), audio.
+  // ---------------------------------------------------------------------
+  private val WavAssets = 40
+  private val WavWindow = 64
+
+  /** Deterministic WAV payloads: asset `id` carries 256 + 32·(id%5)
+    * samples of s_i = ((id·31 + i²·7) mod 65536) − 32768 at 16 kHz,
+    * with a LIST chunk injected before data. */
+  private def wavAssets(s: SparkSession): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal.WavCodec
+    s.range(WavAssets).map { id =>
+      val n = 256 + 32 * (id % 5).toInt
+      val samples = Array.tabulate(n) { i =>
+        (((id * 31 + i.toLong * i * 7) % 65536).toInt - 32768).toShort
+      }
+      val canonical = WavCodec.encode(16000, samples)
+      // splice a skippable LIST chunk between "fmt " and "data": header
+      // is bytes [0,36), data chunk starts at 36
+      val listChunk = "LIST".getBytes("US-ASCII") ++
+        Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+      val wav = canonical.slice(0, 36) ++ listChunk ++
+        canonical.slice(36, canonical.length)
+      (id, wav)
+    }.toDF("asset_id", "wav")
+  }
+
+  def audioEnergy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal.WavCodec
+    wavAssets(s).as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val (rate, samples) = WavCodec.decode(bytes)
+        require(rate == 16000, s"sample rate mangled: $rate")
+        samples.grouped(WavWindow).zipWithIndex.map { case (win, w) =>
+          var energy = 0L; var peak = 0L
+          win.foreach { sm =>
+            val v = sm.toLong
+            energy += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+          }
+          (id, w.toLong, win.length.toLong, energy, peak)
+        }
+      }
+    }.toDF("asset_id", "window_idx", "n_samples", "energy", "peak")
+      .orderBy("asset_id", "window_idx")
+  }
+
+  val audioEnergySql: String =
+    s"""WITH ids AS (SELECT unnest(range($WavAssets)) AS asset_id),
+       |dims AS (SELECT asset_id, 256 + 32 * (asset_id % 5) AS n FROM ids),
+       |idx AS (SELECT asset_id, unnest(range(n)) AS i FROM dims),
+       |sm AS (SELECT asset_id, i,
+       |              ((asset_id * 31 + i * i * 7) % 65536) - 32768 AS s
+       |       FROM idx)
+       |SELECT asset_id, i // $WavWindow AS window_idx,
+       |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       |       CAST(SUM(s * s) AS BIGINT) AS energy,
+       |       CAST(MAX(ABS(s)) AS BIGINT) AS peak
+       |FROM sm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Registry: name → (fn, optional oracle). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x01_token_count"        -> ((tokenCount _, Some(tokenCountSql))),
@@ -1019,6 +1088,7 @@ object ExtendedQueries {
     "x54_image_decode"       -> ((imageDecode _, Some(imageDecodeSql))),
     "x55_image_resize"       -> ((imageResize _, Some(imageResizeSql))),
     "x59_frame_sample"       -> ((frameSample _, Some(frameSampleSql))),
+    "x60_audio_energy"       -> ((audioEnergy _, Some(audioEnergySql))),
     "x56_funnel_report"      -> ((funnelReport _, Some(funnelReportSql))),
   )
 }

@@ -96,6 +96,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("WavCodec: encode→decode round-trips; chunk walk skips LIST; rejects bad payloads") {
+    import Multimodal.WavCodec
+    val rnd = new scala.util.Random(13)
+    val samples = Array.fill(300)(rnd.nextInt(65536).toShort)
+    val (rate, back) = WavCodec.decode(WavCodec.encode(22050, samples))
+    assert(rate == 22050)
+    assert(back.sameElements(samples), "PCM mangled through the container")
+
+    // a LIST chunk spliced between fmt and data must be skipped by the
+    // chunk walk (an offset-44 reader would read the LIST body as PCM)
+    val canonical = WavCodec.encode(8000, samples)
+    val list = "LIST".getBytes("US-ASCII") ++ Array[Byte](6, 0, 0, 0) ++
+      "INFOxy".getBytes("US-ASCII") // 6 bytes → odd-pad rule not needed
+    val spliced = canonical.slice(0, 36) ++ list ++ canonical.drop(36)
+    val (r2, b2) = WavCodec.decode(spliced)
+    assert(r2 == 8000 && b2.sameElements(samples))
+
+    // loud rejections: wrong magic, compressed, stereo, 8-bit
+    intercept[IllegalArgumentException] { WavCodec.decode("JUNK".getBytes ++ new Array[Byte](40)) }
+    def patched(off: Int, v: Byte): Array[Byte] = {
+      val c = canonical.clone(); c(off) = v; c
+    }
+    intercept[IllegalArgumentException] { WavCodec.decode(patched(20, 2)) }  // fmt != PCM
+    intercept[IllegalArgumentException] { WavCodec.decode(patched(22, 2)) }  // channels
+    intercept[IllegalArgumentException] { WavCodec.decode(patched(34, 8)) }  // bits
+    // declared chunk size beyond the buffer must not read garbage
+    intercept[IllegalArgumentException] {
+      WavCodec.decode(canonical.slice(0, canonical.length - 10))
+    }
+  }
+
   test("PpmCodec: malformed payloads fail loudly, never return garbage") {
     import Multimodal.PpmCodec
     // wrong magic
