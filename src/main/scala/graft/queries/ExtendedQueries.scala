@@ -1053,6 +1053,43 @@ object ExtendedQueries {
        |       CAST(MAX(ABS(s)) AS BIGINT) AS peak
        |FROM sm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x61 — audio spectral features via a REAL FFT: per 64-sample window,
+  // band energies over 4 equal one-sided bands (DC..Nyquist) from the
+  // pure-JVM radix-2 kernel — the speech/music/noise segmentation
+  // features an audio curation pipeline filters on. No SQL engine can
+  // run an FFT, so the entry is rows-only; the kernel's math is pinned
+  // by DspSpec (naive-DFT agreement, Parseval, impulse/constant/tone)
+  // and the entry itself is deterministic (same samples → same doubles).
+  // Scale shape: decode + FFT are row-local partition work; the only
+  // shuffle is the final presentation sort.
+  // ---------------------------------------------------------------------
+  def audioSpectrum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Dsp
+    import graft.operators.Multimodal.WavCodec
+    wavAssets(s).as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val (_, samples) = WavCodec.decode(bytes)
+        samples.grouped(WavWindow).zipWithIndex
+          .filter(_._1.length == WavWindow) // spectral grain needs full windows
+          .flatMap { case (win, w) =>
+            val ps = Dsp.powerSpectrum(win.map(_.toDouble))
+            // 4 equal bands over bins 0..32; band b covers [b*8, b*8+8)
+            // with the Nyquist bin folded into the last band
+            (0 until 4).map { b =>
+              val hi = if (b == 3) ps.length else (b + 1) * 8
+              var e = 0.0
+              var k = b * 8
+              while (k < hi) { e += ps(k); k += 1 }
+              (id, w.toLong, b.toLong, math.rint(e))
+            }
+          }
+      }
+    }.toDF("asset_id", "window_idx", "band", "energy")
+      .orderBy("asset_id", "window_idx", "band")
+  }
+
   /** Registry: name → (fn, optional oracle). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x01_token_count"        -> ((tokenCount _, Some(tokenCountSql))),
@@ -1089,6 +1126,7 @@ object ExtendedQueries {
     "x55_image_resize"       -> ((imageResize _, Some(imageResizeSql))),
     "x59_frame_sample"       -> ((frameSample _, Some(frameSampleSql))),
     "x60_audio_energy"       -> ((audioEnergy _, Some(audioEnergySql))),
+    "x61_audio_spectrum"     -> ((audioSpectrum _, None)),
     "x56_funnel_report"      -> ((funnelReport _, Some(funnelReportSql))),
   )
 }
