@@ -32,11 +32,14 @@ object Dsp {
       i += 1
     }
 
-    // butterflies
+    // butterflies. StrictMath twiddles: Math.cos/sin may use platform
+    // intrinsics with platform-dependent low bits, StrictMath is
+    // bit-identical everywhere — so a spectrum computed on one executor
+    // architecture equals the same window computed on another.
     var len = 2
     while (len <= n) {
       val ang = -2.0 * math.Pi / len
-      val wr = math.cos(ang); val wi = math.sin(ang)
+      val wr = StrictMath.cos(ang); val wi = StrictMath.sin(ang)
       var blk = 0
       while (blk < n) {
         var cr = 1.0; var ci = 0.0
