@@ -127,6 +127,47 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("codec fuzz: random bytes always throw cleanly, never hang or return junk") {
+    import Multimodal.{PpmCodec, WavCodec}
+    val rnd = new scala.util.Random(42)
+    var ppmOk = 0; var wavOk = 0
+    for (_ <- 0 until 300) {
+      val len = 1 + rnd.nextInt(200) // len 0 is a legal empty PPM stream
+      val junk = Array.fill(len)(rnd.nextInt(256).toByte)
+      // a corpus-scale decode task must reject garbage with the codec's
+      // own IllegalArgumentException (require) or a parse-shaped error
+      // (number format / buffer bounds) — anything else (hang, OOM,
+      // silent success on noise) is a bug
+      try { PpmCodec.decode(junk); ppmOk += 1 }
+      catch {
+        case _: IllegalArgumentException | _: NumberFormatException => ()
+      }
+      try { PpmCodec.decodeStream(junk); ppmOk += 1 }
+      catch {
+        case _: IllegalArgumentException | _: NumberFormatException => ()
+      }
+      try { WavCodec.decode(junk); wavOk += 1 }
+      catch {
+        case _: IllegalArgumentException | _: java.nio.BufferUnderflowException => ()
+      }
+    }
+    // 300 random payloads should essentially never parse as valid media
+    assert(ppmOk <= 1, s"PPM accepted $ppmOk random payloads")
+    assert(wavOk <= 1, s"WAV accepted $wavOk random payloads")
+
+    // truncation fuzz: every prefix of a VALID payload throws or parses
+    // to the full result, never a silent partial
+    val good = WavCodec.encode(16000, Array.tabulate(64)(i => (i * 31).toShort))
+    for (cut <- 1 until good.length - 1) {
+      try {
+        val (_, s) = WavCodec.decode(good.slice(0, cut))
+        assert(s.length == 64, s"silent partial at cut=$cut")
+      } catch {
+        case _: IllegalArgumentException | _: java.nio.BufferUnderflowException => ()
+      }
+    }
+  }
+
   test("PpmCodec: malformed payloads fail loudly, never return garbage") {
     import Multimodal.PpmCodec
     // wrong magic
