@@ -84,10 +84,12 @@ object SqlGateway {
         respond(ex, 405, """{"error":"POST raw SQL to /sql"}""" + "\n")
       else {
         val sql = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
+        // toIntOption: a malformed limit must degrade to the default, not
+        // throw outside the handler's try and leave the client hanging
         val limit = Option(ex.getRequestURI.getQuery).toSeq
           .flatMap(_.split("&")).collectFirst {
-            case p if p.startsWith("limit=") => p.stripPrefix("limit=").toInt
-          }.getOrElse(10000)
+            case p if p.startsWith("limit=") => p.stripPrefix("limit=")
+          }.flatMap(_.toIntOption).filter(_ > 0).getOrElse(10000)
         if (sql.isEmpty) respond(ex, 400, """{"error":"empty query"}""" + "\n")
         else
           try respond(ex, 200, runToJsonLines(spark, sql, limit))

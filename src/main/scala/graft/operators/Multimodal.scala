@@ -187,6 +187,7 @@ object Multimodal {
           s"chunk '$id' declares $size bytes but ${bb.remaining()} remain")
         id match {
           case "fmt " =>
+            require(size >= 16, s"fmt chunk too small: $size bytes")
             val fmtEnd = bb.position() + size
             require(bb.getShort() == 1, "only uncompressed PCM supported")
             require(bb.getShort() == 1, "only mono supported")

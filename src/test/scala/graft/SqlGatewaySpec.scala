@@ -58,6 +58,12 @@ class SqlGatewaySpec extends AnyFunSuite {
       assert(s3 == 200)
       assert(b3.trim.linesIterator.size == 5)
 
+      // a malformed limit degrades to the default instead of hanging
+      val (s3b, b3b) = http(port, "/sql?limit=bogus", "POST",
+        Some("SELECT 1 AS one"))
+      assert(s3b == 200, b3b)
+      assert(b3b.trim == """{"one":1}""")
+
       // malformed SQL comes back as a 400 with the analyzer's message
       val (s4, b4) = http(port, "/sql", "POST",
         Some("SELECT FROM nowhere"))
