@@ -278,17 +278,42 @@ object Dedup {
                               textCol: String = "text", n: Int = 3,
                               threshold: Double = 0.5,
                               maxDf: Int = 100): DataFrame = {
-    def sh = shingleSet(docs, idCol, textCol, n)
-    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select(col("sh"))
-    val blocked = sh.join(rare, "sh") // (sh, id) on rare shingles only
-    val cands = blocked.as("sa").join(blocked.as("sb"),
+    val cands = cappedCandidates(docs, idCol, textCol, n, maxDf)
+      .localCheckpoint() // candidate set is the small relation; cut the
+                         // double-scan lineage before the verify joins
+    // Verification re-shingles ONLY documents that appear in a candidate
+    // pair (semi-join, as in minhashNearDups) but over their FULL shingle
+    // sets — capped shingles included — so every reported jaccard is
+    // exact. Candidates are a vanishing fraction of the corpus, so the
+    // O(candidates) checkpoint is cheap and verify never rescans the
+    // full text.
+    val candIds = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id")))
+      .distinct()
+    val candDocs = docs.join(candIds, docs(idCol) === candIds("id"), "left_semi")
+    val candSh = shingleSet(candDocs, idCol, textCol, n).localCheckpoint()
+    verifyJaccard(cands, candSh, threshold)
+  }
+
+  /** The df-capped candidate stage of [[ngramJaccardPairsCapped]],
+    * pre-checkpoint — exposed for plan-shape guards. The df cap is a
+    * window count rather than groupBy+join — the same one-reference
+    * trick as [[minhashNearDups]]: plans are trees, so the join
+    * formulation's two `blocked` references each re-ran BOTH the
+    * corpus-sized shingle explode and the df aggregation (4 shingle
+    * scans in candidate generation); one window reference per join side
+    * halves that, with the same single hash-shuffle on `sh`. */
+  private[graft] def cappedCandidates(docs: DataFrame, idCol: String,
+                                      textCol: String, n: Int,
+                                      maxDf: Int): DataFrame = {
+    val blocked = shingleSet(docs, idCol, textCol, n)
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+    blocked.as("sa").join(blocked.as("sb"),
         col("sa.sh") === col("sb.sh") && col("sa.id") < col("sb.id"))
       .select(col("sa.id").as("id_a"), col("sb.id").as("id_b"))
       .distinct()
-      .localCheckpoint() // candidate set is the small relation; cut the
-                         // double-scan lineage before the verify joins
-    verifyJaccard(cands, sh, threshold)
   }
 
   /** CROSS-corpus near-dup pairs: every (incoming, reference) pair at or

@@ -383,39 +383,6 @@ object ExtendedQueries {
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
-  // x37 — dedup resolution end-to-end: keep the BEST document (by the
-  // x02 quality composite) of every near-dup group; singletons survive
-  // as their own group
-  // ---------------------------------------------------------------------
-  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    Components.keepBest(
-        docs,
-        Components.connectedComponents(
-          Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)),
-        TF.qualityScore(col("text")))
-      .orderBy("component")
-  }
-
-  val dedupKeepBestSql: String =
-    s"""WITH RECURSIVE $reachCtes,
-       |comp AS (
-       |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
-       |  FROM reach GROUP BY a
-       |), labeled AS (
-       |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
-       |         ${CurationQueries.qualitySqlExpr} AS quality
-       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
-       |), ranked AS (
-       |  SELECT *,
-       |         COUNT(*) OVER (PARTITION BY component) AS group_size,
-       |         row_number() OVER (PARTITION BY component
-       |                            ORDER BY quality DESC, doc_id ASC) AS rn
-       |  FROM labeled)
-       |SELECT component, doc_id AS keeper, group_size, quality
-       |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin
-
-  // ---------------------------------------------------------------------
   // x57 — dedup-group resolution with DF-CAPPED candidate generation:
   // the corpus-scale path for x17. Candidate pairs come only from
   // shingles with document frequency ≤ CapDf (one boilerplate shingle
@@ -423,17 +390,22 @@ object ExtendedQueries {
   // over candidates' full shingle sets. CapDf = 4 BINDS on the fixture
   // (max df is 7 at sf0.01), so the oracle genuinely checks the capped
   // semantics, not a no-op cap.
+  //
+  // PRODUCTION SIZING: maxDf should scale with the EXPECTED GENUINE
+  // duplication of the corpus (how many true near-identical copies of
+  // one document can exist — crawl snapshots, mirrors), NOT with corpus
+  // size: a shingle shared by more documents than that is boilerplate
+  // by definition, and boilerplate overlap is segment-dedup's job
+  // (x43). Typical corpus values: 100–1000.
   // ---------------------------------------------------------------------
   private val CapDf = 4
 
-  def dedupComponentsCapped(s: SparkSession, dir: String): DataFrame =
-    Components.connectedComponents(
-      Dedup.ngramJaccardPairsCapped(Tables.documents(s, dir),
-        n = 3, threshold = 0.5, maxDf = CapDf))
-      .orderBy("doc_id")
-
-  val dedupComponentsCappedSql: String =
-    s"""WITH RECURSIVE toks AS (
+  // the capped transitive-closure CTE chain shared by x57 (labels) and
+  // x37 (keeper selection): candidates only from shingles with
+  // df ≤ CapDf, exact word-trigram Jaccard ≥ 0.5 over the candidates'
+  // FULL shingle sets, then a recursive reachability walk
+  private val cappedReachCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |), grams AS (
        |  SELECT DISTINCT doc_id,
@@ -470,9 +442,58 @@ object ExtendedQueries {
        |  SELECT a, b FROM edges
        |  UNION
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-       |)
+       |)""".stripMargin
+
+  def dedupComponentsCapped(s: SparkSession, dir: String): DataFrame =
+    Components.connectedComponents(
+      Dedup.ngramJaccardPairsCapped(Tables.documents(s, dir),
+        n = 3, threshold = 0.5, maxDf = CapDf))
+      .orderBy("doc_id")
+
+  val dedupComponentsCappedSql: String =
+    s"""WITH RECURSIVE $cappedReachCtes
        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x37 — dedup resolution end-to-end: keep the BEST document (by the
+  // x02 quality composite) of every near-dup group; singletons survive
+  // as their own group. Candidates come from the DF-CAPPED generator
+  // (x57's path): this is the entry a pipeline actually runs on a
+  // corpus, and the uncapped shingle self-join is a measured
+  // scale-killer there — ScaleCheck's boilerplate-clique fixture put it
+  // at 90× shuffle + driver OOM for 10× the data, while the capped
+  // generator stays ~linear (cost ≤ maxDf²/2 per shingle by
+  // construction). The uncapped exact labeling remains available as
+  // x17 for corpora known to be boilerplate-free.
+  // ---------------------------------------------------------------------
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Components.keepBest(
+        docs,
+        Components.connectedComponents(
+          Dedup.ngramJaccardPairsCapped(docs, n = 3, threshold = 0.5, maxDf = CapDf)),
+        TF.qualityScore(col("text")))
+      .orderBy("component")
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE $cappedReachCtes,
+       |comp AS (
+       |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+       |  FROM reach GROUP BY a
+       |), labeled AS (
+       |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+       |         ${CurationQueries.qualitySqlExpr} AS quality
+       |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |), ranked AS (
+       |  SELECT *,
+       |         COUNT(*) OVER (PARTITION BY component) AS group_size,
+       |         row_number() OVER (PARTITION BY component
+       |                            ORDER BY quality DESC, doc_id ASC) AS rn
+       |  FROM labeled)
+       |SELECT component, doc_id AS keeper, group_size, quality
+       |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin
 
   // ---------------------------------------------------------------------
   // x58 — time-series gap-fill + LOCF: the dashboard-series operator a
@@ -1015,6 +1036,14 @@ object ExtendedQueries {
         Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
       val wav = canonical.slice(0, 36) ++ listChunk ++
         canonical.slice(36, canonical.length)
+      // re-patch the RIFF size field (bytes 4–7, LE = file length − 8) to
+      // account for the spliced 12 bytes: WavCodec walks chunks and never
+      // reads it, but a spec-conformant container must declare it right
+      val riffSz = wav.length - 8
+      wav(4) = (riffSz & 0xff).toByte
+      wav(5) = ((riffSz >> 8) & 0xff).toByte
+      wav(6) = ((riffSz >> 16) & 0xff).toByte
+      wav(7) = ((riffSz >> 24) & 0xff).toByte
       (id, wav)
     }.toDF("asset_id", "wav")
   }

@@ -28,15 +28,56 @@ object FingerprintStore {
 
   private def fpCol(textCol: String) = TF.fingerprint(col(textCol)).as("fp")
 
+  /** Finish or clear a [[compact]] interrupted mid-swap — called before
+    * every read or write of the store. compact's swap is
+    * write-staging → delete-store → rename-staging; a crash between the
+    * last two leaves the store ABSENT with all history only in
+    * `<store>.compact`, and without recovery `known()` would read that
+    * as an empty store and silently re-admit every previously-seen
+    * document. Resolution mirrors EventStore.compact's recover-or-clear:
+    *  - staging complete (parquet `_SUCCESS`) + store absent → finish
+    *    the rename;
+    *  - store present → the crash was before the delete; staging is a
+    *    dead (possibly partial) rewrite → clear it;
+    *  - staging INCOMPLETE + store absent → unrecoverable state that a
+    *    crashing compact cannot produce (the store is only deleted after
+    *    staging is fully written) → fail loudly rather than guess. */
+  private def recoverStaging(spark: SparkSession, store: String): Unit = {
+    val p = new Path(store); val st = new Path(store + ".compact")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(st)) return
+    val complete = fs.exists(new Path(st, "_SUCCESS"))
+    if (fs.exists(p)) {
+      fs.delete(st, true)
+    } else if (complete) {
+      if (!fs.rename(st, p))
+        throw new IllegalStateException(
+          s"could not finish interrupted compact: rename $st -> $p failed")
+    } else {
+      throw new IllegalStateException(
+        s"fingerprint store $store is absent and staging $st is incomplete " +
+        "(no _SUCCESS) — refusing to treat history as empty")
+    }
+  }
+
   /** Append the distinct fingerprints of `docs` (no survivors returned —
     * seed/bootstrap path for corpora that are already deduped). */
-  def ingest(docs: DataFrame, store: String, textCol: String = "text"): Unit =
+  def ingest(docs: DataFrame, store: String, textCol: String = "text"): Unit = {
+    // recover BEFORE appending: an append that recreates a store deleted
+    // by a crashed compact would make the staging dir look like a dead
+    // rewrite and lose all pre-compact history on the next recovery
+    recoverStaging(docs.sparkSession, store)
     docs.select(fpCol(textCol)).distinct()
       .write.mode("append").parquet(store)
+  }
 
   /** The stored fingerprint relation; empty (not an error) for a store
-    * that does not exist yet — a first batch dedups against nothing. */
+    * that does not exist yet — a first batch dedups against nothing. A
+    * store left mid-compact by a crash is recovered first (see
+    * [[recoverStaging]]); only a store with neither data nor staging
+    * reads as empty. */
   def known(spark: SparkSession, store: String): DataFrame = {
+    recoverStaging(spark, store)
     val p = new Path(store)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) spark.read.parquet(store).select(col("fp"))
@@ -67,9 +108,13 @@ object FingerprintStore {
   }
 
   /** Rewrite the store distinct (file-count + duplicate-fp hygiene after
-    * many appends). Same overwrite-via-staging shape as
-    * [[EventStore.compact]]: never leaves the store half-written. */
+    * many appends). Overwrite-via-staging: the distinct rewrite is fully
+    * materialized at `<store>.compact` before the store is touched, and
+    * a crash anywhere in the swap is repaired by [[recoverStaging]] on
+    * the next read or write — the store is never silently half-written
+    * OR silently empty. */
   def compact(spark: SparkSession, store: String): Unit = {
+    recoverStaging(spark, store)
     val staging = store + ".compact"
     spark.read.parquet(store).select(col("fp")).distinct()
       .coalesce(1).write.mode("overwrite").parquet(staging)

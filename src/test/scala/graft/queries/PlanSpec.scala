@@ -214,6 +214,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!ap.contains("CartesianProduct"), ap)
   }
 
+  test("x57 capped candidates: df cap is ONE window per join side, not a df-join") {
+    val docs = graft.Tables.documents(spark, dir)
+    val p = plan(graft.operators.Dedup.cappedCandidates(
+      docs, "doc_id", "text", 3, 4))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), "df cap must be a window count: " + p)
+    // plans are trees: each self-join side re-runs the shingle explode
+    // once. The old groupBy+join formulation put FOUR word_shingles
+    // generates in this plan (explode + df-agg per side); the window
+    // formulation must keep it at two.
+    val shingleScans = p.linesIterator.count(_.contains("word_shingles"))
+    assert(shingleScans <= 2,
+      s"candidate generation re-scans shingles $shingleScans times (expected 2):\n$p")
+  }
+
   test("j12: the moving-average frame runs over the pre-aggregated daily relation") {
     val df = TpchQueries.dailyMovingAvg(spark, dir)
     val p = plan(df)
