@@ -80,12 +80,26 @@ object Bench {
     warmup(spark, sfDir)
     // A failed query must never masquerade as a fast success: failures are
     // excluded from timings and reported in an explicit "errors" map.
+    //
+    // Each entry is timed `runs` times (BASELINE.md's own protocol:
+    // warm session, repeated timed runs, median reported) so a one-run
+    // scheduler/GC spike is self-diagnosing from the artifact — median
+    // vs min separates a real regression from harness noise without a
+    // manual BenchOne session. The headline per-entry figure stays the
+    // MEDIAN; min and run count ride alongside in "stats".
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(3)
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      timeEntry(spark, sfDir, fn) match {
-        case Right(sec) => timings(name) = sec
-        case Left(err)  => errors(name) = err
+      val results = (1 to runs).map(_ => timeEntry(spark, sfDir, fn))
+      val secs = results.collect { case Right(s) => s }.sorted
+      results.collectFirst { case Left(e) => e } match {
+        case Some(err) => errors(name) = err
+        case None =>
+          timings(name) = secs(secs.size / 2)
+          mins(name) = secs.head
       }
     }
     def esc(s: String): String = s.flatMap {
@@ -93,6 +107,9 @@ object Bench {
       case c if c < ' ' => " "; case c => c.toString
     }
     val qs = timings.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val stats = timings.map { case (k, v) =>
+      s"\"" + k + s"""":{"median":$v,"min":${mins(k)},"runs":$runs}"""
+    }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
     val total = timings.values.sum
     // BASELINE.md's streaming-throughput analogue, stated explicitly:
@@ -107,7 +124,7 @@ object Bench {
       math.round(n / sec)
     }
     val epsField = streamEps.map(e => s""","stream_events_per_sec":$e""").getOrElse("")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_failed":${errors.size}$epsField,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"errors":$es,"n_failed":${errors.size}$epsField,"sf":"$sfDir"}"""
     // The artifact must survive a bounded tail capture: persist the full
     // JSON to a file, print it, and END with a compact per-group summary
     // (group = entry-name prefix up to the first digit run) so even a few

@@ -46,8 +46,19 @@ object ScaleCheck {
 
   private def scaleDir(s: SparkSession, src: String, dst: String, k: Int,
                        cliques: Boolean): Unit = {
+    // the marker records WHAT was built, not just that something was:
+    // re-running against the same dst with a different k or cliques mode
+    // must rebuild (or the harness would silently benchmark stale data
+    // and report wrong ratios)
     val done = new java.io.File(s"$dst/_SCALE_DONE")
-    if (done.exists()) return
+    val sig = s"k=$k src=$src cliques=$cliques"
+    if (done.exists()) {
+      val recorded = java.nio.file.Files.readString(done.toPath).trim
+      if (recorded == sig) return
+      println(s"_SCALE_DONE mismatch at $dst: recorded '$recorded', " +
+        s"want '$sig' — rebuilding")
+      done.delete()
+    }
     new java.io.File(dst).mkdirs()
 
     def shards(df: DataFrame)(rekey: (DataFrame, Int) => DataFrame): DataFrame =
@@ -105,7 +116,7 @@ object ScaleCheck {
         } else java.nio.file.Files.copy(f.toPath, out,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
-    java.nio.file.Files.writeString(done.toPath, s"k=$k src=$src cliques=$cliques\n")
+    java.nio.file.Files.writeString(done.toPath, sig + "\n")
   }
 
   def main(args: Array[String]): Unit = {

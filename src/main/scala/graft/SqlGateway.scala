@@ -2,9 +2,13 @@ package graft
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.TimeUnit
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
+
+import graft.streaming.PipelineMetrics
 
 /** Ad-hoc SQL over HTTP — the reference's interactive read path.
   *
@@ -17,14 +21,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *   POST /sql       body = raw SQL text → one JSON object per row
   *                   (the `FORMAT JSONEachRow` analogue), ?limit=N
-  *                   caps the rows collected (default 10 000)
+  *                   caps the rows collected (default 10 000),
+  *                   ?timeout=N caps execution seconds (the
+  *                   `max_execution_time` analogue, default 300) —
+  *                   on expiry the query's job group is CANCELLED and
+  *                   the client gets a 408
   *   POST /explain   body = raw SQL text → the formatted physical plan,
   *                   without executing (check pushdown/broadcast shape
   *                   before paying for the query)
+  *   GET  /metrics   Prometheus text exposition (the reference's
+  *                   prometheus.yml scrape surface): gateway counters,
+  *                   live streaming gauges from an attached
+  *                   [[PipelineMetrics.MetricsListener]] (m01's shape),
+  *                   and — when a durable metrics dir is configured —
+  *                   the m03 per-run throughput/watermark-lag rollup
   *   GET  /health    liveness probe
   *
   * Built on the JDK's own `com.sun.net.httpserver` — zero dependencies
   * beyond the JDK, same as the rest of the build.
+  *
+  * Binding: loopback by default. The gateway executes arbitrary Spark
+  * SQL (including DDL and `INSERT OVERWRITE DIRECTORY`) with no
+  * authentication, so exposing it beyond the host must be an explicit
+  * decision (`bindAll = true` / `GRAFT_GATEWAY_BIND_ALL=1`), not the
+  * accident of a wildcard default.
   *
   * Scale posture: the SQL itself executes fully distributed (same
   * session, same Catalyst plans — the custom codegen'd expressions
@@ -35,6 +55,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * incrementally, so `SELECT * FROM events` with limit=100 never
   * collects the corpus. An endpoint for human-sized answers, not a
   * bulk-export path — exports are the sinks' job.
+  *
+  * Query lifecycle: every /sql request runs in its own Spark job group
+  * with `interruptOnCancel = true`; a watchdog cancels the group at the
+  * timeout, so a runaway ad-hoc query can occupy one of the pool's
+  * threads for AT MOST its timeout — it can no longer wedge the
+  * gateway. (Client-disconnect cancellation is not implementable on the
+  * JDK server — the handler only learns of a disconnect when it writes
+  * the response — so the timeout is the enforcement point.)
   */
 object SqlGateway {
 
@@ -63,60 +91,213 @@ object SqlGateway {
     spark.sql(sql).queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
 
-  /** Start the gateway on `port` (0 = ephemeral; read the bound port
-    * from the returned server). Call `.stop(0)` to shut down. */
-  def serve(spark: SparkSession, port: Int): HttpServer = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+  /** JSON string escape covering EVERY control character — Spark parse
+    * errors occasionally embed raw bytes < 0x20 (\b, \f, vertical tabs)
+    * and a partial escape chain would emit an invalid error body. */
+  private[graft] def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
 
-    def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+  /** A running gateway: the HTTP server plus the streaming-metrics
+    * listener attached for /metrics. `stop()` tears down both. */
+  final class Gateway(val server: HttpServer, spark: SparkSession,
+                      listener: PipelineMetrics.MetricsListener) {
+    def port: Int = server.getAddress.getPort
+    def stop(): Unit = {
+      server.stop(0)
+      spark.streams.removeListener(listener)
+    }
+  }
+
+  /** Render the Prometheus text exposition (format 0.0.4): gateway
+    * request/error counters, the m01-shape live streaming gauges from
+    * `listener`, and (if `metricsDir` points at an existing durable
+    * metrics table) the m03 per-run rollup as labeled series. The m03
+    * scan is over an O(#batches) metadata-sized table — scrape-cheap at
+    * any corpus scale. */
+  private[graft] def prometheusText(spark: SparkSession,
+                                    listener: PipelineMetrics.MetricsListener,
+                                    requests: Long, errors: Long,
+                                    metricsDir: Option[String]): String = {
+    val sb = new StringBuilder
+    def num(v: Double): String =
+      if (v.isNaN) "NaN"
+      else if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+      else v.toString
+    def family(name: String, typ: String, help: String,
+               series: Seq[(String, Double)]): Unit = {
+      sb.append(s"# HELP $name $help\n# TYPE $name $typ\n")
+      series.foreach { case (labels, v) => sb.append(s"$name$labels ${num(v)}\n") }
+    }
+
+    family("graft_gateway_requests_total", "counter",
+      "HTTP requests served by the SQL gateway", Seq("" -> requests.toDouble))
+    family("graft_gateway_errors_total", "counter",
+      "gateway requests answered with an error status", Seq("" -> errors.toDouble))
+
+    // m01's gauge shape, computed from the per-batch listener buffer —
+    // the live-scrape analogue of PipelineMetrics.selfMetrics
+    val bm = listener.batches
+    val rowsTotal = bm.map(_.input_rows).sum
+    val durTotal = bm.map(_.batch_duration_ms).sum
+    val lastWm = bm.flatMap(_.watermark_ms).lastOption
+    family("graft_stream_input_rows_total", "counter",
+      "rows ingested across streaming micro-batches in this session",
+      Seq("" -> rowsTotal.toDouble))
+    family("graft_stream_micro_batches_total", "counter",
+      "streaming micro-batches executed in this session",
+      Seq("" -> bm.size.toDouble))
+    family("graft_stream_rows_per_sec", "gauge",
+      "overall rows/sec across recorded micro-batches",
+      Seq("" -> (if (durTotal <= 0) 0.0 else rowsTotal * 1000.0 / durTotal)))
+    family("graft_stream_watermark_ms", "gauge",
+      "latest event-time watermark (epoch ms, 0 before the first)",
+      Seq("" -> lastWm.getOrElse(0L).toDouble))
+    family("graft_stream_watermark_lag_ms", "gauge",
+      "wall clock minus event-time watermark at the last micro-batch",
+      Seq("" -> lastWm.zip(bm.lastOption).map { case (wm, b) =>
+        (b.wall_time_ms - wm).toDouble }.getOrElse(0.0)))
+    family("graft_stream_state_rows", "gauge",
+      "state-store rows at the last micro-batch",
+      Seq("" -> bm.lastOption.map(_.state_rows.toDouble).getOrElse(0.0)))
+
+    // m03 rollup — one labeled series per persisted run
+    metricsDir.filter(d => new java.io.File(d).exists()).foreach { d =>
+      val runs = PipelineMetrics.runSummary(spark, d).collect()
+      def lbl(r: org.apache.spark.sql.Row) =
+        s"""{run_id="${r.getAs[String]("run_id")}"}"""
+      family("graft_run_rows_total", "gauge",
+        "rows ingested per persisted metrics run",
+        runs.map(r => lbl(r) -> r.getAs[Long]("rows_total").toDouble).toSeq)
+      family("graft_run_rows_per_sec", "gauge",
+        "overall throughput per persisted metrics run",
+        runs.map(r => lbl(r) -> r.getAs[Double]("rows_per_sec")).toSeq)
+      family("graft_run_max_watermark_lag_ms", "gauge",
+        "worst wall-clock-minus-watermark lag per persisted metrics run",
+        runs.map(r => lbl(r) -> r.getAs[Long]("max_watermark_lag_ms").toDouble).toSeq)
+    }
+    sb.toString
+  }
+
+  /** Start the gateway on `port` (0 = ephemeral; read the bound port
+    * from the returned gateway). Loopback-only unless `bindAll`.
+    * `metricsDir` (optional) is a durable m03 metrics table to roll up
+    * under /metrics. Call `.stop()` to shut down. */
+  def serve(spark: SparkSession, port: Int, bindAll: Boolean = false,
+            defaultTimeoutSec: Int = 300,
+            metricsDir: Option[String] = None): Gateway = {
+    val addr =
+      if (bindAll) new InetSocketAddress(port)
+      else new InetSocketAddress("127.0.0.1", port)
+    val server = HttpServer.create(addr, 0)
+    val requests = new AtomicLong(0L)
+    val errorsServed = new AtomicLong(0L)
+    val reqSeq = new AtomicLong(0L)
+
+    val listener = new PipelineMetrics.MetricsListener
+    spark.streams.addListener(listener)
+
+    // one daemon thread arms/disarms per-request cancel timers; the
+    // cancellation itself is Spark's (job group, interruptOnCancel)
+    val watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => { val t = new Thread(r, "gateway-watchdog"); t.setDaemon(true); t })
+
+    def respond(ex: HttpExchange, status: Int, body: String,
+                contentType: String = "application/json; charset=utf-8"): Unit = {
+      if (status >= 400) errorsServed.incrementAndGet()
       val bytes = body.getBytes(UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+      ex.getResponseHeaders.set("Content-Type", contentType)
       ex.sendResponseHeaders(status, bytes.length.toLong)
       ex.getResponseBody.write(bytes)
       ex.close()
     }
 
-    server.createContext("/health", (ex: HttpExchange) =>
-      respond(ex, 200, """{"status":"ok"}""" + "\n"))
+    def queryParam(ex: HttpExchange, key: String): Option[String] =
+      Option(ex.getRequestURI.getQuery).toSeq
+        .flatMap(_.split("&")).collectFirst {
+          case p if p.startsWith(s"$key=") => p.stripPrefix(s"$key=")
+        }
+
+    server.createContext("/health", (ex: HttpExchange) => {
+      requests.incrementAndGet()
+      respond(ex, 200, """{"status":"ok"}""" + "\n")
+    })
+
+    server.createContext("/metrics", (ex: HttpExchange) => {
+      requests.incrementAndGet()
+      try respond(ex, 200,
+        prometheusText(spark, listener, requests.get(), errorsServed.get(), metricsDir),
+        "text/plain; version=0.0.4; charset=utf-8")
+      catch { case e: Throwable =>
+        respond(ex, 500, Option(e.getMessage).getOrElse(e.getClass.getName),
+          "text/plain; charset=utf-8")
+      }
+    })
 
     server.createContext("/sql", (ex: HttpExchange) => {
+      requests.incrementAndGet()
       if (ex.getRequestMethod != "POST")
         respond(ex, 405, """{"error":"POST raw SQL to /sql"}""" + "\n")
       else {
         val sql = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
-        // toIntOption: a malformed limit must degrade to the default, not
-        // throw outside the handler's try and leave the client hanging
-        val limit = Option(ex.getRequestURI.getQuery).toSeq
-          .flatMap(_.split("&")).collectFirst {
-            case p if p.startsWith("limit=") => p.stripPrefix("limit=")
-          }.flatMap(_.toIntOption).filter(_ > 0).getOrElse(10000)
+        // toIntOption: a malformed limit/timeout must degrade to the
+        // default, not throw outside the handler's try and leave the
+        // client hanging
+        val limit = queryParam(ex, "limit")
+          .flatMap(_.toIntOption).filter(_ > 0).getOrElse(10000)
+        val timeoutSec = queryParam(ex, "timeout")
+          .flatMap(_.toIntOption).filter(_ > 0).getOrElse(defaultTimeoutSec)
         if (sql.isEmpty) respond(ex, 400, """{"error":"empty query"}""" + "\n")
-        else
+        else {
+          // per-request job group + watchdog: the ClickHouse
+          // max_execution_time analogue. setJobGroup is thread-local,
+          // so concurrent requests on the pool cancel independently.
+          val group = s"gateway-sql-${reqSeq.incrementAndGet()}"
+          val sc = spark.sparkContext
+          val timedOut = new AtomicBoolean(false)
+          sc.setJobGroup(group, s"/sql: ${sql.take(120)}", interruptOnCancel = true)
+          // AndFutureJobs closes the submission race: if the timeout
+          // fires while the query is still planning, a plain
+          // cancelJobGroup would cancel nothing and the job submitted a
+          // moment later would run unbounded
+          val timer = watchdog.schedule(new Runnable {
+            override def run(): Unit = {
+              timedOut.set(true); sc.cancelJobGroupAndFutureJobs(group)
+            }
+          }, timeoutSec.toLong, TimeUnit.SECONDS)
           try respond(ex, 200, runToJsonLines(spark, sql, limit))
-          catch { case e: Throwable =>
-            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-              .replace("\\", "\\\\").replace("\"", "\\\"")
-              .replace("\n", "\\n").replace("\r", "").replace("\t", " ")
-            respond(ex, 400, s"""{"error":"$msg"}""" + "\n")
+          catch {
+            case _: Throwable if timedOut.get() =>
+              respond(ex, 408,
+                s"""{"error":"query cancelled after $timeoutSec s (timeout)"}""" + "\n")
+            case e: Throwable =>
+              val msg = jsonEscape(Option(e.getMessage).getOrElse(e.getClass.getName))
+              respond(ex, 400, s"""{"error":"$msg"}""" + "\n")
+          } finally {
+            timer.cancel(false)
+            sc.clearJobGroup()
           }
+        }
       }
     })
 
     server.createContext("/explain", (ex: HttpExchange) => {
+      requests.incrementAndGet()
       if (ex.getRequestMethod != "POST")
         respond(ex, 405, """{"error":"POST raw SQL to /explain"}""" + "\n")
       else {
         val sql = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
-        val plain = (status: Int, body: String) => {
-          val bytes = body.getBytes(UTF_8)
-          ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
-          ex.sendResponseHeaders(status, bytes.length.toLong)
-          ex.getResponseBody.write(bytes)
-          ex.close()
-        }
-        try plain(200, explainSql(spark, sql))
+        try respond(ex, 200, explainSql(spark, sql), "text/plain; charset=utf-8")
         catch { case e: Throwable =>
-          plain(400, Option(e.getMessage).getOrElse(e.getClass.getName)) }
+          respond(ex, 400, Option(e.getMessage).getOrElse(e.getClass.getName),
+            "text/plain; charset=utf-8")
+        }
       }
     })
 
@@ -124,22 +305,30 @@ object SqlGateway {
     // session (thread-safe; jobs run FIFO through the scheduler)
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     server.start()
-    server
+    new Gateway(server, spark, listener)
   }
 
   /** `runMain graft.SqlGateway <sfDir> [port]` — register + serve until
-    * killed. */
+    * killed. Loopback-only unless `GRAFT_GATEWAY_BIND_ALL=1`;
+    * `GRAFT_GATEWAY_TIMEOUT_SEC` overrides the default 300 s query
+    * timeout; `GRAFT_GATEWAY_METRICS_DIR` points /metrics at a durable
+    * m03 metrics table. */
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val port = args.lift(1).map(_.toInt).getOrElse(8123)
+    val bindAll = sys.env.get("GRAFT_GATEWAY_BIND_ALL").exists(v => v == "1" || v == "true")
+    val timeoutSec = sys.env.get("GRAFT_GATEWAY_TIMEOUT_SEC")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(300)
+    val metricsDir = sys.env.get("GRAFT_GATEWAY_METRICS_DIR")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     register(spark, dir)
-    val server = serve(spark, port)
-    println(s"graft SQL gateway on :${server.getAddress.getPort} " +
-      s"(POST /sql, GET /health) over $dir")
+    val gw = serve(spark, port, bindAll, timeoutSec, metricsDir)
+    println(s"graft SQL gateway on :${gw.port} " +
+      s"(POST /sql /explain, GET /health /metrics) over $dir" +
+      (if (bindAll) " [ALL INTERFACES]" else " [loopback]"))
     Thread.currentThread.join()
   }
 }

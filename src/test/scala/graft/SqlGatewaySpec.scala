@@ -11,10 +11,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class SqlGatewaySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def withServer[A](f: Int => A): A = {
+  private def withServer[A](metricsDir: Option[String] = None,
+                            timeoutSec: Int = 300)(f: Int => A): A = {
     SqlGateway.register(spark, TestSpark.Sf0001)
-    val server = SqlGateway.serve(spark, 0)
-    try f(server.getAddress.getPort) finally server.stop(0)
+    val gw = SqlGateway.serve(spark, 0,
+      defaultTimeoutSec = timeoutSec, metricsDir = metricsDir)
+    try f(gw.port) finally gw.stop()
   }
 
   private def http(port: Int, path: String, method: String,
@@ -34,7 +36,7 @@ class SqlGatewaySpec extends AnyFunSuite {
   }
 
   test("health, ad-hoc aggregate, custom function, limit cap, and SQL errors") {
-    withServer { port =>
+    withServer() { port =>
       val (hs, hb) = http(port, "/health", "GET", None)
       assert(hs == 200 && hb.contains("\"ok\""))
 
@@ -97,6 +99,110 @@ class SqlGatewaySpec extends AnyFunSuite {
       assert(b6.contains("== Physical Plan =="), b6)
       assert(b6.contains("BroadcastHashJoin"), // nation is dimension-sized
         "expected a broadcast join in the ad-hoc plan:\n" + b6)
+    }
+  }
+
+  test("a runaway /sql query is cancelled at its timeout; the gateway stays usable") {
+    withServer() { port =>
+      // ~2e12 summed range rows: minutes of work if left alone — must be
+      // cancelled by the 1 s ?timeout and answered with a 408
+      val slow = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        http(port, "/sql?timeout=1", "POST",
+          // per-row modulo filter: cannot be constant-folded, no ANSI
+          // overflow — minutes of scan if left alone
+          Some("SELECT count(*) AS s FROM range(2000000000000) WHERE id % 7 = 3")))
+
+      // while the runaway occupies its pool thread, liveness holds
+      Thread.sleep(300)
+      val (hs, hb) = http(port, "/health", "GET", None)
+      assert(hs == 200, hb)
+
+      val (ss, sb) = slow.get(60, java.util.concurrent.TimeUnit.SECONDS)
+      assert(ss == 408, s"expected 408 timeout, got $ss: $sb")
+      assert(sb.contains("cancelled") && sb.contains("timeout"), sb)
+
+      // the cancelled group must not poison later queries
+      val (s2, b2) = http(port, "/sql", "POST", Some("SELECT 41 + 1 AS ok"))
+      assert(s2 == 200, b2)
+      assert(b2.trim == """{"ok":42}""")
+    }
+  }
+
+  test("error bodies stay valid JSON when the message carries control chars") {
+    assert(SqlGateway.jsonEscape("a\bb\fc\u0001d\"e\\f\ng") ==
+      "a\\u0008b\\u000cc\\u0001d\\\"e\\\\f\\ng")
+  }
+
+  test("/metrics serves parseable Prometheus text with live stream + run gauges") {
+    // a persisted m03 run for the rollup half of the surface
+    val metricsDir = java.nio.file.Files
+      .createTempDirectory("graft_gwmetrics_").toFile.getAbsolutePath + "/metrics"
+    graft.streaming.PipelineMetrics.persistRun(spark, Seq(
+      graft.streaming.PipelineMetrics.BatchMetric(
+        "q-1", 0L, 700L, 350L, 2000.0, 2000.0, Some(1700000000000L), 3L,
+        1700000000500L),
+      graft.streaming.PipelineMetrics.BatchMetric(
+        "q-1", 1L, 300L, 150L, 2000.0, 2000.0, Some(1700000060000L), 3L,
+        1700000060250L)), metricsDir, "run-scrape")
+
+    withServer(metricsDir = Some(metricsDir)) { port =>
+      // drive one real streaming query through the session so the
+      // attached listener has live per-batch gauges to expose
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val work = java.nio.file.Files.createTempDirectory("graft_gwstream_").toString
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(work, "in.json"),
+        """{"k":"a","v":1}""" + "\n" + """{"k":"b","v":2}""" + "\n" +
+        """{"k":"a","v":3}""" + "\n")
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("k", StringType), StructField("v", LongType))))
+        .json(work)
+        .groupBy("k").count()
+        .writeStream.outputMode("update").format("noop")
+        .option("checkpointLocation", s"$work/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+
+      // listener progress events drain asynchronously on the bus: poll
+      // the scrape until the just-run query's rows appear (bounded)
+      var (st, body) = http(port, "/metrics", "GET", None)
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (!body.linesIterator.exists(l =>
+               l.startsWith("graft_stream_input_rows_total") &&
+               l.split(" ").last.toDouble >= 3.0) &&
+             System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val r = http(port, "/metrics", "GET", None)
+        st = r._1; body = r._2
+      }
+      assert(st == 200, body)
+
+      // exposition-format shape: every non-comment line is `name[{labels}] value`
+      val lines = body.linesIterator.toSeq
+      val series = lines.filterNot(l => l.startsWith("#") || l.isEmpty)
+      assert(series.nonEmpty)
+      val fmt = """^[a-zA-Z_:][a-zA-Z0-9_:]*(\{[^}]*\})? (NaN|-?[0-9.eE+-]+)$""".r
+      series.foreach(l => assert(fmt.matches(l), s"unparseable series line: $l"))
+      // every series has a # TYPE declaration
+      val typed = lines.filter(_.startsWith("# TYPE ")).map(_.split(" ")(2)).toSet
+      series.foreach { l =>
+        val name = l.takeWhile(c => c != '{' && c != ' ')
+        assert(typed.contains(name), s"series $name has no # TYPE line")
+      }
+
+      def value(prefix: String): Double =
+        series.find(_.startsWith(prefix)).map(_.split(" ").last.toDouble)
+          .getOrElse(fail(s"missing series $prefix:\n$body"))
+
+      // live listener gauges reflect the streaming query just run
+      assert(value("graft_stream_input_rows_total") >= 3.0, body)
+      assert(value("graft_stream_micro_batches_total") >= 1.0, body)
+      // m03 rollup: the persisted run's totals, labeled by run_id
+      assert(value("""graft_run_rows_total{run_id="run-scrape"}""") == 1000.0, body)
+      assert(value("""graft_run_max_watermark_lag_ms{run_id="run-scrape"}""") == 500.0, body)
+      // scrape self-counters are present and sane
+      assert(value("graft_gateway_requests_total") >= 1.0, body)
     }
   }
 }

@@ -228,4 +228,40 @@ class StoreSpec extends AnyFunSuite {
     assert(after == before)
     assert(after.distinct == after)
   }
+
+  test("fingerprint store: crashed compact recovers instead of reading empty") {
+    import graft.store.FingerprintStore
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_fpc_").toFile.getAbsolutePath + "/store"
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    FingerprintStore.ingest(docs(1L -> "alpha text", 2L -> "beta text"), store)
+    val members = FingerprintStore.known(spark, store)
+      .collect().map(_.getString(0)).sorted.toSeq
+    val fs = new Path(store).getFileSystem(spark.sessionState.newHadoopConf())
+
+    // crash BETWEEN delete and rename: store gone, completed staging
+    // (with _SUCCESS) left behind — known() must finish the swap, not
+    // re-admit all history as if the store were empty
+    assert(fs.rename(new Path(store), new Path(store + ".compact")))
+    val recovered = FingerprintStore.known(spark, store)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(recovered == members, "recovery lost fingerprints")
+    assert(!fs.exists(new Path(store + ".compact")))
+    assert(FingerprintStore.dedupAgainst(spark, store,
+      docs(9L -> "alpha text")).count() == 0, "history re-admitted after recovery")
+
+    // crash DURING the staging write (no _SUCCESS yet, store intact):
+    // the dead staging is cleared, the store keeps answering
+    fs.mkdirs(new Path(store + ".compact"))
+    assert(FingerprintStore.known(spark, store)
+      .collect().map(_.getString(0)).sorted.toSeq == members)
+    assert(!fs.exists(new Path(store + ".compact")))
+
+    // store absent AND staging incomplete: unrecoverable — must throw,
+    // never silently treat history as empty
+    assert(fs.rename(new Path(store), new Path(store + ".bak")))
+    fs.mkdirs(new Path(store + ".compact"))
+    intercept[IllegalStateException] { FingerprintStore.known(spark, store) }
+  }
 }
