@@ -138,25 +138,42 @@ object ScaleCheck {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         shuffleBytes.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     })
-    def measure(fn: (SparkSession, String) => DataFrame, dir: String): (Double, Long) = {
+    // per-batch streaming-state accounting for the s* entries: state
+    // rows are the quantity plan-shape reasoning can't predict, so the
+    // harness reports the PEAK across the entry's micro-batches
+    val stateListener = new graft.streaming.PipelineMetrics.MetricsListener
+    spark.streams.addListener(stateListener)
+    def measure(fn: (SparkSession, String) => DataFrame, dir: String): (Double, Long, Long) = {
       Thread.sleep(300)
       val b0 = shuffleBytes.get()
+      val n0 = stateListener.batches.size
       val sec = Bench.timeEntry(spark, dir, fn)
         .fold(err => { println(s"  FAILED: $err"); Double.NaN }, identity)
       Thread.sleep(300)
-      (sec, shuffleBytes.get() - b0)
+      val peakState = stateListener.batches.drop(n0)
+        .foldLeft(0L)((m, b) => math.max(m, b.state_rows))
+      (sec, shuffleBytes.get() - b0, peakState)
     }
 
     Bench.warmup(spark, src)
-    println(f"${"entry"}%-28s ${"t_1x"}%8s ${"t_kx"}%8s ${"ratio"}%6s ${"shfl_1x"}%10s ${"shfl_kx"}%10s ${"shfl_r"}%6s")
+    println(f"${"entry"}%-28s ${"t_1x"}%8s ${"t_kx"}%8s ${"ratio"}%6s ${"shfl_1x"}%10s ${"shfl_kx"}%10s ${"shfl_r"}%6s ${"st_1x"}%9s ${"st_kx"}%9s")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => prefixes.isEmpty || prefixes.exists(n.startsWith) }
       .foreach { case (name, fn) =>
-        val (t1, s1) = measure(fn, src)
-        val (tk, sk) = measure(fn, dst)
+        val (t1, s1, st1) = measure(fn, src)
+        val (tk, sk, stk) = measure(fn, dst)
         val mb = (b: Long) => f"${b / 1048576.0}%.1fM"
-        println(f"$name%-28s $t1%8.2f $tk%8.2f ${tk / t1}%6.2f ${mb(s1)}%10s ${mb(sk)}%10s ${if (s1 > 0) f"${sk.toDouble / s1}%6.2f" else "   n/a"}")
+        println(f"$name%-28s $t1%8.2f $tk%8.2f ${tk / t1}%6.2f ${mb(s1)}%10s ${mb(sk)}%10s ${if (s1 > 0) f"${sk.toDouble / s1}%6.2f" else "   n/a"} $st1%9d $stk%9d")
       }
+    // driver memory posture: peak JVM heap across the run — the single-
+    // process analogue of "watch driver RSS" at a real cluster's helm
+    val peakHeap = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+        .map(_.getPeakUsage.getUsed).sum
+    }
+    println(f"driver peak heap: ${peakHeap / 1048576.0}%.0f MB")
     spark.stop()
   }
 }

@@ -316,6 +316,22 @@ object Dedup {
       .distinct()
   }
 
+  /** Top-k most similar pairs with DF-CAPPED candidate generation — the
+    * corpus-scale variant of [[ngramJaccardTopK]], which shares the
+    * uncapped blocking join's boilerplate pathology (a df-m shingle
+    * contributes m²/2 candidate rows before the sort). Candidates come
+    * only from shingles with df ≤ `maxDf`; ranked similarity is then
+    * EXACT over the candidates' full shingle sets, and the global top-k
+    * plans as TakeOrdered (distributed heap), never a one-partition
+    * sort. Pairs sharing only above-cap shingles are never ranked —
+    * same stated semantics as [[ngramJaccardPairsCapped]]. */
+  def ngramJaccardTopKCapped(docs: DataFrame, idCol: String = "doc_id",
+                             textCol: String = "text", n: Int = 3,
+                             k: Int = 50, maxDf: Int = 100): DataFrame =
+    ngramJaccardPairsCapped(docs, idCol, textCol, n, threshold = 0.0, maxDf)
+      .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
+      .limit(k)
+
   /** CROSS-corpus near-dup pairs: every (incoming, reference) pair at or
     * above an exact n-gram-Jaccard threshold — the "dedup the new crawl
     * against the existing training set" / "is this eval doc already in
@@ -341,6 +357,63 @@ object Dedup {
     shIn.as("a").join(shRef.as("b"), col("a.sh") === col("b.sh"))
       .groupBy(col("a.id").as("id_in"), col("b.id").as("id_ref"))
       .agg(count(lit(1)).as("inter"))
+      .join(szIn.as("za"), col("id_in") === col("za.id"))
+      .join(szRef.as("zb"), col("id_ref") === col("zb.id"))
+      .select(col("id_in"), col("id_ref"),
+        (col("inter").cast("double") /
+          (col("za.sz") + col("zb.sz") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** CROSS-corpus near-dup with DF-CAPPED candidate generation — the
+    * corpus-scale variant of [[ngramJaccardCross]]. The uncapped
+    * cross-join blocking pays df_in(sh)·df_ref(sh) rows per shared
+    * shingle, and boilerplate shared ACROSS corpora (the same license
+    * headers exist in every crawl) makes that product explode exactly
+    * like the self-join case. Candidates here come only from shingles
+    * rare on BOTH sides (df ≤ `maxDf` within each corpus separately),
+    * bounding the per-shingle join cost at maxDf²; similarity is then
+    * EXACT over the candidate documents' FULL shingle sets. Stated
+    * semantic difference: a pair whose shared shingles are all above-cap
+    * on either side is never considered — at a sane cap that overlap is
+    * boilerplate (segment-dedup's job), not duplication. */
+  def ngramJaccardCrossCapped(incoming: DataFrame, reference: DataFrame,
+                              idCol: String = "doc_id", textCol: String = "text",
+                              n: Int = 3, threshold: Double = 0.5,
+                              maxDf: Int = 100): DataFrame = {
+    // per-side df cap via ONE window reference per side (the
+    // minhashNearDups trick) — no second scan for a df aggregation
+    def capped(side: DataFrame) = shingleSet(side, idCol, textCol, n)
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
+    val cands = capped(incoming).as("a").join(capped(reference).as("b"),
+        col("a.sh") === col("b.sh"))
+      .select(col("a.id").as("id_in"), col("b.id").as("id_ref"))
+      .distinct()
+      .localCheckpoint()
+
+    // exact verification over candidate documents only (each side
+    // semi-joined to its candidate ids), full shingle sets included
+    val inDocs = incoming.join(
+      cands.select(col("id_in").as("id")).distinct(),
+      incoming(idCol) === col("id"), "left_semi")
+    val refDocs = reference.join(
+      cands.select(col("id_ref").as("id")).distinct(),
+      reference(idCol) === col("id"), "left_semi")
+    val shIn = shingleSet(inDocs, idCol, textCol, n).localCheckpoint()
+    val shRef = shingleSet(refDocs, idCol, textCol, n).localCheckpoint()
+    val szIn = shIn.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val szRef = shRef.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(shIn.as("sa"), col("id_in") === col("sa.id"))
+      .join(shRef.as("sb"),
+        col("id_ref") === col("sb.id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("id_in"), col("id_ref"))
+      .agg(count(lit(1)).as("inter"))
+    cands
+      .join(inter, Seq("id_in", "id_ref"), "left")
+      .na.fill(0L, Seq("inter"))
       .join(szIn.as("za"), col("id_in") === col("za.id"))
       .join(szRef.as("zb"), col("id_ref") === col("zb.id"))
       .select(col("id_in"), col("id_ref"),

@@ -496,6 +496,110 @@ object ExtendedQueries {
        |FROM ranked WHERE rn = 1 ORDER BY component""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x62 — top-k most-similar pairs with DF-CAPPED candidates: the
+  // corpus-scale twin of x08 (whose uncapped blocking join shares x17's
+  // boilerplate pathology). TopKCapDf = 3 BINDS on the RANKED OUTPUT at
+  // sf0.01 (measured: the top-50 list first differs from x08's below
+  // cap 4 — higher caps change only the candidate set, and the excluded
+  // low-df-starved pairs never ranked), so the oracle genuinely checks
+  // capped semantics end-to-end.
+  // ---------------------------------------------------------------------
+  private val TopKCapDf = 3
+
+  def ngramTopKCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardTopKCapped(Tables.documents(s, dir),
+      n = 3, k = 50, maxDf = TopKCapDf)
+
+  val ngramTopKCappedSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), grams AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(greatest(len(w) - 2, 0)),
+       |                               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+       |  FROM toks
+       |), df AS (
+       |  SELECT sh, COUNT(*) AS df FROM grams GROUP BY sh
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM grams a
+       |  JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  JOIN df ON df.sh = a.sh
+       |  WHERE df.df <= $TopKCapDf
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+       |  FROM grams a
+       |  JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |       CAST(i AS DOUBLE) / (za.sz + zb.sz - i) AS jaccard
+       |FROM inter
+       |JOIN sizes za ON id_a = za.doc_id
+       |JOIN sizes zb ON id_b = zb.doc_id
+       |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x63 — cross-corpus dedup with DF-CAPPED candidates: the
+  // corpus-scale twin of x38. Shingles must be rare on BOTH sides
+  // (df ≤ cap within each corpus separately) to generate a candidate —
+  // bounding the per-shingle join product at cap² no matter how much
+  // boilerplate the two crawls share. CrossCapDf = 1 ("unique-match
+  // blocking": the shingle occurs exactly once per side) is the ONLY
+  // value that BINDS on the fixture's 12-pair result at sf0.01
+  // (measured: one genuine pair's shared shingles all reach df 2 on a
+  // side, so it drops at cap 1 and the oracle checks the capped
+  // semantics, not a no-op); production sizing follows the x57 note.
+  // ---------------------------------------------------------------------
+  private val CrossCapDf = 1
+
+  def crossCorpusCapped(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val srcNum = expr("CAST(substring(source, 4) AS INT)")
+    Dedup.ngramJaccardCrossCapped(
+        docs.filter(srcNum < 10), docs.filter(srcNum >= 10),
+        n = 3, threshold = 0.5, maxDf = CrossCapDf)
+      .orderBy("id_in", "id_ref")
+  }
+
+  val crossCorpusCappedSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+       |), grams AS (
+       |  SELECT DISTINCT doc_id, CAST(substr(source, 4) AS INT) AS sn,
+       |         unnest(list_transform(range(greatest(len(w) - 2, 0)),
+       |                               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+       |  FROM toks
+       |), din AS (
+       |  SELECT sh, COUNT(*) AS c FROM grams WHERE sn < 10 GROUP BY sh
+       |), dref AS (
+       |  SELECT sh, COUNT(*) AS c FROM grams WHERE sn >= 10 GROUP BY sh
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_in, b.doc_id AS id_ref
+       |  FROM grams a
+       |  JOIN grams b ON a.sh = b.sh
+       |  JOIN din ON din.sh = a.sh
+       |  JOIN dref ON dref.sh = a.sh
+       |  WHERE a.sn < 10 AND b.sn >= 10 AND din.c <= $CrossCapDf AND dref.c <= $CrossCapDf
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS id_in, b.doc_id AS id_ref, COUNT(*) AS i
+       |  FROM grams a
+       |  JOIN grams b ON a.sh = b.sh
+       |  JOIN cand c ON c.id_in = a.doc_id AND c.id_ref = b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_in, id_ref,
+       |       CAST(i AS DOUBLE) / (za.sz + zb.sz - i) AS jaccard
+       |FROM inter
+       |JOIN sizes za ON id_in = za.doc_id
+       |JOIN sizes zb ON id_ref = zb.doc_id
+       |WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= 0.5
+       |ORDER BY id_in, id_ref""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x58 — time-series gap-fill + LOCF: the dashboard-series operator a
   // store like the reference's feeds to Grafana. Per-type minute counts
   // over one UTC day with missing minutes ZERO-FILLED from a generated
@@ -1144,6 +1248,8 @@ object ExtendedQueries {
     "x17_dedup_components"   -> ((dedupComponents _, Some(dedupComponentsSql))),
     "x37_dedup_keep_best"    -> ((dedupKeepBest _, Some(dedupKeepBestSql))),
     "x57_components_capped"  -> ((dedupComponentsCapped _, Some(dedupComponentsCappedSql))),
+    "x62_ngram_topk_capped"  -> ((ngramTopKCapped _, Some(ngramTopKCappedSql))),
+    "x63_cross_corpus_capped" -> ((crossCorpusCapped _, Some(crossCorpusCappedSql))),
     "x58_gapfill_locf"       -> ((gapFillLocf _, Some(gapFillLocfSql))),
     "x38_cross_corpus_dedup" -> ((crossCorpusDedup _, Some(crossCorpusDedupSql))),
     "x44_bloom_cross_dedup"  -> ((bloomCrossDedup _, Some(bloomCrossDedupSql))),

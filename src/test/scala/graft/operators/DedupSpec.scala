@@ -167,6 +167,71 @@ class DedupSpec extends AnyFunSuite {
     loose.foreach { case (k, j) => assert(math.abs(j - uncapped(k)) < 1e-12) }
   }
 
+  test("df-capped top-k: boilerplate-only pairs fall out of the ranking; exact values") {
+    val boiler = "p q r p q r"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $boiler"),
+      (2L, s"alpha beta gamma delta epsilon eta $boiler"),
+      (3L, s"one two three four five six $boiler"),
+      (4L, s"seven eight nine ten eleven twelve $boiler"),
+      (5L, s"red orange yellow green blue indigo $boiler"),
+      (6L, s"cat dog bird fish horse goat $boiler")
+    ).toDF("doc_id", "text")
+
+    val uncapped = Dedup.ngramJaccardTopK(docs, n = 3, k = 15)
+      .as[(Long, Long, Double)].collect()
+    assert(uncapped.length == 15) // every pair shares boilerplate
+
+    // cap binds: only the genuine pair survives candidate generation,
+    // at its exact uncapped similarity
+    val capped = Dedup.ngramJaccardTopKCapped(docs, n = 3, k = 15, maxDf = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L)), capped.mkString(","))
+    val uncappedTop = uncapped.find(t => t._1 == 1L && t._2 == 2L).get
+    assert(math.abs(capped.head._3 - uncappedTop._3) < 1e-12)
+
+    // a non-binding cap reproduces the uncapped ranking exactly
+    val loose = Dedup.ngramJaccardTopKCapped(docs, n = 3, k = 15, maxDf = 100)
+      .as[(Long, Long, Double)].collect()
+    assert(loose.toSeq == uncapped.toSeq)
+  }
+
+  test("df-capped cross-corpus: per-side cap prunes shared boilerplate; exact values") {
+    // cross-corpus boilerplate: the SAME license tail on both sides.
+    // Incoming doc 1 is a genuine near-dup of reference doc 11.
+    val boiler = "all rights reserved all rights"
+    val incoming = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $boiler"),
+      (2L, s"one two three four five six $boiler"),
+      (3L, s"red orange yellow green blue indigo $boiler")
+    ).toDF("doc_id", "text")
+    val reference = Seq(
+      (11L, s"alpha beta gamma delta epsilon eta $boiler"),
+      (12L, s"seven eight nine ten eleven twelve $boiler"),
+      (13L, s"cat dog bird fish horse goat $boiler")
+    ).toDF("doc_id", "text")
+
+    val uncapped = Dedup.ngramJaccardCross(incoming, reference, threshold = 0.01)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(uncapped.keySet.size == 9, s"fixture broken: ${uncapped.keySet}")
+
+    // boilerplate df = 3 per side; with maxDf = 2 only the genuine
+    // rare-shingle pair generates a candidate, and its jaccard is the
+    // exact full-shingle-set value
+    val capped = Dedup.ngramJaccardCrossCapped(incoming, reference,
+        threshold = 0.01, maxDf = 2)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(capped.keySet == Set((1L, 11L)), s"got ${capped.keySet}")
+    assert(math.abs(capped((1L, 11L)) - uncapped((1L, 11L))) < 1e-12)
+
+    // non-binding cap reproduces the uncapped operator exactly
+    val loose = Dedup.ngramJaccardCrossCapped(incoming, reference,
+        threshold = 0.01, maxDf = 100)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(loose.keySet == uncapped.keySet)
+    loose.foreach { case (k, j) => assert(math.abs(j - uncapped(k)) < 1e-12) }
+  }
+
   test("cross-corpus jaccard == within-corpus jaccard restricted to the split") {
     val docs = graft.Tables.documents(spark, TestSpark.Sf0001)
     val srcNum = expr("CAST(substring(source, 4) AS INT)")

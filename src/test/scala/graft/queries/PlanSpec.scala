@@ -140,6 +140,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("x63 capped cross-corpus: equi-join blocking, per-side window caps, no cartesian") {
+    val p = plan(ExtendedQueries.crossCorpusCapped(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("x39 hll rollup: sketch aggregation is two-phase (partial before exchange)") {
     val p = plan(InfraQueries.hllRollup(spark, dir))
     assert(p.contains("partial_hll_sketch_agg") || p.contains("partial_hllsketchagg")
