@@ -20,8 +20,10 @@ import graft.streaming.PipelineMetrics
   * closes that gap the same way ClickHouse does:
   *
   *   POST /sql       body = raw SQL text → one JSON object per row
-  *                   (the `FORMAT JSONEachRow` analogue), ?limit=N
-  *                   caps the rows collected (default 10 000),
+  *                   (the `FORMAT JSONEachRow` analogue); ?format=csv
+  *                   or ?format=tsv switches to header + delimited rows
+  *                   (the CSVWithNames/TSVWithNames analogues);
+  *                   ?limit=N caps the rows collected (default 10 000),
   *                   ?timeout=N caps execution seconds (the
   *                   `max_execution_time` analogue, default 300) —
   *                   on expiry the query's job group is CANCELLED and
@@ -83,6 +85,27 @@ object SqlGateway {
   def runToJsonLines(spark: SparkSession, sql: String, limit: Int): String =
     spark.sql(sql).toJSON.take(limit).mkString("", "\n", "\n")
 
+  /** Execute `sql` and render ≤ `limit` rows as header + delimited rows
+    * (the CSVWithNames / TSVWithNames analogue of ClickHouse's FORMAT
+    * clause). RFC-4180-style quoting: a cell containing the separator,
+    * a quote or a newline is wrapped in double quotes with inner quotes
+    * doubled; NULL renders empty. Same bounded-collect posture as the
+    * JSON path (`take` pulls partitions incrementally). */
+  def runToDelimited(spark: SparkSession, sql: String, limit: Int,
+                     sep: Char): String = {
+    val df = spark.sql(sql)
+    def esc(s: String): String =
+      if (s.exists(c => c == sep || c == '"' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    val header = df.columns.map(esc).mkString(sep.toString)
+    val rows = df.take(limit).map(r =>
+      (0 until r.length).map(i =>
+        if (r.isNullAt(i)) "" else esc(String.valueOf(r.get(i))))
+        .mkString(sep.toString))
+    (header +: rows).mkString("", "\n", "\n")
+  }
+
   /** Formatted physical plan for `sql` WITHOUT executing it — the
     * `EXPLAIN`/`.explain("formatted")` surface over HTTP, so an operator
     * can check pushdown/broadcast/codegen shape before paying for a
@@ -103,6 +126,13 @@ object SqlGateway {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   }
+
+  /** JVM-global request sequence: job-group ids must never be reused
+    * within one SparkContext, because `cancelJobGroupAndFutureJobs`
+    * bans the id durably — a later gateway instance restarting a
+    * per-server counter would inherit the ban and have its first
+    * query cancelled on arrival. */
+  private val reqSeq = new AtomicLong(0L)
 
   /** A running gateway: the HTTP server plus the streaming-metrics
     * listener attached for /metrics. `stop()` tears down both. */
@@ -198,7 +228,6 @@ object SqlGateway {
     val server = HttpServer.create(addr, 0)
     val requests = new AtomicLong(0L)
     val errorsServed = new AtomicLong(0L)
-    val reqSeq = new AtomicLong(0L)
 
     val listener = new PipelineMetrics.MetricsListener
     spark.streams.addListener(listener)
@@ -271,8 +300,14 @@ object SqlGateway {
               timedOut.set(true); sc.cancelJobGroupAndFutureJobs(group)
             }
           }, timeoutSec.toLong, TimeUnit.SECONDS)
-          try respond(ex, 200, runToJsonLines(spark, sql, limit))
-          catch {
+          try queryParam(ex, "format").map(_.toLowerCase).getOrElse("json") match {
+            case "csv" => respond(ex, 200,
+              runToDelimited(spark, sql, limit, ','), "text/csv; charset=utf-8")
+            case "tsv" => respond(ex, 200,
+              runToDelimited(spark, sql, limit, '\t'),
+              "text/tab-separated-values; charset=utf-8")
+            case _ => respond(ex, 200, runToJsonLines(spark, sql, limit))
+          } catch {
             case _: Throwable if timedOut.get() =>
               respond(ex, 408,
                 s"""{"error":"query cancelled after $timeoutSec s (timeout)"}""" + "\n")

@@ -128,6 +128,26 @@ class SqlGatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("?format=csv/tsv render header + quoted delimited rows") {
+    withServer() { port =>
+      val q = "SELECT 1 AS a, 'x,y' AS b, CAST(NULL AS STRING) AS c " +
+              "UNION ALL SELECT 2, 'plain', 'z' ORDER BY a"
+      val (cs, cb) = http(port, "/sql?format=csv", "POST", Some(q))
+      assert(cs == 200, cb)
+      // comma-bearing cell quoted, NULL empty, header first
+      assert(cb == "a,b,c\n1,\"x,y\",\n2,plain,z\n", cb)
+
+      val (ts, tb) = http(port, "/sql?format=tsv", "POST", Some(q))
+      assert(ts == 200, tb)
+      assert(tb == "a\tb\tc\n1\tx,y\t\n2\tplain\tz\n", tb)
+
+      // unknown format degrades to the JSON default, not an error
+      val (js, jb) = http(port, "/sql?format=bogus", "POST",
+        Some("SELECT 7 AS n"))
+      assert(js == 200 && jb.trim == """{"n":7}""", jb)
+    }
+  }
+
   test("error bodies stay valid JSON when the message carries control chars") {
     assert(SqlGateway.jsonEscape("a\bb\fc\u0001d\"e\\f\ng") ==
       "a\\u0008b\\u000cc\\u0001d\\\"e\\\\f\\ng")
