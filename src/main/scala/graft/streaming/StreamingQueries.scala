@@ -756,6 +756,130 @@ object StreamingQueries {
       .orderBy("event_type", "first_day")
   }
 
+  // ---------------------------------------------------------------------
+  // s25 — STREAMED near-dup admission against a static reference corpus:
+  // the "is this live-crawl doc already in the training set" operator,
+  // the streaming face of x63. Incoming docs arrive as a file stream
+  // (one file per micro-batch); the reference corpus is static.
+  //
+  // Plan shape — deliberately STATELESS end to end, so it needs no
+  // watermark and no state store:
+  //  - per incoming row: distinct word-trigram shingles via the
+  //    codegen'd kernel (row-local), exploded;
+  //  - candidates: ONE stream-static equi-join on the shingle against
+  //    the reference's df-capped (sh → doc) relation — a shingle with
+  //    reference-df > cap generates no candidates, bounding per-shingle
+  //    join cost exactly as in x57/x63 (boilerplate can't explode a
+  //    micro-batch);
+  //  - verify: a second static join pulls the matched reference doc's
+  //    FULL shingle array, and exact Jaccard is computed ROW-LOCALLY
+  //    with array intersection — no streaming aggregation anywhere;
+  //  - a candidate matched via k shared shingles emits k identical
+  //    rows; the entry collapses them with a batch-side distinct on
+  //    read-back (at scale: any downstream exact-dedup pass absorbs it).
+  //
+  // The df cap does NOT bind on the sf0.01 oracle result (measured:
+  // ref-side caps 1–6 all yield the same 12 admitted pairs — every
+  // genuine pair's shared shingles are reference-rare); the oracle here
+  // verifies the STREAMED path end-to-end against the batch CTE, and
+  // the cap's binding behavior is proven on a planted boilerplate
+  // fixture in `StreamingSpec`.
+  // ---------------------------------------------------------------------
+  private val NearDupRefCap = 4
+
+  /** The s25 core, reusable against any (incoming, reference) corpus
+    * pair — `incoming`/`reference` carry (doc_id, text). Writes the
+    * incoming docs as a multi-file parquet stream source, runs the
+    * stateless capped near-dup stream, returns the distinct admitted
+    * pairs. */
+  private[graft] def nearDupStream(s: SparkSession, incoming: DataFrame,
+                                   reference: DataFrame, refCap: Int,
+                                   threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextKernels.word_shingles
+    val work = tempDir("graft_s25_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+    def shArr(text: org.apache.spark.sql.Column) =
+      array_distinct(word_shingles(text, 3))
+
+    // static side, computed once batch-side: full shingle array per
+    // reference doc + the df-capped exploded blocking relation
+    val refShingles = reference
+      .select(col("doc_id").as("id_ref"), shArr(col("text")).as("ref_sh"))
+      .localCheckpoint() // feeds two joins per micro-batch; pin it
+    val blocked = refShingles
+      .select(col("id_ref"), explode(col("ref_sh")).as("sh"))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("__df") <= refCap)
+      .drop("__df")
+      .localCheckpoint()
+
+    incoming.select(col("doc_id"), col("text"))
+      .repartition(3).write.parquet(inDir)
+
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .select(col("doc_id").as("id_in"), shArr(col("text")).as("in_sh"))
+      .select(col("id_in"), col("in_sh"), explode(col("in_sh")).as("sh"))
+      .join(blocked, "sh")
+      .join(refShingles, "id_ref")
+      .withColumn("inter",
+        size(array_intersect(col("in_sh"), col("ref_sh"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("in_sh")).cast("long") + size(col("ref_sh")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_in"), col("id_ref"), col("jaccard"))
+
+    ClickPipeline.runAppendParquet(stream, outDir, ck)
+    // project away the sink's created_at/batch stamps BEFORE distinct —
+    // wall-clock stamps differ per duplicate emission and would defeat
+    // the collapse
+    s.read.parquet(outDir).select("id_in", "id_ref", "jaccard")
+      .distinct().orderBy("id_in", "id_ref")
+  }
+
+  def streamNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val srcNum = expr("CAST(substring(source, 4) AS INT)")
+    nearDupStream(s, docs.filter(srcNum < 10), docs.filter(srcNum >= 10),
+      NearDupRefCap, threshold = 0.5)
+  }
+
+  val streamNearDupSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+       |), grams AS (
+       |  SELECT DISTINCT doc_id, CAST(substr(source, 4) AS INT) AS sn,
+       |         unnest(list_transform(range(greatest(len(w) - 2, 0)),
+       |                               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+       |  FROM toks
+       |), dref AS (
+       |  SELECT sh, COUNT(*) AS c FROM grams WHERE sn >= 10 GROUP BY sh
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_in, b.doc_id AS id_ref
+       |  FROM grams a
+       |  JOIN grams b ON a.sh = b.sh
+       |  JOIN dref ON dref.sh = a.sh
+       |  WHERE a.sn < 10 AND b.sn >= 10 AND dref.c <= $NearDupRefCap
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS id_in, b.doc_id AS id_ref, COUNT(*) AS i
+       |  FROM grams a
+       |  JOIN grams b ON a.sh = b.sh
+       |  JOIN cand c ON c.id_in = a.doc_id AND c.id_ref = b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_in, id_ref,
+       |       CAST(i AS DOUBLE) / (za.sz + zb.sz - i) AS jaccard
+       |FROM inter
+       |JOIN sizes za ON id_in = za.doc_id
+       |JOIN sizes zb ON id_ref = zb.doc_id
+       |WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= 0.5
+       |ORDER BY id_in, id_ref""".stripMargin
+
   val streamStaticJoinSql: String =
     """WITH e AS (
       |  SELECT user_id,
@@ -793,5 +917,6 @@ object StreamingQueries {
     "s20_stream_sketch_hh" -> ((streamSketchHeavyHitters _,
       Some(graft.queries.CurationQueries.approxHeavyHittersSql))),
     "s23_stream_static_join" -> ((streamStaticJoin _, Some(streamStaticJoinSql))),
+    "s25_stream_neardup"    -> ((streamNearDup _, Some(streamNearDupSql))),
   )
 }

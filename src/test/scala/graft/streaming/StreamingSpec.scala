@@ -251,4 +251,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("wm_dedup_test").count() == 3) // e1, adv, e1-again
     } finally q.stop()
   }
+
+  test("s25 streamed near-dup: ref-df cap binds on planted boilerplate; exact values") {
+    // every doc on both sides carries the same license tail, so its
+    // shingles have reference-df 3; incoming doc 1 is a genuine near-dup
+    // of reference doc 11 via rare shingles (ref-df 1)
+    val boiler = "all rights reserved all rights"
+    val incoming = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $boiler"),
+      (2L, s"one two three four five six $boiler"),
+      (3L, s"red orange yellow green blue indigo $boiler")
+    ).toDF("doc_id", "text")
+    val reference = Seq(
+      (11L, s"alpha beta gamma delta epsilon eta $boiler"),
+      (12L, s"seven eight nine ten eleven twelve $boiler"),
+      (13L, s"cat dog bird fish horse goat $boiler")
+    ).toDF("doc_id", "text")
+
+    // cap 2 < boilerplate df 3: only the genuine pair is admitted, at
+    // its exact batch-computed cross-corpus jaccard
+    val capped = graft.streaming.StreamingQueries
+      .nearDupStream(spark, incoming, reference, refCap = 2, threshold = 0.01)
+      .as[(Long, Long, Double)].collect()
+    val batch = graft.operators.Dedup
+      .ngramJaccardCross(incoming, reference, threshold = 0.01)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(capped.map(t => (t._1, t._2)).toSeq == Seq((1L, 11L)),
+      capped.mkString(","))
+    assert(math.abs(capped.head._3 - batch((1L, 11L))) < 1e-12)
+
+    // a non-binding cap admits exactly the batch cross-corpus result —
+    // the streamed micro-batch path and the batch operator are one
+    // semantics (9 pairs here: all docs share boilerplate)
+    val loose = graft.streaming.StreamingQueries
+      .nearDupStream(spark, incoming, reference, refCap = 100, threshold = 0.01)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(loose.keySet == batch.keySet, s"got ${loose.keySet}")
+    loose.foreach { case (k, j) => assert(math.abs(j - batch(k)) < 1e-12) }
+  }
 }
