@@ -784,6 +784,16 @@ object StreamingQueries {
   // verifies the STREAMED path end-to-end against the batch CTE, and
   // the cap's binding behavior is proven on a planted boilerplate
   // fixture in `StreamingSpec`.
+  //
+  // 100 TB posture: the static relations are computed ONCE
+  // (localCheckpoint) but a sort-merge stream-static join still
+  // re-exchanges the static side per micro-batch. At a 100 TB reference
+  // corpus the production shape is the blocked (sh → doc) relation
+  // stored as a table BUCKETED by sh (the s21 machinery): each
+  // micro-batch then shuffles only its own exploded shingles into
+  // co-located buckets, and the reference is never re-shuffled. The
+  // per-batch work is O(batch shingles × avg capped df) by the cap
+  // bound, independent of reference size.
   // ---------------------------------------------------------------------
   private val NearDupRefCap = 4
 
