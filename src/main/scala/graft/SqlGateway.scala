@@ -134,6 +134,17 @@ object SqlGateway {
     * query cancelled on arrival. */
   private val reqSeq = new AtomicLong(0L)
 
+  /** One daemon thread arms/disarms per-request cancel timers for every
+    * gateway instance in the JVM (the cancellation itself is Spark's
+    * job-group machinery) — shared so `Gateway.stop()` never has to
+    * reason about in-flight timers, and repeated serve/stop cycles (the
+    * spec suite) don't accumulate threads. */
+  private lazy val watchdog =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "gateway-watchdog"); t.setDaemon(true); t
+      })
+
   /** A running gateway: the HTTP server plus the streaming-metrics
     * listener attached for /metrics. `stop()` tears down both. */
   final class Gateway(val server: HttpServer, spark: SparkSession,
@@ -200,8 +211,10 @@ object SqlGateway {
     // m03 rollup — one labeled series per persisted run
     metricsDir.filter(d => new java.io.File(d).exists()).foreach { d =>
       val runs = PipelineMetrics.runSummary(spark, d).collect()
+      // exposition-format label values escape backslash and quote
       def lbl(r: org.apache.spark.sql.Row) =
-        s"""{run_id="${r.getAs[String]("run_id")}"}"""
+        s"""{run_id="${r.getAs[String]("run_id")
+          .replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
       family("graft_run_rows_total", "gauge",
         "rows ingested per persisted metrics run",
         runs.map(r => lbl(r) -> r.getAs[Long]("rows_total").toDouble).toSeq)
@@ -231,11 +244,6 @@ object SqlGateway {
 
     val listener = new PipelineMetrics.MetricsListener
     spark.streams.addListener(listener)
-
-    // one daemon thread arms/disarms per-request cancel timers; the
-    // cancellation itself is Spark's (job group, interruptOnCancel)
-    val watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
-      (r: Runnable) => { val t = new Thread(r, "gateway-watchdog"); t.setDaemon(true); t })
 
     def respond(ex: HttpExchange, status: Int, body: String,
                 contentType: String = "application/json; charset=utf-8"): Unit = {
