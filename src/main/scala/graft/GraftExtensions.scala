@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DistinctNgramCount, DotProduct, WordShingles}
+import graft.functions.{CosineSimilarity, DistinctNgramCount, DotProduct, WordGramSeq, WordShingles}
 
 /** Spark-native installation of graft's custom Catalyst expressions:
   *
@@ -12,7 +12,8 @@ import graft.functions.{CosineSimilarity, DistinctNgramCount, DotProduct, WordSh
   *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
   * }}}
   *
-  * makes `word_shingles`, `distinct_ngram_count`, `dot_product` and
+  * makes `word_shingles`, `word_gram_seq`, `distinct_ngram_count`,
+  * `dot_product` and
   * `cosine_similarity` available to EVERY session of the application —
   * plain SQL, thriftserver/JDBC clients, notebooks — without any
   * driver-side `register` call. The per-session
@@ -22,7 +23,7 @@ import graft.functions.{CosineSimilarity, DistinctNgramCount, DotProduct, WordSh
   * at session build time, survive `newSession()`, and need no code on
   * the user's side.
   *
-  * All four are codegen'd binary expressions (no UDFs): they stay inside
+  * All five are codegen'd binary expressions (no UDFs): they stay inside
   * WholeStageCodegen wherever they appear, so the SQL surface has the
   * same plan shape as the Scala DataFrame surface.
   */
@@ -41,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("word_shingles"),
       info("word_shingles", "word_shingles(text, n) - distinct word n-grams, first-occurrence order"),
       fn2(WordShingles)))
+    ext.injectFunction((FunctionIdentifier("word_gram_seq"),
+      info("word_gram_seq", "word_gram_seq(text, n) - all word n-grams in document order, one per start position"),
+      fn2(WordGramSeq)))
     ext.injectFunction((FunctionIdentifier("distinct_ngram_count"),
       info("distinct_ngram_count", "distinct_ngram_count(text, n) - number of distinct word n-grams"),
       fn2(DistinctNgramCount)))

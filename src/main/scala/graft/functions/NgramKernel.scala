@@ -86,6 +86,42 @@ object NgramKernel {
     while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** ALL word n-grams in document order, one per start position — the
+    * POSITIONAL sibling of [[wordShingles]] (which deduplicates and so
+    * loses positions). `posexplode(word_gram_seq(text, n))` yields
+    * (pos, gram) with pos the 0-based token index of the gram's first
+    * word — the input unit of duplicated-SPAN detection, where "where
+    * in the document" matters as much as "which gram". Same
+    * split-on-single-space semantics as the rest of the family;
+    * < n tokens ⇒ empty (no truncated gram). n ≤ 1 ⇒ the token array
+    * itself. */
+  def wordGramSeq(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (n <= 1) {
+      val out = new Array[Any](toks.length)
+      var i = 0
+      while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+      new GenericArrayData(out)
+    } else if (toks.length < n) new GenericArrayData(new Array[Any](0))
+    else {
+      val out = new Array[Any](toks.length - n + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
 }
 
 /** `distinct_ngram_count(text, n)` — LongType; null-intolerant. */
@@ -125,6 +161,25 @@ case class WordShingles(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `word_gram_seq(text, n)` — ArrayType(StringType), positional
+  * (non-distinct, document order); null-intolerant. */
+case class WordGramSeq(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "word_gram_seq"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(t: Any, n: Any): Any =
+    NgramKernel.wordGramSeq(t.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.functions.NgramKernel.wordGramSeq($t, $n)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column facade. The Scala builders construct the expression directly
   * (via [[org.apache.spark.sql.GraftColumnBridge]] — no registry, no
   * session needed, so a column can be built before any SparkSession
@@ -139,6 +194,8 @@ object TextKernels {
       "distinct_ngram_count", es => DistinctNgramCount(es.head, es(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", es => WordShingles(es.head, es(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_gram_seq", es => WordGramSeq(es.head, es(1)), "built-in")
   }
 
   def distinct_ngram_count(text: Column, n: Int): Column =
@@ -146,4 +203,7 @@ object TextKernels {
 
   def word_shingles(text: Column, n: Int): Column =
     B.column(WordShingles(B.expression(text), B.expression(lit(n))))
+
+  def word_gram_seq(text: Column, n: Int): Column =
+    B.column(WordGramSeq(B.expression(text), B.expression(lit(n))))
 }

@@ -161,4 +161,13 @@ object TextFunctions {
     * and ~10× slower on the shingle-heavy dedup paths. */
   def shingles(text: Column, n: Int): Column =
     TextKernels.word_shingles(text, n)
+
+  /** ALL word n-grams in document order (non-distinct, one per start
+    * position) — `posexplode(gramSeq(...))` is the (pos, gram) input of
+    * span-level dedup ([[graft.operators.Dedup.duplicatedSpans]]).
+    * Backed by the codegen'd [[WordGramSeq]] kernel; same
+    * split-on-single-space and <n-tokens ⇒ empty semantics as
+    * [[shingles]]. */
+  def gramSeq(text: Column, n: Int): Column =
+    TextKernels.word_gram_seq(text, n)
 }

@@ -650,4 +650,166 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  // -------------------------------------------------------------------
+  // Exact duplicated SUBSTRING spans (Lee et al. 2022, "Deduplicating
+  // Training Data Makes Language Models Better" — the suffix-array
+  // ExactSubstr dedup, re-expressed relationally)
+  // -------------------------------------------------------------------
+
+  /** Maximal duplicated token spans: for every document, the merged
+    * intervals of token positions covered by some word `n`-gram that
+    * occurs at ≥ `minOcc` locations corpus-wide (a location = one
+    * (doc, start-position); a gram repeated INSIDE one document is
+    * duplicated too, exactly as in the suffix-array formulation).
+    *
+    * Where the reference family's document/segment/near-dup entries
+    * decide "is this WHOLE text a copy", this is the span-level
+    * primitive: boilerplate headers, quoted passages and templated
+    * paragraphs inside otherwise-unique documents. Output one row per
+    * maximal span: (doc_id, span_start, span_end, span_tokens,
+    * n_grams), positions 0-based token indices, inclusive; overlapping
+    * OR adjacent (next start = current end + 1) flagged grams merge —
+    * adjacency means every token in between is itself covered by a
+    * duplicated gram, so the whole region is one duplicated passage.
+    *
+    * Plan: no pair join anywhere — unlike near-dup candidate
+    * generation there is no m²/2 blowup for an m-location gram, so no
+    * df cap is needed; the hottest gram contributes m rows, linear.
+    * Two linear shuffles: (1) a window count partitioned by the gram
+    * string (the same one-reference trick as [[cappedCandidates]] —
+    * one gram scan, not a groupBy+join's two); (2) the per-document
+    * interval merge, a classic gaps-and-islands pair of windows over
+    * (doc, pos) — partitions bounded by document token count. The
+    * final groupBy(doc, island) reuses shuffle (2)'s hash partitioning
+    * (grouping keys ⊇ partitioning keys ⇒ no third exchange). Gram
+    * enumeration is the codegen'd positional kernel
+    * `word_gram_seq` (one pass, stays in WholeStageCodegen — the HOF
+    * `transform ∘ sequence ∘ slice` equivalent is CodegenFallback).
+    *
+    * Production sizing: Lee et al. use 50-token spans; the gram width
+    * `n` IS that knob (a duplicated region shorter than `n` tokens is
+    * never flagged). At 100 TB the gram-string shuffle dominates;
+    * swapping the window key for `xxhash64(sh)` shuffles 8-byte keys
+    * instead of ~6·n-char strings at a ~(locations²/2⁶⁵) false-flag
+    * risk — semantics kept exact here for oracle parity. */
+  def duplicatedSpans(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text", n: Int = 4,
+                      minOcc: Int = 2): DataFrame = {
+    val flagged = docs
+      .select(col(idCol).as("id"),
+              posexplode(gramSeq(col(textCol), n)).as(Seq("pos", "sh")))
+      .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("__occ") >= minOcc)
+      .select(col("id"), col("pos"))
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(n - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    flagged
+      .withColumn("__brk",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(byDoc))
+      .groupBy(col("id"), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+           (max(col("pos")) + lit(n - 1)).as("span_end"),
+           count(lit(1)).as("n_grams"))
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+              (col("span_end") - col("span_start") + 1).as("span_tokens"),
+              col("n_grams"))
+  }
+
+  /** ExactSubstr CLEANING: rewrite every document with its non-first
+    * duplicated spans removed — the full Lee et al. 2022 dedup, where
+    * [[duplicatedSpans]] only reports. For each duplicated gram the
+    * corpus-wide FIRST occurrence (min (doc, pos)) is the keeper; a
+    * token is removed iff some non-keeper occurrence of a duplicated
+    * gram covers it. So the first copy of a boilerplate passage
+    * survives verbatim, every later copy disappears, and an exact
+    * full-duplicate document cleans to the empty string. Output:
+    * (doc_id, cleaned_text, kept_tokens, removed_tokens) for EVERY
+    * document, fully-cleaned ones included.
+    *
+    * Plan: the same gram-partitioned window as [[duplicatedSpans]] now
+    * computes occurrence count AND first-occurrence key in one
+    * exchange; non-keeper occurrences explode to their ≤ n covered
+    * token positions (duplication-bounded, not corpus-bounded), and
+    * removal is a left-anti equi-join against the token relation on
+    * (doc, position). Reassembly sorts each document's kept tokens
+    * INSIDE a hash aggregate (collect_list → array_sort → array_join),
+    * never a global sort. Four linear shuffles, no pair join — the
+    * boilerplate pathology cannot occur by construction.
+    *
+    * First-occurrence keys encode (doc, pos) as `doc·2²⁰ + pos` so the
+    * min is a plain long aggregation on both engines; each document is
+    * required to stay under 2²⁰ tokens — checked per document inside
+    * the distributed scan (`raise_error`, no extra driver action). */
+  def spanDedupClean(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", n: Int = 4,
+                     minOcc: Int = 2): DataFrame = {
+    val PosBits = 20
+    // The guard must sit INSIDE an expression the plan actually
+    // evaluates — a standalone check column would be pruned away with
+    // its raise_error. Gating the text itself makes it load-bearing on
+    // both consuming paths.
+    val boundedText = when(
+        size(split(col(textCol), " ", -1)) < lit(1 << PosBits), col(textCol))
+      .otherwise(raise_error(concat(
+        lit(s"document exceeds the 2^$PosBits-token position bound: "),
+        col(idCol).cast("string"))))
+    val grams = docs
+      .select(col(idCol).as("id"),
+              posexplode(gramSeq(boundedText, n)).as(Seq("pos", "sh")))
+    val bySh = Window.partitionBy(col("sh"))
+    val key = col("id") * lit(1L << PosBits) + col("pos")
+    val nonFirst = grams
+      .withColumn("__occ", count(lit(1)).over(bySh))
+      .withColumn("__first", min(key).over(bySh))
+      .filter(col("__occ") >= minOcc && key =!= col("__first"))
+    val removed = nonFirst
+      .select(col("id"), explode(sequence(col("pos"),
+        col("pos") + lit(n - 1))).as("tp"))
+      .distinct()
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(split(boundedText, " ", -1)).as(Seq("tp", "tok")))
+    val kept = toks.join(removed, Seq("id", "tp"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("tp"), col("tok")))),
+             x => x("tok")), " ").as("cleaned_text"),
+           count(lit(1)).as("kept_tokens"))
+    docs.select(col(idCol),
+        size(split(col(textCol), " ", -1)).cast("long").as("__total"))
+      .join(kept.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+              coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+              coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+              (col("__total") - coalesce(col("kept_tokens"), lit(0L)))
+                .as("removed_tokens"))
+  }
+
+  /** Per-document duplication profile over [[duplicatedSpans]]: how
+    * much of EACH document is corpus-duplicated text — the curation
+    * signal ("drop documents that are > X% boilerplate") the span
+    * primitive exists to feed. One row per document (zero-span
+    * documents included, with zeros): (doc_id, n_spans, dup_tokens,
+    * total_tokens, dup_ratio). Token counts use the same
+    * split-on-single-space semantics as gram enumeration, so
+    * dup_ratio ∈ [0, 1] exactly. The spans side aggregates down to ≤
+    * one row per document BEFORE the join back to the corpus, so the
+    * join's build side is duplication-bounded, not corpus-bounded. */
+  def spanDupProfile(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", n: Int = 4,
+                     minOcc: Int = 2): DataFrame = {
+    val perDoc = duplicatedSpans(docs, idCol, textCol, n, minOcc)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("dup_tokens"))
+    docs.select(col(idCol),
+                (size(split(col(textCol), " ", -1))).as("total_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+              coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+              coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+              col("total_tokens").cast("long").as("total_tokens"),
+              round(coalesce(col("dup_tokens"), lit(0L)) /
+                    col("total_tokens"), 6).as("dup_ratio"))
+  }
 }

@@ -600,6 +600,121 @@ object ExtendedQueries {
        |ORDER BY id_in, id_ref""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x64/x65 — exact duplicated-substring spans (Lee et al. 2022's
+  // ExactSubstr dedup re-expressed relationally; reference family:
+  // whole-doc x05, segment x43, near-dup x57 — this is the SPAN grain).
+  // SpanGramN = 4 on the fixture: at n = 4 the corpus has multi-span
+  // documents (369 docs / 643 spans at sf0.01), so the gaps-and-islands
+  // break ("pos > prev_end + 1") and multi-island grouping are both
+  // exercised; at n ≥ 6 every affected doc collapses to one span and
+  // the merge logic would be vacuous. Production sizing: n IS the
+  // Lee-et-al. min-span length (they use 50).
+  // ---------------------------------------------------------------------
+  private val SpanGramN = 4
+
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(Tables.documents(s, dir), n = SpanGramN)
+      .orderBy("doc_id", "span_start")
+
+  private def spanCtes(k: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), grams AS (
+       |  SELECT doc_id, i AS pos, array_to_string(w[i+1:i+$k], ' ') AS sh
+       |  FROM toks, LATERAL unnest(range(greatest(len(w)-${k - 1}, 0))) AS t(i)
+       |), occ AS (
+       |  SELECT sh FROM grams GROUP BY sh HAVING COUNT(*) >= 2
+       |), flagged AS (
+       |  SELECT g.doc_id, g.pos FROM grams g JOIN occ USING (sh)
+       |), w1 AS (
+       |  SELECT doc_id, pos,
+       |         MAX(pos + ${k - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM flagged
+       |), w2 AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM w1
+       |), w3 AS (
+       |  SELECT doc_id, pos,
+       |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM w2
+       |), spans AS (
+       |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + ${k - 1} AS span_end,
+       |         COUNT(*) AS n_grams
+       |  FROM w3 GROUP BY doc_id, island
+       |)""".stripMargin
+
+  val dupSpansSql: String =
+    s"""${spanCtes(SpanGramN)}
+       |SELECT doc_id, span_start, span_end,
+       |       span_end - span_start + 1 AS span_tokens, n_grams
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
+  // x66 — the full ExactSubstr CLEANER over the same gram grain: keep
+  // the corpus-wide first occurrence of every duplicated gram, remove
+  // every token covered only by later occurrences, reassemble the text.
+  // The fixture exercises all three outcomes at sf0.01: untouched docs,
+  // partially-cleaned docs, and at least one doc cleaned to "".
+  def spanDedupCleanQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedupClean(Tables.documents(s, dir), n = SpanGramN)
+      .orderBy("doc_id")
+
+  val spanDedupCleanSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), grams AS (
+       |  SELECT doc_id, i AS pos, array_to_string(w[i+1:i+$SpanGramN], ' ') AS sh
+       |  FROM toks, LATERAL unnest(range(greatest(len(w)-${SpanGramN - 1}, 0))) AS t(i)
+       |), dups AS (
+       |  SELECT sh, MIN(doc_id * 1048576 + pos) AS fk
+       |  FROM grams GROUP BY sh HAVING COUNT(*) >= 2
+       |), nonfirst AS (
+       |  SELECT g.doc_id, g.pos
+       |  FROM grams g JOIN dups d USING (sh)
+       |  WHERE g.doc_id * 1048576 + g.pos <> d.fk
+       |), removed AS (
+       |  SELECT DISTINCT nf.doc_id, nf.pos + r.i AS tp
+       |  FROM nonfirst nf, LATERAL unnest(range($SpanGramN)) AS r(i)
+       |), toklist AS (
+       |  SELECT t.doc_id, p.i AS tp, w[p.i + 1] AS tok
+       |  FROM toks t, LATERAL unnest(range(len(w))) AS p(i)
+       |), kept AS (
+       |  SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.tp) AS cleaned_text,
+       |         COUNT(*) AS kept_tokens
+       |  FROM toklist k
+       |  WHERE NOT EXISTS (SELECT 1 FROM removed r
+       |                    WHERE r.doc_id = k.doc_id AND r.tp = k.tp)
+       |  GROUP BY k.doc_id
+       |)
+       |SELECT t.doc_id,
+       |       COALESCE(cleaned_text, '') AS cleaned_text,
+       |       COALESCE(kept_tokens, 0) AS kept_tokens,
+       |       len(w) - COALESCE(kept_tokens, 0) AS removed_tokens
+       |FROM toks t LEFT JOIN kept USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
+  def dupSpanProfile(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanDupProfile(Tables.documents(s, dir), n = SpanGramN)
+      .orderBy("doc_id")
+
+  val dupSpanProfileSql: String =
+    s"""${spanCtes(SpanGramN)},
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS n_spans,
+       |         CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens
+       |  FROM spans GROUP BY doc_id
+       |)
+       |SELECT t.doc_id,
+       |       COALESCE(n_spans, 0) AS n_spans,
+       |       COALESCE(dup_tokens, 0) AS dup_tokens,
+       |       len(w) AS total_tokens,
+       |       round(COALESCE(dup_tokens, 0) / len(w), 6) AS dup_ratio
+       |FROM toks t LEFT JOIN perdoc USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x58 — time-series gap-fill + LOCF: the dashboard-series operator a
   // store like the reference's feeds to Grafana. Per-type minute counts
   // over one UTC day with missing minutes ZERO-FILLED from a generated
@@ -1250,6 +1365,9 @@ object ExtendedQueries {
     "x57_components_capped"  -> ((dedupComponentsCapped _, Some(dedupComponentsCappedSql))),
     "x62_ngram_topk_capped"  -> ((ngramTopKCapped _, Some(ngramTopKCappedSql))),
     "x63_cross_corpus_capped" -> ((crossCorpusCapped _, Some(crossCorpusCappedSql))),
+    "x64_dup_spans"          -> ((dupSpans _, Some(dupSpansSql))),
+    "x65_span_dup_profile"   -> ((dupSpanProfile _, Some(dupSpanProfileSql))),
+    "x66_span_dedup_clean"   -> ((spanDedupCleanQ _, Some(spanDedupCleanSql))),
     "x58_gapfill_locf"       -> ((gapFillLocf _, Some(gapFillLocfSql))),
     "x38_cross_corpus_dedup" -> ((crossCorpusDedup _, Some(crossCorpusDedupSql))),
     "x44_bloom_cross_dedup"  -> ((bloomCrossDedup _, Some(bloomCrossDedupSql))),

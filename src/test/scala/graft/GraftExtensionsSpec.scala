@@ -34,6 +34,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val r = s.sql(
         """SELECT
           |  word_shingles('a b c d', 3) AS sh,
+          |  word_gram_seq('a b a b', 2) AS gs,
           |  distinct_ngram_count('a b a b', 2) AS n,
           |  round(dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
           |                    array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))), 4) AS dp,
@@ -41,9 +42,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |                          array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), 4) AS cos
           |""".stripMargin).head()
       assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
-      assert(r.getLong(1) == 2L)
-      assert(r.getDouble(2) == 11.0)
-      assert(r.getDouble(3) == 1.0)
+      assert(r.getSeq[String](1) == Seq("a b", "b a", "a b")) // positional: repeats kept
+      assert(r.getLong(2) == 2L)
+      assert(r.getDouble(3) == 11.0)
+      assert(r.getDouble(4) == 1.0)
       // wrong arity fails analysis loudly, not at runtime
       intercept[Exception](s.sql("SELECT word_shingles('a')").head())
     } finally {

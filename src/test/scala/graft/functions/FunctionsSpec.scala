@@ -37,6 +37,27 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("gramSeq: positional (non-distinct) grams, one per start, same edge semantics") {
+    // repeated grams KEPT, document order — the positional contract
+    assert(one[Seq[String]](TextFunctions.gramSeq(col("text"), 2), "a b a b")
+      == Seq("a b", "b a", "a b"))
+    // one gram per start position: len - n + 1 entries
+    assert(one[Seq[String]](TextFunctions.gramSeq(col("text"), 3), "a b c d")
+      == Seq("a b c", "b c d"))
+    // < n tokens ⇒ empty (no truncated gram), n=1 ⇒ the token array
+    assert(one[Seq[String]](TextFunctions.gramSeq(col("text"), 3), "a b") == Seq.empty)
+    assert(one[Seq[String]](TextFunctions.gramSeq(col("text"), 1), "a b a") == Seq("a", "b", "a"))
+    // posexplode positions are 0-based start-token indices
+    val pos = Seq("t0 t1 t2 t3 t4").toDF("text")
+      .select(posexplode(TextFunctions.gramSeq(col("text"), 2)))
+      .as[(Int, String)].collect()
+    assert(pos.toSeq == Seq((0, "t0 t1"), (1, "t1 t2"), (2, "t2 t3"), (3, "t3 t4")))
+    // null text: null-intolerant expression yields null, not a crash
+    val r = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "text")
+      .select(TextFunctions.gramSeq(col("text"), 2)).head()
+    assert(r.isNullAt(0))
+  }
+
   test("wordOccurrences counts whole words only") {
     assert(one[Long](TextFunctions.wordOccurrences(col("text"), "the"), "the theater the") == 2L)
     assert(one[Long](TextFunctions.wordOccurrences(col("text"), "the"), "theater") == 0L)

@@ -318,4 +318,119 @@ class DedupSpec extends AnyFunSuite {
     assert(out.filter(!col("keep")).count() > 0, "fixture produced no semantic dups")
     out.unpersist()
   }
+
+  // ------------------------------------------------------------------
+  // x64/x65 — exact duplicated-substring spans
+  // ------------------------------------------------------------------
+
+  private def spanRows(docs: Seq[(Long, String)], n: Int = 4) =
+    Dedup.duplicatedSpans(docs.toDF("doc_id", "text"), n = n)
+      .select("doc_id", "span_start", "span_end", "span_tokens", "n_grams")
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+
+  test("duplicated spans: a planted shared passage is recovered with EXACT boundaries") {
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      10L -> s"a1 a2 a3 $passage a4 a5 a6", // passage at tokens 3..12
+      11L -> s"b1 b2 $passage b3",          // passage at tokens 2..11
+      12L -> (1 to 30).map(i => s"u$i").mkString(" ")) // all-unique filler
+    // width-4 grams fully inside the 10-token passage: 7 start positions
+    assert(spanRows(docs) == Set((10L, 3, 12, 10, 7L), (11L, 2, 11, 10, 7L)))
+  }
+
+  test("duplicated spans: separated passages stay distinct islands; back-to-back merge") {
+    val p1 = (1 to 8).map(i => s"x$i").mkString(" ")
+    val p2 = (1 to 8).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      20L -> s"$p1 g1 g2 g3 g4 g5 g6 $p2", // p1 at 0..7, p2 at 14..21
+      21L -> s"h1 $p1 h2",                 // p1 at 1..8
+      22L -> s"k1 k2 $p2",                 // p2 at 2..9
+      23L -> s"$p1 $p2")                   // adjacent: one merged span 0..15
+    val got = spanRows(docs)
+    // doc 20: two islands (6 unique tokens between passages break the chain)
+    assert(got.filter(_._1 == 20L) == Set((20L, 0, 7, 8, 5L), (20L, 14, 21, 8, 5L)))
+    // doc 23: p2's first flagged start (pos 8) is adjacent to p1's span
+    // end (pos 7), so the whole 16 tokens merge into ONE span
+    assert(got.filter(_._1 == 23L) == Set((23L, 0, 15, 16, 10L)))
+  }
+
+  test("duplicated spans: repetition WITHIN one document is duplication (location grain)") {
+    val phrase = (1 to 5).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      30L -> s"$phrase f1 f2 f3 f4 f5 f6 $phrase", // phrase at 0..4 and 11..15
+      31L -> (1 to 25).map(i => s"v$i").mkString(" "))
+    assert(spanRows(docs) == Set((30L, 0, 4, 5, 2L), (30L, 11, 15, 5, 2L)))
+  }
+
+  test("duplicated spans: an all-unique corpus yields no spans") {
+    val docs = (0 until 5).map(d =>
+      (d.toLong, (0 until 20).map(i => s"w${d}_$i").mkString(" ")))
+    assert(spanRows(docs).isEmpty)
+  }
+
+  test("span cleaning: first occurrence survives verbatim, later copies lose the span") {
+    val passage = (1 to 10).map(i => s"s$i").mkString(" ")
+    val a = s"a1 a2 a3 $passage a4"
+    val b = s"b1 b2 $passage b3"
+    val c = (1 to 20).map(i => s"c$i").mkString(" ")
+    val out = Dedup.spanDedupClean(
+        Seq(50L -> a, 51L -> b, 52L -> c).toDF("doc_id", "text"))
+      .select("doc_id", "cleaned_text", "kept_tokens", "removed_tokens")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(50L) == ((50L, a, 14L, 0L))) // keeper doc: byte-identical
+    assert(out(51L) == ((51L, "b1 b2 b3", 3L, 10L)))
+    assert(out(52L) == ((52L, c, 20L, 0L)))
+  }
+
+  test("span cleaning: exact duplicate empties; intra-doc repeat keeps the first copy") {
+    val phrase = (1 to 5).map(i => s"t$i").mkString(" ")
+    val fill = (1 to 6).map(i => s"f$i").mkString(" ")
+    val twin = (1 to 12).map(i => s"w$i").mkString(" ")
+    val out = Dedup.spanDedupClean(Seq(
+        60L -> s"$phrase $fill $phrase", // intra-doc repeat
+        61L -> twin, 62L -> twin)        // exact corpus duplicate
+      .toDF("doc_id", "text"))
+      .select("doc_id", "cleaned_text", "kept_tokens", "removed_tokens")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(60L) == ((60L, s"$phrase $fill", 11L, 5L)))
+    assert(out(61L) == ((61L, twin, 12L, 0L))) // first copy untouched
+    assert(out(62L) == ((62L, "", 0L, 12L)))   // later copy fully cleaned
+    // conservation: kept + removed == token count, every doc present
+    assert(out.values.forall { case (_, _, k, r) => k + r == 12 || k + r == 16 })
+  }
+
+  test("span cleaning: a document over the 2^20-token position bound fails loudly") {
+    val big = Seq.tabulate(1 << 20)(i => "z").mkString(" ") // 2^20 tokens
+    val e = intercept[Exception] {
+      // collect(), not count(): a bare count lets the optimizer
+      // eliminate the aggregated outer-join branch (distinct join keys
+      // ⇒ EliminateOuterJoin) and with it the guarded scan
+      Dedup.spanDedupClean(Seq(70L -> big).toDF("doc_id", "text")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("position bound")))
+  }
+
+  test("span profile: totality, zero rows for clean docs, agreement with spans") {
+    val passage = (1 to 10).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      40L -> s"$passage c1 c2 c3 c4 c5 c6 c7 c8 c9 c10", // half duplicated
+      41L -> passage,                                    // fully duplicated
+      42L -> (1 to 15).map(i => s"z$i").mkString(" "))   // clean
+    val df = docs.toDF("doc_id", "text")
+    val prof = Dedup.spanDupProfile(df)
+      .select("doc_id", "n_spans", "dup_tokens", "total_tokens", "dup_ratio")
+      .as[(Long, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(prof.keySet == Set(40L, 41L, 42L)) // one row per doc, clean included
+    assert(prof(40L) == ((40L, 1L, 10L, 20L, 0.5)))
+    assert(prof(41L) == ((41L, 1L, 10L, 10L, 1.0)))
+    assert(prof(42L) == ((42L, 0L, 0L, 15L, 0.0)))
+    // profile is exactly the per-doc aggregation of duplicatedSpans
+    val agg = Dedup.duplicatedSpans(df).groupBy("doc_id")
+      .agg(count(lit(1)).as("s"), sum("span_tokens").as("t"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    for ((id, (_, nSpans, dupToks, _, _)) <- prof if nSpans > 0)
+      assert(agg(id) == ((id, nSpans, dupToks)))
+  }
 }
