@@ -385,6 +385,49 @@ object InfraQueries {
        |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp)
        |ORDER BY b.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // m04 — the maintenance window: TTL + compaction over an event
+  // warehouse, retention over a durable metrics series, and the
+  // fingerprint-store distinct rewrite, composed into the ONE
+  // schedulable job a deployment would cron (the reference gets the
+  // equivalents for free from ClickHouse merge threads + TTL and
+  // Prometheus retention; here they are explicit, observable
+  // operators). Every step does real work in this entry: the warehouse
+  // write leaves multi-file day partitions (compaction input) with
+  // partitions past the 15-day cutoff (TTL input), the metrics series
+  // has one run inside and one outside its window, and the fingerprint
+  // store has two appended batches. Values are file/partition counts ⇒
+  // rows-only driver check; the idempotency contract (second run
+  // reports zero drops/rewrites) is spec-asserted in StoreSpec.
+  // ---------------------------------------------------------------------
+  def maintenanceQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.PipelineMetrics
+    val asOf = java.sql.Timestamp.valueOf(Tables.AsOf)
+    val wh = tempDir("graft_m04_wh_")
+    EventStore.write(Tables.clicks(s, dir), wh, grain = EventStore.DayGrain)
+
+    val md = tempDir("graft_m04_md_") + "/metrics"
+    def batch(daysAgo: Int) = PipelineMetrics.BatchMetric(
+      query_id = "maint-fixture", batch_id = daysAgo.toLong,
+      input_rows = 1000L, batch_duration_ms = 250L,
+      input_rows_per_sec = 4000.0, processed_rows_per_sec = 4000.0,
+      watermark_ms = Some(asOf.getTime - daysAgo * 86400000L - 5000L),
+      state_rows = 0L,
+      wall_time_ms = asOf.getTime - daysAgo * 86400000L)
+    PipelineMetrics.persistRun(s, Seq(batch(2)), md, "run-fresh")
+    PipelineMetrics.persistRun(s, Seq(batch(40)), md, "run-stale")
+
+    val fp = tempDir("graft_m04_fp_") + "/store"
+    val docs = Tables.documents(s, dir)
+    FingerprintStore.dedupAgainst(s, fp, docs.filter(col("doc_id") < 250)).count()
+    FingerprintStore.dedupAgainst(s, fp, docs).count()
+
+    graft.store.Maintenance.run(s, wh, EventStore.DayGrain, asOf,
+      retainDays = 15, metricsDir = Some(md), metricsRetainDays = 7,
+      fpStore = Some(fp))
+      .orderBy("component", "action")
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "s04_store_partitioned" -> ((storePartitioned _, Some(storePartitionedSql))),
     "s05_store_retention"   -> ((storeRetention _, Some(storeRetentionSql))),
@@ -394,6 +437,7 @@ object InfraQueries {
     "s21_store_bucketed"    -> ((storeBucketed _, Some(storeBucketedSql))),
     "s22_store_formats"     -> ((storeFormats _, Some(storeFormatsSql))),
     "s24_incremental_dedup" -> ((incrementalDedup _, Some(incrementalDedupSql))),
+    "m04_maintenance"       -> ((maintenanceQ _, None)),
     "x31_salted_join"       -> ((saltedJoin _, Some(saltedJoinSql))),
     "x39_hll_rollup"        -> ((hllRollup _, None)),
     "g01_generator_stats"   -> ((generatorStats _, None)),

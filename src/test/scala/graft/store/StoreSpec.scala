@@ -264,4 +264,45 @@ class StoreSpec extends AnyFunSuite {
     fs.mkdirs(new Path(store + ".compact"))
     intercept[IllegalStateException] { FingerprintStore.known(spark, store) }
   }
+
+  test("m04 maintenance pass: first run does real work, second run is a no-op") {
+    import spark.implicits._
+    val asOf = java.sql.Timestamp.valueOf(Tables.AsOf)
+    val wh = Files.createTempDirectory("store_spec_m04_wh").toString
+    val clicks = Tables.clicks(spark, TestSpark.Sf0001)
+    EventStore.write(clicks, wh, grain = EventStore.DayGrain)
+    val fp = Files.createTempDirectory("store_spec_m04_fp").toString + "/store"
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    FingerprintStore.dedupAgainst(spark, fp, docs.filter(col("doc_id") < 20)).count()
+    FingerprintStore.dedupAgainst(spark, fp, docs).count()
+
+    def report(df: org.apache.spark.sql.DataFrame) =
+      df.select("component", "action", "units_before", "units_after", "detail")
+        .as[(String, String, Long, Long, String)].collect()
+        .map(r => (r._1, r._2) -> r).toMap
+
+    val first = report(Maintenance.run(spark, wh, EventStore.DayGrain, asOf,
+      retainDays = 15, fpStore = Some(fp)))
+    // TTL dropped something, survivors kept; retained rows intact
+    val (_, _, pBefore, pAfter, _) = first(("events", "expire"))
+    assert(pAfter < pBefore && pAfter > 0)
+    // fingerprint rewrite: fewer files, all distinct fps preserved
+    val (_, _, fBefore, fAfter, fDetail) = first(("fingerprints", "compact"))
+    assert(fAfter == 1 && fBefore >= 2)
+    assert(fDetail.startsWith(docs.count().toString)) // every doc's fp survived
+    // retained data still answers correctly after the pass
+    val cutoff = new java.sql.Timestamp(asOf.getTime - 15L * 86400000L)
+    val kept = EventStore.read(spark, wh).count()
+    assert(kept > 0 && kept <= clicks.filter(col("ts") >= lit(cutoff)).count())
+
+    // idempotency: the second pass reports zero drops and zero rewrites
+    val second = report(Maintenance.run(spark, wh, EventStore.DayGrain, asOf,
+      retainDays = 15, fpStore = Some(fp)))
+    val (_, _, b2, a2, d2) = second(("events", "expire"))
+    assert(b2 == a2 && d2 == "nothing past retention")
+    val (_, _, cb2, ca2, cd2) = second(("events", "compact"))
+    assert(cb2 == ca2 && cd2 == "0 partitions rewritten")
+    val (_, _, fb2, fa2, _) = second(("fingerprints", "compact"))
+    assert(fb2 == 1 && fa2 == 1)
+  }
 }
