@@ -742,7 +742,8 @@ object Dedup {
     * First-occurrence keys encode (doc, pos) as `doc·2²⁰ + pos` so the
     * min is a plain long aggregation on both engines; each document is
     * required to stay under 2²⁰ tokens — checked per document inside
-    * the distributed scan (`raise_error`, no extra driver action). */
+    * the distributed gram scan (`raise_error`, no extra driver
+    * action). */
   def spanDedupClean(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", n: Int = 4,
                      minOcc: Int = 2): DataFrame = {
@@ -765,12 +766,26 @@ object Dedup {
       .withColumn("__occ", count(lit(1)).over(bySh))
       .withColumn("__first", min(key).over(bySh))
       .filter(col("__occ") >= minOcc && key =!= col("__first"))
-    val removed = nonFirst
+    removeCoveredTokens(docs, nonFirst, idCol, textCol, n)
+  }
+
+  /** Shared tail of the span CLEANERS ([[spanDedupClean]],
+    * [[crossSpanClean]]): expand flagged gram starts `(id, pos)` to
+    * their ≤ n covered token positions (duplication-bounded), remove
+    * those tokens with a left-anti equi-join against the token
+    * relation, reassemble each document's survivors inside a hash
+    * aggregate (collect_list → array_sort → array_join — never a
+    * global sort), and restore fully-cleaned documents as empty
+    * strings via a left join back to the corpus. */
+  private def removeCoveredTokens(docs: DataFrame, flagged: DataFrame,
+                                  idCol: String, textCol: String,
+                                  n: Int): DataFrame = {
+    val removed = flagged
       .select(col("id"), explode(sequence(col("pos"),
         col("pos") + lit(n - 1))).as("tp"))
       .distinct()
     val toks = docs.select(col(idCol).as("id"),
-      posexplode(split(boundedText, " ", -1)).as(Seq("tp", "tok")))
+      posexplode(split(col(textCol), " ", -1)).as(Seq("tp", "tok")))
     val kept = toks.join(removed, Seq("id", "tp"), "left_anti")
       .groupBy(col("id"))
       .agg(array_join(transform(array_sort(collect_list(struct(col("tp"), col("tok")))),
@@ -784,6 +799,33 @@ object Dedup {
               coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
               (col("__total") - coalesce(col("kept_tokens"), lit(0L)))
                 .as("removed_tokens"))
+  }
+
+  /** CROSS-corpus span cleaning: remove from `incoming` every token
+    * covered by a word `n`-gram that occurs ANYWHERE in `reference` —
+    * span-grain decontamination ("scrub eval-set passages / the
+    * existing training set's boilerplate out of the new crawl before
+    * admission"), the cross-corpus sibling of [[spanDedupClean]] the
+    * same way x38/x63 are x08/x17's. Every incoming document comes
+    * back (possibly empty); reference is never modified.
+    *
+    * Plan: reference collapses to its DISTINCT gram set (one partial
+    * agg'd shuffle, no positions needed); flagging is a left-semi
+    * equi-join of incoming's positional grams against it — per-gram
+    * cost is incoming's occurrence count, linear, regardless of how
+    * common the gram is on either side (no pair join, no df cap
+    * needed). Then the shared removal/reassembly tail. */
+  def crossSpanClean(incoming: DataFrame, reference: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     n: Int = 4): DataFrame = {
+    val refGrams = reference
+      .select(explode(gramSeq(col(textCol), n)).as("sh"))
+      .distinct()
+    val flagged = incoming
+      .select(col(idCol).as("id"),
+              posexplode(gramSeq(col(textCol), n)).as(Seq("pos", "sh")))
+      .join(refGrams, Seq("sh"), "left_semi")
+    removeCoveredTokens(incoming, flagged, idCol, textCol, n)
   }
 
   /** Per-document duplication profile over [[duplicatedSpans]]: how

@@ -695,6 +695,57 @@ object ExtendedQueries {
        |FROM toks t LEFT JOIN kept USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
 
+  // x67 — CROSS-corpus span cleaning: scrub from the incoming crawl
+  // (src0–9, the x38/x63 split) every >=4-token span present anywhere
+  // in the reference corpus (src10+). At sf0.01 the fixture exercises
+  // all three outcomes: 127 untouched, 118 partially-scrubbed, 5
+  // emptied of the 250 incoming docs.
+  def crossSpanCleanQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val srcNum = expr("CAST(substring(source, 4) AS INT)")
+    Dedup.crossSpanClean(docs.filter(srcNum < 10), docs.filter(srcNum >= 10),
+        n = SpanGramN)
+      .orderBy("doc_id")
+  }
+
+  val crossSpanCleanSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(substring(source, 4) AS INT) AS sn,
+       |         string_split(text, ' ') AS w
+       |  FROM documents
+       |), inc AS (
+       |  SELECT doc_id, w FROM d WHERE sn < 10
+       |), ref AS (
+       |  SELECT w FROM d WHERE sn >= 10
+       |), refg AS (
+       |  SELECT DISTINCT array_to_string(w[i+1:i+$SpanGramN], ' ') AS sh
+       |  FROM ref, LATERAL unnest(range(greatest(len(w)-${SpanGramN - 1}, 0))) AS t(i)
+       |), incg AS (
+       |  SELECT doc_id, i AS pos, array_to_string(w[i+1:i+$SpanGramN], ' ') AS sh
+       |  FROM inc, LATERAL unnest(range(greatest(len(w)-${SpanGramN - 1}, 0))) AS t(i)
+       |), flagged AS (
+       |  SELECT DISTINCT g.doc_id, g.pos FROM incg g JOIN refg USING (sh)
+       |), removed AS (
+       |  SELECT DISTINCT f.doc_id, f.pos + r.i AS tp
+       |  FROM flagged f, LATERAL unnest(range($SpanGramN)) AS r(i)
+       |), toklist AS (
+       |  SELECT doc_id, p.i AS tp, w[p.i + 1] AS tok
+       |  FROM inc, LATERAL unnest(range(len(w))) AS p(i)
+       |), kept AS (
+       |  SELECT k.doc_id, string_agg(tok, ' ' ORDER BY tp) AS cleaned_text,
+       |         COUNT(*) AS kept_tokens
+       |  FROM toklist k
+       |  WHERE NOT EXISTS (SELECT 1 FROM removed r
+       |                    WHERE r.doc_id = k.doc_id AND r.tp = k.tp)
+       |  GROUP BY k.doc_id
+       |)
+       |SELECT i.doc_id,
+       |       COALESCE(cleaned_text, '') AS cleaned_text,
+       |       COALESCE(kept_tokens, 0) AS kept_tokens,
+       |       len(w) - COALESCE(kept_tokens, 0) AS removed_tokens
+       |FROM inc i LEFT JOIN kept USING (doc_id)
+       |ORDER BY i.doc_id""".stripMargin
+
   def dupSpanProfile(s: SparkSession, dir: String): DataFrame =
     Dedup.spanDupProfile(Tables.documents(s, dir), n = SpanGramN)
       .orderBy("doc_id")
@@ -1368,6 +1419,7 @@ object ExtendedQueries {
     "x64_dup_spans"          -> ((dupSpans _, Some(dupSpansSql))),
     "x65_span_dup_profile"   -> ((dupSpanProfile _, Some(dupSpanProfileSql))),
     "x66_span_dedup_clean"   -> ((spanDedupCleanQ _, Some(spanDedupCleanSql))),
+    "x67_cross_span_clean"   -> ((crossSpanCleanQ _, Some(crossSpanCleanSql))),
     "x58_gapfill_locf"       -> ((gapFillLocf _, Some(gapFillLocfSql))),
     "x38_cross_corpus_dedup" -> ((crossCorpusDedup _, Some(crossCorpusDedupSql))),
     "x44_bloom_cross_dedup"  -> ((bloomCrossDedup _, Some(bloomCrossDedupSql))),

@@ -399,6 +399,27 @@ class DedupSpec extends AnyFunSuite {
     assert(out.values.forall { case (_, _, k, r) => k + r == 12 || k + r == 16 })
   }
 
+  test("cross-corpus span cleaning: reference passages scrubbed, incoming-only dups kept") {
+    val evalPassage = (1 to 8).map(i => s"e$i").mkString(" ")
+    val incOnly = (1 to 6).map(i => s"m$i").mkString(" ")
+    val incoming = Seq(
+      80L -> s"i1 i2 $evalPassage i3",      // contains the reference passage
+      81L -> s"$incOnly j1 j2 $incOnly",    // duplicated only WITHIN incoming
+      82L -> evalPassage,                   // is exactly a reference passage
+      83L -> "k1 k2 k3 k4 k5 k6")           // clean
+    val reference = Seq(90L -> s"r1 $evalPassage r2")
+    val out = Dedup.crossSpanClean(
+        incoming.toDF("doc_id", "text"), reference.toDF("doc_id", "text"))
+      .select("doc_id", "cleaned_text", "kept_tokens", "removed_tokens")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(80L, 81L, 82L, 83L)) // reference never emitted
+    assert(out(80L) == ((80L, "i1 i2 i3", 3L, 8L)))
+    // incoming-internal duplication is NOT this operator's business
+    assert(out(81L) == ((81L, s"$incOnly j1 j2 $incOnly", 14L, 0L)))
+    assert(out(82L) == ((82L, "", 0L, 8L)))
+    assert(out(83L) == ((83L, "k1 k2 k3 k4 k5 k6", 6L, 0L)))
+  }
+
   test("span cleaning: a document over the 2^20-token position bound fails loudly") {
     val big = Seq.tabulate(1 << 20)(i => "z").mkString(" ") // 2^20 tokens
     val e = intercept[Exception] {
