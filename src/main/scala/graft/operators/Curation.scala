@@ -741,4 +741,90 @@ object Curation {
               split(col("__s.id"), ":").getItem(1).cast("long").as("doc_id"),
               (col("__pos") + 1).cast("long").as("sel_rank"))
   }
+
+  // ---- x68: BPE merge learning (Sennrich et al. 2016) -------------------
+
+  /** Greedy left-to-right application of one merge to a symbol
+    * sequence — the merge rule of Sennrich et al.'s learn_bpe. */
+  private[operators] def applyMerge(syms: Array[String], a: String,
+                                    b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Learn `numMerges` byte-pair-encoding merges from the corpus —
+    * subword-vocabulary INDUCTION (Sennrich, Haddow & Birch 2016, "Neural
+    * Machine Translation of Rare Words with Subword Units"), the step
+    * before [[vocabCoverage]]-style selection: x36 picks whole words,
+    * this learns the units. Exact reference semantics: words split to
+    * character symbols, each round counts every adjacent symbol pair
+    * weighted by word frequency (overlapping occurrences included, as
+    * in the reference's zip(word, word[1:])), merges the most frequent
+    * pair corpus-wide (ties broken lexicographically on (left, right) —
+    * deterministic on any engine), greedy left-to-right application,
+    * and stops early when the best pair's frequency falls below
+    * `minFreq`. Returns (rank, left, right, merged, pair_freq).
+    *
+    * Scale shape: the CORPUS-sized work is exactly one partial-agg'd
+    * shuffle (token → word-frequency table); every iteration after that
+    * operates on the VOCABULARY relation (distinct words — the same
+    * dictionary trick as the reference implementation), so a round
+    * shuffles O(|vocab| · avg word length) pair rows regardless of
+    * corpus size, and the global argmax plans as TakeOrdered(1), never
+    * a one-partition sort. The driver holds one (pair, freq) row per
+    * round plus the k-row merge table; per-round `localCheckpoint`
+    * truncates the k-deep map lineage exactly as
+    * [[Components.connectedComponents]] does per star round. Production
+    * merge counts (30k+) make k SEQUENTIAL rounds the bottleneck, not
+    * any single shuffle — the standard fix is batching non-conflicting
+    * merges per round (take the top-m pairs sharing no symbol and apply
+    * them together), a semantics-relaxing knob deliberately NOT applied
+    * here so the learned table matches the reference algorithm
+    * merge-for-merge. */
+  def bpeMerges(docs: DataFrame, textCol: String = "text",
+                numMerges: Int = 20, minFreq: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = docs
+      .select(explode(split(col(textCol), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .as[(String, Long)]
+      .map { case (w, f) => (w.map(_.toString).toArray, f) }
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val top = words
+        .flatMap { case (syms, f) =>
+          (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), f))
+        }
+        .toDF("left", "right", "f")
+        .groupBy(col("left"), col("right")).agg(sum(col("f")).as("pair_freq"))
+        .orderBy(desc("pair_freq"), col("left"), col("right"))
+        .limit(1)
+        .as[(String, String, Long)]
+        .collect()
+      top.headOption match {
+        case Some((a, b, f)) if f >= minFreq =>
+          merges += ((rank, a, b, a + b, f))
+          val prev = words
+          words = words.map { case (s, wf) => (applyMerge(s, a, b), wf) }
+            .localCheckpoint()
+          prev.unpersist()
+          rank += 1
+        case _ => done = true
+      }
+    }
+    words.unpersist()
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_freq")
+      .orderBy("rank")
+  }
 }

@@ -611,6 +611,18 @@ object CurationQueries {
        |WHERE tc.cnt * ${MgK + 1} > tot.n
        |ORDER BY tc.lang, tc.token""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x68 — BPE merge learning (Sennrich et al. 2016): subword-vocabulary
+  // induction over the corpus. Iterative (one argmax per learned
+  // merge), so not SQL-expressible → rows-only driver check; the
+  // algorithm-agreement invariants (merge-for-merge equality with an
+  // independent in-memory reference implementation, argmax/tie-break
+  // rules, reconstruction, determinism) are spec-asserted in
+  // CurationSpec.
+  // ---------------------------------------------------------------------
+  def bpeMergesQ(s: SparkSession, dir: String): DataFrame =
+    Curation.bpeMerges(Tables.documents(s, dir), numMerges = 20)
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x20_deterministic_split" -> ((deterministicSplit _, Some(deterministicSplitSql))),
     "x21_quality_filter"      -> ((qualityFilter _, Some(qualityFilterSql))),
@@ -635,5 +647,6 @@ object CurationQueries {
     "x51_domain_cap"          -> ((domainCapQ _, Some(domainCapSql))),
     "x52_collocations"        -> ((collocationsQ _, Some(collocationsSql))),
     "x53_approx_heavy_hitters" -> ((approxHeavyHitters _, Some(approxHeavyHittersSql))),
+    "x68_bpe_merges"          -> ((bpeMergesQ _, None)),
   )
 }

@@ -438,4 +438,92 @@ class CurationSpec extends AnyFunSuite {
     assert(out.except(again).isEmpty && again.except(out).isEmpty)
     out.unpersist()
   }
+
+  // ------------------------------------------------------------------
+  // x68 — BPE merge learning
+  // ------------------------------------------------------------------
+
+  /** Independent in-memory reference of Sennrich et al.'s learn_bpe:
+    * same pair counting (adjacent, overlapping, word-frequency
+    * weighted), same (-freq, left, right) argmax, same greedy
+    * left-to-right merge application. Deliberately written over plain
+    * Maps/Lists so it shares NO code with the operator under test. */
+  private def referenceBpe(wordFreq: Map[String, Long], k: Int,
+                           minFreq: Long = 2L): Seq[(Int, String, String, Long)] = {
+    var words = wordFreq.toSeq.map { case (w, f) => (w.map(_.toString).toList, f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var stop = false
+    while (rank <= k && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      words.foreach { case (s, f) =>
+        s.zip(s.drop(1)).foreach(p => counts(p) += f)
+      }
+      val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best match {
+        case Some(((a, b), c)) if c >= minFreq =>
+          out += ((rank, a, b, c))
+          words = words.map { case (s, f) =>
+            val merged = scala.collection.mutable.ListBuffer.empty[String]
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+                merged += a + b; i += 2
+              } else { merged += s(i); i += 1 }
+            }
+            (merged.toList, f)
+          }
+          rank += 1
+        case _ => stop = true
+      }
+    }
+    out.toSeq
+  }
+
+  test("x68 BPE: learned merges equal the reference algorithm merge-for-merge") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "lower lower lowest newer newer newer wider low low low"),
+      (1L, "newer wider wider lowest lower new new low"),
+      (2L, "the newest the widest the lowest newer lower"))
+    val df = corpus.toDF("doc_id", "text")
+    val wordFreq = corpus.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val expected = referenceBpe(wordFreq, 12)
+    val got = Curation.bpeMerges(df, numMerges = 12)
+      .select("rank", "left", "right", "pair_freq")
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == expected)
+    // merged column is the concatenation, by construction of the contract
+    val m = Curation.bpeMerges(df, numMerges = 3)
+      .select("left", "right", "merged").as[(String, String, String)].collect()
+    assert(m.forall { case (a, b, ab) => a + b == ab })
+  }
+
+  test("x68 BPE: minFreq floor stops early; a no-pair corpus learns nothing") {
+    import spark.implicits._
+    // every word a single char → no adjacent pairs at all
+    val lone = Seq((0L, "a b c d e")).toDF("doc_id", "text")
+    assert(Curation.bpeMerges(lone, numMerges = 5).count() == 0)
+    // one word repeated once → its pairs have freq 1 < minFreq 2
+    val once = Seq((0L, "unique")).toDF("doc_id", "text")
+    assert(Curation.bpeMerges(once, numMerges = 5, minFreq = 2L).count() == 0)
+    // and with the floor lowered the same corpus DOES learn
+    assert(Curation.bpeMerges(once, numMerges = 2, minFreq = 1L).count() == 2)
+  }
+
+  test("x68 BPE: merges on the sf0.001 corpus are deterministic and frequency-monotone-ish") {
+    import spark.implicits._
+    val a = Curation.bpeMerges(docs, numMerges = 8)
+      .select("rank", "merged", "pair_freq").as[(Int, String, Long)].collect().toSeq
+    val b = Curation.bpeMerges(docs, numMerges = 8)
+      .select("rank", "merged", "pair_freq").as[(Int, String, Long)].collect().toSeq
+    assert(a == b && a.size == 8)
+    // rank 1 is the global max pair frequency: no later merge can beat
+    // it (merging only removes or re-associates pair occurrences of the
+    // merged pair's neighbors; a brand-new pair's count is bounded by
+    // its constituents' pre-merge counts)
+    assert(a.forall(_._3 <= a.head._3))
+  }
 }
