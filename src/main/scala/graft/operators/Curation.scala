@@ -827,4 +827,66 @@ object Curation {
     merges.toSeq.toDF("rank", "left", "right", "merged", "pair_freq")
       .orderBy("rank")
   }
+
+  // ---- x69: BPE encoding (tokenize with a learned merge table) ----------
+
+  /** Encode one word with a rank-ordered merge table: one greedy
+    * left-to-right pass per merge, in learning order. Equivalent to
+    * Sennrich et al.'s priority-queue apply_bpe (spec-proven against an
+    * independent implementation of exactly that): a later merge can
+    * only COMBINE adjacent symbols, never remove one, so it cannot
+    * create a new adjacency of an earlier merge's pair — each rule is
+    * exhausted once its pass runs. O(merges · |word|); the
+    * rank-heap encoder is O(|word| log |word|) independent of table
+    * size and is the production swap for 30k+-merge tables. */
+  private[operators] def encodeWord(word: String,
+                                    merges: Array[(String, String)]): Array[String] = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    var m = 0
+    while (m < merges.length && syms.length > 1) {
+      val (a, b) = merges(m)
+      syms = applyMerge(syms, a, b)
+      m += 1
+    }
+    syms
+  }
+
+  /** Tokenize the corpus with a learned BPE merge table — the ENCODE
+    * half of subword tokenization (x68 learns the table, this applies
+    * it), producing the per-document subword statistics a token-budget
+    * planner consumes: word count, subword-unit count and distinct
+    * units per document. `merges` is the model artifact ((left, right)
+    * in rank order — tiny: k rows) and ships to executors by closure
+    * broadcast; the encode itself is row-local partition work with ZERO
+    * shuffles — the only exchange in the plan is the presentation sort.
+    * At high word-repetition rates the dictionary trick applies (encode
+    * DISTINCT words once, join counts back on the token — one
+    * vocabulary-sized shuffle instead of re-encoding repeats), the same
+    * trade [[bpeMerges]] exploits during learning; for per-document
+    * output at typical web-corpus repetition the row-local form wins
+    * because it never moves the corpus at all. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+                textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val table = merges.toArray
+    docs.select(col("doc_id").cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        var nWords = 0L
+        var nUnits = 0L
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        text.split(" ").foreach { w =>
+          if (w.nonEmpty) {
+            nWords += 1
+            val units = encodeWord(w, table)
+            nUnits += units.length
+            units.foreach(seen += _)
+          }
+        }
+        (id, nWords, nUnits, seen.size.toLong)
+      }
+      .toDF("doc_id", "n_words", "n_units", "n_distinct_units")
+      .orderBy("doc_id")
+  }
 }

@@ -854,4 +854,73 @@ object Dedup {
               round(coalesce(col("dup_tokens"), lit(0L)) /
                     col("total_tokens"), 6).as("dup_ratio"))
   }
+
+  // ---- x70: edit-distance similarity join ------------------------------
+
+  /** All id-ordered pairs whose title prefixes are within `maxDist`
+    * LEVENSHTEIN edits — the short-string near-dup grain (titles, URLs,
+    * product names) where token-set Jaccard is too coarse: a
+    * one-character typo changes a whole token but only one edit.
+    *
+    * Blocking is the positional q-gram count filter of Gravano et al.
+    * (VLDB 2001, "Approximate string joins in a database (almost) for
+    * free"): if ed(s1, s2) ≤ d then s1 and s2 share at least
+    * max(|s1|,|s2|) − q + 1 − q·d positional q-grams whose positions
+    * differ by at most d — so candidates come from ONE equi-join on the
+    * gram with a row-local position filter and a group-count HAVING,
+    * never a cartesian. Exact `levenshtein(_, _, maxDist)` (the
+    * threshold form — O(d·len) per pair, early-exits above d) then
+    * verifies candidates only. Guarantee: with a non-binding `maxOcc`
+    * the count filter admits every true pair whose title length is
+    * ≥ q·(d+1) (shorter titles are filtered out up front — the theorem
+    * threshold would be ≤ 0 there and blocking degenerates); the
+    * brute-force-equality spec proves exactly this. At corpus scale
+    * `maxOcc` caps each gram's join contribution at maxOcc²/2 rows —
+    * same boilerplate-guard semantics as [[ngramJaccardPairsCapped]]'s
+    * df cap, same caveat: pairs sharing only above-cap grams can fall
+    * below the count threshold.
+    *
+    * Scale shape: grams are row-local (codegen'd `transform(sequence)`,
+    * no kernel UDF); the only corpus shuffles are the gram-window cap
+    * and the blocking equi-join, both hash-partitioned on the gram; the
+    * count filter runs inside the join's aggregation (partial-agg'd);
+    * verify touches candidate pairs only, joined back to the
+    * title relation (id-keyed, one row per doc).
+    *
+    * Output: (id_a, id_b, dist), id_a < id_b. */
+  def editDistancePairs(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", prefixLen: Int = 30,
+                        q: Int = 4, maxDist: Int = 5,
+                        maxOcc: Int = 500): DataFrame = {
+    val titles = docs.select(col(idCol).cast("long").as("id"),
+        lower(substring(col(textCol), 1, prefixLen)).as("title"))
+      .filter(length(col("title")) >= q * (maxDist + 1))
+    val grams = titles
+      .select(col("id"), length(col("title")).as("len"),
+        explode(expr(
+          s"transform(sequence(1, length(title) - ${q - 1}), " +
+          s"p -> struct(p AS pos, substring(title, p, $q) AS gram))")).as("g"))
+      .select(col("id"), col("len"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+      .withColumn("__occ", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("__occ") <= maxOcc)
+      .drop("__occ")
+    val cands = grams.as("a").join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id") &&
+        abs(col("a.pos") - col("b.pos")) <= maxDist)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+               col("a.len").as("len_a"), col("b.len").as("len_b"))
+      .agg(count(lit(1)).as("shared"))
+      // (pos_a, pos_b) match rows can only OVERCOUNT the theorem's gram
+      // tally (one gram may match several nearby positions) — safe for a
+      // lower-bound filter; undercount is impossible.
+      .filter(col("shared") >=
+        greatest(greatest(col("len_a"), col("len_b")) - lit(q - 1 + q * maxDist),
+                 lit(1)))
+    cands.join(titles.as("ta"), col("id_a") === col("ta.id"))
+      .join(titles.as("tb"), col("id_b") === col("tb.id"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta.title"), col("tb.title"), maxDist)
+          .cast("long").as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+  }
 }

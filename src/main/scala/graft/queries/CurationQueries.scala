@@ -623,6 +623,25 @@ object CurationQueries {
   def bpeMergesQ(s: SparkSession, dir: String): DataFrame =
     Curation.bpeMerges(Tables.documents(s, dir), numMerges = 20)
 
+  // ---------------------------------------------------------------------
+  // x69 — BPE encoding: learn the merge table on the corpus (x68), then
+  // tokenize every document with it, emitting per-document subword
+  // statistics. The learned table makes the output a function of an
+  // iterative computation → rows-only driver check; the encode kernel's
+  // agreement with an independent priority-queue apply_bpe, the
+  // concatenation invariant (units rejoin to the word), the unit-closure
+  // invariant (every unit is a char or a table entry) and learn/encode
+  // consistency on the training corpus are spec-asserted in
+  // CurationSpec.
+  // ---------------------------------------------------------------------
+  def bpeEncodeQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = Curation.bpeMerges(docs, numMerges = 20)
+      .select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    Curation.bpeEncode(docs, merges)
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x20_deterministic_split" -> ((deterministicSplit _, Some(deterministicSplitSql))),
     "x21_quality_filter"      -> ((qualityFilter _, Some(qualityFilterSql))),
@@ -648,5 +667,6 @@ object CurationQueries {
     "x52_collocations"        -> ((collocationsQ _, Some(collocationsSql))),
     "x53_approx_heavy_hitters" -> ((approxHeavyHitters _, Some(approxHeavyHittersSql))),
     "x68_bpe_merges"          -> ((bpeMergesQ _, None)),
+    "x69_bpe_encode"          -> ((bpeEncodeQ _, None)),
   )
 }

@@ -766,6 +766,88 @@ object ExtendedQueries {
        |ORDER BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x70 — edit-distance similarity join on 30-char title prefixes:
+  // the SHORT-STRING near-dup grain (titles/URLs/product names), where
+  // one typo is one edit rather than a destroyed token. Blocking =
+  // Gravano et al. positional q-gram count filter (q=4, d=5: pairs
+  // within 5 edits share >= 30-3-20 = 7 position-aligned grams);
+  // verify = exact threshold levenshtein over candidates only. Both
+  // engines ship a native levenshtein, so the entry is fully
+  // hash-oracled end-to-end. EdMaxOcc caps each gram's blocking
+  // contribution (the x57-style boilerplate guard).
+  // ---------------------------------------------------------------------
+  private val EdPrefix  = 30
+  private val EdQ       = 4
+  private val EdMaxDist = 5
+  private val EdMaxOcc  = 200
+
+  // The corpus's planted near-dups are TOKEN-grain (whole-word swaps),
+  // which at the character grain is dist 0 (edit past the prefix) or
+  // dist ≥ 7 (a swapped word inside it) — so the natural fixture barely
+  // exercises the 1..d verify band. The entry therefore unions in
+  // deterministic id-derived TYPO TWINS (every 20th doc; substitution /
+  // 3-char deletion / 2-char insertion by id residue — the same
+  // id-derived-augmentation pattern as x22), reproduced verbatim in the
+  // oracle, so substitutions, deletions and insertions all appear in
+  // the hashed result at every scale factor.
+  private val EdTwinsSparkSql: String =
+    """SELECT doc_id, text FROM __docs
+      |UNION ALL
+      |SELECT doc_id + 1000000,
+      |       CASE doc_id % 60
+      |         WHEN 0  THEN concat('z', substr(text, 2))
+      |         WHEN 20 THEN concat(substr(text, 1, 10), substr(text, 12))
+      |         ELSE concat(substr(text, 1, 5), 'qq', substr(text, 6))
+      |       END
+      |FROM __docs WHERE doc_id % 20 = 0""".stripMargin
+
+  def editDistancePairsQ(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("__docs")
+    Dedup.editDistancePairs(s.sql(EdTwinsSparkSql), prefixLen = EdPrefix,
+        q = EdQ, maxDist = EdMaxDist, maxOcc = EdMaxOcc)
+      .orderBy("id_a", "id_b")
+  }
+
+  val editDistancePairsSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |         CASE doc_id % 60
+       |           WHEN 0  THEN concat('z', substr(text, 2))
+       |           WHEN 20 THEN concat(substr(text, 1, 10), substr(text, 12))
+       |           ELSE concat(substr(text, 1, 5), 'qq', substr(text, 6))
+       |         END
+       |  FROM documents WHERE doc_id % 20 = 0
+       |), t AS (
+       |  SELECT doc_id, lower(substr(text, 1, $EdPrefix)) AS title
+       |  FROM aug
+       |  WHERE length(lower(substr(text, 1, $EdPrefix))) >= ${EdQ * (EdMaxDist + 1)}
+       |), g0 AS (
+       |  SELECT doc_id, length(title) AS len, i + 1 AS pos,
+       |         substr(title, i + 1, $EdQ) AS gram
+       |  FROM t, LATERAL unnest(range(greatest(length(title) - ${EdQ - 1}, 0))) AS r(i)
+       |), occ AS (
+       |  SELECT gram, COUNT(*) AS c FROM g0 GROUP BY gram
+       |), g AS (
+       |  SELECT g0.* FROM g0 JOIN occ USING (gram) WHERE occ.c <= $EdMaxOcc
+       |), cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         a.len AS la, b.len AS lb, COUNT(*) AS shared
+       |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |       AND abs(a.pos - b.pos) <= $EdMaxDist
+       |  GROUP BY 1, 2, 3, 4
+       |  HAVING COUNT(*) >= greatest(greatest(la, lb) - ${EdQ - 1 + EdQ * EdMaxDist}, 1)
+       |)
+       |SELECT c.id_a, c.id_b,
+       |       CAST(levenshtein(ta.title, tb.title) AS BIGINT) AS dist
+       |FROM cand c
+       |JOIN t ta ON c.id_a = ta.doc_id
+       |JOIN t tb ON c.id_b = tb.doc_id
+       |WHERE levenshtein(ta.title, tb.title) <= $EdMaxDist
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x58 — time-series gap-fill + LOCF: the dashboard-series operator a
   // store like the reference's feeds to Grafana. Per-type minute counts
   // over one UTC day with missing minutes ZERO-FILLED from a generated
@@ -1420,6 +1502,7 @@ object ExtendedQueries {
     "x65_span_dup_profile"   -> ((dupSpanProfile _, Some(dupSpanProfileSql))),
     "x66_span_dedup_clean"   -> ((spanDedupCleanQ _, Some(spanDedupCleanSql))),
     "x67_cross_span_clean"   -> ((crossSpanCleanQ _, Some(crossSpanCleanSql))),
+    "x70_edit_distance_pairs" -> ((editDistancePairsQ _, Some(editDistancePairsSql))),
     "x58_gapfill_locf"       -> ((gapFillLocf _, Some(gapFillLocfSql))),
     "x38_cross_corpus_dedup" -> ((crossCorpusDedup _, Some(crossCorpusDedupSql))),
     "x44_bloom_cross_dedup"  -> ((bloomCrossDedup _, Some(bloomCrossDedupSql))),

@@ -526,4 +526,83 @@ class CurationSpec extends AnyFunSuite {
     // its constituents' pre-merge counts)
     assert(a.forall(_._3 <= a.head._3))
   }
+
+  // ------------------------------------------------------------------
+  // x69 — BPE encoding
+  // ------------------------------------------------------------------
+
+  /** Independent reference of Sennrich et al.'s apply_bpe: repeatedly
+    * merge the LOWEST-RANK pair present anywhere in the word (leftmost
+    * occurrence first) until no table pair remains. A different
+    * algorithm from the operator's one-pass-per-rank kernel — agreement
+    * between the two is the equivalence proof. */
+  private def referenceEncode(word: String,
+                              merges: Seq[(String, String)]): List[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var syms = word.map(_.toString).toList
+    var continue = true
+    while (continue && syms.length > 1) {
+      val present = syms.zip(syms.tail).zipWithIndex
+        .filter { case (p, _) => rank.contains(p) }
+      if (present.isEmpty) continue = false
+      else {
+        val (pair @ (a, b), i) =
+          present.minBy { case (p, i) => (rank(p), i) }
+        syms = syms.take(i) ::: (a + b) :: syms.drop(i + 2)
+      }
+    }
+    syms
+  }
+
+  test("x69 BPE encode: kernel equals the priority-queue apply_bpe on every corpus word") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "lower lower lowest newer newer newer wider low low low"),
+      (1L, "newer wider wider lowest lower new new low"),
+      (2L, "the newest the widest the lowest newer lower aaaa aaa"))
+    val df = corpus.toDF("doc_id", "text")
+    val merges = Curation.bpeMerges(df, numMerges = 12)
+      .select("left", "right").as[(String, String)].collect().toSeq
+    assert(merges.nonEmpty)
+    val words = corpus.flatMap(_._2.split(" ")).distinct
+    val units = merges.map { case (a, b) => a + b }.toSet
+    words.foreach { w =>
+      val got = Curation.encodeWord(w, merges.toArray).toList
+      // two different algorithms agree
+      assert(got == referenceEncode(w, merges),
+        s"word '$w': kernel $got != reference ${referenceEncode(w, merges)}")
+      // concatenation invariant: units rejoin to the word
+      assert(got.mkString == w)
+      // unit closure: every unit is a single char or a table entry
+      assert(got.forall(u => u.length == 1 || units.contains(u)))
+      // saturation: no table pair survives adjacent in the output
+      assert(!got.zip(got.tail).exists { case (a, b) => merges.contains((a, b)) })
+    }
+  }
+
+  test("x69 BPE encode: learn→encode is consistent and the entry is deterministic") {
+    import spark.implicits._
+    val merges = Curation.bpeMerges(docs, numMerges = 8)
+      .select("left", "right").as[(String, String)].collect().toSeq
+    val a = Curation.bpeEncode(docs, merges)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val b = Curation.bpeEncode(docs, merges)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // every document: units can never outnumber characters nor
+    // undercut words (each word is >= 1 unit), and merging with a
+    // LONGER table can only shrink or preserve the unit count
+    val words = docs.select(col("doc_id"),
+        size(filter(split(col("text"), " ", -1), w => length(w) > 0)).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    a.foreach { case (id, nWords, nUnits, nDistinct) =>
+      assert(nWords == words(id))
+      assert(nUnits >= nWords && nDistinct <= nUnits)
+    }
+    val fewer = Curation.bpeEncode(docs, merges.take(3))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    fewer.zip(a).foreach { case ((id1, _, u3, _), (id2, _, u8, _)) =>
+      assert(id1 == id2 && u8 <= u3)
+    }
+  }
 }

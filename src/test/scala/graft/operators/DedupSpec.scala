@@ -454,4 +454,75 @@ class DedupSpec extends AnyFunSuite {
     for ((id, (_, nSpans, dupToks, _, _)) <- prof if nSpans > 0)
       assert(agg(id) == ((id, nSpans, dupToks)))
   }
+
+  // ------------------------------------------------------------------
+  // x70 — edit-distance similarity join
+  // ------------------------------------------------------------------
+
+  /** Plain-JVM Levenshtein for the brute-force oracle — shares no code
+    * with Spark's expression. */
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("x70 edit distance: EQUALS brute-force all-pairs under a non-binding cap") {
+    // 26-to-30-char synthetic titles with planted substitution /
+    // deletion / insertion typos; q(d+1) = 24 <= every length, so the
+    // Gravano count-filter guarantee applies and blocking may not lose
+    // a single true pair.
+    val base = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "the quack brown fox jumps high"),   // 1 substitution vs 1
+      (3L, "the quick brown fox jumps hig"),    // 1 deletion vs 1
+      (4L, "xthe quick brown fox jumps high"),  // 1 insertion vs 1
+      (5L, "a completely different string x"),
+      (6L, "zz ww qq ee rr tt yy uu ii oo"),
+      (7L, "the quick brown dog jumps high"))   // 3 subs vs 1
+    val df = base.toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(df, prefixLen = 30, q = 4, maxDist = 5,
+        maxOcc = 1000000)
+      .as[(Long, Long, Long)].collect().toSet
+    val titles = base.map { case (id, t) => (id, t.toLowerCase.take(30)) }
+    val want = (for {
+      (ia, ta) <- titles; (ib, tb) <- titles if ia < ib
+      d = lev(ta, tb) if d <= 5
+    } yield (ia, ib, d.toLong)).toSet
+    assert(want.exists(_._3 > 0) && want.size >= 6) // fixture is non-trivial
+    assert(got == want)
+  }
+
+  test("x70 edit distance: titles shorter than q(d+1) are excluded up front") {
+    val df = Seq((1L, "short title"), (2L, "short titel")).toDF("doc_id", "text")
+    assert(Dedup.editDistancePairs(df, prefixLen = 30, q = 4, maxDist = 5,
+      maxOcc = 100).count() == 0)
+  }
+
+  test("x70 edit distance: maxOcc caps boilerplate grams; pairs return when raised") {
+    // 40 docs with IDENTICAL titles: every gram has occ 40 > cap 10, so
+    // the capped join generates no candidates — the documented
+    // boilerplate-guard semantics; raising the cap restores all pairs.
+    val df = (1L to 40L).map(i => (i, "identical boilerplate title here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.editDistancePairs(df, maxOcc = 10).count() == 0)
+    assert(Dedup.editDistancePairs(df, maxOcc = 40).count() == 40L * 39 / 2)
+  }
+
+  test("x70 edit distance: count filter admits far-apart same-gram strings only via verify") {
+    // two titles sharing grams but at distance > d: blocking may emit
+    // the candidate, verify must kill it — threshold levenshtein's -1
+    // sentinel must never leak through as a row
+    val df = Seq(
+      (1L, "aaaa bbbb cccc dddd eeee ffff"),
+      (2L, "ffff eeee dddd cccc bbbb aaaa")).toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(df, prefixLen = 30, q = 4, maxDist = 5,
+      maxOcc = 1000).as[(Long, Long, Long)].collect()
+    assert(out.forall(r => r._3 >= 0 && r._3 <= 5))
+    assert(out.isEmpty) // the reversal is far beyond 5 edits
+  }
 }
