@@ -817,10 +817,21 @@ object Dedup {
     * needed). Then the shared removal/reassembly tail. */
   def crossSpanClean(incoming: DataFrame, reference: DataFrame,
                      idCol: String = "doc_id", textCol: String = "text",
-                     n: Int = 4): DataFrame = {
-    val refGrams = reference
-      .select(explode(gramSeq(col(textCol), n)).as("sh"))
-      .distinct()
+                     n: Int = 4): DataFrame =
+    crossSpanCleanAgainst(incoming,
+      reference.select(explode(gramSeq(col(textCol), n)).as("sh")).distinct(),
+      idCol, textCol, n)
+
+  /** [[crossSpanClean]] against a PRE-COLLAPSED distinct reference gram
+    * set (single `sh` column) — the streamed twin (s26) computes that
+    * relation once, pins it, and re-cleans every micro-batch against it
+    * without re-aggregating the reference. Cleaning is per-incoming-doc
+    * given the gram set, so any partition of the incoming corpus into
+    * batches yields byte-identical per-doc results. */
+  private[graft] def crossSpanCleanAgainst(incoming: DataFrame,
+                                           refGrams: DataFrame,
+                                           idCol: String, textCol: String,
+                                           n: Int): DataFrame = {
     val flagged = incoming
       .select(col(idCol).as("id"),
               posexplode(gramSeq(col(textCol), n)).as(Seq("pos", "sh")))

@@ -610,7 +610,7 @@ object ExtendedQueries {
   // the merge logic would be vacuous. Production sizing: n IS the
   // Lee-et-al. min-span length (they use 50).
   // ---------------------------------------------------------------------
-  private val SpanGramN = 4
+  private[graft] val SpanGramN = 4
 
   def dupSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.duplicatedSpans(Tables.documents(s, dir), n = SpanGramN)

@@ -858,6 +858,66 @@ object StreamingQueries {
       NearDupRefCap, threshold = 0.5)
   }
 
+  // ---------------------------------------------------------------------
+  // s26 — STREAMED cross-corpus span cleaning: x67's span-grain
+  // decontamination as an admission gate on the document stream. The
+  // cleaning is PER-INCOMING-DOC given the reference gram set (no
+  // incoming-vs-incoming comparison anywhere in x67's semantics), so
+  // the stream is exact and state-free: the reference collapses to its
+  // distinct gram relation ONCE (pinned via localCheckpoint), and each
+  // micro-batch runs the identical batch operator against it inside
+  // foreachBatch — flag (left-semi on the gram) → remove → reassemble —
+  // with an idempotent per-batch overwrite sink. No watermark, no state
+  // store; result is batching-invariant by per-doc independence, and the
+  // oracle is x67's own SQL. At a 100 TB reference the gram relation is
+  // stored bucketed on sh (s21) exactly as s25's blocking relation note.
+  // ---------------------------------------------------------------------
+
+  /** The s26 core: write `incoming` as a multi-file parquet stream
+    * source, clean each micro-batch against `reference`'s pinned
+    * distinct gram set, return the per-doc cleaned relation. */
+  private[graft] def spanCleanStream(s: SparkSession, incoming: DataFrame,
+                                     reference: DataFrame, n: Int): DataFrame = {
+    import graft.operators.Dedup
+    val work = tempDir("graft_s26_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    val refGrams = reference
+      .select(explode(graft.functions.TextKernels.word_gram_seq(col("text"), n)).as("sh"))
+      .distinct()
+      .localCheckpoint() // feeds every micro-batch; pin once
+
+    incoming.select(col("doc_id"), col("text"))
+      .repartition(3).write.parquet(inDir)
+
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        Dedup.crossSpanCleanAgainst(b, refGrams, "doc_id", "text", n)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    s.read.parquet(outDir)
+      .select("doc_id", "cleaned_text", "kept_tokens", "removed_tokens")
+      .orderBy("doc_id")
+  }
+
+  def streamSpanClean(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val srcNum = expr("CAST(substring(source, 4) AS INT)")
+    spanCleanStream(s, docs.filter(srcNum < 10), docs.filter(srcNum >= 10),
+      graft.queries.ExtendedQueries.SpanGramN)
+  }
+
   val streamNearDupSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
@@ -928,5 +988,7 @@ object StreamingQueries {
       Some(graft.queries.CurationQueries.approxHeavyHittersSql))),
     "s23_stream_static_join" -> ((streamStaticJoin _, Some(streamStaticJoinSql))),
     "s25_stream_neardup"    -> ((streamNearDup _, Some(streamNearDupSql))),
+    "s26_stream_span_clean" -> ((streamSpanClean _,
+      Some(graft.queries.ExtendedQueries.crossSpanCleanSql))),
   )
 }

@@ -291,4 +291,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(loose.keySet == batch.keySet, s"got ${loose.keySet}")
     loose.foreach { case (k, j) => assert(math.abs(j - batch(k)) < 1e-12) }
   }
+
+  test("s26 streamed span clean: byte-identical to the batch operator across micro-batches") {
+    // doc 1 shares a 4-gram span with the reference (scrubbed); docs 2
+    // and 3 share a 4-gram span ONLY with each other (incoming-side
+    // duplication is NOT x67's business — must stay untouched even
+    // though the two docs land in different micro-batches); doc 4 is an
+    // exact reference copy (emptied); doc 5 is clean
+    val span = "the licensed header block here"
+    val incoming = Seq(
+      (1L, s"alpha beta $span gamma delta"),
+      (2L, s"one two three shared passage among peers"),
+      (3L, s"nine ten shared passage among peers eleven"),
+      (4L, "verbatim reference document body text"),
+      (5L, "totally unique words nothing shared")
+    ).toDF("doc_id", "text")
+    val reference = Seq(
+      (11L, s"unrelated leading words $span trailing tail"),
+      (12L, "verbatim reference document body text")
+    ).toDF("doc_id", "text")
+
+    val streamed = graft.streaming.StreamingQueries
+      .spanCleanStream(spark, incoming, reference, n = 4)
+      .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    val batch = graft.operators.Dedup
+      .crossSpanClean(incoming, reference, n = 4)
+      .as[(Long, String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(streamed == batch)
+    val byId = streamed.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == "alpha beta gamma delta")   // span scrubbed
+    assert(byId(2L)._2.contains("shared passage among peers")) // untouched
+    assert(byId(3L)._3 == 7L && byId(3L)._4 == 0L)    // untouched, all kept
+    assert(byId(4L) == ((4L, "", 0L, 5L)))            // exact copy emptied
+    assert(byId(5L)._4 == 0L)                          // clean doc intact
+  }
 }
