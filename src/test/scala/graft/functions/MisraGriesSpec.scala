@@ -59,17 +59,24 @@ class MisraGriesSpec extends AnyFunSuite {
     // 1M tokens over a 20k vocabulary at k = 10⁴: with the O(k) indexOf
     // probe this was quadratic (~10¹⁰ slot visits); with the hash index
     // it is one probe per token. Driver-side on purpose — it times the
-    // aggregator kernel, not Spark scheduling. Bound is ~20× slack over
-    // the measured time so the test never flakes on a loaded box.
+    // aggregator kernel, not Spark scheduling. Measured in THREAD CPU
+    // TIME, not wall clock: this loop is single-threaded while the rest
+    // of the suite keeps 32 Spark threads busy, and wall time on a
+    // saturated box once tripped the old 20 s bound (30.8 s wall, ~1 s
+    // CPU) purely from descheduling. CPU time only accumulates while
+    // the loop actually runs, so the ~20× slack bound holds under any
+    // load, while a quadratic probe still blows it by orders of
+    // magnitude.
     val k = 10000
     val agg = new MisraGriesAggregator(k)
     val n = 1000000
-    val t0 = System.nanoTime()
+    val mx = java.lang.management.ManagementFactory.getThreadMXBean
+    val t0 = mx.getCurrentThreadCpuTime
     var b = agg.zero
     var i = 0
     while (i < n) { b = agg.reduce(b, "tok" + (i * 7919 % 20000)); i += 1 }
-    val sec = (System.nanoTime() - t0) / 1e9
+    val sec = (mx.getCurrentThreadCpuTime - t0) / 1e9
     assert(b.keys.length <= k)
-    assert(sec < 20.0, f"1M-token reduce at k=10000 took $sec%.1f s — quadratic probe regression?")
+    assert(sec < 20.0, f"1M-token reduce at k=10000 took $sec%.1f s CPU — quadratic probe regression?")
   }
 }
