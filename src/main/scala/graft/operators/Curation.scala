@@ -243,6 +243,61 @@ object Curation {
       .select("doc_id", "token", "tf", "df", "tfidf", "rnk")
   }
 
+  // ---- x71: BM25 ranked retrieval --------------------------------------
+
+  val BmK1 = 1.2
+  val BmB  = 0.75
+  val BmK  = 5
+
+  /** BM25 top-K retrieval: for each benchmark-slice document (the same
+    * deterministic `doc_id % benchMod == 0` eval-set stand-in x26 uses),
+    * rank the remaining corpus by Okapi BM25 (Robertson et al., TREC-3;
+    * k1 = 1.2, b = 0.75, the Lucene-default `ln(1 + (N-df+0.5)/(df+0.5))`
+    * idf) over the distinct query terms. This is the retrieval-grain
+    * companion to x26's binary n-gram contamination flag: instead of
+    * "does any 4-gram collide", it answers "which corpus documents look
+    * closest to this eval doc, scored" — the triage list a
+    * decontamination review actually works from.
+    *
+    * Scale shape: the corpus is shuffled once on (doc_id, token) for tf
+    * (the same postings build as x33); doc lengths fold out of tf by a
+    * partial-aggregable sum. Retrieval is an inverted-index equi-join:
+    * postings stream past a BROADCAST query-term table, so non-matching
+    * tokens never leave the map side and the corpus is never shuffled by
+    * query. df is restricted to query vocabulary BEFORE broadcast (a
+    * q-vocab-sized table, not the corpus vocabulary). Per-query candidate
+    * sets are bounded by the posting lists of the query's terms; the
+    * final per-query rank window partitions on query_id over exactly
+    * those candidates. Scores are rounded to 6 decimals before ranking
+    * (same transcendental-ulp rationale as [[tfidfTopK]]). */
+  def bm25TopK(docs: DataFrame, benchMod: Int = BenchMod, k: Int = BmK): DataFrame = {
+    def toks(d: DataFrame, id: String) = d
+      .select(col("doc_id").as(id),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("token"))
+    val tf = toks(docs.filter(col("doc_id") % benchMod =!= 0), "doc_id")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    // distinct query terms (set-of-words query, standard for short queries)
+    val qterms = toks(docs.filter(col("doc_id") % benchMod === 0), "query_id").distinct()
+    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .join(qterms.select("token").distinct(), "token")
+    val w = Window.partitionBy("query_id").orderBy(col("bm25").desc, col("doc_id").asc)
+    tf.join(broadcast(qterms), "token")
+      .join(dl, "doc_id")
+      .join(broadcast(dfq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+        (col("tf") * (BmK1 + 1.0)) /
+        (col("tf") + lit(BmK1) * (lit(1.0 - BmB) + lit(BmB) * col("dl") / col("avgdl"))))
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("w")), 6).as("bm25"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "doc_id", "bm25", "rnk")
+  }
+
   // ---- x26: benchmark contamination ------------------------------------
 
   val ContamN    = 4

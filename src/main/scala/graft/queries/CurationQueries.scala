@@ -642,6 +642,38 @@ object CurationQueries {
     Curation.bpeEncode(docs, merges)
   }
 
+  // ---------------------------------------------------------------------
+  // x71 — BM25 ranked retrieval (eval-slice queries over the corpus)
+  // ---------------------------------------------------------------------
+  def bm25(s: SparkSession, dir: String): DataFrame =
+    Curation.bm25TopK(Tables.documents(s, dir)).orderBy("query_id", "rnk")
+
+  val bm25Sql: String = {
+    val (k1, b, m, k) = (Curation.BmK1, Curation.BmB, Curation.BenchMod, Curation.BmK)
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |  FROM documents WHERE doc_id % $m <> 0),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, token FROM (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |  FROM documents WHERE doc_id % $m = 0)),
+       |scored AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |         round(SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |                   (tf * ($k1 + 1.0)) /
+       |                   (tf + $k1 * (1.0 - $b + $b * dl / avgdl))), 6) AS bm25
+       |  FROM tf JOIN qt USING (token) JOIN dl USING (doc_id)
+       |          JOIN df USING (token) CROSS JOIN stats
+       |  GROUP BY 1, 2),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                ORDER BY bm25 DESC, doc_id ASC) AS rnk FROM scored)
+       |SELECT query_id, doc_id, bm25, rnk FROM r
+       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x20_deterministic_split" -> ((deterministicSplit _, Some(deterministicSplitSql))),
     "x21_quality_filter"      -> ((qualityFilter _, Some(qualityFilterSql))),
@@ -668,5 +700,6 @@ object CurationQueries {
     "x53_approx_heavy_hitters" -> ((approxHeavyHitters _, Some(approxHeavyHittersSql))),
     "x68_bpe_merges"          -> ((bpeMergesQ _, None)),
     "x69_bpe_encode"          -> ((bpeEncodeQ _, None)),
+    "x71_bm25"                -> ((bm25 _, Some(bm25Sql))),
   )
 }

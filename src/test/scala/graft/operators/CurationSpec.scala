@@ -315,6 +315,46 @@ class CurationSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("x71 bm25: planted relevant doc ranks first, no-overlap docs never surface") {
+    import spark.implicits._
+    // id 0 is the query slice (0 % BenchMod == 0); 1..3 are the corpus.
+    // docA shares all three query terms, docB one, docC none.
+    val corpus = Seq(
+      (0L, "zebra quantum flux"),
+      (1L, "zebra quantum flux common common"),
+      (2L, "zebra filler filler filler"),
+      (3L, "nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val out = Curation.bm25TopK(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.forall(_._1 == 0L), "only doc 0 is in the query slice")
+    assert(out.forall(_._3 > 0.0), "BM25 over disjoint tf/idf terms is strictly positive")
+    val byRank = out.sortBy(_._4).map(_._2).toSeq
+    assert(byRank == Seq(1L, 2L), s"expected candidates [A, B] ranked [1, 2], got $byRank")
+    // candidate generation is the inverted-index join: doc 3 shares no
+    // token with the query, so it must never materialize as a pair
+    assert(!out.exists(_._2 == 3L))
+  }
+
+  test("x71 bm25: ranks contiguous per query, scores non-increasing, query slice excluded") {
+    val out = Curation.bm25TopK(docs).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("query_id") % Curation.BenchMod =!= 0).count() == 0)
+    assert(out.filter(col("doc_id") % Curation.BenchMod === 0).count() == 0,
+      "a query-slice doc leaked into the item side")
+    // rnk is 1..n(query) with no gaps, and the rounded score never
+    // increases with rank
+    val bad = out.as("a").join(out.as("b"),
+        col("a.query_id") === col("b.query_id") && col("a.rnk") < col("b.rnk") &&
+        col("a.bm25") < col("b.bm25"))
+    assert(bad.count() == 0, "score increased with rank")
+    val perQ = out.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max(col("rnk")).as("mx"), min(col("rnk")).as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+    assert(perQ.count() == 0, "rnk not contiguous from 1")
+    out.unpersist()
+  }
+
   test("x34 mixture: kept counts approximate the target proportions") {
     val kept = Curation.mixtureSample(docs, "lang").cache()
     val n = kept.count().toDouble
