@@ -910,6 +910,67 @@ object ExtendedQueries {
        |ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x72 — exponentially-time-decayed moving average over the minute
+  // series (ClickHouse `exponentialTimeDecayedAvg` / Grafana trend
+  // smoothing). Weight of an observation Δ minutes back is decay^Δ;
+  // support is TRUNCATED at EmaWindowMin lags — that truncation is part
+  // of the operator's contract (decay^64 ≈ 1e-8, far below the 6-decimal
+  // output rounding), which makes the Spark and DuckDB sums literally
+  // the same finite sum instead of "equal up to an infinite tail", and
+  // keeps every weight a bounded power (an unbounded closed-form EMA
+  // via cumulative (1/decay)^i overflows double past ~6700 lags, so the
+  // textbook window-sum trick is NOT scale-safe; this is).
+  //
+  // Decay is TIME-decayed, not row-decayed: missing minutes lower the
+  // weight of older points by wall-clock distance, so gaps need no fill.
+  //
+  // Scale shape: raw events collapse to the (type, minute) series in one
+  // partial-agg'd shuffle; the range self-join runs on the dashboard-
+  // sized series with fan-out bounded by the 64-minute support, and the
+  // final agg groups the same keys — raw events are never re-shuffled
+  // or windowed.
+  // ---------------------------------------------------------------------
+  private val EmaDecay = 0.75
+  private val EmaWindowMin = 64
+
+  def emaSeries(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.events(s, dir)
+      .filter(col("ts") >= lit(GapDayLo).cast("timestamp") &&
+              col("ts") <  lit(GapDayHi).cast("timestamp"))
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n"))
+    val past = agg.select(col("event_type").as("t2"), col("minute").as("m2"),
+      col("n").as("n2"))
+    val w = pow(lit(EmaDecay),
+      ((unix_millis(col("minute")) - unix_millis(col("m2"))) / lit(60000L)).cast("int"))
+    agg.join(past,
+        col("event_type") === col("t2") && col("m2") <= col("minute") &&
+        col("m2") > col("minute") - expr(s"INTERVAL $EmaWindowMin MINUTES"))
+      .withColumn("w", w)
+      .groupBy("event_type", "minute", "n")
+      .agg(round(sum(col("w") * col("n2")) / sum(col("w")), 6).as("ema"))
+      .select(col("event_type"), unix_millis(col("minute")).as("minute_ms"),
+              col("n"), col("ema"))
+      .orderBy("event_type", "minute_ms")
+  }
+
+  val emaSeriesSql: String =
+    s"""WITH agg AS (
+       |  SELECT event_type, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute,
+       |         CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events
+       |  WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '$GapDayLo'
+       |    AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '$GapDayHi'
+       |  GROUP BY 1, 2)
+       |SELECT a.event_type, epoch_ms(a.minute) AS minute_ms, a.n,
+       |       round(SUM(pow($EmaDecay, CAST((epoch_ms(a.minute) - epoch_ms(b.minute)) / 60000 AS INT)) * b.n) /
+       |             SUM(pow($EmaDecay, CAST((epoch_ms(a.minute) - epoch_ms(b.minute)) / 60000 AS INT))), 6) AS ema
+       |FROM agg a JOIN agg b
+       |  ON a.event_type = b.event_type AND b.minute <= a.minute
+       | AND b.minute > a.minute - INTERVAL $EmaWindowMin MINUTE
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x38 — cross-corpus dedup: incoming sources (src0–src9) checked
   // against the reference corpus (src10–src19) by exact n-gram Jaccard
   // ---------------------------------------------------------------------
@@ -1504,6 +1565,7 @@ object ExtendedQueries {
     "x67_cross_span_clean"   -> ((crossSpanCleanQ _, Some(crossSpanCleanSql))),
     "x70_edit_distance_pairs" -> ((editDistancePairsQ _, Some(editDistancePairsSql))),
     "x58_gapfill_locf"       -> ((gapFillLocf _, Some(gapFillLocfSql))),
+    "x72_ema_series"         -> ((emaSeries _, Some(emaSeriesSql))),
     "x38_cross_corpus_dedup" -> ((crossCorpusDedup _, Some(crossCorpusDedupSql))),
     "x44_bloom_cross_dedup"  -> ((bloomCrossDedup _, Some(bloomCrossDedupSql))),
     "x18_asof_join"          -> ((asofEnrichment _, Some(asofEnrichmentSql))),
