@@ -463,6 +463,55 @@ object TpchQueries {
       |WHERE ps.has_late = 1 AND po.n_supp >= 2 AND po.n_late = 1
       |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
 
+  /** j15 — PIVOT: the nation × order-year revenue matrix, the wide
+    * cross-tab report shape (ClickHouse dashboards build these with
+    * sumIf columns; ANSI SQL with FILTER/CASE conditional aggregates).
+    *
+    * The pivot values are EXPLICIT: `pivot(col, values)` with the year
+    * list spelled out compiles to one two-phase aggregate, whereas the
+    * values-less overload first runs a separate distinct-scan job over
+    * the fact table to discover the columns — a full extra pass at
+    * 100 TB, and a nondeterministic schema besides. Fact-fact join
+    * shuffles once on orderkey; customer and nation broadcast; the
+    * pivot aggregate is partial-agg friendly (per-year sums combine
+    * map-side). */
+  def revenuePivot(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir)
+              .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+              .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)
+              .select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("yr"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    rev.groupBy(col("n_name"))
+      .pivot("yr", PivotYears)
+      .agg(round(sum(col("rev")), 2))
+      .orderBy("n_name")
+  }
+
+  private val PivotYears: Seq[Int] = 1992 to 1998
+
+  val revenuePivotSql: String = {
+    val cols = PivotYears.map(y =>
+      s"""round(SUM(CASE WHEN yr = $y THEN rev END), 2) AS "$y"""").mkString(",\n|  ")
+    s"""WITH rev AS (
+       |  SELECT n.n_name,
+       |         CAST(year(o.o_orderdate) AS INT) AS yr,
+       |         l.l_extendedprice * (1 - l.l_discount) AS rev
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey)
+       |SELECT n_name,
+       |  $cols
+       |FROM rev GROUP BY n_name ORDER BY n_name""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "j01_pricing_summary"   -> ((pricingSummary _, Some(pricingSummarySql))),
     "j02_revenue_by_nation" -> ((revenueByNation _, Some(revenueByNationSql))),
@@ -478,5 +527,6 @@ object TpchQueries {
     "j12_moving_avg"        -> ((dailyMovingAvg _, Some(dailyMovingAvgSql))),
     "j13_large_volume"      -> ((largeVolumeOrders(_, _), Some(largeVolumeOrdersSql))),
     "j14_waiting_suppliers" -> ((waitingSuppliers _, Some(waitingSuppliersSql))),
+    "j15_revenue_pivot"     -> ((revenuePivot _, Some(revenuePivotSql))),
   )
 }
