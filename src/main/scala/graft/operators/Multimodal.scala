@@ -139,6 +139,93 @@ object Multimodal {
     }
   }
 
+  /** Perceptual image hash (pHash, DCT-sign variant — the classic
+    * Zauner/ImageHash construction): grayscale → 32×32 average-pool →
+    * 2D DCT-II → the 63 low-frequency AC coefficients (8×8 block minus
+    * DC) thresholded at their median → a 63-bit signature packed in a
+    * Long. Two images whose signatures sit within a small Hamming
+    * distance are perceptual near-duplicates.
+    *
+    * The DC coefficient is EXCLUDED, which is what buys the headline
+    * invariance: adding a constant to every pixel (uniform brightness
+    * shift) perturbs only DC, so a shifted copy hashes IDENTICALLY.
+    * Cosines come from StrictMath for cross-platform bit-reproducibility
+    * (same rationale as [[graft.functions.Dsp]]'s twiddle factors); the
+    * median threshold uses the strict `>` of the reference
+    * implementations, with ties broken by coefficient index order. */
+  object PHash {
+    private val N = 32
+    // DCT basis: Cos(u)(x) = cos(π(2x+1)u / 64), u < 8 — precomputed once
+    private val Cos: Array[Array[Double]] = Array.tabulate(8, N) { (u, x) =>
+      StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / (2.0 * N))
+    }
+
+    /** 63-bit signature of a decoded w×h RGB24 raster. */
+    def hash(w: Int, h: Int, rgb: Array[Byte]): Long = {
+      require(w >= N && h >= N, s"pHash needs at least ${N}x$N pixels, got ${w}x$h")
+      // grayscale (ITU-R 601 integer weights) + average-pool to 32×32.
+      // Integer block sums — no float until the DCT.
+      val pooled = new Array[Double](N * N)
+      var py = 0
+      while (py < N) {
+        val y0 = py * h / N; val y1 = (py + 1) * h / N
+        var px = 0
+        while (px < N) {
+          val x0 = px * w / N; val x1 = (px + 1) * w / N
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val p = (y * w + x) * 3
+              sum += 299L * (rgb(p) & 0xff) + 587L * (rgb(p + 1) & 0xff) +
+                     114L * (rgb(p + 2) & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          pooled(py * N + px) = sum / (1000.0 * (y1 - y0) * (x1 - x0))
+          px += 1
+        }
+        py += 1
+      }
+      // separable 2D DCT-II, only the 8×8 low-frequency block
+      val t = new Array[Double](8 * N) // t(u, y) = Σ_x pooled(y, x)·Cos(u)(x)
+      var u = 0
+      while (u < 8) {
+        var y = 0
+        while (y < N) {
+          var acc = 0.0; var x = 0
+          while (x < N) { acc += pooled(y * N + x) * Cos(u)(x); x += 1 }
+          t(u * N + y) = acc
+          y += 1
+        }
+        u += 1
+      }
+      val coef = new Array[Double](63)
+      var i = 0
+      u = 0
+      while (u < 8) {
+        var v = 0
+        while (v < 8) {
+          if (u != 0 || v != 0) {
+            var acc = 0.0; var y = 0
+            while (y < N) { acc += t(u * N + y) * Cos(v)(y); y += 1 }
+            coef(i) = acc; i += 1
+          }
+          v += 1
+        }
+        u += 1
+      }
+      val sorted = coef.clone(); java.util.Arrays.sort(sorted)
+      val median = (sorted(31) + sorted(32)) / 2.0
+      var bits = 0L
+      i = 0
+      while (i < 63) { if (coef(i) > median) bits |= 1L << i; i += 1 }
+      bits
+    }
+  }
+
   /** A REAL audio codec for the one container decodable in pure JVM
     * bytes: RIFF/WAVE PCM16 mono. Like [[PpmCodec]] (and unlike
     * [[FakeCodec]]) this is not a stub: encode writes a spec-conformant

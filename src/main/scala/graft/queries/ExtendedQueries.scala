@@ -1532,6 +1532,96 @@ object ExtendedQueries {
       .orderBy("asset_id", "window_idx", "band")
   }
 
+  // ---------------------------------------------------------------------
+  // x73 — perceptual-hash IMAGE near-dup: the multimodal member of the
+  // dedup family. Real decode (PpmCodec) → pHash (Multimodal.PHash:
+  // 32×32 pool → DCT → 63-bit sign-of-AC signature) → LSH band blocking
+  // (4 × 16-bit bands; Hamming ≤ 2 ⟹ ≥ 2 intact bands, so band
+  // equality is a LOSSLESS candidate filter at this threshold, same
+  // pigeonhole as SimHash banding) → exact Hamming verify via
+  // bit_count(xor). The corpus is never self-joined — only band-bucket
+  // collisions materialize, the same scale posture as x06/x07.
+  //
+  // The fixture plants brightness-shifted copies (id % 4 == 1 repeats
+  // id-1's pixels at +10): pHash excludes the DC coefficient, so a
+  // uniform shift must hash IDENTICALLY — that invariance, and the
+  // absence of cross-pattern collisions (pixel patterns are splitmix64
+  // noise, so non-planted signatures are ~independent 63-bit strings),
+  // are what the spec asserts. Iterative float DCT → rows-only check.
+  // ---------------------------------------------------------------------
+  private val PHashAssets = 48
+  private val PHashHamMax = 2
+
+  private[queries] def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 64×64 P6 payloads: pattern of asset `id` is splitmix64 noise in
+    * [0, 225]; id % 4 == 1 repeats id-1's pattern shifted +10 (no
+    * clamping possible: 225 + 10 < 256). */
+  private def phashAssets(s: SparkSession): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal.PpmCodec
+    s.range(PHashAssets).map { idBoxed =>
+      val id: Long = idBoxed
+      val base: Long = if (id % 4 == 1) id - 1 else id
+      val shift = if (id % 4 == 1) 10 else 0
+      val w = 64; val h = 64
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = (y * w + x) * 3
+          var c = 0
+          while (c < 3) {
+            val v = (mix64(base * 0x9e3779b97f4a7c15L ^ (x.toLong << 24) ^
+              (y.toLong << 12) ^ c) & 0x7fffffffL) % 226
+            rgb(p + c) = (v + shift).toByte
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      (id, PpmCodec.encode(w, h, rgb))
+    }.toDF("asset_id", "ppm")
+  }
+
+  def imagePhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal.{PpmCodec, PHash}
+    val hashes = phashAssets(s).as[(Long, Array[Byte])].mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val (w, h, rgb) = PpmCodec.decode(bytes)
+        (id, PHash.hash(w, h, rgb))
+      }
+    }.toDF("asset_id", "phash")
+    val banded = hashes.select(col("asset_id"), col("phash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("phash"), b * 16).bitwiseAND(lit(0xffffL)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("asset_id"), col("phash"), col("bk.band").as("band"),
+              col("bk.key").as("key"))
+    banded.join(
+        banded.select(col("asset_id").as("id_b"), col("phash").as("phash_b"),
+                      col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("asset_id") < col("id_b"))
+      .select(col("asset_id").as("id_a"), col("id_b"),
+              col("phash"), col("phash_b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(phash ^ phash_b)"))
+      .filter(col("hamming") <= PHashHamMax)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Registry: name → (fn, optional oracle). */
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x01_token_count"        -> ((tokenCount _, Some(tokenCountSql))),
@@ -1577,6 +1667,7 @@ object ExtendedQueries {
     "x59_frame_sample"       -> ((frameSample _, Some(frameSampleSql))),
     "x60_audio_energy"       -> ((audioEnergy _, Some(audioEnergySql))),
     "x61_audio_spectrum"     -> ((audioSpectrum _, None)),
+    "x73_image_phash_dedup"  -> ((imagePhashDedup _, None)),
     "x56_funnel_report"      -> ((funnelReport _, Some(funnelReportSql))),
   )
 }

@@ -168,6 +168,46 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("PHash: uniform brightness shift hashes identically (DC exclusion)") {
+    import Multimodal.PHash
+    val w = 48; val h = 40
+    val rng = new scala.util.Random(7)
+    val rgb = Array.fill(w * h * 3)((rng.nextInt(226)).toByte)
+    val shifted = rgb.map(b => ((b & 0xff) + 17).toByte) // 225+17 < 256, no clamp
+    assert(PHash.hash(w, h, rgb) == PHash.hash(w, h, shifted),
+      "adding a constant to every pixel only moves the DC coefficient")
+  }
+
+  test("PHash: independent noise images land far apart in Hamming space") {
+    import Multimodal.PHash
+    val w = 64; val h = 64
+    def noise(seed: Int) = {
+      val rng = new scala.util.Random(seed)
+      Array.fill(w * h * 3)(rng.nextInt(256).toByte)
+    }
+    val hs = (0 until 12).map(s => PHash.hash(w, h, noise(s)))
+    for (i <- hs.indices; j <- hs.indices if i < j) {
+      val d = java.lang.Long.bitCount(hs(i) ^ hs(j))
+      assert(d > 8, s"noise images $i/$j at Hamming $d — signature not discriminating")
+    }
+    // and the hash is a pure function of the pixels
+    assert(PHash.hash(w, h, noise(3)) == PHash.hash(w, h, noise(3)))
+  }
+
+  test("PHash: images smaller than the 32x32 pool grid are rejected loudly") {
+    intercept[IllegalArgumentException] {
+      Multimodal.PHash.hash(16, 16, new Array[Byte](16 * 16 * 3))
+    }
+  }
+
+  test("x73: recovered pairs are exactly the planted brightness-shifted copies") {
+    val out = graft.queries.ExtendedQueries.imagePhashDedup(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val planted = (0 until 48 by 4).map(k => (k.toLong, (k + 1).toLong, 0)).toSet
+    assert(out == planted,
+      s"expected exactly the planted +10-shift pairs at Hamming 0; got $out")
+  }
+
   test("PpmCodec: malformed payloads fail loudly, never return garbage") {
     import Multimodal.PpmCodec
     // wrong magic
