@@ -271,20 +271,33 @@ object Curation {
     * those candidates. Scores are rounded to 6 decimals before ranking
     * (same transcendental-ulp rationale as [[tfidfTopK]]). */
   def bm25TopK(docs: DataFrame, benchMod: Int = BenchMod, k: Int = BmK): DataFrame = {
-    def toks(d: DataFrame, id: String) = d
-      .select(col("doc_id").as(id),
-        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("token"))
-    val tf = toks(docs.filter(col("doc_id") % benchMod =!= 0), "doc_id")
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    def toksCol = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val items = docs.filter(col("doc_id") % benchMod =!= 0)
+    // one corpus-grain shuffle total: dl RIDES the tf aggregation (it is
+    // size(tokens), projected before the explode, constant per doc — so
+    // doc length costs no second scan, join, or shuffle), df gets its
+    // own scan but map-side-combines to a VOCABULARY-sized exchange
+    // (array_distinct first: no doc-grain intermediate), and the corpus
+    // stats pass is scan-only (no shuffle at all). A naive formulation
+    // deriving dl/df from tf re-executes the postings subtree — plans
+    // are trees — for three corpus-wide shuffles instead of one.
+    val tf = items.select(col("doc_id"), toksCol.as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    // only docs with ≥1 token (= the docs present in tf, which is what
+    // the oracle's doc-length CTE sees)
+    val stats = items.select(size(toksCol).as("doclen"))
+      .filter(col("doclen") > 0)
+      .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
     // distinct query terms (set-of-words query, standard for short queries)
-    val qterms = toks(docs.filter(col("doc_id") % benchMod === 0), "query_id").distinct()
-    val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val qterms = docs.filter(col("doc_id") % benchMod === 0)
+      .select(col("doc_id").as("query_id"), explode(toksCol).as("token"))
+      .distinct()
+    val dfq = items.select(explode(array_distinct(toksCol)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
       .join(qterms.select("token").distinct(), "token")
     val w = Window.partitionBy("query_id").orderBy(col("bm25").desc, col("doc_id").asc)
     tf.join(broadcast(qterms), "token")
-      .join(dl, "doc_id")
       .join(broadcast(dfq), "token")
       .crossJoin(broadcast(stats))
       .withColumn("w",
