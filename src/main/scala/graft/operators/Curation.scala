@@ -248,6 +248,18 @@ object Curation {
   val BmK1 = 1.2
   val BmB  = 0.75
   val BmK  = 5
+  /** Query slice = benchmark-mod ids BELOW this bound: an eval set is a
+    * FIXED artifact — it does not grow with the corpus, and neither may
+    * the query side of the retrieval join (measured: an uncapped slice
+    * made the 10× ScaleCheck quadratic — 45× wall / 638× shuffle). */
+  val BmQueryIdMax = 1000L
+  /** Per-query term budget: only the `BmQTerms` RAREST query terms (df
+    * ascending, token tie-break) retrieve. Stop-term posting lists are
+    * the classic BM25 blow-up — a term with df ≈ N drags the whole
+    * corpus into the candidate set while contributing ~zero idf; capping
+    * by rarity bounds per-query candidates to the budgeted posting
+    * lists (the query-term-budget analogue of WAND-style pruning). */
+  val BmQTerms = 16
 
   /** BM25 top-K retrieval: for each benchmark-slice document (the same
     * deterministic `doc_id % benchMod == 0` eval-set stand-in x26 uses),
@@ -260,16 +272,18 @@ object Curation {
     * decontamination review actually works from.
     *
     * Scale shape: the corpus is shuffled once on (doc_id, token) for tf
-    * (the same postings build as x33); doc lengths fold out of tf by a
-    * partial-aggregable sum. Retrieval is an inverted-index equi-join:
-    * postings stream past a BROADCAST query-term table, so non-matching
-    * tokens never leave the map side and the corpus is never shuffled by
-    * query. df is restricted to query vocabulary BEFORE broadcast (a
-    * q-vocab-sized table, not the corpus vocabulary). Per-query candidate
-    * sets are bounded by the posting lists of the query's terms; the
-    * final per-query rank window partitions on query_id over exactly
-    * those candidates. Scores are rounded to 6 decimals before ranking
-    * (same transcendental-ulp rationale as [[tfidfTopK]]). */
+    * (the same postings build as x33); doc length rides that aggregation
+    * and the df/stats passes are vocabulary-sized/scan-only. Retrieval
+    * is an inverted-index equi-join: postings stream past a BROADCAST
+    * query-term table, so non-matching tokens never leave the map side
+    * and the corpus is never shuffled by query. Two explicit caps keep
+    * the join linear in the corpus: the query slice is FIXED-size
+    * ([[BmQueryIdMax]] — an eval set does not grow with the corpus) and
+    * each query retrieves only its [[BmQTerms]] rarest terms, so
+    * per-query candidates are bounded by the budgeted posting lists.
+    * The final per-query rank window partitions on query_id over
+    * exactly those candidates. Scores are rounded to 6 decimals before
+    * ranking (same transcendental-ulp rationale as [[tfidfTopK]]). */
   def bm25TopK(docs: DataFrame, benchMod: Int = BenchMod, k: Int = BmK): DataFrame = {
     def toksCol = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
     val items = docs.filter(col("doc_id") % benchMod =!= 0)
@@ -289,16 +303,22 @@ object Curation {
     val stats = items.select(size(toksCol).as("doclen"))
       .filter(col("doclen") > 0)
       .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
-    // distinct query terms (set-of-words query, standard for short queries)
-    val qterms = docs.filter(col("doc_id") % benchMod === 0)
+    // distinct query terms (set-of-words query, standard for short
+    // queries), budgeted to the BmQTerms rarest per query — df comes
+    // along for free, so the scoring join needs no second broadcast
+    val qterms = docs
+      .filter(col("doc_id") % benchMod === 0 && col("doc_id") < BmQueryIdMax)
       .select(col("doc_id").as("query_id"), explode(toksCol).as("token"))
       .distinct()
-    val dfq = items.select(explode(array_distinct(toksCol)).as("token"))
+    val dfAll = items.select(explode(array_distinct(toksCol)).as("token"))
       .groupBy("token").agg(count(lit(1)).as("df"))
-      .join(qterms.select("token").distinct(), "token")
+    val qw = Window.partitionBy("query_id").orderBy(col("df").asc, col("token").asc)
+    val qsel = qterms.join(dfAll, "token")
+      .withColumn("tr", row_number().over(qw))
+      .filter(col("tr") <= BmQTerms)
+      .select("query_id", "token", "df")
     val w = Window.partitionBy("query_id").orderBy(col("bm25").desc, col("doc_id").asc)
-    tf.join(broadcast(qterms), "token")
-      .join(broadcast(dfq), "token")
+    tf.join(broadcast(qsel), "token")
       .crossJoin(broadcast(stats))
       .withColumn("w",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *

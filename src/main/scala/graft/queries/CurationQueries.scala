@@ -657,16 +657,23 @@ object CurationQueries {
        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-       |qt AS (SELECT DISTINCT doc_id AS query_id, token FROM (
+       |qt0 AS (SELECT DISTINCT doc_id AS query_id, token FROM (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
-       |  FROM documents WHERE doc_id % $m = 0)),
+       |  FROM documents
+       |  WHERE doc_id % $m = 0 AND doc_id < ${Curation.BmQueryIdMax})),
+       |qt AS (SELECT query_id, token, df FROM (
+       |  SELECT qt0.query_id, qt0.token, df.df,
+       |         row_number() OVER (PARTITION BY qt0.query_id
+       |                            ORDER BY df.df ASC, qt0.token ASC) AS tr
+       |  FROM qt0 JOIN df USING (token))
+       |  WHERE tr <= ${Curation.BmQTerms}),
        |scored AS (
        |  SELECT qt.query_id, tf.doc_id,
-       |         round(SUM(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+       |         round(SUM(ln(1.0 + (n_docs - qt.df + 0.5) / (qt.df + 0.5)) *
        |                   (tf * ($k1 + 1.0)) /
        |                   (tf + $k1 * (1.0 - $b + $b * dl / avgdl))), 6) AS bm25
        |  FROM tf JOIN qt USING (token) JOIN dl USING (doc_id)
-       |          JOIN df USING (token) CROSS JOIN stats
+       |          CROSS JOIN stats
        |  GROUP BY 1, 2),
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |                ORDER BY bm25 DESC, doc_id ASC) AS rnk FROM scored)

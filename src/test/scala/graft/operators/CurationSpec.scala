@@ -340,6 +340,8 @@ class CurationSpec extends AnyFunSuite {
     val out = Curation.bm25TopK(docs).cache()
     assert(out.count() > 0)
     assert(out.filter(col("query_id") % Curation.BenchMod =!= 0).count() == 0)
+    assert(out.filter(col("query_id") >= Curation.BmQueryIdMax).count() == 0,
+      "the eval slice is fixed-size; ids past the bound must not query")
     assert(out.filter(col("doc_id") % Curation.BenchMod === 0).count() == 0,
       "a query-slice doc leaked into the item side")
     // rnk is 1..n(query) with no gaps, and the rounded score never
