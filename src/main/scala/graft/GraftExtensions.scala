@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DistinctNgramCount, DotProduct, WordGramSeq, WordShingles}
+import graft.functions.{CosineSimilarity, DistinctNgramCount, DotProduct, NormalizeText, WordGramSeq, WordShingles}
 
 /** Spark-native installation of graft's custom Catalyst expressions:
   *
@@ -54,5 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "cosine_similarity(a, b) - float-vector cosine similarity"),
       fn2(CosineSimilarity)))
+    ext.injectFunction((FunctionIdentifier("normalize_text"),
+      info("normalize_text", "normalize_text(text) - NFC-compose + strip C0 controls (except \\n, \\t) and DEL"),
+      { case Seq(a) => NormalizeText(a)
+        case es => throw new IllegalArgumentException(
+          s"expected 1 argument, got ${es.length}") }))
   }
 }

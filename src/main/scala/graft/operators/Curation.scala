@@ -127,6 +127,23 @@ object Curation {
       lit("."), (idCol % 100).cast("string"),
       lit(" or +1 555-014-"), lpad((idCol % 10000).cast("string"), 4, "0"), lit("."))
 
+  /** x74 fixture augmentation: the synthetic corpus is ASCII, where NFC
+    * and control-stripping are identity — so a deterministic id-derived
+    * suffix of DECOMPOSED sequences (base vowel + combining mark, which
+    * NFC must compose) and C0 controls (which the cleaner must strip) is
+    * appended in BOTH engines. The hash then proves the JVM normalizer
+    * and DuckDB's utf8proc agree codepoint-for-codepoint on the
+    * exercised sequences — never vacuously green. */
+  def unicodeAugmented(textCol: Column, idCol: Column): Column =
+    concat(textCol,
+      lit(" id"), idCol.cast("string"),
+      lit(" cafe\u0301 "),                       // decomposed é → composes
+      lit("\u0007ctl\u001b"),                    // BEL + ESC → stripped
+      when(idCol % 3 === 0, lit("a\u0300"))      // à
+        .when(idCol % 3 === 1, lit("e\u0301"))   // é
+        .otherwise(lit("o\u0308")),              // ö
+      lit("\r"))                                 // CR → stripped
+
   // ---- x23: sequence packing -------------------------------------------
 
   val PackCapacity = 512

@@ -681,6 +681,37 @@ object CurationQueries {
        |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // x74 — Unicode normalization at ingest: NFC composition + control
+  // strip via the custom codegen'd `normalize_text` Catalyst expression
+  // (functions/TextNorm.scala). Row-local, zero shuffles beyond the
+  // presentation sort.
+  // ---------------------------------------------------------------------
+  def textNormalize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Curation.unicodeAugmented(col("text"), col("doc_id")).as("aug"))
+      .select(col("doc_id"),
+        graft.functions.TextNorm.normalize_text(col("aug")).as("clean_text"),
+        length(col("aug")).as("aug_len"))
+      .withColumn("clean_len", length(col("clean_text")))
+      .orderBy("doc_id")
+
+  val textNormalizeSql: String = {
+    val aug = "text || ' id' || CAST(doc_id AS VARCHAR) || ' cafe' || chr(769)" +
+      " || ' ' || chr(7) || 'ctl' || chr(27) ||" +
+      " (CASE WHEN doc_id % 3 = 0 THEN 'a' || chr(768)" +
+      "       WHEN doc_id % 3 = 1 THEN 'e' || chr(769)" +
+      "       ELSE 'o' || chr(776) END) || chr(13)"
+    val clean = s"regexp_replace(nfc_normalize($aug), " +
+      """'[\x00-\x08\x0B-\x1F\x7F]', '', 'g')"""
+    s"""SELECT doc_id,
+       |  $clean AS clean_text,
+       |  length($aug) AS aug_len,
+       |  length($clean) AS clean_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x20_deterministic_split" -> ((deterministicSplit _, Some(deterministicSplitSql))),
     "x21_quality_filter"      -> ((qualityFilter _, Some(qualityFilterSql))),
@@ -708,5 +739,6 @@ object CurationQueries {
     "x68_bpe_merges"          -> ((bpeMergesQ _, None)),
     "x69_bpe_encode"          -> ((bpeEncodeQ _, None)),
     "x71_bm25"                -> ((bm25 _, Some(bm25Sql))),
+    "x74_text_normalize"      -> ((textNormalize _, Some(textNormalizeSql))),
   )
 }

@@ -39,13 +39,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |  round(dot_product(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
           |                    array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))), 4) AS dp,
           |  round(cosine_similarity(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
-          |                          array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), 4) AS cos
+          |                          array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), 4) AS cos,
+          |  normalize_text('café' || chr(7) || ' x') AS norm
           |""".stripMargin).head()
       assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
       assert(r.getSeq[String](1) == Seq("a b", "b a", "a b")) // positional: repeats kept
       assert(r.getLong(2) == 2L)
       assert(r.getDouble(3) == 11.0)
       assert(r.getDouble(4) == 1.0)
+      assert(r.getString(5) == "caf\u00e9 x") // composed + BEL stripped
       // wrong arity fails analysis loudly, not at runtime
       intercept[Exception](s.sql("SELECT word_shingles('a')").head())
     } finally {
