@@ -245,4 +245,47 @@ class PlanSpec extends AnyFunSuite {
     assert(optimized.indexOf("Window") < optimized.indexOf("Aggregate"),
       "window must sit above the daily aggregate, not over raw events:\n" + optimized)
   }
+
+  test("x71 bm25: query/df/stats tables broadcast; corpus never cartesian- or sort-merge-joined") {
+    val p = plan(graft.operators.Curation.bm25TopK(
+      graft.Tables.documents(spark, dir)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "retrieval degraded to sort-merge:\n" + p)
+    assert(!p.contains("CartesianProduct"), "cartesian in retrieval:\n" + p)
+    // the scalar stats relation arrives via a broadcast nested loop (1 row)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("j15 pivot: explicit values — no extra distinct-scan job, partial aggregation intact") {
+    val df = TpchQueries.revenuePivot(spark, dir)
+    val p = plan(df)
+    // explicit pivot values compile to a plain two-phase aggregate:
+    // partial_ aggregation present, and no second scan of lineitem for
+    // value discovery (exactly one lineitem scan in the plan)
+    assert(p.contains("partial_"), p)
+    assert("lineitem\\.parquet".r.findAllIn(p).size <= 1,
+      "pivot planned a second fact-table scan (value discovery?):\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x72 ema: the range self-join runs on the aggregated series, not raw events") {
+    val df = ExtendedQueries.emaSeries(spark, dir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // between the join node and EVERY raw parquet scan there must be an
+    // Aggregate (the minute series) — a raw-events self-join regression
+    // would put a Relation directly under the Join
+    val joinIdx = optimized.indexOf("Join Inner")
+    assert(joinIdx >= 0, optimized)
+    var cursor = joinIdx
+    var scans = 0
+    while (optimized.indexOf("Relation [", cursor) >= 0) {
+      val rel = optimized.indexOf("Relation [", cursor)
+      val between = optimized.substring(cursor, rel)
+      assert(between.contains("Aggregate"),
+        "raw scan directly under the self-join (no series aggregation):\n" + optimized)
+      cursor = rel + 1
+      scans += 1
+    }
+    assert(scans == 2, s"expected the two series-side scans, saw $scans:\n" + optimized)
+  }
 }
