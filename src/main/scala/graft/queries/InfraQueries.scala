@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -181,6 +181,100 @@ object InfraQueries {
       .agg(count(lit(1)).as("days"),
            hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_unique_users"))
       .orderBy("page")
+  }
+
+  // ---------------------------------------------------------------------
+  // x75 — KMV (bottom-k / theta) sketch with SET OPERATIONS: the
+  // pairwise daily-visitor overlap matrix between pages. HLL (x39) can
+  // union but NOT intersect; KMV sketches over one shared hash support
+  // both, so "how many daily visitors do /home and /products share" is
+  // answered from group-grain sketch rows — one partial-agg'd shuffle of
+  // ≤ k longs per page, never a pairwise distinct join over the fact
+  // table (the ClickHouse uniqTheta intersect/union read path). The
+  // 48-bit hash keeps every value double-exact in both engines, so the
+  // DuckDB oracle reproduces the ESTIMATES bit-for-bit — the sketch math
+  // itself is hash-verified, not just bounded. Error vs exact is
+  // spec-asserted in KmvSketchSpec (~1/sqrt(k-2) ≈ 6% at k=256).
+  // ---------------------------------------------------------------------
+  private val KmvK = 256
+  private val KmvFull = (KmvK - 1).toDouble * graft.functions.KmvAggregator.HashSpace
+
+  def kmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.clicks(s, dir).select(col("page"),
+      expr("CAST(conv(substr(md5(concat(CAST(user_id AS STRING), '@', " +
+           "date_format(ts, 'yyyy-MM-dd'))), 1, 12), 16, 10) AS BIGINT)").as("v"))
+    val sk = hashed.groupBy("page")
+      .agg(graft.functions.KmvAggregator.kmv(KmvK)(col("v")).as("sk"))
+    def est(c: Column): Column =
+      when(size(c) < KmvK, size(c).cast("double"))
+        .otherwise(lit(KmvFull) / element_at(c, KmvK).cast("double"))
+    sk.select(col("page").as("page_a"), col("sk").as("ska"))
+      .join(sk.select(col("page").as("page_b"), col("sk").as("skb")),
+            col("page_a") < col("page_b"))
+      .withColumn("uni", array_sort(array_union(col("ska"), col("skb"))))
+      .withColumn("both", array_intersect(col("ska"), col("skb")))
+      .withColumn("est_a", est(col("ska")))
+      .withColumn("est_b", est(col("skb")))
+      .withColumn("est_union", est(col("uni")))
+      // Beyer et al. 2007 §4: rho = |K(A∪B) ∩ A ∩ B| / k; when the union
+      // sketch never filled, both input sketches are complete distinct
+      // sets and the intersection is exact.
+      .withColumn("est_inter",
+        when(size(col("uni")) < KmvK, size(col("both")).cast("double"))
+          .otherwise(size(array_intersect(slice(col("uni"), 1, KmvK), col("both")))
+                       .cast("double") / KmvK * col("est_union")))
+      .withColumn("jaccard_est", col("est_inter") / col("est_union"))
+      .select("page_a", "page_b", "est_a", "est_b", "est_union", "est_inter",
+              "jaccard_est")
+      .orderBy("page_a", "page_b")
+  }
+
+  /** DuckDB twin: the same k-minimum-values selection expressed
+    * relationally (row_number ≤ k per group), the same 48-bit hash, the
+    * same estimate arithmetic in the same operation order — integer
+    * inputs are double-exact, so every CASE arm is bit-identical. */
+  val kmvOverlapSql: String = {
+    val full = s"CAST(${(KmvK - 1).toLong * graft.functions.KmvAggregator.HashSpace} AS DOUBLE)"
+    val estU = s"CASE WHEN u.usz < $KmvK THEN CAST(u.usz AS DOUBLE) ELSE $full / u.ukth END"
+    val estI = s"CASE WHEN u.usz < $KmvK THEN CAST(u.interall AS DOUBLE) " +
+               s"ELSE CAST(u.interk AS DOUBLE) / $KmvK * ($estU) END"
+    s"""WITH clicks AS (${Tables.clicksSql}),
+       |base AS (
+       |  SELECT DISTINCT page,
+       |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '@' ||
+       |      strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')), 1, 12)) AS BIGINT) AS v
+       |  FROM clicks),
+       |sk AS (
+       |  SELECT page, v, row_number() OVER (PARTITION BY page ORDER BY v) AS rn
+       |  FROM base QUALIFY rn <= $KmvK),
+       |ag AS (SELECT page, count(*) AS sz, max(v) AS kth FROM sk GROUP BY page),
+       |pairs AS (
+       |  SELECT a.page AS page_a, a.sz AS sza, a.kth AS ka,
+       |         b.page AS page_b, b.sz AS szb, b.kth AS kb
+       |  FROM ag a JOIN ag b ON a.page < b.page),
+       |merged AS (
+       |  SELECT p.page_a, p.page_b, s.v,
+       |         max(CASE WHEN s.page = p.page_a THEN 1 ELSE 0 END) AS in_a,
+       |         max(CASE WHEN s.page = p.page_b THEN 1 ELSE 0 END) AS in_b
+       |  FROM pairs p JOIN sk s ON s.page = p.page_a OR s.page = p.page_b
+       |  GROUP BY 1, 2, 3),
+       |mr AS (
+       |  SELECT *, row_number() OVER (PARTITION BY page_a, page_b ORDER BY v) AS rn
+       |  FROM merged),
+       |u AS (
+       |  SELECT page_a, page_b, count(*) AS usz,
+       |         max(CASE WHEN rn = $KmvK THEN v END) AS ukth,
+       |         sum(CASE WHEN rn <= $KmvK AND in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS interk,
+       |         sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS interall
+       |  FROM mr GROUP BY 1, 2)
+       |SELECT p.page_a, p.page_b,
+       |  CASE WHEN p.sza < $KmvK THEN CAST(p.sza AS DOUBLE) ELSE $full / p.ka END AS est_a,
+       |  CASE WHEN p.szb < $KmvK THEN CAST(p.szb AS DOUBLE) ELSE $full / p.kb END AS est_b,
+       |  $estU AS est_union,
+       |  $estI AS est_inter,
+       |  ($estI) / ($estU) AS jaccard_est
+       |FROM pairs p JOIN u ON u.page_a = p.page_a AND u.page_b = p.page_b
+       |ORDER BY p.page_a, p.page_b""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -440,6 +534,7 @@ object InfraQueries {
     "m04_maintenance"       -> ((maintenanceQ _, None)),
     "x31_salted_join"       -> ((saltedJoin _, Some(saltedJoinSql))),
     "x39_hll_rollup"        -> ((hllRollup _, None)),
+    "x75_kmv_overlap"       -> ((kmvOverlap _, Some(kmvOverlapSql))),
     "g01_generator_stats"   -> ((generatorStats _, None)),
     "g02_generator_pipeline" -> ((generatorPipeline _, None)),
   )

@@ -59,24 +59,30 @@ class MisraGriesSpec extends AnyFunSuite {
     // 1M tokens over a 20k vocabulary at k = 10⁴: with the O(k) indexOf
     // probe this was quadratic (~10¹⁰ slot visits); with the hash index
     // it is one probe per token. Driver-side on purpose — it times the
-    // aggregator kernel, not Spark scheduling. Measured in THREAD CPU
-    // TIME, not wall clock: this loop is single-threaded while the rest
-    // of the suite keeps 32 Spark threads busy, and wall time on a
-    // saturated box once tripped the old 20 s bound (30.8 s wall, ~1 s
-    // CPU) purely from descheduling. CPU time only accumulates while
-    // the loop actually runs, so the ~20× slack bound holds under any
-    // load, while a quadratic probe still blows it by orders of
-    // magnitude.
-    val k = 10000
-    val agg = new MisraGriesAggregator(k)
+    // aggregator kernel, not Spark scheduling. The guard is RELATIVE: it
+    // compares the same 1M-token stream at k = 10⁴ vs k = 10² measured
+    // back-to-back on this thread. A linear kernel makes the two runs
+    // comparable (the big-k run is allowed 10×); an O(k)-probe
+    // regression makes the ratio ~100×. An absolute wall bound flaked
+    // when the suite's 32 Spark threads descheduled this one, and even
+    // thread-CPU time inflated ~2× from cache/allocator contention
+    // (32.7 s vs ~10 s idle-box) — a same-environment ratio cancels the
+    // load term entirely.
     val n = 1000000
-    val mx = java.lang.management.ManagementFactory.getThreadMXBean
-    val t0 = mx.getCurrentThreadCpuTime
-    var b = agg.zero
-    var i = 0
-    while (i < n) { b = agg.reduce(b, "tok" + (i * 7919 % 20000)); i += 1 }
-    val sec = (mx.getCurrentThreadCpuTime - t0) / 1e9
-    assert(b.keys.length <= k)
-    assert(sec < 20.0, f"1M-token reduce at k=10000 took $sec%.1f s CPU — quadratic probe regression?")
+    def run(k: Int): Double = {
+      val agg = new MisraGriesAggregator(k)
+      val mx = java.lang.management.ManagementFactory.getThreadMXBean
+      val t0 = mx.getCurrentThreadCpuTime
+      var b = agg.zero
+      var i = 0
+      while (i < n) { b = agg.reduce(b, "tok" + (i * 7919 % 20000)); i += 1 }
+      assert(b.keys.length <= k)
+      (mx.getCurrentThreadCpuTime - t0) / 1e9
+    }
+    run(100)                   // JIT warmup for both shapes
+    val small = run(100)
+    val big = run(10000)
+    assert(big < small * 10 + 2.0,
+      f"k=10000 took $big%.1f s CPU vs $small%.1f s at k=100 — quadratic probe regression?")
   }
 }
