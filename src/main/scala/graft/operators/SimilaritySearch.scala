@@ -59,6 +59,37 @@ object SimilaritySearch {
     topKPerQuery(scored.select(col("query_id"), col("vec_id"), col("cosine")), k)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * two ranked retrieval lists — the standard hybrid-search combiner
+    * for a lexical (BM25) and a semantic (embedding-cosine) ranking:
+    * rrf(d) = Σ_lists 1/(k0 + rank_d), summing only over the lists where
+    * d appears. Rank-based, so the two lists' incomparable score scales
+    * need no normalization — that is the point of RRF.
+    *
+    * Inputs are (query_id, doc_id, rank) relations. Scale shape: both
+    * inputs are already top-N-per-query (O(|Q|·N) rows — corpus-size
+    * independent), so the outer join and the per-query re-rank are
+    * dashboard-sized no matter how large the corpus that produced them.
+    * Constituent ranks are emitted as nullable DOUBLEs (a doc found by
+    * only one retriever has no rank in the other).
+    */
+  def rrfFuse(lex: DataFrame, sem: DataFrame, k0: Int = 60, k: Int = 10): DataFrame = {
+    val l = lex.select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val s = sem.select(col("query_id"), col("doc_id"), col("rank").as("sem_rank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id").asc)
+    l.join(s, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(k0) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(k0) + col("sem_rank")), lit(0.0)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+              col("lex_rank").cast("double").as("lex_rank"),
+              col("sem_rank").cast("double").as("sem_rank"),
+              col("rrf"), col("rank"))
+  }
+
   /** Deterministic random hyperplanes: `tables × planes × dim`, seeded. */
   private def hyperplanes(dim: Int, planes: Int, tables: Int, seed: Long): Array[Array[Array[Float]]] = {
     val rnd = new scala.util.Random(seed)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Curation
+import graft.operators.{Curation, SimilaritySearch}
 
 /** Driver entries for the training-data curation operators (x20–x25).
   *
@@ -648,8 +648,13 @@ object CurationQueries {
   def bm25(s: SparkSession, dir: String): DataFrame =
     Curation.bm25TopK(Tables.documents(s, dir)).orderBy("query_id", "rnk")
 
-  val bm25Sql: String = {
-    val (k1, b, m, k) = (Curation.BmK1, Curation.BmB, Curation.BenchMod, Curation.BmK)
+  val bm25Sql: String = bm25CoreSql(Curation.BmK) + "\nORDER BY query_id, rnk"
+
+  /** The BM25 ranking CTE chain, parameterized on the per-query cutoff so
+    * x76's fusion oracle can reuse it at a deeper k. Yields
+    * (query_id, doc_id, bm25, rnk ≤ k), no presentation sort. */
+  private def bm25CoreSql(k: Int): String = {
+    val (k1, b, m) = (Curation.BmK1, Curation.BmB, Curation.BenchMod)
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
        |  FROM documents WHERE doc_id % $m <> 0),
@@ -678,7 +683,7 @@ object CurationQueries {
        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
        |                ORDER BY bm25 DESC, doc_id ASC) AS rnk FROM scored)
        |SELECT query_id, doc_id, bm25, rnk FROM r
-       |WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+       |WHERE rnk <= $k""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -712,6 +717,70 @@ object CurationQueries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // x76 — HYBRID retrieval: reciprocal-rank fusion of the BM25 lexical
+  // ranking (x71's machinery at a deeper per-list cutoff) with the
+  // embedding-cosine semantic ranking (x10's machinery) over the same
+  // eval-slice queries — the standard two-retriever read path of a RAG /
+  // contamination-triage stack. Both constituent lists are top-N-per-
+  // query and corpus-size independent BEFORE fusion (the BM25 side is
+  // the df-capped, term-budgeted x71 plan; the cosine side broadcasts
+  // the fixed query slice and partial-aggregates its top-k), so the
+  // fusion join touches O(|Q|·N) rows. vec_id ≡ doc_id in the fixtures,
+  // which is what makes the two modalities fusible.
+  // ---------------------------------------------------------------------
+  private val HybridListK = 20 // per-retriever depth fed into the fusion
+  private val HybridK     = 10 // fused list depth
+  private val RrfK0       = 60 // Cormack et al. 2009's constant
+
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val lex = Curation.bm25TopK(Tables.documents(s, dir), k = HybridListK)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("rank"))
+    val sem = SimilaritySearch.bruteForceTopK(
+        emb.filter(col("vec_id") % Curation.BenchMod =!= 0),
+        emb.filter(col("vec_id") % Curation.BenchMod === 0 &&
+                   col("vec_id") < Curation.BmQueryIdMax),
+        k = HybridListK)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    SimilaritySearch.rrfFuse(lex, sem, k0 = RrfK0, k = HybridK)
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB twin: the x71 CTE chain at the deeper cutoff, the x10 cosine
+    * ranking over the same corpus/query split, fused with the identical
+    * 1/(k0+rank) arithmetic (lexical term first, semantic second — sum
+    * order is part of double parity). Constituent ranks surface as
+    * nullable DOUBLEs on both sides. */
+  val hybridRrfSql: String = {
+    val m = Curation.BenchMod
+    s"""WITH lex AS (${bm25CoreSql(HybridListK)}),
+       |sem AS (
+       |  SELECT query_id, vec_id AS doc_id, sem_rank FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY ${ExtendedQueries.cosSql} DESC, b.vec_id ASC) AS sem_rank
+       |    FROM (SELECT * FROM embeddings
+       |          WHERE vec_id % $m = 0 AND vec_id < ${Curation.BmQueryIdMax}) a
+       |    JOIN (SELECT * FROM embeddings WHERE vec_id % $m <> 0) b ON true
+       |  ) WHERE sem_rank <= $HybridListK),
+       |fused AS (
+       |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+       |         coalesce(l.doc_id, s.doc_id) AS doc_id,
+       |         CAST(l.rnk AS DOUBLE) AS lex_rank,
+       |         CAST(s.sem_rank AS DOUBLE) AS sem_rank,
+       |         coalesce(1.0 / ($RrfK0 + l.rnk), 0.0) +
+       |         coalesce(1.0 / ($RrfK0 + s.sem_rank), 0.0) AS rrf
+       |  FROM lex l FULL OUTER JOIN sem s
+       |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY rrf DESC, doc_id ASC) AS rank FROM fused)
+       |SELECT query_id, doc_id, lex_rank, sem_rank, rrf, rank
+       |FROM ranked WHERE rank <= $HybridK ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x20_deterministic_split" -> ((deterministicSplit _, Some(deterministicSplitSql))),
     "x21_quality_filter"      -> ((qualityFilter _, Some(qualityFilterSql))),
@@ -739,6 +808,7 @@ object CurationQueries {
     "x68_bpe_merges"          -> ((bpeMergesQ _, None)),
     "x69_bpe_encode"          -> ((bpeEncodeQ _, None)),
     "x71_bm25"                -> ((bm25 _, Some(bm25Sql))),
+    "x76_hybrid_rrf"          -> ((hybridRrf _, Some(hybridRrfSql))),
     "x74_text_normalize"      -> ((textNormalize _, Some(textNormalizeSql))),
   )
 }

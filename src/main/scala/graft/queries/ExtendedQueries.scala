@@ -184,7 +184,7 @@ object ExtendedQueries {
 
   /** Double-precision cosine in DuckDB (list_cosine_similarity is
     * float32 — not oracle-grade). */
-  private val cosSql =
+  private[queries] val cosSql =
     """list_sum(list_transform(list_zip(a.embedding, b.embedding),
       |  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
       |/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))

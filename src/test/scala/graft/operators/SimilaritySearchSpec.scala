@@ -166,6 +166,32 @@ class SimilaritySearchSpec extends AnyFunSuite {
     }
   }
 
+  test("rrfFuse: consensus docs outrank single-list docs; scores are exact") {
+    // query 1: doc 10 is rank-2 in BOTH lists; docs 11/12 are rank-1 in
+    // exactly one list. RRF must put the consensus doc first:
+    // 2/62 = 0.03226 > 1/61 = 0.01639.
+    val lex = Seq((1L, 11L, 1), (1L, 10L, 2), (1L, 13L, 3)).toDF("query_id", "doc_id", "rank")
+    val sem = Seq((1L, 12L, 1), (1L, 10L, 2), (1L, 14L, 3)).toDF("query_id", "doc_id", "rank")
+    val out = SimilaritySearch.rrfFuse(lex, sem, k0 = 60, k = 10)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(10L, 11L, 12L, 13L, 14L),
+      "consensus doc must lead; single-list ties broken by doc_id")
+    val top = out.head
+    assert(top.getDouble(4) == 1.0 / 62 + 1.0 / 62, "rrf must be the exact sum")
+    assert(top.getDouble(2) == 2.0 && top.getDouble(3) == 2.0)
+    // single-list doc carries a NULL rank for the missing retriever
+    val lexOnly = out.find(_.getLong(1) == 13L).get
+    assert(lexOnly.isNullAt(3) && lexOnly.getDouble(4) == 1.0 / 63)
+  }
+
+  test("rrfFuse handles disjoint query sets from the two retrievers") {
+    val lex = Seq((1L, 10L, 1)).toDF("query_id", "doc_id", "rank")
+    val sem = Seq((2L, 20L, 1)).toDF("query_id", "doc_id", "rank")
+    val out = SimilaritySearch.rrfFuse(lex, sem).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getInt(5) == 1), "each query fuses independently")
+  }
+
   test("clusterEmbeddings assignment plans as partial max_by aggregate, no window") {
     VectorFunctions.register(spark)
     val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
