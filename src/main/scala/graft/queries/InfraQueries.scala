@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.gen.EventGenerator
-import graft.store.{EventStore, FingerprintStore}
+import graft.store.{EventStore, FingerprintStore, Scd2}
 
 /** Driver entries for the storage layer (B2/B3/B5) and the event
   * generator — each runs the real write→read (or generate→aggregate)
@@ -278,6 +278,48 @@ object InfraQueries {
   }
 
   // ---------------------------------------------------------------------
+  // s27 — SCD Type-2 dimension maintenance (warehouse MERGE): customer
+  // priority-tier history built as initial load (pre-1998 orders) plus
+  // an incremental MERGE of the later batch. The DuckDB oracle builds
+  // the history FROM SCRATCH over the full stream, so the hash match
+  // proves incremental merge ≡ batch rebuild — the invariant that makes
+  // nightly dimension maintenance trustworthy. Merge cost is ∝ batch +
+  // touched open versions (closed history passes through untouched);
+  // see store/Scd2.scala for the scale shape.
+  // ---------------------------------------------------------------------
+  private val Scd2Cutoff = "1998-01-01 00:00:00"
+
+  def scd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("key"), col("o_orderdate").as("ts"))
+      .agg(min(col("o_orderpriority")).as("attr"))
+    val cut = to_timestamp(lit(Scd2Cutoff))
+    val dim0 = Scd2.fromObservations(obs.filter(col("ts") < cut))
+    Scd2.merge(dim0, obs.filter(col("ts") >= cut))
+      .orderBy("key", "valid_from")
+  }
+
+  /** From-scratch gaps-and-islands over the full observation stream —
+    * deliberately NOT the incremental plan, so equality is evidence. */
+  val scd2MergeSql: String =
+    s"""WITH obs AS (
+       |  SELECT o_custkey AS key, o_orderdate AS ts, min(o_orderpriority) AS attr
+       |  FROM orders GROUP BY 1, 2),
+       |seq AS (SELECT *, lag(attr) OVER (PARTITION BY key ORDER BY ts) AS prev FROM obs),
+       |runs AS (
+       |  SELECT *, CAST(sum(CASE WHEN prev IS NULL OR prev <> attr THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY key ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+       |  FROM seq),
+       |ver AS (SELECT key, run, min(attr) AS attr, min(ts) AS valid_from
+       |        FROM runs GROUP BY 1, 2),
+       |hist AS (
+       |  SELECT key, attr, valid_from,
+       |         lead(valid_from) OVER (PARTITION BY key ORDER BY valid_from) AS valid_to
+       |  FROM ver)
+       |SELECT key, attr, valid_from, valid_to, valid_to IS NULL AS is_current
+       |FROM hist ORDER BY key, valid_from""".stripMargin
+
+  // ---------------------------------------------------------------------
   // s15 — z-order clustered warehouse (O5): round-trip through the
   // Morton-interleaved layout, read back under a user point-lookup set +
   // time-range predicate — the two-dimensional skipping case a ts-only
@@ -531,6 +573,7 @@ object InfraQueries {
     "s21_store_bucketed"    -> ((storeBucketed _, Some(storeBucketedSql))),
     "s22_store_formats"     -> ((storeFormats _, Some(storeFormatsSql))),
     "s24_incremental_dedup" -> ((incrementalDedup _, Some(incrementalDedupSql))),
+    "s27_scd2_merge"        -> ((scd2Merge _, Some(scd2MergeSql))),
     "m04_maintenance"       -> ((maintenanceQ _, None)),
     "x31_salted_join"       -> ((saltedJoin _, Some(saltedJoinSql))),
     "x39_hll_rollup"        -> ((hllRollup _, None)),
