@@ -203,8 +203,13 @@ object InfraQueries {
     val hashed = Tables.clicks(s, dir).select(col("page"),
       expr("CAST(conv(substr(md5(concat(CAST(user_id AS STRING), '@', " +
            "date_format(ts, 'yyyy-MM-dd'))), 1, 12), 16, 10) AS BIGINT)").as("v"))
+    // group-grain sketch rows (5 × ≤256 longs): localCheckpoint pins
+    // them so the pair matrix's two references don't re-run the
+    // corpus-grain aggregation — plans are trees, a self-join would
+    // scan+aggregate twice
     val sk = hashed.groupBy("page")
       .agg(graft.functions.KmvAggregator.kmv(KmvK)(col("v")).as("sk"))
+      .localCheckpoint()
     def est(c: Column): Column =
       when(size(c) < KmvK, size(c).cast("double"))
         .otherwise(lit(KmvFull) / element_at(c, KmvK).cast("double"))
@@ -294,7 +299,10 @@ object InfraQueries {
       .groupBy(col("o_custkey").as("key"), col("o_orderdate").as("ts"))
       .agg(min(col("o_orderpriority")).as("attr"))
     val cut = to_timestamp(lit(Scd2Cutoff))
-    val dim0 = Scd2.fromObservations(obs.filter(col("ts") < cut))
+    // merge() references the dim three times (untouched / closed /
+    // open-rebuild); in production that is a stored table read with
+    // pushdown, here the initial load is pinned so the build runs once
+    val dim0 = Scd2.fromObservations(obs.filter(col("ts") < cut)).localCheckpoint()
     Scd2.merge(dim0, obs.filter(col("ts") >= cut))
       .orderBy("key", "valid_from")
   }
