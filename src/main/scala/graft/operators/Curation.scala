@@ -348,6 +348,32 @@ object Curation {
       .select("query_id", "doc_id", "bm25", "rnk")
   }
 
+  // ---- x77: positional phrase search -----------------------------------
+
+  /** Exact-phrase matches of `phrases` (query_id, ph: array<string>)
+    * against `corpus` (doc_id, text): positional-postings intersection.
+    * The corpus explodes once to (doc, pos, token); phrase terms
+    * broadcast with their in-phrase offsets; an occurrence is an anchor
+    * position pos − off covered by every offset 0..len−1 (duplicate
+    * tokens inside a phrase are handled — offsets, not tokens, are
+    * counted). Output: (query_id, doc_id, n_occurrences, first_pos),
+    * 0-based positions over the `[a-z0-9]+` token stream. */
+  def phraseMatches(corpus: DataFrame, phrases: DataFrame): DataFrame = {
+    val post = corpus.select(col("doc_id"),
+      posexplode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+        .as(Seq("pos", "token")))
+    val terms = phrases
+      .select(col("query_id"), size(col("ph")).as("len"),
+              posexplode(col("ph")).as(Seq("off", "token")))
+    post.join(broadcast(terms), "token")
+      .groupBy(col("query_id"), col("doc_id"),
+               (col("pos") - col("off")).as("anchor"))
+      .agg(count_distinct(col("off")).as("hits"), max(col("len")).as("len"))
+      .filter(col("hits") === col("len"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_occurrences"), min("anchor").as("first_pos"))
+  }
+
   // ---- x26: benchmark contamination ------------------------------------
 
   val ContamN    = 4

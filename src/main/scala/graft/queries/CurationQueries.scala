@@ -781,6 +781,64 @@ object CurationQueries {
        |FROM ranked WHERE rank <= $HybridK ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // x77 — EXACT PHRASE search over a positional inverted index: for each
+  // eval-slice query phrase (a fixed 3-token window of the query doc),
+  // every corpus document containing the phrase verbatim, with
+  // occurrence count and first position — the positional-postings op
+  // that bag-of-words BM25 (x71) cannot express, and the lookup shape of
+  // exact-phrase decontamination. Classic positional intersection: the
+  // corpus explodes ONCE to (doc, pos, token) postings, query terms
+  // broadcast with their in-phrase offsets, a match is an anchor
+  // (pos − offset) covered by ALL phrase offsets. Corpus-grain cost is
+  // one shuffle of the rows whose token appears in some phrase —
+  // selective by construction; phrase terms are contiguous doc tokens,
+  // and x71's rarest-term budgeting is the mitigation if a phrase is all
+  // stopwords. Integer-only arithmetic ⇒ exact hash oracle.
+  // ---------------------------------------------------------------------
+  private val PhraseOff = 2 // fixed window start inside the query doc
+  private val PhraseLen = 3
+
+  def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val phrases = docs
+      .filter(col("doc_id") % Curation.BenchMod === 0 &&
+              col("doc_id") < Curation.BmQueryIdMax)
+      .select(col("doc_id").as("query_id"),
+              slice(toks, PhraseOff + 1, PhraseLen).as("ph"))
+      .filter(size(col("ph")) === PhraseLen)
+    Curation.phraseMatches(docs.filter(col("doc_id") % Curation.BenchMod =!= 0), phrases)
+      .orderBy("query_id", "doc_id")
+  }
+
+  val phraseSearchSql: String = {
+    val (m, off, len) = (Curation.BenchMod, PhraseOff, PhraseLen)
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       |  FROM documents),
+       |ph AS (
+       |  SELECT doc_id AS query_id, w[${off + 1}:${off + len}] AS p FROM toks
+       |  WHERE doc_id % $m = 0 AND doc_id < ${Curation.BmQueryIdMax}
+       |    AND len(w) >= ${off + len}),
+       |post AS (
+       |  SELECT doc_id, i AS pos, w[i+1] AS token
+       |  FROM (SELECT * FROM toks WHERE doc_id % $m <> 0),
+       |       LATERAL unnest(range(len(w))) AS t(i)),
+       |terms AS (
+       |  SELECT query_id, i AS off, p[i+1] AS token
+       |  FROM ph, LATERAL unnest(range($len)) AS t(i)),
+       |anchors AS (
+       |  SELECT query_id, doc_id, pos - off AS anchor,
+       |         count(DISTINCT off) AS hits
+       |  FROM post JOIN terms USING (token)
+       |  GROUP BY 1, 2, 3 HAVING count(DISTINCT off) = $len)
+       |SELECT query_id, doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_occurrences,
+       |       CAST(min(anchor) AS BIGINT) AS first_pos
+       |FROM anchors GROUP BY 1, 2 ORDER BY query_id, doc_id""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "x20_deterministic_split" -> ((deterministicSplit _, Some(deterministicSplitSql))),
     "x21_quality_filter"      -> ((qualityFilter _, Some(qualityFilterSql))),
@@ -809,6 +867,7 @@ object CurationQueries {
     "x69_bpe_encode"          -> ((bpeEncodeQ _, None)),
     "x71_bm25"                -> ((bm25 _, Some(bm25Sql))),
     "x76_hybrid_rrf"          -> ((hybridRrf _, Some(hybridRrfSql))),
+    "x77_phrase_search"       -> ((phraseSearch _, Some(phraseSearchSql))),
     "x74_text_normalize"      -> ((textNormalize _, Some(textNormalizeSql))),
   )
 }

@@ -647,4 +647,32 @@ class CurationSpec extends AnyFunSuite {
       assert(id1 == id2 && u8 <= u3)
     }
   }
+
+  test("phraseMatches: occurrences, overlaps, and duplicate-token phrases") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "the cat sat on the mat while the cat sat again"), // "the cat sat" twice
+      (11L, "a b a b a"),                                      // overlapping "a b a": anchors 0 and 2
+      (12L, "nothing relevant here"),
+      (13L, "The CAT sat")                                     // case-folded match at 0
+    ).toDF("doc_id", "text")
+    val phrases = Seq(
+      (1L, Seq("the", "cat", "sat")),
+      (2L, Seq("a", "b", "a"))                                 // duplicate token in phrase
+    ).toDF("query_id", "ph")
+    val out = graft.operators.Curation.phraseMatches(corpus, phrases)
+      .orderBy("query_id", "doc_id")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, 10L, 2L, 0),   // two occurrences, first at 0
+      (1L, 13L, 1L, 0),   // lowercasing unifies
+      (2L, 11L, 2L, 0)))  // OVERLAPPING occurrences both count (anchors 0, 2)
+  }
+
+  test("phraseMatches: partial term hits never produce a match") {
+    import spark.implicits._
+    val corpus = Seq((20L, "cat sat the on mat")).toDF("doc_id", "text") // all terms, wrong order
+    val phrases = Seq((1L, Seq("the", "cat", "sat"))).toDF("query_id", "ph")
+    assert(graft.operators.Curation.phraseMatches(corpus, phrases).count() == 0)
+  }
 }
