@@ -26,8 +26,12 @@ import org.apache.spark.sql.functions._
   *                s·10⁸) with ts jittered by s·1009 ms — same 30-day
   *                window at k× the event rate and k× the users, i.e. a
   *                bigger deployment, not a longer one.
-  *  - documents:  doc_id re-keyed; every word of shard s > 0 carries an
-  *                `_s` suffix, so shards share NO shingles: the k× corpus
+  *  - documents:  doc_id re-keyed; every word of shard s > 0 carries a
+  *                `qs` suffix (alphanumeric on purpose: a `_s` suffix
+  *                splits back apart under the `[a-z0-9]+` tokenizer the
+  *                retrieval family uses, silently re-welding the shard
+  *                vocabularies), so shards share NO shingles AND no
+  *                regexp tokens: the k× corpus
   *                has k× the near-dup groups at the SAME group sizes —
   *                the honest linear-scaling workload. (A first attempt
   *                rotated the word order instead; rotation preserves the
@@ -51,7 +55,11 @@ object ScaleCheck {
     // must rebuild (or the harness would silently benchmark stale data
     // and report wrong ratios)
     val done = new java.io.File(s"$dst/_SCALE_DONE")
-    val sig = s"k=$k src=$src cliques=$cliques"
+    // v2: the shard suffix must stay inside [a-z0-9] — "word_3" splits
+    // back into "word","3" under the regexp tokenizer the retrieval
+    // family uses, silently re-welding the "disjoint" shard vocabularies
+    // (measured: 53% of 10× tokens matched the 1× query vocabulary)
+    val sig = s"v2 k=$k src=$src cliques=$cliques"
     if (done.exists()) {
       val recorded = java.nio.file.Files.readString(done.toPath).trim
       if (recorded == sig) return
@@ -80,7 +88,7 @@ object ScaleCheck {
           val r = pmod(lit(7 * i), greatest(size(w), lit(1)))
           concat_ws(" ", concat(slice(w, r + 1, size(w)), slice(w, lit(1), r)))
         } else concat_ws(" ", transform(split(col("text"), "\\s+"),
-                 x => concat(x, lit(s"_$i"))))
+                 x => concat(x, lit(s"q$i")))) // alnum suffix: one token under BOTH tokenizers
       d.withColumn("doc_id", col("doc_id") + lit(i * Shift))
         .withColumn("text", t)
     }.write.mode("overwrite").parquet(s"$dst/documents.parquet")
@@ -134,36 +142,44 @@ object ScaleCheck {
     // stage-level shuffle-write accounting; listener events drain async,
     // so settle briefly after each entry before reading the counter
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    // records too: bytes are post-compression, so a synthetic fixture
+    // whose k-x vocabulary compresses worse than the 1x one (the
+    // suffixed-word corpus) inflates the byte ratio while the ROW ratio
+    // stays honest — report both, diagnose on rows
+    val shuffleRecs = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         shuffleBytes.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        shuffleRecs.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
     })
     // per-batch streaming-state accounting for the s* entries: state
     // rows are the quantity plan-shape reasoning can't predict, so the
     // harness reports the PEAK across the entry's micro-batches
     val stateListener = new graft.streaming.PipelineMetrics.MetricsListener
     spark.streams.addListener(stateListener)
-    def measure(fn: (SparkSession, String) => DataFrame, dir: String): (Double, Long, Long) = {
+    def measure(fn: (SparkSession, String) => DataFrame, dir: String): (Double, Long, Long, Long) = {
       Thread.sleep(300)
       val b0 = shuffleBytes.get()
+      val r0 = shuffleRecs.get()
       val n0 = stateListener.batches.size
       val sec = Bench.timeEntry(spark, dir, fn)
         .fold(err => { println(s"  FAILED: $err"); Double.NaN }, identity)
       Thread.sleep(300)
       val peakState = stateListener.batches.drop(n0)
         .foldLeft(0L)((m, b) => math.max(m, b.state_rows))
-      (sec, shuffleBytes.get() - b0, peakState)
+      (sec, shuffleBytes.get() - b0, shuffleRecs.get() - r0, peakState)
     }
 
     Bench.warmup(spark, src)
-    println(f"${"entry"}%-28s ${"t_1x"}%8s ${"t_kx"}%8s ${"ratio"}%6s ${"shfl_1x"}%10s ${"shfl_kx"}%10s ${"shfl_r"}%6s ${"st_1x"}%9s ${"st_kx"}%9s")
+    println(f"${"entry"}%-28s ${"t_1x"}%8s ${"t_kx"}%8s ${"ratio"}%6s ${"shfl_1x"}%10s ${"shfl_kx"}%10s ${"shfl_r"}%6s ${"rows_r"}%6s ${"st_1x"}%9s ${"st_kx"}%9s")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => prefixes.isEmpty || prefixes.exists(n.startsWith) }
       .foreach { case (name, fn) =>
-        val (t1, s1, st1) = measure(fn, src)
-        val (tk, sk, stk) = measure(fn, dst)
+        val (t1, s1, r1, st1) = measure(fn, src)
+        val (tk, sk, rk, stk) = measure(fn, dst)
         val mb = (b: Long) => f"${b / 1048576.0}%.1fM"
-        println(f"$name%-28s $t1%8.2f $tk%8.2f ${tk / t1}%6.2f ${mb(s1)}%10s ${mb(sk)}%10s ${if (s1 > 0) f"${sk.toDouble / s1}%6.2f" else "   n/a"} $st1%9d $stk%9d")
+        println(f"$name%-28s $t1%8.2f $tk%8.2f ${tk / t1}%6.2f ${mb(s1)}%10s ${mb(sk)}%10s ${if (s1 > 0) f"${sk.toDouble / s1}%6.2f" else "   n/a"} ${if (r1 > 0) f"${rk.toDouble / r1}%6.2f" else "   n/a"} $st1%9d $stk%9d")
       }
     // driver memory posture: peak JVM heap across the run — the single-
     // process analogue of "watch driver RSS" at a real cluster's helm

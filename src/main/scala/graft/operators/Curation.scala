@@ -312,9 +312,6 @@ object Curation {
     // stats pass is scan-only (no shuffle at all). A naive formulation
     // deriving dl/df from tf re-executes the postings subtree — plans
     // are trees — for three corpus-wide shuffles instead of one.
-    val tf = items.select(col("doc_id"), toksCol.as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
     // only docs with ≥1 token (= the docs present in tf, which is what
     // the oracle's doc-length CTE sees)
     val stats = items.select(size(toksCol).as("doclen"))
@@ -327,13 +324,33 @@ object Curation {
       .filter(col("doc_id") % benchMod === 0 && col("doc_id") < BmQueryIdMax)
       .select(col("doc_id").as("query_id"), explode(toksCol).as("token"))
       .distinct()
+    // postings for NON-query tokens can never survive the retrieval
+    // join, so both corpus-grain aggregations semi-join against the
+    // broadcast query vocabulary BEFORE aggregating — this is what an
+    // inverted index does (read only the query terms' posting lists) and
+    // it is the difference between an exchange sized by the corpus's
+    // per-doc-distinct token count and one sized by query-term
+    // occurrences (measured at the disjoint-vocabulary 10× fixture:
+    // 34× shuffle rows without the filter, ~1× with it). df values are
+    // unaffected: tokens are filtered, never the docs containing them.
+    val qtok = qterms.select("token").distinct()
     val dfAll = items.select(explode(array_distinct(toksCol)).as("token"))
+      .join(broadcast(qtok), Seq("token"), "left_semi")
       .groupBy("token").agg(count(lit(1)).as("df"))
     val qw = Window.partitionBy("query_id").orderBy(col("df").asc, col("token").asc)
     val qsel = qterms.join(dfAll, "token")
       .withColumn("tr", row_number().over(qw))
       .filter(col("tr") <= BmQTerms)
       .select("query_id", "token", "df")
+    // tf narrows further: only the BUDGETED (rarest-per-query) terms
+    // score, so the (doc, token) aggregation sees just their postings;
+    // dl is projected before the filter, so doc length stays the full
+    // token count
+    val qselTok = qsel.select("token").distinct()
+    val tf = items.select(col("doc_id"), toksCol.as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("token"))
+      .join(broadcast(qselTok), Seq("token"), "left_semi")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
     val w = Window.partitionBy("query_id").orderBy(col("bm25").desc, col("doc_id").asc)
     tf.join(broadcast(qsel), "token")
       .crossJoin(broadcast(stats))

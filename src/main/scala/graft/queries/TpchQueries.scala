@@ -512,6 +512,64 @@ object TpchQueries {
        |FROM rev GROUP BY n_name ORDER BY n_name""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // j16 — POINT-IN-TIME dimension lookup: enrich every order with the
+  // customer's priority tier in effect AT order time, read from the s27
+  // SCD2 history, then roll revenue up by (tier, order year). The
+  // temporal predicate rides a plain equi-join on the customer key (per-
+  // key version counts are bounded, so the interval filter after the
+  // hash join is cheap) — never a range-only join, which would plan as a
+  // nested loop over the fact table. This is the "was the customer
+  // premium when they ordered" shape every warehouse with SCD2
+  // dimensions answers daily.
+  // ---------------------------------------------------------------------
+  def asofDimension(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val obs = orders
+      .groupBy(col("o_custkey").as("key"), col("o_orderdate").as("ts"))
+      .agg(min(col("o_orderpriority")).as("attr"))
+    val hist = graft.store.Scd2.fromObservations(obs).localCheckpoint()
+    orders.join(hist,
+        orders("o_custkey") === hist("key") &&
+        orders("o_orderdate") >= hist("valid_from") &&
+        (hist("valid_to").isNull || orders("o_orderdate") < hist("valid_to")))
+      .groupBy(col("attr").as("tier"), year(col("o_orderdate")).as("yr"))
+      // money sums as DECIMAL: double addition is association-sensitive
+      // and these groups are big enough (~2k orders) for the partial-agg
+      // order to move the 9th significant digit — decimal is exact and
+      // order-independent, converted to double once at the end
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast("decimal(18,2)"))
+             .cast("double").as("revenue"))
+      .orderBy("tier", "yr")
+  }
+
+  /** Oracle rebuilds the same history from scratch (the s27 CTE chain)
+    * and applies the identical interval predicate. */
+  val asofDimensionSql: String =
+    s"""WITH obs AS (
+       |  SELECT o_custkey AS key, o_orderdate AS ts, min(o_orderpriority) AS attr
+       |  FROM orders GROUP BY 1, 2),
+       |seq AS (SELECT *, lag(attr) OVER (PARTITION BY key ORDER BY ts) AS prev FROM obs),
+       |runs AS (
+       |  SELECT *, CAST(sum(CASE WHEN prev IS NULL OR prev <> attr THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY key ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run
+       |  FROM seq),
+       |ver AS (SELECT key, run, min(attr) AS attr, min(ts) AS valid_from
+       |        FROM runs GROUP BY 1, 2),
+       |hist AS (
+       |  SELECT key, attr, valid_from,
+       |         lead(valid_from) OVER (PARTITION BY key ORDER BY valid_from) AS valid_to
+       |  FROM ver)
+       |SELECT h.attr AS tier, CAST(year(o.o_orderdate) AS INT) AS yr,
+       |       CAST(count(*) AS BIGINT) AS n_orders,
+       |       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+       |FROM orders o JOIN hist h
+       |  ON o.o_custkey = h.key
+       | AND o.o_orderdate >= h.valid_from
+       | AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+       |GROUP BY 1, 2 ORDER BY tier, yr""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "j01_pricing_summary"   -> ((pricingSummary _, Some(pricingSummarySql))),
     "j02_revenue_by_nation" -> ((revenueByNation _, Some(revenueByNationSql))),
@@ -528,5 +586,6 @@ object TpchQueries {
     "j13_large_volume"      -> ((largeVolumeOrders(_, _), Some(largeVolumeOrdersSql))),
     "j14_waiting_suppliers" -> ((waitingSuppliers _, Some(waitingSuppliersSql))),
     "j15_revenue_pivot"     -> ((revenuePivot _, Some(revenuePivotSql))),
+    "j16_asof_dimension"    -> ((asofDimension _, Some(asofDimensionSql))),
   )
 }
