@@ -1133,6 +1133,56 @@ object ExtendedQueries {
   private[graft] val FunnelSteps = Seq("view", "click", "purchase")
   private[graft] val FunnelWindowUs = 3600L * 1000000L // 1 hour
 
+  // ---------------------------------------------------------------------
+  // x78 — page TRANSITION matrix (Markov flow): for every ordered page
+  // pair, how often a user's next in-session event lands there, with the
+  // per-source transition probability — the Sankey/user-flow read every
+  // product dashboard draws, and the statistics a Markov-chain session
+  // simulator consumes. One user-grain window (bounded per user) + one
+  // pair-grain aggregation; the probability normalization windows over
+  // the PAGE-PAIR relation (|pages|² rows), never the event stream.
+  // Ties broken by event_id so both engines see one total order.
+  // ---------------------------------------------------------------------
+  private val TransitionGapMs = 30L * 60 * 1000 // Sessionize.DefaultGap
+
+  def pageTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val t = Tables.clicks(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("page"))
+      .withColumn("next_page", lead(col("page"), 1).over(w))
+      .withColumn("gap_ms",
+        unix_millis(lead(col("ts"), 1).over(w)) - unix_millis(col("ts")))
+      .filter(col("next_page").isNotNull && col("gap_ms") <= TransitionGapMs)
+    val counts = t
+      .groupBy(col("page").as("page_from"), col("next_page").as("page_to"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val perFrom = Window.partitionBy("page_from")
+    counts
+      .withColumn("p_next", col("n_transitions").cast("double") /
+        sum(col("n_transitions")).over(perFrom).cast("double"))
+      .orderBy("page_from", "page_to")
+  }
+
+  val pageTransitionsSql: String =
+    s"""WITH clicks AS (${graft.Tables.clicksSql}),
+       |seq AS (
+       |  SELECT page,
+       |         lead(page) OVER w AS next_page,
+       |         epoch_ms(lead(CAST(ts AS TIMESTAMP)) OVER w)
+       |           - epoch_ms(CAST(ts AS TIMESTAMP)) AS gap_ms
+       |  FROM clicks
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |c AS (
+       |  SELECT page AS page_from, next_page AS page_to,
+       |         CAST(count(*) AS BIGINT) AS n_transitions
+       |  FROM seq WHERE next_page IS NOT NULL AND gap_ms <= $TransitionGapMs
+       |  GROUP BY 1, 2)
+       |SELECT page_from, page_to, n_transitions,
+       |       CAST(n_transitions AS DOUBLE) /
+       |       CAST(sum(n_transitions) OVER (PARTITION BY page_from) AS DOUBLE) AS p_next
+       |FROM c ORDER BY page_from, page_to""".stripMargin
+
   def windowFunnelQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Funnel
       .windowFunnel(Tables.events(s, dir), FunnelSteps, FunnelWindowUs)
@@ -1661,6 +1711,7 @@ object ExtendedQueries {
     "x18_asof_join"          -> ((asofEnrichment _, Some(asofEnrichmentSql))),
     "x19_sessionization"     -> ((sessionization _, Some(sessionizationSql))),
     "x49_window_funnel"      -> ((windowFunnelQ _, Some(windowFunnelSql))),
+    "x78_page_transitions"   -> ((pageTransitions _, Some(pageTransitionsSql))),
     "x50_retention_cohort"   -> ((retentionQ _, Some(retentionSql))),
     "x54_image_decode"       -> ((imageDecode _, Some(imageDecodeSql))),
     "x55_image_resize"       -> ((imageResize _, Some(imageResizeSql))),

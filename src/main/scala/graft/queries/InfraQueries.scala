@@ -328,6 +328,50 @@ object InfraQueries {
        |FROM hist ORDER BY key, valid_from""".stripMargin
 
   // ---------------------------------------------------------------------
+  // s28 — token-budget TRAINING-SHARD writer: assign every document a
+  // position in the global token stream (distributed exact prefix sum —
+  // operators/Prefix.scala, never a single-task global window), cut the
+  // stream into fixed-budget shards by the doc's STARTING offset, write
+  // the corpus partitioned by shard, read it back, and report per-shard
+  // doc/token counts and id ranges — the Dolma/Megatron shard-prep step
+  // between curation and the trainer. A doc longer than the budget owns
+  // its shard (next doc starts a new one); integer arithmetic ⇒ exact
+  // hash oracle against DuckDB's one-window cumsum.
+  // ---------------------------------------------------------------------
+  private val ShardBudget = 2048L // tokens per shard, sized to the fixtures
+  private val PrefixBucket = 500L // doc_id bucket width for the 2-phase scan
+
+  def shardWriter(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val sharded = graft.operators.Prefix
+      .runningSum(docs, col("doc_id"), col("n_tokens"), PrefixBucket)
+      .withColumn("shard", expr(s"(running - n_tokens) div $ShardBudget"))
+    val out = tempDir("graft_s28_shards_")
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
+    s.read.parquet(out)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"),
+           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard")
+  }
+
+  val shardWriterSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |r AS (
+       |  SELECT *, sum(n_tokens) OVER (ORDER BY doc_id
+       |            ROWS UNBOUNDED PRECEDING) AS running FROM t),
+       |sh AS (SELECT *, (running - n_tokens) // $ShardBudget AS shard FROM r)
+       |SELECT CAST(shard AS BIGINT) AS shard,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+
+  // ---------------------------------------------------------------------
   // s15 — z-order clustered warehouse (O5): round-trip through the
   // Morton-interleaved layout, read back under a user point-lookup set +
   // time-range predicate — the two-dimensional skipping case a ts-only
@@ -582,6 +626,7 @@ object InfraQueries {
     "s22_store_formats"     -> ((storeFormats _, Some(storeFormatsSql))),
     "s24_incremental_dedup" -> ((incrementalDedup _, Some(incrementalDedupSql))),
     "s27_scd2_merge"        -> ((scd2Merge _, Some(scd2MergeSql))),
+    "s28_shard_writer"      -> ((shardWriter _, Some(shardWriterSql))),
     "m04_maintenance"       -> ((maintenanceQ _, None)),
     "x31_salted_join"       -> ((saltedJoin _, Some(saltedJoinSql))),
     "x39_hll_rollup"        -> ((hllRollup _, None)),
