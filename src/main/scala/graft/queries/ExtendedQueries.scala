@@ -1183,6 +1183,82 @@ object ExtendedQueries {
        |       CAST(sum(n_transitions) OVER (PARTITION BY page_from) AS DOUBLE) AS p_next
        |FROM c ORDER BY page_from, page_to""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x79 — CUSUM drift detection over the per-page minute series: the
+  // classic SEQUENTIAL drift detector (Page 1954) complementing the
+  // reference's pointwise Welford z-score (A9/q17): a z-score flags a
+  // single bad minute, CUSUM accumulates many small same-direction
+  // deviations — the "traffic has been creeping up for an hour" signal.
+  // The textbook recursion S⁺ₜ = max(0, S⁺ₜ₋₁ + zₜ − k) is
+  // non-associative, but it has an exact prefix-sum form
+  //   S⁺ₜ = Wₜ − min(0, min_{j≤t} Wⱼ),  Wₜ = Σᵢ≤ₜ (zᵢ − k)
+  // so it windows per page (bounded series) instead of folding
+  // sequentially. Numeric parity is engineered: per-page mean/σ come
+  // from EXACT integer moments (Σx, Σx² of counts — order-independent),
+  // combined with one identical double formula in both engines, and
+  // ordered-window prefix sums evaluate left-to-right identically —
+  // the whole statistic is hash-verifiable with no rounding.
+  // ---------------------------------------------------------------------
+  private val CusumK = 0.5 // slack per step, in σ units
+  private val CusumH = 5.0 // decision threshold, in σ units
+
+  def cusumDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val series = Tables.clicks(s, dir)
+      .groupBy(col("page"), date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = series.groupBy("page").agg(
+      count(lit(1)).as("n"),
+      sum(col("cnt")).as("sx"),
+      sum(col("cnt") * col("cnt")).as("sxx"))
+    val byMin = Window.partitionBy("page").orderBy("minute")
+    val run = Window.partitionBy("page").orderBy("minute")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val z = series.join(stats, "page")
+      .withColumn("mu", col("sx").cast("double") / col("n"))
+      .withColumn("sigma", sqrt(
+        (col("sxx").cast("double") - col("sx").cast("double") * col("sx") / col("n"))
+          / (col("n") - 1)))
+      .withColumn("w",
+        sum((col("cnt") - col("mu")) / col("sigma") - lit(CusumK)).over(run))
+      .withColumn("s_plus", col("w") - least(lit(0.0), min(col("w")).over(run)))
+    z.groupBy("page").agg(
+        max(col("s_plus")).as("max_s_plus"),
+        sum(when(col("s_plus") > CusumH, 1L).otherwise(0L)).as("n_drift_minutes"),
+        min(when(col("s_plus") > CusumH, col("minute"))).as("first_drift_minute"))
+      .orderBy("page")
+  }
+
+  val cusumDriftSql: String =
+    s"""WITH clicks AS (${graft.Tables.clicksSql}),
+       |series AS (
+       |  SELECT page, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM clicks GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT page, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(cnt) AS BIGINT) AS sx,
+       |         CAST(sum(cnt * cnt) AS BIGINT) AS sxx
+       |  FROM series GROUP BY 1),
+       |z AS (
+       |  SELECT s.page, s.minute,
+       |         sum((s.cnt - CAST(t.sx AS DOUBLE) / t.n) /
+       |             sqrt((CAST(t.sxx AS DOUBLE) - CAST(t.sx AS DOUBLE) * t.sx / t.n)
+       |                  / (t.n - 1)) - $CusumK)
+       |           OVER (PARTITION BY s.page ORDER BY s.minute
+       |                 ROWS UNBOUNDED PRECEDING) AS w
+       |  FROM series s JOIN stats t ON s.page = t.page),
+       |c AS (
+       |  SELECT page, minute, w - least(0.0, min(w)
+       |           OVER (PARTITION BY page ORDER BY minute
+       |                 ROWS UNBOUNDED PRECEDING)) AS s_plus
+       |  FROM z)
+       |SELECT page, max(s_plus) AS max_s_plus,
+       |       CAST(sum(CASE WHEN s_plus > $CusumH THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_drift_minutes,
+       |       min(CASE WHEN s_plus > $CusumH THEN minute END) AS first_drift_minute
+       |FROM c GROUP BY page ORDER BY page""".stripMargin
+
   def windowFunnelQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Funnel
       .windowFunnel(Tables.events(s, dir), FunnelSteps, FunnelWindowUs)
@@ -1712,6 +1788,7 @@ object ExtendedQueries {
     "x19_sessionization"     -> ((sessionization _, Some(sessionizationSql))),
     "x49_window_funnel"      -> ((windowFunnelQ _, Some(windowFunnelSql))),
     "x78_page_transitions"   -> ((pageTransitions _, Some(pageTransitionsSql))),
+    "x79_cusum_drift"        -> ((cusumDrift _, Some(cusumDriftSql))),
     "x50_retention_cohort"   -> ((retentionQ _, Some(retentionSql))),
     "x54_image_decode"       -> ((imageDecode _, Some(imageDecodeSql))),
     "x55_image_resize"       -> ((imageResize _, Some(imageResizeSql))),

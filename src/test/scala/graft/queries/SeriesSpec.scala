@@ -44,4 +44,46 @@ class SeriesSpec extends AnyFunSuite {
         s"single-support minute must equal its count: n=$cnt ema=$ema")
     }
   }
+
+  test("x79 cusum: the prefix-sum form equals the textbook recursion") {
+    // S+_t = max(0, S+_{t-1} + d_t) has the closed form
+    // W_t - min(0, min_{j<=t} W_j) with W_t the running sum of d —
+    // verify on adversarial series: all-negative, all-positive,
+    // sign-alternating, and seeded random walks
+    val rnd = new scala.util.Random(3)
+    val seqs = Seq(
+      Seq.fill(50)(-0.7),
+      Seq.fill(50)(0.3),
+      (0 until 60).map(i => if (i % 2 == 0) 1.1 else -0.9),
+      Seq.fill(200)(rnd.nextGaussian() - 0.5),
+      Seq.fill(200)(rnd.nextGaussian() + 0.1))
+    for (d <- seqs) {
+      val textbook = d.scanLeft(0.0)((s, x) => math.max(0.0, s + x)).drop(1)
+      val w = d.scanLeft(0.0)(_ + _).drop(1)
+      val runmin = w.scanLeft(Double.MaxValue)(math.min).drop(1)
+      val closed = w.zip(runmin).map { case (wt, m) => wt - math.min(0.0, m) }
+      textbook.zip(closed).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(math.abs(a - b) < 1e-9, s"diverged at $i: $a vs $b")
+      }
+    }
+  }
+
+  test("x79 cusum: detects a planted level shift the pointwise z-score misses") {
+    import spark.implicits._
+    // 200 minutes at ~N(10, 1), then 100 minutes shifted by +0.8 sigma:
+    // no single point is a 2.5-sigma outlier, but the cumulative drift
+    // must cross the h=5 threshold
+    val rnd = new scala.util.Random(7)
+    def noise() = math.max(-2.0, math.min(2.0, rnd.nextGaussian())) // clip: no pointwise outliers by construction
+    val base = (0 until 200).map(i => (i.toLong, 10.0 + noise()))
+    val drift = (200 until 300).map(i => (i.toLong, 10.8 + noise()))
+    val all = base ++ drift
+    val mu = all.map(_._2).sum / all.size
+    val sd = math.sqrt(all.map(v => (v._2 - mu) * (v._2 - mu)).sum / (all.size - 1))
+    val z = all.map { case (t, v) => (t, (v - mu) / sd) }
+    assert(z.forall(_._2.abs < 2.5), "fixture broken: a pointwise outlier exists")
+    val sPlus = z.map(_._2 - 0.5).scanLeft(0.0)((s, x) => math.max(0.0, s + x)).drop(1)
+    assert(sPlus.max > 5.0, s"planted drift not detected: max S+ = ${sPlus.max}")
+    assert(sPlus.take(150).max < 5.0, "false alarm before the shift")
+  }
 }
