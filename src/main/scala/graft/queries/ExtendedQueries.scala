@@ -1259,6 +1259,62 @@ object ExtendedQueries {
        |       min(CASE WHEN s_plus > $CusumH THEN minute END) AS first_drift_minute
        |FROM c GROUP BY page ORDER BY page""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x80 — SEASONAL-baseline anomaly: each minute judged against the
+  // mean/σ of ITS OWN (page, hour-of-day) stratum instead of the global
+  // series — "low for a 3 PM", which a global z-score (q17) cannot say:
+  // a nightly lull and an afternoon outage look identical to it. The
+  // baseline is a (pages × 24)-row relation from exact integer moments
+  // (broadcast back to the minute grain), so the whole check is one
+  // aggregation + one broadcast join over the dashboard-sized series —
+  // and, like x79, hash-verifiable with no rounding.
+  // ---------------------------------------------------------------------
+  private val SeasonalZ = 3.0
+
+  def seasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val series = Tables.clicks(s, dir)
+      .groupBy(col("page"), date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("cnt"))
+    val strata = series
+      .groupBy(col("page"), hour(col("minute")).as("hod"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("sx"),
+           sum(col("cnt") * col("cnt")).as("sxx"))
+      // a 1-minute or constant stratum has no sample σ — unjudgeable;
+      // the guard is exact integer arithmetic (n·Σx² > (Σx)²  ⟺  σ > 0)
+      .filter(col("n") > 1 && col("n") * col("sxx") > col("sx") * col("sx"))
+    series.withColumn("hod", hour(col("minute")))
+      .join(broadcast(strata), Seq("page", "hod"))
+      .withColumn("expected", col("sx").cast("double") / col("n"))
+      .withColumn("z", (col("cnt") - col("expected")) / sqrt(
+        (col("sxx").cast("double") - col("sx").cast("double") * col("sx") / col("n"))
+          / (col("n") - 1)))
+      .filter(abs(col("z")) > SeasonalZ)
+      .select("page", "minute", "cnt", "expected", "z")
+      .orderBy("page", "minute")
+  }
+
+  val seasonalAnomalySql: String =
+    s"""WITH clicks AS (${graft.Tables.clicksSql}),
+       |series AS (
+       |  SELECT page, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM clicks GROUP BY 1, 2),
+       |st AS (
+       |  SELECT page, hour(minute) AS hod, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(cnt) AS BIGINT) AS sx,
+       |         CAST(sum(cnt * cnt) AS BIGINT) AS sxx
+       |  FROM series GROUP BY 1, 2
+       |  HAVING count(*) > 1 AND count(*) * sum(cnt * cnt) > sum(cnt) * sum(cnt)),
+       |z AS (
+       |  SELECT s.page, s.minute, s.cnt,
+       |         CAST(t.sx AS DOUBLE) / t.n AS expected,
+       |         (s.cnt - CAST(t.sx AS DOUBLE) / t.n) /
+       |         sqrt((CAST(t.sxx AS DOUBLE) - CAST(t.sx AS DOUBLE) * t.sx / t.n)
+       |              / (t.n - 1)) AS z
+       |  FROM series s JOIN st t ON s.page = t.page AND hour(s.minute) = t.hod)
+       |SELECT page, minute, cnt, expected, z FROM z
+       |WHERE abs(z) > $SeasonalZ ORDER BY page, minute""".stripMargin
+
   def windowFunnelQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Funnel
       .windowFunnel(Tables.events(s, dir), FunnelSteps, FunnelWindowUs)
@@ -1789,6 +1845,7 @@ object ExtendedQueries {
     "x49_window_funnel"      -> ((windowFunnelQ _, Some(windowFunnelSql))),
     "x78_page_transitions"   -> ((pageTransitions _, Some(pageTransitionsSql))),
     "x79_cusum_drift"        -> ((cusumDrift _, Some(cusumDriftSql))),
+    "x80_seasonal_anomaly"   -> ((seasonalAnomaly _, Some(seasonalAnomalySql))),
     "x50_retention_cohort"   -> ((retentionQ _, Some(retentionSql))),
     "x54_image_decode"       -> ((imageDecode _, Some(imageDecodeSql))),
     "x55_image_resize"       -> ((imageResize _, Some(imageResizeSql))),
