@@ -301,7 +301,18 @@ object Curation {
     * The final per-query rank window partitions on query_id over
     * exactly those candidates. Scores are rounded to 6 decimals before
     * ranking (same transcendental-ulp rationale as [[tfidfTopK]]). */
-  def bm25TopK(docs: DataFrame, benchMod: Int = BenchMod, k: Int = BmK): DataFrame = {
+  /** `maxDfFrac`: optional WAND-style STOP-TERM cap — drop query terms
+    * whose df exceeds this fraction of the corpus before retrieval. On a
+    * healthy corpus the rarest-`BmQTerms` budget already selects rare
+    * terms and the cap is a no-op (the registry entry runs uncapped —
+    * same semantics as the oracle); on a mass-duplicated corpus where
+    * every query term blankets the collection (ScaleCheck's welded-
+    * clique fixture), blanket terms carry ~zero idf weight but
+    * corpus-sized posting lists — the cap trades their negligible score
+    * contribution for bounded postings. Same role the df cap plays for
+    * the dedup family's pair joins. */
+  def bm25TopK(docs: DataFrame, benchMod: Int = BenchMod, k: Int = BmK,
+               maxDfFrac: Option[Double] = None): DataFrame = {
     def toksCol = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
     val items = docs.filter(col("doc_id") % benchMod =!= 0)
     // one corpus-grain shuffle total: dl RIDES the tf aggregation (it is
@@ -338,7 +349,16 @@ object Curation {
       .join(broadcast(qtok), Seq("token"), "left_semi")
       .groupBy("token").agg(count(lit(1)).as("df"))
     val qw = Window.partitionBy("query_id").orderBy(col("df").asc, col("token").asc)
-    val qsel = qterms.join(dfAll, "token")
+    val scored = qterms.join(dfAll, "token")
+    val capped = maxDfFrac match {
+      case Some(frac) => // stop terms dropped BEFORE the budget window,
+        // so blanket terms never consume rarest-term slots
+        scored.crossJoin(broadcast(stats.select("n_docs")))
+          .filter(col("df") <= lit(frac) * col("n_docs"))
+          .drop("n_docs")
+      case None => scored
+    }
+    val qsel = capped
       .withColumn("tr", row_number().over(qw))
       .filter(col("tr") <= BmQTerms)
       .select("query_id", "token", "df")

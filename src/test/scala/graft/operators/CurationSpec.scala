@@ -336,6 +336,36 @@ class CurationSpec extends AnyFunSuite {
     assert(!out.exists(_._2 == 3L))
   }
 
+  test("x71 bm25: the df stop-term cap drops blanket terms, keeps rare ones") {
+    import spark.implicits._
+    // "common" blankets every corpus doc (df = 4/4); "zebra" is rare
+    // (df = 1). Uncapped, the blanket term makes every doc a candidate;
+    // with maxDfFrac = 0.5 only the rare term retrieves — the welded-
+    // boilerplate situation ScaleCheck's clique fixture measures.
+    val corpus = Seq(
+      (0L, "zebra common"),
+      (1L, "zebra common filler"),
+      (2L, "common other words"),
+      (3L, "common more text"),
+      (4L, "common yet another")
+    ).toDF("doc_id", "text")
+    val uncapped = Curation.bm25TopK(corpus).collect().map(_.getLong(1)).toSet
+    assert(uncapped == Set(1L, 2L, 3L, 4L),
+      "uncapped: the blanket term must surface every doc as a candidate")
+    val capped = Curation.bm25TopK(corpus, maxDfFrac = Some(0.5))
+      .collect().map(_.getLong(1)).toSet
+    assert(capped == Set(1L), "capped: only the rare term's posting list is read")
+    // and with no blanket terms, the cap is a no-op (same results)
+    val clean = Seq(
+      (0L, "zebra quantum"),
+      (1L, "zebra filler"), (2L, "quantum filler"), (3L, "unrelated text")
+    ).toDF("doc_id", "text")
+    val a = Curation.bm25TopK(clean).collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val b = Curation.bm25TopK(clean, maxDfFrac = Some(0.5))
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(a == b, "cap must be a no-op when no term exceeds it")
+  }
+
   test("x71 bm25: ranks contiguous per query, scores non-increasing, query slice excluded") {
     val out = Curation.bm25TopK(docs).cache()
     assert(out.count() > 0)
