@@ -1199,11 +1199,14 @@ object ExtendedQueries {
   // ordered-window prefix sums evaluate left-to-right identically —
   // the whole statistic is hash-verifiable with no rounding.
   // ---------------------------------------------------------------------
-  private val CusumK = 0.5 // slack per step, in σ units
-  private val CusumH = 5.0 // decision threshold, in σ units
+  // single source of truth with the streamed twin (s29)
+  private val CusumK = graft.streaming.DriftDetector.K // slack per step, σ units
+  private val CusumH = graft.streaming.DriftDetector.H // decision threshold
 
-  def cusumDrift(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The standardized per-(page, minute) deviation relation shared by
+    * batch x79 and streamed s29: mean/σ from EXACT integer moments
+    * (order-independent), one identical double formula per engine. */
+  def cusumZ(s: SparkSession, dir: String): DataFrame = {
     val series = Tables.clicks(s, dir)
       .groupBy(col("page"), date_trunc("minute", col("ts")).as("minute"))
       .agg(count(lit(1)).as("cnt"))
@@ -1211,16 +1214,21 @@ object ExtendedQueries {
       count(lit(1)).as("n"),
       sum(col("cnt")).as("sx"),
       sum(col("cnt") * col("cnt")).as("sxx"))
-    val byMin = Window.partitionBy("page").orderBy("minute")
-    val run = Window.partitionBy("page").orderBy("minute")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val z = series.join(stats, "page")
+    series.join(stats, "page")
       .withColumn("mu", col("sx").cast("double") / col("n"))
       .withColumn("sigma", sqrt(
         (col("sxx").cast("double") - col("sx").cast("double") * col("sx") / col("n"))
           / (col("n") - 1)))
-      .withColumn("w",
-        sum((col("cnt") - col("mu")) / col("sigma") - lit(CusumK)).over(run))
+      .withColumn("z", (col("cnt") - col("mu")) / col("sigma"))
+      .select("page", "minute", "z")
+  }
+
+  def cusumDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val run = Window.partitionBy("page").orderBy("minute")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val z = cusumZ(s, dir)
+      .withColumn("w", sum(col("z") - lit(CusumK)).over(run))
       .withColumn("s_plus", col("w") - least(lit(0.0), min(col("w")).over(run)))
     z.groupBy("page").agg(
         max(col("s_plus")).as("max_s_plus"),

@@ -963,6 +963,75 @@ object StreamingQueries {
       |FROM e JOIN d ON e.user_id = d.user_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s29 — STREAMED CUSUM drift (x79's twin): batch needs the prefix-sum
+  // closed form because max(0, S+d) is non-associative; the stream runs
+  // the textbook recursion in keyed state — ONE double per page. The
+  // oracle evaluates the closed form in DuckDB, so the hash match proves
+  // recursion ≡ closed form cross-engine over the full fixture (the
+  // s01≡q14 / s02≡q17 twin discipline). z-scores are standardized
+  // batch-side from exact integer moments — in production the baseline
+  // is a trained lookup, not stream state. The fold and the closed form
+  // accumulate float error differently (~1e-12), so s_plus is rounded
+  // to 6 decimals on BOTH sides and the drift flag compares the ROUNDED
+  // value (same precedent as s02's z_score).
+  // ---------------------------------------------------------------------
+  def streamCusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val work = tempDir("graft_s29_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    graft.queries.ExtendedQueries.cusumZ(s, dir)
+      .select(unix_millis(col("minute")).as("minute_ms"), col("page"), col("z"))
+      .coalesce(1) // one file = one micro-batch: full history per key, in order
+      .write.parquet(inDir)
+
+    val schema = StructType(Seq(
+      StructField("minute_ms", LongType),
+      StructField("page", StringType),
+      StructField("z", DoubleType)))
+    val stream = s.readStream.schema(schema).parquet(inDir)
+      .as[DriftDetector.ZRow]
+    withStatePartitions(s, 8) {
+      ClickPipeline.runAppendParquet(DriftDetector.detect(stream).toDF(), outDir, ck)
+    }
+    s.read.parquet(outDir)
+      .select(col("page"), col("minute_ms"),
+              round(col("s_plus"), 6).as("s_plus"))
+      .withColumn("is_drift", col("s_plus") > DriftDetector.H)
+      .orderBy("page", "minute_ms")
+  }
+
+  /** x79's closed-form CTE chain, emitted at minute grain. */
+  val streamCusumSql: String = {
+    val k = DriftDetector.K; val h = DriftDetector.H
+    s"""WITH clicks AS (${Tables.clicksSql}),
+       |series AS (
+       |  SELECT page, date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM clicks GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT page, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(cnt) AS BIGINT) AS sx,
+       |         CAST(sum(cnt * cnt) AS BIGINT) AS sxx
+       |  FROM series GROUP BY 1),
+       |z AS (
+       |  SELECT s.page, s.minute,
+       |         sum((s.cnt - CAST(t.sx AS DOUBLE) / t.n) /
+       |             sqrt((CAST(t.sxx AS DOUBLE) - CAST(t.sx AS DOUBLE) * t.sx / t.n)
+       |                  / (t.n - 1)) - $k)
+       |           OVER (PARTITION BY s.page ORDER BY s.minute
+       |                 ROWS UNBOUNDED PRECEDING) AS w
+       |  FROM series s JOIN stats t ON s.page = t.page),
+       |c AS (
+       |  SELECT page, minute, round(w - least(0.0, min(w)
+       |           OVER (PARTITION BY page ORDER BY minute
+       |                 ROWS UNBOUNDED PRECEDING)), 6) AS s_plus
+       |  FROM z)
+       |SELECT page, epoch_ms(minute) AS minute_ms, s_plus, s_plus > $h AS is_drift
+       |FROM c ORDER BY page, minute_ms""".stripMargin
+  }
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "s01_stream_minute_agg" -> ((streamMinuteAgg _, Some(ReferenceQueries.q14Sql))),
     "s02_stream_anomaly"    -> ((streamAnomaly _, Some(streamAnomalySql))),
@@ -990,5 +1059,6 @@ object StreamingQueries {
     "s25_stream_neardup"    -> ((streamNearDup _, Some(streamNearDupSql))),
     "s26_stream_span_clean" -> ((streamSpanClean _,
       Some(graft.queries.ExtendedQueries.crossSpanCleanSql))),
+    "s29_stream_cusum"      -> ((streamCusum _, Some(streamCusumSql))),
   )
 }
