@@ -1323,6 +1323,62 @@ object ExtendedQueries {
        |SELECT page, minute, cnt, expected, z FROM z
        |WHERE abs(z) > $SeasonalZ ORDER BY page, minute""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x81 — per-page DAILY TREND via closed-form OLS: slope (events/day),
+  // intercept, and r² of events-per-day against the day index — the
+  // "which pages are growing" dashboard read, and the regression-family
+  // member of the moment-trick suite (x79/x80): all five sufficient
+  // statistics (n, Σt, Σy, Σt², Σty — day index 0..29, daily counts) are
+  // EXACT integers, so the one double formula per output column is
+  // bit-identical cross-engine with no rounding. r²'s squared products
+  // would overflow int64, so numerator/denominator convert to double
+  // FIRST, identically on both sides. One day-grain aggregation + a
+  // pages-sized regression — no window at all.
+  // ---------------------------------------------------------------------
+  def trendSlope(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.clicks(s, dir)
+      .groupBy(col("page"), datediff(to_date(col("ts")), lit("2024-01-01")).as("t"))
+      .agg(count(lit(1)).as("y"))
+    val m = daily.groupBy("page").agg(
+      count(lit(1)).as("n"),
+      sum(col("t")).as("st"), sum(col("y")).as("sy"),
+      sum(col("t") * col("t")).as("stt"),
+      sum(col("t") * col("y")).as("sty"),
+      sum(col("y") * col("y")).as("syy"))
+    val covN  = (col("n") * col("sty") - col("st") * col("sy")).cast("double")
+    val varT  = (col("n") * col("stt") - col("st") * col("st")).cast("double")
+    val varY  = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    m.withColumn("slope", covN / varT)
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("st")) / col("n"))
+      .withColumn("r2", covN * covN / (varT * varY))
+      .select("page", "n", "slope", "intercept", "r2")
+      .orderBy("page")
+  }
+
+  val trendSlopeSql: String =
+    s"""WITH clicks AS (${graft.Tables.clicksSql}),
+       |daily AS (
+       |  SELECT page, datediff('day', DATE '2024-01-01',
+       |                        CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS t,
+       |         CAST(count(*) AS BIGINT) AS y
+       |  FROM clicks GROUP BY 1, 2),
+       |m AS (
+       |  SELECT page, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(t) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(t * t) AS BIGINT) AS stt,
+       |         CAST(sum(t * y) AS BIGINT) AS sty,
+       |         CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM daily GROUP BY 1)
+       |SELECT page, n,
+       |  CAST(n * sty - st * sy AS DOUBLE) / CAST(n * stt - st * st AS DOUBLE) AS slope,
+       |  (CAST(sy AS DOUBLE) -
+       |   CAST(n * sty - st * sy AS DOUBLE) / CAST(n * stt - st * st AS DOUBLE) * st) / n
+       |    AS intercept,
+       |  CAST(n * sty - st * sy AS DOUBLE) * CAST(n * sty - st * sy AS DOUBLE) /
+       |  (CAST(n * stt - st * st AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+       |FROM m ORDER BY page""".stripMargin
+
   def windowFunnelQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Funnel
       .windowFunnel(Tables.events(s, dir), FunnelSteps, FunnelWindowUs)
@@ -1854,6 +1910,7 @@ object ExtendedQueries {
     "x78_page_transitions"   -> ((pageTransitions _, Some(pageTransitionsSql))),
     "x79_cusum_drift"        -> ((cusumDrift _, Some(cusumDriftSql))),
     "x80_seasonal_anomaly"   -> ((seasonalAnomaly _, Some(seasonalAnomalySql))),
+    "x81_trend_slope"        -> ((trendSlope _, Some(trendSlopeSql))),
     "x50_retention_cohort"   -> ((retentionQ _, Some(retentionSql))),
     "x54_image_decode"       -> ((imageDecode _, Some(imageDecodeSql))),
     "x55_image_resize"       -> ((imageResize _, Some(imageResizeSql))),
