@@ -1379,6 +1379,68 @@ object ExtendedQueries {
        |  (CAST(n * stt - st * st AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
        |FROM m ORDER BY page""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x82 — chi-square INDEPENDENCE test on the (device × page) traffic
+  // contingency table: is the page mix the same across devices, with the
+  // χ² statistic and degrees of freedom — the data-profiling read behind
+  // "did the experiment change behavior" and drift monitors comparing
+  // categorical mixes. Observed counts and row/column/grand totals are
+  // exact integers; expected = row·col/total and the χ² sum are doubles
+  // with a FIXED summation order (sorted cells) in both engines, so the
+  // statistic is hash-verifiable unrounded. Cost: one cells-grain
+  // aggregation (|devices|·|pages| rows) + broadcast margins.
+  // ---------------------------------------------------------------------
+  def chiSquare(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.clicks(s, dir)
+      .groupBy(col("device"), col("page"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("device").agg(sum(col("o")).as("rt"))
+    val cols = cells.groupBy("page").agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val contrib = cells.join(broadcast(rows), "device")
+      .join(broadcast(cols), "page").crossJoin(broadcast(tot))
+      .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+      .withColumn("chi", (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+    // fixed fold order (device, page) — double addition is
+    // association-sensitive and both engines must walk the same sequence
+    import org.apache.spark.sql.expressions.Window
+    val ord = Window.orderBy("device", "page")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val folded = contrib
+      .withColumn("cum", sum(col("chi")).over(ord))
+      .withColumn("i", row_number().over(Window.orderBy("device", "page")))
+    val dims = cells.agg(count_distinct(col("device")).as("nd"),
+                         count_distinct(col("page")).as("np"))
+    folded.orderBy(col("i").desc).limit(1)
+      .crossJoin(broadcast(dims))
+      .select(lit("device x page").as("test"), col("cum").as("chi2"),
+              ((col("nd") - 1) * (col("np") - 1)).as("dof"))
+  }
+
+  val chiSquareSql: String =
+    s"""WITH clicks AS (${graft.Tables.clicksSql}),
+       |cells AS (
+       |  SELECT device, page, CAST(count(*) AS BIGINT) AS o
+       |  FROM clicks GROUP BY 1, 2),
+       |r AS (SELECT device, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+       |c AS (SELECT page, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+       |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+       |contrib AS (
+       |  SELECT cells.device, cells.page,
+       |         (o - CAST(rt AS DOUBLE) * ct / n) *
+       |         (o - CAST(rt AS DOUBLE) * ct / n) /
+       |         (CAST(rt AS DOUBLE) * ct / n) AS chi
+       |  FROM cells JOIN r USING (device) JOIN c USING (page) CROSS JOIN t),
+       |folded AS (
+       |  SELECT sum(chi) OVER (ORDER BY device, page
+       |                        ROWS UNBOUNDED PRECEDING) AS cum,
+       |         row_number() OVER (ORDER BY device, page) AS i
+       |  FROM contrib)
+       |SELECT 'device x page' AS test, cum AS chi2,
+       |  CAST(((SELECT count(*) FROM r) - 1) *
+       |       ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof
+       |FROM folded WHERE i = (SELECT count(*) FROM folded)""".stripMargin
+
   def windowFunnelQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.Funnel
       .windowFunnel(Tables.events(s, dir), FunnelSteps, FunnelWindowUs)
@@ -1911,6 +1973,7 @@ object ExtendedQueries {
     "x79_cusum_drift"        -> ((cusumDrift _, Some(cusumDriftSql))),
     "x80_seasonal_anomaly"   -> ((seasonalAnomaly _, Some(seasonalAnomalySql))),
     "x81_trend_slope"        -> ((trendSlope _, Some(trendSlopeSql))),
+    "x82_chi_square"         -> ((chiSquare _, Some(chiSquareSql))),
     "x50_retention_cohort"   -> ((retentionQ _, Some(retentionSql))),
     "x54_image_decode"       -> ((imageDecode _, Some(imageDecodeSql))),
     "x55_image_resize"       -> ((imageResize _, Some(imageResizeSql))),
