@@ -234,7 +234,8 @@ object SqlGateway {
     * under /metrics. Call `.stop()` to shut down. */
   def serve(spark: SparkSession, port: Int, bindAll: Boolean = false,
             defaultTimeoutSec: Int = 300,
-            metricsDir: Option[String] = None): Gateway = {
+            metricsDir: Option[String] = None,
+            entriesDir: Option[String] = None): Gateway = {
     val addr =
       if (bindAll) new InetSocketAddress(port)
       else new InetSocketAddress("127.0.0.1", port)
@@ -330,6 +331,57 @@ object SqlGateway {
       }
     })
 
+    // the registry as a SERVED surface — the saved-query analogue of the
+    // reference's canned dashboard reads: GET /entries lists every
+    // SparkEntry registry name (+ whether it is oracle-backed); GET or
+    // POST /entries/<name> runs it against the gateway's fixture dir
+    // under the same job-group/timeout/limit discipline as /sql.
+    entriesDir.foreach { dir =>
+      server.createContext("/entries", (ex: HttpExchange) => {
+        requests.incrementAndGet()
+        val path = ex.getRequestURI.getPath.stripPrefix("/entries")
+          .stripPrefix("/").trim
+        if (path.isEmpty) {
+          val names = SparkEntry.queries.keySet
+          val oracled = SparkEntry.oracleSql.keySet
+          val body = names.toSeq.sorted.map { n =>
+            s"""{"name":"$n","oracle":${oracled.contains(n)}}"""
+          }.mkString("", "\n", "\n")
+          respond(ex, 200, body)
+        } else SparkEntry.queries.get(path) match {
+          case None =>
+            respond(ex, 404, s"""{"error":"no registry entry ${jsonEscape(path)}"}""" + "\n")
+          case Some(fn) =>
+            val limit = queryParam(ex, "limit")
+              .flatMap(_.toIntOption).filter(_ > 0).getOrElse(10000)
+            val timeoutSec = queryParam(ex, "timeout")
+              .flatMap(_.toIntOption).filter(_ > 0).getOrElse(defaultTimeoutSec)
+            val group = s"gateway-entry-${reqSeq.incrementAndGet()}"
+            val sc = spark.sparkContext
+            val timedOut = new AtomicBoolean(false)
+            sc.setJobGroup(group, s"/entries/$path", interruptOnCancel = true)
+            val timer = watchdog.schedule(new Runnable {
+              override def run(): Unit = {
+                timedOut.set(true); sc.cancelJobGroupAndFutureJobs(group)
+              }
+            }, timeoutSec.toLong, TimeUnit.SECONDS)
+            try respond(ex, 200,
+              fn(spark, dir).toJSON.take(limit).mkString("", "\n", "\n"))
+            catch {
+              case _: Throwable if timedOut.get() =>
+                respond(ex, 408,
+                  s"""{"error":"entry cancelled after $timeoutSec s (timeout)"}""" + "\n")
+              case e: Throwable =>
+                val msg = jsonEscape(Option(e.getMessage).getOrElse(e.getClass.getName))
+                respond(ex, 400, s"""{"error":"$msg"}""" + "\n")
+            } finally {
+              timer.cancel(false)
+              sc.clearJobGroup()
+            }
+        }
+      })
+    }
+
     server.createContext("/explain", (ex: HttpExchange) => {
       requests.incrementAndGet()
       if (ex.getRequestMethod != "POST")
@@ -368,9 +420,9 @@ object SqlGateway {
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     register(spark, dir)
-    val gw = serve(spark, port, bindAll, timeoutSec, metricsDir)
+    val gw = serve(spark, port, bindAll, timeoutSec, metricsDir, Some(dir))
     println(s"graft SQL gateway on :${gw.port} " +
-      s"(POST /sql /explain, GET /health /metrics) over $dir" +
+      s"(POST /sql /explain, GET /health /metrics /entries) over $dir" +
       (if (bindAll) " [ALL INTERFACES]" else " [loopback]"))
     Thread.currentThread.join()
   }

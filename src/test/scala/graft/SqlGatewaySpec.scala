@@ -15,7 +15,8 @@ class SqlGatewaySpec extends AnyFunSuite {
                             timeoutSec: Int = 300)(f: Int => A): A = {
     SqlGateway.register(spark, TestSpark.Sf0001)
     val gw = SqlGateway.serve(spark, 0,
-      defaultTimeoutSec = timeoutSec, metricsDir = metricsDir)
+      defaultTimeoutSec = timeoutSec, metricsDir = metricsDir,
+      entriesDir = Some(TestSpark.Sf0001))
     try f(gw.port) finally gw.stop()
   }
 
@@ -223,6 +224,31 @@ class SqlGatewaySpec extends AnyFunSuite {
       assert(value("""graft_run_max_watermark_lag_ms{run_id="run-scrape"}""") == 500.0, body)
       // scrape self-counters are present and sane
       assert(value("graft_gateway_requests_total") >= 1.0, body)
+    }
+  }
+
+  test("/entries lists the registry; /entries/<name> runs an entry; unknown -> 404") {
+    withServer() { port =>
+      val (ls, listing) = http(port, "/entries", "GET", None)
+      assert(ls == 200)
+      val lines = listing.trim.split("\n").toSeq
+      assert(lines.size == graft.SparkEntry.queries.size,
+        "listing must cover the whole registry")
+      assert(lines.exists(_.contains("\"name\":\"q07_top_pages\"")))
+      assert(lines.forall(l => l.contains("\"oracle\":true") || l.contains("\"oracle\":false")))
+
+      val (rs, rows) = http(port, "/entries/q07_top_pages", "GET", None)
+      assert(rs == 200, rows)
+      val got = rows.trim.split("\n")
+      assert(got.length == 5 && got.forall(_.contains("\"page\"")),
+        s"q07 over the gateway must return the 5 top pages: $rows")
+
+      // limit applies to entry output exactly as it does to /sql
+      val (ls2, limited) = http(port, "/entries/q07_top_pages?limit=2", "GET", None)
+      assert(ls2 == 200 && limited.trim.split("\n").length == 2)
+
+      val (ns, nf) = http(port, "/entries/no_such_entry", "GET", None)
+      assert(ns == 404 && nf.contains("no registry entry"))
     }
   }
 }
