@@ -48,8 +48,8 @@ import org.apache.spark.sql.functions._
 object ScaleCheck {
   private val Shift = 100000000L
 
-  private def scaleDir(s: SparkSession, src: String, dst: String, k: Int,
-                       cliques: Boolean): Unit = {
+  private[graft] def scaleDir(s: SparkSession, src: String, dst: String, k: Int,
+                              cliques: Boolean): Unit = {
     // the marker records WHAT was built, not just that something was:
     // re-running against the same dst with a different k or cliques mode
     // must rebuild (or the harness would silently benchmark stale data
@@ -58,8 +58,12 @@ object ScaleCheck {
     // v2: the shard suffix must stay inside [a-z0-9] — "word_3" splits
     // back into "word","3" under the regexp tokenizer the retrieval
     // family uses, silently re-welding the "disjoint" shard vocabularies
-    // (measured: 53% of 10× tokens matched the 1× query vocabulary)
-    val sig = s"v2 k=$k src=$src cliques=$cliques"
+    // (measured: 53% of 10× tokens matched the 1× query vocabulary).
+    // v3: the suffix is `qzq$i`, not `q$i` — a base token that happens
+    // to end in q<digits> (e.g. 'xq3') is identical to shard 3's
+    // suffixed form of 'x', partially re-welding shard vocabularies;
+    // the build asserts no base token can collide with the sentinel.
+    val sig = s"v3 k=$k src=$src cliques=$cliques"
     if (done.exists()) {
       val recorded = java.nio.file.Files.readString(done.toPath).trim
       if (recorded == sig) return
@@ -73,13 +77,25 @@ object ScaleCheck {
       (0 until k).map(i => rekey(df, i)).reduce(_ unionAll _)
 
     val ev = Tables.events(s, src) // µs timestamps regardless of source precision
+    // ts may surface as TIMESTAMP or TIMESTAMP_NTZ depending on how the
+    // fixture was written; session tz is UTC so the cast round-trip is
+    // value-preserving, and casting back keeps the 1× schema
+    val tsType = ev.schema("ts").dataType
     shards(ev) { (d, i) =>
       d.withColumn("event_id", col("event_id") + lit(i * Shift))
         .withColumn("user_id", col("user_id") + lit(i * Shift))
-        .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + lit(i * 1009000L)))
+        .withColumn("ts", timestamp_micros(
+          unix_micros(col("ts").cast("timestamp")) + lit(i * 1009000L)).cast(tsType))
     }.write.mode("overwrite").parquet(s"$dst/events.parquet")
 
     val docs = Tables.documents(s, src)
+    // the suffix sentinel must be impossible as a base-word tail, or a
+    // natural token like 'xqzq3' would equal shard 3's suffixed 'x' and
+    // partially re-weld the shard vocabularies — assert, don't hope
+    val colliding = docs.filter(col("text").rlike("(^|\\s)\\S*qzq[0-9]+(\\s|$)")).count()
+    require(colliding == 0,
+      s"$colliding base documents contain a token ending in the shard sentinel qzq<digits>; " +
+        "pick a different sentinel or the k-x vocabularies re-weld")
     shards(docs) { (d, i) =>
       val t =
         if (i == 0) col("text")
@@ -88,7 +104,7 @@ object ScaleCheck {
           val r = pmod(lit(7 * i), greatest(size(w), lit(1)))
           concat_ws(" ", concat(slice(w, r + 1, size(w)), slice(w, lit(1), r)))
         } else concat_ws(" ", transform(split(col("text"), "\\s+"),
-                 x => concat(x, lit(s"q$i")))) // alnum suffix: one token under BOTH tokenizers
+                 x => concat(x, lit(s"qzq$i")))) // alnum suffix: one token under BOTH tokenizers
       d.withColumn("doc_id", col("doc_id") + lit(i * Shift))
         .withColumn("text", t)
     }.write.mode("overwrite").parquet(s"$dst/documents.parquet")

@@ -33,4 +33,39 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     registry.collect { case (name, (_, Some(sql))) => name -> sql }.toMap
+
+  /** Operator family for the served registry (gateway `/entries`) —
+    * COVERAGE.md's decision-table grouping, derived from the prefix the
+    * registry names already encode. */
+  def family(name: String): String = name.headOption match {
+    case Some('q') => "reference-queries"
+    case Some('j') => "batch-analytics"
+    case Some('s') => "streaming-store"
+    case Some('m') => "self-metrics"
+    case Some('g') => "generator"
+    case Some('x') => "llm-pipeline"
+    case _         => "other"
+  }
+
+  /** Curated scale caveats for entries whose COVERAGE.md row carries
+    * one — served on `/entries` so the hint travels with the registry
+    * instead of living only in repo docs. Entries absent here have no
+    * known scale caveat. */
+  val scaleCaveats: Map[String, String] = Map(
+    "x08_ngram_jaccard" ->
+      "uncapped pair generation: quadratic on boilerplate cliques — use x62 at scale",
+    "x38_cross_corpus_dedup" ->
+      "uncapped pair generation — use x63 (df-capped) at scale",
+    "x44_bloom_cross_dedup" ->
+      "uncapped candidate generation — use x63 (df-capped) at scale",
+    "x09_embedding_neardup" ->
+      "exact pairwise cosine — use x14 (LSH-bucketed) at scale",
+    "x10_knn_bruteforce" ->
+      "exact full-scan baseline — use x15/x45/x46 (IVF/PQ) at scale",
+    "x68_bpe_merges" ->
+      "round-sequential on the vocabulary relation: wall grows with corpus size, not merge count",
+    "s25_stream_neardup" ->
+      "per-micro-batch planning floor dominates at high micro-batch counts",
+    "x82_chi_square" ->
+      "global window over the |devices|x|pages| cells relation (dashboard-sized by construction)")
 }

@@ -208,6 +208,24 @@ object SqlGateway {
       "state-store rows at the last micro-batch",
       Seq("" -> bm.lastOption.map(_.state_rows.toDouble).getOrElse(0.0)))
 
+    // checkpoint-commit timings — the Flink checkpoint-duration
+    // dashboard analogue, labeled per streaming query
+    def qlbl(id: String) =
+      s"""{query_id="${id.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
+    val byQuery = bm.groupBy(_.query_id).toSeq.sortBy(_._1)
+    family("graft_stream_commit_ms_total", "counter",
+      "cumulative checkpoint commit time (offset WAL + commit log) per query",
+      byQuery.map { case (q, b) => qlbl(q) -> b.map(_.commit_ms).sum.toDouble })
+    family("graft_stream_last_commit_ms", "gauge",
+      "checkpoint commit time of the query's last micro-batch",
+      byQuery.map { case (q, b) => qlbl(q) -> b.last.commit_ms.toDouble })
+    family("graft_stream_state_commit_ms_total", "counter",
+      "cumulative state-store commit time per query",
+      byQuery.map { case (q, b) => qlbl(q) -> b.map(_.state_commit_ms).sum.toDouble })
+    family("graft_stream_last_state_commit_ms", "gauge",
+      "state-store commit time of the query's last micro-batch",
+      byQuery.map { case (q, b) => qlbl(q) -> b.last.state_commit_ms.toDouble })
+
     // m03 rollup — one labeled series per persisted run
     metricsDir.filter(d => new java.io.File(d).exists()).foreach { d =>
       val runs = PipelineMetrics.runSummary(spark, d).collect()
@@ -333,9 +351,14 @@ object SqlGateway {
 
     // the registry as a SERVED surface — the saved-query analogue of the
     // reference's canned dashboard reads: GET /entries lists every
-    // SparkEntry registry name (+ whether it is oracle-backed); GET or
-    // POST /entries/<name> runs it against the gateway's fixture dir
-    // under the same job-group/timeout/limit discipline as /sql.
+    // SparkEntry registry name with its decision-table hints (oracle
+    // flag, operator family, scale caveat); POST /entries/<name> runs
+    // it against the gateway's fixture dir under the same
+    // job-group/timeout/limit discipline as /sql. Execution is
+    // POST-ONLY (405 on GET), mirroring /sql: several entries run
+    // multi-minute streaming jobs and write temp dirs, and a GET that
+    // does heavy work is one crawler or browser prefetch away from a
+    // denial-of-service under bindAll.
     entriesDir.foreach { dir =>
       server.createContext("/entries", (ex: HttpExchange) => {
         requests.incrementAndGet()
@@ -345,10 +368,16 @@ object SqlGateway {
           val names = SparkEntry.queries.keySet
           val oracled = SparkEntry.oracleSql.keySet
           val body = names.toSeq.sorted.map { n =>
-            s"""{"name":"$n","oracle":${oracled.contains(n)}}"""
+            val caveat = SparkEntry.scaleCaveats.get(n)
+              .map(c => s""","scale_caveat":"${jsonEscape(c)}"""").getOrElse("")
+            s"""{"name":"$n","oracle":${oracled.contains(n)},""" +
+              s""""family":"${SparkEntry.family(n)}"$caveat}"""
           }.mkString("", "\n", "\n")
           respond(ex, 200, body)
-        } else SparkEntry.queries.get(path) match {
+        } else if (ex.getRequestMethod != "POST")
+          respond(ex, 405,
+            """{"error":"POST to execute a registry entry (GET /entries lists them)"}""" + "\n")
+        else SparkEntry.queries.get(path) match {
           case None =>
             respond(ex, 404, s"""{"error":"no registry entry ${jsonEscape(path)}"}""" + "\n")
           case Some(fn) =>
@@ -422,7 +451,7 @@ object SqlGateway {
     register(spark, dir)
     val gw = serve(spark, port, bindAll, timeoutSec, metricsDir, Some(dir))
     println(s"graft SQL gateway on :${gw.port} " +
-      s"(POST /sql /explain, GET /health /metrics /entries) over $dir" +
+      s"(POST /sql /explain /entries/<name>, GET /health /metrics /entries) over $dir" +
       (if (bindAll) " [ALL INTERFACES]" else " [loopback]"))
     Thread.currentThread.join()
   }

@@ -36,7 +36,11 @@ object Tables {
     val tsCol =
       if (raw.schema("ts").dataType == LongType)
         timestamp_micros(expr("ts DIV 1000"))
-      else col("ts")
+      // timestamp[us] without a zone surfaces as TIMESTAMP_NTZ, which
+      // unix_millis/unix_micros reject — normalize to session-zone
+      // TIMESTAMP. The session zone is pinned to UTC (GraftSession), so
+      // the cast is value-preserving and DuckDB's naive read agrees.
+      else col("ts").cast("timestamp")
     raw.withColumn("ts", tsCol)
   }
 

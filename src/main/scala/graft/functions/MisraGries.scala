@@ -105,7 +105,26 @@ class MisraGriesAggregator(k: Int)
       }
       if (j == k) b // nothing evicted: keys and index unchanged
       else {
-        val nb = MGState(b.keys, b.counts, j)
+        // the buffer encoder serializes the FULL arrays (there is no
+        // pre-shuffle hook on an Aggregator), so garbage past `used`
+        // ships with every partial. Keep it bounded and string-free:
+        // shrink when under half-full (O(k), amortized free — the
+        // compaction that got us here is already O(k)), otherwise null
+        // the stale slots. Capacity never exceeds ~2× used, so the
+        // serialized waste is < 2× payload with zero dead strings.
+        val cap = math.max(8, 2 * j)
+        val nb =
+          if (cap < b.keys.length) {
+            val nk = java.util.Arrays.copyOf(b.keys, cap)
+            val nc = java.util.Arrays.copyOf(b.counts, cap)
+            java.util.Arrays.fill(nk.asInstanceOf[Array[AnyRef]], j, cap, null)
+            java.util.Arrays.fill(nc, j, cap, 0L)
+            MGState(nk, nc, j)
+          } else {
+            java.util.Arrays.fill(b.keys.asInstanceOf[Array[AnyRef]], j, b.keys.length, null)
+            java.util.Arrays.fill(b.counts, j, b.counts.length, 0L)
+            MGState(b.keys, b.counts, j)
+          }
         nb.idx = null // slots moved — lazily rebuilt for the survivors
         nb
       }

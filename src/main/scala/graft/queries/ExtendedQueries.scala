@@ -1214,6 +1214,11 @@ object ExtendedQueries {
       count(lit(1)).as("n"),
       sum(col("cnt")).as("sx"),
       sum(col("cnt") * col("cnt")).as("sxx"))
+      // x80's guard, verbatim: a 1-minute or constant series has no
+      // sample σ — z would be Inf/NaN and silently poison max_s_plus
+      // downstream. Exact integer arithmetic (n·Σx² > (Σx)² ⟺ σ > 0)
+      // excludes unjudgeable pages identically in both engines.
+      .filter(col("n") > 1 && col("n") * col("sxx") > col("sx") * col("sx"))
     series.join(stats, "page")
       .withColumn("mu", col("sx").cast("double") / col("n"))
       .withColumn("sigma", sqrt(
@@ -1247,7 +1252,8 @@ object ExtendedQueries {
        |  SELECT page, CAST(count(*) AS BIGINT) AS n,
        |         CAST(sum(cnt) AS BIGINT) AS sx,
        |         CAST(sum(cnt * cnt) AS BIGINT) AS sxx
-       |  FROM series GROUP BY 1),
+       |  FROM series GROUP BY 1
+       |  HAVING count(*) > 1 AND count(*) * sum(cnt * cnt) > sum(cnt) * sum(cnt)),
        |z AS (
        |  SELECT s.page, s.minute,
        |         sum((s.cnt - CAST(t.sx AS DOUBLE) / t.n) /

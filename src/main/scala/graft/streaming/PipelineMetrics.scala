@@ -43,13 +43,19 @@ object PipelineMetrics {
   /** One micro-batch's progress snapshot (StreamingQueryProgress
     * projection). `watermark_ms` is None until the first batch that
     * carries event-time columns; rates are NaN on zero-duration batches
-    * exactly as Spark reports them. */
+    * exactly as Spark reports them. `commit_ms` is the checkpoint
+    * commit cost (offset WAL write + commit log write — Spark's
+    * `walCommit` + `commitOffsets` phases); `state_commit_ms` sums the
+    * state-store commit time across stateful operators — together the
+    * per-batch analogue of Flink's checkpoint-duration dashboard
+    * gauges. Defaults keep older persisted m03 tables readable. */
   case class BatchMetric(query_id: String, batch_id: Long,
                          input_rows: Long, batch_duration_ms: Long,
                          input_rows_per_sec: Double,
                          processed_rows_per_sec: Double,
                          watermark_ms: Option[Long], state_rows: Long,
-                         wall_time_ms: Long)
+                         wall_time_ms: Long,
+                         commit_ms: Long = 0L, state_commit_ms: Long = 0L)
 
   /** Per-batch metrics recorder. Register with
     * `spark.streams.addListener`; progress events arrive asynchronously
@@ -69,12 +75,16 @@ object PipelineMetrics {
         .map(s => java.time.Instant.parse(s).toEpochMilli)
         // Spark reports epoch (1970-01-01) before any watermark exists
         .filter(_ > 0L)
+      def dur(k: String): Long =
+        Option(p.durationMs.get(k)).map(_.longValue).getOrElse(0L)
       buf.add(BatchMetric(
         p.id.toString, p.batchId, p.numInputRows,
-        Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L),
+        dur("triggerExecution"),
         p.inputRowsPerSecond, p.processedRowsPerSecond,
         wm, p.stateOperators.map(_.numRowsTotal).sum,
-        java.time.Instant.parse(p.timestamp).toEpochMilli))
+        java.time.Instant.parse(p.timestamp).toEpochMilli,
+        commit_ms = dur("walCommit") + dur("commitOffsets"),
+        state_commit_ms = p.stateOperators.map(_.commitTimeMs).sum))
     }
 
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {

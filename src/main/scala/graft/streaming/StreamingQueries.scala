@@ -1014,7 +1014,9 @@ object StreamingQueries {
        |  SELECT page, CAST(count(*) AS BIGINT) AS n,
        |         CAST(sum(cnt) AS BIGINT) AS sx,
        |         CAST(sum(cnt * cnt) AS BIGINT) AS sxx
-       |  FROM series GROUP BY 1),
+       |  FROM series GROUP BY 1
+       |  -- x80's σ>0 guard, mirrored from cusumZ: drop unjudgeable pages
+       |  HAVING count(*) > 1 AND count(*) * sum(cnt * cnt) > sum(cnt) * sum(cnt)),
        |z AS (
        |  SELECT s.page, s.minute,
        |         sum((s.cnt - CAST(t.sx AS DOUBLE) / t.n) /

@@ -219,6 +219,20 @@ class SqlGatewaySpec extends AnyFunSuite {
       // live listener gauges reflect the streaming query just run
       assert(value("graft_stream_input_rows_total") >= 3.0, body)
       assert(value("graft_stream_micro_batches_total") >= 1.0, body)
+      // checkpoint-commit timing families (Flink checkpoint-duration
+      // parity): declared, typed, and labeled by the live query's id
+      for ((fam, typ) <- Seq(
+          "graft_stream_commit_ms_total" -> "counter",
+          "graft_stream_last_commit_ms" -> "gauge",
+          "graft_stream_state_commit_ms_total" -> "counter",
+          "graft_stream_last_state_commit_ms" -> "gauge")) {
+        assert(lines.contains(s"# TYPE $fam $typ"), s"missing # TYPE for $fam")
+        assert(series.exists(l => l.startsWith(fam + "{query_id=\"")),
+          s"$fam must carry a query_id-labeled series:\n$body")
+      }
+      // commit times are non-negative and the checkpointed query paid a
+      // real commit at least once across its batches
+      assert(value("graft_stream_commit_ms_total{") >= 0.0, body)
       // m03 rollup: the persisted run's totals, labeled by run_id
       assert(value("""graft_run_rows_total{run_id="run-scrape"}""") == 1000.0, body)
       assert(value("""graft_run_max_watermark_lag_ms{run_id="run-scrape"}""") == 500.0, body)
@@ -227,7 +241,7 @@ class SqlGatewaySpec extends AnyFunSuite {
     }
   }
 
-  test("/entries lists the registry; /entries/<name> runs an entry; unknown -> 404") {
+  test("/entries lists the registry with hints; POST runs an entry; GET execution -> 405") {
     withServer() { port =>
       val (ls, listing) = http(port, "/entries", "GET", None)
       assert(ls == 200)
@@ -236,18 +250,31 @@ class SqlGatewaySpec extends AnyFunSuite {
         "listing must cover the whole registry")
       assert(lines.exists(_.contains("\"name\":\"q07_top_pages\"")))
       assert(lines.forall(l => l.contains("\"oracle\":true") || l.contains("\"oracle\":false")))
+      // decision-table hints travel with the listing: every entry has a
+      // family, and the curated scale caveats surface on their entries
+      assert(lines.forall(_.contains("\"family\":\"")), "every entry carries a family")
+      assert(lines.exists(l => l.contains("\"name\":\"x68_bpe_merges\"") &&
+        l.contains("\"family\":\"llm-pipeline\"") && l.contains("\"scale_caveat\":\"")),
+        s"x68 must carry its scale caveat: $listing")
+      assert(lines.exists(l => l.contains("\"name\":\"q07_top_pages\"") &&
+        l.contains("\"family\":\"reference-queries\"") && !l.contains("scale_caveat")))
 
-      val (rs, rows) = http(port, "/entries/q07_top_pages", "GET", None)
+      // execution is POST-only, mirroring /sql: a GET (crawler,
+      // prefetch, probe) must never trigger Spark work
+      val (gs, gb) = http(port, "/entries/q07_top_pages", "GET", None)
+      assert(gs == 405 && gb.contains("POST"), s"GET must 405: $gs $gb")
+
+      val (rs, rows) = http(port, "/entries/q07_top_pages", "POST", Some(""))
       assert(rs == 200, rows)
       val got = rows.trim.split("\n")
       assert(got.length == 5 && got.forall(_.contains("\"page\"")),
         s"q07 over the gateway must return the 5 top pages: $rows")
 
       // limit applies to entry output exactly as it does to /sql
-      val (ls2, limited) = http(port, "/entries/q07_top_pages?limit=2", "GET", None)
+      val (ls2, limited) = http(port, "/entries/q07_top_pages?limit=2", "POST", Some(""))
       assert(ls2 == 200 && limited.trim.split("\n").length == 2)
 
-      val (ns, nf) = http(port, "/entries/no_such_entry", "GET", None)
+      val (ns, nf) = http(port, "/entries/no_such_entry", "POST", Some(""))
       assert(ns == 404 && nf.contains("no registry entry"))
     }
   }

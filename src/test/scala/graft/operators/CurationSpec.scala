@@ -585,6 +585,65 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.bpeMerges(once, numMerges = 2, minFreq = 1L).count() == 2)
   }
 
+  test("x68 BPE incremental: adversarial tie corpus where a created pair chains to the top") {
+    import spark.implicits._
+    // "abcd"×18: pairs (a,b)=(b,c)=(c,d)=18. Sequential merges (a,b)
+    // first (lex tie-break); the merge CREATES (`ab`,c)=18 which ties
+    // (c,d)=18 and wins lexicographically, so the correct second merge
+    // is (`ab`,c), not (c,d) — the created-pair-chains property that
+    // sank the batched-round design and that the incremental index must
+    // track exactly (its count structure is updated mid-stream, not
+    // recomputed per round).
+    val df = (0L until 6L).map(i => (i, "abcd abcd abcd")).toDF("doc_id", "text")
+    val expected = referenceBpe(Map("abcd" -> 18L), 6)
+    assert(expected(1)._2 == "ab" && expected(1)._3 == "c") // the trap is armed
+    val got = Curation.bpeMerges(df, numMerges = 6)
+      .select("rank", "left", "right", "pair_freq")
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == expected, s"$got != $expected")
+  }
+
+  test("x68 BPE incremental: exact on random tie-dense corpora (vs the naive reference)") {
+    import spark.implicits._
+    // tiny alphabet ⇒ dense pair ties, merged-symbol collisions
+    // (("a","bc") after ("ab","c")), overlapping same-symbol runs — the
+    // hazard paths of incremental count maintenance. The indexed kernel
+    // must equal the recount-everything reference exactly.
+    val rnd = new scala.util.Random(421)
+    (1 to 4).foreach { trial =>
+      val alphabet = "abcde"
+      val lexicon = (1 to 40).map { _ =>
+        (1 to (1 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val text = (1 to 120).map(_ => lexicon(rnd.nextInt(lexicon.length))).mkString(" ")
+      val df = Seq((0L, text)).toDF("doc_id", "text")
+      val wordFreq = text.split(" ").filter(_.nonEmpty).groupBy(identity)
+        .map { case (w, ws) => w -> ws.size.toLong }
+      val expected = referenceBpe(wordFreq, 25, minFreq = 1L)
+      val got = Curation.bpeMerges(df, numMerges = 25, minFreq = 1L)
+        .select("rank", "left", "right", "pair_freq")
+        .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+      assert(got == expected, s"trial=$trial: $got != $expected")
+    }
+  }
+
+  test("x68 BPE: minWordFreq thresholds the dictionary; maxVocab guards loudly") {
+    import spark.implicits._
+    val df = Seq((0L, "zz zz zz qq"), (1L, "zz qq ww")).toDF("doc_id", "text")
+    // minWordFreq=2 drops the hapax 'ww' before learning: with minFreq=1
+    // the learned table is exactly the one from the thresholded corpus
+    val thresholded = Curation.bpeMerges(df, numMerges = 5, minFreq = 1L,
+        minWordFreq = 2L)
+      .select("left", "right", "pair_freq").as[(String, String, Long)].collect().toSeq
+    val manual = referenceBpe(Map("zz" -> 4L, "qq" -> 2L), 5, minFreq = 1L)
+      .map(m => (m._2, m._3, m._4))
+    assert(thresholded == manual, s"$thresholded != $manual")
+    // the vocabulary guard names the knob instead of OOMing the task
+    val e = intercept[IllegalArgumentException](
+      Curation.bpeMerges(df, numMerges = 2, maxVocab = 1L))
+    assert(e.getMessage.contains("minWordFreq"))
+  }
+
   test("x68 BPE: merges on the sf0.001 corpus are deterministic and frequency-monotone-ish") {
     import spark.implicits._
     val a = Curation.bpeMerges(docs, numMerges = 8)

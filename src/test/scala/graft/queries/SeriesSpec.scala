@@ -68,6 +68,34 @@ class SeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x79 cusum: unjudgeable pages (single minute / zero variance) are excluded, not NaN") {
+    import spark.implicits._
+    // a page with one minute (n=1) or constant per-minute counts (σ=0)
+    // has no sample σ: without the guard its z is Inf/NaN and silently
+    // poisons max_s_plus. Plant both pathologies and require exclusion.
+    val dir = java.nio.file.Files.createTempDirectory("graft_x79guard_").toString
+    val ev = spark.read.parquet(TestSpark.Sf0001 + "/events.parquet")
+    val isLongTs = ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType // raw epoch-nanos
+    def shiftMin(d: org.apache.spark.sql.DataFrame, i: Int) =
+      if (isLongTs) d.withColumn("ts", col("ts") + lit(i * 60000000000L))
+      else d.withColumn("ts", col("ts") + expr(s"INTERVAL $i MINUTES"))
+    val one = ev.limit(1).cache()
+    val lone = one.withColumn("event_type", lit("qzlone")) // n = 1
+    val const = (0 until 5).map(i => // 1 event in each of 5 minutes: σ = 0
+      shiftMin(one.withColumn("event_type", lit("qzconst")), i))
+      .reduce(_ unionAll _)
+    ev.unionAll(lone).unionAll(const)
+      .write.parquet(s"$dir/events.parquet")
+    val out = ExtendedQueries.cusumDrift(spark, dir).cache()
+    val pages = out.select("page").as[String].collect().toSet
+    assert(pages.nonEmpty && !pages.contains("qzlone") && !pages.contains("qzconst"),
+      s"unjudgeable pages leaked into x79 output: $pages")
+    assert(out.filter(col("max_s_plus").isNaN ||
+      abs(col("max_s_plus")) === Double.PositiveInfinity).count() == 0)
+    out.unpersist(); one.unpersist()
+  }
+
   test("x79 cusum: detects a planted level shift the pointwise z-score misses") {
     import spark.implicits._
     // 200 minutes at ~N(10, 1), then 100 minutes shifted by +0.8 sigma:
