@@ -354,7 +354,8 @@ object SqlGateway {
     // SparkEntry registry name with its decision-table hints (oracle
     // flag, operator family, scale caveat); POST /entries/<name> runs
     // it against the gateway's fixture dir under the same
-    // job-group/timeout/limit discipline as /sql. Execution is
+    // job-group/timeout/limit discipline as /sql. The listing is
+    // GET-only (405 otherwise); execution is
     // POST-ONLY (405 on GET), mirroring /sql: several entries run
     // multi-minute streaming jobs and write temp dirs, and a GET that
     // does heavy work is one crawler or browser prefetch away from a
@@ -364,7 +365,12 @@ object SqlGateway {
         requests.incrementAndGet()
         val path = ex.getRequestURI.getPath.stripPrefix("/entries")
           .stripPrefix("/").trim
-        if (path.isEmpty) {
+        if (path.isEmpty && ex.getRequestMethod != "GET")
+          // same method hygiene as /sql and /entries/<name>: the bare
+          // listing is a read, served only on GET
+          respond(ex, 405,
+            """{"error":"GET /entries lists registry entries"}""" + "\n")
+        else if (path.isEmpty) {
           val names = SparkEntry.queries.keySet
           val oracled = SparkEntry.oracleSql.keySet
           val body = names.toSeq.sorted.map { n =>

@@ -981,18 +981,57 @@ object Curation {
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .filter(col("freq") >= minWordFreq)
-    val nVocab = words.count()
-    require(nVocab <= maxVocab,
-      s"BPE vocabulary has $nVocab distinct words > maxVocab=$maxVocab; " +
-        "raise minWordFreq (frequency-thresholding the dictionary is the " +
-        "standard practice for web-scale corpora) or raise maxVocab")
-    words
-      .as[(String, Long)]
-      .map { case (w, f) => (w.map(_.toString).toArray, f) }
-      .coalesce(1) // the learner is one task over the vocabulary relation
-      .mapPartitions(it => learnBpeKernel(it.toArray, numMerges, minFreq).iterator)
-      .toDF("rank", "left", "right", "merged", "pair_freq")
-      .orderBy("rank")
+    // ONE corpus-sized job: the vocabulary guard rides inside the kernel
+    // task — the dictionary is counted AS it buffers, throwing the
+    // moment the count passes maxVocab (memory stays bounded by the
+    // knob, never by the corpus) — instead of a separate words.count()
+    // scan doubling the only corpus-sized work. The merge table is
+    // ≤ numMerges rows — driver-sized by design — so it is materialized
+    // here and the guard's IllegalArgumentException unwrapped from
+    // Spark's task-failure wrapper to stay a loud, typed driver error.
+    val rows =
+      try {
+        words
+          .as[(String, Long)]
+          .map { case (w, f) => (w.map(_.toString).toArray, f) }
+          .coalesce(1) // the learner is one task over the vocabulary relation
+          .mapPartitions { it =>
+            val vocab = scala.collection.mutable.ArrayBuffer.empty[(Array[String], Long)]
+            while (it.hasNext) {
+              require(vocab.length < maxVocab,
+                s"BPE vocabulary has more than maxVocab=$maxVocab distinct words; " +
+                  "raise minWordFreq (frequency-thresholding the dictionary is the " +
+                  "standard practice for web-scale corpora) or raise maxVocab")
+              vocab += it.next()
+            }
+            learnBpeKernel(vocab.toArray, numMerges, minFreq).iterator
+          }
+          .collect()
+      } catch {
+        case e: Throwable =>
+          Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+            .collectFirst { case iae: IllegalArgumentException => iae }
+            .foreach(throw _)
+          throw e
+      }
+    rows.sortBy(_._1).toSeq.toDF("rank", "left", "right", "merged", "pair_freq")
+  }
+
+  /** String comparison by Unicode CODE POINTS — identical to comparing
+    * the UTF-8 encodings byte-for-byte, and to Spark's `UTF8String`
+    * binary comparator — without allocating. `Ordering.String` (UTF-16
+    * code units) disagrees with it exactly when a supplementary-plane
+    * character meets a BMP character in `[U+E000, U+FFFF]`. */
+  private[operators] val codePointOrder: Ordering[String] = new Ordering[String] {
+    def compare(x: String, y: String): Int = {
+      var i = 0; var j = 0
+      while (i < x.length && j < y.length) {
+        val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+        if (cx != cy) return Integer.compare(cx, cy)
+        i += Character.charCount(cx); j += Character.charCount(cy)
+      }
+      Integer.compare(x.length - i, y.length - j)
+    }
   }
 
   /** The exact sequential learn_bpe over an in-memory (symbols, freq)
@@ -1013,9 +1052,13 @@ object Curation {
     val freqs = vocab.map(_._2)
     val counts = scala.collection.mutable.HashMap.empty[Pair, Long]
     val where = scala.collection.mutable.HashMap.empty[Pair, scala.collection.mutable.HashSet[Int]]
-    // learn_bpe's argmax order: freq desc, then (left, right) asc
+    // learn_bpe's argmax order: freq desc, then (left, right) asc in
+    // CODE-POINT order (≡ Spark UTF8String binary order) — Java's
+    // default String ordering compares UTF-16 code units, which ranks
+    // supplementary-plane symbols below BMP symbols ≥ U+E000 and would
+    // silently flip tie winners vs the engine-side binary semantics
     implicit val ord: Ordering[(Long, String, String)] =
-      Ordering.Tuple3(Ordering.Long.reverse, Ordering.String, Ordering.String)
+      Ordering.Tuple3(Ordering.Long.reverse, codePointOrder, codePointOrder)
     val order = scala.collection.mutable.TreeSet.empty[(Long, String, String)]
 
     def pairsOf(syms: Array[String]): Iterator[Pair] =

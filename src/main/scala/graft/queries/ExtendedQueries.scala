@@ -1198,6 +1198,11 @@ object ExtendedQueries {
   // combined with one identical double formula in both engines, and
   // ordered-window prefix sums evaluate left-to-right identically —
   // the whole statistic is hash-verifiable with no rounding.
+  // NOTE: on a corpus where NO page is judgeable (every per-page series
+  // is a single minute or constant — e.g. very sparse data), the σ>0
+  // guard empties the output entirely: zero rows means "no judgeable
+  // series", not "no drift anywhere". Callers needing the distinction
+  // should compare against the page count of the unguarded series.
   // ---------------------------------------------------------------------
   // single source of truth with the streamed twin (s29)
   private val CusumK = graft.streaming.DriftDetector.K // slack per step, σ units
@@ -1217,8 +1222,14 @@ object ExtendedQueries {
       // x80's guard, verbatim: a 1-minute or constant series has no
       // sample σ — z would be Inf/NaN and silently poison max_s_plus
       // downstream. Exact integer arithmetic (n·Σx² > (Σx)² ⟺ σ > 0)
-      // excludes unjudgeable pages identically in both engines.
-      .filter(col("n") > 1 && col("n") * col("sxx") > col("sx") * col("sx"))
+      // excludes unjudgeable pages identically in both engines. The
+      // products are computed in decimal(38,0) — Spark's non-ANSI int64
+      // multiply silently wraps, while DuckDB promotes sum() to HUGEINT
+      // and compares exactly; decimal keeps both sides exact to 10³⁸,
+      // far past any physical event count.
+      .filter(col("n") > 1 &&
+        col("n").cast("decimal(38,0)") * col("sxx").cast("decimal(38,0)") >
+        col("sx").cast("decimal(38,0)") * col("sx").cast("decimal(38,0)"))
     series.join(stats, "page")
       .withColumn("mu", col("sx").cast("double") / col("n"))
       .withColumn("sigma", sqrt(
@@ -1253,7 +1264,8 @@ object ExtendedQueries {
        |         CAST(sum(cnt) AS BIGINT) AS sx,
        |         CAST(sum(cnt * cnt) AS BIGINT) AS sxx
        |  FROM series GROUP BY 1
-       |  HAVING count(*) > 1 AND count(*) * sum(cnt * cnt) > sum(cnt) * sum(cnt)),
+       |  HAVING count(*) > 1 AND CAST(count(*) AS HUGEINT) * CAST(sum(cnt * cnt) AS HUGEINT)
+       |         > CAST(sum(cnt) AS HUGEINT) * CAST(sum(cnt) AS HUGEINT)),
        |z AS (
        |  SELECT s.page, s.minute,
        |         sum((s.cnt - CAST(t.sx AS DOUBLE) / t.n) /
@@ -1294,8 +1306,12 @@ object ExtendedQueries {
       .agg(count(lit(1)).as("n"), sum(col("cnt")).as("sx"),
            sum(col("cnt") * col("cnt")).as("sxx"))
       // a 1-minute or constant stratum has no sample σ — unjudgeable;
-      // the guard is exact integer arithmetic (n·Σx² > (Σx)²  ⟺  σ > 0)
-      .filter(col("n") > 1 && col("n") * col("sxx") > col("sx") * col("sx"))
+      // the guard is exact integer arithmetic (n·Σx² > (Σx)²  ⟺  σ > 0),
+      // widened to decimal(38,0) so Spark's wrapping int64 multiply can
+      // never disagree with DuckDB's HUGEINT promotion at large counts
+      .filter(col("n") > 1 &&
+        col("n").cast("decimal(38,0)") * col("sxx").cast("decimal(38,0)") >
+        col("sx").cast("decimal(38,0)") * col("sx").cast("decimal(38,0)"))
     series.withColumn("hod", hour(col("minute")))
       .join(broadcast(strata), Seq("page", "hod"))
       .withColumn("expected", col("sx").cast("double") / col("n"))
@@ -1318,7 +1334,8 @@ object ExtendedQueries {
        |         CAST(sum(cnt) AS BIGINT) AS sx,
        |         CAST(sum(cnt * cnt) AS BIGINT) AS sxx
        |  FROM series GROUP BY 1, 2
-       |  HAVING count(*) > 1 AND count(*) * sum(cnt * cnt) > sum(cnt) * sum(cnt)),
+       |  HAVING count(*) > 1 AND CAST(count(*) AS HUGEINT) * CAST(sum(cnt * cnt) AS HUGEINT)
+       |         > CAST(sum(cnt) AS HUGEINT) * CAST(sum(cnt) AS HUGEINT)),
        |z AS (
        |  SELECT s.page, s.minute, s.cnt,
        |         CAST(t.sx AS DOUBLE) / t.n AS expected,

@@ -48,7 +48,12 @@ object PipelineMetrics {
     * `walCommit` + `commitOffsets` phases); `state_commit_ms` sums the
     * state-store commit time across stateful operators — together the
     * per-batch analogue of Flink's checkpoint-duration dashboard
-    * gauges. Defaults keep older persisted m03 tables readable. */
+    * gauges. Older persisted m03 tables (written before these two
+    * columns existed) stay readable because `runSummary` reads untyped
+    * columns and never selects them — Spark encoders do NOT fill Scala
+    * default parameter values when decoding, so a typed read of an old
+    * table would need an explicit schema supplying the missing
+    * columns. */
   case class BatchMetric(query_id: String, batch_id: Long,
                          input_rows: Long, batch_duration_ms: Long,
                          input_rows_per_sec: Double,

@@ -785,15 +785,18 @@ object StreamingQueries {
   // the cap's binding behavior is proven on a planted boilerplate
   // fixture in `StreamingSpec`.
   //
-  // 100 TB posture: the static relations are computed ONCE
-  // (localCheckpoint) but a sort-merge stream-static join still
-  // re-exchanges the static side per micro-batch. At a 100 TB reference
-  // corpus the production shape is the blocked (sh → doc) relation
-  // stored as a table BUCKETED by sh (the s21 machinery): each
-  // micro-batch then shuffles only its own exploded shingles into
-  // co-located buckets, and the reference is never re-shuffled. The
-  // per-batch work is O(batch shingles × avg capped df) by the cap
-  // bound, independent of reference size.
+  // 100 TB posture: the static relations are computed ONCE, pre-
+  // partitioned + sorted on their join keys, and pinned (localCheckpoint
+  // preserves partitioning/ordering through LogicalRDD), so a micro-
+  // batch never re-shuffles or re-sorts the reference — only its own
+  // exploded shingles exchange per batch (the per-batch static
+  // re-exchange was the floor behind r8's 8.0× wall at 30× corpus;
+  // see COVERAGE.md for the re-measurement). When the reference must OUTLIVE
+  // the process, the durable equivalent is the same relation stored as
+  // a table BUCKETED by sh (the s21 machinery) — identical plan shape,
+  // bucket scan instead of cached blocks. The per-batch join work is
+  // O(batch shingles × avg capped df) by the cap bound, independent of
+  // reference size.
   // ---------------------------------------------------------------------
   private val NearDupRefCap = 4
 
@@ -813,15 +816,29 @@ object StreamingQueries {
       array_distinct(word_shingles(text, 3))
 
     // static side, computed once batch-side: full shingle array per
-    // reference doc + the df-capped exploded blocking relation
+    // reference doc + the df-capped exploded blocking relation. Each is
+    // PRE-PARTITIONED AND SORTED ON ITS JOIN KEY before the pin:
+    // localCheckpoint materializes a LogicalRDD that CARRIES the
+    // physical partitioning + ordering, so every micro-batch's
+    // stream-static sort-merge join satisfies the static side's
+    // distribution/ordering requirements from the cached blocks — only
+    // the (batch-sized) stream side exchanges per batch. Without this,
+    // each of the 2 joins re-shuffled AND re-sorted the corpus-sized
+    // static relation every micro-batch — measured 8.0× wall at 30×
+    // corpus (r8); the re-exchange was the whole floor.
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val refShingles = reference
       .select(col("doc_id").as("id_ref"), shArr(col("text")).as("ref_sh"))
-      .localCheckpoint() // feeds two joins per micro-batch; pin it
+      .repartition(nPart, col("id_ref"))
+      .sortWithinPartitions("id_ref")
+      .localCheckpoint() // feeds a join every micro-batch; pin it
     val blocked = refShingles
       .select(col("id_ref"), explode(col("ref_sh")).as("sh"))
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("__df") <= refCap)
       .drop("__df")
+      .repartition(nPart, col("sh"))
+      .sortWithinPartitions("sh")
       .localCheckpoint()
 
     incoming.select(col("doc_id"), col("text"))
@@ -1016,7 +1033,9 @@ object StreamingQueries {
        |         CAST(sum(cnt * cnt) AS BIGINT) AS sxx
        |  FROM series GROUP BY 1
        |  -- x80's σ>0 guard, mirrored from cusumZ: drop unjudgeable pages
-       |  HAVING count(*) > 1 AND count(*) * sum(cnt * cnt) > sum(cnt) * sum(cnt)),
+       |  -- (explicit HUGEINT mirrors cusumZ's decimal(38,0) widening)
+       |  HAVING count(*) > 1 AND CAST(count(*) AS HUGEINT) * CAST(sum(cnt * cnt) AS HUGEINT)
+       |         > CAST(sum(cnt) AS HUGEINT) * CAST(sum(cnt) AS HUGEINT)),
        |z AS (
        |  SELECT s.page, s.minute,
        |         sum((s.cnt - CAST(t.sx AS DOUBLE) / t.n) /

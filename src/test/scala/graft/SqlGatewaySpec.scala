@@ -264,6 +264,10 @@ class SqlGatewaySpec extends AnyFunSuite {
       val (gs, gb) = http(port, "/entries/q07_top_pages", "GET", None)
       assert(gs == 405 && gb.contains("POST"), s"GET must 405: $gs $gb")
 
+      // and the listing is GET-only — method hygiene cuts both ways
+      val (ps, pb) = http(port, "/entries", "POST", Some(""))
+      assert(ps == 405 && pb.contains("GET"), s"POST listing must 405: $ps $pb")
+
       val (rs, rows) = http(port, "/entries/q07_top_pages", "POST", Some(""))
       assert(rs == 200, rows)
       val got = rows.trim.split("\n")

@@ -644,6 +644,23 @@ class CurationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("minWordFreq"))
   }
 
+  test("x68 BPE: argmax ties break in code-point order, not UTF-16 code-unit order") {
+    // U+E000 (BMP private-use) vs U+10000 (supplementary 𐀀): by code
+    // points E000 < 10000 is FALSE numerically — 0xE000=57344 <
+    // 0x10000=65536 — so U+E000 sorts first; by raw UTF-16 units the
+    // supplementary char starts with the surrogate 0xD800=55296 < 0xE000
+    // and would wrongly win the tie. The kernel must match the
+    // engine-side (UTF8String binary ≡ code-point) semantics.
+    assert(Curation.codePointOrder.compare("\uE000", "\uD800\uDC00") < 0)
+    assert(Curation.codePointOrder.compare("a", "ab") < 0) // prefix sorts first
+    val vocab = Array(
+      (Array("\uD800\uDC00", "a"), 1L), // (𐀀, a) — count 1
+      (Array("\uE000", "a"), 1L))       // (U+E000, a) — count 1, tie
+    val got = Curation.learnBpeKernel(vocab, numMerges = 1, minFreq = 1L)
+    assert(got.length == 1 && got(0)._2 == "\uE000",
+      s"tie must go to U+E000 by code points, got left=${got(0)._2.codePointAt(0).toHexString}")
+  }
+
   test("x68 BPE: merges on the sf0.001 corpus are deterministic and frequency-monotone-ish") {
     import spark.implicits._
     val a = Curation.bpeMerges(docs, numMerges = 8)

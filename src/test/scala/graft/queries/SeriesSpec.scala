@@ -85,11 +85,20 @@ class SeriesSpec extends AnyFunSuite {
     val const = (0 until 5).map(i => // 1 event in each of 5 minutes: σ = 0
       shiftMin(one.withColumn("event_type", lit("qzconst")), i))
       .reduce(_ unionAll _)
-    ev.unionAll(lone).unionAll(const)
+    // a judgeable survivor: per-minute counts {2,1,1,1,1} — n > 1, σ > 0.
+    // At sf0.001 every natural page's series is all-1s (σ = 0), so
+    // without this plant the guard correctly empties the output and
+    // there is nothing to assert survivorship on.
+    val vary = Seq(0, 0, 1, 2, 3, 4).map(i =>
+      shiftMin(one.withColumn("event_type", lit("qzvary")), i))
+      .reduce(_ unionAll _)
+    ev.unionAll(lone).unionAll(const).unionAll(vary)
       .write.parquet(s"$dir/events.parquet")
     val out = ExtendedQueries.cusumDrift(spark, dir).cache()
     val pages = out.select("page").as[String].collect().toSet
-    assert(pages.nonEmpty && !pages.contains("qzlone") && !pages.contains("qzconst"),
+    assert(pages.contains("qzvary"),
+      s"judgeable planted page missing from x79 output: $pages")
+    assert(!pages.contains("qzlone") && !pages.contains("qzconst"),
       s"unjudgeable pages leaked into x79 output: $pages")
     assert(out.filter(col("max_s_plus").isNaN ||
       abs(col("max_s_plus")) === Double.PositiveInfinity).count() == 0)
