@@ -49,6 +49,16 @@ object RetrievalScale {
       println(f"$label%-34s rows=$n%6d wall=$sec%7.2fs shuffle_rows=${rows.get() - r0}%12d")
     }
 
+    // On the synthetic corpus every EVAL-SLICE query term is a blanket
+    // term (df ≈ 0.77·n — the fixture's vocabulary is nearly a delta;
+    // its rare tail never appears in a query doc), so any binding cap
+    // empties the result here BY DESIGN: a corpus where every query term
+    // blankets has nothing retrievable once blanket terms are dropped.
+    // What this harness therefore measures is the POSTINGS bound — the
+    // capped run's shuffle rows must stay scale-constant while the
+    // uncapped run's grow with the clique corpus. Semantic preservation
+    // under a binding-but-not-degenerate cap (rare terms still retrieve)
+    // is spec-proven on a planted corpus in CurationSpec.
     run("warmup(1x, uncapped)", src, None)
     println("--- matrix ---")
     run("corpus=1x   uncapped", src, None)

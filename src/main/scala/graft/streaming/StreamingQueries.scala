@@ -789,12 +789,18 @@ object StreamingQueries {
   // partitioned + sorted on their join keys, and pinned (localCheckpoint
   // preserves partitioning/ordering through LogicalRDD), so a micro-
   // batch never re-shuffles or re-sorts the reference — only its own
-  // exploded shingles exchange per batch (the per-batch static
-  // re-exchange was the floor behind r8's 8.0× wall at 30× corpus;
-  // see COVERAGE.md for the re-measurement). When the reference must OUTLIVE
-  // the process, the durable equivalent is the same relation stored as
-  // a table BUCKETED by sh (the s21 machinery) — identical plan shape,
-  // bucket scan instead of cached blocks. The per-batch join work is
+  // exploded shingles exchange per batch. r8's 8.0× wall at 30× corpus
+  // had TWO per-batch floors, both removed in r10 (measured by
+  // StageShuffle's per-stage wall attribution): the dominant one was the
+  // one-file micro-batch mapping to ONE input partition, serializing the
+  // shingle kernel per batch (fixed by a batch-sized repartition before
+  // the explode — 114.7 s → 24.3 s at 30× in the profiling run); the
+  // other was the static re-exchange this pre-partitioning removes.
+  // Re-measured 2.78× wall at 30× with exactly linear shuffle rows
+  // (COVERAGE.md). When the reference must OUTLIVE the process, the
+  // durable equivalent is the same relation stored as a table BUCKETED
+  // by sh (the s21 machinery) — identical plan shape, bucket scan
+  // instead of cached blocks. The per-batch join work is
   // O(batch shingles × avg capped df) by the cap bound, independent of
   // reference size.
   // ---------------------------------------------------------------------
@@ -824,8 +830,9 @@ object StreamingQueries {
     // distribution/ordering requirements from the cached blocks — only
     // the (batch-sized) stream side exchanges per batch. Without this,
     // each of the 2 joins re-shuffled AND re-sorted the corpus-sized
-    // static relation every micro-batch — measured 8.0× wall at 30×
-    // corpus (r8); the re-exchange was the whole floor.
+    // static relation every micro-batch — one of the two floors behind
+    // r8's 8.0× wall at 30× corpus (the other, larger one: the serial
+    // per-batch explode, fixed below at the stream source).
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val refShingles = reference
       .select(col("doc_id").as("id_ref"), shArr(col("text")).as("ref_sh"))
@@ -849,6 +856,13 @@ object StreamingQueries {
         StructField("text", StringType))))
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
+      // a micro-batch arrives as ONE file and the file source maps it to
+      // ONE input partition, so without this exchange the shingle kernel
+      // + explode run SERIAL per batch (measured: ~8 s single-task
+      // stages per batch at 30× corpus). The exchange is batch-sized
+      // (doc_id, text) rows — cheap — and fans the row-local work across
+      // the executors before anything expensive happens.
+      .repartition(nPart)
       .select(col("doc_id").as("id_in"), shArr(col("text")).as("in_sh"))
       .select(col("id_in"), col("in_sh"), explode(col("in_sh")).as("sh"))
       .join(blocked, "sh")
