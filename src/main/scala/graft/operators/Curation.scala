@@ -1127,9 +1127,10 @@ object Curation {
     * independent implementation of exactly that): a later merge can
     * only COMBINE adjacent symbols, never remove one, so it cannot
     * create a new adjacency of an earlier merge's pair — each rule is
-    * exhausted once its pass runs. O(merges · |word|); the
-    * rank-heap encoder is O(|word| log |word|) independent of table
-    * size and is the production swap for 30k+-merge tables. */
+    * exhausted once its pass runs. O(merges · |word|) — kept as the
+    * independently-shaped SPEC REFERENCE for the shipped
+    * [[encodeWordRankHeap]] kernel (O(|word| log |word|), table-size
+    * independent), which [[bpeEncode]] uses. */
   private[operators] def encodeWord(word: String,
                                     merges: Array[(String, String)]): Array[String] = {
     var syms: Array[String] = word.map(_.toString).toArray
@@ -1142,14 +1143,100 @@ object Curation {
     syms
   }
 
+  /** Pair → rank lookup for [[encodeWordRankHeap]], built once per
+    * table and closure-shipped to executors (java.util.HashMap: O(1)
+    * probes, Serializable, no Option allocation in the hot loop). */
+  private[operators] def rankTable(
+      merges: Seq[(String, String)]): java.util.HashMap[(String, String), Integer] = {
+    val m = new java.util.HashMap[(String, String), Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case (p, i) => m.put(p, Integer.valueOf(i)) }
+    m
+  }
+
+  /** The PRODUCTION encoder for large merge tables: Sennrich's
+    * apply_bpe as a rank-heap over the word's adjacent pairs —
+    * O(|word| log |word|) INDEPENDENT of table size, where
+    * [[encodeWord]] pays one pass per rule (fine at dashboard-sized
+    * tables; 32k passes per word at a production vocabulary). Symbols
+    * live in a doubly linked list over the word's positions; the heap
+    * orders candidate merges by (rank, original position) — position
+    * ascending realizes the pass form's leftmost-first order for
+    * equal-rank occurrences — and stale entries are validated lazily on
+    * pop (skip unless the popped pair is still live at that position
+    * with that exact rank; ranks are unique per pair, so a revalidated
+    * entry is always the correct next merge). Output is identical to
+    * [[encodeWord]] on any LEARNED table: merges never remove symbols,
+    * so a newly created adjacency always involves the merged symbol,
+    * and every learned pair containing that symbol has a strictly
+    * greater rank — no pair ranked below the current minimum can ever
+    * appear (equality spec-proven per word, including tie-dense random
+    * and chained-argmax corpora). */
+  private[operators] def encodeWordRankHeap(
+      word: String,
+      rank: java.util.HashMap[(String, String), Integer]): Array[String] = {
+    val n = word.length
+    if (n <= 1) return word.map(_.toString).toArray
+    val syms = new Array[String](n)
+    var i = 0
+    while (i < n) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
+    val next = new Array[Int](n)
+    val prev = new Array[Int](n)
+    val alive = new Array[Boolean](n)
+    i = 0
+    while (i < n) {
+      prev(i) = i - 1
+      next(i) = if (i == n - 1) -1 else i + 1
+      alive(i) = true
+      i += 1
+    }
+    val pq = new java.util.PriorityQueue[Array[Int]](n,
+      (x: Array[Int], y: Array[Int]) =>
+        if (x(0) != y(0)) Integer.compare(x(0), y(0))
+        else Integer.compare(x(1), y(1)))
+    def offer(l: Int): Unit = if (l >= 0) {
+      val r = next(l)
+      if (r >= 0) {
+        val rk = rank.get((syms(l), syms(r)))
+        if (rk != null) pq.add(Array(rk.intValue, l))
+      }
+    }
+    i = 0
+    while (i < n - 1) { offer(i); i += 1 }
+    while (!pq.isEmpty) {
+      val e = pq.poll()
+      val l = e(1)
+      val r = if (alive(l)) next(l) else -1
+      if (r >= 0) {
+        val cur = rank.get((syms(l), syms(r)))
+        if (cur != null && cur.intValue == e(0)) {
+          syms(l) = syms(l) + syms(r)
+          alive(r) = false
+          val rr = next(r)
+          next(l) = rr
+          if (rr >= 0) prev(rr) = l
+          offer(prev(l))
+          offer(l)
+        }
+      }
+    }
+    val out = Array.newBuilder[String]
+    var c = 0
+    while (c >= 0) { out += syms(c); c = next(c) }
+    out.result()
+  }
+
   /** Tokenize the corpus with a learned BPE merge table — the ENCODE
     * half of subword tokenization (x68 learns the table, this applies
     * it), producing the per-document subword statistics a token-budget
     * planner consumes: word count, subword-unit count and distinct
     * units per document. `merges` is the model artifact ((left, right)
     * in rank order — tiny: k rows) and ships to executors by closure
-    * broadcast; the encode itself is row-local partition work with ZERO
-    * shuffles — the only exchange in the plan is the presentation sort.
+    * broadcast as a pair→rank hash table; each word encodes via the
+    * table-size-independent [[encodeWordRankHeap]] kernel, so a
+    * production 32k-merge vocabulary costs the same per word as a
+    * 20-merge one. The encode itself is row-local partition work with
+    * ZERO shuffles — the only exchange in the plan is the presentation
+    * sort.
     * At high word-repetition rates the dictionary trick applies (encode
     * DISTINCT words once, join counts back on the token — one
     * vocabulary-sized shuffle instead of re-encoding repeats), the same
@@ -1160,7 +1247,7 @@ object Curation {
                 textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val table = merges.toArray
+    val table = rankTable(merges)
     docs.select(col("doc_id").cast("long"), col(textCol))
       .as[(Long, String)]
       .map { case (id, text) =>
@@ -1170,7 +1257,7 @@ object Curation {
         text.split(" ").foreach { w =>
           if (w.nonEmpty) {
             nWords += 1
-            val units = encodeWord(w, table)
+            val units = encodeWordRankHeap(w, table)
             nUnits += units.length
             units.foreach(seen += _)
           }

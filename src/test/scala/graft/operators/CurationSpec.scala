@@ -728,6 +728,39 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("x69 BPE encode: rank-heap kernel == pass kernel == apply_bpe, incl. adversarial tables") {
+    import spark.implicits._
+    // three independent algorithms must agree word-for-word: the
+    // one-pass-per-rule form, the (rank, leftmost) reference above, and
+    // the shipped rank-heap kernel
+    def all3(w: String, merges: Seq[(String, String)]): Unit = {
+      val heap = Curation.encodeWordRankHeap(w, Curation.rankTable(merges)).toList
+      assert(heap == Curation.encodeWord(w, merges.toArray).toList, s"word '$w' vs pass form")
+      assert(heap == referenceEncode(w, merges), s"word '$w' vs apply_bpe reference")
+      assert(heap.mkString == w, s"word '$w': units do not rejoin")
+    }
+    // the chained-argmax table: merge 2 consumes merge 1's output
+    val chained = Seq(("a", "b"), ("ab", "c"), ("abc", "d"), ("c", "d"))
+    Seq("abcd", "abcdabcd", "aabbccdd", "dcba", "abcabd", "").foreach(all3(_, chained))
+    // overlapping same-pair occurrences: leftmost-first tie-break
+    val aa = Seq(("a", "a"), ("aa", "a"))
+    Seq("aaa", "aaaa", "aaaaa", "aaaaaaa", "baab", "aabaa").foreach(all3(_, aa))
+    // random tie-dense corpora: LEARN a table, then encode random words
+    // drawn from the same tiny alphabet (ties everywhere by design)
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 15) {
+      val vocabWords = Seq.fill(8)((1 to (2 + rnd.nextInt(5)))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      val vocab = vocabWords.groupBy(identity).map { case (w, ws) =>
+        (w.map(_.toString).toArray, ws.size.toLong) }.toArray
+      val merges = Curation.learnBpeKernel(vocab, numMerges = 6, minFreq = 1L)
+        .map(m => (m._2, m._3)).toSeq
+      val words = Seq.fill(30)((1 to (1 + rnd.nextInt(8)))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      (vocabWords ++ words).foreach(all3(_, merges))
+    }
+  }
+
   test("x69 BPE encode: learn→encode is consistent and the entry is deterministic") {
     import spark.implicits._
     val merges = Curation.bpeMerges(docs, numMerges = 8)
