@@ -63,9 +63,9 @@ object SparkEntry {
     "x10_knn_bruteforce" ->
       "exact full-scan baseline — use x15/x45/x46 (IVF/PQ) at scale",
     "x68_bpe_merges" ->
-      "round-sequential on the vocabulary relation: wall grows with corpus size, not merge count",
+      "vocabulary must fit one executor task (maxVocab guard) — raise minWordFreq at web scale",
     "s25_stream_neardup" ->
-      "per-micro-batch planning floor dominates at high micro-batch counts",
+      "static reference pinned in executor memory — use the bucketed-table variant when it must outlive the process",
     "x82_chi_square" ->
       "global window over the |devices|x|pages| cells relation (dashboard-sized by construction)")
 }

@@ -31,19 +31,26 @@ object Curation {
   val TrainUpper = "cc"
   val ValUpper   = "e6"
 
+  /** The split of one id as a pure ROW-LOCAL expression — the function
+    * both [[withSplit]] and the leakage audit (x83) apply. Because the
+    * split is a function of the id alone, consumers never join a split
+    * relation: any row carrying the id can compute its split in place,
+    * at zero shuffle cost. */
+  def splitOf(idCol: Column): Column = {
+    val bucket = substring(md5(idCol.cast("string")), 1, 2)
+    when(bucket < TrainUpper, "train")
+      .when(bucket < ValUpper, "val")
+      .otherwise("test")
+  }
+
   /** Deterministic split assignment: md5 of the STRING form of the id.
     * Content-stable — re-running on a grown corpus never reassigns an
     * existing id, which is what makes the split reproducible across
     * ingestion batches at scale (a random() split is not). Row-local;
     * zero shuffles. */
-  def withSplit(df: DataFrame, idCol: Column): DataFrame = {
-    val bucket = substring(md5(idCol.cast("string")), 1, 2)
-    df.withColumn("bucket", bucket)
-      .withColumn("split",
-        when(bucket < TrainUpper, "train")
-          .when(bucket < ValUpper, "val")
-          .otherwise("test"))
-  }
+  def withSplit(df: DataFrame, idCol: Column): DataFrame =
+    df.withColumn("bucket", substring(md5(idCol.cast("string")), 1, 2))
+      .withColumn("split", splitOf(idCol))
 
   // ---- x21: rule-based quality filter (C4/Gopher rule family) ----------
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{TextFunctions => TF, VectorFunctions}
-import graft.operators.{AsOfJoin, Components, Dedup, Multimodal, Sessionize, SimilaritySearch}
+import graft.operators.{AsOfJoin, Components, Curation, Dedup, Multimodal, Sessionize, SimilaritySearch}
 
 /** Beyond-reference operators (SURVEY.md §7.7 / north star): text
   * analysis, dedup family, similarity search, multimodal plumbing —
@@ -540,6 +540,73 @@ object ExtendedQueries {
        |JOIN sizes za ON id_a = za.doc_id
        |JOIN sizes zb ON id_b = zb.doc_id
        |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x83 — SPLIT-LEAKAGE audit: near-duplicate pairs that CROSS the
+  // deterministic train/val/test boundary — the "is the eval split
+  // already in train through a near-duplicate" check every training
+  // pipeline needs before trusting its held-out metrics (x20 keeps a
+  // single document's split stable, but near-dup FAMILIES straddle
+  // splits whenever their members' ids hash to different buckets; x26
+  // catches only EXACT shared n-grams against a designated benchmark
+  // set — this audits fuzzy overlap across the split boundary itself).
+  // Composition of two measured-bounded pieces, nothing new to scale:
+  // candidates come from the df-capped generator (x62's cap — bounded
+  // on the clique pathology and ~linear at 100×), and the split is a
+  // pure row-local function of the id (Curation.splitOf), so labeling
+  // the pairs costs ZERO additional shuffles — no join against a split
+  // relation anywhere in the plan.
+  // ---------------------------------------------------------------------
+  private val LeakThreshold = 0.5
+
+  def splitLeakage(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairsCapped(Tables.documents(s, dir),
+        n = 3, threshold = LeakThreshold, maxDf = TopKCapDf)
+      .withColumn("split_a", Curation.splitOf(col("id_a")))
+      .withColumn("split_b", Curation.splitOf(col("id_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "split_a", "id_b", "split_b", "jaccard")
+      .orderBy("id_a", "id_b")
+
+  val splitLeakageSql: String = {
+    def splitCase(id: String) =
+      s"""CASE WHEN substr(md5(CAST($id AS VARCHAR)), 1, 2) < '${Curation.TrainUpper}' THEN 'train'
+         |     WHEN substr(md5(CAST($id AS VARCHAR)), 1, 2) < '${Curation.ValUpper}' THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), grams AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(greatest(len(w) - 2, 0)),
+       |                               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+       |  FROM toks
+       |), df AS (
+       |  SELECT sh, COUNT(*) AS df FROM grams GROUP BY sh
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM grams a
+       |  JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  JOIN df ON df.sh = a.sh
+       |  WHERE df.df <= $TopKCapDf
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+       |  FROM grams a
+       |  JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+       |  GROUP BY 1, 2
+       |), jac AS (
+       |  SELECT id_a, ${splitCase("id_a")} AS split_a,
+       |         id_b, ${splitCase("id_b")} AS split_b,
+       |         CAST(i AS DOUBLE) / (za.sz + zb.sz - i) AS jaccard
+       |  FROM inter
+       |  JOIN sizes za ON id_a = za.doc_id
+       |  JOIN sizes zb ON id_b = zb.doc_id)
+       |SELECT id_a, split_a, id_b, split_b, jaccard FROM jac
+       |WHERE jaccard >= $LeakThreshold AND split_a <> split_b
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // x63 — cross-corpus dedup with DF-CAPPED candidates: the
@@ -1979,6 +2046,7 @@ object ExtendedQueries {
     "x37_dedup_keep_best"    -> ((dedupKeepBest _, Some(dedupKeepBestSql))),
     "x57_components_capped"  -> ((dedupComponentsCapped _, Some(dedupComponentsCappedSql))),
     "x62_ngram_topk_capped"  -> ((ngramTopKCapped _, Some(ngramTopKCappedSql))),
+    "x83_split_leakage"      -> ((splitLeakage _, Some(splitLeakageSql))),
     "x63_cross_corpus_capped" -> ((crossCorpusCapped _, Some(crossCorpusCappedSql))),
     "x64_dup_spans"          -> ((dupSpans _, Some(dupSpansSql))),
     "x65_span_dup_profile"   -> ((dupSpanProfile _, Some(dupSpanProfileSql))),

@@ -86,6 +86,46 @@ class CurationSpec extends AnyFunSuite {
     packed.unpersist()
   }
 
+  test("x83 split leakage: exactly the cross-split near-dup pairs, planted + recomputed") {
+    import spark.implicits._
+    import graft.queries.ExtendedQueries
+    // find ids on both sides of the split boundary with the same pure
+    // function the operator applies — the test must not hardcode md5s
+    val splits = (0L until 64L).toDF("id")
+      .withColumn("split", Curation.splitOf(col("id")))
+      .as[(Long, String)].collect().toMap
+    val train = splits.collect { case (i, "train") => i }.toSeq.sorted
+    val eval = splits.collect { case (i, s) if s != "train" => i }.toSeq.sorted
+    assert(train.size >= 3 && eval.nonEmpty, s"fixture moot: $splits")
+    val dup1 = "q w e r t y u i o p a s d f g h"
+    val dup2 = "z x c v b n m k j h g f d s a q2"
+    val dir = java.nio.file.Files.createTempDirectory("graft_x83_").toString
+    (Seq(
+      (train.head, dup1), (eval.head, dup1),   // identical, CROSS-split
+      (train(1), dup2), (train(2), dup2)        // identical, SAME split
+    ) ++ (0 until 8).map(i => (200L + i, s"filler$i only one trigram w$i x$i y$i z$i")))
+      .toDF("doc_id", "text").withColumn("source", lit("src0"))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = ExtendedQueries.splitLeakage(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((math.min(train.head, eval.head), math.max(train.head, eval.head))),
+      s"planted cross-split near-dup not reported: $out")
+    assert(!out.contains((train(1), train(2))),
+      s"same-split pair wrongly reported as leakage: $out")
+    // and on the real corpus the entry equals an independent
+    // recomputation: capped pairs, split labels via withSplit, filtered
+    val pairs = Dedup.ngramJaccardPairsCapped(docs, n = 3, threshold = 0.5, maxDf = 3)
+    val lab = Curation.withSplit(docs, col("doc_id")).select(col("doc_id"), col("split"))
+    val expected = pairs
+      .join(lab.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "sa"), "id_a")
+      .join(lab.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "sb"), "id_b")
+      .filter(col("sa") =!= col("sb"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val entry = ExtendedQueries.splitLeakage(spark, TestSpark.Sf0001)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(entry == expected, s"entry $entry != recomputation $expected")
+  }
+
   test("x26 contamination: only train docs, every hit shares a real n-gram") {
     val out = Curation.contamination(docs).cache()
     assert(out.count() > 0, "vacuous: no contaminated docs in the fixture")
