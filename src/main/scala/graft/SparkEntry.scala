@@ -60,6 +60,8 @@ object SparkEntry {
       "uncapped candidate generation — use x63 (df-capped) at scale",
     "x09_embedding_neardup" ->
       "exact pairwise cosine — use x14 (LSH-bucketed) at scale",
+    "x84_semantic_split_leakage" ->
+      "exact pairwise cosine pair generator — swap in x14's LSH bucketing at scale",
     "x10_knn_bruteforce" ->
       "exact full-scan baseline — use x15/x45/x46 (IVF/PQ) at scale",
     "x68_bpe_merges" ->

@@ -197,6 +197,45 @@ object ExtendedQueries {
        |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x84 — SEMANTIC split-leakage audit: x83's embedding-space twin.
+  // Lexical leakage (x83) misses paraphrases — a test doc rewritten in
+  // different words shares no trigram with its train twin but sits at
+  // cosine ≈ 1 in embedding space. Same composition discipline: the
+  // x09 exact pair relation (hash-green cosine, double-precision both
+  // engines) labeled by the pure row-local split-of-id function — zero
+  // extra shuffles, no split-relation join. Together x83 + x84 audit
+  // both faces of eval contamination before training. Scale path:
+  // swap the exact pair generator for the x14 LSH bucketing (same
+  // caveat as x09, served on /entries).
+  // ---------------------------------------------------------------------
+  def semanticSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Dedup.embeddingNearDups(Tables.embeddings(s, dir), threshold = 0.3)
+      .withColumn("split_a", Curation.splitOf(col("id_a")))
+      .withColumn("split_b", Curation.splitOf(col("id_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "split_a", "id_b", "split_b", "cosine")
+      .orderBy("id_a", "id_b")
+  }
+
+  val semanticSplitLeakageSql: String = {
+    def splitCase(id: String) =
+      s"""CASE WHEN substr(md5(CAST($id AS VARCHAR)), 1, 2) < '${graft.operators.Curation.TrainUpper}' THEN 'train'
+         |     WHEN substr(md5(CAST($id AS VARCHAR)), 1, 2) < '${graft.operators.Curation.ValUpper}' THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cosSql AS cosine
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |  WHERE $cosSql >= 0.3
+       |), lab AS (
+       |  SELECT id_a, ${splitCase("id_a")} AS split_a,
+       |         id_b, ${splitCase("id_b")} AS split_b, cosine
+       |  FROM pairs)
+       |SELECT id_a, split_a, id_b, split_b, cosine FROM lab
+       |WHERE split_a <> split_b ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // x14 — embedding near-dup, LSH-bucketed scale path (rows-only check;
   // recall-vs-exact invariant in DedupSpec)
   // ---------------------------------------------------------------------
@@ -2031,6 +2070,7 @@ object ExtendedQueries {
     "x07_dedup_simhash"      -> ((dedupSimhash _, None)),
     "x08_ngram_jaccard"      -> ((ngramJaccard _, Some(ngramJaccardSql))),
     "x09_embedding_neardup"  -> ((embeddingNearDup _, Some(embeddingNearDupSql))),
+    "x84_semantic_split_leakage" -> ((semanticSplitLeakage _, Some(semanticSplitLeakageSql))),
     "x10_knn_bruteforce"     -> ((knnBruteForce _, Some(knnBruteForceSql))),
     "x11_knn_lsh"            -> ((knnLsh _, None)),
     "x12_multimodal_features" -> ((multimodalFeatures _, None)),

@@ -126,6 +126,45 @@ class CurationSpec extends AnyFunSuite {
     assert(entry == expected, s"entry $entry != recomputation $expected")
   }
 
+  test("x84 semantic split leakage: planted cross/same-split twins + recomputation") {
+    import spark.implicits._
+    import graft.queries.ExtendedQueries
+    val splits = (0L until 64L).toDF("id")
+      .withColumn("split", Curation.splitOf(col("id")))
+      .as[(Long, String)].collect().toMap
+    val train = splits.collect { case (i, "train") => i }.toSeq.sorted
+    val eval = splits.collect { case (i, s) if s != "train" => i }.toSeq.sorted
+    assert(train.size >= 3 && eval.nonEmpty)
+    // identical vectors → cosine exactly 1; the filler vectors are
+    // axis-orthogonal to everything else (cosine 0 < threshold)
+    def vec(axis: Int): Array[Float] =
+      Array.tabulate(8)(j => if (j == axis) 1.0f else 0.0f)
+    val dir = java.nio.file.Files.createTempDirectory("graft_x84_").toString
+    (Seq(
+      (train.head, vec(0)), (eval.head, vec(0)), // CROSS-split twin
+      (train(1), vec(1)), (train(2), vec(1))     // SAME-split twin
+    ) ++ (2 until 8).map(a => (300L + a, vec(a))))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = ExtendedQueries.semanticSplitLeakage(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((math.min(train.head, eval.head), math.max(train.head, eval.head))),
+      s"expected exactly the planted cross-split twin: $out")
+    // real fixture: entry == independent recomputation via withSplit
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val lab = Curation.withSplit(emb, col("vec_id")).select(col("vec_id"), col("split"))
+    val expected = Dedup.embeddingNearDups(emb, threshold = 0.3)
+      .join(lab.withColumnRenamed("vec_id", "id_a").withColumnRenamed("split", "sa"), "id_a")
+      .join(lab.withColumnRenamed("vec_id", "id_b").withColumnRenamed("split", "sb"), "id_b")
+      .filter(col("sa") =!= col("sb"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val entry = ExtendedQueries.semanticSplitLeakage(spark, TestSpark.Sf0001)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(entry == expected && entry.nonEmpty,
+      s"entry (${entry.size}) != recomputation (${expected.size})")
+  }
+
   test("x26 contamination: only train docs, every hit shares a real n-gram") {
     val out = Curation.contamination(docs).cache()
     assert(out.count() > 0, "vacuous: no contaminated docs in the fixture")
