@@ -930,6 +930,13 @@ object StreamingQueries {
     val q = stream.writeStream
       .option("checkpointLocation", ck)
       .foreachBatch { (b: DataFrame, id: Long) =>
+        // NOTE on the one-file-one-partition input (s25's floor): the
+        // same batch-sized repartition was TRIED here and measured a
+        // net loss — 30× wall flat (21.7 → 21.4 s; the serial per-doc
+        // stages are off the critical path, which is batch/commit
+        // overhead), 1× wall +2 s (the exchange plus 32 output files
+        // per batch instead of a few). s26's 30× posture stands at
+        // 4.4× wall / exactly-linear shuffle / zero state without it.
         Dedup.crossSpanCleanAgainst(b, refGrams, "doc_id", "text", n)
           .write.mode("overwrite").parquet(s"$outDir/batch=$id")
       }
