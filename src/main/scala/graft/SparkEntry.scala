@@ -69,5 +69,7 @@ object SparkEntry {
     "s25_stream_neardup" ->
       "static reference pinned in executor memory — use the bucketed-table variant when it must outlive the process",
     "x82_chi_square" ->
-      "global window over the |devices|x|pages| cells relation (dashboard-sized by construction)")
+      "global window over the |devices|x|pages| cells relation (dashboard-sized by construction)",
+    "s28_shard_writer" ->
+      "wall grows with SHARD COUNT (total tokens / budget) via the partitioned write - size the token budget to the corpus")
 }
