@@ -276,10 +276,20 @@ object SimilaritySearch {
     // ADC tables: adc[j*codes + c] = dot(query subvector j, centroid c)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("__qu", unit(col("q_vec")))
-    val adcCols = for (j <- 0 until m; c <- 0 until codes) yield
-      VectorFunctions.dot_product(
-        slice(col("__qu"), j * dsub + 1, dsub),
-        array(models(j).clusterCenters(c).toArray.map(x => lit(x.toFloat)): _*))
+    // a codebook can come back with FEWER than `codes` centers: the
+    // seeded random init samples k vectors and collapses duplicates, and
+    // a corpus whose subspace slices repeat (replicated/perturbed
+    // fixtures, quantized embeddings) makes collisions likely. The ADC
+    // stride stays `codes`; slots past a model's real centers pad with
+    // 0 and are unreachable (predictions are always < numCenters).
+    val adcCols = for (j <- 0 until m; c <- 0 until codes) yield {
+      val centers = models(j).clusterCenters
+      if (c < centers.length)
+        VectorFunctions.dot_product(
+          slice(col("__qu"), j * dsub + 1, dsub),
+          array(centers(c).toArray.map(x => lit(x.toFloat)): _*))
+      else lit(0.0d)
+    }
     val qtab = q.select(col("query_id"), col("q_vec"), array(adcCols: _*).as("adc"))
 
     // approximate cosine = m table lookups; shortlist by it via the same
@@ -403,11 +413,18 @@ object SimilaritySearch {
     val probes = topKPerQuery(cellSims, nProbe, scoreCol = "sim", idCol = "list")
       .select(col("query_id"), col("list"))
 
-    // ADC tables ride along with the probes: |Q|·nProbe broadcast rows
-    val adcCols = for (j <- 0 until m; c <- 0 until codes) yield
-      VectorFunctions.dot_product(
-        slice(col("__qu"), j * dsub + 1, dsub),
-        array(pqModels(j).clusterCenters(c).toArray.map(x => lit(x.toFloat)): _*))
+    // ADC tables ride along with the probes: |Q|·nProbe broadcast rows.
+    // Same short-codebook padding as pqTopK: random-init k-means can
+    // return < `codes` centers on duplicate-heavy corpora; padded slots
+    // are unreachable (predictions < numCenters).
+    val adcCols = for (j <- 0 until m; c <- 0 until codes) yield {
+      val pcenters = pqModels(j).clusterCenters
+      if (c < pcenters.length)
+        VectorFunctions.dot_product(
+          slice(col("__qu"), j * dsub + 1, dsub),
+          array(pcenters(c).toArray.map(x => lit(x.toFloat)): _*))
+      else lit(0.0d)
+    }
     val qtab = q.select(col("query_id"), array(adcCols: _*).as("adc"))
     val probedAdc = probes.join(qtab, "query_id")
 

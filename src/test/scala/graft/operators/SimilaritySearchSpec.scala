@@ -118,6 +118,34 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(pq == pairs(SimilaritySearch.pqTopK(spark, emb, queries, k = 10)))
   }
 
+  test("pq paths survive short codebooks (duplicate-heavy corpus, < codes distinct)") {
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    // only 3 distinct vectors across 60 items: every subspace sees ≤ 3
+    // distinct points, so the seeded random-init k-means collapses its
+    // duplicate samples and returns FEWER than `codes` centers — the
+    // case that crashed the ADC table build on the 30× replicated
+    // fixture (Index 15 out of bounds for length 15) before the padding
+    def base(a: Int): Array[Float] =
+      Array.tabulate(8)(j => if (j == a % 4) 1.0f else 0.1f * a)
+    val emb = (0L until 60L).map(i => (i, base((i % 3).toInt)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 3)
+    val pq = SimilaritySearch.pqTopK(spark, emb, queries, k = 5)
+    val ivfpq = SimilaritySearch.ivfPqTopK(spark, emb, queries, k = 5)
+    for ((name, df) <- Seq("pq" -> pq, "ivfpq" -> ivfpq)) {
+      val rows = df.select("query_id", "vec_id", "cosine")
+        .as[(Long, Long, Double)].collect()
+      assert(rows.nonEmpty, s"$name returned nothing on the degenerate corpus")
+      // every query's duplicates (identical vectors) score exactly 1.0
+      // after the exact rerank, so each query must surface one
+      val best = rows.groupBy(_._1).map { case (q, rs) => q -> rs.map(_._3).max }
+      best.foreach { case (q, s) =>
+        assert(math.abs(s - 1.0) < 1e-9, s"$name query $q best cosine $s != 1.0")
+      }
+    }
+  }
+
   test("ivfPqTopK: recall >= 0.5 vs brute force; rerank exact; deterministic") {
     VectorFunctions.register(spark)
     val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
