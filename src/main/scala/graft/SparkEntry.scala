@@ -71,5 +71,9 @@ object SparkEntry {
     "x82_chi_square" ->
       "global window over the |devices|x|pages| cells relation (dashboard-sized by construction)",
     "s28_shard_writer" ->
-      "wall grows with SHARD COUNT (total tokens / budget) via the partitioned write - size the token budget to the corpus")
+      "wall grows with SHARD COUNT (total tokens / budget) via the partitioned write - size the token budget to the corpus",
+    "x14_embedding_neardup_lsh" ->
+      "candidate volume tracks TRUE near-dup pair count: mass-duplicated corpora grow pairs quadratically in the duplication factor - cluster-dedup first (x48) on such corpora",
+    "x48_semdedup" ->
+      "within-cell pairwise: cells bound the quadratic, but heavy duplication still grows pair work - cap cell sizes on pathological corpora")
 }
