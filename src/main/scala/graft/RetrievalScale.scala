@@ -38,15 +38,24 @@ object RetrievalScale {
         rows.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
     })
 
+    // the async listener bus drains after jobs complete: wait until the
+    // shuffle-row counter holds still for two consecutive intervals
+    // (a fixed sleep lets one run's late events bleed into the next
+    // run's delta under load)
+    def settledRows(): Long = {
+      var prev = -1L
+      var cur = rows.get()
+      while (cur != prev) { Thread.sleep(200); prev = cur; cur = rows.get() }
+      cur
+    }
+
     def run(label: String, dir: String, frac: Option[Double]): Unit = {
       val docs = Tables.documents(spark, dir)
-      Thread.sleep(300)
-      val r0 = rows.get()
+      val r0 = settledRows()
       val t0 = System.nanoTime()
       val n = Curation.bm25TopK(docs, maxDfFrac = frac).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300)
-      println(f"$label%-34s rows=$n%6d wall=$sec%7.2fs shuffle_rows=${rows.get() - r0}%12d")
+      println(f"$label%-34s rows=$n%6d wall=$sec%7.2fs shuffle_rows=${settledRows() - r0}%12d")
     }
 
     // On the synthetic corpus every EVAL-SLICE query term is a blanket

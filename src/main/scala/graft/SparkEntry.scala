@@ -61,7 +61,9 @@ object SparkEntry {
     "x09_embedding_neardup" ->
       "exact pairwise cosine — use x14 (LSH-bucketed) at scale",
     "x84_semantic_split_leakage" ->
-      "exact pairwise cosine pair generator — swap in x14's LSH bucketing at scale",
+      "exact pairwise cosine pair generator — use x85 (LSH-bucketed composition) at scale",
+    "x85_semantic_split_leakage_lsh" ->
+      "candidate volume tracks TRUE cross-split near-dup count: mass-duplicated corpora grow pairs quadratically in the duplication factor (same regime as x14)",
     "x10_knn_bruteforce" ->
       "exact full-scan baseline — use x15/x45/x46 (IVF/PQ) at scale",
     "x68_bpe_merges" ->

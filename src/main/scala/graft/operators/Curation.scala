@@ -359,10 +359,27 @@ object Curation {
     val scored = qterms.join(dfAll, "token")
     val capped = maxDfFrac match {
       case Some(frac) => // stop terms dropped BEFORE the budget window,
-        // so blanket terms never consume rarest-term slots
+        // so blanket terms never consume rarest-term slots. The cap can
+        // legitimately empty the result (every query term blankets a
+        // mass-duplicated corpus) — that regime must be self-diagnosing,
+        // so the dropped/surviving term counts ride the SAME job as
+        // named observed metrics (Dataset.observe: zero extra scans or
+        // actions; readable from queryExecution.observedMetrics or any
+        // QueryExecutionListener — dropped>0 reads "terms were capped
+        // away", dropped=0 reads "cap is a no-op here"). CAVEAT
+        // (measured): when the WHOLE result is empty, AQE's
+        // empty-relation propagation prunes this CollectMetrics node
+        // from the final plan and the metrics don't surface — the
+        // fully-degenerate corpus must be diagnosed with the always-on
+        // per-query relation, [[bm25CapAudit]], which is also the
+        // per-query grain of the same accounting.
         scored.crossJoin(broadcast(stats.select("n_docs")))
-          .filter(col("df") <= lit(frac) * col("n_docs"))
-          .drop("n_docs")
+          .withColumn("__blanket", col("df") > lit(frac) * col("n_docs"))
+          .observe("bm25_cap_audit",
+            sum(when(col("__blanket"), 1L).otherwise(0L)).as("dropped_blanket_terms"),
+            sum(when(col("__blanket"), 0L).otherwise(1L)).as("surviving_terms"))
+          .filter(!col("__blanket"))
+          .drop("n_docs", "__blanket")
       case None => scored
     }
     val qsel = capped
@@ -390,6 +407,46 @@ object Curation {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("query_id", "doc_id", "bm25", "rnk")
+  }
+
+  /** Per-query accounting for [[bm25TopK]]'s `maxDfFrac` stop-term cap:
+    * one row per retrieval query — (query_id, n_terms,
+    * n_blanket_dropped, n_surviving) — so "query X returned nothing"
+    * decomposes into "all its terms blanket this corpus under the cap"
+    * vs "the cap is a no-op and the query really has no scoring docs".
+    * Same plan pieces as the retrieval path (broadcast query vocabulary
+    * semi-join, vocabulary-sized df exchange); the corpus is never
+    * shuffled. With `maxDfFrac = None` every term survives by
+    * definition and n_blanket_dropped is 0 for all queries. */
+  def bm25CapAudit(docs: DataFrame, benchMod: Int = BenchMod,
+                   maxDfFrac: Option[Double] = None): DataFrame = {
+    def toksCol = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val items = docs.filter(col("doc_id") % benchMod =!= 0)
+    val nDocs = items.select(size(toksCol).as("doclen"))
+      .filter(col("doclen") > 0)
+      .agg(count(lit(1)).as("n_docs"))
+    val qterms = docs
+      .filter(col("doc_id") % benchMod === 0 && col("doc_id") < BmQueryIdMax)
+      .select(col("doc_id").as("query_id"), explode(toksCol).as("token"))
+      .distinct()
+    val qtok = qterms.select("token").distinct()
+    val dfAll = items.select(explode(array_distinct(toksCol)).as("token"))
+      .join(broadcast(qtok), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    // left join: a query term absent from the corpus has df 0 — it is
+    // counted as surviving (no cap drops it), it just retrieves nothing
+    val blanket = maxDfFrac match {
+      case Some(frac) => col("df") > lit(frac) * col("n_docs")
+      case None       => lit(false)
+    }
+    qterms.join(dfAll, Seq("token"), "left")
+      .na.fill(0L, Seq("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__blanket", blanket)
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_terms"),
+           sum(when(col("__blanket"), 1L).otherwise(0L)).as("n_blanket_dropped"),
+           sum(when(col("__blanket"), 0L).otherwise(1L)).as("n_surviving"))
   }
 
   // ---- x77: positional phrase search -----------------------------------
@@ -1015,9 +1072,16 @@ object Curation {
           }
           .collect()
       } catch {
+        // surface ONLY the kernel's own maxVocab guard from the Spark
+        // task-failure wrapping (matched by message, so an unrelated
+        // IllegalArgumentException nested in a task failure keeps its
+        // full Spark context instead of being rethrown stripped)
         case e: Throwable =>
           Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
-            .collectFirst { case iae: IllegalArgumentException => iae }
+            .collectFirst {
+              case iae: IllegalArgumentException
+                  if iae.getMessage != null && iae.getMessage.contains("maxVocab") => iae
+            }
             .foreach(throw _)
           throw e
       }
@@ -1249,7 +1313,20 @@ object Curation {
     * vocabulary-sized shuffle instead of re-encoding repeats), the same
     * trade [[bpeMerges]] exploits during learning; for per-document
     * output at typical web-corpus repetition the row-local form wins
-    * because it never moves the corpus at all. */
+    * because it never moves the corpus at all.
+    *
+    * CONTRACT on `merges`: a LEARNED table ([[bpeMerges]]'s output, or
+    * any table where rule k's merged symbol only feeds pairs of rank
+    * > k, and no pair appears twice). On such tables the heap kernel is
+    * word-for-word identical to the pass-per-rule form and to upstream
+    * apply_bpe (spec-proven). On arbitrary hand-crafted tables the two
+    * forms legitimately diverge: if a LATER rule's merge creates the
+    * adjacency an EARLIER-ranked pair needs (e.g. [(a,bc),(b,c)] on
+    * "abc": pass order gives [a,bc], the heap — like apply_bpe —
+    * re-offers the lower rank and gives [abc]), the heap applies the
+    * lower-ranked merge; and a DUPLICATE pair keeps only its last rank
+    * in the lookup table. This follows apply_bpe, the reference
+    * semantics for encode. */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
                 textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession

@@ -282,13 +282,17 @@ object SimilaritySearch {
     // fixtures, quantized embeddings) makes collisions likely. The ADC
     // stride stays `codes`; slots past a model's real centers pad with
     // 0 and are unreachable (predictions are always < numCenters).
-    val adcCols = for (j <- 0 until m; c <- 0 until codes) yield {
+    // clusterCenters converts every mllib center to ml vectors per CALL
+    // — hoist to one call per subspace j, not one per (j, c) slot
+    val adcCols = (0 until m).flatMap { j =>
       val centers = models(j).clusterCenters
-      if (c < centers.length)
-        VectorFunctions.dot_product(
-          slice(col("__qu"), j * dsub + 1, dsub),
-          array(centers(c).toArray.map(x => lit(x.toFloat)): _*))
-      else lit(0.0d)
+      (0 until codes).map { c =>
+        if (c < centers.length)
+          VectorFunctions.dot_product(
+            slice(col("__qu"), j * dsub + 1, dsub),
+            array(centers(c).toArray.map(x => lit(x.toFloat)): _*))
+        else lit(0.0d)
+      }
     }
     val qtab = q.select(col("query_id"), col("q_vec"), array(adcCols: _*).as("adc"))
 
@@ -417,13 +421,17 @@ object SimilaritySearch {
     // Same short-codebook padding as pqTopK: random-init k-means can
     // return < `codes` centers on duplicate-heavy corpora; padded slots
     // are unreachable (predictions < numCenters).
-    val adcCols = for (j <- 0 until m; c <- 0 until codes) yield {
+    // one clusterCenters call per subspace (each call re-converts the
+    // whole mllib codebook to ml vectors — hoisted out of the c loop)
+    val adcCols = (0 until m).flatMap { j =>
       val pcenters = pqModels(j).clusterCenters
-      if (c < pcenters.length)
-        VectorFunctions.dot_product(
-          slice(col("__qu"), j * dsub + 1, dsub),
-          array(pcenters(c).toArray.map(x => lit(x.toFloat)): _*))
-      else lit(0.0d)
+      (0 until codes).map { c =>
+        if (c < pcenters.length)
+          VectorFunctions.dot_product(
+            slice(col("__qu"), j * dsub + 1, dsub),
+            array(pcenters(c).toArray.map(x => lit(x.toFloat)): _*))
+        else lit(0.0d)
+      }
     }
     val qtab = q.select(col("query_id"), array(adcCols: _*).as("adc"))
     val probedAdc = probes.join(qtab, "query_id")

@@ -236,6 +236,32 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x85 — semantic split-leakage, LSH-bucketed SCALE path: x84 with the
+  // x14 candidate generator swapped in. x84's caveat used to say "swap
+  // the exact pair generator for x14's LSH bucketing at scale" — this IS
+  // that composition as runnable code, built exactly the way x83
+  // composes the df-capped lexical generator: bucketed candidates
+  // (O(n · tables · E[bucket]) instead of O(n²)), exact cosine
+  // verification inside cells, then the pure row-local split-of-id
+  // label — zero additional shuffles, no split-relation join. Precision
+  // vs x84 is 1.0 by construction (every emitted pair is
+  // cosine-verified); recall < 1 only through bucketing, so the spec
+  // asserts the exact containment invariant: the entry equals x84
+  // restricted to pairs the bucketing co-locates (CurationSpec).
+  // Rows-only for the driver (bucket membership is not SQL-expressible
+  // in the oracle), same as x14.
+  // ---------------------------------------------------------------------
+  def semanticSplitLeakageLsh(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Dedup.embeddingNearDupsLsh(Tables.embeddings(s, dir), threshold = 0.3)
+      .withColumn("split_a", Curation.splitOf(col("id_a")))
+      .withColumn("split_b", Curation.splitOf(col("id_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "split_a", "id_b", "split_b", "cosine")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------------
   // x14 — embedding near-dup, LSH-bucketed scale path (rows-only check;
   // recall-vs-exact invariant in DedupSpec)
   // ---------------------------------------------------------------------
@@ -2071,6 +2097,7 @@ object ExtendedQueries {
     "x08_ngram_jaccard"      -> ((ngramJaccard _, Some(ngramJaccardSql))),
     "x09_embedding_neardup"  -> ((embeddingNearDup _, Some(embeddingNearDupSql))),
     "x84_semantic_split_leakage" -> ((semanticSplitLeakage _, Some(semanticSplitLeakageSql))),
+    "x85_semantic_split_leakage_lsh" -> ((semanticSplitLeakageLsh _, None)),
     "x10_knn_bruteforce"     -> ((knnBruteForce _, Some(knnBruteForceSql))),
     "x11_knn_lsh"            -> ((knnLsh _, None)),
     "x12_multimodal_features" -> ((multimodalFeatures _, None)),

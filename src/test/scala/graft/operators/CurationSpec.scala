@@ -165,6 +165,56 @@ class CurationSpec extends AnyFunSuite {
       s"entry (${entry.size}) != recomputation (${expected.size})")
   }
 
+  test("x85 LSH split leakage: planted twin found; equals x84 restricted to co-bucketed pairs") {
+    import spark.implicits._
+    import graft.queries.ExtendedQueries
+    val splits = (0L until 64L).toDF("id")
+      .withColumn("split", Curation.splitOf(col("id")))
+      .as[(Long, String)].collect().toMap
+    val train = splits.collect { case (i, "train") => i }.toSeq.sorted
+    val eval = splits.collect { case (i, s) if s != "train" => i }.toSeq.sorted
+    assert(train.size >= 3 && eval.nonEmpty)
+    // identical vectors hash to the same bucket in EVERY table, so the
+    // planted cross-split twin is found with probability 1 despite LSH
+    def vec(axis: Int): Array[Float] =
+      Array.tabulate(8)(j => if (j == axis) 1.0f else 0.0f)
+    val dir = java.nio.file.Files.createTempDirectory("graft_x85_").toString
+    (Seq(
+      (train.head, vec(0)), (eval.head, vec(0)), // CROSS-split twin
+      (train(1), vec(1)), (train(2), vec(1))     // SAME-split twin
+    ) ++ (2 until 8).map(a => (300L + a, vec(a))))
+      .toDF("vec_id", "embedding").withColumn("label", lit(0))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val planted = ExtendedQueries.semanticSplitLeakageLsh(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(planted == Set((math.min(train.head, eval.head), math.max(train.head, eval.head))),
+      s"expected exactly the planted cross-split twin: $planted")
+
+    // real fixture: (1) precision 1.0 — every x85 pair is an x84 pair;
+    // (2) recall is EXACTLY the bucketing — every exact crossing whose
+    // members share a (tbl, bucket) cell is found, none silently lost
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val exact = ExtendedQueries.semanticSplitLeakage(spark, TestSpark.Sf0001)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = ExtendedQueries.semanticSplitLeakageLsh(spark, TestSpark.Sf0001)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"precision < 1: ${lsh.diff(exact)}")
+    val coBucketed = {
+      val b = SimilaritySearch.bucketize(
+        emb.select(col("vec_id").as("id"), col("embedding").as("v")),
+        "v", dim = 64, planes = 4, tables = 8, seed = 42L)
+      b.as("x").join(b.as("y"),
+          col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .distinct().as[(Long, Long)].collect().toSet
+    }
+    assert(lsh == exact.intersect(coBucketed),
+      s"entry != exact-restricted-to-co-bucketed: missing ${exact.intersect(coBucketed).diff(lsh)}")
+    assert(lsh.nonEmpty, "vacuous: no co-bucketed crossing on the fixture")
+  }
+
   test("x26 contamination: only train docs, every hit shares a real n-gram") {
     val out = Curation.contamination(docs).cache()
     assert(out.count() > 0, "vacuous: no contaminated docs in the fixture")
@@ -443,6 +493,64 @@ class CurationSpec extends AnyFunSuite {
     val b = Curation.bm25TopK(clean, maxDfFrac = Some(0.5))
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
     assert(a == b, "cap must be a no-op when no term exceeds it")
+  }
+
+  test("x71 bm25 cap audit: dropped/surviving counts per query; capped-empty self-diagnoses") {
+    import spark.implicits._
+    // same planted corpus as the cap spec: "common" blankets (df 4/4),
+    // "zebra" is rare (df 1)
+    val corpus = Seq(
+      (0L, "zebra common"),
+      (1L, "zebra common filler"),
+      (2L, "common other words"),
+      (3L, "common more text"),
+      (4L, "common yet another")
+    ).toDF("doc_id", "text")
+    val audit = Curation.bm25CapAudit(corpus, maxDfFrac = Some(0.5))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(audit == Set((0L, 2L, 1L, 1L)),
+      s"query 0 has 2 terms, 1 blanket-dropped, 1 surviving: $audit")
+    // partial-blanket regime: output non-empty, so the in-plan observed
+    // metrics surface on the SAME job — no second scan
+    val partial = Curation.bm25TopK(corpus, maxDfFrac = Some(0.5))
+    assert(partial.collect().nonEmpty)
+    val pm = partial.queryExecution.observedMetrics("bm25_cap_audit")
+    assert(pm.getAs[Long]("dropped_blanket_terms") == 1L &&
+           pm.getAs[Long]("surviving_terms") == 1L,
+      s"observed metrics must report dropped=1/surviving=1, got $pm")
+    val uncapped = Curation.bm25CapAudit(corpus, maxDfFrac = None)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(uncapped == Set((0L, 2L, 0L, 2L)),
+      s"no cap: nothing dropped, all terms survive: $uncapped")
+
+    // the welded-clique regime: EVERY query term blankets the corpus, so
+    // the capped result is empty BY DESIGN — and the audit + observed
+    // metrics make that distinguishable from a misconfigured cap
+    val clique = Seq(
+      (0L, "common shared"),
+      (1L, "common shared one"), (2L, "common shared two"),
+      (3L, "common shared three"), (4L, "common shared four")
+    ).toDF("doc_id", "text")
+    val cappedOut = Curation.bm25TopK(clique, maxDfFrac = Some(0.5))
+    assert(cappedOut.collect().isEmpty, "every term blankets: capped result empty by design")
+    // the fully-empty regime is where AQE's empty-relation propagation
+    // prunes the in-plan CollectMetrics node (the documented caveat) —
+    // pin that behavior so a Spark upgrade changing it is noticed, and
+    // diagnose through the always-on audit relation instead
+    assert(!cappedOut.queryExecution.observedMetrics.contains("bm25_cap_audit"),
+      "AQE no longer prunes CollectMetrics on empty results — " +
+      "update bm25TopK's caveat scaladoc")
+    val cliqueAudit = Curation.bm25CapAudit(clique, maxDfFrac = Some(0.5))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(cliqueAudit == Set((0L, 2L, 2L, 0L)),
+      s"audit: all of query 0's terms blanket-dropped: $cliqueAudit")
+    // a query term ABSENT from the corpus is surviving (df 0), not
+    // dropped — "retrieves nothing" for a different, visible reason
+    val absent = Seq((0L, "zebra missingterm"), (1L, "zebra filler"),
+      (2L, "other text"), (3L, "more words")).toDF("doc_id", "text")
+    val absentAudit = Curation.bm25CapAudit(absent, maxDfFrac = Some(0.5))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(absentAudit == Set((0L, 2L, 0L, 2L)), s"df-0 term counts as surviving: $absentAudit")
   }
 
   test("x71 bm25: ranks contiguous per query, scores non-increasing, query slice excluded") {
