@@ -152,6 +152,11 @@ object ScaleCheck {
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // diagnostic conf overrides (same contract as StageShuffle), e.g.
+    // SPARK_GRAFT_CONF="spark.sql.shuffle.partitions=128" for the
+    // bounded-heap experiments — smaller partitions per concurrent task
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(c, v) = kv.split("=", 2); spark.conf.set(c, v) })
 
     scaleDir(spark, src, dst, k, cliques)
 
@@ -197,15 +202,24 @@ object ScaleCheck {
         val mb = (b: Long) => f"${b / 1048576.0}%.1fM"
         println(f"$name%-28s $t1%8.2f $tk%8.2f ${tk / t1}%6.2f ${mb(s1)}%10s ${mb(sk)}%10s ${if (s1 > 0) f"${sk.toDouble / s1}%6.2f" else "   n/a"} ${if (r1 > 0) f"${rk.toDouble / r1}%6.2f" else "   n/a"} $st1%9d $stk%9d")
       }
-    // driver memory posture: peak JVM heap across the run — the single-
-    // process analogue of "watch driver RSS" at a real cluster's helm
+    // driver memory posture: sum of per-pool heap peaks — an UPPER
+    // BOUND, not concurrent usage: G1 trades regions between eden/old
+    // over time, so the pool peaks need not coexist and the sum can
+    // exceed -Xmx (measured: "20.3 GB peak" under a 16 GB heap, r11) —
+    // and the GC only collects under pressure, so the bound tracks
+    // WHATEVER heap it was given, not what the workload needs. Print
+    // -Xmx next to it so the bound reads as a bound; the real
+    // requirement claim is a bounded-heap run (SPARK_DRIVER_MEM=8g)
+    // completing without OOM.
     val peakHeap = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
         .filter(_.getType == java.lang.management.MemoryType.HEAP)
         .map(_.getPeakUsage.getUsed).sum
     }
-    println(f"driver peak heap: ${peakHeap / 1048576.0}%.0f MB")
+    val xmx = Runtime.getRuntime.maxMemory
+    println(f"driver peak heap: ${peakHeap / 1048576.0}%.0f MB " +
+      f"(sum of pool peaks — upper bound; -Xmx ${xmx / 1048576.0}%.0f MB)")
     spark.stop()
   }
 }

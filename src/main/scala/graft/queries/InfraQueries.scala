@@ -338,7 +338,15 @@ object InfraQueries {
   // its shard (next doc starts a new one); integer arithmetic ⇒ exact
   // hash oracle against DuckDB's one-window cumsum.
   // ---------------------------------------------------------------------
-  private val ShardBudget = 2048L // tokens per shard, sized to the fixtures
+  // tokens per shard, sized to the fixtures. GRAFT_SHARD_BUDGET is the
+  // scale-harness override: production sizes the budget to the corpus
+  // (Dolma/Megatron shards are 100M+ tokens), so the honest k× scale
+  // measurement holds shard SIZE constant — budget 2048·k at k× gives
+  // the same shard COUNT as 2048 at 1× — instead of measuring k× more
+  // file creations. The oracle SQL string interpolates the same val, so
+  // hash parity holds under the override too (the driver runs unset).
+  private val ShardBudget: Long =
+    sys.env.get("GRAFT_SHARD_BUDGET").map(_.toLong).getOrElse(2048L)
   private val PrefixBucket = 500L // doc_id bucket width for the 2-phase scan
 
   def shardWriter(s: SparkSession, dir: String): DataFrame = {
