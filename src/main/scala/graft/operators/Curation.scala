@@ -811,6 +811,94 @@ object Curation {
                sum(col("tf")), 6).as("xent"))
   }
 
+  // ---- x87: bigram LM cross-entropy scoring ----------------------------
+
+  /** Per-document cross-entropy against a CORPUS bigram model with
+    * unigram interpolation — the next step up from [[unigramScore]] on
+    * the CCNet perplexity-filter ladder (Wenzek et al. 2020 score with a
+    * KenLM n-gram model; the corpus itself is the model here, n=2):
+    * score = mean over bigrams of −ln(λ·p(w₂|w₁) + (1−λ)·p(w₂)), with
+    * p(w₂|w₁) the bigram MLE (count(w₁w₂)/count(w₁·)) and p(w₂) the
+    * unigram relative frequency. Word-salad that happens to reuse common
+    * TOKENS but not common TRANSITIONS scores high where x35 cannot see
+    * it; the unigram term keeps unseen-in-context bigrams finite.
+    *
+    * Shapes (the 100 TB posture): bigrams are built ROW-LOCALLY (the
+    * token array zipped with its own tail — no positional self-join, no
+    * per-document window sort), then collapse map-side into per-(doc,
+    * w₁, w₂) counts; the two model relations (bigram counts, context
+    * totals) are vocabulary²-bounded aggregates from independent passes
+    * over the row-local explode, the unigram model as in x35 — each
+    * relation referenced exactly once, nothing corpus-sized ever
+    * materialized (same scans-beat-materialization trade as
+    * [[unigramScore]], documented there). Rounded to 6 decimals (`ln`
+    * ulp contract, as x35/x33).
+    *
+    * Documents with fewer than two tokens have no bigrams and do not
+    * appear in the output (nothing to score — callers wanting totality
+    * left-join on the source and treat null as "unscorable"). */
+  def bigramScore(docs: DataFrame, lambda: Double = 0.9): DataFrame = {
+    def tokenArr = docs.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ts"))
+    def bigrams = tokenArr.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("ts"), lit(1), greatest(size(col("ts")) - 1, lit(0))),
+          slice(col("ts"), lit(2), greatest(size(col("ts")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    def toks = tokenArr.select(col("doc_id"), explode(col("ts")).as("token"))
+    val tf = bigrams.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val bm = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val ctx = bigrams.groupBy("w1").agg(count(lit(1)).as("cw1"))
+    val uni = toks.groupBy("token").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    tf.join(bm, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(uni, col("w2") === col("token"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+           round(
+             sum(col("tf") * -log(
+               lit(lambda) * (col("cb") / col("cw1").cast("double")) +
+               lit(1.0 - lambda) * (col("c") / col("total").cast("double")))) /
+               sum(col("tf")), 6).as("xent"))
+  }
+
+  // ---- x86: corpus snapshot diff ----------------------------------------
+
+  /** Content diff between two corpus snapshots keyed by `doc_id`:
+    * one row per delta — `added` (in `neu` only), `removed` (in `old`
+    * only), `changed` (both, content fingerprints differ). Rows whose
+    * CONTENT is unchanged are absent: the output is the delta an
+    * incremental pipeline re-processes, not a copy of the corpus.
+    * "Content" means [[TF.fingerprint]] (md5 of the case/whitespace-
+    * normalized text) — a whitespace-only edit is NOT a change, by the
+    * same normalization contract as the exact-dedup family (x04/x05).
+    *
+    * Shapes (the 100 TB posture): fingerprints are row-local (the join
+    * carries a fixed-width hash, never the text column — same reasoning
+    * as [[TF.fingerprint]]'s doc), then ONE full-outer sort-merge join
+    * on `doc_id`. Linear, no window, no skew surface beyond the id key
+    * itself; with both snapshots bucketed by `doc_id` the join is
+    * shuffle-free. This is the audit primitive for incremental corpus
+    * versioning: what must re-embed / re-dedup / re-shard after a crawl
+    * refresh, and the evidence row behind a release changelog. */
+  def corpusDiff(old: DataFrame, neu: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val a = old.select(col(idCol).as("doc_id"),
+      TF.fingerprint(col(textCol)).as("__fp_old"))
+    val b = neu.select(col(idCol).as("doc_id"),
+      TF.fingerprint(col(textCol)).as("__fp_new"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("__fp_new").isNull, lit("removed"))
+          .when(col("__fp_old").isNull, lit("added"))
+          .when(col("__fp_old") =!= col("__fp_new"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col("doc_id"), col("status"))
+  }
+
   // ---- x36: vocabulary construction with coverage ----------------------
 
   val VocabK = 100

@@ -390,6 +390,70 @@ object CurationQueries {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x87 — bigram LM cross-entropy (the next CCNet-ladder rung above x35)
+  // ---------------------------------------------------------------------
+  def bigramXent(s: SparkSession, dir: String): DataFrame =
+    Curation.bigramScore(Tables.documents(s, dir)).orderBy("doc_id")
+
+  val bigramXentSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+      |  FROM documents),
+      |bg AS (SELECT doc_id, unnest(l[1:-2]) AS w1, unnest(l[2:]) AS w2 FROM toks),
+      |u  AS (SELECT doc_id, unnest(l) AS token FROM toks),
+      |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+      |bm AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+      |ctx AS (SELECT w1, count(*) AS cw1 FROM bg GROUP BY 1),
+      |uni AS (SELECT token, count(*) AS c FROM u GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM uni)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+      |  round(SUM(tf * -ln(0.9 * (cb / CAST(cw1 AS DOUBLE))
+      |                     + 0.1 * (c / CAST(total AS DOUBLE)))) / SUM(tf), 6) AS xent
+      |FROM tf JOIN bm USING (w1, w2) JOIN ctx USING (w1)
+      |     JOIN uni ON uni.token = tf.w2 CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x86 — corpus snapshot diff (incremental-versioning audit)
+  // ---------------------------------------------------------------------
+  // The "next crawl" snapshot is derived DETERMINISTICALLY from the
+  // fixture corpus so the entry is self-contained and oracle-checkable:
+  // doc_id % 17 == 0 dropped (removed), % 17 == 3 text-amended
+  // (changed), % 17 == 5 forked to a fresh id beyond the max (added).
+  // Both engines build the same snapshot from these constants.
+  private val DiffMod = 17
+  private val DiffIdOffset = 10000000L
+
+  def corpusDiffQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val neu = docs.filter(col("doc_id") % DiffMod =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % DiffMod === 3, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+      .unionAll(docs.filter(col("doc_id") % DiffMod === 5)
+        .withColumn("doc_id", col("doc_id") + DiffIdOffset)
+        .withColumn("text", concat(col("text"), lit(" fork"))))
+    Curation.corpusDiff(docs, neu).orderBy("doc_id")
+  }
+
+  val corpusDiffSql: String = {
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    s"""WITH b AS (
+       |  SELECT doc_id, text || ' rev2' AS text FROM documents WHERE doc_id % $DiffMod = 3
+       |  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % $DiffMod NOT IN (0, 3)
+       |  UNION ALL SELECT doc_id + $DiffIdOffset, text || ' fork'
+       |            FROM documents WHERE doc_id % $DiffMod = 5),
+       |fa AS (SELECT doc_id, md5($norm) AS fp FROM documents),
+       |fb AS (SELECT doc_id, md5($norm) AS fp FROM b)
+       |SELECT COALESCE(fa.doc_id, fb.doc_id) AS doc_id,
+       |  CASE WHEN fb.fp IS NULL THEN 'removed'
+       |       WHEN fa.fp IS NULL THEN 'added' ELSE 'changed' END AS status
+       |FROM fa FULL OUTER JOIN fb ON fa.doc_id = fb.doc_id
+       |WHERE fb.fp IS NULL OR fa.fp IS NULL OR fa.fp <> fb.fp
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // x36 — vocabulary construction: top-K tokens + cumulative coverage
   // ---------------------------------------------------------------------
   def vocabCoverage(s: SparkSession, dir: String): DataFrame =
@@ -869,5 +933,7 @@ object CurationQueries {
     "x76_hybrid_rrf"          -> ((hybridRrf _, Some(hybridRrfSql))),
     "x77_phrase_search"       -> ((phraseSearch _, Some(phraseSearchSql))),
     "x74_text_normalize"      -> ((textNormalize _, Some(textNormalizeSql))),
+    "x86_corpus_diff"         -> ((corpusDiffQ _, Some(corpusDiffSql))),
+    "x87_bigram_xent"         -> ((bigramXent _, Some(bigramXentSql))),
   )
 }

@@ -1001,4 +1001,47 @@ class CurationSpec extends AnyFunSuite {
     val phrases = Seq((1L, Seq("the", "cat", "sat"))).toDF("query_id", "ph")
     assert(graft.operators.Curation.phraseMatches(corpus, phrases).count() == 0)
   }
+
+  test("x87 bigramScore: hand-computed interpolated xent; <2-token docs absent") {
+    import spark.implicits._
+    // corpus: uni a=3 b=3 c=1 (total 7); bigrams (a,b)=3 (b,a)=1; ctx a=3 b=1
+    val corpus = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"), (4L, ""))
+      .toDF("doc_id", "text")
+    val r = Curation.bigramScore(corpus).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    // every transition in docs 1,2 is MLE-certain: p = 0.9*1 + 0.1*uni(w2)
+    val expected = BigDecimal(-math.log(0.9 + 0.1 * (3.0 / 7)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.keySet == Set(1L, 2L)) // no bigram => unscorable => absent
+    assert(r(1L) == ((3L, expected)) && r(2L) == ((1L, expected)))
+  }
+
+  test("x87 bigramScore: token salad scores above natural transitions") {
+    import spark.implicits._
+    // same unigram profile, different transition structure: x35 is blind
+    // to this pair; the bigram model must separate them
+    val base = Seq.fill(8)("the cat sat on the mat").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val corpus = (base :+ (100L -> "the the cat cat sat sat on mat on mat"))
+      .toDF("doc_id", "text")
+    val r = Curation.bigramScore(corpus).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(100L) > r(0L),
+      s"salad ${r(100L)} should out-score natural ${r(0L)}")
+    assert(r.values.forall(_ >= 0.0), "interpolated p<=1 => xent >= 0")
+  }
+
+  test("x86 corpusDiff: delta rows only; whitespace-only edits are not changes") {
+    import spark.implicits._
+    val old = Seq((1L, "alpha beta"), (2L, "a  b"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, "alpha beta"),   // identical -> absent
+                  (2L, "a b"),          // whitespace-only -> absent (fingerprint contract)
+                  (3L, "gamma prime"),  // changed
+                  (6L, "epsilon"))      // added; 4 removed
+      .toDF("doc_id", "text")
+    val got = Curation.corpusDiff(old, neu).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(3L -> "changed", 4L -> "removed", 6L -> "added"))
+  }
 }
