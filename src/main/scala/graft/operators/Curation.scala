@@ -983,6 +983,48 @@ object Curation {
       .select(col("rnk"), col("token"), col("cnt"), col("coverage"))
   }
 
+  // ---- x89: Zipf-fit corpus-health audit --------------------------------
+
+  /** Log-log OLS fit of the token frequency spectrum against Zipf's law
+    * — the one-row corpus-health gauge data audits lean on: natural
+    * text fits rank^(-s) with s ≈ 1 and r² near 1, while boilerplate-
+    * flooded or template-generated corpora bend the curve (slope
+    * drifts, fit degrades). Output: `n_terms`, `slope`, `intercept`,
+    * `r2` of ln(count) ~ ln(rank) over the top-`k` vocabulary.
+    *
+    * Scale shape: identical spine to [[vocabCoverage]] — the corpus
+    * collapses to a vocabulary count (one partial-agg'd shuffle moving
+    * the vocabulary, never the corpus), the top-K plans as TakeOrdered
+    * (every partition contributes a local heap; K rows total reach the
+    * final sort), and the regression is a closed-form aggregate over
+    * those K rows. The moment sums are doubles (ln of rank/count), so
+    * the outputs are rounded to 6 decimals on both engines — the
+    * x35/x87 transcendental-parity rule. */
+  def zipfFit(docs: DataFrame, k: Int = VocabK): DataFrame = {
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    val ranked = docs
+      .select(explode(
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(k)
+      .withColumn("x", log(row_number().over(w).cast("double")))
+      .withColumn("y", log(col("cnt").cast("double")))
+    val m = ranked.agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val covN = col("n_terms") * col("sxy") - col("sx") * col("sy")
+    val varX = col("n_terms") * col("sxx") - col("sx") * col("sx")
+    val varY = col("n_terms") * col("syy") - col("sy") * col("sy")
+    m.withColumn("slope", round(covN / varX, 6))
+      .withColumn("intercept",
+        round((col("sy") - covN / varX * col("sx")) / col("n_terms"), 6))
+      .withColumn("r2", round(covN * covN / (varX * varY), 6))
+      .select("n_terms", "slope", "intercept", "r2")
+  }
+
   // ---- x52: collocation extraction (PMI-ranked bigrams) ----------------
 
   val CollocMinCount = 5

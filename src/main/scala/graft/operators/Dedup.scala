@@ -295,6 +295,57 @@ object Dedup {
     verifyJaccard(cands, candSh, threshold)
   }
 
+  /** ASYMMETRIC containment pairs with df-capped candidates — the
+    * "is document A (mostly) contained IN document B" detector that
+    * Jaccard structurally cannot express: a 40-shingle quote embedded
+    * in a 4000-shingle article has containment(A→B) = 1.0 but Jaccard
+    * ≈ 0.01, so a Jaccard threshold that catches it would drown in
+    * noise. Containment is the signal behind quote/subset dedup
+    * ("drop the snippet, keep the article") and behind detecting
+    * benchmark questions pasted verbatim into larger pages.
+    *
+    * Definition: C(a→b) = |Sa ∩ Sb| / |Sa| over the distinct word
+    * n-gram sets. The output carries BOTH directions
+    * (`cont_a_in_b` = inter/|Sa|, `cont_b_in_a` = inter/|Sb|) for each
+    * unordered pair with `max(C) ≥ threshold`, so the caller decides
+    * which side is the subset.
+    *
+    * Scale shape — identical to [[ngramJaccardPairsCapped]], with which
+    * it shares the candidate generator verbatim: candidates come only
+    * from shingles with corpus df ≤ `maxDf` (bounded at maxDf²/2 rows
+    * per shingle on any corpus), then EXACT intersection and set sizes
+    * are recomputed over the candidates' FULL shingle sets via a
+    * semi-join re-shingle of only the candidate documents. Same stated
+    * cap semantics: a pair whose shared shingles are ALL boilerplate
+    * (df > maxDf) is never considered. */
+  def ngramContainmentPairsCapped(docs: DataFrame, idCol: String = "doc_id",
+                                  textCol: String = "text", n: Int = 3,
+                                  threshold: Double = 0.8,
+                                  maxDf: Int = 100): DataFrame = {
+    val cands = cappedCandidates(docs, idCol, textCol, n, maxDf)
+      .localCheckpoint() // same small-relation trade as the Jaccard twin
+    val candIds = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id")))
+      .distinct()
+    val candDocs = docs.join(candIds, docs(idCol) === candIds("id"), "left_semi")
+    val candSh = shingleSet(candDocs, idCol, textCol, n).localCheckpoint()
+    val sizes = candSh.groupBy(col("id")).agg(count("*").as("sz"))
+    val inter = cands
+      .join(candSh.as("sa"), col("id_a") === col("sa.id"))
+      .join(candSh.as("sb"), col("id_b") === col("sb.id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count("*").as("inter"))
+    cands
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.as("za"), col("id_a") === col("za.id"))
+      .join(sizes.as("zb"), col("id_b") === col("zb.id"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / col("za.sz")).as("cont_a_in_b"),
+        (col("inter").cast("double") / col("zb.sz")).as("cont_b_in_a"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+  }
+
   /** The df-capped candidate stage of [[ngramJaccardPairsCapped]],
     * pre-checkpoint — exposed for plan-shape guards. The df cap is a
     * window count rather than groupBy+join — the same one-reference

@@ -476,6 +476,35 @@ object CurationQueries {
        |WHERE rnk <= ${Curation.VocabK} ORDER BY rnk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x89 — Zipf-fit corpus-health audit: log-log OLS over the top-K
+  // vocabulary (natural text ⇒ slope ≈ -1, r² ≈ 1; template floods
+  // bend the spectrum). One row; moment sums are doubles (ln), so all
+  // outputs round(6) per the x35/x87 transcendental-parity rule.
+  // ---------------------------------------------------------------------
+  def zipfFit(s: SparkSession, dir: String): DataFrame =
+    Curation.zipfFit(Tables.documents(s, dir))
+
+  val zipfFitSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |  FROM documents),
+       |vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+       |r AS (SELECT ln(row_number() OVER (ORDER BY cnt DESC, token ASC)) AS x,
+       |             ln(cnt) AS y
+       |      FROM vocab ORDER BY cnt DESC, token ASC LIMIT ${Curation.VocabK}),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       |             sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+       |             sum(x*y) AS sxy, sum(y*y) AS syy
+       |      FROM r)
+       |SELECT n_terms,
+       |  round((n_terms*sxy - sx*sy) / (n_terms*sxx - sx*sx), 6) AS slope,
+       |  round((sy - (n_terms*sxy - sx*sy) / (n_terms*sxx - sx*sx) * sx) / n_terms, 6)
+       |    AS intercept,
+       |  round((n_terms*sxy - sx*sy) * (n_terms*sxy - sx*sy) /
+       |        ((n_terms*sxx - sx*sx) * (n_terms*syy - sy*sy)), 6) AS r2
+       |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x41 — corpus datacard: the per-source release summary table
   // ---------------------------------------------------------------------
   def datacard(s: SparkSession, dir: String): DataFrame =
@@ -920,6 +949,7 @@ object CurationQueries {
     "x34_mixture_sample"      -> ((mixtureSample _, Some(mixtureSampleSql))),
     "x35_unigram_logprob"     -> ((unigramLogprob _, Some(unigramLogprobSql))),
     "x36_vocab_coverage"      -> ((vocabCoverage _, Some(vocabCoverageSql))),
+    "x89_zipf_fit"            -> ((zipfFit _, Some(zipfFitSql))),
     "x41_datacard"            -> ((datacard _, Some(datacardSql))),
     "x42_token_budget"        -> ((tokenBudget _, Some(tokenBudgetSql))),
     "x43_segment_dedup"       -> ((segmentDedup _, Some(segmentDedupSql))),

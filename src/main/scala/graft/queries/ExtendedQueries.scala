@@ -674,6 +674,60 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x88 — asymmetric CONTAINMENT pairs (df-capped candidates): the
+  // quote/subset detector Jaccard cannot express — a short document
+  // fully embedded in a long one has containment 1.0 but Jaccard near
+  // zero, so x08/x62's symmetric threshold either misses it or drowns
+  // in noise. Candidates share x62's df-capped generator (bounded on
+  // the clique pathology, ~linear at 100×); containment is then EXACT
+  // over the candidates' full shingle sets. On the fixture corpus the
+  // binding pairs are the exact-dup families (both directions 1.0);
+  // the asymmetric case — subset caught at Jaccard ≈ 0.07 — is proved
+  // on a planted corpus in DedupSpec, where symmetric thresholds
+  // structurally cannot rank it.
+  // ---------------------------------------------------------------------
+  private val ContainThreshold = 0.8
+
+  def ngramContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairsCapped(Tables.documents(s, dir),
+        n = 3, threshold = ContainThreshold, maxDf = TopKCapDf)
+      .orderBy("id_a", "id_b")
+
+  val ngramContainmentSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), grams AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(greatest(len(w) - 2, 0)),
+       |                               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+       |  FROM toks
+       |), df AS (
+       |  SELECT sh, COUNT(*) AS df FROM grams GROUP BY sh
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM grams a
+       |  JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  JOIN df ON df.sh = a.sh
+       |  WHERE df.df <= $TopKCapDf
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+       |  FROM grams a
+       |  JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |       CAST(i AS DOUBLE) / za.sz AS cont_a_in_b,
+       |       CAST(i AS DOUBLE) / zb.sz AS cont_b_in_a
+       |FROM inter
+       |JOIN sizes za ON id_a = za.doc_id
+       |JOIN sizes zb ON id_b = zb.doc_id
+       |WHERE greatest(CAST(i AS DOUBLE) / za.sz, CAST(i AS DOUBLE) / zb.sz)
+       |      >= $ContainThreshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x63 — cross-corpus dedup with DF-CAPPED candidates: the
   // corpus-scale twin of x38. Shingles must be rare on BOTH sides
   // (df ≤ cap within each corpus separately) to generate a candidate —
@@ -2114,6 +2168,7 @@ object ExtendedQueries {
     "x57_components_capped"  -> ((dedupComponentsCapped _, Some(dedupComponentsCappedSql))),
     "x62_ngram_topk_capped"  -> ((ngramTopKCapped _, Some(ngramTopKCappedSql))),
     "x83_split_leakage"      -> ((splitLeakage _, Some(splitLeakageSql))),
+    "x88_ngram_containment"  -> ((ngramContainment _, Some(ngramContainmentSql))),
     "x63_cross_corpus_capped" -> ((crossCorpusCapped _, Some(crossCorpusCappedSql))),
     "x64_dup_spans"          -> ((dupSpans _, Some(dupSpansSql))),
     "x65_span_dup_profile"   -> ((dupSpanProfile _, Some(dupSpanProfileSql))),

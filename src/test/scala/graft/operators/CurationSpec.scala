@@ -1044,4 +1044,31 @@ class CurationSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(3L -> "changed", 4L -> "removed", 6L -> "added"))
   }
+
+  test("x89 zipfFit: exact power-law corpora fit slope -1 and -2 with r2 1") {
+    import spark.implicits._
+    // counts K/r are EXACT integers for K = 2520, r = 1..10, so
+    // ln(cnt_r) = ln(K) - ln(r) exactly: OLS must recover slope -1,
+    // intercept ln(K), r2 1 up to double rounding.
+    val K = 2520
+    val zipf = (1 to 10)
+      .map(r => (r.toLong, Seq.fill(K / r)(s"tok$r").mkString(" ")))
+      .toDF("doc_id", "text")
+    val f = Curation.zipfFit(zipf, k = 10).collect().head
+    assert(f.getLong(0) == 10L)
+    assert(math.abs(f.getDouble(1) + 1.0) < 1e-6, s"slope ${f.getDouble(1)}")
+    assert(math.abs(f.getDouble(2) - math.log(K.toDouble)) < 1e-6)
+    assert(f.getDouble(3) > 1.0 - 1e-9, s"r2 ${f.getDouble(3)}")
+
+    // a steeper spectrum (counts K2/r², exact integers for K2 = 3600,
+    // r = 1..6) must fit slope -2 — the gauge separates spectra, not
+    // just "is it Zipf"
+    val K2 = 3600
+    val steep = (1 to 6)
+      .map(r => (r.toLong, Seq.fill(K2 / (r * r))(s"tok$r").mkString(" ")))
+      .toDF("doc_id", "text")
+    val g = Curation.zipfFit(steep, k = 6).collect().head
+    assert(math.abs(g.getDouble(1) + 2.0) < 1e-6, s"slope ${g.getDouble(1)}")
+    assert(g.getDouble(3) > 1.0 - 1e-9)
+  }
 }

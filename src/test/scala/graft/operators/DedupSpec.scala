@@ -167,6 +167,47 @@ class DedupSpec extends AnyFunSuite {
     loose.foreach { case (k, j) => assert(math.abs(j - uncapped(k)) < 1e-12) }
   }
 
+  test("containment: embedded quote scores 1.0 one-way where Jaccard is near zero") {
+    // article: 60 unique words → 58 unique trigrams; quote: its words 20..29
+    // verbatim → every quote trigram is an article trigram (containment
+    // quote→article = 1.0) while Jaccard = 8/58 ≈ 0.14.
+    val words = (0 until 60).map(i => s"w$i")
+    val article = words.mkString(" ")
+    val quote = words.slice(20, 30).mkString(" ")
+    val docs = (Seq((1L, article), (2L, quote)) ++
+      (10 until 20).map(i => (i.toLong, doc(i)))).toDF("doc_id", "text")
+
+    val cont = Dedup.ngramContainmentPairsCapped(docs, n = 3, threshold = 0.8, maxDf = 100)
+      .as[(Long, Long, Double, Double)].collect()
+      .map { case (a, b, ab, ba) => (a, b) -> ((ab, ba)) }.toMap
+    assert(cont.keySet == Set((1L, 2L)), s"got ${cont.keySet}")
+    val (aInB, bInA) = cont((1L, 2L))
+    assert(bInA == 1.0)                      // quote (b) fully inside article
+    assert(aInB == 8.0 / 58.0)               // article barely inside quote
+    // the same pair is INVISIBLE to a symmetric Jaccard threshold of 0.8
+    val jac = Dedup.ngramJaccardPairsCapped(docs, n = 3, threshold = 0.8, maxDf = 100)
+      .as[(Long, Long, Double)].collect()
+    assert(!jac.exists(p => p._1 == 1L && p._2 == 2L))
+  }
+
+  test("containment: exact-dup pair is 1.0 both ways; df cap drops boilerplate-only pairs") {
+    val boiler = "p q r p q r"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $boiler"),
+      (2L, s"alpha beta gamma delta epsilon zeta $boiler"), // exact dup of 1
+      (3L, s"one two three four five six $boiler"),
+      (4L, s"seven eight nine ten eleven twelve $boiler"),
+      (5L, s"red orange yellow green blue indigo $boiler"),
+      (6L, s"cat dog bird fish horse goat $boiler")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairsCapped(docs, n = 3, threshold = 0.8, maxDf = 5)
+      .as[(Long, Long, Double, Double)].collect()
+      .map { case (a, b, ab, ba) => (a, b) -> ((ab, ba)) }.toMap
+    // only the exact-dup pair survives the cap; both directions exactly 1.0
+    assert(cont.keySet == Set((1L, 2L)), s"got ${cont.keySet}")
+    assert(cont((1L, 2L)) == ((1.0, 1.0)))
+  }
+
   test("df-capped top-k: boilerplate-only pairs fall out of the ranking; exact values") {
     val boiler = "p q r p q r"
     val docs = Seq(
