@@ -1481,4 +1481,52 @@ object Curation {
       .toDF("doc_id", "n_words", "n_units", "n_distinct_units")
       .orderBy("doc_id")
   }
+
+  // ---- x90: tokenizer fertility audit -----------------------------------
+
+  /** Per-language tokenizer FERTILITY — subword units per word and
+    * characters per unit under a learned BPE merge table. The tokenizer-
+    * equity audit every multilingual release runs: a tokenizer trained
+    * on skewed data fragments under-represented languages into more
+    * units per word (higher fertility), which taxes their effective
+    * context length and training compute; chars/unit is the inverse
+    * compression read.
+    *
+    * Scale shape: the encode kernel is row-local (the rank-heap
+    * [[encodeWordRankHeap]], O(|word| log |word|) per word, merge table
+    * broadcast with the closure), and language is carried THROUGH the
+    * kernel so the aggregation needs no join back to the corpus — one
+    * lang-grain partial-agg'd shuffle total, |langs| output rows.
+    * Ratios divide exact longs and round(6) — but the entry is
+    * rows-only regardless: the merge table is x68's iterative output,
+    * not SQL-expressible. */
+  def tokenizerFertility(docs: DataFrame, merges: Seq[(String, String)],
+                         textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val table = rankTable(merges)
+    docs.select(col("lang"), col(textCol)).as[(String, String)]
+      .map { case (lang, text) =>
+        var nWords = 0L
+        var nUnits = 0L
+        var nChars = 0L
+        text.split(" ").foreach { w =>
+          if (w.nonEmpty) {
+            nWords += 1
+            nChars += w.length
+            nUnits += encodeWordRankHeap(w, table).length
+          }
+        }
+        (lang, nWords, nUnits, nChars)
+      }
+      .toDF("lang", "n_words", "n_units", "n_chars")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+           sum("n_units").as("n_units"), sum("n_chars").as("n_chars"))
+      .withColumn("fertility",
+        round(col("n_units").cast("double") / col("n_words"), 6))
+      .withColumn("chars_per_unit",
+        round(col("n_chars").cast("double") / col("n_units"), 6))
+      .orderBy("lang")
+  }
 }

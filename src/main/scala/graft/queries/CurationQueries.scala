@@ -736,6 +736,22 @@ object CurationQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x90 — tokenizer FERTILITY audit: per-language subword units/word +
+  // chars/unit under the corpus-learned BPE table (x68 → x69 kernel).
+  // The tokenizer-equity read every multilingual release ships. Learned
+  // table = iterative ⇒ rows-only; the closed-form invariants
+  // (zero-merge fertility = chars/word, saturating merges → 1.0,
+  // agreement with x69's per-doc sums) are spec-asserted.
+  // ---------------------------------------------------------------------
+  def tokenizerFertilityQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = Curation.bpeMerges(docs, numMerges = 20)
+      .select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    Curation.tokenizerFertility(docs, merges)
+  }
+
+  // ---------------------------------------------------------------------
   // x71 — BM25 ranked retrieval (eval-slice queries over the corpus)
   // ---------------------------------------------------------------------
   def bm25(s: SparkSession, dir: String): DataFrame =
@@ -959,6 +975,7 @@ object CurationQueries {
     "x53_approx_heavy_hitters" -> ((approxHeavyHitters _, Some(approxHeavyHittersSql))),
     "x68_bpe_merges"          -> ((bpeMergesQ _, None)),
     "x69_bpe_encode"          -> ((bpeEncodeQ _, None)),
+    "x90_tokenizer_fertility" -> ((tokenizerFertilityQ _, None)),
     "x71_bm25"                -> ((bm25 _, Some(bm25Sql))),
     "x76_hybrid_rrf"          -> ((hybridRrf _, Some(hybridRrfSql))),
     "x77_phrase_search"       -> ((phraseSearch _, Some(phraseSearchSql))),

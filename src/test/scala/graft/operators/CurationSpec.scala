@@ -1045,6 +1045,45 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(3L -> "changed", 4L -> "removed", 6L -> "added"))
   }
 
+  test("x90 tokenizerFertility: zero-merge = chars/word, saturating merges reach 1.0, agrees with x69") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "ab ab cd"),
+      (2L, "en", "abcd"),
+      (3L, "de", "ab cd")
+    ).toDF("doc_id", "lang", "text")
+
+    // zero merges: every unit is a single character, so n_units = n_chars
+    // (chars_per_unit exactly 1) and fertility = chars per word
+    val z = Curation.tokenizerFertility(docs, Seq.empty).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(z("en").getLong(2) == 4L && z("en").getLong(4) == 10L)
+    assert(z("en").getDouble(5) == 2.5 && z("en").getDouble(6) == 1.0)
+    assert(z("de").getDouble(5) == 2.0 && z("de").getDouble(6) == 1.0)
+
+    // a table that merges every corpus word to ONE unit drives fertility
+    // to exactly 1.0; chars_per_unit becomes mean word length
+    val sat = Seq(("a", "b"), ("c", "d"), ("ab", "cd"))
+    val f = Curation.tokenizerFertility(docs, sat).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(f("en").getDouble(5) == 1.0 && f("en").getDouble(6) == 2.5)
+    assert(f("de").getDouble(5) == 1.0 && f("de").getDouble(6) == 2.0)
+
+    // agreement with the x69 per-doc kernel on a real corpus + learned table
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    val merges = Curation.bpeMerges(corpus, numMerges = 10)
+      .select("left", "right").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val fert = Curation.tokenizerFertility(corpus, merges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val perDoc = Curation.bpeEncode(corpus, merges)
+      .join(corpus.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(sum("n_words").as("w"), sum("n_units").as("u"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(fert == perDoc)
+  }
+
   test("x89 zipfFit: exact power-law corpora fit slope -1 and -2 with r2 1") {
     import spark.implicits._
     // counts K/r are EXACT integers for K = 2520, r = 1..10, so
