@@ -424,16 +424,21 @@ object CurationQueries {
   private val DiffMod = 17
   private val DiffIdOffset = 10000000L
 
-  def corpusDiffQ(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val neu = docs.filter(col("doc_id") % DiffMod =!= 0)
+  /** The deterministic "next crawl" snapshot both x86 and its streamed
+    * twin s30 diff against — built from the same constants on both
+    * engines so the entries are self-contained and oracle-checkable. */
+  private[graft] def diffSnapshot(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % DiffMod =!= 0)
       .withColumn("text",
         when(col("doc_id") % DiffMod === 3, concat(col("text"), lit(" rev2")))
           .otherwise(col("text")))
       .unionAll(docs.filter(col("doc_id") % DiffMod === 5)
         .withColumn("doc_id", col("doc_id") + DiffIdOffset)
         .withColumn("text", concat(col("text"), lit(" fork"))))
-    Curation.corpusDiff(docs, neu).orderBy("doc_id")
+
+  def corpusDiffQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Curation.corpusDiff(docs, diffSnapshot(docs)).orderBy("doc_id")
   }
 
   val corpusDiffSql: String = {

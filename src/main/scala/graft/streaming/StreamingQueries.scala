@@ -956,6 +956,76 @@ object StreamingQueries {
       graft.queries.ExtendedQueries.SpanGramN)
   }
 
+  // ---------------------------------------------------------------------
+  // s30 — STREAMED corpus snapshot diff: x86's incremental-versioning
+  // audit computed as the new crawl ARRIVES, not after it lands. The
+  // added/changed verdict is PER-INCOMING-DOC given the old snapshot's
+  // fingerprint relation (x04's normalized md5 — row-local, fixed
+  // width), so the stream is exact and state-free: each micro-batch
+  // left-joins its fingerprints against the pinned old relation and
+  // appends its delta; 'unchanged' rows die in the batch. 'removed' is
+  // the one verdict absence-based and thus unknowable mid-stream — it
+  // falls out at stream END as one anti-join of the old ids against
+  // the ids the stream itself recorded (a fixed-width relation the
+  // foreachBatch writes alongside the delta), so the entry never peeks
+  // at the incoming snapshot as a batch relation. Result ≡ x86,
+  // hash-checked against x86's own oracle. At 100 TB the old
+  // fingerprint store is bucketed on doc_id (s21's note) and each
+  // batch's join is shuffle-free against it.
+  // ---------------------------------------------------------------------
+
+  /** The s30 core: write `neu` as a multi-file parquet stream source,
+    * diff each micro-batch against `old`'s pinned fingerprints, then
+    * reconcile removals from the stream's own seen-id record. */
+  private[graft] def snapshotDiffStream(s: SparkSession, old: DataFrame,
+                                        neu: DataFrame): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val work = tempDir("graft_s30_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"
+    val idsDir = s"$work/ids"; val ck = s"$work/ck"
+
+    val oldFp = old.select(col("doc_id"), TF.fingerprint(col("text")).as("fp_old"))
+      .localCheckpoint() // feeds every micro-batch + the removal pass; pin once
+
+    neu.select(col("doc_id"), col("text")).repartition(3).write.parquet(inDir)
+
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val fp = b.select(col("doc_id"), TF.fingerprint(col("text")).as("fp_new"))
+          .localCheckpoint() // feeds the delta AND the seen-id record
+        fp.join(oldFp, Seq("doc_id"), "left")
+          .withColumn("status",
+            when(col("fp_old").isNull, lit("added"))
+              .when(col("fp_old") =!= col("fp_new"), lit("changed")))
+          .filter(col("status").isNotNull)
+          .select("doc_id", "status")
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        fp.select("doc_id").write.mode("overwrite").parquet(s"$idsDir/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val removed = oldFp
+      .join(s.read.parquet(idsDir).select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("removed").as("status"))
+    s.read.parquet(outDir).select(col("doc_id"), col("status"))
+      .unionAll(removed)
+      .orderBy("doc_id")
+  }
+
+  def streamSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    snapshotDiffStream(s, docs, graft.queries.CurationQueries.diffSnapshot(docs))
+  }
+
   val streamNearDupSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
@@ -1102,5 +1172,7 @@ object StreamingQueries {
     "s26_stream_span_clean" -> ((streamSpanClean _,
       Some(graft.queries.ExtendedQueries.crossSpanCleanSql))),
     "s29_stream_cusum"      -> ((streamCusum _, Some(streamCusumSql))),
+    "s30_stream_snapshot_diff" -> ((streamSnapshotDiff _,
+      Some(graft.queries.CurationQueries.corpusDiffSql))),
   )
 }

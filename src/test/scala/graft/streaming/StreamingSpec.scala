@@ -325,4 +325,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(byId(4L) == ((4L, "", 0L, 5L)))            // exact copy emptied
     assert(byId(5L)._4 == 0L)                          // clean doc intact
   }
+
+  test("s30 streamed snapshot diff == batch x86; removed reconciled from the stream's own ids") {
+    // 1 unchanged, 2 whitespace-only (NOT a change by the fingerprint
+    // contract), 3 changed, 4 removed, 6 added — the removal verdict
+    // must come out right even though docs land in different
+    // micro-batches and no single batch sees the whole new snapshot
+    val old = Seq((1L, "alpha beta"), (2L, "a  b"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, "alpha beta"), (2L, "a b"), (3L, "gamma prime"), (6L, "epsilon"))
+      .toDF("doc_id", "text")
+    val streamed = StreamingQueries.snapshotDiffStream(spark, old, neu)
+      .as[(Long, String)].collect().toSeq.sorted
+    val batch = graft.operators.Curation.corpusDiff(old, neu)
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(streamed == batch)
+    assert(streamed == Seq((3L, "changed"), (4L, "removed"), (6L, "added")))
+  }
 }
