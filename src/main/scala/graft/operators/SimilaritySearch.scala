@@ -521,4 +521,74 @@ object SimilaritySearch {
               col("__best.cos_to_center").as("cos_to_center"))
     (assignments, centersDf)
   }
+
+  // ---- x91: embedding-health audit --------------------------------------
+
+  /** Per-label embedding-table health: the pre-flight audit every
+    * vector pipeline runs before trusting ANN/dedup results built on
+    * the table — dimension consistency (a ragged table silently breaks
+    * dot products), zero/near-zero-norm counts (un-normalizable
+    * vectors poison cosine math), and the L2-norm envelope (collapsed
+    * or exploded norms flag an upstream encoder bug).
+    *
+    * Scale shape: norm and dimension are row-local (the codegen'd
+    * [[VectorFunctions.dot_product]] kernel — sequential left-to-right
+    * double accumulation, matching DuckDB's `list_sum` fold order for
+    * hash parity), then ONE label-grain partial-agg'd shuffle;
+    * |labels| output rows. mean_norm crosses partition boundaries as
+    * double partials, so norm stats round(6) per the transcendental-
+    * parity rule; counts and dims are exact integers. */
+  def embeddingHealth(embs: DataFrame, zeroTol: Double = 1e-6): DataFrame =
+    embs
+      .withColumn("__dim", size(col("embedding")))
+      .withColumn("__norm",
+        sqrt(VectorFunctions.dot_product(col("embedding"), col("embedding"))))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("__dim")).as("dim_min"),
+        max(col("__dim")).as("dim_max"),
+        sum(when(col("__norm") < zeroTol, 1L).otherwise(0L)).as("n_zero_norm"),
+        round(avg(col("__norm")), 6).as("mean_norm"),
+        round(min(col("__norm")), 6).as("min_norm"),
+        round(max(col("__norm")), 6).as("max_norm"))
+      .orderBy("label")
+
+  // ---- x92: label-centroid separation audit -----------------------------
+
+  /** Pairwise cosine between LABEL CENTROIDS — the cluster-separation
+    * read on a labeled embedding table: labels whose centroids sit at
+    * cosine ≈ 1 are semantically indistinct (merge candidates /
+    * labeling errors), centroids near orthogonal are well-separated.
+    * The audit behind "are these classes actually separable" before
+    * training a classifier head on the table.
+    *
+    * Scale shape: the corpus collapses to the (label, dim) grain in
+    * ONE partial-agg'd shuffle — posexplode multiplies rows ×dims but
+    * map-side combine shrinks the exchange to |labels|·dims rows per
+    * partition, so the shuffle is model-sized, never corpus-sized.
+    * Everything downstream (norms, the label×label join on dim) runs
+    * on the |labels|·dims relation. Centroid components round(6)
+    * IN-PLAN on both engines (they cross an avg partial), and the
+    * final cosine rounds again — the x35/x87 parity rule applied
+    * twice. */
+  def centroidSeparation(embs: DataFrame): DataFrame = {
+    val c = embs
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+      .localCheckpoint() // feeds the pair join twice + the norm relation
+    val norms = c.groupBy(col("label"))
+      .agg(sqrt(sum(col("cv") * col("cv"))).as("nrm"))
+    val pairs = c.as("a").join(c.as("b"),
+        col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(col("a.cv") * col("b.cv")).as("dot"))
+    pairs
+      .join(norms.as("na"), col("label_a") === col("na.label"))
+      .join(norms.as("nb"), col("label_b") === col("nb.label"))
+      .select(col("label_a"), col("label_b"),
+        round(col("dot") / (col("na.nrm") * col("nb.nrm")), 6).as("cosine"))
+      .orderBy("label_a", "label_b")
+  }
 }

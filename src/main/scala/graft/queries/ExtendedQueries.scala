@@ -674,6 +674,59 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x91 — embedding-table HEALTH audit: per-label dimension
+  // consistency, zero-norm counts, and the L2-norm envelope — the
+  // pre-flight check before trusting any ANN/dedup built on the table.
+  // Row-local norm via the codegen'd dot_product kernel (sequential
+  // fold, matching DuckDB's list_sum order), one label-grain shuffle.
+  // ---------------------------------------------------------------------
+  def embeddingHealthQ(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.embeddingHealth(Tables.embeddings(s, dir))
+
+  val embeddingHealthSql: String =
+    """WITH v AS (
+      |  SELECT label, len(embedding) AS dim,
+      |         sqrt(list_sum(list_transform(embedding,
+      |                                      x -> CAST(x AS DOUBLE) * x))) AS nrm
+      |  FROM embeddings)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |       CAST(min(dim) AS INT) AS dim_min, CAST(max(dim) AS INT) AS dim_max,
+      |       CAST(SUM(CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_zero_norm,
+      |       round(avg(nrm), 6) AS mean_norm,
+      |       round(min(nrm), 6) AS min_norm,
+      |       round(max(nrm), 6) AS max_norm
+      |FROM v GROUP BY label ORDER BY label""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x92 — label-centroid SEPARATION audit: pairwise cosine between
+  // label centroids ("are these classes actually separable"). The
+  // corpus collapses to the (label, dim) grain in one partial-agg'd
+  // shuffle (map-side combine keeps the exchange model-sized);
+  // centroid components round(6) in-plan on BOTH engines, final
+  // cosine rounds again.
+  // ---------------------------------------------------------------------
+  def centroidSeparationQ(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.centroidSeparation(Tables.embeddings(s, dir))
+
+  val centroidSeparationSql: String =
+    """WITH e AS (
+      |  SELECT label, unnest(embedding) AS v,
+      |         generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS cv
+      |  FROM e GROUP BY 1, 2),
+      |n AS (SELECT label, sqrt(SUM(cv*cv)) AS nrm FROM c GROUP BY 1),
+      |p AS (
+      |  SELECT a.label AS label_a, b.label AS label_b, SUM(a.cv*b.cv) AS dot
+      |  FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+      |  GROUP BY 1, 2)
+      |SELECT label_a, label_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+      |FROM p JOIN n na ON label_a = na.label JOIN n nb ON label_b = nb.label
+      |ORDER BY label_a, label_b""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x88 — asymmetric CONTAINMENT pairs (df-capped candidates): the
   // quote/subset detector Jaccard cannot express — a short document
   // fully embedded in a long one has containment 1.0 but Jaccard near
@@ -2169,6 +2222,8 @@ object ExtendedQueries {
     "x62_ngram_topk_capped"  -> ((ngramTopKCapped _, Some(ngramTopKCappedSql))),
     "x83_split_leakage"      -> ((splitLeakage _, Some(splitLeakageSql))),
     "x88_ngram_containment"  -> ((ngramContainment _, Some(ngramContainmentSql))),
+    "x91_embedding_health"   -> ((embeddingHealthQ _, Some(embeddingHealthSql))),
+    "x92_centroid_separation" -> ((centroidSeparationQ _, Some(centroidSeparationSql))),
     "x63_cross_corpus_capped" -> ((crossCorpusCapped _, Some(crossCorpusCappedSql))),
     "x64_dup_spans"          -> ((dupSpans _, Some(dupSpansSql))),
     "x65_span_dup_profile"   -> ((dupSpanProfile _, Some(dupSpanProfileSql))),

@@ -220,6 +220,38 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(out.forall(_.getInt(5) == 1), "each query fuses independently")
   }
 
+  test("x91 embeddingHealth: exact stats on a planted table (zero-norm, ragged dims, norms)") {
+    val embs = Seq(
+      (0L, Array(3f, 4f), 1),          // norm 5
+      (1L, Array(0f, 0f), 1),          // zero norm
+      (2L, Array(1f, 0f, 0f), 1),      // ragged: dim 3
+      (3L, Array(0f, 2f), 2)           // norm 2
+    ).toDF("vec_id", "embedding", "label")
+    val h = SimilaritySearch.embeddingHealth(embs).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val l1 = h(1)
+    assert(l1.getLong(1) == 3L)                      // n_vecs
+    assert(l1.getInt(2) == 2 && l1.getInt(3) == 3)   // ragged detected
+    assert(l1.getLong(4) == 1L)                      // one zero-norm vector
+    assert(l1.getDouble(5) == 2.0)                   // mean of 5, 0, 1
+    assert(l1.getDouble(6) == 0.0 && l1.getDouble(7) == 5.0)
+    val l2 = h(2)
+    assert(l2.getLong(1) == 1L && l2.getDouble(5) == 2.0)
+  }
+
+  test("x92 centroidSeparation: identical labels at cosine 1, orthogonal at 0, opposite at -1") {
+    // label 1: centroid (1,0); label 2: centroid (0,1); label 3: centroid
+    // (-1,0) — pairwise cosines 0, -1, 0 exactly (members average cleanly)
+    val embs = Seq(
+      (0L, Array(1f, 0f), 1), (1L, Array(1f, 0f), 1),
+      (2L, Array(0f, 1f), 2), (3L, Array(0f, 1f), 2),
+      (4L, Array(-1f, 0f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilaritySearch.centroidSeparation(embs).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out == Map((1, 2) -> 0.0, (1, 3) -> -1.0, (2, 3) -> 0.0))
+  }
+
   test("clusterEmbeddings assignment plans as partial max_by aggregate, no window") {
     VectorFunctions.register(spark)
     val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
