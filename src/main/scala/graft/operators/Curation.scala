@@ -1025,6 +1025,53 @@ object Curation {
       .select("n_terms", "slope", "intercept", "r2")
   }
 
+  // ---- x93: DSIR-style importance selection -----------------------------
+
+  val DsirK = 50
+
+  /** Data Selection via Importance Resampling (the DSIR recipe, Xie et
+    * al. 2023, on unigram features): score every corpus document by how
+    * much more likely its tokens are under the TARGET slice's unigram
+    * LM than under the general corpus LM, and keep the top-K — the
+    * principled "select pretraining data that looks like the domain I
+    * care about" operator. Target = the deterministic
+    * `doc_id % benchMod == 0` eval-set stand-in (x26/x71's convention);
+    * log w(doc) = Σ_tokens tf · [ln p̂_target(t) − ln p̂_corpus(t)] with
+    * Laplace smoothing over the joint vocabulary, so tokens unseen in
+    * the target contribute a finite negative ratio instead of −∞.
+    *
+    * Scale shape — the x35 spine: ONE corpus-grain shuffle for the
+    * per-(doc, token) tf; the two LMs collapse to a single
+    * vocabulary-sized count relation (map-side combined), totals are a
+    * 1-row broadcast, and the token join streams postings past the
+    * vocabulary relation. Ranking is TakeOrdered on the doc-grain
+    * score (never a global sort). Scores round(6) BEFORE ranking (the
+    * x33 rule). */
+  def dsirSelect(docs: DataFrame, benchMod: Int = BenchMod,
+                 k: Int = DsirK): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      (col("doc_id") % benchMod === 0).as("is_t"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+        .as("token"))
+    val tc = toks.groupBy(col("token")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("cc"))
+    val tot = tc.agg(sum(col("ct")).as("nt"), sum(col("cc")).as("nc"),
+      count(lit(1)).as("v"))
+    val tf = toks.filter(!col("is_t"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val ratio =
+      log((col("ct") + 1).cast("double") / (col("nt") + col("v")).cast("double")) -
+      log((col("cc") + 1).cast("double") / (col("nc") + col("v")).cast("double"))
+    tf.join(tc, "token")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+           round(sum(col("tf") * ratio), 6).as("log_w"))
+      .orderBy(desc("log_w"), col("doc_id"))
+      .limit(k)
+  }
+
   // ---- x52: collocation extraction (PMI-ranked bigrams) ----------------
 
   val CollocMinCount = 5

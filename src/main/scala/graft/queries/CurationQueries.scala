@@ -510,6 +510,36 @@ object CurationQueries {
        |FROM m""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x93 — DSIR importance selection (Xie et al. 2023, unigram
+  // features): rank the corpus by target-vs-corpus log likelihood
+  // ratio with Laplace smoothing over the joint vocabulary; keep the
+  // top-K. Target = the doc_id % 97 eval-slice convention (x26/x71).
+  // ---------------------------------------------------------------------
+  def dsirSelect(s: SparkSession, dir: String): DataFrame =
+    Curation.dsirSelect(Tables.documents(s, dir))
+
+  val dsirSelectSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, doc_id % ${Curation.BenchMod} = 0 AS is_t,
+       |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |  FROM documents),
+       |tc AS (SELECT token,
+       |         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |         CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cc
+       |       FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+       |               CAST(SUM(cc) AS BIGINT) AS nc,
+       |               CAST(COUNT(*) AS BIGINT) AS v FROM tc),
+       |tf AS (SELECT doc_id, token, count(*) AS tf
+       |       FROM toks WHERE NOT is_t GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       |       round(SUM(tf * (ln((ct+1) / CAST(nt+v AS DOUBLE))
+       |                     - ln((cc+1) / CAST(nc+v AS DOUBLE)))), 6) AS log_w
+       |FROM tf JOIN tc USING (token) CROSS JOIN tot
+       |GROUP BY doc_id
+       |ORDER BY log_w DESC, doc_id LIMIT ${Curation.DsirK}""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x41 — corpus datacard: the per-source release summary table
   // ---------------------------------------------------------------------
   def datacard(s: SparkSession, dir: String): DataFrame =
@@ -971,6 +1001,7 @@ object CurationQueries {
     "x35_unigram_logprob"     -> ((unigramLogprob _, Some(unigramLogprobSql))),
     "x36_vocab_coverage"      -> ((vocabCoverage _, Some(vocabCoverageSql))),
     "x89_zipf_fit"            -> ((zipfFit _, Some(zipfFitSql))),
+    "x93_dsir_selection"      -> ((dsirSelect _, Some(dsirSelectSql))),
     "x41_datacard"            -> ((datacard _, Some(datacardSql))),
     "x42_token_budget"        -> ((tokenBudget _, Some(tokenBudgetSql))),
     "x43_segment_dedup"       -> ((segmentDedup _, Some(segmentDedupSql))),

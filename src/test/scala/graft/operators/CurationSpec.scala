@@ -1084,6 +1084,37 @@ class CurationSpec extends AnyFunSuite {
     assert(fert == perDoc)
   }
 
+  test("x93 dsirSelect: target-like docs outrank off-target; eval slice never selected") {
+    import spark.implicits._
+    // ids 0 and 97 are the target slice (doc_id % 97 == 0); the corpus
+    // docs range from pure target vocabulary to pure off-target
+    val docs = Seq(
+      (0L,  "heart dose patient trial heart dose"),
+      (97L, "patient trial dose heart patient"),
+      (1L,  "heart dose patient trial"),            // pure target vocab
+      (2L,  "statute court appeal verdict"),        // pure off-target
+      (3L,  "heart dose statute court"),            // mixed
+      (4L,  "statute court appeal verdict statute court appeal verdict")
+    ).toDF("doc_id", "text")
+    val out = Curation.dsirSelect(docs, benchMod = 97, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val w = out.toMap
+    // eval-slice docs are candidates' TARGET, never candidates themselves
+    assert(out.forall(_._1 % 97 != 0))
+    // monotone in target-likeness
+    assert(w(1L) > w(3L) && w(3L) > w(2L), s"got $w")
+    // pure target vocab scores positive, pure off-target negative
+    assert(w(1L) > 0 && w(2L) < 0)
+    // per-token ratios are length-additive: doubling an off-target doc
+    // doubles its (negative) log weight
+    // (2e-6 tolerance: each side rounds to 6 decimals independently)
+    assert(math.abs(w(4L) - 2 * w(2L)) < 2e-6, s"${w(4L)} vs 2*${w(2L)}")
+    // deterministic
+    val again = Curation.dsirSelect(docs, benchMod = 97, k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("x89 zipfFit: exact power-law corpora fit slope -1 and -2 with r2 1") {
     import spark.implicits._
     // counts K/r are EXACT integers for K = 2520, r = 1..10, so
