@@ -1049,7 +1049,21 @@ object Curation {
     * x33 rule). */
   def dsirSelect(docs: DataFrame, benchMod: Int = BenchMod,
                  k: Int = DsirK): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+    val (tc, tot) = dsirModel(docs, benchMod)
+    dsirScore(docs.filter(col("doc_id") % benchMod =!= 0), tc, tot)
+      .orderBy(desc("log_w"), col("doc_id"))
+      .limit(k)
+  }
+
+  /** The two smoothed unigram LMs behind [[dsirSelect]], as one
+    * vocabulary-sized count relation (ct = target count, cc = corpus
+    * count per token) plus the 1-row totals (nt, nc, v) — exposed so
+    * the streamed admission twin (s31) can build them ONCE from the
+    * static corpus and score micro-batches against the pinned
+    * relations. */
+  private[graft] def dsirModel(docs: DataFrame,
+                               benchMod: Int = BenchMod): (DataFrame, DataFrame) = {
+    val toks = docs.select(
       (col("doc_id") % benchMod === 0).as("is_t"),
       explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
         .as("token"))
@@ -1058,7 +1072,18 @@ object Curation {
       sum(when(col("is_t"), 0L).otherwise(1L)).as("cc"))
     val tot = tc.agg(sum(col("ct")).as("nt"), sum(col("cc")).as("nc"),
       count(lit(1)).as("v"))
-    val tf = toks.filter(!col("is_t"))
+    (tc, tot)
+  }
+
+  /** Score `docs` against a [[dsirModel]]: per-doc token count and the
+    * smoothed log importance weight, round(6). Row-local explode + one
+    * (doc, token) shuffle + the vocabulary join; no ranking — callers
+    * TakeOrder (x93) or threshold (s31) on top. */
+  private[graft] def dsirScore(docs: DataFrame, tc: DataFrame,
+                               tot: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
     val ratio =
       log((col("ct") + 1).cast("double") / (col("nt") + col("v")).cast("double")) -
@@ -1068,8 +1093,6 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
            round(sum(col("tf") * ratio), 6).as("log_w"))
-      .orderBy(desc("log_w"), col("doc_id"))
-      .limit(k)
   }
 
   // ---- x52: collocation extraction (PMI-ranked bigrams) ----------------

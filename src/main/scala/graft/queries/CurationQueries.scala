@@ -539,6 +539,35 @@ object CurationQueries {
        |GROUP BY doc_id
        |ORDER BY log_w DESC, doc_id LIMIT ${Curation.DsirK}""".stripMargin
 
+  /** s31's admission threshold — binds at both SFs (sf0.01: 58/494
+    * admitted, sf0.1: 664/4948). */
+  val DsirTau = 0.5
+
+  /** Batch oracle for the streamed DSIR admission gate (s31): x93's
+    * smoothed-LLR CTE with a threshold filter instead of top-K. */
+  val dsirAdmissionSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, doc_id % ${Curation.BenchMod} = 0 AS is_t,
+       |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |  FROM documents),
+       |tc AS (SELECT token,
+       |         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |         CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cc
+       |       FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+       |               CAST(SUM(cc) AS BIGINT) AS nc,
+       |               CAST(COUNT(*) AS BIGINT) AS v FROM tc),
+       |tf AS (SELECT doc_id, token, count(*) AS tf
+       |       FROM toks WHERE NOT is_t GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       |         round(SUM(tf * (ln((ct+1) / CAST(nt+v AS DOUBLE))
+       |                       - ln((cc+1) / CAST(nc+v AS DOUBLE)))), 6) AS log_w
+       |  FROM tf JOIN tc USING (token) CROSS JOIN tot
+       |  GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, log_w FROM sc
+       |WHERE log_w >= $DsirTau ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // x41 — corpus datacard: the per-source release summary table
   // ---------------------------------------------------------------------

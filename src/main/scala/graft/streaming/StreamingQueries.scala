@@ -1026,6 +1026,63 @@ object StreamingQueries {
     snapshotDiffStream(s, docs, graft.queries.CurationQueries.diffSnapshot(docs))
   }
 
+  // ---------------------------------------------------------------------
+  // s31 — STREAMED DSIR admission: x93's importance scoring as an
+  // admission gate on the document stream. x93's global top-K cannot
+  // stream (a rank over the whole corpus is only known at the end);
+  // the honest streaming contract is THRESHOLD admission — admit a doc
+  // the moment its smoothed log importance weight clears τ — which is
+  // per-doc given the two pinned LMs, so the stream is exact and
+  // state-free (the x93 model relations are built ONCE from the static
+  // corpus, the same way s25 pins its reference shingles). Per-batch
+  // plan: row-local explode → (doc, token) agg within the batch →
+  // vocabulary join against the pinned counts → threshold filter.
+  // Batching-invariant because a document never spans files. Oracle:
+  // the same smoothed-LLR SQL with WHERE log_w >= τ.
+  // ---------------------------------------------------------------------
+
+  /** The s31 core: build the DSIR model from `allDocs` once, stream the
+    * non-target slice, admit per micro-batch at `tau`. */
+  private[graft] def dsirAdmissionStream(s: SparkSession, allDocs: DataFrame,
+                                         tau: Double): DataFrame = {
+    import graft.operators.Curation
+    val work = tempDir("graft_s31_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    val (tc, tot) = Curation.dsirModel(allDocs)
+    val tcP = tc.localCheckpoint()   // vocabulary-sized; feeds every batch
+    val totP = tot.localCheckpoint() // 1 row
+
+    allDocs.filter(col("doc_id") % Curation.BenchMod =!= 0)
+      .select(col("doc_id"), col("text"))
+      .repartition(3).write.parquet(inDir)
+
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        Curation.dsirScore(b, tcP, totP)
+          .filter(col("log_w") >= tau)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    s.read.parquet(outDir)
+      .select(col("doc_id"), col("n_tokens"), col("log_w"))
+      .orderBy("doc_id")
+  }
+
+  def streamDsirAdmission(s: SparkSession, dir: String): DataFrame =
+    dsirAdmissionStream(s, Tables.documents(s, dir),
+      graft.queries.CurationQueries.DsirTau)
+
   val streamNearDupSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
@@ -1174,5 +1231,7 @@ object StreamingQueries {
     "s29_stream_cusum"      -> ((streamCusum _, Some(streamCusumSql))),
     "s30_stream_snapshot_diff" -> ((streamSnapshotDiff _,
       Some(graft.queries.CurationQueries.corpusDiffSql))),
+    "s31_stream_dsir_admission" -> ((streamDsirAdmission _,
+      Some(graft.queries.CurationQueries.dsirAdmissionSql))),
   )
 }

@@ -342,4 +342,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(streamed == Seq((3L, "changed"), (4L, "removed"), (6L, "added")))
   }
+
+  test("s31 streamed DSIR admission == batch threshold scoring; gate actually binds") {
+    import graft.operators.Curation
+    val docs = graft.Tables.documents(spark, graft.TestSpark.Sf0001)
+    val tau = graft.queries.CurationQueries.DsirTau
+    val streamed = StreamingQueries.dsirAdmissionStream(spark, docs, tau)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val (tc, tot) = Curation.dsirModel(docs)
+    val batch = Curation
+      .dsirScore(docs.filter(col("doc_id") % Curation.BenchMod =!= 0), tc, tot)
+      .filter(col("log_w") >= tau)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(streamed == batch)
+    // the gate binds on the fixture: some admitted, some rejected
+    val candidates = docs.filter(col("doc_id") % Curation.BenchMod =!= 0).count()
+    assert(streamed.nonEmpty && streamed.size < candidates,
+      s"tau=$tau does not bind: ${streamed.size} of $candidates admitted")
+  }
 }
