@@ -866,6 +866,57 @@ object Dedup {
     * cost is incoming's occurrence count, linear, regardless of how
     * common the gram is on either side (no pair join, no df cap
     * needed). Then the shared removal/reassembly tail. */
+  /** Per-incoming-document MAXIMUM SHARED SPAN against a reference
+    * corpus — the "how bad is the worst leak" triage metric between
+    * x26's binary contamination flag and x67's destructive scrub: for
+    * each incoming document, the longest stretch of tokens every one
+    * of which is covered by some n-gram also present in the reference,
+    * plus the shared-gram and shared-span counts. Ranking eval docs by
+    * `max_shared_tokens` is the order a decontamination review works
+    * through — a 40-token verbatim passage is a leak, three scattered
+    * 4-grams are noise, and the binary flag cannot tell them apart.
+    *
+    * Same per-gram grain as the whole span family (x64–x67): a span is
+    * a maximal island of reference-covered token positions; each gram
+    * may match a different reference document. Plan: the reference
+    * collapses to its distinct gram set (one partial-agg'd shuffle,
+    * never re-expanded), flagging is a left-semi equi-join, and the
+    * islands run in the SAME per-doc window partitioning as
+    * [[duplicatedSpans]] — per-gram cost is the incoming occurrence
+    * count, linear both sides, no pair join, so the boilerplate
+    * pathology cannot occur. Documents sharing nothing report zeros
+    * (full outer coverage, x65's discipline). */
+  def maxSharedSpan(incoming: DataFrame, reference: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 4): DataFrame = {
+    val refGrams = reference
+      .select(explode(gramSeq(col(textCol), n)).as("sh")).distinct()
+    val matched = incoming
+      .select(col(idCol).as("id"),
+              posexplode(gramSeq(col(textCol), n)).as(Seq("pos", "sh")))
+      .join(refGrams, Seq("sh"), "left_semi")
+      .select(col("id"), col("pos"))
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(n - 1))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val perDoc = matched
+      .withColumn("__brk",
+        when(prevEnd.isNull || col("pos") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("__island", sum(col("__brk")).over(byDoc))
+      .groupBy(col("id"), col("__island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(n - 1)).as("e"),
+           count(lit(1)).as("g"))
+      .groupBy(col("id"))
+      .agg(max(col("e") - col("s") + 1).as("max_shared_tokens"),
+           sum(col("g")).as("n_shared_grams"),
+           count(lit(1)).as("n_spans"))
+    incoming.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .na.fill(0L, Seq("max_shared_tokens", "n_shared_grams", "n_spans"))
+      .select(col("id").as(idCol), col("max_shared_tokens"),
+              col("n_shared_grams"), col("n_spans"))
+  }
+
   def crossSpanClean(incoming: DataFrame, reference: DataFrame,
                      idCol: String = "doc_id", textCol: String = "text",
                      n: Int = 4): DataFrame =

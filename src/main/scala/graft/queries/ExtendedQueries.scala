@@ -985,6 +985,67 @@ object ExtendedQueries {
        |FROM inc i LEFT JOIN kept USING (doc_id)
        |ORDER BY i.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x95 — max shared span per incoming doc: the "how bad is the worst
+  // leak" triage metric between x26's binary flag and x67's scrub.
+  // Same incoming/reference source split and gram grain as x67, so the
+  // fixture facts carry over (127/118/5 untouched/partial/emptied).
+  // ---------------------------------------------------------------------
+  def maxSharedSpanQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val srcNum = expr("CAST(substring(source, 4) AS INT)")
+    Dedup.maxSharedSpan(docs.filter(srcNum < 10), docs.filter(srcNum >= 10),
+        n = SpanGramN)
+      .orderBy("doc_id")
+  }
+
+  val maxSharedSpanSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(substring(source, 4) AS INT) AS sn,
+       |         string_split(text, ' ') AS w
+       |  FROM documents
+       |), inc AS (
+       |  SELECT doc_id, w FROM d WHERE sn < 10
+       |), ref AS (
+       |  SELECT w FROM d WHERE sn >= 10
+       |), refg AS (
+       |  SELECT DISTINCT array_to_string(w[i+1:i+$SpanGramN], ' ') AS sh
+       |  FROM ref, LATERAL unnest(range(greatest(len(w)-${SpanGramN - 1}, 0))) AS t(i)
+       |), incg AS (
+       |  SELECT doc_id, i AS pos, array_to_string(w[i+1:i+$SpanGramN], ' ') AS sh
+       |  FROM inc, LATERAL unnest(range(greatest(len(w)-${SpanGramN - 1}, 0))) AS t(i)
+       |), m AS (
+       |  SELECT DISTINCT g.doc_id, g.pos FROM incg g JOIN refg USING (sh)
+       |), w1 AS (
+       |  SELECT doc_id, pos,
+       |         MAX(pos + ${SpanGramN - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM m
+       |), w2 AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM w1
+       |), w3 AS (
+       |  SELECT doc_id, pos,
+       |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM w2
+       |), spans AS (
+       |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + ${SpanGramN - 1} AS e,
+       |         COUNT(*) AS g
+       |  FROM w3 GROUP BY doc_id, island
+       |), perdoc AS (
+       |  SELECT doc_id, CAST(MAX(e - s + 1) AS BIGINT) AS max_shared_tokens,
+       |         CAST(SUM(g) AS BIGINT) AS n_shared_grams,
+       |         CAST(COUNT(*) AS BIGINT) AS n_spans
+       |  FROM spans GROUP BY doc_id)
+       |SELECT i.doc_id,
+       |       COALESCE(max_shared_tokens, 0) AS max_shared_tokens,
+       |       COALESCE(n_shared_grams, 0) AS n_shared_grams,
+       |       COALESCE(n_spans, 0) AS n_spans
+       |FROM inc i LEFT JOIN perdoc USING (doc_id)
+       |ORDER BY i.doc_id""".stripMargin
+
   def dupSpanProfile(s: SparkSession, dir: String): DataFrame =
     Dedup.spanDupProfile(Tables.documents(s, dir), n = SpanGramN)
       .orderBy("doc_id")
@@ -2229,6 +2290,7 @@ object ExtendedQueries {
     "x65_span_dup_profile"   -> ((dupSpanProfile _, Some(dupSpanProfileSql))),
     "x66_span_dedup_clean"   -> ((spanDedupCleanQ _, Some(spanDedupCleanSql))),
     "x67_cross_span_clean"   -> ((crossSpanCleanQ _, Some(crossSpanCleanSql))),
+    "x95_max_shared_span"    -> ((maxSharedSpanQ _, Some(maxSharedSpanSql))),
     "x70_edit_distance_pairs" -> ((editDistancePairsQ _, Some(editDistancePairsSql))),
     "x58_gapfill_locf"       -> ((gapFillLocf _, Some(gapFillLocfSql))),
     "x72_ema_series"         -> ((emaSeries _, Some(emaSeriesSql))),

@@ -208,6 +208,38 @@ class DedupSpec extends AnyFunSuite {
     assert(cont((1L, 2L)) == ((1.0, 1.0)))
   }
 
+  test("x95 maxSharedSpan: island lengths exact; incoming-only dups and clean docs report zero") {
+    val incoming = Seq(
+      // one 6-token reference passage embedded → 3 consecutive matched
+      // 4-grams, one island of 6 tokens
+      (1L, "xxx yyy one two three four five six zzz www"),
+      // two isolated shared 4-grams, far apart → two spans of 4
+      (2L, "g1 g2 g3 g4 m1 m2 m3 m4 m5 h1 h2 h3 h4"),
+      // nothing shared
+      (3L, "totally unique tokens nothing here matches"),
+      // exact copy of a 7-token reference doc → one island of all 7
+      (4L, "r1 r2 r3 r4 r5 r6 r7"),
+      // docs 5/6 share a passage ONLY with each other — cross-corpus
+      // span audit must not count incoming-side duplication
+      (5L, "q1 q2 q3 q4 q5 alpha beta"),
+      (6L, "gamma q1 q2 q3 q4 q5 delta")
+    ).toDF("doc_id", "text")
+    val reference = Seq(
+      (11L, "aaa bbb one two three four five six ccc ddd"),
+      (12L, "g1 g2 g3 g4 spacer h1 h2 h3 h4"),
+      (13L, "r1 r2 r3 r4 r5 r6 r7")
+    ).toDF("doc_id", "text")
+    val out = Dedup.maxSharedSpan(incoming, reference, n = 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((6L, 3L, 1L)), s"got ${out(1L)}")
+    assert(out(2L) == ((4L, 2L, 2L)), s"got ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 0L)))
+    assert(out(4L) == ((7L, 4L, 1L)), s"got ${out(4L)}")
+    assert(out(5L) == ((0L, 0L, 0L)) && out(6L) == ((0L, 0L, 0L)))
+    assert(out.size == 6) // full outer coverage: every incoming doc reports
+  }
+
   test("df-capped top-k: boilerplate-only pairs fall out of the ranking; exact values") {
     val boiler = "p q r p q r"
     val docs = Seq(
