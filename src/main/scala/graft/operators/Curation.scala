@@ -1075,6 +1075,54 @@ object Curation {
     (tc, tot)
   }
 
+  // ---- x96: DSIR on HASHED features (the fixed-width scale path) --------
+
+  /** md5-prefix feature bucket — 16^`hexLen` buckets, identical string
+    * on every engine (the [[splitOf]] portability trick), so the
+    * hashed model is oracle-checkable where an engine-specific hash
+    * (xxhash64) would not be. */
+  private def dsirBucket(token: Column, hexLen: Int): Column =
+    substring(md5(token), 1, hexLen)
+
+  /** [[dsirSelect]] on HASHED n-gram features — the formulation the
+    * DSIR paper actually ships, and the fixed-width answer to x93's
+    * one scale liability: x93's model relation is the JOINT VOCABULARY,
+    * which grows with the corpus (open vocabularies don't saturate), so
+    * at 100 TB the token join's build side keeps growing. Hashing every
+    * token into one of 16³ = 4096 md5-prefix buckets caps the model at
+    * 4096 rows FOREVER — the join build side broadcasts at any corpus
+    * size — at the cost of hash collisions folding rare tokens
+    * together (the paper's trade; smoothing absorbs it). Same scoring
+    * shape otherwise: one (doc, bucket) shuffle, Laplace smoothing over
+    * the OCCUPIED bucket count, round(6) before TakeOrdered. */
+  def dsirSelectHashed(docs: DataFrame, benchMod: Int = BenchMod,
+                       k: Int = DsirK, hexLen: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      (col("doc_id") % benchMod === 0).as("is_t"),
+      // bucket INSIDE the array transform (a generator can't nest under
+      // substring), so only 3-hex bucket strings ever leave the row
+      explode(transform(
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)),
+        t => dsirBucket(t, hexLen))).as("b"))
+    val bc = toks.groupBy(col("b")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("cc"))
+    val tot = bc.agg(sum(col("ct")).as("nt"), sum(col("cc")).as("nc"),
+      count(lit(1)).as("v"))
+    val tf = toks.filter(!col("is_t"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
+    val ratio =
+      log((col("ct") + 1).cast("double") / (col("nt") + col("v")).cast("double")) -
+      log((col("cc") + 1).cast("double") / (col("nc") + col("v")).cast("double"))
+    tf.join(bc, "b")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+           round(sum(col("tf") * ratio), 6).as("log_w"))
+      .orderBy(desc("log_w"), col("doc_id"))
+      .limit(k)
+  }
+
   /** Score `docs` against a [[dsirModel]]: per-doc token count and the
     * smoothed log importance weight, round(6). Row-local explode + one
     * (doc, token) shuffle + the vocabulary join; no ranking — callers

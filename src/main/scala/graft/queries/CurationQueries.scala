@@ -539,6 +539,38 @@ object CurationQueries {
        |GROUP BY doc_id
        |ORDER BY log_w DESC, doc_id LIMIT ${Curation.DsirK}""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x96 — DSIR on HASHED features: the fixed-width scale path (16³ =
+  // 4096 md5-prefix buckets cap the model relation forever; x93's
+  // joint vocabulary grows with the corpus). The md5-prefix bucket is
+  // the splitOf portability trick, so the hashed model is
+  // oracle-checkable cross-engine.
+  // ---------------------------------------------------------------------
+  def dsirSelectHashed(s: SparkSession, dir: String): DataFrame =
+    Curation.dsirSelectHashed(Tables.documents(s, dir))
+
+  val dsirSelectHashedSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, doc_id % ${Curation.BenchMod} = 0 AS is_t,
+       |         substr(md5(unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))),
+       |                1, 3) AS b
+       |  FROM documents),
+       |bc AS (SELECT b,
+       |         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |         CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cc
+       |       FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+       |               CAST(SUM(cc) AS BIGINT) AS nc,
+       |               CAST(COUNT(*) AS BIGINT) AS v FROM bc),
+       |tf AS (SELECT doc_id, b, count(*) AS tf
+       |       FROM toks WHERE NOT is_t GROUP BY 1, 2)
+       |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       |       round(SUM(tf * (ln((ct+1) / CAST(nt+v AS DOUBLE))
+       |                     - ln((cc+1) / CAST(nc+v AS DOUBLE)))), 6) AS log_w
+       |FROM tf JOIN bc USING (b) CROSS JOIN tot
+       |GROUP BY doc_id
+       |ORDER BY log_w DESC, doc_id LIMIT ${Curation.DsirK}""".stripMargin
+
   /** s31's admission threshold — binds at both SFs (sf0.01: 58/494
     * admitted, sf0.1: 664/4948). */
   val DsirTau = 0.5
@@ -1031,6 +1063,7 @@ object CurationQueries {
     "x36_vocab_coverage"      -> ((vocabCoverage _, Some(vocabCoverageSql))),
     "x89_zipf_fit"            -> ((zipfFit _, Some(zipfFitSql))),
     "x93_dsir_selection"      -> ((dsirSelect _, Some(dsirSelectSql))),
+    "x96_dsir_hashed"         -> ((dsirSelectHashed _, Some(dsirSelectHashedSql))),
     "x41_datacard"            -> ((datacard _, Some(datacardSql))),
     "x42_token_budget"        -> ((tokenBudget _, Some(tokenBudgetSql))),
     "x43_segment_dedup"       -> ((segmentDedup _, Some(segmentDedupSql))),

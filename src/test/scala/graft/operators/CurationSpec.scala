@@ -1115,6 +1115,39 @@ class CurationSpec extends AnyFunSuite {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("x96 dsirSelectHashed: equals exact DSIR when buckets are collision-free; model is fixed-width") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L,  "heart dose patient trial heart dose"),
+      (97L, "patient trial dose heart patient"),
+      (1L,  "heart dose patient trial"),
+      (2L,  "statute court appeal verdict"),
+      (3L,  "heart dose statute court"),
+      (4L,  "statute court appeal verdict statute court appeal verdict")
+    ).toDF("doc_id", "text")
+    // the 8 planted tokens hash to 8 DISTINCT md5 3-hex prefixes
+    // (precondition asserted), so bucket counts == token counts and the
+    // hashed scores must EQUAL the exact x93 scores row for row
+    val prefixes = Seq("heart", "dose", "patient", "trial",
+      "statute", "court", "appeal", "verdict")
+      .map(t => java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(2).map("%02x".format(_)).mkString.take(3))
+    assert(prefixes.distinct.size == prefixes.size, s"fixture collision: $prefixes")
+    val exact = Curation.dsirSelect(docs, benchMod = 97, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val hashed = Curation.dsirSelectHashed(docs, benchMod = 97, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(hashed == exact, s"hashed $hashed vs exact $exact")
+
+    // the fixed-width claim on a real corpus: the model relation never
+    // exceeds 16^3 buckets no matter the vocabulary
+    val corpus = Tables.documents(spark, TestSpark.Sf0001)
+    val buckets = corpus
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+      .select(substring(md5(col("t")), 1, 3).as("b")).distinct().count()
+    assert(buckets <= 4096L)
+  }
+
   test("x89 zipfFit: exact power-law corpora fit slope -1 and -2 with r2 1") {
     import spark.implicits._
     // counts K/r are EXACT integers for K = 2520, r = 1..10, so
