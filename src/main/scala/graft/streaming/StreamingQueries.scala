@@ -1083,6 +1083,68 @@ object StreamingQueries {
     dsirAdmissionStream(s, Tables.documents(s, dir),
       graft.queries.CurationQueries.DsirTau)
 
+  // ---------------------------------------------------------------------
+  // s32 — STREAMED embedding-table health (x91 as a monitor): the
+  // audit statistics are ALGEBRAIC — counts, min/max, and a norm sum
+  // all merge associatively — so the stream emits per-batch PARTIALS
+  // and the final table is one |labels|-grain merge of partial rows:
+  // the canonical mergeable-aggregate streaming pattern (the same
+  // reason Spark's own partial aggregation works), proven correct by
+  // hashing against x91's batch oracle. mean_norm is derived from
+  // (sum, count) at merge time — never averaged per batch, since an
+  // average of averages is wrong under uneven batch sizes.
+  // ---------------------------------------------------------------------
+
+  /** The s32 core: stream `embs` in micro-batches, write per-batch
+    * algebraic partials, merge at read-back. */
+  private[graft] def embeddingHealthStream(s: SparkSession,
+                                           embs: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions
+    val work = tempDir("graft_s32_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    embs.select(col("vec_id"), col("embedding"), col("label"))
+      .repartition(3).write.parquet(inDir)
+
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        b.withColumn("__dim", size(col("embedding")))
+          .withColumn("__norm",
+            sqrt(VectorFunctions.dot_product(col("embedding"), col("embedding"))))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+               min(col("__dim")).as("dim_min"), max(col("__dim")).as("dim_max"),
+               sum(when(col("__norm") < 1e-6, 1L).otherwise(0L)).as("n_zero_norm"),
+               sum(col("__norm")).as("sum_norm"),
+               min(col("__norm")).as("min_norm"), max(col("__norm")).as("max_norm"))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    s.read.parquet(outDir)
+      .groupBy(col("label"))
+      .agg(sum(col("n_vecs")).as("n_vecs"),
+           min(col("dim_min")).as("dim_min"), max(col("dim_max")).as("dim_max"),
+           sum(col("n_zero_norm")).as("n_zero_norm"),
+           round(sum(col("sum_norm")) / sum(col("n_vecs")), 6).as("mean_norm"),
+           round(min(col("min_norm")), 6).as("min_norm"),
+           round(max(col("max_norm")), 6).as("max_norm"))
+      .orderBy("label")
+  }
+
+  def streamEmbeddingHealth(s: SparkSession, dir: String): DataFrame =
+    embeddingHealthStream(s, Tables.embeddings(s, dir))
+
   val streamNearDupSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
@@ -1233,5 +1295,7 @@ object StreamingQueries {
       Some(graft.queries.CurationQueries.corpusDiffSql))),
     "s31_stream_dsir_admission" -> ((streamDsirAdmission _,
       Some(graft.queries.CurationQueries.dsirAdmissionSql))),
+    "s32_stream_embedding_health" -> ((streamEmbeddingHealth _,
+      Some(graft.queries.ExtendedQueries.embeddingHealthSql))),
   )
 }

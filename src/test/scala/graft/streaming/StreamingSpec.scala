@@ -360,4 +360,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.size < candidates,
       s"tau=$tau does not bind: ${streamed.size} of $candidates admitted")
   }
+
+  test("s32 streamed embedding health == batch x91 (algebraic partials merge exactly)") {
+    val embs = graft.Tables.embeddings(spark, graft.TestSpark.Sf0001)
+    val streamed = StreamingQueries.embeddingHealthStream(spark, embs)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.SimilaritySearch.embeddingHealth(embs)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
