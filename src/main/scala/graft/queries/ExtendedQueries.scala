@@ -727,6 +727,85 @@ object ExtendedQueries {
       |ORDER BY label_a, label_b""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x97 — leakage QUARANTINE: the remediation step that completes the
+  // x83 audit. Rule (stated, deterministic): a document is quarantined
+  // iff it is NOT in train and appears in at least one cross-split
+  // near-dup pair — evaluating on it would measure memorization, not
+  // generalization, because a near-duplicate sits on the other side of
+  // the boundary. Train members stay (removing training data is x37's
+  // dedup decision, not the eval-hygiene one). Output: the quarantine
+  // list with per-doc evidence (how many crossings, worst Jaccard) —
+  // the actionable artifact a release pipeline consumes to rebuild its
+  // eval sets. Composition of the measured-bounded x83 relation + a
+  // doc-grain aggregate; zero new scale surface.
+  // ---------------------------------------------------------------------
+  def leakageQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairsCapped(Tables.documents(s, dir),
+        n = 3, threshold = LeakThreshold, maxDf = TopKCapDf)
+      .withColumn("split_a", Curation.splitOf(col("id_a")))
+      .withColumn("split_b", Curation.splitOf(col("id_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .localCheckpoint() // feeds both union sides; pairs-sized
+    val sides =
+      pairs.select(col("id_a").as("doc_id"), col("split_a").as("split"),
+                   col("jaccard"))
+        .unionAll(pairs.select(col("id_b").as("doc_id"),
+                               col("split_b").as("split"), col("jaccard")))
+    sides.filter(col("split") =!= "train")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_cross_dups"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  val leakageQuarantineSql: String = {
+    def splitCase(id: String) =
+      s"""CASE WHEN substr(md5(CAST($id AS VARCHAR)), 1, 2) < '${Curation.TrainUpper}' THEN 'train'
+         |     WHEN substr(md5(CAST($id AS VARCHAR)), 1, 2) < '${Curation.ValUpper}' THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), grams AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(greatest(len(w) - 2, 0)),
+       |                               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+       |  FROM toks
+       |), df AS (
+       |  SELECT sh, COUNT(*) AS df FROM grams GROUP BY sh
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM grams a
+       |  JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  JOIN df ON df.sh = a.sh
+       |  WHERE df.df <= $TopKCapDf
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+       |  FROM grams a
+       |  JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+       |  GROUP BY 1, 2
+       |), jac AS (
+       |  SELECT id_a, ${splitCase("id_a")} AS split_a,
+       |         id_b, ${splitCase("id_b")} AS split_b,
+       |         CAST(i AS DOUBLE) / (za.sz + zb.sz - i) AS jaccard
+       |  FROM inter
+       |  JOIN sizes za ON id_a = za.doc_id
+       |  JOIN sizes zb ON id_b = zb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= $LeakThreshold
+       |), crossing AS (
+       |  SELECT * FROM jac WHERE split_a <> split_b
+       |), sides AS (
+       |  SELECT id_a AS doc_id, split_a AS split, jaccard FROM crossing
+       |  UNION ALL
+       |  SELECT id_b AS doc_id, split_b AS split, jaccard FROM crossing)
+       |SELECT doc_id, split, CAST(COUNT(*) AS BIGINT) AS n_cross_dups,
+       |       MAX(jaccard) AS max_jaccard
+       |FROM sides WHERE split <> 'train'
+       |GROUP BY doc_id, split ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // x88 — asymmetric CONTAINMENT pairs (df-capped candidates): the
   // quote/subset detector Jaccard cannot express — a short document
   // fully embedded in a long one has containment 1.0 but Jaccard near
@@ -2284,6 +2363,7 @@ object ExtendedQueries {
     "x83_split_leakage"      -> ((splitLeakage _, Some(splitLeakageSql))),
     "x88_ngram_containment"  -> ((ngramContainment _, Some(ngramContainmentSql))),
     "x91_embedding_health"   -> ((embeddingHealthQ _, Some(embeddingHealthSql))),
+    "x97_leakage_quarantine" -> ((leakageQuarantine _, Some(leakageQuarantineSql))),
     "x92_centroid_separation" -> ((centroidSeparationQ _, Some(centroidSeparationSql))),
     "x63_cross_corpus_capped" -> ((crossCorpusCapped _, Some(crossCorpusCappedSql))),
     "x64_dup_spans"          -> ((dupSpans _, Some(dupSpansSql))),

@@ -126,6 +126,46 @@ class CurationSpec extends AnyFunSuite {
     assert(entry == expected, s"entry $entry != recomputation $expected")
   }
 
+  test("x97 leakage quarantine: non-train members of crossings quarantined; train never") {
+    import spark.implicits._
+    import graft.queries.ExtendedQueries
+    val splits = (0L until 64L).toDF("id")
+      .withColumn("split", Curation.splitOf(col("id")))
+      .as[(Long, String)].collect().toMap
+    val train = splits.collect { case (i, "train") => i }.toSeq.sorted
+    val eval = splits.collect { case (i, s) if s != "train" => i }.toSeq.sorted
+    assert(train.size >= 3 && eval.size >= 2, s"fixture moot: $splits")
+    val dup1 = "q w e r t y u i o p a s d f g h"
+    val dup2 = "z x c v b n m k j h g f d s a q2"
+    val dir = java.nio.file.Files.createTempDirectory("graft_x97_").toString
+    (Seq(
+      (train.head, dup1), (eval.head, dup1),   // cross-split: eval.head quarantined
+      (train(1), dup2), (train(2), dup2)        // same-split train pair: nobody quarantined
+    ) ++ (0 until 8).map(i => (200L + i, s"filler$i only one trigram w$i x$i y$i z$i")))
+      .toDF("doc_id", "text").withColumn("source", lit("src0"))
+      .write.parquet(s"$dir/documents.parquet")
+    val q = ExtendedQueries.leakageQuarantine(spark, dir)
+      .as[(Long, String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(q.keySet == Set(eval.head), s"got ${q.keySet}")      // only the eval twin
+    val (_, split, n, j) = q(eval.head)
+    assert(split == splits(eval.head) && n == 1L && j == 1.0)
+    // rule invariants on the real corpus: every quarantined doc is
+    // non-train AND appears in the x83 crossing relation
+    val crossings = ExtendedQueries.splitLeakage(spark, TestSpark.Sf0001)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    val onCorpus = ExtendedQueries.leakageQuarantine(spark, TestSpark.Sf0001)
+      .as[(Long, String, Long, Double)].collect()
+    assert(onCorpus.forall(r => r._2 != "train"))
+    assert(onCorpus.forall(r => crossings.contains(r._1)))
+    val expectedIds = crossings.toSeq.toDF("doc_id")
+      .withColumn("split", Curation.splitOf(col("doc_id")))
+      .filter(col("split") =!= "train")
+      .select("doc_id").as[Long].collect().toSet
+    assert(onCorpus.map(_._1).toSet == expectedIds,
+      s"quarantine set ${onCorpus.map(_._1).toSet} != expected $expectedIds")
+  }
+
   test("x84 semantic split leakage: planted cross/same-split twins + recomputation") {
     import spark.implicits._
     import graft.queries.ExtendedQueries
