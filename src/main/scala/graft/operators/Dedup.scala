@@ -888,9 +888,19 @@ object Dedup {
     * (full outer coverage, x65's discipline). */
   def maxSharedSpan(incoming: DataFrame, reference: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
-                    n: Int = 4): DataFrame = {
-    val refGrams = reference
-      .select(explode(gramSeq(col(textCol), n)).as("sh")).distinct()
+                    n: Int = 4): DataFrame =
+    maxSharedSpanAgainst(incoming,
+      reference.select(explode(gramSeq(col(textCol), n)).as("sh")).distinct(),
+      idCol, textCol, n)
+
+  /** [[maxSharedSpan]] against a PRE-COLLAPSED distinct reference gram
+    * set — the streamed twin (s33) pins that relation once and scores
+    * every micro-batch against it (the [[crossSpanCleanAgainst]]
+    * discipline). Per-incoming-doc given the gram set, so any batching
+    * of the incoming corpus yields identical per-doc results. */
+  def maxSharedSpanAgainst(incoming: DataFrame, refGrams: DataFrame,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           n: Int = 4): DataFrame = {
     val matched = incoming
       .select(col(idCol).as("id"),
               posexplode(gramSeq(col(textCol), n)).as(Seq("pos", "sh")))

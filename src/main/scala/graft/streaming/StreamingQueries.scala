@@ -1145,6 +1145,61 @@ object StreamingQueries {
   def streamEmbeddingHealth(s: SparkSession, dir: String): DataFrame =
     embeddingHealthStream(s, Tables.embeddings(s, dir))
 
+  // ---------------------------------------------------------------------
+  // s33 — STREAMED max-shared-span triage: x95's "how bad is the worst
+  // leak" metric computed at ADMISSION time, so contaminated documents
+  // are flagged (with span-length evidence) the moment they arrive
+  // instead of in a post-hoc audit. Per-incoming-doc given the pinned
+  // reference gram set — the s26/s31 pinning discipline — so the
+  // stream is exact, state-free, and batching-invariant; the per-doc
+  // island windows run WITHIN each micro-batch (a document never
+  // spans files). Oracle: x95's own island-window SQL.
+  // ---------------------------------------------------------------------
+
+  /** The s33 core: pin `reference`'s distinct gram set, stream
+    * `incoming`, score each micro-batch with the batch operator. */
+  private[graft] def maxSharedSpanStream(s: SparkSession, incoming: DataFrame,
+                                         reference: DataFrame, n: Int): DataFrame = {
+    import graft.operators.Dedup
+    val work = tempDir("graft_s33_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    val refGrams = reference
+      .select(explode(graft.functions.TextKernels.word_gram_seq(col("text"), n)).as("sh"))
+      .distinct()
+      .localCheckpoint() // feeds every micro-batch; pin once
+
+    incoming.select(col("doc_id"), col("text")).repartition(3).write.parquet(inDir)
+
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        Dedup.maxSharedSpanAgainst(b, refGrams, "doc_id", "text", n)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    s.read.parquet(outDir)
+      .select(col("doc_id"), col("max_shared_tokens"),
+              col("n_shared_grams"), col("n_spans"))
+      .orderBy("doc_id")
+  }
+
+  def streamMaxSharedSpan(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val srcNum = expr("CAST(substring(source, 4) AS INT)")
+    maxSharedSpanStream(s, docs.filter(srcNum < 10), docs.filter(srcNum >= 10),
+      graft.queries.ExtendedQueries.SpanGramN)
+  }
+
   val streamNearDupSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
@@ -1297,5 +1352,7 @@ object StreamingQueries {
       Some(graft.queries.CurationQueries.dsirAdmissionSql))),
     "s32_stream_embedding_health" -> ((streamEmbeddingHealth _,
       Some(graft.queries.ExtendedQueries.embeddingHealthSql))),
+    "s33_stream_shared_span" -> ((streamMaxSharedSpan _,
+      Some(graft.queries.ExtendedQueries.maxSharedSpanSql))),
   )
 }

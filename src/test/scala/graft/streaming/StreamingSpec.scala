@@ -361,6 +361,27 @@ class StreamingSpec extends AnyFunSuite {
       s"tau=$tau does not bind: ${streamed.size} of $candidates admitted")
   }
 
+  test("s33 streamed max-shared-span == batch x95 across micro-batches") {
+    // planted docs land in different micro-batches; per-doc islands must
+    // be identical to the batch operator (doc 1: embedded 6-token span;
+    // doc 2: isolated gram; doc 3: clean)
+    val incoming = Seq(
+      (1L, "xxx yyy one two three four five six zzz www"),
+      (2L, "g1 g2 g3 g4 mm nn oo pp"),
+      (3L, "totally unique tokens nothing here matches")
+    ).toDF("doc_id", "text")
+    val reference = Seq(
+      (11L, "aaa bbb one two three four five six ccc ddd"),
+      (12L, "g1 g2 g3 g4 spacer")
+    ).toDF("doc_id", "text")
+    val streamed = StreamingQueries.maxSharedSpanStream(spark, incoming, reference, n = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val batch = graft.operators.Dedup.maxSharedSpan(incoming, reference, n = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(streamed == batch)
+    assert(streamed == Seq((1L, 6L, 3L, 1L), (2L, 4L, 1L, 1L), (3L, 0L, 0L, 0L)))
+  }
+
   test("s32 streamed embedding health == batch x91 (algebraic partials merge exactly)") {
     val embs = graft.Tables.embeddings(spark, graft.TestSpark.Sf0001)
     val streamed = StreamingQueries.embeddingHealthStream(spark, embs)
