@@ -478,6 +478,13 @@ object Curation {
   // ---- x26: benchmark contamination ------------------------------------
 
   val ContamN    = 4
+
+  /** The span-family gram width (x64–x67, x95, x98, s26, s33). Lives
+    * here — not in the queries layer — because query objects reference
+    * each other and a val read during a circular object init silently
+    * yields 0 (measured: x98's oracle rendered `len(w)--1`, a SQL
+    * comment). The operators layer is initialization-leaf. */
+  val SpanGramN  = 4
   val BenchMod   = 97
 
   /** Which corpus documents share a full word n-gram with any document

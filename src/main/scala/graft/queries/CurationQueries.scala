@@ -892,6 +892,122 @@ object CurationQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x98 — the DECONTAMINATION DASHBOARD: one row per eval-slice doc
+  // joining the three audit signals a review consumes together — the
+  // exact n-gram collision count (x26's grain, from the bench side),
+  // the worst shared span (x95's metric), and the top BM25-scored
+  // corpus neighbor (x71's rank 1). The report that answers "which
+  // eval docs do I look at first, and what's the evidence" in one
+  // relation. Slice = the bm25 query slice (doc_id % 97 == 0 and
+  // < BmQueryIdMax) so all three signals describe the same documents.
+  // Composition of three measured-bounded relations; the joins are
+  // eval-slice-sized (fixed — an eval set does not grow with the
+  // corpus), so the assembly is free at any scale.
+  // ---------------------------------------------------------------------
+  def decontamDashboard(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    import graft.functions.{TextFunctions => TF}
+    val docs = Tables.documents(s, dir)
+    val isBench = col("doc_id") % Curation.BenchMod === 0 &&
+      col("doc_id") < Curation.BmQueryIdMax
+    val bench = docs.filter(isBench)
+    val corpus = docs.filter(col("doc_id") % Curation.BenchMod =!= 0)
+    val span = Dedup.maxSharedSpan(bench, corpus,
+      n = Curation.SpanGramN)
+    def grams(d: DataFrame) = d.select(col("doc_id"),
+      explode(TF.shingles(col("text"), Curation.ContamN)).as("sh"))
+    val coll = grams(corpus)
+      .join(broadcast(grams(bench).select(col("doc_id").as("bench_id"), col("sh"))),
+            "sh")
+      .groupBy(col("bench_id"))
+      .agg(count_distinct(col("doc_id")).as("n_colliding_docs"))
+    val top1 = Curation.bm25TopK(docs).filter(col("rnk") === 1)
+      .select(col("query_id").as("q_id"), col("doc_id").as("top1_doc"),
+              col("bm25").as("top1_bm25"))
+    span.join(coll, span("doc_id") === coll("bench_id"), "left")
+      .join(top1, span("doc_id") === top1("q_id"), "left")
+      .na.fill(0L, Seq("n_colliding_docs")).na.fill(-1L, Seq("top1_doc"))
+      .na.fill(0.0, Seq("top1_bm25"))
+      .select(span("doc_id"), col("max_shared_tokens"), col("n_shared_grams"),
+              col("n_colliding_docs"), col("top1_doc"), col("top1_bm25"))
+      .orderBy("doc_id")
+  }
+
+  val decontamDashboardSql: String = {
+    val k = Curation.SpanGramN
+    val cn = Curation.ContamN
+    val cgram = (1 to cn).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    val m = Curation.BenchMod
+    s"""WITH bmr AS (${bm25CoreSql(1)}),
+       |d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |         doc_id % $m = 0 AND doc_id < ${Curation.BmQueryIdMax} AS is_b
+       |  FROM documents
+       |), inc AS (
+       |  SELECT doc_id, w FROM d WHERE is_b
+       |), ref AS (
+       |  SELECT w FROM d WHERE doc_id % $m <> 0
+       |), refg AS (
+       |  SELECT DISTINCT array_to_string(w[i+1:i+$k], ' ') AS sh
+       |  FROM ref, LATERAL unnest(range(greatest(len(w)-${k - 1}, 0))) AS t(i)
+       |), incg AS (
+       |  SELECT doc_id, i AS pos, array_to_string(w[i+1:i+$k], ' ') AS sh
+       |  FROM inc, LATERAL unnest(range(greatest(len(w)-${k - 1}, 0))) AS t(i)
+       |), mm AS (
+       |  SELECT DISTINCT g.doc_id, g.pos FROM incg g JOIN refg USING (sh)
+       |), w1 AS (
+       |  SELECT doc_id, pos,
+       |         MAX(pos + ${k - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM mm
+       |), w2 AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM w1
+       |), w3 AS (
+       |  SELECT doc_id, pos,
+       |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM w2
+       |), spans AS (
+       |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + ${k - 1} AS e
+       |  FROM w3 GROUP BY doc_id, island
+       |), perdoc AS (
+       |  SELECT doc_id, CAST(MAX(e - s + 1) AS BIGINT) AS max_shared_tokens,
+       |         CAST(COUNT(*) AS BIGINT) AS n_islands
+       |  FROM spans GROUP BY doc_id
+       |), nsg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+       |  FROM mm GROUP BY doc_id
+       |), cg AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(greatest(len(w) - ${cn - 1}, 0)),
+       |                               i -> $cgram)) AS sh
+       |  FROM d
+       |), coll AS (
+       |  SELECT b.doc_id AS bench_id,
+       |         CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_colliding_docs
+       |  FROM cg a
+       |  JOIN (SELECT doc_id, sh FROM cg
+       |        WHERE doc_id % $m = 0 AND doc_id < ${Curation.BmQueryIdMax}) b
+       |    USING (sh)
+       |  WHERE a.doc_id % $m <> 0
+       |  GROUP BY 1)
+       |SELECT i.doc_id,
+       |  COALESCE(p.max_shared_tokens, 0) AS max_shared_tokens,
+       |  COALESCE(n.n_shared_grams, 0) AS n_shared_grams,
+       |  COALESCE(c.n_colliding_docs, 0) AS n_colliding_docs,
+       |  COALESCE(bmr.doc_id, -1) AS top1_doc,
+       |  COALESCE(bmr.bm25, 0.0) AS top1_bm25
+       |FROM inc i
+       |LEFT JOIN perdoc p USING (doc_id)
+       |LEFT JOIN nsg n USING (doc_id)
+       |LEFT JOIN coll c ON i.doc_id = c.bench_id
+       |LEFT JOIN bmr ON i.doc_id = bmr.query_id
+       |ORDER BY i.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // x74 — Unicode normalization at ingest: NFC composition + control
   // strip via the custom codegen'd `normalize_text` Catalyst expression
   // (functions/TextNorm.scala). Row-local, zero shuffles beyond the
@@ -1064,6 +1180,7 @@ object CurationQueries {
     "x89_zipf_fit"            -> ((zipfFit _, Some(zipfFitSql))),
     "x93_dsir_selection"      -> ((dsirSelect _, Some(dsirSelectSql))),
     "x96_dsir_hashed"         -> ((dsirSelectHashed _, Some(dsirSelectHashedSql))),
+    "x98_decontam_dashboard"  -> ((decontamDashboard _, Some(decontamDashboardSql))),
     "x41_datacard"            -> ((datacard _, Some(datacardSql))),
     "x42_token_budget"        -> ((tokenBudget _, Some(tokenBudgetSql))),
     "x43_segment_dedup"       -> ((segmentDedup _, Some(segmentDedupSql))),

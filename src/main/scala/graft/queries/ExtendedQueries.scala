@@ -928,7 +928,7 @@ object ExtendedQueries {
   // the merge logic would be vacuous. Production sizing: n IS the
   // Lee-et-al. min-span length (they use 50).
   // ---------------------------------------------------------------------
-  private[graft] val SpanGramN = 4
+  private[graft] val SpanGramN = Curation.SpanGramN
 
   def dupSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.duplicatedSpans(Tables.documents(s, dir), n = SpanGramN)

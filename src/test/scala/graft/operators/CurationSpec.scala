@@ -1188,6 +1188,27 @@ class CurationSpec extends AnyFunSuite {
     assert(buckets <= 4096L)
   }
 
+  test("x98 dashboard: covers exactly the bm25 query slice; no-signal rows are well-formed") {
+    import spark.implicits._
+    import graft.queries.CurationQueries
+    val out = CurationQueries.decontamDashboard(spark, TestSpark.Sf0001).collect()
+    val expectedIds = docs
+      .filter(col("doc_id") % Curation.BenchMod === 0 &&
+              col("doc_id") < Curation.BmQueryIdMax)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.map(_.getLong(0)).toSet == expectedIds) // full slice coverage
+    out.foreach { r =>
+      def l(i: Int) = r.getAs[Number](i).longValue
+      val (span, grams, coll) = (l(1), l(2), l(3))
+      val (t1doc, t1score) = (l(4), r.getDouble(5))
+      assert(span >= 0 && grams >= 0 && coll >= 0)
+      // a shared span implies shared grams and at least one colliding doc
+      if (span > 0) assert(grams > 0 && coll > 0)
+      // the sentinel contract: no retrieved neighbor <=> zero score
+      assert((t1doc == -1L) == (t1score == 0.0))
+    }
+  }
+
   test("x89 zipfFit: exact power-law corpora fit slope -1 and -2 with r2 1") {
     import spark.implicits._
     // counts K/r are EXACT integers for K = 2520, r = 1..10, so
