@@ -39,7 +39,7 @@ object CurationQueries {
   // DuckDB mirrors of the four rule expressions (generated from the
   // same Curation constants the Spark side reads)
   private val p = "(' ' || text || ' ')"
-  private val nTok = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+  private[queries] val nTok = "CAST(len(string_split(text, ' ')) AS BIGINT)"
   private def occ(w: String) =
     s"CAST((length($p) - length(regexp_replace($p, ' $w ', ' ', 'g'))) / ${w.length + 1} AS BIGINT)"
   private val stopHits = Curation.StopSet

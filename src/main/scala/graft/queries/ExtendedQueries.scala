@@ -674,6 +674,53 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x99 — the corpus RELEASE GATE: one row, the sign-off summary a
+  // release pipeline blocks on — corpus size (docs/tokens), exact-dup
+  // count, split-leakage pair count and the quarantine size (x83/x97),
+  // the Zipf-spectrum fit (x89's template-flood gauge), and mean
+  // quality. The audits-to-actions arc (detect → quarantine → gate)
+  // ends here: every number is a 1-row aggregate of a measured-bounded
+  // relation, so the gate costs what its audits cost and the assembly
+  // is four cross-joins of single rows.
+  // ---------------------------------------------------------------------
+  def releaseGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"),
+      (count(lit(1)) - count_distinct(TF.fingerprint(col("text"))))
+        .as("n_exact_dups"),
+      round(avg(TF.qualityScore(col("text"))), 6).as("mean_quality"))
+    val leaks = splitLeakage(s, dir).agg(count(lit(1)).as("n_leak_pairs"))
+    val quar = leakageQuarantine(s, dir).agg(count(lit(1)).as("n_quarantined"))
+    val zipf = Curation.zipfFit(docs)
+      .select(col("slope").as("zipf_slope"), col("r2").as("zipf_r2"))
+    base.crossJoin(leaks).crossJoin(quar).crossJoin(zipf)
+  }
+
+  // lazy: references leakageQuarantineSql, declared later in this
+  // object — forced from `all` at the END of init, when every val is
+  // populated (the Curation.SpanGramN incident's lesson applied to
+  // same-object ordering)
+  lazy val releaseGateSql: String = {
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    s"""SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       |  (SELECT CAST(SUM(${CurationQueries.nTok}) AS BIGINT) FROM documents)
+       |    AS n_tokens,
+       |  (SELECT CAST(count(*) - count(DISTINCT md5($norm)) AS BIGINT)
+       |   FROM documents) AS n_exact_dups,
+       |  (SELECT round(avg(${CurationQueries.qualitySqlExpr}), 6)
+       |   FROM documents) AS mean_quality,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ($splitLeakageSql) t1)
+       |    AS n_leak_pairs,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ($leakageQuarantineSql) t2)
+       |    AS n_quarantined,
+       |  (SELECT slope FROM (${CurationQueries.zipfFitSql}) t3) AS zipf_slope,
+       |  (SELECT r2 FROM (${CurationQueries.zipfFitSql}) t4) AS zipf_r2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // x91 — embedding-table HEALTH audit: per-label dimension
   // consistency, zero-norm counts, and the L2-norm envelope — the
   // pre-flight check before trusting any ANN/dedup built on the table.
@@ -2364,6 +2411,7 @@ object ExtendedQueries {
     "x88_ngram_containment"  -> ((ngramContainment _, Some(ngramContainmentSql))),
     "x91_embedding_health"   -> ((embeddingHealthQ _, Some(embeddingHealthSql))),
     "x97_leakage_quarantine" -> ((leakageQuarantine _, Some(leakageQuarantineSql))),
+    "x99_release_gate"       -> ((releaseGate _, Some(releaseGateSql))),
     "x92_centroid_separation" -> ((centroidSeparationQ _, Some(centroidSeparationSql))),
     "x63_cross_corpus_capped" -> ((crossCorpusCapped _, Some(crossCorpusCappedSql))),
     "x64_dup_spans"          -> ((dupSpans _, Some(dupSpansSql))),

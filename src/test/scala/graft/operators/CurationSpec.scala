@@ -1209,6 +1209,21 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("x99 release gate: one row, each figure equals its source audit") {
+    import graft.queries.ExtendedQueries
+    val rows = ExtendedQueries.releaseGate(spark, TestSpark.Sf0001).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == docs.count())
+    assert(r.getLong(4) == ExtendedQueries.splitLeakage(spark, TestSpark.Sf0001).count())
+    assert(r.getLong(5) == ExtendedQueries.leakageQuarantine(spark, TestSpark.Sf0001).count())
+    val distinctFps = docs.select(
+      graft.functions.TextFunctions.fingerprint(col("text"))).distinct().count()
+    assert(r.getLong(2) == docs.count() - distinctFps)
+    val z = Curation.zipfFit(docs).collect().head
+    assert(r.getDouble(6) == z.getDouble(1) && r.getDouble(7) == z.getDouble(3))
+  }
+
   test("x89 zipfFit: exact power-law corpora fit slope -1 and -2 with r2 1") {
     import spark.implicits._
     // counts K/r are EXACT integers for K = 2520, r = 1..10, so
