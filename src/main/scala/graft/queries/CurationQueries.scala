@@ -414,6 +414,66 @@ object CurationQueries {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x100 — SIGNAL-AGREEMENT audit: pairwise Pearson correlation between
+  // the three per-doc quality signals (x02 heuristic composite, x35
+  // unigram xent, x87 bigram xent) — the "are my filters measuring the
+  // same thing" check run before combining signals into a keep/drop
+  // rule: highly-correlated signals are redundant (pick the cheap
+  // one), uncorrelated ones genuinely compose. One row; per-doc
+  // signals are the SAME rounded values both engines already
+  // hash-agree on (x02/x35/x87), moments are one aggregate over the
+  // joined relation, correlations computed from raw moments (never an
+  // engine corr() builtin — algorithms differ) and rounded 6.
+  // ---------------------------------------------------------------------
+  def signalAgreement(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val docs = Tables.documents(s, dir)
+    val q = docs.select(col("doc_id"), TF.qualityScore(col("text")).as("q"))
+    val u = Curation.unigramScore(docs).select(col("doc_id"), col("xent").as("u"))
+    val b = Curation.bigramScore(docs).select(col("doc_id"), col("xent").as("b"))
+    val m = q.join(u, "doc_id").join(b, "doc_id").agg(
+      count(lit(1)).as("n"),
+      sum(col("q")).as("sq"), sum(col("u")).as("su"), sum(col("b")).as("sb"),
+      sum(col("q") * col("u")).as("squ"), sum(col("q") * col("b")).as("sqb"),
+      sum(col("u") * col("b")).as("sub"),
+      sum(col("q") * col("q")).as("sqq"), sum(col("u") * col("u")).as("suu"),
+      sum(col("b") * col("b")).as("sbb"))
+    def r(sxy: String, sx: String, sy: String, sxx: String, syy: String) =
+      round((col("n") * col(sxy) - col(sx) * col(sy)) /
+        (sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
+         sqrt(col("n") * col(syy) - col(sy) * col(sy))), 6)
+    m.select(col("n").as("n_docs"),
+      r("squ", "sq", "su", "sqq", "suu").as("corr_quality_unigram"),
+      r("sqb", "sq", "sb", "sqq", "sbb").as("corr_quality_bigram"),
+      r("sub", "su", "sb", "suu", "sbb").as("corr_unigram_bigram"))
+  }
+
+  lazy val signalAgreementSql: String =
+    s"""WITH uni AS ($unigramLogprobSql),
+       |big AS ($bigramXentSql),
+       |qs AS (SELECT doc_id, $qualitySqlExpr AS q FROM documents),
+       |j AS (
+       |  SELECT qs.doc_id, qs.q, uni.xent AS u, big.xent AS b
+       |  FROM qs JOIN uni USING (doc_id) JOIN big USING (doc_id)),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |         sum(q) AS sq, sum(u) AS su, sum(b) AS sb,
+       |         sum(q*u) AS squ, sum(q*b) AS sqb, sum(u*b) AS sub,
+       |         sum(q*q) AS sqq, sum(u*u) AS suu, sum(b*b) AS sbb
+       |  FROM j)
+       |SELECT n AS n_docs,
+       |  round((n*squ - sq*su) /
+       |        (sqrt(n*sqq - sq*sq) * sqrt(n*suu - su*su)), 6)
+       |    AS corr_quality_unigram,
+       |  round((n*sqb - sq*sb) /
+       |        (sqrt(n*sqq - sq*sq) * sqrt(n*sbb - sb*sb)), 6)
+       |    AS corr_quality_bigram,
+       |  round((n*sub - su*sb) /
+       |        (sqrt(n*suu - su*su) * sqrt(n*sbb - sb*sb)), 6)
+       |    AS corr_unigram_bigram
+       |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x86 — corpus snapshot diff (incremental-versioning audit)
   // ---------------------------------------------------------------------
   // The "next crawl" snapshot is derived DETERMINISTICALLY from the
@@ -1181,6 +1241,7 @@ object CurationQueries {
     "x93_dsir_selection"      -> ((dsirSelect _, Some(dsirSelectSql))),
     "x96_dsir_hashed"         -> ((dsirSelectHashed _, Some(dsirSelectHashedSql))),
     "x98_decontam_dashboard"  -> ((decontamDashboard _, Some(decontamDashboardSql))),
+    "x100_signal_agreement"   -> ((signalAgreement _, Some(signalAgreementSql))),
     "x41_datacard"            -> ((datacard _, Some(datacardSql))),
     "x42_token_budget"        -> ((tokenBudget _, Some(tokenBudgetSql))),
     "x43_segment_dedup"       -> ((segmentDedup _, Some(segmentDedupSql))),

@@ -1209,6 +1209,33 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("x100 signal agreement: equals an independent in-memory Pearson; values in [-1,1]") {
+    import spark.implicits._
+    import graft.queries.CurationQueries
+    val out = CurationQueries.signalAgreement(spark, TestSpark.Sf0001).collect().head
+    val q = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("v"))
+      .as[(Long, Double)].collect().toMap
+    val u = Curation.unigramScore(docs).select(col("doc_id"), col("xent"))
+      .as[(Long, Double)].collect().toMap
+    val b = Curation.bigramScore(docs).select(col("doc_id"), col("xent"))
+      .as[(Long, Double)].collect().toMap
+    val ids = (q.keySet intersect u.keySet intersect b.keySet).toSeq.sorted
+    def pearson(x: Seq[Double], y: Seq[Double]): Double = {
+      val n = x.size
+      val (sx, sy) = (x.sum, y.sum)
+      val (sxx, syy) = (x.map(v => v * v).sum, y.map(v => v * v).sum)
+      val sxy = x.zip(y).map { case (a, c) => a * c }.sum
+      (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    val (qs, us, bs) = (ids.map(q), ids.map(u), ids.map(b))
+    assert(out.getLong(0) == ids.size.toLong)
+    assert(math.abs(out.getDouble(1) - pearson(qs, us)) < 1e-5)
+    assert(math.abs(out.getDouble(2) - pearson(qs, bs)) < 1e-5)
+    assert(math.abs(out.getDouble(3) - pearson(us, bs)) < 1e-5)
+    (1 to 3).foreach(i => assert(math.abs(out.getDouble(i)) <= 1.0))
+  }
+
   test("x99 release gate: one row, each figure equals its source audit") {
     import graft.queries.ExtendedQueries
     val rows = ExtendedQueries.releaseGate(spark, TestSpark.Sf0001).collect()
