@@ -1025,10 +1025,16 @@ object Curation {
     val covN = col("n_terms") * col("sxy") - col("sx") * col("sy")
     val varX = col("n_terms") * col("sxx") - col("sx") * col("sx")
     val varY = col("n_terms") * col("syy") - col("sy") * col("sy")
-    m.withColumn("slope", round(covN / varX, 6))
+    // Degenerate spectra (one distinct token ⇒ varX = 0; all counts
+    // equal ⇒ varY = 0) yield explicit NULLs by contract, never NaN —
+    // the fit is undefined there and callers (x99's gate) must see
+    // that as "unjudgeable", not as a garbage number.
+    m.withColumn("slope", when(varX =!= 0, round(covN / varX, 6)))
       .withColumn("intercept",
-        round((col("sy") - covN / varX * col("sx")) / col("n_terms"), 6))
-      .withColumn("r2", round(covN * covN / (varX * varY), 6))
+        when(varX =!= 0,
+          round((col("sy") - covN / varX * col("sx")) / col("n_terms"), 6)))
+      .withColumn("r2",
+        when(varX =!= 0 && varY =!= 0, round(covN * covN / (varX * varY), 6)))
       .select("n_terms", "slope", "intercept", "r2")
   }
 

@@ -425,9 +425,13 @@ object CurationQueries {
   // joined relation, correlations computed from raw moments (never an
   // engine corr() builtin — algorithms differ) and rounded 6.
   // ---------------------------------------------------------------------
-  def signalAgreement(s: SparkSession, dir: String): DataFrame = {
+  def signalAgreement(s: SparkSession, dir: String): DataFrame =
+    signalAgreementOn(Tables.documents(s, dir))
+
+  /** x100 on an explicit corpus — the spec plants constant-signal
+    * corpora through this to pin the zero-variance NULL contract. */
+  private[graft] def signalAgreementOn(docs: DataFrame): DataFrame = {
     import graft.functions.{TextFunctions => TF}
-    val docs = Tables.documents(s, dir)
     val q = docs.select(col("doc_id"), TF.qualityScore(col("text")).as("q"))
     val u = Curation.unigramScore(docs).select(col("doc_id"), col("xent").as("u"))
     val b = Curation.bigramScore(docs).select(col("doc_id"), col("xent").as("b"))
@@ -438,10 +442,16 @@ object CurationQueries {
       sum(col("u") * col("b")).as("sub"),
       sum(col("q") * col("q")).as("sqq"), sum(col("u") * col("u")).as("suu"),
       sum(col("b") * col("b")).as("sbb"))
-    def r(sxy: String, sx: String, sy: String, sxx: String, syy: String) =
-      round((col("n") * col(sxy) - col(sx) * col(sy)) /
-        (sqrt(col("n") * col(sxx) - col(sx) * col(sx)) *
-         sqrt(col("n") * col(syy) - col(sy) * col(sy))), 6)
+    // A constant signal has zero variance and no defined correlation:
+    // explicit NULL by contract (the x89 degenerate-input rule), never
+    // a NaN from sqrt(0)*sqrt(0) in the denominator.
+    def r(sxy: String, sx: String, sy: String, sxx: String, syy: String) = {
+      val vx = col("n") * col(sxx) - col(sx) * col(sx)
+      val vy = col("n") * col(syy) - col(sy) * col(sy)
+      when(vx =!= 0 && vy =!= 0,
+        round((col("n") * col(sxy) - col(sx) * col(sy)) /
+          (sqrt(vx) * sqrt(vy)), 6))
+    }
     m.select(col("n").as("n_docs"),
       r("squ", "sq", "su", "sqq", "suu").as("corr_quality_unigram"),
       r("sqb", "sq", "sb", "sqq", "sbb").as("corr_quality_bigram"),
@@ -462,15 +472,18 @@ object CurationQueries {
        |         sum(q*q) AS sqq, sum(u*u) AS suu, sum(b*b) AS sbb
        |  FROM j)
        |SELECT n AS n_docs,
-       |  round((n*squ - sq*su) /
-       |        (sqrt(n*sqq - sq*sq) * sqrt(n*suu - su*su)), 6)
-       |    AS corr_quality_unigram,
-       |  round((n*sqb - sq*sb) /
-       |        (sqrt(n*sqq - sq*sq) * sqrt(n*sbb - sb*sb)), 6)
-       |    AS corr_quality_bigram,
-       |  round((n*sub - su*sb) /
-       |        (sqrt(n*suu - su*su) * sqrt(n*sbb - sb*sb)), 6)
-       |    AS corr_unigram_bigram
+       |  CASE WHEN n*sqq - sq*sq <> 0 AND n*suu - su*su <> 0 THEN
+       |    round((n*squ - sq*su) /
+       |          (sqrt(n*sqq - sq*sq) * sqrt(n*suu - su*su)), 6)
+       |  END AS corr_quality_unigram,
+       |  CASE WHEN n*sqq - sq*sq <> 0 AND n*sbb - sb*sb <> 0 THEN
+       |    round((n*sqb - sq*sb) /
+       |          (sqrt(n*sqq - sq*sq) * sqrt(n*sbb - sb*sb)), 6)
+       |  END AS corr_quality_bigram,
+       |  CASE WHEN n*suu - su*su <> 0 AND n*sbb - sb*sb <> 0 THEN
+       |    round((n*sub - su*sb) /
+       |          (sqrt(n*suu - su*su) * sqrt(n*sbb - sb*sb)), 6)
+       |  END AS corr_unigram_bigram
        |FROM m""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -562,11 +575,14 @@ object CurationQueries {
        |             sum(x*y) AS sxy, sum(y*y) AS syy
        |      FROM r)
        |SELECT n_terms,
-       |  round((n_terms*sxy - sx*sy) / (n_terms*sxx - sx*sx), 6) AS slope,
-       |  round((sy - (n_terms*sxy - sx*sy) / (n_terms*sxx - sx*sx) * sx) / n_terms, 6)
-       |    AS intercept,
-       |  round((n_terms*sxy - sx*sy) * (n_terms*sxy - sx*sy) /
-       |        ((n_terms*sxx - sx*sx) * (n_terms*syy - sy*sy)), 6) AS r2
+       |  CASE WHEN n_terms*sxx - sx*sx <> 0 THEN
+       |    round((n_terms*sxy - sx*sy) / (n_terms*sxx - sx*sx), 6) END AS slope,
+       |  CASE WHEN n_terms*sxx - sx*sx <> 0 THEN
+       |    round((sy - (n_terms*sxy - sx*sy) / (n_terms*sxx - sx*sx) * sx) / n_terms, 6)
+       |  END AS intercept,
+       |  CASE WHEN n_terms*sxx - sx*sx <> 0 AND n_terms*syy - sy*sy <> 0 THEN
+       |    round((n_terms*sxy - sx*sy) * (n_terms*sxy - sx*sy) /
+       |          ((n_terms*sxx - sx*sx) * (n_terms*syy - sy*sy)), 6) END AS r2
        |FROM m""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -624,12 +624,19 @@ object ExtendedQueries {
   // ---------------------------------------------------------------------
   private val LeakThreshold = 0.5
 
-  def splitLeakage(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairsCapped(Tables.documents(s, dir),
+  /** The cross-split near-dup pair relation x83, x97, and x99 all
+    * consume — factored so the quarantine and the release gate reuse
+    * ONE computation of the most expensive audit relation instead of
+    * re-running the df-capped shingle join per consumer. */
+  private[queries] def crossingPairs(docs: DataFrame): DataFrame =
+    Dedup.ngramJaccardPairsCapped(docs,
         n = 3, threshold = LeakThreshold, maxDf = TopKCapDf)
       .withColumn("split_a", Curation.splitOf(col("id_a")))
       .withColumn("split_b", Curation.splitOf(col("id_b")))
       .filter(col("split_a") =!= col("split_b"))
+
+  def splitLeakage(s: SparkSession, dir: String): DataFrame =
+    crossingPairs(Tables.documents(s, dir))
       .select("id_a", "split_a", "id_b", "split_b", "jaccard")
       .orderBy("id_a", "id_b")
 
@@ -683,42 +690,99 @@ object ExtendedQueries {
   // relation, so the gate costs what its audits cost and the assembly
   // is four cross-joins of single rows.
   // ---------------------------------------------------------------------
-  def releaseGate(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  // Gate thresholds — the "block the release when" envelope, shared by
+  // the Spark gate and the DuckDB oracle so the verdict itself is
+  // hash-checked. Rates, not absolute counts, so the same gate holds at
+  // any corpus size; the Zipf envelope encodes "natural text" (slope
+  // near -1, tight fit) — a template-flooded or synthetic corpus (this
+  // repo's fixture included) correctly trips it.
+  val GateMaxDupFrac  = 0.01
+  val GateMaxLeakFrac = 0.01
+  val GateMaxQuarFrac = 0.02
+  val GateSlopeLo     = -1.5
+  val GateSlopeHi     = -0.5
+  val GateMinR2       = 0.9
+  val GateMinQuality  = 0.5
+
+  /** The gate on an explicit corpus — the spec plants passing and
+    * breaching corpora through this. `crossingPairs` (the expensive
+    * audit relation) is computed ONCE and pinned; leak count and
+    * quarantine count both read the pin. */
+  private[graft] def releaseGateOn(docs: DataFrame): DataFrame = {
     val base = docs.agg(
       count(lit(1)).as("n_docs"),
       sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"),
       (count(lit(1)) - count_distinct(TF.fingerprint(col("text"))))
         .as("n_exact_dups"),
       round(avg(TF.qualityScore(col("text"))), 6).as("mean_quality"))
-    val leaks = splitLeakage(s, dir).agg(count(lit(1)).as("n_leak_pairs"))
-    val quar = leakageQuarantine(s, dir).agg(count(lit(1)).as("n_quarantined"))
+    val pairs = crossingPairs(docs).localCheckpoint() // one audit, two consumers
+    val leaks = pairs.agg(count(lit(1)).as("n_leak_pairs"))
+    val quar = quarantineOf(pairs).agg(count(lit(1)).as("n_quarantined"))
     val zipf = Curation.zipfFit(docs)
       .select(col("slope").as("zipf_slope"), col("r2").as("zipf_r2"))
     base.crossJoin(leaks).crossJoin(quar).crossJoin(zipf)
+      .withColumn("breach_exact_dups",
+        col("n_exact_dups").cast("double") / col("n_docs") > GateMaxDupFrac)
+      .withColumn("breach_leakage",
+        col("n_leak_pairs").cast("double") / col("n_docs") > GateMaxLeakFrac)
+      .withColumn("breach_quarantine",
+        col("n_quarantined").cast("double") / col("n_docs") > GateMaxQuarFrac)
+      // a NULL fit (x89's degenerate-spectrum contract) is a breach:
+      // "could not judge" must block, not wave through
+      .withColumn("breach_zipf", coalesce(
+        !(col("zipf_slope").between(GateSlopeLo, GateSlopeHi) &&
+          col("zipf_r2") >= GateMinR2), lit(true)))
+      .withColumn("breach_quality",
+        coalesce(col("mean_quality") < GateMinQuality, lit(true)))
+      .withColumn("pass",
+        !(col("breach_exact_dups") || col("breach_leakage") ||
+          col("breach_quarantine") || col("breach_zipf") ||
+          col("breach_quality")))
   }
 
-  // lazy: references leakageQuarantineSql, declared later in this
+  def releaseGate(s: SparkSession, dir: String): DataFrame =
+    releaseGateOn(Tables.documents(s, dir))
+
+  // lazy: references splitLeakageSql, declared later in this
   // object — forced from `all` at the END of init, when every val is
   // populated (the Curation.SpanGramN incident's lesson applied to
   // same-object ordering)
-  lazy val releaseGateSql: String = {
-    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-    s"""SELECT
-       |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
-       |  (SELECT CAST(SUM(${CurationQueries.nTok}) AS BIGINT) FROM documents)
-       |    AS n_tokens,
-       |  (SELECT CAST(count(*) - count(DISTINCT md5($norm)) AS BIGINT)
-       |   FROM documents) AS n_exact_dups,
-       |  (SELECT round(avg(${CurationQueries.qualitySqlExpr}), 6)
-       |   FROM documents) AS mean_quality,
-       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ($splitLeakageSql) t1)
-       |    AS n_leak_pairs,
-       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM ($leakageQuarantineSql) t2)
-       |    AS n_quarantined,
-       |  (SELECT slope FROM (${CurationQueries.zipfFitSql}) t3) AS zipf_slope,
-       |  (SELECT r2 FROM (${CurationQueries.zipfFitSql}) t4) AS zipf_r2""".stripMargin
-  }
+  lazy val releaseGateSql: String =
+    s"""WITH pairs AS ($splitLeakageSql),
+       |quar AS (
+       |  SELECT doc_id, split FROM (
+       |    SELECT id_a AS doc_id, split_a AS split FROM pairs
+       |    UNION ALL
+       |    SELECT id_b AS doc_id, split_b AS split FROM pairs) s
+       |  WHERE split <> 'train' GROUP BY doc_id, split),
+       |zipf AS (${CurationQueries.zipfFitSql}),
+       |g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(SUM(${CurationQueries.nTok}) AS BIGINT) AS n_tokens,
+       |         CAST(count(*) - count(DISTINCT md5($normalizedSql)) AS BIGINT)
+       |           AS n_exact_dups,
+       |         round(avg(${CurationQueries.qualitySqlExpr}), 6) AS mean_quality,
+       |         (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_leak_pairs,
+       |         (SELECT CAST(COUNT(*) AS BIGINT) FROM quar) AS n_quarantined,
+       |         (SELECT slope FROM zipf) AS zipf_slope,
+       |         (SELECT r2 FROM zipf) AS zipf_r2
+       |  FROM documents),
+       |b AS (
+       |  SELECT g.*,
+       |    CAST(n_exact_dups AS DOUBLE) / n_docs > $GateMaxDupFrac
+       |      AS breach_exact_dups,
+       |    CAST(n_leak_pairs AS DOUBLE) / n_docs > $GateMaxLeakFrac
+       |      AS breach_leakage,
+       |    CAST(n_quarantined AS DOUBLE) / n_docs > $GateMaxQuarFrac
+       |      AS breach_quarantine,
+       |    COALESCE(NOT (zipf_slope BETWEEN $GateSlopeLo AND $GateSlopeHi
+       |                  AND zipf_r2 >= $GateMinR2), TRUE) AS breach_zipf,
+       |    COALESCE(mean_quality < $GateMinQuality, TRUE) AS breach_quality
+       |  FROM g)
+       |SELECT b.*,
+       |  NOT (breach_exact_dups OR breach_leakage OR breach_quarantine
+       |       OR breach_zipf OR breach_quality) AS pass
+       |FROM b""".stripMargin
 
   // ---------------------------------------------------------------------
   // x91 — embedding-table HEALTH audit: per-label dimension
@@ -786,23 +850,23 @@ object ExtendedQueries {
   // eval sets. Composition of the measured-bounded x83 relation + a
   // doc-grain aggregate; zero new scale surface.
   // ---------------------------------------------------------------------
-  def leakageQuarantine(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccardPairsCapped(Tables.documents(s, dir),
-        n = 3, threshold = LeakThreshold, maxDf = TopKCapDf)
-      .withColumn("split_a", Curation.splitOf(col("id_a")))
-      .withColumn("split_b", Curation.splitOf(col("id_b")))
-      .filter(col("split_a") =!= col("split_b"))
-      .localCheckpoint() // feeds both union sides; pairs-sized
+  /** The quarantine aggregate over an already-computed crossing-pairs
+    * relation — shared by the x97 entry and x99's gate (which passes a
+    * pinned `pairs` so the audit runs once per gate evaluation). */
+  private[queries] def quarantineOf(pairs: DataFrame): DataFrame = {
+    val p = pairs.localCheckpoint() // feeds both union sides; pairs-sized
     val sides =
-      pairs.select(col("id_a").as("doc_id"), col("split_a").as("split"),
-                   col("jaccard"))
-        .unionAll(pairs.select(col("id_b").as("doc_id"),
-                               col("split_b").as("split"), col("jaccard")))
+      p.select(col("id_a").as("doc_id"), col("split_a").as("split"),
+               col("jaccard"))
+        .unionAll(p.select(col("id_b").as("doc_id"),
+                           col("split_b").as("split"), col("jaccard")))
     sides.filter(col("split") =!= "train")
       .groupBy(col("doc_id"), col("split"))
       .agg(count(lit(1)).as("n_cross_dups"), max(col("jaccard")).as("max_jaccard"))
-      .orderBy("doc_id")
   }
+
+  def leakageQuarantine(s: SparkSession, dir: String): DataFrame =
+    quarantineOf(crossingPairs(Tables.documents(s, dir))).orderBy("doc_id")
 
   val leakageQuarantineSql: String = {
     def splitCase(id: String) =

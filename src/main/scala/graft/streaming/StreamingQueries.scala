@@ -36,6 +36,31 @@ object StreamingQueries {
   private def tempDir(prefix: String): String =
     Files.createTempDirectory(prefix).toFile.getAbsolutePath
 
+  /** Empty-input totality for foreachBatch read-backs (the s30–s34
+    * family): a stream over an empty incoming relation fires zero
+    * micro-batches and writes no batch parquet, so a plain
+    * `read.parquet(outDir)` would die on schema inference. When no
+    * batch file exists, return `ifEmpty` truncated to zero rows —
+    * callers pass the per-batch transform applied to an empty input,
+    * so the fallback schema is the batch output schema by
+    * construction, matching the batch operators' empty-input
+    * behavior. */
+  private def readBatchesOr(s: SparkSession, dir: String,
+                            ifEmpty: => DataFrame): DataFrame =
+    if (hasParquet(dir)) s.read.parquet(dir) else ifEmpty.limit(0)
+
+  private def hasParquet(dir: String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(dir)
+    Files.exists(root) && {
+      val st = Files.walk(root)
+      try st.iterator().asScala.exists { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+      } finally st.close()
+    }
+  }
+
   /** Stamp the data files added to `dir` since the last call with an
     * explicit, strictly increasing mtime. FileStreamSource orders files
     * by modification time; on filesystems with coarse (e.g. 1 s) mtime
@@ -944,7 +969,9 @@ object StreamingQueries {
       .start()
     q.awaitTermination()
 
-    s.read.parquet(outDir)
+    readBatchesOr(s, outDir,
+        Dedup.crossSpanCleanAgainst(incoming.select(col("doc_id"), col("text")),
+          refGrams, "doc_id", "text", n))
       .select("doc_id", "cleaned_text", "kept_tokens", "removed_tokens")
       .orderBy("doc_id")
   }
@@ -995,28 +1022,36 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
 
+    // the per-batch added/changed verdict, factored so the empty-input
+    // read-back fallback shares its exact output schema
+    def delta(fp: DataFrame): DataFrame =
+      fp.join(oldFp, Seq("doc_id"), "left")
+        .withColumn("status",
+          when(col("fp_old").isNull, lit("added"))
+            .when(col("fp_old") =!= col("fp_new"), lit("changed")))
+        .filter(col("status").isNotNull)
+        .select("doc_id", "status")
+    def fpOf(b: DataFrame): DataFrame =
+      b.select(col("doc_id"), TF.fingerprint(col("text")).as("fp_new"))
+
     val q = stream.writeStream
       .option("checkpointLocation", ck)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        val fp = b.select(col("doc_id"), TF.fingerprint(col("text")).as("fp_new"))
+        val fp = fpOf(b)
           .localCheckpoint() // feeds the delta AND the seen-id record
-        fp.join(oldFp, Seq("doc_id"), "left")
-          .withColumn("status",
-            when(col("fp_old").isNull, lit("added"))
-              .when(col("fp_old") =!= col("fp_new"), lit("changed")))
-          .filter(col("status").isNotNull)
-          .select("doc_id", "status")
-          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        delta(fp).write.mode("overwrite").parquet(s"$outDir/batch=$id")
         fp.select("doc_id").write.mode("overwrite").parquet(s"$idsDir/batch=$id")
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
 
+    val seenIds = readBatchesOr(s, idsDir, old.select(col("doc_id")))
     val removed = oldFp
-      .join(s.read.parquet(idsDir).select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(seenIds.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("removed").as("status"))
-    s.read.parquet(outDir).select(col("doc_id"), col("status"))
+    readBatchesOr(s, outDir, delta(fpOf(neu)))
+      .select(col("doc_id"), col("status"))
       .unionAll(removed)
       .orderBy("doc_id")
   }
@@ -1063,18 +1098,19 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
 
+    def admit(b: DataFrame): DataFrame =
+      Curation.dsirScore(b, tcP, totP).filter(col("log_w") >= tau)
+
     val q = stream.writeStream
       .option("checkpointLocation", ck)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        Curation.dsirScore(b, tcP, totP)
-          .filter(col("log_w") >= tau)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        admit(b).write.mode("overwrite").parquet(s"$outDir/batch=$id")
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
 
-    s.read.parquet(outDir)
+    readBatchesOr(s, outDir, admit(allDocs.select(col("doc_id"), col("text"))))
       .select(col("doc_id"), col("n_tokens"), col("log_w"))
       .orderBy("doc_id")
   }
@@ -1113,25 +1149,27 @@ object StreamingQueries {
       .option("maxFilesPerTrigger", "1")
       .parquet(inDir)
 
+    def partials(b: DataFrame): DataFrame =
+      b.withColumn("__dim", size(col("embedding")))
+        .withColumn("__norm",
+          sqrt(VectorFunctions.dot_product(col("embedding"), col("embedding"))))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+             min(col("__dim")).as("dim_min"), max(col("__dim")).as("dim_max"),
+             sum(when(col("__norm") < 1e-6, 1L).otherwise(0L)).as("n_zero_norm"),
+             sum(col("__norm")).as("sum_norm"),
+             min(col("__norm")).as("min_norm"), max(col("__norm")).as("max_norm"))
+
     val q = stream.writeStream
       .option("checkpointLocation", ck)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        b.withColumn("__dim", size(col("embedding")))
-          .withColumn("__norm",
-            sqrt(VectorFunctions.dot_product(col("embedding"), col("embedding"))))
-          .groupBy(col("label"))
-          .agg(count(lit(1)).as("n_vecs"),
-               min(col("__dim")).as("dim_min"), max(col("__dim")).as("dim_max"),
-               sum(when(col("__norm") < 1e-6, 1L).otherwise(0L)).as("n_zero_norm"),
-               sum(col("__norm")).as("sum_norm"),
-               min(col("__norm")).as("min_norm"), max(col("__norm")).as("max_norm"))
-          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        partials(b).write.mode("overwrite").parquet(s"$outDir/batch=$id")
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
 
-    s.read.parquet(outDir)
+    readBatchesOr(s, outDir, partials(embs))
       .groupBy(col("label"))
       .agg(sum(col("n_vecs")).as("n_vecs"),
            min(col("dim_min")).as("dim_min"), max(col("dim_max")).as("dim_max"),
@@ -1187,7 +1225,9 @@ object StreamingQueries {
       .start()
     q.awaitTermination()
 
-    s.read.parquet(outDir)
+    readBatchesOr(s, outDir,
+        Dedup.maxSharedSpanAgainst(incoming.select(col("doc_id"), col("text")),
+          refGrams, "doc_id", "text", n))
       .select(col("doc_id"), col("max_shared_tokens"),
               col("n_shared_grams"), col("n_spans"))
       .orderBy("doc_id")

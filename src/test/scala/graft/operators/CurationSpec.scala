@@ -1251,6 +1251,55 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getDouble(6) == z.getDouble(1) && r.getDouble(7) == z.getDouble(3))
   }
 
+  test("x99 gate verdict: Zipfian clean corpus passes; uniform spectrum trips ONLY the zipf breach") {
+    import spark.implicits._
+    import graft.queries.ExtendedQueries
+    def b(r: org.apache.spark.sql.Row, name: String) = r.getAs[Boolean](name)
+    // exact-power-law corpus (the x89 construction): no dups, no
+    // cross-split near-dups (each doc owns ONE distinct trigram),
+    // quality ~0.96, slope exactly -1, r2 ~1 => every gauge clean
+    val K = 2520
+    val clean = (1 to 10)
+      .map(r => (r.toLong, Seq.fill(K / r)(s"tok$r").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ok = ExtendedQueries.releaseGateOn(clean).collect().head
+    Seq("breach_exact_dups", "breach_leakage", "breach_quarantine",
+        "breach_zipf", "breach_quality").foreach(c => assert(!b(ok, c), c))
+    assert(b(ok, "pass"))
+
+    // same corpus shape with a FLAT spectrum (every count equal):
+    // varY = 0 => r2 NULL by the degenerate-input contract, slope 0
+    // outside the envelope — the zipf gauge, and ONLY the zipf gauge,
+    // must trip, and the gate must name it
+    val uniform = (1 to 10)
+      .map(r => (r.toLong, Seq.fill(252)(s"tok$r").mkString(" ")))
+      .toDF("doc_id", "text")
+    val bad = ExtendedQueries.releaseGateOn(uniform).collect().head
+    assert(bad.isNullAt(bad.fieldIndex("zipf_r2")),
+      "flat spectrum must yield NULL r2, not NaN")
+    assert(b(bad, "breach_zipf"), "uniform spectrum must trip the zipf gauge")
+    Seq("breach_exact_dups", "breach_leakage", "breach_quarantine",
+        "breach_quality").foreach(c => assert(!b(bad, c), s"$c must not trip"))
+    assert(!b(bad, "pass"))
+  }
+
+  test("x89/x100 zero-variance guard: degenerate inputs yield NULLs, never NaN") {
+    import spark.implicits._
+    // one distinct token => varX = 0 => the whole fit is undefined
+    val mono = Seq((1L, "aaa aaa aaa aaa")).toDF("doc_id", "text")
+    val z = Curation.zipfFit(mono).collect().head
+    assert(z.getLong(0) == 1L)
+    assert(z.isNullAt(1) && z.isNullAt(2) && z.isNullAt(3),
+      s"degenerate fit must be NULL: $z")
+    // a single document: n*sxx - sx*sx = v^2 - v^2 = 0 EXACTLY (the
+    // one constant-signal case free of fp-summation residue), so every
+    // pairwise correlation is undefined (NULL), n_docs still reported
+    val const = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val sa = graft.queries.CurationQueries.signalAgreementOn(const).collect().head
+    assert(sa.getLong(0) == 1L)
+    (1 to 3).foreach(i => assert(sa.isNullAt(i), s"corr $i must be NULL: $sa"))
+  }
+
   test("x89 zipfFit: exact power-law corpora fit slope -1 and -2 with r2 1") {
     import spark.implicits._
     // counts K/r are EXACT integers for K = 2520, r = 1..10, so

@@ -382,6 +382,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Seq((1L, 6L, 3L, 1L), (2L, 4L, 1L, 1L), (3L, 0L, 0L, 0L)))
   }
 
+  test("s26/s30–s33 empty-input totality: zero incoming rows => typed empty (or removal-only) result, no schema-inference crash") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val noDocs = docs.limit(0)
+
+    // s30: empty NEW snapshot against a non-empty old one is not just
+    // "don't crash" — every old doc must come back as removed
+    val diff = StreamingQueries.snapshotDiffStream(spark, docs, noDocs)
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(diff == Seq((1L, "removed"), (2L, "removed")))
+    // and fully-empty in, empty out
+    assert(StreamingQueries.snapshotDiffStream(spark, noDocs, noDocs).isEmpty)
+
+    // s33 / s26: empty incoming, non-empty reference
+    val span = StreamingQueries.maxSharedSpanStream(spark, noDocs, docs, n = 4)
+    assert(span.isEmpty &&
+      span.columns.toSeq == Seq("doc_id", "max_shared_tokens",
+        "n_shared_grams", "n_spans"))
+    val clean = StreamingQueries.spanCleanStream(spark, noDocs, docs,
+      graft.queries.ExtendedQueries.SpanGramN)
+    assert(clean.isEmpty && clean.columns.toSeq ==
+      Seq("doc_id", "cleaned_text", "kept_tokens", "removed_tokens"))
+
+    // s32: empty embedding table
+    val embs = graft.Tables.embeddings(spark, graft.TestSpark.Sf0001).limit(0)
+    val health = StreamingQueries.embeddingHealthStream(spark, embs)
+    assert(health.isEmpty && health.columns.contains("mean_norm"))
+
+    // s31: a corpus that is ALL target slice leaves the streamed
+    // admission slice empty (the model still builds)
+    import graft.operators.Curation
+    val targetOnly = Seq((0L, "alpha beta"),
+        (Curation.BenchMod.toLong, "gamma delta")).toDF("doc_id", "text")
+    val admitted = StreamingQueries.dsirAdmissionStream(spark, targetOnly,
+      graft.queries.CurationQueries.DsirTau)
+    assert(admitted.isEmpty && admitted.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "log_w"))
+  }
+
   test("s32 streamed embedding health == batch x91 (algebraic partials merge exactly)") {
     val embs = graft.Tables.embeddings(spark, graft.TestSpark.Sf0001)
     val streamed = StreamingQueries.embeddingHealthStream(spark, embs)
