@@ -79,5 +79,7 @@ object SparkEntry {
     "x14_embedding_neardup_lsh" ->
       "candidate volume tracks TRUE near-dup pair count: mass-duplicated corpora grow pairs quadratically in the duplication factor - cluster-dedup first (x48) on such corpora",
     "x48_semdedup" ->
-      "within-cell pairwise: cells bound the quadratic, but heavy duplication still grows pair work - cap cell sizes on pathological corpora")
+      "within-cell pairwise: cells bound the quadratic, but heavy duplication still grows pair work - use the cellCap mode (x102) on pathological corpora",
+    "x87_bigram_xent" ->
+      "bigram model relation grows faster than the open vocabulary - use x101 (hashed 256-bucket fixed-width model) at scale")
 }

@@ -844,21 +844,29 @@ object Curation {
     * Documents with fewer than two tokens have no bigrams and do not
     * appear in the output (nothing to score — callers wanting totality
     * left-join on the source and treat null as "unscorable"). */
-  def bigramScore(docs: DataFrame, lambda: Double = 0.9): DataFrame = {
-    def tokenArr = docs.select(col("doc_id"),
-      regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ts"))
-    def bigrams = tokenArr.select(col("doc_id"),
+  /** Row-local (doc, w1, w2) bigram relation — the shared x87/x101
+    * front end (token array zipped with its own tail; no positional
+    * self-join, no per-document window sort). */
+  private def rawBigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("ts"))
+      .select(col("doc_id"),
         explode(zip_with(
           slice(col("ts"), lit(1), greatest(size(col("ts")) - 1, lit(0))),
           slice(col("ts"), lit(2), greatest(size(col("ts")) - 1, lit(0))),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    def toks = tokenArr.select(col("doc_id"), explode(col("ts")).as("token"))
-    val tf = bigrams.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
-    val bm = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val ctx = bigrams.groupBy("w1").agg(count(lit(1)).as("cw1"))
-    val uni = toks.groupBy("token").agg(count(lit(1)).as("c"))
-    val total = toks.agg(count(lit(1)).as("total"))
+
+  private def rawToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+        .as("token"))
+
+  /** The shared x87/x101 back end: interpolated cross-entropy over
+    * (tf, bigram model, context totals, unigram model, token total). */
+  private def xentFrom(tf: DataFrame, bm: DataFrame, ctx: DataFrame,
+                       uni: DataFrame, total: DataFrame,
+                       lambda: Double): DataFrame =
     tf.join(bm, Seq("w1", "w2"))
       .join(ctx, Seq("w1"))
       .join(uni, col("w2") === col("token"))
@@ -870,6 +878,58 @@ object Curation {
                lit(lambda) * (col("cb") / col("cw1").cast("double")) +
                lit(1.0 - lambda) * (col("c") / col("total").cast("double")))) /
                sum(col("tf")), 6).as("xent"))
+
+  def bigramScore(docs: DataFrame, lambda: Double = 0.9): DataFrame = {
+    def bigrams = rawBigrams(docs)
+    def toks = rawToks(docs)
+    xentFrom(
+      bigrams.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf")),
+      bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb")),
+      bigrams.groupBy("w1").agg(count(lit(1)).as("cw1")),
+      toks.groupBy("token").agg(count(lit(1)).as("c")),
+      toks.agg(count(lit(1)).as("total")),
+      lambda)
+  }
+
+  /** x101: [[bigramScore]] on HASHED token buckets — the x96 pattern
+    * applied one rung up the CCNet ladder. x87's scale liability is
+    * x93's, squared: the bigram-count relation grows FASTER than the
+    * (already open) unigram vocabulary, so at 100 TB the model joins'
+    * build sides keep growing. Hashing every token into one of
+    * 16^`hexLen` md5-prefix buckets (the [[splitOf]] engine-portable
+    * trick) caps the bigram model at 16^(2·hexLen) rows and the
+    * context/unigram models at 16^hexLen rows FOREVER — every model
+    * join's build side broadcasts at any corpus size — at the cost of
+    * collisions folding rare transitions together (the interpolated
+    * unigram term keeps everything finite exactly as in x87; the
+    * bound is spec-proven). n_bigrams is IDENTICAL to x87's by
+    * construction (bucketing renames tokens, never drops them).
+    *
+    * Shape note: the fold to buckets happens AFTER the raw-token
+    * aggregations — counts are associative, so folding aggregated
+    * counts by bucket equals counting bucketed occurrences — which
+    * keeps the md5 kernel at the (doc, bigram-type) / vocabulary
+    * grain instead of once per corpus occurrence per scan (measured:
+    * the per-occurrence variant was 5.7× slower at 30× with
+    * super-linear shuffle rows; this one matches x87's spine cost and
+    * drops one corpus scan, ctx being a roll-up of the bucketed
+    * bigram model). */
+  def bigramScoreHashed(docs: DataFrame, lambda: Double = 0.9,
+                        hexLen: Int = 2): DataFrame = {
+    def b(c: Column) = substring(md5(c), 1, hexLen)
+    def bigrams = rawBigrams(docs)
+    def toks = rawToks(docs)
+    val tfB = bigrams
+      .groupBy(col("doc_id"), b(col("w1")).as("w1"), b(col("w2")).as("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val bmB = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .select(b(col("w1")).as("w1"), b(col("w2")).as("w2"), col("cb"))
+      .groupBy("w1", "w2").agg(sum("cb").as("cb"))
+    val ctxB = bmB.groupBy("w1").agg(sum("cb").as("cw1"))
+    val uniB = toks.groupBy("token").agg(count(lit(1)).as("c"))
+      .select(b(col("token")).as("token"), col("c"))
+      .groupBy("token").agg(sum("c").as("c"))
+    xentFrom(tfB, bmB, ctxB, uniB, toks.agg(count(lit(1)).as("total")), lambda)
   }
 
   // ---- x86: corpus snapshot diff ----------------------------------------

@@ -645,10 +645,29 @@ object Dedup {
   def semDedup(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
                threshold: Double = 0.3, nClusters: Int = 8,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               seed: Long = 42L, maxCellPairs: Long = 1000000000L): DataFrame = {
+               seed: Long = 42L, maxCellPairs: Long = 1000000000L,
+               cellCap: Int = Int.MaxValue): DataFrame = {
     val (assignments, _) = SimilaritySearch.clusterEmbeddings(
       spark, emb, nClusters, idCol, vecCol, seed)
-    val withVec = assignments
+    // cellCap: the df-cap story, embedding edition. On mass-duplicated
+    // corpora a hot cell's pairwise work grows quadratically in the
+    // duplication factor; capping each cell to its `cellCap` members
+    // CLOSEST to the centroid (the densest region, where duplicates
+    // concentrate; (cos desc, id asc) deterministic) bounds pair work
+    // at nClusters·cellCap² while uncapped members pass through
+    // untouched (keep=true singletons — never examined, stated in the
+    // contract). The bounded-heap aggregator keeps the cap's shuffle
+    // O(cells·cap), the x51 pattern — never a rank window over the
+    // corpus.
+    val examined =
+      if (cellCap == Int.MaxValue) assignments
+      else assignments.groupBy(col("cluster"))
+        .agg(graft.functions.TopKAggregator.topk(cellCap)(
+          col("cos_to_center"), col("vec_id")).as("__tk"))
+        .select(col("cluster"), explode(col("__tk")).as("__s"))
+        .select(col("cluster"), col("__s.id").as("vec_id"),
+                col("__s.score").as("cos_to_center"))
+    val withVec = examined
       .join(emb.select(col(idCol).as("vec_id"), col(vecCol).as("__v")), "vec_id")
       .localCheckpoint() // both self-join sides (plans are trees, not DAGs)
 

@@ -414,6 +414,37 @@ object CurationQueries {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x101 — x87 on a HASHED fixed-width bigram model (the x96 pattern):
+  // 16^2 = 256 md5-prefix token buckets cap the bigram model at 256²
+  // rows and the context/unigram models at 256 rows forever, so every
+  // model join's build side broadcasts at any corpus size. Collisions
+  // fold rare transitions (the DSIR-paper trade); n_bigrams stays
+  // identical to x87's.
+  // ---------------------------------------------------------------------
+  def bigramXentHashed(s: SparkSession, dir: String): DataFrame =
+    Curation.bigramScoreHashed(Tables.documents(s, dir)).orderBy("doc_id")
+
+  val bigramXentHashedSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |                        t -> substr(md5(t), 1, 2)) AS l
+      |  FROM documents),
+      |bg AS (SELECT doc_id, unnest(l[1:-2]) AS w1, unnest(l[2:]) AS w2 FROM toks),
+      |u  AS (SELECT doc_id, unnest(l) AS token FROM toks),
+      |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+      |bm AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+      |ctx AS (SELECT w1, count(*) AS cw1 FROM bg GROUP BY 1),
+      |uni AS (SELECT token, count(*) AS c FROM u GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM uni)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+      |  round(SUM(tf * -ln(0.9 * (cb / CAST(cw1 AS DOUBLE))
+      |                     + 0.1 * (c / CAST(total AS DOUBLE)))) / SUM(tf), 6) AS xent
+      |FROM tf JOIN bm USING (w1, w2) JOIN ctx USING (w1)
+      |     JOIN uni ON uni.token = tf.w2 CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x100 — SIGNAL-AGREEMENT audit: pairwise Pearson correlation between
   // the three per-doc quality signals (x02 heuristic composite, x35
   // unigram xent, x87 bigram xent) — the "are my filters measuring the
@@ -1274,5 +1305,6 @@ object CurationQueries {
     "x74_text_normalize"      -> ((textNormalize _, Some(textNormalizeSql))),
     "x86_corpus_diff"         -> ((corpusDiffQ _, Some(corpusDiffSql))),
     "x87_bigram_xent"         -> ((bigramXent _, Some(bigramXentSql))),
+    "x101_bigram_xent_hashed" -> ((bigramXentHashed _, Some(bigramXentHashedSql))),
   )
 }

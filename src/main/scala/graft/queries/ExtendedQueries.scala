@@ -353,6 +353,23 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x102 — x48 with the cell-size cap ENGAGED (the df-cap story,
+  // embedding edition): only each cell's `cellCap` most-typical members
+  // participate in pair generation, bounding pair work at
+  // nClusters·cellCap² on ANY corpus — mass-duplicated cliques
+  // included; uncapped members pass through as keepers. Rows-only like
+  // x48 (learned centroids); the cap's bound and bind are asserted on
+  // a planted clique in DedupSpec.
+  // ---------------------------------------------------------------------
+  private val SemDedupCellCap = 25
+
+  def semDedupCapped(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Dedup.semDedup(s, Tables.embeddings(s, dir), cellCap = SemDedupCellCap)
+      .orderBy("vec_id")
+  }
+
+  // ---------------------------------------------------------------------
   // x40 — semantic embedding clustering (SemDeDup-style topic buckets):
   // per-cluster size + cohesion summary. Centroids are learned ⇒
   // rows-only check; nearest-centroid = argmax-cosine is spec-proven.
@@ -2465,6 +2482,7 @@ object ExtendedQueries {
     "x45_knn_pq"             -> ((knnPq _, None)),
     "x46_knn_ivfpq"          -> ((knnIvfPq _, None)),
     "x48_semdedup"           -> ((semDedup _, None)),
+    "x102_semdedup_capped"   -> ((semDedupCapped _, None)),
     "x40_embedding_clusters" -> ((embeddingClusters _, None)),
     "x16_winnowing_overlap"  -> ((winnowingOverlap _, None)),
     "x17_dedup_components"   -> ((dedupComponents _, Some(dedupComponentsSql))),

@@ -1062,6 +1062,107 @@ object StreamingQueries {
   }
 
   // ---------------------------------------------------------------------
+  // s34 — s30's 100 TB posture AS CODE: the bucketed-fingerprint-store
+  // snapshot diff. s30 pins the old snapshot's fingerprints with
+  // localCheckpoint and re-EXCHANGES that corpus-sized relation in
+  // every micro-batch the moment it exceeds the broadcast threshold
+  // (measured: naive rows_r 440 at 100x over 3 batches). Here the old
+  // store is written ONCE as an s21-style bucketed table on doc_id
+  // (the write is the one corpus-sized shuffle that ever happens), and
+  // each micro-batch writes its own fingerprints as a same-bucketed,
+  // same-sorted table — so the per-batch diff join reads both sides
+  // co-located and plans with NO exchange and NO sort (PlanSpec pins
+  // it under the no-broadcast protocol). Per batch, only batch-sized
+  // data moves; the old store's buckets are read in place. Same
+  // added/changed/removed semantics and the same x86 oracle as s30.
+  // ---------------------------------------------------------------------
+  private[graft] val S34Buckets = 8
+
+  /** Write a fingerprint relation as a bucketed, doc_id-sorted table —
+    * the one writer both the old store and each micro-batch use, so
+    * the two join sides always agree on bucketing. */
+  private[graft] def writeFpBucketed(df: DataFrame, path: String,
+                                     tbl: String): Unit =
+    df.write.mode("overwrite").option("path", path)
+      .bucketBy(S34Buckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(tbl)
+
+  /** The per-batch co-located diff: both sides are bucketed tables on
+    * doc_id with the same bucket count and sort, so the left-outer
+    * sort-merge join plans with no hash exchange and no sort. */
+  private[graft] def bucketedDelta(s: SparkSession, batchTbl: String,
+                                   oldTbl: String): DataFrame =
+    s.table(batchTbl).join(s.table(oldTbl), Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("fp_old").isNull, lit("added"))
+          .when(col("fp_old") =!= col("fp_new"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select("doc_id", "status")
+
+  /** The s34 core: s30's protocol with the old fingerprint store and
+    * each batch's fingerprints living in co-bucketed tables. */
+  private[graft] def snapshotDiffStreamBucketed(s: SparkSession, old: DataFrame,
+                                                neu: DataFrame): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val work = tempDir("graft_s34_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"
+    val idsDir = s"$work/ids"; val ck = s"$work/ck"
+    // table names derive from the unique temp path (the s21 rule): two
+    // invocations in one shared session never collide in the catalog
+    val tag = new java.io.File(work).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    val oldTbl = s"${tag}_oldfp"
+
+    writeFpBucketed(
+      old.select(col("doc_id"), TF.fingerprint(col("text")).as("fp_old")),
+      s"$work/wh/oldfp", oldTbl)
+
+    neu.select(col("doc_id"), col("text")).repartition(3).write.parquet(inDir)
+
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val batchTbl = s"${tag}_b$id"
+        writeFpBucketed(
+          b.select(col("doc_id"), TF.fingerprint(col("text")).as("fp_new")),
+          s"$work/wh/b$id", batchTbl)
+        bucketedDelta(s, batchTbl, oldTbl)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        s.table(batchTbl).select("doc_id")
+          .write.mode("overwrite").parquet(s"$idsDir/batch=$id")
+        s.sql(s"DROP TABLE IF EXISTS $batchTbl") // catalog hygiene per batch
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // removals: one anti-join of the old store's buckets against the
+    // stream's own seen-id record (never the incoming snapshot as a
+    // batch relation — the s30 contract)
+    val seenIds = readBatchesOr(s, idsDir, old.select(col("doc_id")))
+    val removed = s.table(oldTbl)
+      .join(seenIds.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit("removed").as("status"))
+    readBatchesOr(s, outDir, old.select(col("doc_id"),
+        lit("added").as("status")))
+      .select(col("doc_id"), col("status"))
+      .unionAll(removed)
+      .orderBy("doc_id")
+  }
+
+  def streamSnapshotDiffBucketed(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    snapshotDiffStreamBucketed(s, docs,
+      graft.queries.CurationQueries.diffSnapshot(docs))
+  }
+
+  // ---------------------------------------------------------------------
   // s31 — STREAMED DSIR admission: x93's importance scoring as an
   // admission gate on the document stream. x93's global top-K cannot
   // stream (a rank over the whole corpus is only known at the end);
@@ -1387,6 +1488,8 @@ object StreamingQueries {
       Some(graft.queries.ExtendedQueries.crossSpanCleanSql))),
     "s29_stream_cusum"      -> ((streamCusum _, Some(streamCusumSql))),
     "s30_stream_snapshot_diff" -> ((streamSnapshotDiff _,
+      Some(graft.queries.CurationQueries.corpusDiffSql))),
+    "s34_stream_snapshot_diff_bucketed" -> ((streamSnapshotDiffBucketed _,
       Some(graft.queries.CurationQueries.corpusDiffSql))),
     "s31_stream_dsir_admission" -> ((streamDsirAdmission _,
       Some(graft.queries.CurationQueries.dsirAdmissionSql))),

@@ -1251,6 +1251,32 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getDouble(6) == z.getDouble(1) && r.getDouble(7) == z.getDouble(3))
   }
 
+  test("x101 hashed bigram model: fixed-width 256-bucket bound; n_bigrams identical to x87") {
+    import spark.implicits._
+    val full = Curation.bigramScore(docs).select("doc_id", "n_bigrams")
+      .as[(Long, Long)].collect().toMap
+    val hashed = Curation.bigramScoreHashed(docs)
+      .select("doc_id", "n_bigrams", "xent").collect()
+    assert(hashed.nonEmpty && hashed.length == full.size)
+    hashed.foreach { r =>
+      assert(full(r.getLong(0)) == r.getLong(1),
+        "bucketing renames tokens, it must never change bigram counts")
+      assert(!r.isNullAt(2) && !r.getDouble(2).isNaN && r.getDouble(2) > 0.0,
+        s"hashed xent must stay finite and positive: $r")
+    }
+    // the fixed-width proof: every model key is a 2-hex md5 prefix, so
+    // the bigram model is <= 256² rows and the context/unigram models
+    // <= 256 rows at ANY corpus size — by the shape of the key, not by
+    // the luck of this fixture
+    val buckets = docs.select(explode(transform(
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)),
+        t => substring(md5(t), 1, 2))).as("b"))
+      .distinct().as[String].collect()
+    assert(buckets.forall(_.matches("[0-9a-f]{2}")),
+      s"non-2-hex bucket id found: ${buckets.filterNot(_.matches("[0-9a-f]{2}")).take(3).mkString(",")}")
+    assert(buckets.length <= 256)
+  }
+
   test("x99 gate verdict: Zipfian clean corpus passes; uniform spectrum trips ONLY the zipf breach") {
     import spark.implicits._
     import graft.queries.ExtendedQueries

@@ -392,6 +392,42 @@ class DedupSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("x102 semdedup cellCap: a planted 50-clique's pair work is bounded — no component exceeds the cap") {
+    graft.functions.VectorFunctions.register(spark)
+    val dim = 8
+    def vec(f: Int => Float): Array[Float] = Array.tabulate(dim)(f)
+    // 50 near-identical vectors (pairwise cosine ~0.999 — one mass-dup
+    // clique) + 10 scattered near-one-hot vectors (pairwise and
+    // vs-clique cosine far below threshold)
+    val clique = (0 until 50).map(i => (i.toLong,
+      vec(j => (1.0 + 0.001 * ((i + j) % 5 - 2)).toFloat)))
+    val scattered = (0 until 10).map(i => (100L + i,
+      vec(j => if (j == i % dim) 1f else 0.01f * ((i * 3 + j) % 7))))
+    val emb = (clique ++ scattered).toDF("vec_id", "embedding")
+
+    val capped = Dedup.semDedup(spark, emb, threshold = 0.9, nClusters = 4,
+      cellCap = 10).cache()
+    // totality survives the cap: every row present exactly once
+    assert(capped.count() == 60)
+    assert(capped.select("vec_id").distinct().count() == 60)
+    // the bound: components only form among a cell's <=cap examined
+    // members, so no duplicate group can exceed the cap
+    val maxComp = capped.groupBy("component").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxComp <= 10, s"cap failed to bound the clique: component of $maxComp")
+    // and the cap BINDS here: uncapped, the clique collapses into one
+    // >=50-member component (the quadratic regime the cap exists for)
+    val uncapped = Dedup.semDedup(spark, emb, threshold = 0.9, nClusters = 4)
+    val maxUn = uncapped.groupBy("component").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxUn >= 50, s"fixture clique did not form uncapped: $maxUn")
+    // unexamined members pass through as keepers, so the capped run
+    // keeps strictly more rows than the uncapped one
+    assert(capped.filter(col("keep")).count() >
+      uncapped.filter(col("keep")).count())
+    capped.unpersist()
+  }
+
   // ------------------------------------------------------------------
   // x64/x65 — exact duplicated-substring spans
   // ------------------------------------------------------------------

@@ -184,6 +184,43 @@ class PlanSpec extends AnyFunSuite {
       "scan is not reading buckets:\n" + p)
   }
 
+  test("s34: per-batch bucketed snapshot-diff join plans with NO exchange (co-located SMJ)") {
+    import graft.streaming.StreamingQueries
+    import graft.functions.{TextFunctions => TF}
+    import org.apache.spark.sql.functions.col
+    // build the two sides through the PRODUCTION bucketed writer, then
+    // pin the co-located shape under the no-broadcast protocol (at
+    // 100 TB the corpus-sized old store never broadcasts — the plan
+    // that matters is the sort-merge one)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_s34_plan_").toFile.getAbsolutePath
+    val tag = new java.io.File(work).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    val docs = graft.Tables.documents(spark, dir)
+    StreamingQueries.writeFpBucketed(
+      docs.select(col("doc_id"), TF.fingerprint(col("text")).as("fp_old")),
+      s"$work/oldfp", s"${tag}_oldfp")
+    StreamingQueries.writeFpBucketed(
+      docs.limit(50).select(col("doc_id"), TF.fingerprint(col("text")).as("fp_new")),
+      s"$work/b0", s"${tag}_b0")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val df = StreamingQueries.bucketedDelta(spark, s"${tag}_b0", s"${tag}_oldfp")
+      df.collect() // materialize through AQE so the final plan is real
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        "co-bucketed diff join must not re-shuffle either side:\n" + p)
+      assert(p.contains("SortMergeJoin"), "expected the co-located SMJ:\n" + p)
+      // note: LOCAL per-bucket sorts remain (Spark does not trust
+      // file-level sortBy order across files) — they move no data;
+      // the property that matters at 100 TB is zero exchange
+      assert(p.contains("Bucketed: true"),
+        "scan is not reading buckets:\n" + p)
+      assert(p.contains("SelectedBucketsCount: 8 out of 8"),
+        "both sides must read all co-located buckets:\n" + p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("j14: decorrelated Q21 — no cartesian, supplier broadcast, top-20 TakeOrdered") {
     val p = plan(TpchQueries.waitingSuppliers(spark, dir))
     assert(!p.contains("CartesianProduct"), p)

@@ -343,6 +343,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Seq((3L, "changed"), (4L, "removed"), (6L, "added")))
   }
 
+  test("s34 bucketed streamed snapshot diff == batch x86 == s30 (same contract, co-located join)") {
+    val old = Seq((1L, "alpha beta"), (2L, "a  b"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, "alpha beta"), (2L, "a b"), (3L, "gamma prime"), (6L, "epsilon"))
+      .toDF("doc_id", "text")
+    val streamed = StreamingQueries.snapshotDiffStreamBucketed(spark, old, neu)
+      .as[(Long, String)].collect().toSeq.sorted
+    val batch = graft.operators.Curation.corpusDiff(old, neu)
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(streamed == batch)
+    assert(streamed == Seq((3L, "changed"), (4L, "removed"), (6L, "added")))
+    // empty-input totality, same as the rest of the family
+    val diff = StreamingQueries.snapshotDiffStreamBucketed(spark, old, old.limit(0))
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(diff == Seq((1L, "removed"), (2L, "removed"), (3L, "removed"), (4L, "removed")))
+  }
+
   test("s31 streamed DSIR admission == batch threshold scoring; gate actually binds") {
     import graft.operators.Curation
     val docs = graft.Tables.documents(spark, graft.TestSpark.Sf0001)
