@@ -1196,6 +1196,35 @@ object Curation {
       .limit(k)
   }
 
+  /** Calibrate s31's admission threshold τ for a TARGET admit rate:
+    * score the calibration corpus's non-target slice with the pinned
+    * [[dsirModel]], take the ceil(rate·n)-th highest log_w, and return
+    * it — admitting at the returned τ then passes ≈ `targetRate` of a
+    * stream drawn from the calibration distribution (exactly
+    * ceil(rate·n)/n on the calibration corpus itself, modulo round(6)
+    * ties). Makes the admission gate usable without hand-tuning a
+    * constant.
+    *
+    * Scale shape: one count + one TakeOrdered (orderBy.limit — every
+    * partition contributes its local top-k, k = ceil(rate·n) rows
+    * total reach the driver-side min) over the doc-grain score
+    * relation; never a global sort or a rank window. For small target
+    * rates on huge corpora k is small; for large rates, calibrate on
+    * a sample (the scores are iid under sampling). */
+  def dsirTauFor(docs: DataFrame, targetRate: Double,
+                 benchMod: Int = BenchMod): Double = {
+    require(targetRate > 0.0 && targetRate <= 1.0,
+      s"targetRate must be in (0, 1], got $targetRate")
+    val (tc, tot) = dsirModel(docs, benchMod)
+    val scored = dsirScore(docs.filter(col("doc_id") % benchMod =!= 0), tc, tot)
+      .localCheckpoint() // feeds the count AND the top-k
+    val n = scored.count()
+    require(n > 0, "dsirTauFor needs a non-empty non-target slice to calibrate on")
+    val k = math.max(1L, math.ceil(targetRate * n).toLong).toInt
+    scored.orderBy(desc("log_w"), col("doc_id")).limit(k)
+      .agg(min(col("log_w"))).head.getDouble(0)
+  }
+
   /** Score `docs` against a [[dsirModel]]: per-doc token count and the
     * smoothed log importance weight, round(6). Row-local explode + one
     * (doc, token) shuffle + the vocabulary join; no ranking — callers

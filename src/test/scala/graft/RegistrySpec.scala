@@ -36,6 +36,38 @@ class RegistrySpec extends AnyFunSuite {
     assert(bad.isEmpty, s"names outside the <letter><2 digits>_<slug> convention: $bad")
   }
 
+  test("registry hygiene: caveats name real entries; every rows-only entry has a live backing spec") {
+    val qs = SparkEntry.queries.keySet
+    // every served scale caveat must point at a registered entry —
+    // a renamed entry must not leave a dangling hint on /entries
+    val danglingCaveats = SparkEntry.scaleCaveats.keySet -- qs
+    assert(danglingCaveats.isEmpty,
+      s"scaleCaveats for unregistered entries: $danglingCaveats")
+    // the rows-only set (no SQL oracle) must be exactly the keys of
+    // rowsOnlySpecs: an unmapped rows-only entry has no machine-checked
+    // correctness claim; a stale key points at a removed/renamed entry
+    val rowsOnly = qs -- SparkEntry.oracleSql.keySet
+    val unmapped = rowsOnly -- SparkEntry.rowsOnlySpecs.keySet
+    assert(unmapped.isEmpty,
+      s"rows-only entries with no named backing spec: $unmapped")
+    val stale = SparkEntry.rowsOnlySpecs.keySet -- rowsOnly
+    assert(stale.isEmpty,
+      s"rowsOnlySpecs keys that are not rows-only registry entries: $stale")
+    // and every named (file, fragment) must exist: the file under
+    // src/test/scala/graft/ and the fragment inside a test("...") name
+    val testRoot = java.nio.file.Paths.get("src/test/scala/graft")
+    assert(java.nio.file.Files.isDirectory(testRoot),
+      s"test root not found from cwd ${System.getProperty("user.dir")}")
+    SparkEntry.rowsOnlySpecs.foreach { case (entry, (file, fragment)) =>
+      val p = testRoot.resolve(file)
+      assert(java.nio.file.Files.isRegularFile(p),
+        s"$entry: backing spec file $file does not exist")
+      val src = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      assert(src.contains(fragment),
+        s"$entry: fragment '$fragment' not found in $file")
+    }
+  }
+
   test("oracle SQL strings are non-empty and DuckDB-shaped (no Spark-only syntax)") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, s"$name: empty oracle")

@@ -378,6 +378,29 @@ class StreamingSpec extends AnyFunSuite {
       s"tau=$tau does not bind: ${streamed.size} of $candidates admitted")
   }
 
+  test("s31 tau calibration: dsirTauFor hits the target admit rate; default-tau hash path untouched") {
+    import graft.operators.Curation
+    val docs = graft.Tables.documents(spark, graft.TestSpark.Sf0001)
+    val candidates = docs.filter(col("doc_id") % Curation.BenchMod =!= 0)
+    val nCand = candidates.count()
+    for (target <- Seq(0.1, 0.3, 0.7)) {
+      val tau = Curation.dsirTauFor(docs, target)
+      val admitted = StreamingQueries.dsirAdmissionStream(spark, docs, tau).count()
+      val expected = math.ceil(target * nCand).toLong
+      // exact on the calibration corpus itself, up to round(6) ties at
+      // the cut score
+      val ties = Curation.dsirScore(candidates,
+        Curation.dsirModel(docs)._1, Curation.dsirModel(docs)._2)
+        .filter(col("log_w") === tau).count()
+      assert(admitted >= expected && admitted <= expected + ties,
+        s"target=$target: admitted $admitted of $nCand (expected ~$expected, ties=$ties)")
+    }
+    // and the whole rate range is monotone: a higher target never
+    // yields a higher tau
+    val taus = Seq(0.1, 0.3, 0.7).map(Curation.dsirTauFor(docs, _))
+    assert(taus == taus.sorted.reverse, s"tau not monotone in rate: $taus")
+  }
+
   test("s33 streamed max-shared-span == batch x95 across micro-batches") {
     // planted docs land in different micro-batches; per-doc islands must
     // be identical to the batch operator (doc 1: embedded 6-token span;
