@@ -996,9 +996,11 @@ object StreamingQueries {
   // the ids the stream itself recorded (a fixed-width relation the
   // foreachBatch writes alongside the delta), so the entry never peeks
   // at the incoming snapshot as a batch relation. Result ≡ x86,
-  // hash-checked against x86's own oracle. At 100 TB the old
-  // fingerprint store is bucketed on doc_id (s21's note) and each
-  // batch's join is shuffle-free against it.
+  // hash-checked against x86's own oracle. This localCheckpoint-pinned
+  // form re-exchanges the corpus-sized old-fp relation every batch once
+  // it exceeds the broadcast threshold (measured: 440× naive rows at
+  // 100×) — the 100 TB form is s34 below, whose bucketed store plans
+  // the per-batch join with zero exchange.
   // ---------------------------------------------------------------------
 
   /** The s30 core: write `neu` as a multi-file parquet stream source,
