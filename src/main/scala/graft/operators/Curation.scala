@@ -966,6 +966,55 @@ object Curation {
       .select(col("doc_id"), col("status"))
   }
 
+  /** x103: corpus DRIFT between two snapshots — KL divergence both ways
+    * and Jensen–Shannon divergence between the snapshots' Laplace-
+    * smoothed unigram distributions over the JOINT vocabulary. x86
+    * answers WHICH documents changed; this answers whether the
+    * LANGUAGE changed: a crawl refresh that swaps 5% of docs but keeps
+    * the distribution (routine churn) scores near 0, one that floods
+    * templates or shifts domain moves both gauges — the "did this
+    * refresh change what my model will learn" number a release
+    * changelog carries next to x86's delta counts. Smoothing over the
+    * joint vocabulary keeps tokens absent on one side finite (the x93
+    * discipline); JS is symmetric and bounded by ln 2.
+    *
+    * Scale shape: both corpora collapse to ONE vocabulary-sized count
+    * relation via a union with a side flag (a single partial-agg'd
+    * shuffle moving the vocabulary, never the corpus); totals are a
+    * 1-row broadcast; the divergences are one aggregate over that
+    * relation. round(6) per the transcendental-parity rule. */
+  def snapshotDrift(old: DataFrame, neu: DataFrame): DataFrame = {
+    def toks(df: DataFrame, isNew: Boolean) = df.select(
+      lit(isNew).as("is_new"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+        .as("token"))
+    driftFromCounts(
+      toks(old, isNew = false).unionAll(toks(neu, isNew = true))
+        .groupBy("token").agg(
+          sum(when(col("is_new"), 0L).otherwise(1L)).as("co"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("cn")))
+  }
+
+  /** The x103 divergence gauge over an already-built joint-vocabulary
+    * count relation (token, co, cn) — factored so the streamed twin
+    * (s35) can merge its per-batch partials into the same core. */
+  private[graft] def driftFromCounts(counts: DataFrame): DataFrame = {
+    val tot = counts.agg(sum(col("co")).as("no"), sum(col("cn")).as("nn"),
+      count(lit(1)).as("v"))
+    val p = (col("co") + 1).cast("double") / (col("no") + col("v")).cast("double")
+    val q = (col("cn") + 1).cast("double") / (col("nn") + col("v")).cast("double")
+    val m = (p + q) / 2.0
+    counts.crossJoin(broadcast(tot))
+      .agg(
+        max(col("v")).as("v_joint"),
+        max(col("no")).as("n_tokens_old"),
+        max(col("nn")).as("n_tokens_new"),
+        round(sum(p * log(p / q)), 6).as("kl_old_new"),
+        round(sum(q * log(q / p)), 6).as("kl_new_old"),
+        round(sum(p * log(p / m)) / 2 + sum(q * log(q / m)) / 2, 6)
+          .as("js_divergence"))
+  }
+
   // ---- x36: vocabulary construction with coverage ----------------------
 
   val VocabK = 100

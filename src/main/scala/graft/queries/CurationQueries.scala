@@ -563,6 +563,47 @@ object CurationQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x103 — snapshot DRIFT: KL both ways + Jensen-Shannon divergence
+  // between the old and new snapshots' Laplace-smoothed unigram
+  // distributions over the joint vocabulary. x86 says WHICH docs
+  // changed; this says whether the LANGUAGE changed — the release-
+  // changelog gauge next to the delta counts. Same deterministic
+  // "next crawl" snapshot as x86/s30/s34.
+  // ---------------------------------------------------------------------
+  def snapshotDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Curation.snapshotDrift(docs, diffSnapshot(docs))
+  }
+
+  val snapshotDriftSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, text || ' rev2' AS text FROM documents WHERE doc_id % $DiffMod = 3
+       |  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id % $DiffMod NOT IN (0, 3)
+       |  UNION ALL SELECT doc_id + $DiffIdOffset, text || ' fork'
+       |            FROM documents WHERE doc_id % $DiffMod = 5),
+       |ot AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |       FROM documents),
+       |nt AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |       FROM b),
+       |oc AS (SELECT token, count(*) AS co FROM ot GROUP BY 1),
+       |nc AS (SELECT token, count(*) AS cn FROM nt GROUP BY 1),
+       |j AS (SELECT COALESCE(oc.co, 0) AS co, COALESCE(nc.cn, 0) AS cn
+       |      FROM oc FULL OUTER JOIN nc ON oc.token = nc.token),
+       |tot AS (SELECT CAST(SUM(co) AS BIGINT) AS no, CAST(SUM(cn) AS BIGINT) AS nn,
+       |               CAST(count(*) AS BIGINT) AS v
+       |        FROM j),
+       |pq AS (SELECT (co + 1.0) / (no + v) AS p, (cn + 1.0) / (nn + v) AS q
+       |       FROM j CROSS JOIN tot)
+       |SELECT (SELECT v FROM tot) AS v_joint,
+       |       (SELECT no FROM tot) AS n_tokens_old,
+       |       (SELECT nn FROM tot) AS n_tokens_new,
+       |       round(SUM(p * ln(p / q)), 6) AS kl_old_new,
+       |       round(SUM(q * ln(q / p)), 6) AS kl_new_old,
+       |       round(SUM(p * ln(p / ((p + q) / 2))) / 2
+       |             + SUM(q * ln(q / ((p + q) / 2))) / 2, 6) AS js_divergence
+       |FROM pq""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x36 — vocabulary construction: top-K tokens + cumulative coverage
   // ---------------------------------------------------------------------
   def vocabCoverage(s: SparkSession, dir: String): DataFrame =
@@ -1304,6 +1345,7 @@ object CurationQueries {
     "x77_phrase_search"       -> ((phraseSearch _, Some(phraseSearchSql))),
     "x74_text_normalize"      -> ((textNormalize _, Some(textNormalizeSql))),
     "x86_corpus_diff"         -> ((corpusDiffQ _, Some(corpusDiffSql))),
+    "x103_snapshot_drift"     -> ((snapshotDriftQ _, Some(snapshotDriftSql))),
     "x87_bigram_xent"         -> ((bigramXent _, Some(bigramXentSql))),
     "x101_bigram_xent_hashed" -> ((bigramXentHashed _, Some(bigramXentHashedSql))),
   )

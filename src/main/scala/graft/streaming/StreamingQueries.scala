@@ -1165,6 +1165,66 @@ object StreamingQueries {
   }
 
   // ---------------------------------------------------------------------
+  // s35 — STREAMED snapshot drift: x103's language-shift gauge computed
+  // as the new crawl ARRIVES. Unigram counts are ALGEBRAIC — per-token
+  // counts sum across micro-batches — so this is the s32 mergeable-
+  // partials pattern at VOCABULARY grain: each batch writes its
+  // (token, cnt) partial (a row-local explode + one batch-local
+  // partial agg; nothing corpus-sized retained), and the final gauge
+  // merges the partials against the pinned old-snapshot counts in one
+  // vocabulary-grain full-outer join. Exact ≡ x103, hash-checked
+  // against its oracle. The per-batch state is ZERO (partials live in
+  // the sink, not the state store) — the gauge can run forever on a
+  // continuous crawl and be finalized at any cut point.
+  // ---------------------------------------------------------------------
+
+  /** The s35 core: pin `old`'s vocabulary counts, stream `neu`'s
+    * per-batch token-count partials, merge at read-back. */
+  private[graft] def snapshotDriftStream(s: SparkSession, old: DataFrame,
+                                         neu: DataFrame): DataFrame = {
+    import graft.operators.Curation
+    val work = tempDir("graft_s35_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    def tokCounts(df: DataFrame): DataFrame = df.select(
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+          .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+    neu.select(col("doc_id"), col("text")).repartition(3).write.parquet(inDir)
+
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        tokCounts(b).write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val newCounts = readBatchesOr(s, outDir, tokCounts(neu))
+      .groupBy("token").agg(sum(col("cnt")).as("cn"))
+    val oldCounts = tokCounts(old)
+      .select(col("token"), col("cnt").as("co"))
+    Curation.driftFromCounts(
+      oldCounts.join(newCounts, Seq("token"), "full_outer")
+        .select(coalesce(col("co"), lit(0L)).as("co"),
+                coalesce(col("cn"), lit(0L)).as("cn")))
+  }
+
+  def streamSnapshotDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    snapshotDriftStream(s, docs,
+      graft.queries.CurationQueries.diffSnapshot(docs))
+  }
+
+  // ---------------------------------------------------------------------
   // s31 — STREAMED DSIR admission: x93's importance scoring as an
   // admission gate on the document stream. x93's global top-K cannot
   // stream (a rank over the whole corpus is only known at the end);
@@ -1493,6 +1553,8 @@ object StreamingQueries {
       Some(graft.queries.CurationQueries.corpusDiffSql))),
     "s34_stream_snapshot_diff_bucketed" -> ((streamSnapshotDiffBucketed _,
       Some(graft.queries.CurationQueries.corpusDiffSql))),
+    "s35_stream_snapshot_drift" -> ((streamSnapshotDrift _,
+      Some(graft.queries.CurationQueries.snapshotDriftSql))),
     "s31_stream_dsir_admission" -> ((streamDsirAdmission _,
       Some(graft.queries.CurationQueries.dsirAdmissionSql))),
     "s32_stream_embedding_health" -> ((streamEmbeddingHealth _,

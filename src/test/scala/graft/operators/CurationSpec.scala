@@ -1251,6 +1251,47 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getDouble(6) == z.getDouble(1) && r.getDouble(7) == z.getDouble(3))
   }
 
+  test("x103 snapshot drift: zero on identical snapshots; positive/symmetric JS on a shift; equals in-memory recomputation") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta beta gamma"), (2L, "delta epsilon alpha"))
+      .toDF("doc_id", "text")
+    // identical snapshots: every joint-vocab count matches, p = q
+    // exactly per token, so every divergence is EXACTLY 0
+    val same = Curation.snapshotDrift(a, a).collect().head
+    assert(same.getDouble(3) == 0.0 && same.getDouble(4) == 0.0 &&
+      same.getDouble(5) == 0.0, s"identical snapshots must read 0 drift: $same")
+
+    // a genuinely shifted snapshot
+    val b = Seq((1L, "alpha zeta zeta zeta"), (2L, "eta theta theta iota"))
+      .toDF("doc_id", "text")
+    val ab = Curation.snapshotDrift(a, b).collect().head
+    val ba = Curation.snapshotDrift(b, a).collect().head
+    assert(ab.getDouble(3) > 0.0 && ab.getDouble(4) > 0.0 && ab.getDouble(5) > 0.0)
+    // JS is symmetric; the two KLs swap roles
+    assert(ab.getDouble(5) == ba.getDouble(5), "JS must be symmetric")
+    assert(ab.getDouble(3) == ba.getDouble(4) && ab.getDouble(4) == ba.getDouble(3))
+    // JS bounded by ln 2
+    assert(ab.getDouble(5) <= math.log(2.0) + 1e-9)
+
+    // independent in-memory recomputation over the same smoothing
+    def counts(rows: Seq[String]) = rows.flatMap(
+      _.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (ca, cb) = (counts(Seq("alpha beta beta gamma", "delta epsilon alpha")),
+                    counts(Seq("alpha zeta zeta zeta", "eta theta theta iota")))
+    val joint = (ca.keySet ++ cb.keySet).toSeq
+    val (no, nn, v) = (ca.values.sum, cb.values.sum, joint.size.toLong)
+    val ps = joint.map(t => (ca.getOrElse(t, 0L) + 1).toDouble / (no + v))
+    val qs = joint.map(t => (cb.getOrElse(t, 0L) + 1).toDouble / (nn + v))
+    val klAB = ps.zip(qs).map { case (p, q) => p * math.log(p / q) }.sum
+    val js = ps.zip(qs).map { case (p, q) =>
+      val m = (p + q) / 2; (p * math.log(p / m) + q * math.log(q / m)) / 2 }.sum
+    assert(math.abs(ab.getDouble(3) - klAB) < 1e-5, s"KL ${ab.getDouble(3)} vs $klAB")
+    assert(math.abs(ab.getDouble(5) - js) < 1e-5, s"JS ${ab.getDouble(5)} vs $js")
+    assert(same.getLong(0) == counts(Seq("alpha beta beta gamma",
+      "delta epsilon alpha")).size.toLong)
+  }
+
   test("x101 hashed bigram model: fixed-width 256-bucket bound; n_bigrams identical to x87") {
     import spark.implicits._
     val full = Curation.bigramScore(docs).select("doc_id", "n_bigrams")

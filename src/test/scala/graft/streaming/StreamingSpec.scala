@@ -360,6 +360,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(diff == Seq((1L, "removed"), (2L, "removed"), (3L, "removed"), (4L, "removed")))
   }
 
+  test("s35 streamed snapshot drift == batch x103 (vocabulary-grain partials merge exactly)") {
+    val old = Seq((1L, "alpha beta beta gamma"), (2L, "delta epsilon alpha"),
+      (3L, "zeta zeta eta"))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, "alpha theta theta"), (2L, "delta epsilon alpha"),
+      (4L, "iota kappa kappa kappa"))
+      .toDF("doc_id", "text")
+    val streamed = StreamingQueries.snapshotDriftStream(spark, old, neu)
+      .collect().head.toSeq
+    val batch = graft.operators.Curation.snapshotDrift(old, neu)
+      .collect().head.toSeq
+    assert(streamed == batch,
+      s"streamed partials merge diverged from batch x103: $streamed vs $batch")
+    // empty NEW snapshot: totality — a well-defined row, not a crash
+    // (nn = 0; divergences finite because smoothing keeps q > 0)
+    val e = StreamingQueries.snapshotDriftStream(spark, old, old.limit(0))
+      .collect().head
+    assert(e.getLong(2) == 0L && !e.isNullAt(5) && !e.getDouble(5).isNaN)
+  }
+
   test("s31 streamed DSIR admission == batch threshold scoring; gate actually binds") {
     import graft.operators.Curation
     val docs = graft.Tables.documents(spark, graft.TestSpark.Sf0001)
