@@ -929,7 +929,13 @@ object Curation {
     val uniB = toks.groupBy("token").agg(count(lit(1)).as("c"))
       .select(b(col("token")).as("token"), col("c"))
       .groupBy("token").agg(sum("c").as("c"))
-    xentFrom(tfB, bmB, ctxB, uniB, toks.agg(count(lit(1)).as("total")), lambda)
+    // the folded models are PROVABLY bounded (16^(2·hexLen) / 16^hexLen
+    // rows), so broadcast is correct at ANY corpus size — the explicit
+    // hints stop Catalyst's size ESTIMATE (derived from the corpus-sized
+    // children) from flipping the model joins to sort-merge at scale
+    // (measured: the unhinted 100× plan turned all three into SMJs)
+    xentFrom(tfB, broadcast(bmB), broadcast(ctxB), broadcast(uniB),
+      toks.agg(count(lit(1)).as("total")), lambda)
   }
 
   // ---- x86: corpus snapshot diff ----------------------------------------
@@ -1236,7 +1242,9 @@ object Curation {
     val ratio =
       log((col("ct") + 1).cast("double") / (col("nt") + col("v")).cast("double")) -
       log((col("cc") + 1).cast("double") / (col("nc") + col("v")).cast("double"))
-    tf.join(bc, "b")
+    // bc is provably ≤ 16^hexLen rows — broadcast correct at any scale
+    // (the estimate from the corpus-sized child would flip it to SMJ)
+    tf.join(broadcast(bc), "b")
       .crossJoin(broadcast(tot))
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
