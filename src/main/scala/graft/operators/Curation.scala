@@ -1078,6 +1078,62 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
   }
 
+  // ---- x104: the composed curation pipeline ----------------------------
+
+  val PipeMinQuality = 0.85
+  val PipeDomainCap = 15
+  val PipeTokenBudget = 600L
+
+  /** x104: the END-TO-END selection pipeline a pretraining-data release
+    * actually runs, composed from the already-verified operators into
+    * ONE declarative plan — the "a user could run their whole pipeline
+    * on this engine" capstone. Stages, in order:
+    *
+    *  1. quality gate   — row-local x02 score ≥ `minQuality` (zero
+    *                      shuffles; the filter fuses into the scan);
+    *  2. exact dedup    — keep the BEST duplicate per x04 fingerprint
+    *                      (round-6 quality desc, doc_id asc) via a
+    *                      partial-aggregable min_by — x37's keeper rule
+    *                      at the exact-dup grain, never a rank window;
+    *  3. domain cap     — x51's deterministic content-hash keep set
+    *                      (≤ `cap` docs/source, stable under corpus
+    *                      reordering), bounded-heap top-k shuffle;
+    *  4. token budget   — x34-style per-source prefix in doc_id order
+    *                      until `budget` tokens (first doc always kept).
+    *
+    * Ordering decisions inside the composition are on round(6) values
+    * or hashes, so the two engines cannot disagree on who survives —
+    * the whole four-stage SELECTION is one DuckDB-hashable relation.
+    * Scale shape: one row-local pass + one fingerprint-grain exchange
+    * + one bounded-heap stratum exchange + one stratum window over
+    * ≤ cap rows per source. Nothing global, nothing quadratic. */
+  def curationPipeline(docs: DataFrame, minQuality: Double = PipeMinQuality,
+                       cap: Int = PipeDomainCap,
+                       budget: Long = PipeTokenBudget): DataFrame = {
+    val scored = docs
+      .withColumn("quality", round(TF.qualityScore(col("text")), 6))
+      .filter(col("quality") >= minQuality)
+    val kept = scored
+      .withColumn("fp", TF.fingerprint(col("text")))
+      .groupBy(col("fp"))
+      .agg(min_by(
+        struct(col("doc_id"), col("source"), col("text"), col("quality")),
+        struct((-col("quality")).as("nq"), col("doc_id"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.source").as("source"),
+              col("k.text").as("text"), col("k.quality").as("quality"))
+    val capped = kept
+      .join(domainCap(kept, cap).select("doc_id"), "doc_id")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    capped
+      .withColumn("n_tokens", TF.tokenCount(col("text")).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget ||
+        col("cum_tokens") === col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("quality"),
+              col("n_tokens"), col("cum_tokens"))
+  }
+
   /** The top-K corpus vocabulary with cumulative token coverage — the
     * "how big must the vocab be" table every tokenizer build starts
     * from. Global ordering is computed as a distributed top-K

@@ -871,6 +871,49 @@ object CurationQueries {
        |ORDER BY source, doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x104 — the composed SELECTION pipeline: quality gate → keep-best
+  // exact dedup → domain cap → per-source token budget, as ONE plan
+  // with ONE oracle. x27 composes filter→dedup→split into a STATS
+  // summary; x104 emits the actual survivor list a release ships —
+  // WITH the quality-aware keeper, the host cap, and the budget cut.
+  // Every ordering decision is on round(6) values or hashes, so the
+  // four-stage survivor set is engine-deterministic.
+  // ---------------------------------------------------------------------
+  def selectionPipelineQ(s: SparkSession, dir: String): DataFrame =
+    Curation.curationPipeline(Tables.documents(s, dir))
+      .orderBy("source", "doc_id")
+
+  val selectionPipelineSql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, source, text, round($qualitySqlExpr, 6) AS quality
+       |  FROM documents
+       |  WHERE round($qualitySqlExpr, 6) >= ${Curation.PipeMinQuality}),
+       |kept AS (
+       |  SELECT doc_id, source, text, quality FROM (
+       |    SELECT scored.*, row_number() OVER (
+       |      PARTITION BY md5(${ExtendedQueries.normalizedSql})
+       |      ORDER BY quality DESC, doc_id) AS rn
+       |    FROM scored) t WHERE rn = 1),
+       |capped AS (
+       |  SELECT doc_id, source, text, quality FROM (
+       |    SELECT kept.*, row_number() OVER (
+       |      PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || text)) AS cr
+       |    FROM kept) t WHERE cr <= ${Curation.PipeDomainCap}),
+       |bud AS (
+       |  SELECT doc_id, source, quality,
+       |         $nTok AS n_tokens,
+       |         SUM($nTok) OVER (PARTITION BY source ORDER BY doc_id
+       |                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM capped)
+       |SELECT doc_id, source, quality,
+       |       CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |FROM bud
+       |WHERE cum_tokens <= ${Curation.PipeTokenBudget} OR cum_tokens = n_tokens
+       |ORDER BY source, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x52 — collocation extraction: PMI-ranked adjacent bigrams
   // ---------------------------------------------------------------------
   def collocationsQ(s: SparkSession, dir: String): DataFrame =
@@ -1335,6 +1378,7 @@ object CurationQueries {
     "x43_segment_dedup"       -> ((segmentDedup _, Some(segmentDedupSql))),
     "x47_priority_sample"     -> ((prioritySample _, Some(prioritySampleSql))),
     "x51_domain_cap"          -> ((domainCapQ _, Some(domainCapSql))),
+    "x104_selection_pipeline" -> ((selectionPipelineQ _, Some(selectionPipelineSql))),
     "x52_collocations"        -> ((collocationsQ _, Some(collocationsSql))),
     "x53_approx_heavy_hitters" -> ((approxHeavyHitters _, Some(approxHeavyHittersSql))),
     "x68_bpe_merges"          -> ((bpeMergesQ _, None)),

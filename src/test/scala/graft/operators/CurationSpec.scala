@@ -1251,6 +1251,60 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getDouble(6) == z.getDouble(1) && r.getDouble(7) == z.getDouble(3))
   }
 
+  test("x104 selection pipeline: every stage binds on a planted corpus; fixture result is stage-consistent") {
+    import spark.implicits._
+    val passage = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val planted = Seq(
+      (1L, "a", passage),                       // clean survivor
+      (2L, "a", "!!! ??? !!!"),                 // junk: quality gate drops it
+      (3L, "b", s"$passage extra words here"),  // dup pair: same fingerprint...
+      (4L, "b", s"$passage  extra words here"), // ...but doubled space lowers
+                                                // tokenCount => quality differs
+      (5L, "c", passage + " c1"),               // domain-cap source: 3 docs,
+      (6L, "c", passage + " c2"),               // cap 2 keeps the two smallest
+      (7L, "c", passage + " c3"),               // content hashes
+      (8L, "d", (1 to 30).map(i => s"d$i").mkString(" ")), // budget source:
+      (9L, "d", (1 to 30).map(i => s"e$i").mkString(" "))  // second doc busts it
+    ).toDF("doc_id", "source", "text")
+    // junk still scores ~0.51 (token-length term + zero stopwords), so
+    // the gate must sit above it; budget 50 lets both c docs (21+21)
+    // through but cuts d's second 30-token doc (30+30 > 50)
+    val out = Curation.curationPipeline(planted,
+      minQuality = 0.6, cap = 2, budget = 50).cache()
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(2L), "quality gate failed to drop the junk doc")
+    // exactly ONE of the fingerprint-equal pair survives, and it is the
+    // higher-quality member (the keeper rule, not first-id)
+    val pair = planted.filter(col("doc_id").isin(3L, 4L))
+      .select(col("doc_id"),
+        round(graft.functions.TextFunctions.qualityScore(col("text")), 6).as("q"))
+      .as[(Long, Double)].collect().toMap
+    val winner = if (pair(3L) >= pair(4L)) 3L else 4L
+    assert(pair(3L) != pair(4L), "fixture must make the dup pair's qualities differ")
+    assert(ids.contains(winner) && !ids.contains(if (winner == 3L) 4L else 3L),
+      s"keep-best dedup kept the wrong member: $ids (winner $winner)")
+    // domain cap binds on source c
+    assert(out.filter(col("source") === "c").count() == 2)
+    // budget binds on source d: 30 tokens then +30 busts 35 (first kept)
+    assert(out.filter(col("source") === "d").count() == 1)
+    assert(ids.contains(1L))
+    out.unpersist()
+
+    // fixture run (default params): stage-consistency properties
+    val full = Curation.curationPipeline(docs).cache()
+    assert(full.count() > 0)
+    assert(full.select("doc_id").distinct().count() == full.count())
+    assert(full.filter(col("quality") < Curation.PipeMinQuality).count() == 0)
+    val perSource = full.groupBy("source").count().collect()
+    assert(perSource.forall(_.getLong(1) <= Curation.PipeDomainCap))
+    // cum_tokens really is the running sum in doc_id order, and within
+    // budget except possibly a lone oversized first doc
+    val bad = full.filter(col("cum_tokens") > Curation.PipeTokenBudget &&
+      col("cum_tokens") =!= col("n_tokens")).count()
+    assert(bad == 0, "a budget-busting non-first doc survived")
+    full.unpersist()
+  }
+
   test("x103 snapshot drift: zero on identical snapshots; positive/symmetric JS on a shift; equals in-memory recomputation") {
     import spark.implicits._
     val a = Seq((1L, "alpha beta beta gamma"), (2L, "delta epsilon alpha"))
