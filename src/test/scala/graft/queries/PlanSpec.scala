@@ -221,6 +221,28 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("x103/x104: drift gauge partial-aggregates map-side; pipeline broadcasts its bounded keep set, no cartesian") {
+    import graft.queries.CurationQueries
+    // x103: the corpus must collapse to the vocabulary BEFORE the
+    // exchange (map-side combine), and the totals side is a 1-row
+    // broadcast — the only nested-loop join allowed is that broadcast
+    val p103 = plan(CurationQueries.snapshotDriftQ(spark, dir))
+    assert(p103.contains("HashAggregate"), p103)
+    assert(p103.contains("BroadcastExchange"), "totals must broadcast: " + p103)
+    assert(!p103.contains("CartesianProduct"), p103)
+    // x104: the domain-cap keep set is bounded at sources×cap, so its
+    // join back must broadcast; nothing in the composition may plan a
+    // cartesian or a global (unpartitioned) sort window
+    val df = CurationQueries.selectionPipelineQ(spark, dir)
+    df.collect()
+    val p104 = df.queryExecution.executedPlan.toString
+    assert(p104.contains("BroadcastHashJoin"),
+      "bounded keep-set join must broadcast: " + p104)
+    assert(!p104.contains("CartesianProduct"), p104)
+    assert(p104.contains("ObjectHashAggregate"),
+      "domain cap must run through the bounded-heap aggregator: " + p104)
+  }
+
   test("j14: decorrelated Q21 — no cartesian, supplier broadcast, top-20 TakeOrdered") {
     val p = plan(TpchQueries.waitingSuppliers(spark, dir))
     assert(!p.contains("CartesianProduct"), p)
