@@ -122,4 +122,74 @@ class RandomDifferentialSpec extends AnyFunSuite {
       }
     }
   }
+
+  private def md5hex2(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    f"${d(0) & 0xff}%02x".take(2)
+  }
+
+  test("x101 hashed bigram xent == in-memory bucketed model on random corpora (2 seeds)") {
+    for (seed <- Seq(13, 88)) {
+      val docs = randomDocs(seed, nDocs = 35, maxLen = 14)
+      val toks = (t: String) => t.split(" ").filter(_.nonEmpty).map(md5hex2).toSeq
+      val bgs = (t: String) => { val w = toks(t); w.zip(w.drop(1)) }
+      val bm = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      val ctx = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      val uni = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      var total = 0L
+      docs.foreach { case (_, t) =>
+        bgs(t).foreach { bg => bm(bg) += 1; ctx(bg._1) += 1 }
+        toks(t).foreach { w => uni(w) += 1; total += 1 }
+      }
+      val expected = docs.flatMap { case (id, t) =>
+        val b = bgs(t)
+        if (b.isEmpty) None
+        else {
+          val tf = b.groupBy(identity).view.mapValues(_.size.toLong)
+          val x = tf.map { case (bg, f) =>
+            f * -math.log(0.9 * bm(bg).toDouble / ctx(bg._1) +
+              0.1 * uni(bg._2).toDouble / total) }.sum / b.size
+          Some(id -> ((b.size.toLong, x)))
+        }
+      }.toMap
+      val got = Curation.bigramScoreHashed(docs.toDF("doc_id", "text"))
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got.keySet == expected.keySet, s"seed $seed: key sets differ")
+      expected.foreach { case (id, (n, x)) =>
+        assert(got(id)._1 == n, s"seed $seed doc $id n_bigrams")
+        assert(math.abs(got(id)._2 - x) < 1e-5,
+          s"seed $seed doc $id: ${got(id)._2} vs $x")
+      }
+    }
+  }
+
+  test("x103 snapshot drift == in-memory smoothed KL/JS on random corpora (2 seeds)") {
+    for (seed <- Seq(21, 63)) {
+      val a = randomDocs(seed, nDocs = 25, maxLen = 12)
+      val b = randomDocs(seed + 500, nDocs = 25, maxLen = 12)
+      def counts(rows: Seq[(Long, String)]) = rows
+        .flatMap(_._2.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (ca, cb) = (counts(a), counts(b))
+      val joint = (ca.keySet ++ cb.keySet).toSeq
+      val (no, nn, v) = (ca.values.sum, cb.values.sum, joint.size.toLong)
+      val ps = joint.map(t => (ca.getOrElse(t, 0L) + 1).toDouble / (no + v))
+      val qs = joint.map(t => (cb.getOrElse(t, 0L) + 1).toDouble / (nn + v))
+      val klAB = ps.zip(qs).map { case (p, q) => p * math.log(p / q) }.sum
+      val klBA = ps.zip(qs).map { case (p, q) => q * math.log(q / p) }.sum
+      val js = ps.zip(qs).map { case (p, q) =>
+        val m = (p + q) / 2
+        (p * math.log(p / m) + q * math.log(q / m)) / 2 }.sum
+      val r = Curation.snapshotDrift(a.toDF("doc_id", "text"),
+        b.toDF("doc_id", "text")).collect().head
+      assert(r.getLong(0) == v && r.getLong(1) == no && r.getLong(2) == nn,
+        s"seed $seed: totals $r vs ($v, $no, $nn)")
+      assert(math.abs(r.getDouble(3) - klAB) < 1e-5, s"seed $seed KL a->b")
+      assert(math.abs(r.getDouble(4) - klBA) < 1e-5, s"seed $seed KL b->a")
+      assert(math.abs(r.getDouble(5) - js) < 1e-5, s"seed $seed JS")
+    }
+  }
 }
