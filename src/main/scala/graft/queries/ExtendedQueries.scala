@@ -885,6 +885,51 @@ object ExtendedQueries {
   def leakageQuarantine(s: SparkSession, dir: String): DataFrame =
     quarantineOf(crossingPairs(Tables.documents(s, dir))).orderBy("doc_id")
 
+  // ---------------------------------------------------------------------
+  // x105 — CLEAN SPLITS: the release action the quarantine feeds — the
+  // per-split composition a release actually ships AFTER x97 removes
+  // the contaminated eval members. One row per split: surviving docs
+  // and tokens plus how many the quarantine removed. The arc's last
+  // artifact: detect (x83/x84/x95) → quarantine (x97) → gate (x99) →
+  // SHIP (x105). Composition of the measured-bounded x97 relation +
+  // one split-grain aggregate; the quarantine side is pairs-sized, so
+  // the join back to the corpus broadcasts at any scale.
+  // ---------------------------------------------------------------------
+  def cleanSplits(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val quarantined = quarantineOf(crossingPairs(docs))
+      .select(col("doc_id"), lit(1).as("__q"))
+    docs.withColumn("split", Curation.splitOf(col("doc_id")))
+      .join(quarantined, Seq("doc_id"), "left")
+      .groupBy(col("split"))
+      .agg(
+        sum(when(col("__q").isNull, 1L).otherwise(0L)).as("n_docs"),
+        sum(when(col("__q").isNull, TF.tokenCount(col("text")).cast("long"))
+          .otherwise(0L)).as("n_tokens"),
+        sum(when(col("__q").isNotNull, 1L).otherwise(0L)).as("n_quarantined"))
+      .orderBy("split")
+  }
+
+  lazy val cleanSplitsSql: String = {
+    def splitCase(id: String) =
+      s"""CASE WHEN substr(md5(CAST($id AS VARCHAR)), 1, 2) < '${Curation.TrainUpper}' THEN 'train'
+         |     WHEN substr(md5(CAST($id AS VARCHAR)), 1, 2) < '${Curation.ValUpper}' THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH quar AS ($leakageQuarantineSql),
+       |d AS (
+       |  SELECT doc_id, ${splitCase("doc_id")} AS split,
+       |         ${CurationQueries.nTok} AS n_tokens,
+       |         doc_id IN (SELECT doc_id FROM quar) AS q
+       |  FROM documents)
+       |SELECT split,
+       |       CAST(SUM(CASE WHEN q THEN 0 ELSE 1 END) AS BIGINT) AS n_docs,
+       |       CAST(SUM(CASE WHEN q THEN 0 ELSE n_tokens END) AS BIGINT)
+       |         AS n_tokens,
+       |       CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_quarantined
+       |FROM d GROUP BY split ORDER BY split""".stripMargin
+  }
+
   val leakageQuarantineSql: String = {
     def splitCase(id: String) =
       s"""CASE WHEN substr(md5(CAST($id AS VARCHAR)), 1, 2) < '${Curation.TrainUpper}' THEN 'train'
@@ -2493,6 +2538,7 @@ object ExtendedQueries {
     "x88_ngram_containment"  -> ((ngramContainment _, Some(ngramContainmentSql))),
     "x91_embedding_health"   -> ((embeddingHealthQ _, Some(embeddingHealthSql))),
     "x97_leakage_quarantine" -> ((leakageQuarantine _, Some(leakageQuarantineSql))),
+    "x105_clean_splits"      -> ((cleanSplits _, Some(cleanSplitsSql))),
     "x99_release_gate"       -> ((releaseGate _, Some(releaseGateSql))),
     "x92_centroid_separation" -> ((centroidSeparationQ _, Some(centroidSeparationSql))),
     "x63_cross_corpus_capped" -> ((crossCorpusCapped _, Some(crossCorpusCappedSql))),

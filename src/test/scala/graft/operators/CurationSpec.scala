@@ -1251,6 +1251,20 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getDouble(6) == z.getDouble(1) && r.getDouble(7) == z.getDouble(3))
   }
 
+  test("x105 clean splits: train never quarantined; totals reconcile with the corpus and x97") {
+    import graft.queries.ExtendedQueries
+    val out = ExtendedQueries.cleanSplits(spark, TestSpark.Sf0001).collect()
+    assert(out.map(_.getString(0)).sorted.toSeq == Seq("test", "train", "val"))
+    // shipping + quarantined is a partition of the corpus
+    assert(out.map(r => r.getLong(1) + r.getLong(3)).sum == docs.count())
+    // the x97 rule never touches train (removing training data is
+    // x37's dedup decision, not eval hygiene)
+    assert(out.find(_.getString(0) == "train").get.getLong(3) == 0L)
+    // quarantined total equals the x97 list
+    assert(out.map(_.getLong(3)).sum ==
+      ExtendedQueries.leakageQuarantine(spark, TestSpark.Sf0001).count())
+  }
+
   test("x104 selection pipeline: every stage binds on a planted corpus; fixture result is stage-consistent") {
     import spark.implicits._
     val passage = (1 to 20).map(i => s"tok$i").mkString(" ")
