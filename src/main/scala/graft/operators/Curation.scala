@@ -1333,7 +1333,15 @@ object Curation {
       .localCheckpoint() // feeds the count AND the top-k
     val n = scored.count()
     require(n > 0, "dsirTauFor needs a non-empty non-target slice to calibrate on")
-    val k = math.max(1L, math.ceil(targetRate * n).toLong).toInt
+    val kL = math.max(1L, math.ceil(targetRate * n).toLong)
+    // limit() takes an Int: past 2^31 admitted rows the silent .toInt
+    // wrap would mis-calibrate — enforce the documented sampling advice
+    // loudly instead (scores are iid under sampling, so a sample's τ
+    // is the corpus's τ)
+    require(kL <= Int.MaxValue,
+      s"dsirTauFor: targetRate * n = $kL exceeds Int.MaxValue — " +
+      "calibrate on a sample of the corpus instead")
+    val k = kL.toInt
     scored.orderBy(desc("log_w"), col("doc_id")).limit(k)
       .agg(min(col("log_w"))).head.getDouble(0)
   }

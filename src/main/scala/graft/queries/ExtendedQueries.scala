@@ -738,12 +738,22 @@ object ExtendedQueries {
     val zipf = Curation.zipfFit(docs)
       .select(col("slope").as("zipf_slope"), col("r2").as("zipf_r2"))
     base.crossJoin(leaks).crossJoin(quar).crossJoin(zipf)
+      // the rate fractions divide by n_docs: on an EMPTY corpus Spark's
+      // double division yields NaN (NaN > t = false → breach silently
+      // waved through) while DuckDB yields NULL (breach/pass NULL), so
+      // the two engines would DISAGREE on the degenerate input. An
+      // unjudgeable corpus must BLOCK on both — same NULL-is-a-breach
+      // contract as breach_zipf below. The guard is an explicit
+      // n_docs = 0 branch (not coalesce: coalesce passes NaN through).
       .withColumn("breach_exact_dups",
-        col("n_exact_dups").cast("double") / col("n_docs") > GateMaxDupFrac)
+        when(col("n_docs") === 0, lit(true)).otherwise(
+          col("n_exact_dups").cast("double") / col("n_docs") > GateMaxDupFrac))
       .withColumn("breach_leakage",
-        col("n_leak_pairs").cast("double") / col("n_docs") > GateMaxLeakFrac)
+        when(col("n_docs") === 0, lit(true)).otherwise(
+          col("n_leak_pairs").cast("double") / col("n_docs") > GateMaxLeakFrac))
       .withColumn("breach_quarantine",
-        col("n_quarantined").cast("double") / col("n_docs") > GateMaxQuarFrac)
+        when(col("n_docs") === 0, lit(true)).otherwise(
+          col("n_quarantined").cast("double") / col("n_docs") > GateMaxQuarFrac))
       // a NULL fit (x89's degenerate-spectrum contract) is a breach:
       // "could not judge" must block, not wave through
       .withColumn("breach_zipf", coalesce(
@@ -786,12 +796,15 @@ object ExtendedQueries {
        |  FROM documents),
        |b AS (
        |  SELECT g.*,
-       |    CAST(n_exact_dups AS DOUBLE) / n_docs > $GateMaxDupFrac
-       |      AS breach_exact_dups,
-       |    CAST(n_leak_pairs AS DOUBLE) / n_docs > $GateMaxLeakFrac
-       |      AS breach_leakage,
-       |    CAST(n_quarantined AS DOUBLE) / n_docs > $GateMaxQuarFrac
-       |      AS breach_quarantine,
+       |    CASE WHEN n_docs = 0 THEN TRUE
+       |         ELSE CAST(n_exact_dups AS DOUBLE) / n_docs > $GateMaxDupFrac
+       |    END AS breach_exact_dups,
+       |    CASE WHEN n_docs = 0 THEN TRUE
+       |         ELSE CAST(n_leak_pairs AS DOUBLE) / n_docs > $GateMaxLeakFrac
+       |    END AS breach_leakage,
+       |    CASE WHEN n_docs = 0 THEN TRUE
+       |         ELSE CAST(n_quarantined AS DOUBLE) / n_docs > $GateMaxQuarFrac
+       |    END AS breach_quarantine,
        |    COALESCE(NOT (zipf_slope BETWEEN $GateSlopeLo AND $GateSlopeHi
        |                  AND zipf_r2 >= $GateMinR2), TRUE) AS breach_zipf,
        |    COALESCE(mean_quality < $GateMinQuality, TRUE) AS breach_quality

@@ -1146,15 +1146,23 @@ object StreamingQueries {
 
     // removals: one anti-join of the old store's buckets against the
     // stream's own seen-id record (never the incoming snapshot as a
-    // batch relation — the s30 contract)
+    // batch relation — the s30 contract). Written EAGERLY to the work
+    // dir (diff-sized — the anti-join survivors, not the corpus) so the
+    // returned relation no longer references the catalog table and the
+    // old store can be dropped HERE: without the drop, every invocation
+    // in a long-lived shared session leaked one `${tag}_oldfp` catalog
+    // entry plus its warehouse files (per-batch tables already get
+    // DROP TABLE hygiene inside the foreachBatch).
     val seenIds = readBatchesOr(s, idsDir, old.select(col("doc_id")))
-    val removed = s.table(oldTbl)
+    s.table(oldTbl)
       .join(seenIds.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("removed").as("status"))
+      .write.mode("overwrite").parquet(s"$work/removed")
+    s.sql(s"DROP TABLE IF EXISTS $oldTbl")
     readBatchesOr(s, outDir, old.select(col("doc_id"),
         lit("added").as("status")))
       .select(col("doc_id"), col("status"))
-      .unionAll(removed)
+      .unionAll(s.read.parquet(s"$work/removed"))
       .orderBy("doc_id")
   }
 

@@ -1418,6 +1418,24 @@ class CurationSpec extends AnyFunSuite {
     assert(!b(bad, "pass"))
   }
 
+  test("x99 gate on an EMPTY corpus: unjudgeable blocks — every breach true, pass false") {
+    import spark.implicits._
+    import graft.queries.ExtendedQueries
+    // n_docs = 0 makes every rate fraction 0/0: without the explicit
+    // n_docs = 0 guard Spark's double division yields NaN (NaN > t =
+    // false => the breach silently waves through) while DuckDB yields
+    // NULL — the engines would disagree on the degenerate input. The
+    // contract: a corpus the gate cannot judge BLOCKS.
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = ExtendedQueries.releaseGateOn(empty).collect().head
+    def b(name: String) = r.getAs[Boolean](name)
+    assert(r.getAs[Long]("n_docs") == 0L)
+    Seq("breach_exact_dups", "breach_leakage", "breach_quarantine",
+        "breach_zipf", "breach_quality").foreach(c =>
+      assert(b(c), s"$c must be TRUE (not NULL/false) on the empty corpus"))
+    assert(!b("pass"), "an empty corpus must never pass the gate")
+  }
+
   test("x89/x100 zero-variance guard: degenerate inputs yield NULLs, never NaN") {
     import spark.implicits._
     // one distinct token => varX = 0 => the whole fit is undefined

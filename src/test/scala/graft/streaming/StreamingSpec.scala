@@ -360,6 +360,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(diff == Seq((1L, "removed"), (2L, "removed"), (3L, "removed"), (4L, "removed")))
   }
 
+  test("s34 catalog hygiene: N invocations in one session leave the catalog at its starting size") {
+    // per-batch tables were always dropped inside the foreachBatch; the
+    // old-fingerprint store table used to survive the call (the result
+    // lazily referenced it) — one leaked catalog entry plus warehouse
+    // files per invocation in a long-lived shared session. The core now
+    // materializes the removals and drops the store before returning.
+    val old = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val neu = Seq((1L, "alpha beta prime"), (3L, "delta")).toDF("doc_id", "text")
+    val before = spark.catalog.listTables().count()
+    (1 to 3).foreach { _ =>
+      val d = StreamingQueries.snapshotDiffStreamBucketed(spark, old, neu)
+        .as[(Long, String)].collect().toSeq.sorted
+      assert(d == Seq((1L, "changed"), (2L, "removed"), (3L, "added")))
+    }
+    val after = spark.catalog.listTables().count()
+    assert(after == before,
+      s"s34 leaked ${after - before} catalog tables across 3 invocations")
+  }
+
   test("s35 streamed snapshot drift == batch x103 (vocabulary-grain partials merge exactly)") {
     val old = Seq((1L, "alpha beta beta gamma"), (2L, "delta epsilon alpha"),
       (3L, "zeta zeta eta"))
