@@ -23,6 +23,11 @@ object GraftSession {
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // bucketed scans report their sortBy ordering (only ever applied
+    // when a bucket is a single file — the writeBucketedBy invariant),
+    // so stream-static joins against the s36-style store tables skip
+    // the per-micro-batch re-sort of the corpus-sized side
+    .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.ui.enabled", "false")
 

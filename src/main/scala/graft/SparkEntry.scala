@@ -71,7 +71,7 @@ object SparkEntry {
     "x68_bpe_merges" ->
       "vocabulary must fit one executor task (maxVocab guard) — raise minWordFreq at web scale",
     "s25_stream_neardup" ->
-      "static reference pinned in executor memory — use the bucketed-table variant when it must outlive the process",
+      "static reference pinned in executor memory — use s36 (durable sh-bucketed store, exchange-free per-batch join) when it must outlive the process",
     "x82_chi_square" ->
       "global window over the |devices|x|pages| cells relation (dashboard-sized by construction)",
     "s28_shard_writer" ->

@@ -1134,6 +1134,106 @@ object Curation {
               col("n_tokens"), col("cum_tokens"))
   }
 
+  // ---- x106: the FULL release pipeline -------------------------------
+
+  val RelCapDf = 4
+  val RelThreshold = 0.5
+
+  /** x106: x104 grown into the pipeline a release ACTUALLY runs — the
+    * two stages every production selection inserts between exact dedup
+    * and the domain cap, composed from the already-verified operators
+    * into ONE hash-checked plan emitting the survivor list:
+    *
+    *  1. quality gate    — row-local x02 score ≥ `minQuality`;
+    *  2. exact dedup     — best duplicate per x04 fingerprint (x104's
+    *                       partial-aggregable min_by);
+    *  3. NEAR-dup dedup  — x57's df-capped candidate pairs → connected
+    *                       components → keep the best member per group
+    *                       (x37's quality-desc, doc_id-asc rule);
+    *  4. DECONTAM        — x97's quarantine: any non-train member of a
+    *                       cross-split near-dup pair is removed (eval
+    *                       hygiene; train members are stage 3's call);
+    *  5. domain cap      — x51's deterministic content-hash keep set;
+    *  6. token budget    — per-source prefix in doc_id order.
+    *
+    * The expensive audit relation — the df-capped near-dup pairs — is
+    * computed ONCE and feeds BOTH stage 3 and stage 4 (the x99
+    * `crossingPairs` factoring applied inside the pipeline). Stages 3
+    * and 4 remove docs for DIFFERENT reasons: two same-split near-dups
+    * lose only their worse member (stage 3); a cross-split pair's
+    * non-train member is removed unconditionally (stage 4) even when it
+    * is the group's best — so neither stage subsumes the other, and the
+    * spec plants docs that only one of the two removes.
+    *
+    * Scale shape: everything x104 had, plus the pair relation (bounded
+    * by the df cap — ≤ maxDf²/2 candidate rows per shingle on ANY
+    * corpus), the component labeling (pair-sized iterations), and two
+    * anti-joins whose RIGHT sides are pair-participant-sized — a
+    * vanishing fraction of the corpus, broadcast-able at any scale.
+    * Ordering decisions are on round(6) quality or hashes throughout,
+    * so both engines agree on the survivor list. */
+  def releasePipeline(docs: DataFrame, minQuality: Double = PipeMinQuality,
+                      cap: Int = PipeDomainCap, budget: Long = PipeTokenBudget,
+                      maxDf: Int = RelCapDf,
+                      threshold: Double = RelThreshold): DataFrame = {
+    val scored = docs
+      .withColumn("quality", round(TF.qualityScore(col("text")), 6))
+      .filter(col("quality") >= minQuality)
+    val kept = scored
+      .withColumn("fp", TF.fingerprint(col("text")))
+      .groupBy(col("fp"))
+      .agg(min_by(
+        struct(col("doc_id"), col("source"), col("text"), col("quality")),
+        struct((-col("quality")).as("nq"), col("doc_id"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.source").as("source"),
+              col("k.text").as("text"), col("k.quality").as("quality"))
+    // `kept` is corpus-sized with several consumers: recompute-per-arm
+    // beats a materialization barrier (the x104 precedent — the arms
+    // are one row-local pass + one partial-agg'd exchange each). The
+    // PAIR relation is pair-sized with two consumers: pin that one.
+    val pairs = Dedup.ngramJaccardPairsCapped(kept,
+        n = 3, threshold = threshold, maxDf = maxDf)
+      .localCheckpoint()
+    // stage 3 — removals: paired docs that are NOT their group's best.
+    // labels cover only pair participants, so every relation here is
+    // pair-sized, never corpus-sized
+    val labeled = kept.select(col("doc_id"), col("quality"))
+      .join(Components.connectedComponents(pairs), "doc_id")
+    val best = labeled.groupBy(col("component"))
+      .agg(max_by(col("doc_id"), struct(col("quality"), -col("doc_id")))
+        .as("keeper"))
+    val removedNearDup = labeled.join(best, "component")
+      .filter(col("doc_id") =!= col("keeper"))
+      .select("doc_id")
+    // stage 4 — quarantine: non-train members of cross-split pairs
+    val quarantined = pairs
+      .withColumn("split_a", splitOf(col("id_a")))
+      .withColumn("split_b", splitOf(col("id_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select(explode(array(
+        struct(col("id_a").as("doc_id"), col("split_a").as("split")),
+        struct(col("id_b").as("doc_id"), col("split_b").as("split")))).as("s"))
+      .select(col("s.doc_id").as("doc_id"), col("s.split").as("split"))
+      .filter(col("split") =!= "train")
+      .select("doc_id").distinct()
+    val surv = kept
+      .join(removedNearDup, Seq("doc_id"), "left_anti")
+      .join(quarantined, Seq("doc_id"), "left_anti")
+    // stages 5 + 6 — x104's tail unchanged
+    val capped = surv
+      .join(domainCap(surv, cap).select("doc_id"), "doc_id")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    capped
+      .withColumn("split", splitOf(col("doc_id")))
+      .withColumn("n_tokens", TF.tokenCount(col("text")).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budget ||
+        col("cum_tokens") === col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("split"), col("quality"),
+              col("n_tokens"), col("cum_tokens"))
+  }
+
   /** The top-K corpus vocabulary with cumulative token coverage — the
     * "how big must the vocab be" table every tokenizer build starts
     * from. Global ordering is computed as a distributed top-K

@@ -914,6 +914,116 @@ object CurationQueries {
        |ORDER BY source, doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x106 — the FULL release pipeline: x104 with the two stages a real
+  // release inserts between exact dedup and the domain cap — near-dup
+  // keep-best (x57's df-capped components + x37's keeper rule) and the
+  // x97 decontamination quarantine — still ONE plan, ONE DuckDB hash
+  // over the survivor list. The df-capped pair relation is computed
+  // once and feeds both stages (the x99 crossingPairs factoring).
+  // ---------------------------------------------------------------------
+  def releasePipelineQ(s: SparkSession, dir: String): DataFrame =
+    Curation.releasePipeline(Tables.documents(s, dir))
+      .orderBy("source", "doc_id")
+
+  val releasePipelineSql: String = {
+    def splitCase(id: String) =
+      s"""CASE WHEN substr(md5(CAST($id AS VARCHAR)), 1, 2) < '${Curation.TrainUpper}' THEN 'train'
+         |     WHEN substr(md5(CAST($id AS VARCHAR)), 1, 2) < '${Curation.ValUpper}' THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH RECURSIVE scored AS (
+       |  SELECT doc_id, source, text, round($qualitySqlExpr, 6) AS quality
+       |  FROM documents
+       |  WHERE round($qualitySqlExpr, 6) >= ${Curation.PipeMinQuality}),
+       |kept AS (
+       |  SELECT doc_id, source, text, quality FROM (
+       |    SELECT scored.*, row_number() OVER (
+       |      PARTITION BY md5(${ExtendedQueries.normalizedSql})
+       |      ORDER BY quality DESC, doc_id) AS rn
+       |    FROM scored) t WHERE rn = 1),
+       |toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM kept
+       |), grams AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(greatest(len(w) - 2, 0)),
+       |                               i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+       |  FROM toks
+       |), df AS (
+       |  SELECT sh, COUNT(*) AS df FROM grams GROUP BY sh
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM grams a
+       |  JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  JOIN df ON df.sh = a.sh
+       |  WHERE df.df <= ${Curation.RelCapDf}
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+       |  FROM grams a
+       |  JOIN grams b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+       |  GROUP BY 1, 2
+       |), jac AS (
+       |  SELECT id_a, id_b
+       |  FROM inter
+       |  JOIN sizes za ON id_a = za.doc_id
+       |  JOIN sizes zb ON id_b = zb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= ${Curation.RelThreshold}
+       |), edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM jac
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM jac
+       |), reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), comp AS (
+       |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+       |  FROM reach GROUP BY a
+       |), labeled AS (
+       |  SELECT k.doc_id, k.quality, c.component
+       |  FROM kept k JOIN comp c ON k.doc_id = c.doc_id
+       |), best AS (
+       |  SELECT component, doc_id AS keeper FROM (
+       |    SELECT labeled.*, row_number() OVER (PARTITION BY component
+       |      ORDER BY quality DESC, doc_id) AS rn
+       |    FROM labeled) t WHERE rn = 1
+       |), removed AS (
+       |  SELECT l.doc_id FROM labeled l
+       |  JOIN best b ON l.component = b.component
+       |  WHERE l.doc_id <> b.keeper
+       |), quar AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT id_a AS doc_id, ${splitCase("id_a")} AS split,
+       |           ${splitCase("id_b")} AS osplit FROM jac
+       |    UNION ALL
+       |    SELECT id_b, ${splitCase("id_b")}, ${splitCase("id_a")} FROM jac) s
+       |  WHERE split <> osplit AND split <> 'train'
+       |), surv AS (
+       |  SELECT * FROM kept
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+       |    AND doc_id NOT IN (SELECT doc_id FROM quar)
+       |), capped AS (
+       |  SELECT doc_id, source, text, quality FROM (
+       |    SELECT surv.*, row_number() OVER (
+       |      PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || text)) AS cr
+       |    FROM surv) t WHERE cr <= ${Curation.PipeDomainCap}),
+       |bud AS (
+       |  SELECT doc_id, source, quality,
+       |         $nTok AS n_tokens,
+       |         SUM($nTok) OVER (PARTITION BY source ORDER BY doc_id
+       |                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |  FROM capped)
+       |SELECT doc_id, source, ${splitCase("doc_id")} AS split, quality,
+       |       CAST(n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |FROM bud
+       |WHERE cum_tokens <= ${Curation.PipeTokenBudget} OR cum_tokens = n_tokens
+       |ORDER BY source, doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // x52 — collocation extraction: PMI-ranked adjacent bigrams
   // ---------------------------------------------------------------------
   def collocationsQ(s: SparkSession, dir: String): DataFrame =
@@ -1379,6 +1489,7 @@ object CurationQueries {
     "x47_priority_sample"     -> ((prioritySample _, Some(prioritySampleSql))),
     "x51_domain_cap"          -> ((domainCapQ _, Some(domainCapSql))),
     "x104_selection_pipeline" -> ((selectionPipelineQ _, Some(selectionPipelineSql))),
+    "x106_release_pipeline"   -> ((releasePipelineQ _, Some(releasePipelineSql))),
     "x52_collocations"        -> ((collocationsQ _, Some(collocationsSql))),
     "x53_approx_heavy_hitters" -> ((approxHeavyHitters _, Some(approxHeavyHittersSql))),
     "x68_bpe_merges"          -> ((bpeMergesQ _, None)),

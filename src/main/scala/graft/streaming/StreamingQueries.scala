@@ -822,10 +822,11 @@ object StreamingQueries {
   // the explode — 114.7 s → 24.3 s at 30× in the profiling run); the
   // other was the static re-exchange this pre-partitioning removes.
   // Re-measured 2.78× wall at 30× with exactly linear shuffle rows
-  // (COVERAGE.md). When the reference must OUTLIVE the process, the
-  // durable equivalent is the same relation stored as a table BUCKETED
-  // by sh (the s21 machinery) — identical plan shape, bucket scan
-  // instead of cached blocks. The per-batch join work is
+  // (COVERAGE.md). When the reference must OUTLIVE the process, use
+  // s36 (`nearDupStreamBucketed` below): the same semantics with the
+  // reference stored as one durable sh-bucketed table and the
+  // per-batch join exchange-free — bucket scan instead of cached
+  // blocks. The per-batch join work is
   // O(batch shingles × avg capped df) by the cap bound, independent of
   // reference size.
   // ---------------------------------------------------------------------
@@ -1102,11 +1103,20 @@ object StreamingQueries {
       .select("doc_id", "status")
 
   /** The s34 core: s30's protocol with the old fingerprint store and
-    * each batch's fingerprints living in co-bucketed tables. */
+    * each batch's fingerprints living in co-bucketed tables.
+    *
+    * `workDir`/`onBatch` exist for the restart-recovery spec: passing
+    * the SAME workDir resumes from its checkpoint (setup steps are
+    * idempotent — overwrite-mode writes, input written only once), and
+    * `onBatch` fires at the head of every foreachBatch so a test can
+    * record progress or induce a crash at a chosen batch. */
   private[graft] def snapshotDiffStreamBucketed(s: SparkSession, old: DataFrame,
-                                                neu: DataFrame): DataFrame = {
+                                                neu: DataFrame,
+                                                workDir: Option[String] = None,
+                                                onBatch: Long => Unit = _ => ())
+      : DataFrame = {
     import graft.functions.{TextFunctions => TF}
-    val work = tempDir("graft_s34_")
+    val work = workDir.getOrElse(tempDir("graft_s34_"))
     val inDir = s"$work/in"; val outDir = s"$work/out"
     val idsDir = s"$work/ids"; val ck = s"$work/ck"
     // table names derive from the unique temp path (the s21 rule): two
@@ -1118,7 +1128,8 @@ object StreamingQueries {
       old.select(col("doc_id"), TF.fingerprint(col("text")).as("fp_old")),
       s"$work/wh/oldfp", oldTbl)
 
-    neu.select(col("doc_id"), col("text")).repartition(3).write.parquet(inDir)
+    if (!hasParquet(inDir))
+      neu.select(col("doc_id"), col("text")).repartition(3).write.parquet(inDir)
 
     val stream = s.readStream
       .schema(StructType(Seq(StructField("doc_id", LongType),
@@ -1129,6 +1140,7 @@ object StreamingQueries {
     val q = stream.writeStream
       .option("checkpointLocation", ck)
       .foreachBatch { (b: DataFrame, id: Long) =>
+        onBatch(id)
         val batchTbl = s"${tag}_b$id"
         writeFpBucketed(
           b.select(col("doc_id"), TF.fingerprint(col("text")).as("fp_new")),
@@ -1173,6 +1185,144 @@ object StreamingQueries {
   }
 
   // ---------------------------------------------------------------------
+  // s36 — s25's durable-reference posture AS CODE: the bucketed-store
+  // near-dup admission stream. s25 pins its two static relations in
+  // executor memory (localCheckpoint) — correct until the process dies.
+  // Here they are stored ONCE as two durable bucketed tables (the
+  // s21/s34 machinery), each bucketed AND sorted on its join key:
+  //  - `blk`: the df-capped (sh → id_ref) blocking relation, on sh —
+  //    compact two-column rows;
+  //  - `ref`: the (id_ref → full shingle array) verify relation, on
+  //    id_ref — one row per reference doc, ~corpus-sized.
+  // (A first cut denormalized the verify array ONTO the blocking rows
+  // for a single zero-exchange join — measured 10.3× wall at 30×: the
+  // store carries each doc's S-element array S times, O(S²) bytes per
+  // document, and every micro-batch re-reads that amplified store. The
+  // normalized two-table store is ~2× the corpus and restored wall
+  // parity with s25's pinned form.)
+  // Each micro-batch runs s25's exact join chain against the tables:
+  // the batch's exploded shingles join `blk` on sh, survivors join
+  // `ref` on id_ref, jaccard is row-local. The static sides are read
+  // IN PLACE from their buckets — the only exchanges in the per-batch
+  // plan are the two BATCH-SIZED ones on the stream side (PlanSpec
+  // pins exactly that under the no-broadcast protocol; s25 accepts the
+  // same batch-sized exchanges). Same admission semantics, same
+  // duplicate-emission collapse, and the same oracle as s25. The store
+  // outlives any process: a restarted pipeline re-attaches to the
+  // tables instead of re-shingling the reference corpus.
+  // ---------------------------------------------------------------------
+  private[graft] val S36Buckets = 32
+
+  /** Write a relation as a bucketed table sorted on its bucket key —
+    * the one writer both store tables use. The pre-write repartition
+    * uses the SAME hash function as the bucket-id assignment, so each
+    * task holds exactly one bucket and each bucket lands in ONE file —
+    * the condition under which the scan exposes the sortBy ordering
+    * and the per-batch SMJ reads the store WITHOUT re-sorting it
+    * (multi-file buckets force a full static-side sort every
+    * micro-batch — measured 2× the s25 wall at 30× before this). */
+  private[graft] def writeBucketedBy(df: DataFrame, path: String,
+                                     tbl: String, key: String): Unit =
+    df.repartition(S36Buckets, col(key))
+      .write.mode("overwrite").option("path", path)
+      .bucketBy(S36Buckets, key).sortBy(key)
+      .saveAsTable(tbl)
+
+  /** The per-batch admission join against the durable store: `batch`
+    * carries (id_in, in_sh). Both static sides are read co-located
+    * from their buckets; only the batch side exchanges. */
+  private[graft] def bucketedNearDupDelta(s: SparkSession, batch: DataFrame,
+                                          blkTbl: String, refTbl: String,
+                                          threshold: Double): DataFrame =
+    batch
+      .select(col("id_in"), col("in_sh"), explode(col("in_sh")).as("sh"))
+      .join(s.table(blkTbl), "sh")
+      .join(s.table(refTbl), "id_ref")
+      .withColumn("inter",
+        size(array_intersect(col("in_sh"), col("ref_sh"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("in_sh")).cast("long") + size(col("ref_sh")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_in"), col("id_ref"), col("jaccard"))
+
+  /** The s36 core: s25's protocol with the two static relations stored
+    * as durable bucketed tables instead of pinned executor memory. */
+  private[graft] def nearDupStreamBucketed(s: SparkSession, incoming: DataFrame,
+                                           reference: DataFrame, refCap: Int,
+                                           threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextKernels.word_shingles
+    val work = tempDir("graft_s36_")
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+    val tag = new java.io.File(work).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    val refTbl = s"${tag}_ref"; val blkTbl = s"${tag}_blk"
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    def shArr(text: org.apache.spark.sql.Column) =
+      array_distinct(word_shingles(text, 3))
+
+    // the one-time store build — the only corpus-sized shuffles that
+    // ever happen (in production the tables persist across processes
+    // and this runs once per reference refresh, not once per stream)
+    val refShingles = reference
+      .select(col("doc_id").as("id_ref"), shArr(col("text")).as("ref_sh"))
+    writeBucketedBy(refShingles, s"$work/wh/ref", refTbl, "id_ref")
+    writeBucketedBy(
+      refShingles
+        .select(col("id_ref"), explode(col("ref_sh")).as("sh"))
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .filter(col("__df") <= refCap)
+        .select(col("sh"), col("id_ref")),
+      s"$work/wh/blk", blkTbl, "sh")
+
+    incoming.select(col("doc_id"), col("text"))
+      .repartition(3).write.parquet(inDir)
+
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        bucketedNearDupDelta(s,
+          // one file per micro-batch = ONE input partition: fan the
+          // row-local shingle kernel out before it runs (s25's floor)
+          b.repartition(nPart)
+            .select(col("doc_id").as("id_in"), shArr(col("text")).as("in_sh")),
+          blkTbl, refTbl, threshold)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // the result reads only the per-batch parquet deltas — the store
+    // tables can be dropped here (in production they would PERSIST;
+    // the registry entry must not leak catalog entries across
+    // invocations in a shared session — the s34 hygiene contract)
+    s.sql(s"DROP TABLE IF EXISTS $refTbl")
+    s.sql(s"DROP TABLE IF EXISTS $blkTbl")
+    // project away nothing: the delta rows are already (id_in, id_ref,
+    // jaccard); a candidate matched via k shared shingles emitted k
+    // identical rows — collapse them, as s25 does
+    readBatchesOr(s, outDir,
+        s.range(0).select(col("id").as("id_in"), col("id").as("id_ref"),
+          col("id").cast("double").as("jaccard")))
+      .select("id_in", "id_ref", "jaccard")
+      .distinct().orderBy("id_in", "id_ref")
+  }
+
+  def streamNearDupBucketed(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val srcNum = expr("CAST(substring(source, 4) AS INT)")
+    nearDupStreamBucketed(s, docs.filter(srcNum < 10), docs.filter(srcNum >= 10),
+      NearDupRefCap, threshold = 0.5)
+  }
+
+  // ---------------------------------------------------------------------
   // s35 — STREAMED snapshot drift: x103's language-shift gauge computed
   // as the new crawl ARRIVES. Unigram counts are ALGEBRAIC — per-token
   // counts sum across micro-batches — so this is the s32 mergeable-
@@ -1187,11 +1337,15 @@ object StreamingQueries {
   // ---------------------------------------------------------------------
 
   /** The s35 core: pin `old`'s vocabulary counts, stream `neu`'s
-    * per-batch token-count partials, merge at read-back. */
+    * per-batch token-count partials, merge at read-back.
+    * `workDir`/`onBatch`: the same restart-recovery hooks as s34. */
   private[graft] def snapshotDriftStream(s: SparkSession, old: DataFrame,
-                                         neu: DataFrame): DataFrame = {
+                                         neu: DataFrame,
+                                         workDir: Option[String] = None,
+                                         onBatch: Long => Unit = _ => ())
+      : DataFrame = {
     import graft.operators.Curation
-    val work = tempDir("graft_s35_")
+    val work = workDir.getOrElse(tempDir("graft_s35_"))
     val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
 
     def tokCounts(df: DataFrame): DataFrame = df.select(
@@ -1199,7 +1353,8 @@ object StreamingQueries {
           .as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
 
-    neu.select(col("doc_id"), col("text")).repartition(3).write.parquet(inDir)
+    if (!hasParquet(inDir))
+      neu.select(col("doc_id"), col("text")).repartition(3).write.parquet(inDir)
 
     val stream = s.readStream
       .schema(StructType(Seq(StructField("doc_id", LongType),
@@ -1210,6 +1365,7 @@ object StreamingQueries {
     val q = stream.writeStream
       .option("checkpointLocation", ck)
       .foreachBatch { (b: DataFrame, id: Long) =>
+        onBatch(id)
         tokCounts(b).write.mode("overwrite").parquet(s"$outDir/batch=$id")
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1554,6 +1710,8 @@ object StreamingQueries {
       Some(graft.queries.CurationQueries.approxHeavyHittersSql))),
     "s23_stream_static_join" -> ((streamStaticJoin _, Some(streamStaticJoinSql))),
     "s25_stream_neardup"    -> ((streamNearDup _, Some(streamNearDupSql))),
+    "s36_stream_neardup_bucketed" -> ((streamNearDupBucketed _,
+      Some(streamNearDupSql))),
     "s26_stream_span_clean" -> ((streamSpanClean _,
       Some(graft.queries.ExtendedQueries.crossSpanCleanSql))),
     "s29_stream_cusum"      -> ((streamCusum _, Some(streamCusumSql))),

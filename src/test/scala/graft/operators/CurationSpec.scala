@@ -1319,6 +1319,73 @@ class CurationSpec extends AnyFunSuite {
     full.unpersist()
   }
 
+  test("x106 release pipeline: near-dup stage and quarantine stage each remove docs the other keeps") {
+    import spark.implicits._
+    // split membership by Curation.splitOf (md5 of the id string):
+    // 1,2,4,6 -> train; 5 -> val; 3 -> test. Two planted near-dup pairs:
+    //  - (1,2): BOTH train, equal quality -> only the NEAR-DUP stage
+    //    acts (doc_id tie-break keeps 1, removes 2); the quarantine
+    //    never sees a same-split pair.
+    //  - (4,5): train/val, 5 strictly higher quality (4 extra unique
+    //    words raise the length term) -> the near-dup keeper IS 5, so
+    //    only the QUARANTINE removes it (cross-split, non-train); 4
+    //    falls to the near-dup stage (train members are never
+    //    quarantined — x97's rule).
+    // Singletons 3 and 6 survive. Neither stage subsumes the other.
+    val a = "quick brown foxes jumped over seven lazy sleeping dogs near"
+    val b = "silver quartz garnet beryl topaz jasper amber opal agate flint"
+    val planted = Seq(
+      (1L, "a", s"$a alpha"),
+      (2L, "a", s"$a omega"),          // same token count as 1 => equal quality
+      (4L, "b", s"$b coral"),
+      (5L, "b", s"$b coral pearl onyx jade amethyst"), // more tokens => better
+      (3L, "c", "completely distinct trigram content for the test split doc"),
+      (6L, "c", "another entirely unrelated passage for the train singleton")
+    ).toDF("doc_id", "source", "text")
+    // preconditions the construction relies on
+    val q = planted.select(col("doc_id"),
+        round(graft.functions.TextFunctions.qualityScore(col("text")), 6).as("q"))
+      .as[(Long, Double)].collect().toMap
+    assert(q(1L) == q(2L), s"pair (1,2) must tie on quality: $q")
+    assert(q(5L) > q(4L), s"doc 5 must outscore doc 4: $q")
+    val splits = planted.select(col("doc_id"),
+        Curation.splitOf(col("doc_id")).as("s")).as[(Long, String)].collect().toMap
+    assert(splits == Map(1L -> "train", 2L -> "train", 4L -> "train",
+      5L -> "val", 3L -> "test", 6L -> "train"), s"split fixture drifted: $splits")
+
+    val out = Curation.releasePipeline(planted, minQuality = 0.0,
+      cap = 100, budget = 100000L).cache()
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 6L), s"survivors: $ids")
+    // the split column the pipeline emits agrees with splitOf
+    val outSplits = out.select("doc_id", "split").as[(Long, String)]
+      .collect().toMap
+    assert(outSplits == Map(1L -> "train", 3L -> "test", 6L -> "train"))
+    out.unpersist()
+
+    // with the near-dup threshold unreachable, BOTH pair stages go
+    // quiet — every removal above came from them, not from the x104
+    // stages this fixture keeps open
+    val loose = Curation.releasePipeline(planted, minQuality = 0.0,
+      cap = 100, budget = 100000L, threshold = 1.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(loose == Set(1L, 2L, 3L, 4L, 5L, 6L), s"got $loose")
+
+    // default params on the sf0.001 fixture: x106 ⊆ x104's survivor set
+    // is NOT an invariant (the cap re-opens slots), but the pipeline
+    // must stay total, deduped, within cap and budget — x104's own
+    // stage-consistency contract
+    val full = Curation.releasePipeline(docs).cache()
+    assert(full.count() > 0)
+    assert(full.select("doc_id").distinct().count() == full.count())
+    assert(full.filter(col("quality") < Curation.PipeMinQuality).count() == 0)
+    assert(full.groupBy("source").count().collect()
+      .forall(_.getLong(1) <= Curation.PipeDomainCap))
+    assert(full.filter(col("cum_tokens") > Curation.PipeTokenBudget &&
+      col("cum_tokens") =!= col("n_tokens")).count() == 0)
+    full.unpersist()
+  }
+
   test("x103 snapshot drift: zero on identical snapshots; positive/symmetric JS on a shift; equals in-memory recomputation") {
     import spark.implicits._
     val a = Seq((1L, "alpha beta beta gamma"), (2L, "delta epsilon alpha"))

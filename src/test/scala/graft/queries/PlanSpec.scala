@@ -221,6 +221,61 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("s36: per-batch admission joins read both store tables in place — only batch-sized exchanges") {
+    import graft.streaming.StreamingQueries
+    import graft.functions.TextKernels.word_shingles
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{array_distinct, col, count, explode, lit}
+    // both store tables through the PRODUCTION bucketed writer, then
+    // pin the shape under the no-broadcast protocol (at 100 TB the
+    // reference store never broadcasts): the ONLY exchanges allowed in
+    // the per-batch plan are the two batch-sized stream-side ones — a
+    // third would mean a store table is being re-shuffled per batch
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_s36_plan_").toFile.getAbsolutePath
+    val tag = new java.io.File(work).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    val docs = graft.Tables.documents(spark, dir)
+    val refShingles = docs.select(col("doc_id").as("id_ref"),
+      array_distinct(word_shingles(col("text"), 3)).as("ref_sh"))
+    StreamingQueries.writeBucketedBy(
+      refShingles, s"$work/ref", s"${tag}_ref", "id_ref")
+    StreamingQueries.writeBucketedBy(
+      refShingles.select(col("id_ref"), explode(col("ref_sh")).as("sh"))
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .filter(col("__df") <= 4).select(col("sh"), col("id_ref")),
+      s"$work/blk", s"${tag}_blk", "sh")
+    val batch = docs.limit(20).select(col("doc_id").as("id_in"),
+      array_distinct(word_shingles(col("text"), 3)).as("in_sh"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val df = StreamingQueries.bucketedNearDupDelta(
+        spark, batch, s"${tag}_blk", s"${tag}_ref", threshold = 0.01)
+      df.collect() // materialize through AQE so the final plan is real
+      // AdaptiveSparkPlan.toString prints Final AND Initial plans —
+      // count shapes in the FINAL section only
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val nExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(nExchanges <= 2,
+        s"expected only the two batch-side exchanges, found $nExchanges:\n" + p)
+      assert(p.contains("SortMergeJoin"), "expected co-located SMJs:\n" + p)
+      assert(p.contains("Bucketed: true"), "scans are not reading buckets:\n" + p)
+      val n = StreamingQueries.S36Buckets
+      assert(s"SelectedBucketsCount: $n out of $n".r.findAllIn(p).length == 2,
+        "both store tables must be read from all their buckets in place:\n" + p)
+      // one file per bucket => the scans expose their sortBy ordering
+      // and the SMJs must NOT re-sort the store sides per batch — only
+      // the two batch-side sorts may remain
+      assert("Sort \\[".r.findAllIn(p).length <= 2,
+        "a store table is being re-sorted per micro-batch:\n" + p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql(s"DROP TABLE IF EXISTS ${tag}_ref")
+      spark.sql(s"DROP TABLE IF EXISTS ${tag}_blk")
+    }
+  }
+
   test("x103/x104: drift gauge partial-aggregates map-side; pipeline broadcasts its bounded keep set, no cartesian") {
     import graft.queries.CurationQueries
     // x103: the corpus must collapse to the vocabulary BEFORE the

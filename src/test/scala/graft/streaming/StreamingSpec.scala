@@ -292,6 +292,50 @@ class StreamingSpec extends AnyFunSuite {
     loose.foreach { case (k, j) => assert(math.abs(j - batch(k)) < 1e-12) }
   }
 
+  test("s36 bucketed near-dup stream == s25 (cap binds, exact jaccard, catalog clean)") {
+    // same planted fixture as the s25 spec: boilerplate shingles have
+    // reference-df 3, the genuine pair (1, 11) matches via df-1 shingles
+    val boiler = "all rights reserved all rights"
+    val incoming = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $boiler"),
+      (2L, s"one two three four five six $boiler"),
+      (3L, s"red orange yellow green blue indigo $boiler")
+    ).toDF("doc_id", "text")
+    val reference = Seq(
+      (11L, s"alpha beta gamma delta epsilon eta $boiler"),
+      (12L, s"seven eight nine ten eleven twelve $boiler"),
+      (13L, s"cat dog bird fish horse goat $boiler")
+    ).toDF("doc_id", "text")
+
+    val before = spark.catalog.listTables().count()
+    // binding cap: only the genuine pair; exact jaccard ≡ batch
+    val capped = graft.streaming.StreamingQueries
+      .nearDupStreamBucketed(spark, incoming, reference, refCap = 2,
+        threshold = 0.01)
+      .as[(Long, Long, Double)].collect()
+    val batch = graft.operators.Dedup
+      .ngramJaccardCross(incoming, reference, threshold = 0.01)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(capped.map(t => (t._1, t._2)).toSeq == Seq((1L, 11L)),
+      capped.mkString(","))
+    assert(math.abs(capped.head._3 - batch((1L, 11L))) < 1e-12)
+
+    // non-binding cap: the full batch cross-corpus result — the durable
+    // bucketed path and the pinned s25 path are ONE semantics
+    val loose = graft.streaming.StreamingQueries
+      .nearDupStreamBucketed(spark, incoming, reference, refCap = 100,
+        threshold = 0.01)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(loose.keySet == batch.keySet, s"got ${loose.keySet}")
+    loose.foreach { case (k, j) => assert(math.abs(j - batch(k)) < 1e-12) }
+    // the store table and every per-batch table were dropped: N
+    // invocations leave the session catalog at its starting size
+    assert(spark.catalog.listTables().count() == before,
+      "s36 leaked catalog tables")
+  }
+
   test("s26 streamed span clean: byte-identical to the batch operator across micro-batches") {
     // doc 1 shares a 4-gram span with the reference (scrubbed); docs 2
     // and 3 share a 4-gram span ONLY with each other (incoming-side
@@ -377,6 +421,52 @@ class StreamingSpec extends AnyFunSuite {
     val after = spark.catalog.listTables().count()
     assert(after == before,
       s"s34 leaked ${after - before} catalog tables across 3 invocations")
+  }
+
+  test("s34/s35 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical") {
+    // A14's checkpoint discipline, proven for the foreachBatch
+    // read-back family: kill the query inside batch 1 (of 3), restart
+    // against the SAME work dir, and require (a) the resumed run
+    // re-executes ONLY the uncommitted batch and its successors, (b)
+    // the final relation is row-identical to an uninterrupted run, (c)
+    // nothing double-counts (the per-batch overwrite sink + checkpoint
+    // replay make the crashed batch idempotent).
+    val old = Seq((1L, "alpha beta"), (2L, "a  b"), (3L, "gamma"),
+      (4L, "delta"), (5L, "kappa mu")).toDF("doc_id", "text")
+    val neu = Seq((1L, "alpha beta"), (2L, "a b"), (3L, "gamma prime"),
+      (6L, "epsilon"), (7L, "rho sigma tau")).toDF("doc_id", "text")
+
+    def cores: Seq[(String, (Option[String], Long => Unit) => org.apache.spark.sql.DataFrame)] = Seq(
+      "s34" -> ((w, h) =>
+        StreamingQueries.snapshotDiffStreamBucketed(spark, old, neu, w, h)),
+      "s35" -> ((w, h) =>
+        StreamingQueries.snapshotDriftStream(spark, old, neu, w, h)))
+
+    cores.foreach { case (name, core) =>
+      val work = java.nio.file.Files
+        .createTempDirectory(s"graft_${name}_restart_").toFile.getAbsolutePath
+      val run1 = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val crashed = intercept[Exception] {
+        core(Some(work), id => {
+          run1 += id
+          if (id == 1L) sys.error(s"induced $name crash in batch 1")
+        })
+      }
+      assert(crashed.getMessage != null, s"$name: expected the induced crash")
+      assert(run1.toSet == Set(0L, 1L), s"$name run1 saw $run1")
+
+      val run2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val resumed = core(Some(work), id => run2 += id).collect().toSeq
+      // batch 0 committed before the crash — the restart must NOT
+      // replay it; batch 1 (uncommitted) and batch 2 must run
+      assert(run2.toSet == Set(1L, 2L),
+        s"$name resume re-ran committed batches (or skipped one): $run2")
+
+      val clean = core(None, _ => ()).collect().toSeq
+      assert(resumed == clean,
+        s"$name resumed result diverged from the uninterrupted run:\n" +
+          s"resumed: $resumed\nclean:   $clean")
+    }
   }
 
   test("s35 streamed snapshot drift == batch x103 (vocabulary-grain partials merge exactly)") {
