@@ -129,6 +129,37 @@ class SqlGatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent /sql requests: per-request job groups — one query's timeout cancellation never touches the other's jobs") {
+    withServer() { port =>
+      import java.util.concurrent.{CompletableFuture, TimeUnit}
+      // request A: a runaway (~2e12 filtered range rows) capped at 2 s —
+      // its group WILL be cancelled mid-flight
+      val slow = CompletableFuture.supplyAsync(() =>
+        http(port, "/sql?timeout=2", "POST",
+          Some("SELECT count(*) AS s FROM range(2000000000000) WHERE id % 7 = 3")))
+      Thread.sleep(300)
+      // request B: legitimately several seconds of work (2e9 rows), so
+      // it is STILL RUNNING when A's group is cancelled at t≈2 s; its
+      // generous timeout must not matter. setJobGroup is thread-local
+      // and cancelJobGroupAndFutureJobs is group-scoped — B's jobs must
+      // survive A's cancellation and produce the exact count.
+      val med = CompletableFuture.supplyAsync(() =>
+        http(port, "/sql?timeout=120", "POST",
+          Some("SELECT count(*) AS s FROM range(2000000000) WHERE id % 7 = 3")))
+
+      val (ss, sb) = slow.get(60, TimeUnit.SECONDS)
+      assert(ss == 408, s"expected the runaway to 408: $ss $sb")
+      val (ms, mb) = med.get(120, TimeUnit.SECONDS)
+      assert(ms == 200, s"concurrent query poisoned by the other's cancellation: $ms $mb")
+      val expected = (1999999998L - 3) / 7 + 1 // ids ≡ 3 (mod 7) below 2e9
+      assert(mb.trim == s"""{"s":$expected}""", mb)
+
+      // and the gateway is still clean for the next caller
+      val (s2, b2) = http(port, "/sql", "POST", Some("SELECT 6 * 7 AS ok"))
+      assert(s2 == 200 && b2.trim == """{"ok":42}""", b2)
+    }
+  }
+
   test("?format=csv/tsv render header + quoted delimited rows") {
     withServer() { port =>
       val q = "SELECT 1 AS a, 'x,y' AS b, CAST(NULL AS STRING) AS c " +
