@@ -81,7 +81,9 @@ object SparkEntry {
     "x48_semdedup" ->
       "within-cell pairwise: cells bound the quadratic, but heavy duplication still grows pair work - use the cellCap mode (x102) on pathological corpora",
     "x87_bigram_xent" ->
-      "bigram model relation grows faster than the open vocabulary - use x101 (hashed 256-bucket fixed-width model) at scale")
+      "bigram model relation grows faster than the open vocabulary - use x101 (hashed 256-bucket fixed-width model) at scale",
+    "x106_release_pipeline" ->
+      "near-dup/decontam stage work tracks the TRUE capped candidate mass of the GATED corpus (the quality gate reshapes the population content-dependently); the df cap bounds per-shingle work as in x62")
 
   /** For every rows-only entry (registered without a SQL oracle —
     * learned models, sketches, or otherwise non-SQL-expressible), the

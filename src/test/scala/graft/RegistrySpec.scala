@@ -68,6 +68,25 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("scale-evidence totality: every entry has a COVERAGE.md scale-table row or a served caveat") {
+    // the third leg of the registry/docs drift guard (r12 added
+    // caveat/spec totality): a registry entry with NO measured scale
+    // row and NO served caveat is an unexamined 100 TB claim. Cited
+    // means the entry leads a markdown table row in COVERAGE.md,
+    // either by full name or by the bare prefix older tables use
+    // ("s09" for s09_stream_dedup).
+    val cov = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("COVERAGE.md")), "UTF-8")
+    val cell = "(?m)^\\|\\s*\\**([a-z][a-z0-9_]*)".r
+    val cited = cell.findAllMatchIn(cov).map(_.group(1)).toSet
+    def covered(n: String) = cited(n) || cited(n.split("_").head)
+    val missing = (SparkEntry.queries.keySet -- SparkEntry.scaleCaveats.keySet)
+      .filterNot(covered)
+    assert(missing.isEmpty,
+      s"registry entries with neither a COVERAGE scale row nor a caveat: " +
+        missing.toSeq.sorted.mkString(", "))
+  }
+
   test("oracle SQL strings are non-empty and DuckDB-shaped (no Spark-only syntax)") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, s"$name: empty oracle")
