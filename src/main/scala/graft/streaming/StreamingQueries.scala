@@ -1008,16 +1008,20 @@ object StreamingQueries {
     * diff each micro-batch against `old`'s pinned fingerprints, then
     * reconcile removals from the stream's own seen-id record. */
   private[graft] def snapshotDiffStream(s: SparkSession, old: DataFrame,
-                                        neu: DataFrame): DataFrame = {
+                                        neu: DataFrame,
+                                        workDir: Option[String] = None,
+                                        onBatch: Long => Unit = _ => ())
+      : DataFrame = {
     import graft.functions.{TextFunctions => TF}
-    val work = tempDir("graft_s30_")
+    val work = workDir.getOrElse(tempDir("graft_s30_"))
     val inDir = s"$work/in"; val outDir = s"$work/out"
     val idsDir = s"$work/ids"; val ck = s"$work/ck"
 
     val oldFp = old.select(col("doc_id"), TF.fingerprint(col("text")).as("fp_old"))
       .localCheckpoint() // feeds every micro-batch + the removal pass; pin once
 
-    neu.select(col("doc_id"), col("text")).repartition(3).write.parquet(inDir)
+    if (!hasParquet(inDir))
+      neu.select(col("doc_id"), col("text")).repartition(3).write.parquet(inDir)
 
     val stream = s.readStream
       .schema(StructType(Seq(StructField("doc_id", LongType),
@@ -1040,6 +1044,7 @@ object StreamingQueries {
     val q = stream.writeStream
       .option("checkpointLocation", ck)
       .foreachBatch { (b: DataFrame, id: Long) =>
+        onBatch(id)
         val fp = fpOf(b)
           .localCheckpoint() // feeds the delta AND the seen-id record
         delta(fp).write.mode("overwrite").parquet(s"$outDir/batch=$id")
@@ -1406,18 +1411,22 @@ object StreamingQueries {
   /** The s31 core: build the DSIR model from `allDocs` once, stream the
     * non-target slice, admit per micro-batch at `tau`. */
   private[graft] def dsirAdmissionStream(s: SparkSession, allDocs: DataFrame,
-                                         tau: Double): DataFrame = {
+                                         tau: Double,
+                                         workDir: Option[String] = None,
+                                         onBatch: Long => Unit = _ => ())
+      : DataFrame = {
     import graft.operators.Curation
-    val work = tempDir("graft_s31_")
+    val work = workDir.getOrElse(tempDir("graft_s31_"))
     val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
 
     val (tc, tot) = Curation.dsirModel(allDocs)
     val tcP = tc.localCheckpoint()   // vocabulary-sized; feeds every batch
     val totP = tot.localCheckpoint() // 1 row
 
-    allDocs.filter(col("doc_id") % Curation.BenchMod =!= 0)
-      .select(col("doc_id"), col("text"))
-      .repartition(3).write.parquet(inDir)
+    if (!hasParquet(inDir))
+      allDocs.filter(col("doc_id") % Curation.BenchMod =!= 0)
+        .select(col("doc_id"), col("text"))
+        .repartition(3).write.parquet(inDir)
 
     val stream = s.readStream
       .schema(StructType(Seq(StructField("doc_id", LongType),
@@ -1431,6 +1440,7 @@ object StreamingQueries {
     val q = stream.writeStream
       .option("checkpointLocation", ck)
       .foreachBatch { (b: DataFrame, id: Long) =>
+        onBatch(id)
         admit(b).write.mode("overwrite").parquet(s"$outDir/batch=$id")
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1524,9 +1534,12 @@ object StreamingQueries {
   /** The s33 core: pin `reference`'s distinct gram set, stream
     * `incoming`, score each micro-batch with the batch operator. */
   private[graft] def maxSharedSpanStream(s: SparkSession, incoming: DataFrame,
-                                         reference: DataFrame, n: Int): DataFrame = {
+                                         reference: DataFrame, n: Int,
+                                         workDir: Option[String] = None,
+                                         onBatch: Long => Unit = _ => ())
+      : DataFrame = {
     import graft.operators.Dedup
-    val work = tempDir("graft_s33_")
+    val work = workDir.getOrElse(tempDir("graft_s33_"))
     val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
 
     val refGrams = reference
@@ -1534,7 +1547,8 @@ object StreamingQueries {
       .distinct()
       .localCheckpoint() // feeds every micro-batch; pin once
 
-    incoming.select(col("doc_id"), col("text")).repartition(3).write.parquet(inDir)
+    if (!hasParquet(inDir))
+      incoming.select(col("doc_id"), col("text")).repartition(3).write.parquet(inDir)
 
     val stream = s.readStream
       .schema(StructType(Seq(StructField("doc_id", LongType),
@@ -1545,6 +1559,7 @@ object StreamingQueries {
     val q = stream.writeStream
       .option("checkpointLocation", ck)
       .foreachBatch { (b: DataFrame, id: Long) =>
+        onBatch(id)
         Dedup.maxSharedSpanAgainst(b, refGrams, "doc_id", "text", n)
           .write.mode("overwrite").parquet(s"$outDir/batch=$id")
       }

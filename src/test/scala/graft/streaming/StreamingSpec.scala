@@ -423,8 +423,8 @@ class StreamingSpec extends AnyFunSuite {
       s"s34 leaked ${after - before} catalog tables across 3 invocations")
   }
 
-  test("s34/s35 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical") {
-    // A14's checkpoint discipline, proven for the foreachBatch
+  test("s30/s31/s33/s34/s35 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical") {
+    // A14's checkpoint discipline, proven for the WHOLE foreachBatch
     // read-back family: kill the query inside batch 1 (of 3), restart
     // against the SAME work dir, and require (a) the resumed run
     // re-executes ONLY the uncommitted batch and its successors, (b)
@@ -437,6 +437,14 @@ class StreamingSpec extends AnyFunSuite {
       (6L, "epsilon"), (7L, "rho sigma tau")).toDF("doc_id", "text")
 
     def cores: Seq[(String, (Option[String], Long => Unit) => org.apache.spark.sql.DataFrame)] = Seq(
+      "s30" -> ((w, h) =>
+        StreamingQueries.snapshotDiffStream(spark, old, neu, w, h)),
+      "s31" -> ((w, h) =>
+        // τ below any possible log_w: every streamed doc admits, so the
+        // recovery contract is checked over a non-trivial output
+        StreamingQueries.dsirAdmissionStream(spark, neu, tau = -1e9, w, h)),
+      "s33" -> ((w, h) =>
+        StreamingQueries.maxSharedSpanStream(spark, neu, old, 3, w, h)),
       "s34" -> ((w, h) =>
         StreamingQueries.snapshotDiffStreamBucketed(spark, old, neu, w, h)),
       "s35" -> ((w, h) =>
