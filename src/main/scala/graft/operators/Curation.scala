@@ -1176,6 +1176,10 @@ object Curation {
                       cap: Int = PipeDomainCap, budget: Long = PipeTokenBudget,
                       maxDf: Int = RelCapDf,
                       threshold: Double = RelThreshold): DataFrame = {
+    // (A pre-kernel repartition was tried for the one-parquet-partition
+    // small-corpus case and measured a net LOSS at sf0.1 — the wall is
+    // the pair/CC machinery's sequential job barriers, not the serial
+    // kernel; at real scale the input is already well-partitioned.)
     val scored = docs
       .withColumn("quality", round(TF.qualityScore(col("text")), 6))
       .filter(col("quality") >= minQuality)
