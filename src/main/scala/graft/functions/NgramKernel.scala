@@ -52,6 +52,53 @@ object NgramKernel {
     }
   }
 
+  /** Per-gram multiplicity map over one token pass — the shared core
+    * of [[topNgramCount]] and [[dupNgramPositions]]. Same
+    * split-on-single-space semantics as the rest of the family. */
+  private def gramCounts(text: String, n: Int): java.util.HashMap[String, Int] = {
+    val toks = text.split(" ", -1)
+    val m = new java.util.HashMap[String, Int](toks.length * 2)
+    if (n <= 1) {
+      var i = 0
+      while (i < toks.length) { m.merge(toks(i), 1, Integer.sum); i += 1 }
+    } else if (toks.length >= n) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        m.merge(sb.toString, 1, Integer.sum)
+        i += 1
+      }
+    }
+    m
+  }
+
+  /** Highest multiplicity of any word n-gram (0 when the doc has no
+    * n-gram) — the numerator of the Gopher "fraction of positions
+    * covered by the most common n-gram" repetition signal. */
+  def topNgramCount(text: String, n: Int): Long = {
+    var max = 0
+    val it = gramCounts(text, n).values().iterator()
+    while (it.hasNext) { val v = it.next(); if (v > max) max = v }
+    max.toLong
+  }
+
+  /** Number of n-gram POSITIONS whose gram occurs more than once in the
+    * document (Σ multiplicity over grams with multiplicity > 1) — the
+    * numerator of the duplicated-n-gram position fraction. */
+  def dupNgramPositions(text: String, n: Int): Long = {
+    var dup = 0L
+    val it = gramCounts(text, n).values().iterator()
+    while (it.hasNext) { val v = it.next(); if (v > 1) dup += v }
+    dup
+  }
+
   /** Distinct word n-grams as an array, first-occurrence order — the
     * array-returning sibling of [[distinctNgramCount]] and the kernel
     * behind [[TextFunctions.shingles]]. Same semantics as the HOF
@@ -122,6 +169,44 @@ object NgramKernel {
       new GenericArrayData(out)
     }
   }
+}
+
+/** `top_ngram_count(text, n)` — LongType; null-intolerant. */
+case class TopNgramCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "top_ngram_count"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(t: Any, n: Any): Any =
+    NgramKernel.topNgramCount(
+      t.asInstanceOf[UTF8String].toString, n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.functions.NgramKernel.topNgramCount($t.toString(), $n)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** `dup_ngram_positions(text, n)` — LongType; null-intolerant. */
+case class DupNgramPositions(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "dup_ngram_positions"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(t: Any, n: Any): Any =
+    NgramKernel.dupNgramPositions(
+      t.asInstanceOf[UTF8String].toString, n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"graft.functions.NgramKernel.dupNgramPositions($t.toString(), $n)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }
 
 /** `distinct_ngram_count(text, n)` — LongType; null-intolerant. */
@@ -196,10 +281,20 @@ object TextKernels {
       "word_shingles", es => WordShingles(es.head, es(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_gram_seq", es => WordGramSeq(es.head, es(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "top_ngram_count", es => TopNgramCount(es.head, es(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dup_ngram_positions", es => DupNgramPositions(es.head, es(1)), "built-in")
   }
 
   def distinct_ngram_count(text: Column, n: Int): Column =
     B.column(DistinctNgramCount(B.expression(text), B.expression(lit(n))))
+
+  def top_ngram_count(text: Column, n: Int): Column =
+    B.column(TopNgramCount(B.expression(text), B.expression(lit(n))))
+
+  def dup_ngram_positions(text: Column, n: Int): Column =
+    B.column(DupNgramPositions(B.expression(text), B.expression(lit(n))))
 
   def word_shingles(text: Column, n: Int): Column =
     B.column(WordShingles(B.expression(text), B.expression(lit(n))))

@@ -1265,6 +1265,48 @@ object Curation {
       .select(col("rnk"), col("token"), col("cnt"), col("coverage"))
   }
 
+  // ---- x107: per-document repetition profile ---------------------------
+
+  /** x107: the half of the Gopher/MassiveText repetition battery x28
+    * does NOT cover. x28 reports distinct-gram RATIOS (what fraction of
+    * words/2-grams are duplicates of something); the two signals that
+    * catch template floods those ratios miss are CONCENTRATION (one
+    * n-gram covering a large share of the document — a page whose
+    * boilerplate phrase repeats dominates even when most grams are
+    * distinct) and LONG-gram duplication (repeated 5-grams are
+    * near-certain copy-paste, where repeated words are just language).
+    * Per doc:
+    *  - `n_tokens`   — whitespace token count (the x28 tokenizer);
+    *  - `top2_frac`  — fraction of 2-gram POSITIONS covered by the most
+    *                   frequent 2-gram (occurrences × 2 / positions,
+    *                   capped at 1 — a one-token-repeated doc overshoots);
+    *  - `top3_frac`  — same at the 3-gram grain;
+    *  - `dup5_frac`  — fraction of 5-gram positions whose gram occurs
+    *                   more than once in the doc.
+    * Docs shorter than the gram have NO positions: explicit NULL, never
+    * NaN (the x89 degenerate-input contract). Fractions round(6).
+    *
+    * Scale shape: ENTIRELY row-local — the multiplicity statistics run
+    * through the codegen'd [[graft.functions.TopNgramCount]] /
+    * [[graft.functions.DupNgramPositions]] kernels (one token pass per
+    * n, staying inside WholeStageCodegen), so the profile adds ZERO
+    * shuffles and fuses into the scan; thresholding it (the x99 gate
+    * pattern) is free. The explode→groupBy((doc, gram)) formulation
+    * this replaces shuffles the corpus's whole gram mass per n. */
+  def repetitionProfile(docs: DataFrame): DataFrame = {
+    import graft.functions.TextKernels.{dup_ngram_positions, top_ngram_count}
+    val n = size(TF.tokens(col("text")))
+    def posK(k: Int) = (n - (k - 1)).cast("double")
+    def topFrac(k: Int) = when(n >= k,
+      least(round(top_ngram_count(col("text"), k) * k / posK(k), 6), lit(1.0)))
+    docs.select(col("doc_id"), n.cast("long").as("n_tokens"),
+      topFrac(2).as("top2_frac"),
+      topFrac(3).as("top3_frac"),
+      when(n >= 5, round(
+        dup_ngram_positions(col("text"), 5).cast("double") / posK(5), 6))
+        .as("dup5_frac"))
+  }
+
   // ---- x89: Zipf-fit corpus-health audit --------------------------------
 
   /** Log-log OLS fit of the token frequency spectrum against Zipf's law

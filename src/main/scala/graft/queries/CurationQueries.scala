@@ -1024,6 +1024,64 @@ object CurationQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x107 — per-document repetition profile: the concentration +
+  // long-gram half of the Gopher repetition battery (top-2/3-gram
+  // position coverage, duplicated-5-gram fraction) that x28's
+  // distinct-gram ratios miss. Row-local in Spark (codegen'd
+  // multiplicity kernels, zero shuffles); the oracle recomputes the
+  // same statistics relationally.
+  // ---------------------------------------------------------------------
+  def repetitionProfileQ(s: SparkSession, dir: String): DataFrame =
+    Curation.repetitionProfile(Tables.documents(s, dir)).orderBy("doc_id")
+
+  val repetitionProfileSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), uni AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks
+       |), c2 AS (
+       |  SELECT doc_id, g, COUNT(*) AS c FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(greatest(len(w) - 1, 0)),
+       |                                 i -> w[i+1] || ' ' || w[i+2])) AS g
+       |    FROM toks) t GROUP BY 1, 2
+       |), t2 AS (
+       |  SELECT doc_id,
+       |         least(round(MAX(c) * 2 / CAST(SUM(c) AS DOUBLE), 6), 1.0)
+       |           AS top2_frac
+       |  FROM c2 GROUP BY 1
+       |), c3 AS (
+       |  SELECT doc_id, g, COUNT(*) AS c FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(greatest(len(w) - 2, 0)),
+       |                                 i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g
+       |    FROM toks) t GROUP BY 1, 2
+       |), t3 AS (
+       |  SELECT doc_id,
+       |         least(round(MAX(c) * 3 / CAST(SUM(c) AS DOUBLE), 6), 1.0)
+       |           AS top3_frac
+       |  FROM c3 GROUP BY 1
+       |), c5 AS (
+       |  SELECT doc_id, g, COUNT(*) AS c FROM (
+       |    SELECT doc_id,
+       |           unnest(list_transform(range(greatest(len(w) - 4, 0)),
+       |                                 i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+       |                                      || ' ' || w[i+4] || ' ' || w[i+5])) AS g
+       |    FROM toks) t GROUP BY 1, 2
+       |), d5 AS (
+       |  SELECT doc_id,
+       |         round(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+       |               / SUM(c), 6) AS dup5_frac
+       |  FROM c5 GROUP BY 1)
+       |SELECT u.doc_id, u.n_tokens, t2.top2_frac, t3.top3_frac,
+       |       d5.dup5_frac
+       |FROM uni u
+       |LEFT JOIN t2 ON u.doc_id = t2.doc_id
+       |LEFT JOIN t3 ON u.doc_id = t3.doc_id
+       |LEFT JOIN d5 ON u.doc_id = d5.doc_id
+       |ORDER BY u.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x52 — collocation extraction: PMI-ranked adjacent bigrams
   // ---------------------------------------------------------------------
   def collocationsQ(s: SparkSession, dir: String): DataFrame =
@@ -1490,6 +1548,7 @@ object CurationQueries {
     "x51_domain_cap"          -> ((domainCapQ _, Some(domainCapSql))),
     "x104_selection_pipeline" -> ((selectionPipelineQ _, Some(selectionPipelineSql))),
     "x106_release_pipeline"   -> ((releasePipelineQ _, Some(releasePipelineSql))),
+    "x107_repetition_profile" -> ((repetitionProfileQ _, Some(repetitionProfileSql))),
     "x52_collocations"        -> ((collocationsQ _, Some(collocationsSql))),
     "x53_approx_heavy_hitters" -> ((approxHeavyHitters _, Some(approxHeavyHittersSql))),
     "x68_bpe_merges"          -> ((bpeMergesQ _, None)),

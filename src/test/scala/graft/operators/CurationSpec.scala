@@ -1386,6 +1386,65 @@ class CurationSpec extends AnyFunSuite {
     full.unpersist()
   }
 
+  test("x107 repetition profile: exact planted values, NULL on short docs, kernel == naive recomputation") {
+    import spark.implicits._
+    val planted = Seq(
+      // alternating pair: top 2-gram "a b" covers 3 of 5 positions ->
+      // 6/5 capped at 1.0; no 5-gram repeats (both positions distinct)
+      (1L, "a b a b a b"),
+      // period-5 template: EVERY 5-gram position duplicated -> 1.0
+      (2L, "x y z w v x y z w v x y z w v"),
+      // all-distinct tokens: top2 = 2/6, top3 = 3/5, dup5 = 0
+      (3L, "q w e r t y u"),
+      // shorter than every gram: NULLs, not NaN (n_tokens = 1: the
+      // family's split-on-space counts empty text as one empty token)
+      (4L, ""),
+      (5L, "lone")
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionProfile(planted).orderBy("doc_id").collect()
+    def row(i: Int) = out(i)
+    assert(row(0).getLong(1) == 6 && row(0).getDouble(2) == 1.0 &&
+      row(0).getDouble(3) == 1.0 && row(0).getDouble(4) == 0.0, row(0).toString)
+    assert(row(1).getDouble(4) == 1.0, "period-5 template must read dup5 = 1")
+    assert(math.abs(row(2).getDouble(2) - 0.333333) < 1e-9 &&
+      math.abs(row(2).getDouble(3) - 0.6) < 1e-9 &&
+      row(2).getDouble(4) == 0.0, row(2).toString)
+    Seq(3, 4).foreach { i =>
+      assert(row(i).isNullAt(2) && row(i).isNullAt(3) && row(i).isNullAt(4),
+        s"short doc must yield NULL signals: ${row(i)}")
+    }
+
+    // randomized differential: the codegen'd multiplicity kernels agree
+    // with a naive in-memory recomputation on arbitrary small-alphabet
+    // strings (seeded — deterministic across runs)
+    val rnd = new scala.util.Random(107)
+    def naiveCounts(s: String, n: Int): Map[String, Int] = {
+      val t = s.split(" ", -1)
+      if (t.length < n) Map.empty
+      else t.sliding(n).map(_.mkString(" ")).toSeq.groupBy(identity)
+        .map { case (k, v) => k -> v.size }
+    }
+    (1 to 60).foreach { _ =>
+      val s = Seq.fill(1 + rnd.nextInt(30))(('a' + rnd.nextInt(3)).toChar.toString)
+        .mkString(" ")
+      (1 to 5).foreach { n =>
+        val m = naiveCounts(s, n)
+        assert(graft.functions.NgramKernel.topNgramCount(s, n) ==
+          (if (m.isEmpty) 0L else m.values.max.toLong), s"top($n) on '$s'")
+        assert(graft.functions.NgramKernel.dupNgramPositions(s, n) ==
+          m.values.filter(_ > 1).sum.toLong, s"dup($n) on '$s'")
+      }
+    }
+
+    // fixture run: totality + signals live in [0, 1]
+    val full = Curation.repetitionProfile(docs).cache()
+    assert(full.count() == docs.count())
+    Seq("top2_frac", "top3_frac", "dup5_frac").foreach { c =>
+      assert(full.filter(col(c) < 0.0 || col(c) > 1.0).count() == 0, c)
+    }
+    full.unpersist()
+  }
+
   test("x103 snapshot drift: zero on identical snapshots; positive/symmetric JS on a shift; equals in-memory recomputation") {
     import spark.implicits._
     val a = Seq((1L, "alpha beta beta gamma"), (2L, "delta epsilon alpha"))
