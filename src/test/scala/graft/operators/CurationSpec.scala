@@ -1371,6 +1371,16 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(loose == Set(1L, 2L, 3L, 4L, 5L, 6L), s"got $loose")
 
+    // algebraic reduction: with the pair stages silenced, x106 IS x104
+    // (same survivors, same budgets) — the composition adds stages, it
+    // never perturbs the ones it inherited
+    val reduced = Curation.releasePipeline(docs, threshold = 1.1)
+      .drop("split").orderBy("source", "doc_id").collect().toSeq
+    val x104rows = Curation.curationPipeline(docs)
+      .orderBy("source", "doc_id").collect().toSeq
+    assert(reduced == x104rows,
+      "threshold-silenced x106 must equal x104 row-for-row")
+
     // default params on the sf0.001 fixture: x106 ⊆ x104's survivor set
     // is NOT an invariant (the cap re-opens slots), but the pipeline
     // must stay total, deduped, within cap and budget — x104's own
