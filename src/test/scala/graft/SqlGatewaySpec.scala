@@ -51,9 +51,11 @@ class SqlGatewaySpec extends AnyFunSuite {
 
       // the codegen'd custom expressions are callable from plain SQL
       val (s2, b2) = http(port, "/sql", "POST",
-        Some("SELECT distinct_ngram_count('a b c d', 2) AS g"))
+        Some("SELECT distinct_ngram_count('a b c d', 2) AS g, " +
+             "top_ngram_count('a b a b a b', 2) AS t, " +
+             "dup_ngram_positions('x y x y', 2) AS d"))
       assert(s2 == 200, b2)
-      assert(b2.trim == """{"g":3}""")
+      assert(b2.trim == """{"g":3,"t":3,"d":2}""")
 
       // limit bounds what reaches the driver
       val (s3, b3) = http(port, "/sql?limit=5", "POST",
