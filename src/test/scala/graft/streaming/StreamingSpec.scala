@@ -336,6 +336,24 @@ class StreamingSpec extends AnyFunSuite {
       "s36 leaked catalog tables")
   }
 
+  test("s36 totality: empty reference / empty incoming yield empty admissions, tables still cleaned") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val none = docs.limit(0)
+    val before = spark.catalog.listTables().count()
+    // empty REFERENCE: the store tables are built from nothing; every
+    // micro-batch's candidate join finds no blocking rows
+    assert(graft.streaming.StreamingQueries
+      .nearDupStreamBucketed(spark, docs, none, refCap = 4, threshold = 0.01)
+      .count() == 0)
+    // empty INCOMING: zero (or zero-row) micro-batches; the read-back
+    // fallback path must produce the typed empty relation, not a crash
+    assert(graft.streaming.StreamingQueries
+      .nearDupStreamBucketed(spark, none, docs, refCap = 4, threshold = 0.01)
+      .count() == 0)
+    assert(spark.catalog.listTables().count() == before,
+      "s36 leaked catalog tables on the degenerate inputs")
+  }
+
   test("s26 streamed span clean: byte-identical to the batch operator across micro-batches") {
     // doc 1 shares a 4-gram span with the reference (scrubbed); docs 2
     // and 3 share a 4-gram span ONLY with each other (incoming-side
