@@ -49,6 +49,12 @@ object StreamingQueries {
                             ifEmpty: => DataFrame): DataFrame =
     if (hasParquet(dir)) s.read.parquet(dir) else ifEmpty.limit(0)
 
+  /** True iff `dir` holds at least one COMMITTED parquet data file.
+    * Every path component under `dir` must be non-hidden: a crash
+    * during the input write leaves part-files inside Spark's
+    * `_temporary` staging tree, and counting those would make a resume
+    * skip the rewrite while the file stream (which ignores hidden
+    * dirs) sees zero committed input — a silently empty "recovery". */
   private def hasParquet(dir: String): Boolean = {
     import scala.jdk.CollectionConverters._
     val root = Paths.get(dir)
@@ -56,7 +62,10 @@ object StreamingQueries {
       val st = Files.walk(root)
       try st.iterator().asScala.exists { p =>
         val n = p.getFileName.toString
-        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_") &&
+          root.relativize(p).iterator().asScala.forall { c =>
+            val s = c.toString; !s.startsWith(".") && !s.startsWith("_")
+          }
       } finally st.close()
     }
   }
@@ -1129,6 +1138,11 @@ object StreamingQueries {
     val tag = new java.io.File(work).getName.replaceAll("[^A-Za-z0-9_]", "_")
     val oldTbl = s"${tag}_oldfp"
 
+    // the WHOLE store-table lifecycle sits in try/finally: a crash in
+    // the stream, the removal pass, or a per-batch write must not leak
+    // `${tag}_*` entries in the shared-session catalog (resume rebuilds
+    // them — the writes are overwrite-mode idempotent)
+    try {
     writeFpBucketed(
       old.select(col("doc_id"), TF.fingerprint(col("text")).as("fp_old")),
       s"$work/wh/oldfp", oldTbl)
@@ -1147,14 +1161,15 @@ object StreamingQueries {
       .foreachBatch { (b: DataFrame, id: Long) =>
         onBatch(id)
         val batchTbl = s"${tag}_b$id"
-        writeFpBucketed(
-          b.select(col("doc_id"), TF.fingerprint(col("text")).as("fp_new")),
-          s"$work/wh/b$id", batchTbl)
-        bucketedDelta(s, batchTbl, oldTbl)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
-        s.table(batchTbl).select("doc_id")
-          .write.mode("overwrite").parquet(s"$idsDir/batch=$id")
-        s.sql(s"DROP TABLE IF EXISTS $batchTbl") // catalog hygiene per batch
+        try {
+          writeFpBucketed(
+            b.select(col("doc_id"), TF.fingerprint(col("text")).as("fp_new")),
+            s"$work/wh/b$id", batchTbl)
+          bucketedDelta(s, batchTbl, oldTbl)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          s.table(batchTbl).select("doc_id")
+            .write.mode("overwrite").parquet(s"$idsDir/batch=$id")
+        } finally s.sql(s"DROP TABLE IF EXISTS $batchTbl") // hygiene even on crash
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1175,7 +1190,7 @@ object StreamingQueries {
       .join(seenIds.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit("removed").as("status"))
       .write.mode("overwrite").parquet(s"$work/removed")
-    s.sql(s"DROP TABLE IF EXISTS $oldTbl")
+    } finally s.sql(s"DROP TABLE IF EXISTS $oldTbl")
     readBatchesOr(s, outDir, old.select(col("doc_id"),
         lit("added").as("status")))
       .select(col("doc_id"), col("status"))
@@ -1227,11 +1242,38 @@ object StreamingQueries {
     * (multi-file buckets force a full static-side sort every
     * micro-batch — measured 2× the s25 wall at 30× before this). */
   private[graft] def writeBucketedBy(df: DataFrame, path: String,
-                                     tbl: String, key: String): Unit =
+                                     tbl: String, key: String): Unit = {
     df.repartition(S36Buckets, col(key))
       .write.mode("overwrite").option("path", path)
       .bucketBy(S36Buckets, key).sortBy(key)
       .saveAsTable(tbl)
+    // The one-file-per-bucket invariant is a PERF contract, not just an
+    // intent: Spark's bucketed scan only exposes the sortBy ordering
+    // when every bucket is a single file (the session-global
+    // spark.sql.legacy.bucketedTableScan.outputOrdering=true relies on
+    // it), and a writer conf like spark.sql.files.maxRecordsPerFile
+    // would silently split buckets and re-sort the corpus-sized store
+    // side EVERY micro-batch (measured 2× wall). Fail loudly instead.
+    val bucketOf = "_(\\d{5})\\.".r
+    val files = {
+      import scala.jdk.CollectionConverters._
+      val st = Files.walk(Paths.get(path))
+      try st.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith(".") &&
+                     !n.startsWith("_")).toVector
+      finally st.close()
+    }
+    val perBucket = files.groupBy { n =>
+      bucketOf.findFirstMatchIn(n).map(_.group(1))
+        .getOrElse(sys.error(s"$tbl: no bucket id in data file name $n"))
+    }
+    val split = perBucket.filter(_._2.size > 1)
+    require(split.isEmpty,
+      s"$tbl: bucket(s) ${split.keys.toSeq.sorted.mkString(",")} split " +
+        s"across multiple files — the bucketed-scan ordering is lost and " +
+        s"every micro-batch will re-sort the store (check writer confs " +
+        s"like spark.sql.files.maxRecordsPerFile)")
+  }
 
   /** The per-batch admission join against the durable store: `batch`
     * carries (id_in, in_sh). Both static sides are read co-located
@@ -1251,13 +1293,24 @@ object StreamingQueries {
       .select(col("id_in"), col("id_ref"), col("jaccard"))
 
   /** The s36 core: s25's protocol with the two static relations stored
-    * as durable bucketed tables instead of pinned executor memory. */
+    * as durable bucketed tables instead of pinned executor memory.
+    *
+    * `workDir`/`onBatch`: the same restart-recovery hooks as s34.
+    * Passing the SAME workDir resumes from its checkpoint — the input
+    * write is guarded by hasParquet, and the two store builds are
+    * overwrite-mode idempotent (they rebuild on resume because the
+    * try/finally below drops the tables even when the stream crashes;
+    * in production the tables persist across processes and the build
+    * runs once per reference refresh, not once per stream). */
   private[graft] def nearDupStreamBucketed(s: SparkSession, incoming: DataFrame,
                                            reference: DataFrame, refCap: Int,
-                                           threshold: Double): DataFrame = {
+                                           threshold: Double,
+                                           workDir: Option[String] = None,
+                                           onBatch: Long => Unit = _ => ())
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextKernels.word_shingles
-    val work = tempDir("graft_s36_")
+    val work = workDir.getOrElse(tempDir("graft_s36_"))
     val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
     val tag = new java.io.File(work).getName.replaceAll("[^A-Za-z0-9_]", "_")
     val refTbl = s"${tag}_ref"; val blkTbl = s"${tag}_blk"
@@ -1265,9 +1318,12 @@ object StreamingQueries {
     def shArr(text: org.apache.spark.sql.Column) =
       array_distinct(word_shingles(text, 3))
 
+    // the store-table lifecycle sits in try/finally: a crash inside the
+    // stream or a batch write must not leak `${tag}_ref`/`${tag}_blk`
+    // in the shared-session catalog (the s34 hygiene contract)
+    try {
     // the one-time store build — the only corpus-sized shuffles that
-    // ever happen (in production the tables persist across processes
-    // and this runs once per reference refresh, not once per stream)
+    // ever happen
     val refShingles = reference
       .select(col("doc_id").as("id_ref"), shArr(col("text")).as("ref_sh"))
     writeBucketedBy(refShingles, s"$work/wh/ref", refTbl, "id_ref")
@@ -1279,8 +1335,9 @@ object StreamingQueries {
         .select(col("sh"), col("id_ref")),
       s"$work/wh/blk", blkTbl, "sh")
 
-    incoming.select(col("doc_id"), col("text"))
-      .repartition(3).write.parquet(inDir)
+    if (!hasParquet(inDir))
+      incoming.select(col("doc_id"), col("text"))
+        .repartition(3).write.parquet(inDir)
 
     val stream = s.readStream
       .schema(StructType(Seq(StructField("doc_id", LongType),
@@ -1291,6 +1348,7 @@ object StreamingQueries {
     val q = stream.writeStream
       .option("checkpointLocation", ck)
       .foreachBatch { (b: DataFrame, id: Long) =>
+        onBatch(id)
         bucketedNearDupDelta(s,
           // one file per micro-batch = ONE input partition: fan the
           // row-local shingle kernel out before it runs (s25's floor)
@@ -1303,13 +1361,14 @@ object StreamingQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-
-    // the result reads only the per-batch parquet deltas — the store
-    // tables can be dropped here (in production they would PERSIST;
-    // the registry entry must not leak catalog entries across
-    // invocations in a shared session — the s34 hygiene contract)
-    s.sql(s"DROP TABLE IF EXISTS $refTbl")
-    s.sql(s"DROP TABLE IF EXISTS $blkTbl")
+    } finally {
+      // the result reads only the per-batch parquet deltas — the store
+      // tables can be dropped here even on the failure path (in
+      // production they would PERSIST; a registry entry must not leak
+      // catalog entries across invocations in a shared session)
+      s.sql(s"DROP TABLE IF EXISTS $refTbl")
+      s.sql(s"DROP TABLE IF EXISTS $blkTbl")
+    }
     // project away nothing: the delta rows are already (id_in, id_ref,
     // jaccard); a candidate matched via k shared shingles emitted k
     // identical rows — collapse them, as s25 does

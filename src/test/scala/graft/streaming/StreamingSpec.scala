@@ -441,7 +441,7 @@ class StreamingSpec extends AnyFunSuite {
       s"s34 leaked ${after - before} catalog tables across 3 invocations")
   }
 
-  test("s30/s31/s33/s34/s35 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical") {
+  test("s30/s31/s33/s34/s35/s36 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
     // A14's checkpoint discipline, proven for the WHOLE foreachBatch
     // read-back family: kill the query inside batch 1 (of 3), restart
     // against the SAME work dir, and require (a) the resumed run
@@ -466,9 +466,25 @@ class StreamingSpec extends AnyFunSuite {
       "s34" -> ((w, h) =>
         StreamingQueries.snapshotDiffStreamBucketed(spark, old, neu, w, h)),
       "s35" -> ((w, h) =>
-        StreamingQueries.snapshotDriftStream(spark, old, neu, w, h)))
+        StreamingQueries.snapshotDriftStream(spark, old, neu, w, h)),
+      "s36" -> { (w, h) =>
+        // its own ≥3-word fixture: the shared old/neu docs are shorter
+        // than the trigram shingle, which would make the recovery
+        // contract vacuous over an empty admission relation
+        val inc = Seq((11L, "the quick brown fox jumps"),
+          (12L, "a wholly novel text body"),
+          (13L, "lorem ipsum dolor sit amet"),
+          (14L, "the quick brown fox leaps"),
+          (15L, "pack my box with five dozen")).toDF("doc_id", "text")
+        val ref = Seq((1L, "the quick brown fox jumps"),
+          (2L, "lorem ipsum dolor sit amet"),
+          (3L, "reference only text never matched")).toDF("doc_id", "text")
+        StreamingQueries.nearDupStreamBucketed(spark, inc, ref,
+          refCap = 10, threshold = 0.3, workDir = w, onBatch = h)
+      })
 
     cores.foreach { case (name, core) =>
+      val tablesBefore = spark.catalog.listTables().count()
       val work = java.nio.file.Files
         .createTempDirectory(s"graft_${name}_restart_").toFile.getAbsolutePath
       val run1 = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -492,6 +508,13 @@ class StreamingSpec extends AnyFunSuite {
       assert(resumed == clean,
         s"$name resumed result diverged from the uninterrupted run:\n" +
           s"resumed: $resumed\nclean:   $clean")
+
+      // catalog hygiene across the CRASH path too: the induced failure
+      // plus the resume plus the clean run must leak zero tables (the
+      // try/finally drop contract on the bucketed-store cores)
+      val tablesAfter = spark.catalog.listTables().count()
+      assert(tablesAfter == tablesBefore,
+        s"$name leaked ${tablesAfter - tablesBefore} catalog tables across crash+resume")
     }
   }
 
