@@ -1144,7 +1144,10 @@ object Curation {
     * and the domain cap, composed from the already-verified operators
     * into ONE hash-checked plan emitting the survivor list:
     *
-    *  1. quality gate    — row-local x02 score ≥ `minQuality`;
+    *  1. quality gate    — row-local x02 score ≥ `minQuality`, AND the
+    *                       x107 per-doc repetition rule (Gopher's
+    *                       battery is a FILTER, not a dashboard): docs
+    *                       breaching any of top2/top3/dup5 are removed;
     *  2. exact dedup     — best duplicate per x04 fingerprint (x104's
     *                       partial-aggregable min_by);
     *  3. NEAR-dup dedup  — x57's df-capped candidate pairs → connected
@@ -1175,14 +1178,24 @@ object Curation {
   def releasePipeline(docs: DataFrame, minQuality: Double = PipeMinQuality,
                       cap: Int = PipeDomainCap, budget: Long = PipeTokenBudget,
                       maxDf: Int = RelCapDf,
-                      threshold: Double = RelThreshold): DataFrame = {
+                      threshold: Double = RelThreshold,
+                      repTop2: Double = RepTop2Max,
+                      repTop3: Double = RepTop3Max,
+                      repDup5: Double = RepDup5Max): DataFrame = {
     // (A pre-kernel repartition was tried for the one-parquet-partition
     // small-corpus case and measured a net LOSS at sf0.1 — the wall is
     // the pair/CC machinery's sequential job barriers, not the serial
     // kernel; at real scale the input is already well-partitioned.)
+    // Stage 1 filters on quality AND the per-doc repetition rule —
+    // in MassiveText/Gopher the repetition battery is a FILTER, not a
+    // dashboard; both terms are row-local (codegen'd kernels), so the
+    // stage stays a single fused scan. Thresholds ≥ 1.0 silence the
+    // rule (fractions are capped at 1), the algebraic-reduction spec's
+    // lever.
     val scored = docs
       .withColumn("quality", round(TF.qualityScore(col("text")), 6))
-      .filter(col("quality") >= minQuality)
+      .filter(col("quality") >= minQuality &&
+        !repetitiveFlag(col("text"), repTop2, repTop3, repDup5))
     val kept = scored
       .withColumn("fp", TF.fingerprint(col("text")))
       .groupBy(col("fp"))
@@ -1294,17 +1307,52 @@ object Curation {
     * pattern) is free. The explode→groupBy((doc, gram)) formulation
     * this replaces shuffles the corpus's whole gram mass per n. */
   def repetitionProfile(docs: DataFrame): DataFrame = {
+    val (t2, t3, d5) = repetitionFracs(col("text"))
+    docs.select(col("doc_id"),
+      size(TF.tokens(col("text"))).cast("long").as("n_tokens"),
+      t2.as("top2_frac"), t3.as("top3_frac"), d5.as("dup5_frac"))
+  }
+
+  /** The x107 per-doc fractions as bare row-local expressions —
+    * (top2_frac, top3_frac, dup5_frac) — reusable by the x99 gate and
+    * the x106 stage-1 repetition rule without a join against the
+    * profile relation. */
+  private[graft] def repetitionFracs(text: Column): (Column, Column, Column) = {
     import graft.functions.TextKernels.{dup_ngram_positions, top_ngram_count}
-    val n = size(TF.tokens(col("text")))
+    val n = size(TF.tokens(text))
     def posK(k: Int) = (n - (k - 1)).cast("double")
     def topFrac(k: Int) = when(n >= k,
-      least(round(top_ngram_count(col("text"), k) * k / posK(k), 6), lit(1.0)))
-    docs.select(col("doc_id"), n.cast("long").as("n_tokens"),
-      topFrac(2).as("top2_frac"),
-      topFrac(3).as("top3_frac"),
+      least(round(top_ngram_count(text, k) * k / posK(k), 6), lit(1.0)))
+    (topFrac(2), topFrac(3),
       when(n >= 5, round(
-        dup_ngram_positions(col("text"), 5).cast("double") / posK(5), 6))
-        .as("dup5_frac"))
+        dup_ngram_positions(text, 5).cast("double") / posK(5), 6)))
+  }
+
+  // The Gopher-family per-doc repetition RULE the battery acts through
+  // (MassiveText applies these as filters, not dashboards): a doc is
+  // repetitive when any of the three x107 fractions exceeds its
+  // threshold. Concentration fractions are floor-biased on short docs
+  // (an all-distinct doc has top2_frac = 2/(n-1) > 0.2 whenever
+  // n < 11), so the rule only judges docs with ≥ RepMinTokens tokens —
+  // the same family as Gopher's own min-length precondition; shorter
+  // docs are out of the rule's jurisdiction, never flagged by it.
+  val RepTop2Max    = 0.20
+  val RepTop3Max    = 0.18
+  val RepDup5Max    = 0.15
+  val RepMinTokens  = 20
+
+  /** True iff the doc breaches the per-doc repetition rule. NULL
+    * fractions (docs shorter than the gram) cannot breach — per-term
+    * coalesce(_, false), the same NULL handling on both engines. */
+  private[graft] def repetitiveFlag(text: Column,
+                                    t2Max: Double = RepTop2Max,
+                                    t3Max: Double = RepTop3Max,
+                                    d5Max: Double = RepDup5Max): Column = {
+    val (t2, t3, d5) = repetitionFracs(text)
+    (size(TF.tokens(text)) >= RepMinTokens) &&
+      (coalesce(t2 > t2Max, lit(false)) ||
+       coalesce(t3 > t3Max, lit(false)) ||
+       coalesce(d5 > d5Max, lit(false)))
   }
 
   // ---- x89: Zipf-fit corpus-health audit --------------------------------

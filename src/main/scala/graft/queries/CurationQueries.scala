@@ -930,10 +930,12 @@ object CurationQueries {
       s"""CASE WHEN substr(md5(CAST($id AS VARCHAR)), 1, 2) < '${Curation.TrainUpper}' THEN 'train'
          |     WHEN substr(md5(CAST($id AS VARCHAR)), 1, 2) < '${Curation.ValUpper}' THEN 'val'
          |     ELSE 'test' END""".stripMargin
-    s"""WITH RECURSIVE scored AS (
+    s"""WITH RECURSIVE ${repetitionCtes("documents")},
+       |scored AS (
        |  SELECT doc_id, source, text, round($qualitySqlExpr, 6) AS quality
-       |  FROM documents
-       |  WHERE round($qualitySqlExpr, 6) >= ${Curation.PipeMinQuality}),
+       |  FROM documents JOIN rp USING (doc_id)
+       |  WHERE round($qualitySqlExpr, 6) >= ${Curation.PipeMinQuality}
+       |    AND NOT $repetitiveSqlExpr),
        |kept AS (
        |  SELECT doc_id, source, text, quality FROM (
        |    SELECT scored.*, row_number() OVER (
@@ -1034,52 +1036,72 @@ object CurationQueries {
   def repetitionProfileQ(s: SparkSession, dir: String): DataFrame =
     Curation.repetitionProfile(Tables.documents(s, dir)).orderBy("doc_id")
 
-  val repetitionProfileSql: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-       |), uni AS (
-       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks
-       |), c2 AS (
+  /** The x107 per-doc fraction CTE CHAIN over `src` (doc_id, text) —
+    * rp_-prefixed so it splices into larger WITH chains (the x99 gate,
+    * the x106 stage-1 rule) without colliding; terminal relation
+    * `rp`(doc_id, n_tokens, top2_frac, top3_frac, dup5_frac). */
+  def repetitionCtes(src: String): String =
+    s"""rp_toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM $src
+       |), rp_uni AS (
+       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM rp_toks
+       |), rp_c2 AS (
        |  SELECT doc_id, g, COUNT(*) AS c FROM (
        |    SELECT doc_id,
        |           unnest(list_transform(range(greatest(len(w) - 1, 0)),
        |                                 i -> w[i+1] || ' ' || w[i+2])) AS g
-       |    FROM toks) t GROUP BY 1, 2
-       |), t2 AS (
+       |    FROM rp_toks) t GROUP BY 1, 2
+       |), rp_t2 AS (
        |  SELECT doc_id,
        |         least(round(MAX(c) * 2 / CAST(SUM(c) AS DOUBLE), 6), 1.0)
        |           AS top2_frac
-       |  FROM c2 GROUP BY 1
-       |), c3 AS (
+       |  FROM rp_c2 GROUP BY 1
+       |), rp_c3 AS (
        |  SELECT doc_id, g, COUNT(*) AS c FROM (
        |    SELECT doc_id,
        |           unnest(list_transform(range(greatest(len(w) - 2, 0)),
        |                                 i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS g
-       |    FROM toks) t GROUP BY 1, 2
-       |), t3 AS (
+       |    FROM rp_toks) t GROUP BY 1, 2
+       |), rp_t3 AS (
        |  SELECT doc_id,
        |         least(round(MAX(c) * 3 / CAST(SUM(c) AS DOUBLE), 6), 1.0)
        |           AS top3_frac
-       |  FROM c3 GROUP BY 1
-       |), c5 AS (
+       |  FROM rp_c3 GROUP BY 1
+       |), rp_c5 AS (
        |  SELECT doc_id, g, COUNT(*) AS c FROM (
        |    SELECT doc_id,
        |           unnest(list_transform(range(greatest(len(w) - 4, 0)),
-       |                                 i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-       |                                      || ' ' || w[i+4] || ' ' || w[i+5])) AS g
-       |    FROM toks) t GROUP BY 1, 2
-       |), d5 AS (
+       |                                 i -> w[i+1] || ' ' || w[i+2] || ' ' ||
+       |                                      w[i+3] || ' ' || w[i+4] || ' ' ||
+       |                                      w[i+5])) AS g
+       |    FROM rp_toks) t GROUP BY 1, 2
+       |), rp_d5 AS (
        |  SELECT doc_id,
        |         round(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
        |               / SUM(c), 6) AS dup5_frac
-       |  FROM c5 GROUP BY 1)
-       |SELECT u.doc_id, u.n_tokens, t2.top2_frac, t3.top3_frac,
-       |       d5.dup5_frac
-       |FROM uni u
-       |LEFT JOIN t2 ON u.doc_id = t2.doc_id
-       |LEFT JOIN t3 ON u.doc_id = t3.doc_id
-       |LEFT JOIN d5 ON u.doc_id = d5.doc_id
-       |ORDER BY u.doc_id""".stripMargin
+       |  FROM rp_c5 GROUP BY 1
+       |), rp AS (
+       |  SELECT u.doc_id, u.n_tokens, t2.top2_frac, t3.top3_frac,
+       |         d5.dup5_frac
+       |  FROM rp_uni u
+       |  LEFT JOIN rp_t2 t2 ON u.doc_id = t2.doc_id
+       |  LEFT JOIN rp_t3 t3 ON u.doc_id = t3.doc_id
+       |  LEFT JOIN rp_d5 d5 ON u.doc_id = d5.doc_id)""".stripMargin
+
+  /** The per-doc repetition RULE over `rp`'s columns — NULL fractions
+    * cannot breach (per-term COALESCE), and docs below the min-length
+    * floor are out of the rule's jurisdiction. Mirrors
+    * [[graft.operators.Curation.repetitiveFlag]] exactly. */
+  def repetitiveSqlExpr: String =
+    s"""(n_tokens >= ${Curation.RepMinTokens}
+       | AND (COALESCE(top2_frac > ${Curation.RepTop2Max}, FALSE)
+       |      OR COALESCE(top3_frac > ${Curation.RepTop3Max}, FALSE)
+       |      OR COALESCE(dup5_frac > ${Curation.RepDup5Max}, FALSE)))""".stripMargin
+
+  val repetitionProfileSql: String =
+    s"""WITH ${repetitionCtes("documents")}
+       |SELECT doc_id, n_tokens, top2_frac, top3_frac, dup5_frac
+       |FROM rp ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // x52 — collocation extraction: PMI-ranked adjacent bigrams

@@ -716,6 +716,7 @@ object ExtendedQueries {
   val GateMaxDupFrac  = 0.01
   val GateMaxLeakFrac = 0.01
   val GateMaxQuarFrac = 0.02
+  val GateMaxRepFrac  = 0.01
   val GateSlopeLo     = -1.5
   val GateSlopeHi     = -0.5
   val GateMinR2       = 0.9
@@ -731,7 +732,12 @@ object ExtendedQueries {
       sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"),
       (count(lit(1)) - count_distinct(TF.fingerprint(col("text"))))
         .as("n_exact_dups"),
-      round(avg(TF.qualityScore(col("text"))), 6).as("mean_quality"))
+      round(avg(TF.qualityScore(col("text"))), 6).as("mean_quality"),
+      // the x107 repetition battery as a GATE input: docs breaching the
+      // per-doc Gopher rule (row-local kernels — the count rides the
+      // same single-pass aggregate as the other corpus stats)
+      sum(when(Curation.repetitiveFlag(col("text")), 1L).otherwise(0L))
+        .cast("long").as("n_repetitive"))
     val pairs = crossingPairs(docs).localCheckpoint() // one audit, two consumers
     val leaks = pairs.agg(count(lit(1)).as("n_leak_pairs"))
     val quar = quarantineOf(pairs).agg(count(lit(1)).as("n_quarantined"))
@@ -754,6 +760,9 @@ object ExtendedQueries {
       .withColumn("breach_quarantine",
         when(col("n_docs") === 0, lit(true)).otherwise(
           col("n_quarantined").cast("double") / col("n_docs") > GateMaxQuarFrac))
+      .withColumn("breach_repetition",
+        when(col("n_docs") === 0, lit(true)).otherwise(
+          col("n_repetitive").cast("double") / col("n_docs") > GateMaxRepFrac))
       // a NULL fit (x89's degenerate-spectrum contract) is a breach:
       // "could not judge" must block, not wave through
       .withColumn("breach_zipf", coalesce(
@@ -763,8 +772,8 @@ object ExtendedQueries {
         coalesce(col("mean_quality") < GateMinQuality, lit(true)))
       .withColumn("pass",
         !(col("breach_exact_dups") || col("breach_leakage") ||
-          col("breach_quarantine") || col("breach_zipf") ||
-          col("breach_quality")))
+          col("breach_quarantine") || col("breach_repetition") ||
+          col("breach_zipf") || col("breach_quality")))
   }
 
   def releaseGate(s: SparkSession, dir: String): DataFrame =
@@ -776,6 +785,7 @@ object ExtendedQueries {
   // same-object ordering)
   lazy val releaseGateSql: String =
     s"""WITH pairs AS ($splitLeakageSql),
+       |${CurationQueries.repetitionCtes("documents")},
        |quar AS (
        |  SELECT doc_id, split FROM (
        |    SELECT id_a AS doc_id, split_a AS split FROM pairs
@@ -791,6 +801,8 @@ object ExtendedQueries {
        |         round(avg(${CurationQueries.qualitySqlExpr}), 6) AS mean_quality,
        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_leak_pairs,
        |         (SELECT CAST(COUNT(*) AS BIGINT) FROM quar) AS n_quarantined,
+       |         (SELECT CAST(COUNT(*) AS BIGINT) FROM rp
+       |          WHERE ${CurationQueries.repetitiveSqlExpr}) AS n_repetitive,
        |         (SELECT slope FROM zipf) AS zipf_slope,
        |         (SELECT r2 FROM zipf) AS zipf_r2
        |  FROM documents),
@@ -805,13 +817,16 @@ object ExtendedQueries {
        |    CASE WHEN n_docs = 0 THEN TRUE
        |         ELSE CAST(n_quarantined AS DOUBLE) / n_docs > $GateMaxQuarFrac
        |    END AS breach_quarantine,
+       |    CASE WHEN n_docs = 0 THEN TRUE
+       |         ELSE CAST(n_repetitive AS DOUBLE) / n_docs > $GateMaxRepFrac
+       |    END AS breach_repetition,
        |    COALESCE(NOT (zipf_slope BETWEEN $GateSlopeLo AND $GateSlopeHi
        |                  AND zipf_r2 >= $GateMinR2), TRUE) AS breach_zipf,
        |    COALESCE(mean_quality < $GateMinQuality, TRUE) AS breach_quality
        |  FROM g)
        |SELECT b.*,
        |  NOT (breach_exact_dups OR breach_leakage OR breach_quarantine
-       |       OR breach_zipf OR breach_quality) AS pass
+       |       OR breach_repetition OR breach_zipf OR breach_quality) AS pass
        |FROM b""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -1241,14 +1241,27 @@ class CurationSpec extends AnyFunSuite {
     val rows = ExtendedQueries.releaseGate(spark, TestSpark.Sf0001).collect()
     assert(rows.length == 1)
     val r = rows.head
-    assert(r.getLong(0) == docs.count())
-    assert(r.getLong(4) == ExtendedQueries.splitLeakage(spark, TestSpark.Sf0001).count())
-    assert(r.getLong(5) == ExtendedQueries.leakageQuarantine(spark, TestSpark.Sf0001).count())
+    assert(r.getAs[Long]("n_docs") == docs.count())
+    assert(r.getAs[Long]("n_leak_pairs") ==
+      ExtendedQueries.splitLeakage(spark, TestSpark.Sf0001).count())
+    assert(r.getAs[Long]("n_quarantined") ==
+      ExtendedQueries.leakageQuarantine(spark, TestSpark.Sf0001).count())
     val distinctFps = docs.select(
       graft.functions.TextFunctions.fingerprint(col("text"))).distinct().count()
-    assert(r.getLong(2) == docs.count() - distinctFps)
+    assert(r.getAs[Long]("n_exact_dups") == docs.count() - distinctFps)
     val z = Curation.zipfFit(docs).collect().head
-    assert(r.getDouble(6) == z.getDouble(1) && r.getDouble(7) == z.getDouble(3))
+    assert(r.getAs[Double]("zipf_slope") == z.getDouble(1) &&
+      r.getAs[Double]("zipf_r2") == z.getDouble(3))
+    // n_repetitive == the x107 profile thresholded by the per-doc rule
+    // (min-length floor + per-term coalesce, the repetitiveFlag contract)
+    val expectedRep = Curation.repetitionProfile(docs)
+      .filter(col("n_tokens") >= Curation.RepMinTokens &&
+        (coalesce(col("top2_frac") > Curation.RepTop2Max, lit(false)) ||
+         coalesce(col("top3_frac") > Curation.RepTop3Max, lit(false)) ||
+         coalesce(col("dup5_frac") > Curation.RepDup5Max, lit(false))))
+      .count()
+    assert(r.getAs[Long]("n_repetitive") == expectedRep,
+      s"n_repetitive=${r.getAs[Long]("n_repetitive")} profile says $expectedRep")
   }
 
   test("x105 clean splits: train never quarantined; totals reconcile with the corpus and x97") {
@@ -1340,7 +1353,14 @@ class CurationSpec extends AnyFunSuite {
       (4L, "b", s"$b coral"),
       (5L, "b", s"$b coral pearl onyx jade amethyst"), // more tokens => better
       (3L, "c", "completely distinct trigram content for the test split doc"),
-      (6L, "c", "another entirely unrelated passage for the train singleton")
+      (6L, "c", "another entirely unrelated passage for the train singleton"),
+      // a template flood (5-token phrase ×6 = 30 tokens ≥ the rule's
+      // floor; every fraction breaches): shares no trigram with any
+      // other doc and is no one's exact dup, so ONLY the stage-1
+      // repetition rule can remove it — the x107-battery-as-filter
+      // proof. (All OTHER planted docs sit under the 20-token floor,
+      // so the rule never perturbs the pair-stage fixture.)
+      (7L, "d", Seq.fill(6)("mint sage basil thyme dill").mkString(" "))
     ).toDF("doc_id", "source", "text")
     // preconditions the construction relies on
     val q = planted.select(col("doc_id"),
@@ -1350,8 +1370,9 @@ class CurationSpec extends AnyFunSuite {
     assert(q(5L) > q(4L), s"doc 5 must outscore doc 4: $q")
     val splits = planted.select(col("doc_id"),
         Curation.splitOf(col("doc_id")).as("s")).as[(Long, String)].collect().toMap
-    assert(splits == Map(1L -> "train", 2L -> "train", 4L -> "train",
-      5L -> "val", 3L -> "test", 6L -> "train"), s"split fixture drifted: $splits")
+    assert(splits.filter(_._1 <= 6L) == Map(1L -> "train", 2L -> "train",
+      4L -> "train", 5L -> "val", 3L -> "test", 6L -> "train"),
+      s"split fixture drifted: $splits") // doc 7 never reaches a pair stage
 
     val out = Curation.releasePipeline(planted, minQuality = 0.0,
       cap = 100, budget = 100000L).cache()
@@ -1364,22 +1385,32 @@ class CurationSpec extends AnyFunSuite {
     out.unpersist()
 
     // with the near-dup threshold unreachable, BOTH pair stages go
-    // quiet — every removal above came from them, not from the x104
-    // stages this fixture keeps open
+    // quiet — every removal above came from them EXCEPT doc 7, which
+    // only the stage-1 repetition rule explains (the pair stages are
+    // off and it survives when the rule is silenced below)
     val loose = Curation.releasePipeline(planted, minQuality = 0.0,
       cap = 100, budget = 100000L, threshold = 1.1)
       .select("doc_id").as[Long].collect().toSet
     assert(loose == Set(1L, 2L, 3L, 4L, 5L, 6L), s"got $loose")
 
-    // algebraic reduction: with the pair stages silenced, x106 IS x104
-    // (same survivors, same budgets) — the composition adds stages, it
-    // never perturbs the ones it inherited
-    val reduced = Curation.releasePipeline(docs, threshold = 1.1)
+    // rule silenced (fractions are capped at 1, so thresholds ≥ 1
+    // never fire): doc 7 is re-admitted — no other stage touches it
+    val repSilenced = Curation.releasePipeline(planted, minQuality = 0.0,
+      cap = 100, budget = 100000L, threshold = 1.1,
+      repTop2 = 2.0, repTop3 = 2.0, repDup5 = 2.0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(repSilenced == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L), s"got $repSilenced")
+
+    // algebraic reduction: with the pair stages AND the repetition rule
+    // silenced, x106 IS x104 (same survivors, same budgets) — the
+    // composition adds stages, it never perturbs the ones it inherited
+    val reduced = Curation.releasePipeline(docs, threshold = 1.1,
+        repTop2 = 2.0, repTop3 = 2.0, repDup5 = 2.0)
       .drop("split").orderBy("source", "doc_id").collect().toSeq
     val x104rows = Curation.curationPipeline(docs)
       .orderBy("source", "doc_id").collect().toSeq
     assert(reduced == x104rows,
-      "threshold-silenced x106 must equal x104 row-for-row")
+      "silenced x106 must equal x104 row-for-row")
 
     // default params on the sf0.001 fixture: x106 ⊆ x104's survivor set
     // is NOT an invariant (the cap re-opens slots), but the pipeline
@@ -1522,26 +1553,60 @@ class CurationSpec extends AnyFunSuite {
     assert(buckets.length <= 256)
   }
 
-  test("x99 gate verdict: Zipfian clean corpus passes; uniform spectrum trips ONLY the zipf breach") {
+  test("x99 gate verdict: clean corpus passes; floods trip exactly the gauges that own them") {
     import spark.implicits._
     import graft.queries.ExtendedQueries
     def b(r: org.apache.spark.sql.Row, name: String) = r.getAs[Boolean](name)
-    // exact-power-law corpus (the x89 construction): no dups, no
-    // cross-split near-dups (each doc owns ONE distinct trigram),
-    // quality ~0.96, slope exactly -1, r2 ~1 => every gauge clean
-    val K = 2520
-    val clean = (1 to 10)
-      .map(r => (r.toLong, Seq.fill(K / r)(s"tok$r").mkString(" ")))
-      .toDF("doc_id", "text")
+    val allBreaches = Seq("breach_exact_dups", "breach_leakage",
+      "breach_quarantine", "breach_repetition", "breach_zipf", "breach_quality")
+
+    // a genuinely clean corpus: seeded-random docs over a Zipf(0.8)
+    // vocabulary — global spectrum Zipfian (slope in the envelope, r2
+    // high), no doc internally repetitive (a token repeats, its BIGRAMS
+    // rarely do), no dups, no cross-split near-dups. The old x89
+    // construction (one token flooded per doc) is no longer usable as
+    // "clean": the repetition gauge correctly reads a doc of one
+    // repeated token as a template flood.
+    val rnd = new scala.util.Random(42)
+    val V = 2000
+    val weights = (1 to V).map(r => math.pow(r, -0.8))
+    val cum = weights.scanLeft(0.0)(_ + _).tail.toArray
+    def draw(): Int = {
+      val x = rnd.nextDouble() * cum.last
+      val i = java.util.Arrays.binarySearch(cum, x)
+      (if (i >= 0) i else -i - 1) + 1
+    }
+    val cleanRows = (1 to 200).map { d =>
+      (d.toLong, Seq.fill(30)(s"w${draw()}").mkString(" "))
+    }
+    val clean = cleanRows.toDF("doc_id", "text")
     val ok = ExtendedQueries.releaseGateOn(clean).collect().head
-    Seq("breach_exact_dups", "breach_leakage", "breach_quarantine",
-        "breach_zipf", "breach_quality").foreach(c => assert(!b(ok, c), c))
+    allBreaches.foreach(c => assert(!b(ok, c), c))
     assert(b(ok, "pass"))
 
-    // same corpus shape with a FLAT spectrum (every count equal):
-    // varY = 0 => r2 NULL by the degenerate-input contract, slope 0
-    // outside the envelope — the zipf gauge, and ONLY the zipf gauge,
-    // must trip, and the gate must name it
+    // the SAME clean corpus plus 5 distinct template-flood docs (a
+    // 5-token phrase repeated 6×; suffixed per doc so they are neither
+    // exact dups nor near-dups of anything): every added doc breaches
+    // the per-doc rule on all three fractions, 5/205 > the 1% budget —
+    // the repetition gauge, and ONLY the repetition gauge, trips
+    val spammed = (cleanRows ++ (1 to 5).map { d =>
+      val phrase = s"spam$d ham$d eggs$d bacon$d toast$d"
+      ((200 + d).toLong, Seq.fill(6)(phrase).mkString(" "))
+    }).toDF("doc_id", "text")
+    val rep = ExtendedQueries.releaseGateOn(spammed).collect().head
+    assert(rep.getAs[Long]("n_repetitive") == 5L)
+    assert(b(rep, "breach_repetition"),
+      "template-flood docs must trip the repetition gauge")
+    allBreaches.filterNot(_ == "breach_repetition")
+      .foreach(c => assert(!b(rep, c), s"$c must not trip"))
+    assert(!b(rep, "pass"))
+
+    // a FLAT spectrum (every count equal): varY = 0 => r2 NULL by the
+    // degenerate-input contract, slope 0 outside the envelope — the
+    // zipf gauge must trip and the gate must name it. The construction
+    // floods one token per doc, so the repetition gauge fires too (its
+    // own correct verdict on this corpus); the quality/dup/leak gauges
+    // stay clean.
     val uniform = (1 to 10)
       .map(r => (r.toLong, Seq.fill(252)(s"tok$r").mkString(" ")))
       .toDF("doc_id", "text")
@@ -1549,6 +1614,8 @@ class CurationSpec extends AnyFunSuite {
     assert(bad.isNullAt(bad.fieldIndex("zipf_r2")),
       "flat spectrum must yield NULL r2, not NaN")
     assert(b(bad, "breach_zipf"), "uniform spectrum must trip the zipf gauge")
+    assert(b(bad, "breach_repetition"),
+      "a one-token-per-doc flood is the definition of repetitive")
     Seq("breach_exact_dups", "breach_leakage", "breach_quarantine",
         "breach_quality").foreach(c => assert(!b(bad, c), s"$c must not trip"))
     assert(!b(bad, "pass"))
@@ -1567,7 +1634,7 @@ class CurationSpec extends AnyFunSuite {
     def b(name: String) = r.getAs[Boolean](name)
     assert(r.getAs[Long]("n_docs") == 0L)
     Seq("breach_exact_dups", "breach_leakage", "breach_quarantine",
-        "breach_zipf", "breach_quality").foreach(c =>
+        "breach_repetition", "breach_zipf", "breach_quality").foreach(c =>
       assert(b(c), s"$c must be TRUE (not NULL/false) on the empty corpus"))
     assert(!b("pass"), "an empty corpus must never pass the gate")
   }
