@@ -119,8 +119,6 @@ object SparkEntry {
       "embedding LSH near-dup: recall >= 0.5"),
     "x15_knn_ivf"            -> ("operators/SimilaritySearchSpec.scala",
       "ivfTopK: recall >= 0.5"),
-    "x16_winnowing_overlap"  -> ("operators/DedupSpec.scala",
-      "winnowing: a shared passage of >= w+k-1 tokens is always detected"),
     "x39_hll_rollup"         -> ("queries/SketchSpec.scala",
       "x39 hll rollup: day-sketch union estimates exact uniques within 5%"),
     "x40_embedding_clusters" -> ("operators/SimilaritySearchSpec.scala",

@@ -103,11 +103,20 @@ object TextFunctions {
   def fingerprint(text: Column): Column = md5(normalized(text))
 
   /** Winnowing fingerprint (the MOSS scheme), plain-JVM kernel: hash
-    * every word k-gram (64-bit, deterministic), then select the MINIMUM
+    * every word k-gram (60-bit, deterministic), then select the MINIMUM
     * hash of every window of `w` consecutive k-gram hashes. Guarantee:
     * any shared token run of length ≥ w+k-1 between two documents
     * contributes at least one common selected fingerprint — minimum
     * selection is position-independent.
+    *
+    * The gram hash is the top 60 bits of md5 — an ENGINE-SHARED hash
+    * (DuckDB: `CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)`), which is
+    * what lets the whole operator be oracle-hash-checked instead of
+    * rows-only (a seeded MurmurHash3 was tried first: faster, but
+    * JVM-private, so the oracle could only count rows). 60 bits keeps
+    * the value positive in both engines' signed int64 and loses nothing
+    * the 64-bit hash had — collision odds at corpus scale are governed
+    * by the birthday bound either way.
     *
     * Deliberately NOT a Column expression: Spark's higher-order
     * functions (`transform`/`slice`/`array_min`) are CodegenFallback —
@@ -119,21 +128,25 @@ object TextFunctions {
   def winnow(text: String, k: Int = 3, w: Int = 4): Array[Long] = {
     val toks = text.split(" ")
     if (toks.length < k) return Array.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
     val nGrams = toks.length - k + 1
     val hashes = new Array[Long](nGrams)
     var i = 0
     while (i < nGrams) {
-      // 64-bit gram hash from two seeded 32-bit murmurs — stable across
-      // JVMs (MurmurHash3 is a pure function of the content)
       val g = {
         val sb = new java.lang.StringBuilder(toks(i))
         var j = 1
         while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
         sb.toString
       }
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(g, 0x9747b28c)
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(g, 0x85ebca6b)
-      hashes(i) = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      // big-endian long of the first 8 digest bytes, top 60 bits — equals
+      // parsing the first 15 hex chars of the md5 string on either engine
+      val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      hashes(i) =
+        (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+         ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+         ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+         ((d(6) & 0xffL) << 8)  |  (d(7) & 0xffL)) >>> 4
       i += 1
     }
     if (nGrams < w) return Array(hashes.min)

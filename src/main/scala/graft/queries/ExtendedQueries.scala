@@ -301,12 +301,47 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
-  // x16 — winnowing (rolling-hash) fingerprint overlap pairs (hash-based:
-  // rows-only check; shared-passage guarantee tested in DedupSpec)
+  // x16 — winnowing (rolling-hash) fingerprint overlap pairs. Fully
+  // hash-checked since the gram hash moved to engine-shared md5 top-60:
+  // the oracle recomputes the positional gram hashes, the sliding-window
+  // minimum (a window MIN over w rows — the i ≤ n_grams−w clamp keeps
+  // exactly the kernel's windows, and greatest(...,0) reproduces the
+  // short-doc global-min fallback), the df cap, and the pair counts.
+  // Shared-passage guarantee additionally tested in DedupSpec.
   // ---------------------------------------------------------------------
   def winnowingOverlap(s: SparkSession, dir: String): DataFrame =
     Dedup.winnowingOverlaps(Tables.documents(s, dir))
       .orderBy("id_a", "id_b")
+
+  val winnowingOverlapSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), pos_h AS (
+       |  SELECT doc_id,
+       |         unnest(range(greatest(len(w) - 2, 0))) AS pos,
+       |         len(w) - 2 AS n_grams, w
+       |  FROM toks WHERE len(w) >= 3
+       |), h AS (
+       |  SELECT doc_id, pos, n_grams,
+       |         CAST(('0x' || substr(md5(w[pos+1] || ' ' || w[pos+2] || ' ' ||
+       |                                  w[pos+3]), 1, 15)) AS BIGINT) AS gh
+       |  FROM pos_h
+       |), sel AS (
+       |  SELECT DISTINCT doc_id, wmin FROM (
+       |    SELECT doc_id, pos, n_grams,
+       |           MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+       |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+       |    FROM h) t
+       |  WHERE pos <= greatest(n_grams - 4, 0)
+       |), rare AS (
+       |  SELECT wmin FROM sel GROUP BY wmin HAVING COUNT(*) <= 20
+       |), kept AS (
+       |  SELECT doc_id, wmin FROM sel JOIN rare USING (wmin))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(COUNT(*) AS BIGINT) AS shared_fps
+       |FROM kept a JOIN kept b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+       |ORDER BY 1, 2""".stripMargin
 
   // ---------------------------------------------------------------------
   // x15 — IVF ANN (learned coarse quantizer; rows-only check + recall
@@ -2557,7 +2592,7 @@ object ExtendedQueries {
     "x48_semdedup"           -> ((semDedup _, None)),
     "x102_semdedup_capped"   -> ((semDedupCapped _, None)),
     "x40_embedding_clusters" -> ((embeddingClusters _, None)),
-    "x16_winnowing_overlap"  -> ((winnowingOverlap _, None)),
+    "x16_winnowing_overlap"  -> ((winnowingOverlap _, Some(winnowingOverlapSql))),
     "x17_dedup_components"   -> ((dedupComponents _, Some(dedupComponentsSql))),
     "x37_dedup_keep_best"    -> ((dedupKeepBest _, Some(dedupKeepBestSql))),
     "x57_components_capped"  -> ((dedupComponentsCapped _, Some(dedupComponentsCappedSql))),
