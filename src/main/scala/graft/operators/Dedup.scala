@@ -649,6 +649,51 @@ object Dedup {
                cellCap: Int = Int.MaxValue): DataFrame = {
     val (assignments, _) = SimilaritySearch.clusterEmbeddings(
       spark, emb, nClusters, idCol, vecCol, seed)
+    semDedupFrom(assignments, emb, threshold, idCol, vecCol,
+      maxCellPairs, cellCap)
+  }
+
+  /** x108: [[semDedup]] with FIXED centroids — the embeddings of the
+    * first `nClusters` ids stand in for a learned k-means fit; every
+    * stage after assignment (cell cap, in-cell pairs, components,
+    * least-typical keeper) is the SAME code the learned variant runs.
+    * Removing the fit is exactly what makes the WHOLE operator
+    * oracle-hash-checkable: assignment becomes argmax-cosine against a
+    * deterministic relation both engines read from the same parquet,
+    * so cluster ids, components, and the keeper verdicts all
+    * hash-compare. A legitimate deployment mode in its own right
+    * (SemDeDup against frozen/pre-trained centroids), and the
+    * verification twin that pins the shared machinery x48/x102's
+    * rows-only checks cannot. Ties: highest cosine, then lowest
+    * centroid id — both on the raw double (engine-parity is the x09
+    * contract); cos_to_center is round(6) after the argmax. */
+  def semDedupFixedCentroids(emb: DataFrame,
+                             threshold: Double = 0.3, nClusters: Int = 8,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             maxCellPairs: Long = 1000000000L,
+                             cellCap: Int = Int.MaxValue): DataFrame = {
+    val cents = emb.filter(col(idCol) < nClusters)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+    val assignments = emb
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__cos",
+        VectorFunctions.cosine_similarity(col("__v"), col("__cv")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("__cid"), col("__cos")),
+        struct(col("__cos"), -col("__cid"))).as("__b"))
+      .select(col("vec_id"), col("__b.__cid").as("cluster"),
+              round(col("__b.__cos"), 6).as("cos_to_center"))
+    semDedupFrom(assignments, emb, threshold, idCol, vecCol,
+      maxCellPairs, cellCap)
+  }
+
+  /** The shared post-assignment SemDeDup machinery — everything after
+    * "each vector has a (cluster, cos_to_center)". */
+  private def semDedupFrom(assignments: DataFrame, emb: DataFrame,
+                           threshold: Double, idCol: String, vecCol: String,
+                           maxCellPairs: Long, cellCap: Int): DataFrame = {
     // cellCap: the df-cap story, embedding edition. On mass-duplicated
     // corpora a hot cell's pairwise work grows quadratically in the
     // duplication factor; capping each cell to its `cellCap` members

@@ -405,6 +405,78 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x108 — x48/x102's HASH-CHECKED twin: SemDeDup with FIXED centroids
+  // (the embeddings of vec_id 0..7) instead of a learned fit. The only
+  // non-SQL-expressible piece of the learned variants is the k-means
+  // fit; with frozen centroids the oracle recomputes assignment
+  // (argmax cosine), the cell cap, in-cell pairs, connected components
+  // (WITH RECURSIVE reachability — the x106 pattern), and the
+  // least-typical keeper rule, so the whole shared machinery gets a
+  // value-level hash check the rows-only entries cannot give.
+  // ---------------------------------------------------------------------
+  def semDedupFixed(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Dedup.semDedupFixedCentroids(Tables.embeddings(s, dir),
+      threshold = 0.3, nClusters = 8, cellCap = SemDedupCellCap)
+      .orderBy("vec_id")
+  }
+
+  val semDedupFixedSql: String = {
+    def cos(a: String, b: String) =
+      s"""(list_sum(list_transform(list_zip($a.embedding, $b.embedding),
+         |  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         |/ (sqrt(list_sum(list_transform($a.embedding, x -> CAST(x AS DOUBLE) * x)))
+         |   * sqrt(list_sum(list_transform($b.embedding, x -> CAST(x AS DOUBLE) * x)))))""".stripMargin
+    s"""WITH RECURSIVE cents AS (
+       |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8
+       |), assign AS (
+       |  SELECT vec_id, cluster, round(rawcos, 6) AS cos_to_center FROM (
+       |    SELECT e.vec_id, c.cid AS cluster, ${cos("e", "c")} AS rawcos,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cos("e", "c")} DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) t
+       |  WHERE rn = 1
+       |), examined AS (
+       |  SELECT cluster, vec_id, cos_to_center FROM (
+       |    SELECT a.*, row_number() OVER (PARTITION BY cluster
+       |      ORDER BY cos_to_center DESC, vec_id) AS rn
+       |    FROM assign a) t
+       |  WHERE rn <= $SemDedupCellCap
+       |), pairs AS (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM examined x
+       |  JOIN examined y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = x.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = y.vec_id
+       |  WHERE ${cos("ea", "eb")} >= 0.3
+       |), edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a FROM pairs
+       |), reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+       |), comp AS (
+       |  SELECT a AS vid, LEAST(a, MIN(b)) AS component
+       |  FROM reach GROUP BY a
+       |), labeled AS (
+       |  SELECT s.vec_id, s.cluster,
+       |         COALESCE(c.component, s.vec_id) AS component, s.cos_to_center
+       |  FROM assign s LEFT JOIN comp c ON s.vec_id = c.vid
+       |), keepers AS (
+       |  SELECT component, vec_id AS keeper FROM (
+       |    SELECT labeled.*, row_number() OVER (PARTITION BY component
+       |      ORDER BY cos_to_center, vec_id) AS rn
+       |    FROM labeled) t
+       |  WHERE rn = 1)
+       |SELECT l.vec_id, l.cluster, l.component, l.cos_to_center,
+       |       (l.vec_id = k.keeper) AS keep
+       |FROM labeled l JOIN keepers k ON l.component = k.component
+       |ORDER BY l.vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // x40 — semantic embedding clustering (SemDeDup-style topic buckets):
   // per-cluster size + cohesion summary. Centroids are learned ⇒
   // rows-only check; nearest-centroid = argmax-cosine is spec-proven.
@@ -2591,6 +2663,7 @@ object ExtendedQueries {
     "x46_knn_ivfpq"          -> ((knnIvfPq _, None)),
     "x48_semdedup"           -> ((semDedup _, None)),
     "x102_semdedup_capped"   -> ((semDedupCapped _, None)),
+    "x108_semdedup_fixed"    -> ((semDedupFixed _, Some(semDedupFixedSql))),
     "x40_embedding_clusters" -> ((embeddingClusters _, None)),
     "x16_winnowing_overlap"  -> ((winnowingOverlap _, Some(winnowingOverlapSql))),
     "x17_dedup_components"   -> ((dedupComponents _, Some(dedupComponentsSql))),

@@ -428,6 +428,49 @@ class DedupSpec extends AnyFunSuite {
     capped.unpersist()
   }
 
+  test("x108 fixed-centroid semdedup: planted dup collapses, keeper is least typical, machinery == learned variant's contract") {
+    graft.functions.VectorFunctions.register(spark)
+    val dim = 4
+    // ids 0..3 are BOTH corpus rows and the frozen centroids (one-hot
+    // directions); 10/11 are an exact dup pair near centroid 2; 12 sits
+    // in centroid 0's cell at a distinct angle
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f)), (3L, Array(0f, 0f, 0f, 1f)),
+      (10L, Array(0f, 0f, 1f, 0.01f)), (11L, Array(0f, 0f, 1f, 0.01f)),
+      (12L, Array(0.9f, 0.44f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semDedupFixedCentroids(emb, threshold = 0.3,
+      nClusters = 4).cache()
+
+    // totality + keep is a partition with exactly one keeper per group
+    assert(out.count() == 7)
+    assert(out.select("vec_id").distinct().count() == 7)
+    val badGroups = out.groupBy("component")
+      .agg(sum(when(col("keep"), 1).otherwise(0)).as("keepers"),
+        min(struct(col("cos_to_center"), col("vec_id"))).as("best"),
+        min_by(struct(col("cos_to_center"), col("vec_id")),
+          when(col("keep"), 0).otherwise(1)).as("kept"))
+      .filter(col("keepers") =!= 1 || col("best") =!= col("kept"))
+    assert(badGroups.count() == 0, "a group has !=1 keeper or the wrong keeper")
+
+    // the planted dup pair shares a component with its centroid row
+    // (cos(10,11)=1, cos(10,2)≈0.99995 — all ≥ 0.3), and the keeper is
+    // the LEAST typical member: 10 and 11 tie below 2, id-asc keeps 10
+    val rows = out.collect().map(r => r.getAs[Long]("vec_id") ->
+      (r.getAs[Long]("component"), r.getAs[Boolean]("keep"))).toMap
+    assert(rows(10L)._1 == rows(11L)._1 && rows(10L)._1 == rows(2L)._1)
+    assert(rows(10L)._2 && !rows(11L)._2 && !rows(2L)._2,
+      s"keeper rule picked the wrong member: $rows")
+    // 12 links to centroid row 0 in cell 0 (cos ≈ 0.898): 12 is the
+    // less typical member and keeps; 0 is dropped
+    assert(rows(12L)._1 == rows(0L)._1)
+    assert(rows(12L)._2 && !rows(0L)._2)
+    // untouched one-hot centroids are singleton keepers
+    assert(rows(1L)._2 && rows(3L)._2)
+    out.unpersist()
+  }
+
   // ------------------------------------------------------------------
   // x64/x65 — exact duplicated-substring spans
   // ------------------------------------------------------------------
