@@ -69,7 +69,7 @@ object SparkEntry {
     "x93_dsir_selection" ->
       "joint-vocabulary model relation grows with the corpus — use x96 (hashed fixed-width 4096-bucket model) at scale",
     "x68_bpe_merges" ->
-      "vocabulary must fit one executor task (maxVocab guard) — raise minWordFreq at web scale",
+      "vocabulary must fit one executor task (maxVocab guard) — raise minWordFreq, or use x109 (distributed per-round pair counts, O(numMerges) jobs) when the dictionary provably cannot fit",
     "s25_stream_neardup" ->
       "static reference pinned in executor memory — use s36 (durable sh-bucketed store, exchange-free per-batch join) when it must outlive the process",
     "x82_chi_square" ->
@@ -133,6 +133,8 @@ object SparkEntry {
       "x61 entry: 4 bands per full window"),
     "x68_bpe_merges"         -> ("operators/CurationSpec.scala",
       "x68 BPE: learned merges equal the reference algorithm"),
+    "x109_bpe_merges_distributed" -> ("operators/CurationSpec.scala",
+      "x109 distributed BPE: merge-for-merge equality with the kernel and the naive reference"),
     "x69_bpe_encode"         -> ("operators/CurationSpec.scala",
       "x69 BPE encode: rank-heap kernel == pass kernel == apply_bpe"),
     "x73_image_phash_dedup"  -> ("operators/MultimodalSpec.scala",

@@ -1753,6 +1753,82 @@ object Curation {
     rows.sortBy(_._1).toSeq.toDF("rank", "left", "right", "merged", "pair_freq")
   }
 
+  /** x109: the DISTRIBUTED BPE learner — [[bpeMerges]]' scale path for
+    * dictionaries that provably cannot fit one task. [[bpeMerges]] is
+    * O(1) Spark jobs but holds the whole (word, freq) dictionary in a
+    * single executor task (the loud maxVocab guard); here the
+    * dictionary NEVER concentrates anywhere. Each merge round is
+    *   1. one distributed pair-count aggregation — adjacent symbol
+    *      pairs exploded per word, weighted by word frequency
+    *      (overlapping occurrences included), partial-agg'd groupBy so
+    *      only (pair, count) rows cross the exchange;
+    *   2. a distributed top-1 argmax — `orderBy(count desc, left, right)
+    *      .limit(1)` plans as TakeOrdered (every partition contributes
+    *      one candidate; Spark's binary UTF8String ordering IS
+    *      code-point order, so ties break exactly as in the kernel);
+    *   3. a row-local merge application over the vocabulary (the merge
+    *      pair rides the closure — two strings, broadcast-sized by
+    *      construction).
+    * The trade is explicit and the OPPOSITE of bpeMerges': job count
+    * is O(numMerges) — a production 32k-merge vocabulary means 32k
+    * sequential rounds, and batching cannot fix that (the argmax
+    * CHAINS through just-created pairs; see bpeMerges' doc for the two
+    * measured failures) — against per-task memory O(1 row) at ANY
+    * vocabulary size. Use bpeMerges whenever the dictionary fits
+    * (Heaps' law keeps natural-text vocabularies in the tens of
+    * millions at 100 TB — it usually does); reach for this when the
+    * maxVocab guard fires and minWordFreq cannot be raised further.
+    *
+    * The per-round vocabulary relation is localCheckpoint-pinned:
+    * without the pin, round r's plan chains r map stages and total
+    * work goes O(numMerges²); with it each round is one bounded
+    * vocabulary-sized job (the pin is vocabulary-sized — exactly the
+    * relation this variant exists to keep distributed). Exact same
+    * semantics as bpeMerges, spec-proven merge-for-merge against both
+    * the single-task kernel and the naive reference. */
+  def bpeMergesDistributed(docs: DataFrame, textCol: String = "text",
+                           numMerges: Int = 20, minFreq: Long = 2L,
+                           minWordFreq: Long = 1L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(split(col(textCol), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minWordFreq)
+      .as[(String, Long)]
+      .map { case (w, f) => (w.map(_.toString).toArray, f) }
+      .toDF("syms", "freq")
+      .localCheckpoint()
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms)-2), " +
+            "i -> struct(syms[i] AS a, syms[i+1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .collect()
+      top.headOption match {
+        case Some(r) if r.getLong(2) >= minFreq =>
+          val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
+          merges += ((rank, a, b, a + b, c))
+          vocab = vocab.as[(Array[String], Long)]
+            .map { case (s, f) => (applyMerge(s, a, b), f) }
+            .toDF("syms", "freq")
+            .localCheckpoint()
+          rank += 1
+        case _ => done = true
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_freq")
+  }
+
   /** String comparison by Unicode CODE POINTS — identical to comparing
     * the UTF-8 encodings byte-for-byte, and to Spark's `UTF8String`
     * binary comparator — without allocating. `Ordering.String` (UTF-16

@@ -1194,6 +1194,18 @@ object CurationQueries {
     Curation.bpeMerges(Tables.documents(s, dir), numMerges = 20)
 
   // ---------------------------------------------------------------------
+  // x109 — the DISTRIBUTED BPE learner: x68's scale path for
+  // dictionaries too large for one task (per-round distributed
+  // pair-count aggregation + TakeOrdered argmax + row-local merge
+  // application; O(numMerges) jobs against O(1-row) per-task memory —
+  // the opposite trade of x68's O(1)-job single-task kernel). Same
+  // iterative-argmax reason as x68 → rows-only; merge-for-merge
+  // agreement with the kernel AND the naive reference is spec-asserted.
+  // ---------------------------------------------------------------------
+  def bpeMergesDistributedQ(s: SparkSession, dir: String): DataFrame =
+    Curation.bpeMergesDistributed(Tables.documents(s, dir), numMerges = 20)
+
+  // ---------------------------------------------------------------------
   // x69 — BPE encoding: learn the merge table on the corpus (x68), then
   // tokenize every document with it, emitting per-document subword
   // statistics. The learned table makes the output a function of an
@@ -1574,6 +1586,7 @@ object CurationQueries {
     "x52_collocations"        -> ((collocationsQ _, Some(collocationsSql))),
     "x53_approx_heavy_hitters" -> ((approxHeavyHitters _, Some(approxHeavyHittersSql))),
     "x68_bpe_merges"          -> ((bpeMergesQ _, None)),
+    "x109_bpe_merges_distributed" -> ((bpeMergesDistributedQ _, None)),
     "x69_bpe_encode"          -> ((bpeEncodeQ _, None)),
     "x90_tokenizer_fertility" -> ((tokenizerFertilityQ _, None)),
     "x71_bm25"                -> ((bm25 _, Some(bm25Sql))),

@@ -854,6 +854,59 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("x109 distributed BPE: merge-for-merge equality with the kernel and the naive reference") {
+    import spark.implicits._
+    // the x68 agreement fixture: all three learners (naive reference,
+    // single-task kernel, distributed per-round) must agree exactly
+    val corpus = Seq(
+      (0L, "lower lower lowest newer newer newer wider low low low"),
+      (1L, "newer wider wider lowest lower new new low"),
+      (2L, "the newest the widest the lowest newer lower"))
+    val df = corpus.toDF("doc_id", "text")
+    val wordFreq = corpus.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val expected = referenceBpe(wordFreq, 12)
+    val kernel = Curation.bpeMerges(df, numMerges = 12)
+      .select("rank", "left", "right", "pair_freq")
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    val dist = Curation.bpeMergesDistributed(df, numMerges = 12)
+      .select("rank", "left", "right", "pair_freq")
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(dist == expected, s"distributed != reference:\n$dist\n$expected")
+    assert(dist == kernel, "the three learners must agree merge-for-merge")
+
+    // the created-pair-chains trap (the property that sank batched
+    // rounds): per-round recounting must pick ('ab','c') at rank 2
+    val chain = (0L until 6L).map(i => (i, "abcd abcd abcd")).toDF("doc_id", "text")
+    val chainExp = referenceBpe(Map("abcd" -> 18L), 6)
+    assert(chainExp(1)._2 == "ab" && chainExp(1)._3 == "c")
+    val chainGot = Curation.bpeMergesDistributed(chain, numMerges = 6)
+      .select("rank", "left", "right", "pair_freq")
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(chainGot == chainExp, s"$chainGot != $chainExp")
+
+    // one tie-dense randomized trial (rounds are Spark jobs — keep the
+    // trial count low here; the kernel path covers 4 trials)
+    val rnd = new scala.util.Random(422)
+    val alphabet = "abcde"
+    val lexicon = (1 to 40).map { _ =>
+      (1 to (1 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val text = (1 to 120).map(_ => lexicon(rnd.nextInt(lexicon.length))).mkString(" ")
+    val tdf = Seq((0L, text)).toDF("doc_id", "text")
+    val tFreq = text.split(" ").filter(_.nonEmpty).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val tExp = referenceBpe(tFreq, 15, minFreq = 1L)
+    val tGot = Curation.bpeMergesDistributed(tdf, numMerges = 15, minFreq = 1L)
+      .select("rank", "left", "right", "pair_freq")
+      .as[(Int, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(tGot == tExp, s"$tGot != $tExp")
+
+    // minFreq floor + empty-corpus totality
+    assert(Curation.bpeMergesDistributed(
+      Seq((0L, "a b c")).toDF("doc_id", "text"), numMerges = 3).count() == 0)
+  }
+
   test("x68 BPE: minWordFreq thresholds the dictionary; maxVocab guards loudly") {
     import spark.implicits._
     val df = Seq((0L, "zz zz zz qq"), (1L, "zz qq ww")).toDF("doc_id", "text")
