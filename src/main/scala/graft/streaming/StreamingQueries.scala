@@ -1277,13 +1277,41 @@ object StreamingQueries {
 
   /** The per-batch admission join against the durable store: `batch`
     * carries (id_in, in_sh). Both static sides are read co-located
-    * from their buckets; only the batch side exchanges. */
+    * from their buckets; only the batch side exchanges.
+    *
+    * Store-side scan pruning (r14): the blk store's SMJ input is
+    * pre-pruned by an EXACT broadcast left-semi join against the
+    * batch's own shingle set — only store rows whose shingle the batch
+    * actually carries reach the merge. The build side is batch-sized
+    * by construction (micro-batch size is an ingest knob, never
+    * corpus-sized), deliberately NOT distinct'd (a distinct would add
+    * a third shuffle exchange; the semi-join's hash build dedups keys
+    * anyway), and a BroadcastHashJoin preserves the bucketed scan's
+    * partitioning AND sortBy ordering, so the plan keeps its
+    * ≤2-exchange / no-store-re-sort shape (PlanSpec pins it). What
+    * this prunes is merge-input ROWS, not scan BYTES: the store is
+    * bucketed (not partitioned) on sh, Spark has no runtime bucket
+    * pruning, and a set-membership predicate against a runtime
+    * relation cannot reach parquet's row-group stats — the receipts
+    * in COVERAGE.md carry the measured effect and that boundary.
+    *
+    * `prune` is store-size-gated by the caller (the broadcast build +
+    * batch pin cost a fixed per-batch overhead that only pays once the
+    * store dwarfs the batch — measured crossover between 30× and 100×,
+    * see [[PruneStoreRowsFloor]]). */
   private[graft] def bucketedNearDupDelta(s: SparkSession, batch: DataFrame,
                                           blkTbl: String, refTbl: String,
-                                          threshold: Double): DataFrame =
+                                          threshold: Double,
+                                          prune: Boolean = true): DataFrame = {
+    val blk =
+      if (prune)
+        s.table(blkTbl)
+          .join(broadcast(batch.select(explode(col("in_sh")).as("sh"))),
+            Seq("sh"), "left_semi")
+      else s.table(blkTbl)
     batch
       .select(col("id_in"), col("in_sh"), explode(col("in_sh")).as("sh"))
-      .join(s.table(blkTbl), "sh")
+      .join(blk, "sh")
       .join(s.table(refTbl), "id_ref")
       .withColumn("inter",
         size(array_intersect(col("in_sh"), col("ref_sh"))).cast("long"))
@@ -1291,6 +1319,16 @@ object StreamingQueries {
         (size(col("in_sh")).cast("long") + size(col("ref_sh")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_in"), col("id_ref"), col("jaccard"))
+  }
+
+  /** Engage the per-batch store-scan semi-prune only once the blocking
+    * store is big enough to pay for the per-batch broadcast build +
+    * batch pin: same-session A/B at the crossover's two sides measured
+    * 26.1 → 30.8 s at 30× (1.1M blk rows — prune LOSES 18%) and
+    * 178.4 → 155.5 s at 100× (3.8M blk rows — prune WINS 13%), both
+    * under the no-broadcast protocol; at a true 100 TB store the ratio
+    * only grows. Tests override via `pruneFloor` to pin both paths. */
+  private[graft] val PruneStoreRowsFloor = 2000000L
 
   /** The s36 core: s25's protocol with the two static relations stored
     * as durable bucketed tables instead of pinned executor memory.
@@ -1306,7 +1344,8 @@ object StreamingQueries {
                                            reference: DataFrame, refCap: Int,
                                            threshold: Double,
                                            workDir: Option[String] = None,
-                                           onBatch: Long => Unit = _ => ())
+                                           onBatch: Long => Unit = _ => (),
+                                           pruneFloor: Long = PruneStoreRowsFloor)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextKernels.word_shingles
@@ -1339,6 +1378,10 @@ object StreamingQueries {
       incoming.select(col("doc_id"), col("text"))
         .repartition(3).write.parquet(inDir)
 
+    // the store-size gate for the per-batch scan prune: one blk count
+    // per STREAM (not per batch), decided before the first trigger
+    val prune = s.table(blkTbl).count() >= pruneFloor
+
     val stream = s.readStream
       .schema(StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType))))
@@ -1349,12 +1392,17 @@ object StreamingQueries {
       .option("checkpointLocation", ck)
       .foreachBatch { (b: DataFrame, id: Long) =>
         onBatch(id)
-        bucketedNearDupDelta(s,
-          // one file per micro-batch = ONE input partition: fan the
-          // row-local shingle kernel out before it runs (s25's floor)
-          b.repartition(nPart)
-            .select(col("doc_id").as("id_in"), shArr(col("text")).as("in_sh")),
-          blkTbl, refTbl, threshold)
+        // one file per micro-batch = ONE input partition: fan the
+        // row-local shingle kernel out before it runs (s25's floor).
+        // When pruning, the shingled batch feeds TWO consumers (the
+        // semi-join build side and the main join side) — pin it so the
+        // repartition + kernel run once per batch, not twice (unpinned,
+        // the doubled build subplan measured a 1.8× wall regression at
+        // 30× that the pin fully recovers)
+        val shingled0 = b.repartition(nPart)
+          .select(col("doc_id").as("id_in"), shArr(col("text")).as("in_sh"))
+        val shingled = if (prune) shingled0.localCheckpoint() else shingled0
+        bucketedNearDupDelta(s, shingled, blkTbl, refTbl, threshold, prune)
           .write.mode("overwrite").parquet(s"$outDir/batch=$id")
         ()
       }

@@ -336,6 +336,27 @@ class StreamingSpec extends AnyFunSuite {
       "s36 leaked catalog tables")
   }
 
+  test("s36 store-scan prune: the semi-pruned path is row-identical to the unpruned one") {
+    // the r14 per-batch semi-prune is semantics-preserving BY
+    // CONSTRUCTION (a left-semi on the join's own key removes only
+    // rows the equi-join would drop anyway); pin it empirically by
+    // forcing both sides of the store-size gate on the same corpus —
+    // the small-SF registry run exercises the unpruned path, so this
+    // is the pruned path's standing correctness evidence
+    val srcNum = expr("CAST(substring(source, 4) AS INT)")
+    val docs = graft.Tables.documents(spark, TestSpark.Sf0001)
+    val inc = docs.filter(srcNum < 10)
+    val ref = docs.filter(srcNum >= 10)
+    def run(floor: Long) = graft.streaming.StreamingQueries
+      .nearDupStreamBucketed(spark, inc, ref, refCap = 4, threshold = 0.5,
+        pruneFloor = floor)
+      .as[(Long, Long, Double)].collect().toSeq
+    val pruned = run(0L)                // prune forced ON
+    val plain = run(Long.MaxValue)      // prune forced OFF
+    assert(pruned == plain, s"prune changed the result:\n$pruned\n$plain")
+    assert(pruned.nonEmpty, "fixture admitted nothing — vacuous equality")
+  }
+
   test("s36 totality: empty reference / empty incoming yield empty admissions, tables still cleaned") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val none = docs.limit(0)
