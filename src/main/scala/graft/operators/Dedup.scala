@@ -62,23 +62,49 @@ object Dedup {
     docs.select(col(idCol).as("id"),
                 explode(shingles(col(textCol), n)).as("sh"))
 
-  /** MinHash signatures: numHashes independent permutations approximated
-    * by seeded xxhash64. One shuffle: groupBy(id) with numHashes `min`
-    * partial aggregates. */
+  /** The MinHash permutation family is ENGINE-SHARED so the whole
+    * LSH pipeline is value-level oracle-checkable (the x16 promotion
+    * pattern): one base hash per distinct shingle — the top 60 bits of
+    * md5, reduced mod the Mersenne prime p = 2^31 − 1 — then numHashes
+    * affine maps h_i(g) = (a_i·g + b_i) mod p, a pairwise-independent
+    * family any SQL engine can replicate with literal seeds. Products
+    * stay under 2^62, so plain BIGINT arithmetic is exact on both
+    * engines. One md5 per shingle + k multiply-adds is also CHEAPER
+    * than k seeded string hashes. */
+  def minhashPrime: Long = 2147483647L
+  def minhashSeedA(i: Int): Long = ((i * 2654435761L + 1013904223L) % (minhashPrime - 1)) + 1
+  def minhashSeedB(i: Int): Long = (i * 1103515245L + 12345L) % minhashPrime
+
+  /** MinHash signatures: numHashes independent permutations over the
+    * engine-shared base hash (see [[minhashPrime]]). One shuffle:
+    * groupBy(id) with numHashes `min` partial aggregates; the md5 base
+    * is projected ONCE per (id, shingle) row, the k affine maps are
+    * codegen'd multiply-adds inside the partial aggregation. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, numHashes: Int): DataFrame = {
     val sh = shingleSet(docs, idCol, textCol, n)
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+      .select(col("id"),
+        (conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long")
+          % minhashPrime).as("g"))
+    val mins = (0 until numHashes).map { i =>
+      min((lit(minhashSeedA(i)) * col("g") + lit(minhashSeedB(i))) % minhashPrime)
+        .as(s"h$i")
+    }
     sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
-  /** LSH banding: (id, band index, hash of the band's signature slice).
-    * Equal band hash ⇒ candidate pair. */
+  /** LSH banding: (id, band index, band key). The band key is the
+    * slice's VALUES joined as a string, not a hash of the slice —
+    * collision-free by construction, so candidate semantics are
+    * exactly "all rows of the band equal" on any engine (a hashed
+    * band key would admit ~2^-64 spurious candidates the oracle
+    * cannot reproduce). */
   private def banded(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     sigs.select(col("id"), posexplode(
       array((0 until bands).map { b =>
-        xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+        concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("array<string>"))
       }: _*)).as(Seq("band", "bh")))
 
   /** Candidate near-duplicate pairs from banded MinHash signatures,

@@ -128,14 +128,70 @@ object ExtendedQueries {
        |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------------
-  // x06/x07 — MinHash-LSH and SimHash near-dups (hash-based: rows-only
-  // driver check; recall/precision invariants covered in ScalaTest)
+  // x06 — MinHash-LSH near-dups. Fully hash-checked since the
+  // permutation family moved to engine-shared md5-top-60 + affine maps
+  // mod 2^31−1 (the x16 promotion pattern) and the band key became the
+  // slice VALUES (collision-free): the oracle recomputes the shingle
+  // sets, all 32 minhashes, the 8 band keys, the 200-cap bucket prune,
+  // the candidate self-join, and the exact-Jaccard verification.
   // ---------------------------------------------------------------------
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(s, dir), threshold = 0.9)
       .orderBy("id_a", "id_b")
   // (defaults: word-trigram shingles, 32 hashes in 8×4 bands — see
   // Dedup.minhashNearDups scale rationale; recall invariants in DedupSpec)
+
+  val dedupMinhashSql: String = {
+    val p = Dedup.minhashPrime
+    val minTerms = (0 until 32).map { i =>
+      s"MIN((${Dedup.minhashSeedA(i)}*g + ${Dedup.minhashSeedB(i)}) % $p) AS h$i"
+    }.mkString(", ")
+    val bandRows = (0 until 8).map { b =>
+      val key = (0 until 4).map(r => s"CAST(h${b * 4 + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, $key AS bh FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), shraw AS (
+       |  SELECT DISTINCT doc_id,
+       |         w[pos+1] || ' ' || w[pos+2] || ' ' || w[pos+3] AS sh
+       |  FROM (SELECT doc_id, w, unnest(range(len(w) - 2)) AS pos
+       |        FROM toks WHERE len(w) >= 3)
+       |), gh AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % $p AS g
+       |  FROM shraw
+       |), sig AS (
+       |  SELECT doc_id, $minTerms FROM gh GROUP BY doc_id
+       |), bandrows AS (
+       |  $bandRows
+       |), pruned AS (
+       |  SELECT doc_id, band, bh FROM (
+       |    SELECT doc_id, band, bh, COUNT(*) OVER (PARTITION BY band, bh) AS bsz
+       |    FROM bandrows) t
+       |  WHERE bsz <= 200
+       |), cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM pruned a JOIN pruned b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |), sz AS (
+       |  SELECT doc_id, COUNT(*) AS n_sh FROM shraw GROUP BY doc_id
+       |), inter AS (
+       |  SELECT id_a, id_b, COUNT(*) AS n_int
+       |  FROM cands
+       |  JOIN shraw sa ON sa.doc_id = id_a
+       |  JOIN shraw sb ON sb.doc_id = id_b AND sa.sh = sb.sh
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b,
+       |       CAST(n_int AS DOUBLE) / (za.n_sh + zb.n_sh - n_int) AS jaccard
+       |FROM inter
+       |JOIN sz za ON za.doc_id = id_a
+       |JOIN sz zb ON zb.doc_id = id_b
+       |WHERE CAST(n_int AS DOUBLE) / (za.n_sh + zb.n_sh - n_int) >= 0.9
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(Tables.documents(s, dir), maxHamming = 7)
@@ -2647,7 +2703,7 @@ object ExtendedQueries {
     "x03_lang_id"            -> ((langId _, Some(langIdSql))),
     "x04_fingerprint"        -> ((fingerprintQ _, Some(fingerprintSql))),
     "x05_dedup_exact"        -> ((dedupExact _, Some(dedupExactSql))),
-    "x06_dedup_minhash"      -> ((dedupMinhash _, None)),
+    "x06_dedup_minhash"      -> ((dedupMinhash _, Some(dedupMinhashSql))),
     "x07_dedup_simhash"      -> ((dedupSimhash _, None)),
     "x08_ngram_jaccard"      -> ((ngramJaccard _, Some(ngramJaccardSql))),
     "x09_embedding_neardup"  -> ((embeddingNearDup _, Some(embeddingNearDupSql))),
