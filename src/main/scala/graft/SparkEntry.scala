@@ -107,8 +107,6 @@ object SparkEntry {
       "m04 maintenance pass"),
     "q02a_latency_approx"    -> ("operators/MultimodalSpec.scala",
       "quantile sketch variant tracks the exact percentiles"),
-    "x07_dedup_simhash"      -> ("operators/DedupSpec.scala",
-      "simhash 8-chunk banding"),
     "x11_knn_lsh"            -> ("operators/SimilaritySearchSpec.scala",
       "lshTopK: recall >= 0.5"),
     "x12_multimodal_features" -> ("operators/MultimodalSpec.scala",

@@ -188,47 +188,80 @@ object Dedup {
   // -------------------------------------------------------------------
 
   /** 64-bit SimHash over the token multiset: bit j of the signature is
-    * the sign of Σ_occurrences (±1 from bit j of xxhash64(token)).
+    * the sign of Σ_occurrences (±1 from bit j of the token's base hash).
     * Summing ±1 per OCCURRENCE is identical to summing ±count per
     * distinct token, so no (id, token) pre-aggregation exists — one
     * shuffle total, with the 64 conditional sums partially aggregated
-    * map-side. */
+    * map-side.
+    *
+    * The base hash is ENGINE-SHARED (the x06/x16 family): the first 16
+    * hex chars of md5, carried as TWO 32-bit halves `(sh_hi, sh_lo)` —
+    * a single signed 64-bit value would make the j=63 term `1<<63`
+    * negative on the JVM and unrepresentable in engines whose BIGINT
+    * cast rejects values over 2^63−1, while each half stays in
+    * [0, 2^32) where every engine's integer semantics agree. */
   def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     val tok = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
+      .withColumn("m", md5(col("t")))
+      .select(col("id"),
+        conv(substring(col("m"), 1, 8), 16, 10).cast("long").as("hhi"),
+        conv(substring(col("m"), 9, 8), 16, 10).cast("long").as("hlo"))
     val bitSums = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j")
+      val half = if (j < 32) col("hlo") else col("hhi")
+      sum(when(shiftright(half, j % 32).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$j")
     }
     val agg = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64).map { j =>
-      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    def half(lowBit: Int): Column = (0 until 32).map { j =>
+      when(col(s"b${lowBit + j}") > 0, shiftleft(lit(1L), j)).otherwise(0L)
     }.reduce[Column](_.bitwiseOR(_))
-    agg.select(col("id"), simhash.as("simhash"))
+    agg.select(col("id"), half(32).as("sh_hi"), half(0).as("sh_lo"))
   }
 
   /** Near-dup pairs by SimHash: candidates share at least one of EIGHT
     * 8-bit chunks — by pigeonhole, any pair with hamming distance ≤ 7 has
     * all differing bits spread over ≤ 7 chunks, so at least one chunk is
-    * equal: recall is guaranteed (exactly 1.0) for maxHamming ≤ 7.
-    * Verified with exact popcount of the XOR (see DedupSpec recall test). */
+    * equal: recall is guaranteed (exactly 1.0) for maxHamming ≤ 7 among
+    * pairs whose shared chunk lies in an unsaturated bucket.
+    * Verified with exact popcount of the XOR (see DedupSpec recall test).
+    *
+    * `maxBucketSize` is the x06 suppression, and it is LOAD-BEARING
+    * here: the banding key space is only 8 chunks × 256 values = 2048
+    * buckets, so candidate volume has an n²/2048 floor even for uniform
+    * signatures — and real signatures are far from uniform (common
+    * tokens swing the same bit sums across documents; measured on the
+    * v3 fixture at sf0.1: 4.06M candidates from 5,000 docs = 32% of ALL
+    * pairs, growing 124× at 30× data). A bucket of size m contributes
+    * m² pairs; capping bounds total candidates at 2048·cap² regardless
+    * of corpus size. Mass near-identical content inside saturated
+    * buckets is the exact-dedup-first / minhash regime — same
+    * documented trade as [[minhashNearDups]]. */
   def simhashNearDups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                      maxHamming: Int = 7): DataFrame = {
+                      maxHamming: Int = 7, maxBucketSize: Int = 200): DataFrame = {
     require(maxHamming <= 7, s"8-chunk banding guarantees recall only for hamming <= 7, got $maxHamming")
     val sig = simhashSignatures(docs, idCol, textCol)
     // materialized once: both self-join sides would otherwise re-run the
     // 64-column signature aggregation
-    val chunks = sig.select(col("id"), col("simhash"), posexplode(
-      array((0 until 8).map(c =>
-        shiftright(col("simhash"), c * 8).bitwiseAND(0xFFL)): _*)).as(Seq("chunk", "ch")))
+    val chunks = sig.select(col("id"), col("sh_hi"), col("sh_lo"), posexplode(
+      array((0 until 8).map { c =>
+        val half = if (c < 4) col("sh_lo") else col("sh_hi")
+        shiftright(half, (c % 4) * 8).bitwiseAND(0xFFL)
+      }: _*)).as(Seq("chunk", "ch")))
+      .withColumn("__bsz", count("*").over(
+        Window.partitionBy(col("chunk"), col("ch"))))
+      .filter(col("__bsz") <= maxBucketSize)
+      .drop("__bsz")
       .localCheckpoint()
     chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch") &&
         col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-              col("x.simhash").as("sh_a"), col("y.simhash").as("sh_b"))
+              col("x.sh_hi").as("ha"), col("x.sh_lo").as("la"),
+              col("y.sh_hi").as("hb"), col("y.sh_lo").as("lb"))
       .distinct()
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }

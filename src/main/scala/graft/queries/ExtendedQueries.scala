@@ -193,9 +193,60 @@ object ExtendedQueries {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // x07 — SimHash near-dups. Fully hash-checked since the token hash
+  // moved to engine-shared md5 (first 16 hex chars as two 32-bit halves
+  // — a single signed 64-bit signature would be unrepresentable at bit
+  // 63 on one engine or the other): the oracle recomputes all 64
+  // per-bit sign sums, both signature halves, the 8-bit chunk banding,
+  // the 200-cap bucket prune (load-bearing at scale — see
+  // Dedup.simhashNearDups), the candidate self-join, and the exact
+  // XOR-popcount hamming filter.
+  // ---------------------------------------------------------------------
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(Tables.documents(s, dir), maxHamming = 7)
       .orderBy("id_a", "id_b")
+
+  val dedupSimhashSql: String = {
+    val sums = (0 until 64).map { j =>
+      val src = if (j < 32) s"(hlo >> $j)" else s"(hhi >> ${j - 32})"
+      s"SUM(CASE WHEN $src & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(", ")
+    def half(lowBit: Int) = (0 until 32).map { j =>
+      s"(CASE WHEN b${lowBit + j} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val ham = "bit_count(xor(ha, hb)) + bit_count(xor(la, lb))"
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+       |), h AS (
+       |  SELECT doc_id,
+       |         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS hhi,
+       |         CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT) AS hlo
+       |  FROM tok
+       |), bits AS (
+       |  SELECT doc_id, $sums FROM h GROUP BY doc_id
+       |), sig AS (
+       |  SELECT doc_id, ${half(32)} AS sh_hi, ${half(0)} AS sh_lo FROM bits
+       |), chunks0 AS (
+       |  SELECT doc_id, sh_hi, sh_lo, c AS chunk,
+       |         CASE WHEN c < 4 THEN (sh_lo >> (c * 8)) & 255
+       |              ELSE (sh_hi >> ((c - 4) * 8)) & 255 END AS ch
+       |  FROM sig CROSS JOIN (SELECT unnest(range(8)) AS c)
+       |), chunks AS (
+       |  SELECT doc_id, sh_hi, sh_lo, chunk, ch FROM (
+       |    SELECT *, COUNT(*) OVER (PARTITION BY chunk, ch) AS bsz
+       |    FROM chunks0) t
+       |  WHERE bsz <= 200
+       |), pairs AS (
+       |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+       |         x.sh_hi AS ha, x.sh_lo AS la, y.sh_hi AS hb, y.sh_lo AS lb
+       |  FROM chunks x JOIN chunks y
+       |    ON x.chunk = y.chunk AND x.ch = y.ch AND x.doc_id < y.doc_id
+       |)
+       |SELECT id_a, id_b, CAST($ham AS BIGINT) AS hamming
+       |FROM pairs WHERE $ham <= 7
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   // x08 — n-gram Jaccard top-k (exact; oracle via lateral unnest)
@@ -2704,7 +2755,7 @@ object ExtendedQueries {
     "x04_fingerprint"        -> ((fingerprintQ _, Some(fingerprintSql))),
     "x05_dedup_exact"        -> ((dedupExact _, Some(dedupExactSql))),
     "x06_dedup_minhash"      -> ((dedupMinhash _, Some(dedupMinhashSql))),
-    "x07_dedup_simhash"      -> ((dedupSimhash _, None)),
+    "x07_dedup_simhash"      -> ((dedupSimhash _, Some(dedupSimhashSql))),
     "x08_ngram_jaccard"      -> ((ngramJaccard _, Some(ngramJaccardSql))),
     "x09_embedding_neardup"  -> ((embeddingNearDup _, Some(embeddingNearDupSql))),
     "x84_semantic_split_leakage" -> ((semanticSplitLeakage _, Some(semanticSplitLeakageSql))),

@@ -52,15 +52,25 @@ class DedupSpec extends AnyFunSuite {
     val docs = (Seq((100L, doc(1)), (101L, doc(1)), // exact dup → hamming 0
       (102L, doc(1).split(" ").updated(0, "zulu").mkString(" "))) ++ // near dup
       (0 until 15).map(i => (i.toLong, doc(i + 50)))).toDF("doc_id", "text")
-    val sigs = Dedup.simhashSignatures(docs).as[(Long, Long)].collect().toMap
+    val sigs = Dedup.simhashSignatures(docs).as[(Long, Long, Long)].collect()
+      .map { case (id, hi, lo) => id -> (hi, lo) }.toMap
     val expected = (for {
       a <- sigs.keys; b <- sigs.keys if a < b
-      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 7
+      if java.lang.Long.bitCount(sigs(a)._1 ^ sigs(b)._1) +
+        java.lang.Long.bitCount(sigs(a)._2 ^ sigs(b)._2) <= 7
     } yield (a, b)).toSet
     val actual = Dedup.simhashNearDups(docs, maxHamming = 7)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(actual == expected)          // exact: guaranteed recall AND exact verify
     assert(expected.contains((100L, 101L))) // the planted exact dup is in there
+  }
+
+  test("simhash bucket cap binds: a saturated chunk bucket is excluded from pair generation") {
+    // 12 identical docs saturate every bucket they touch under cap 5 —
+    // zero pairs survive; under the default cap they are all pairs.
+    val docs = (0 until 12).map(i => (i.toLong, doc(1))).toDF("doc_id", "text")
+    assert(Dedup.simhashNearDups(docs, maxHamming = 7, maxBucketSize = 5).count() === 0L)
+    assert(Dedup.simhashNearDups(docs, maxHamming = 7).count() === 66L)
   }
 
   test("simhash rejects maxHamming beyond the banding guarantee") {
