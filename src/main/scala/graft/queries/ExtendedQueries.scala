@@ -2718,6 +2718,7 @@ object ExtendedQueries {
 
   def imagePhashDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     import graft.operators.Multimodal.{PpmCodec, PHash}
     val hashes = phashAssets(s).as[(Long, Array[Byte])].mapPartitions { it =>
       it.map { case (id, bytes) =>
@@ -2732,6 +2733,16 @@ object ExtendedQueries {
       }: _*)).as("bk"))
       .select(col("asset_id"), col("phash"), col("bk.band").as("band"),
               col("bk.key").as("key"))
+      // the x06/x07 bucket cap: 4 bands × 2^16 values saturate on a
+      // large correlated-image corpus the same way simhash's 2048
+      // buckets do on text — a bucket of m near-identical assets (or
+      // flat/synthetic frames sharing AC signs) contributes m² pairs;
+      // capping bounds candidates regardless of corpus size. Never
+      // binds on the 48-asset fixture (hash unchanged).
+      .withColumn("__bsz", count("*").over(
+        Window.partitionBy(col("band"), col("key"))))
+      .filter(col("__bsz") <= 200)
+      .drop("__bsz")
     banded.join(
         banded.select(col("asset_id").as("id_b"), col("phash").as("phash_b"),
                       col("band"), col("key")),
