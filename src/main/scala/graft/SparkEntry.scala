@@ -77,7 +77,7 @@ object SparkEntry {
     "s28_shard_writer" ->
       "wall grows with SHARD COUNT (total tokens / budget) via the partitioned write - size the token budget to the corpus",
     "x14_embedding_neardup_lsh" ->
-      "candidate volume tracks TRUE near-dup pair count: mass-duplicated corpora grow pairs quadratically in the duplication factor - cluster-dedup first (x48) on such corpora",
+      "plane count is ADAPTIVE (ceil(log2(n/64)), floor 4) so bucket granularity tracks the corpus; remaining candidate volume tracks TRUE near-dup pair count, which mass-duplicated corpora grow quadratically in the duplication factor - cluster-dedup first (x48) on such corpora",
     "x48_semdedup" ->
       "within-cell pairwise: cells bound the quadratic, but heavy duplication still grows pair work - use the cellCap mode (x102) on pathological corpora",
     "x87_bigram_xent" ->

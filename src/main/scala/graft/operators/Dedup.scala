@@ -805,14 +805,32 @@ object Dedup {
         col("cos_to_center"), (col("vec_id") === col("__keeper")).as("keep"))
   }
 
+  /** planes ≤ 0 (the default) = ADAPTIVE: ceil(log2(n / 64)) with a
+    * floor of 4, so the bucket count tracks the corpus and E[bucket]
+    * stays ≈ 64. This is the lshTopK Scaladoc's "planes should grow
+    * with log(n)" made code: with FIXED planes the 2^planes·tables key
+    * space saturates (4 planes = 128 buckets total — a 100k-vector
+    * corpus puts ~6k vectors in every bucket and candidate volume is
+    * n²/32 no matter the data). Finer buckets cost wide-angle recall
+    * (the S-curve: per-table collision = (1−θ/π)^planes) but barely
+    * touch true near-dups — at cosine 0.999 (θ≈1.4°) nine planes still
+    * collide per-table with p≈0.96 — which is exactly the trade a
+    * near-dup blocker should make as n grows. One count() job when
+    * adaptive (metadata-fast on parquet). */
   def embeddingNearDupsLsh(emb: DataFrame, idCol: String = "vec_id",
                            vecCol: String = "embedding",
                            threshold: Double = 0.3,
-                           dim: Int = 64, planes: Int = 4, tables: Int = 8,
+                           dim: Int = 64, planes: Int = 0, tables: Int = 8,
                            seed: Long = 42L): DataFrame = {
+    val p =
+      if (planes > 0) planes
+      else {
+        val m = emb.count() / 64
+        math.max(4, if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1))
+      }
     val bucketed = SimilaritySearch.bucketize(
       emb.select(col(idCol).as("id"), col(vecCol).as("v")),
-      "v", dim, planes, tables, seed)
+      "v", dim, p, tables, seed)
       .localCheckpoint() // both self-join sides; see ngramJaccardAll note
     bucketed.as("x").join(bucketed.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
