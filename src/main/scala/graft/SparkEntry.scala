@@ -66,6 +66,8 @@ object SparkEntry {
       "candidate volume tracks TRUE cross-split near-dup count: mass-duplicated corpora grow pairs quadratically in the duplication factor (same regime as x14)",
     "x10_knn_bruteforce" ->
       "exact full-scan baseline — use x15/x45/x46 (IVF/PQ) at scale",
+    "x11_knn_lsh" ->
+      "fixed-plane hyperplane-LSH baseline (recall-first, wide-angle neighbors): bucket occupancy grows with n — use x15/x46 (IVF probe-cells, density-following) at scale",
     "x93_dsir_selection" ->
       "joint-vocabulary model relation grows with the corpus — use x96 (hashed fixed-width 4096-bucket model) at scale",
     "x68_bpe_merges" ->
