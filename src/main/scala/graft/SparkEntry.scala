@@ -68,6 +68,8 @@ object SparkEntry {
       "exact full-scan baseline — use x15/x45/x46 (IVF/PQ) at scale",
     "x11_knn_lsh" ->
       "fixed-plane hyperplane-LSH baseline (recall-first, wide-angle neighbors): bucket occupancy grows with n — use x15/x46 (IVF probe-cells, density-following) at scale",
+    "x110_knn_lsh_multiprobe" ->
+      "query-side recall amplification at fixed planes/tables (probing beats re-bucketing the corpus-sized item side); bucket occupancy still grows with n — use x15/x46 at scale",
     "x93_dsir_selection" ->
       "joint-vocabulary model relation grows with the corpus — use x96 (hashed fixed-width 4096-bucket model) at scale",
     "x68_bpe_merges" ->
@@ -111,6 +113,8 @@ object SparkEntry {
       "quantile sketch variant tracks the exact percentiles"),
     "x11_knn_lsh"            -> ("operators/SimilaritySearchSpec.scala",
       "lshTopK: recall >= 0.5"),
+    "x110_knn_lsh_multiprobe" -> ("operators/SimilaritySearchSpec.scala",
+      "multi-probe LSH: probes=0 equals lshTopK; probing never loses recall"),
     "x12_multimodal_features" -> ("operators/MultimodalSpec.scala",
       "features have the declared shape"),
     "x14_embedding_neardup_lsh" -> ("operators/DedupSpec.scala",

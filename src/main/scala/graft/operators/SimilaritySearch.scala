@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TopKAggregator, VectorFunctions}
@@ -142,6 +142,76 @@ object SimilaritySearch {
         col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), col("q_vec"), col("i_vec"))
       .distinct() // union of candidates across tables
+      .withColumn("cosine", VectorFunctions.cosine_similarity(col("q_vec"), col("i_vec")))
+    topKPerQuery(scored.select(col("query_id"), col("vec_id"), col("cosine")), k)
+  }
+
+  /** Multi-probe hyperplane LSH (Lv, Josephson, Wang, Charikar & Li,
+    * VLDB 2007): each query probes its own bucket PLUS the buckets
+    * reached by flipping the sign bit of the `probes` planes with the
+    * smallest |projection| — the planes the query is least confident
+    * about, which is exactly where a true neighbor on the other side of
+    * the plane is most likely to sit.
+    *
+    * The scale rationale: recall amplification by MORE TABLES costs
+    * another bucketing pass and another join fan-out on the ITEM side —
+    * the corpus-sized side — while probing costs only (1+probes)
+    * bucket keys per QUERY row. Same item index as [[lshTopK]]
+    * (bit-identical bucketing), candidates bounded at (1+probes)× per
+    * table, `probes = 0` reproduces [[lshTopK]] exactly (spec-pinned).
+    * Output shape identical to [[bruteForceTopK]]. */
+  def lshMultiProbeTopK(spark: SparkSession, items: DataFrame, queries: DataFrame,
+                        k: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+                        dim: Int = 64, planes: Int = 4, tables: Int = 8,
+                        probes: Int = 2, seed: Long = 42L): DataFrame = {
+    require(probes >= 0 && probes <= planes,
+      s"probes must be in [0, planes=$planes], got $probes")
+    val hp = hyperplanes(dim, planes, tables, seed)
+
+    val it = items.select(col(idCol).as("vec_id"), col(vecCol).as("i_vec"),
+      posexplode(array(hp.map(t => bucketExpr(col(vecCol), t)): _*))
+        .as(Seq("i_tbl", "i_bucket")))
+
+    // Query-side probe keys: for every table, the base key (always
+    // probed) and each single-plane flip tagged with its confidence
+    // rank — rank j = how many OTHER planes have strictly smaller
+    // |projection| (index tie-break); only ranks < probes are probed.
+    // O(planes²) comparison expressions per table, on the QUERY side
+    // only, where rows are few by contract.
+    val probeStructs: Seq[Column] = hp.zipWithIndex.toSeq.flatMap { case (table, t) =>
+      val projs: Array[Column] = table.map { plane =>
+        VectorFunctions.dot_product(col("q_vec"), array(plane.map(x => lit(x)): _*))
+      }
+      val base: Column = projs.zipWithIndex.map { case (p, j) =>
+        when(p >= 0, shiftleft(lit(1L), j)).otherwise(0L)
+      }.reduce[Column](_.bitwiseOR(_))
+      val baseStruct =
+        struct(lit(t).as("tbl"), base.as("key"), lit(true).as("inc"))
+      val flips = (0 until table.length).map { j =>
+        val rank = (0 until table.length).filter(_ != j).map { j2 =>
+          val before = abs(projs(j2)) < abs(projs(j)) ||
+            (abs(projs(j2)) === abs(projs(j)) && lit(j2 < j))
+          when(before, 1).otherwise(0)
+        }.reduce[Column](_ + _)
+        struct(lit(t).as("tbl"),
+          base.bitwiseXOR(shiftleft(lit(1L), j)).as("key"),
+          (rank < probes).as("inc"))
+      }
+      baseStruct +: flips
+    }
+
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .select(col("query_id"), col("q_vec"),
+        explode(array(probeStructs: _*)).as("pb"))
+      .filter(col("pb.inc"))
+      .select(col("query_id"), col("q_vec"),
+        col("pb.tbl").as("q_tbl"), col("pb.key").as("q_bucket"))
+
+    val scored = it.join(broadcast(q),
+        col("i_tbl") === col("q_tbl") && col("i_bucket") === col("q_bucket") &&
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("q_vec"), col("i_vec"))
+      .distinct() // union of candidates across tables AND probes
       .withColumn("cosine", VectorFunctions.cosine_similarity(col("q_vec"), col("i_vec")))
     topKPerQuery(scored.select(col("query_id"), col("vec_id"), col("cosine")), k)
   }

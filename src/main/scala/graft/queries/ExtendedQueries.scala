@@ -408,6 +408,23 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x110 — multi-probe LSH ANN (Lv et al. 2007): x11 with each query
+  // additionally probing the buckets reached by flipping its least-
+  // confident planes. Recall amplification on the QUERY side instead of
+  // more tables (which would re-bucket the corpus-sized item side).
+  // Rows-only like x11 (probabilistic buckets); the probes=0 ≡ x11
+  // algebraic reduction and the recall-dominance invariant are
+  // spec-asserted in SimilaritySearchSpec.
+  // ---------------------------------------------------------------------
+  def knnLshMultiProbe(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    SimilaritySearch.lshMultiProbeTopK(s, emb, emb.filter(col("vec_id") < 5),
+        k = 10, probes = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------------
   // x16 — winnowing (rolling-hash) fingerprint overlap pairs. Fully
   // hash-checked since the gram hash moved to engine-shared md5 top-60:
   // the oracle recomputes the positional gram hashes, the sliding-window
@@ -2773,6 +2790,7 @@ object ExtendedQueries {
     "x85_semantic_split_leakage_lsh" -> ((semanticSplitLeakageLsh _, None)),
     "x10_knn_bruteforce"     -> ((knnBruteForce _, Some(knnBruteForceSql))),
     "x11_knn_lsh"            -> ((knnLsh _, None)),
+    "x110_knn_lsh_multiprobe" -> ((knnLshMultiProbe _, None)),
     "x12_multimodal_features" -> ((multimodalFeatures _, None)),
     "x13_json_props"         -> ((jsonProps _, Some(jsonPropsSql))),
     "x14_embedding_neardup_lsh" -> ((embeddingNearDupLsh _, None)),

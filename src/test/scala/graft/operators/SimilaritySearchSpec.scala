@@ -32,6 +32,33 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH top-k recall $recall below 0.5")
   }
 
+  test("multi-probe LSH: probes=0 equals lshTopK; probing never loses recall") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // algebraic reduction: zero probes IS single-probe LSH, row-for-row
+    val single = rows(SimilaritySearch.lshTopK(spark, emb, queries, k = 10))
+    val zeroProbe = rows(SimilaritySearch.lshMultiProbeTopK(
+      spark, emb, queries, k = 10, probes = 0))
+    assert(zeroProbe == single)
+    // probing only ADDS candidates: recall vs exact is monotone in probes
+    def pairs(s: Set[(Long, Long, Int)]): Set[(Long, Long)] = s.map(t => (t._1, t._2))
+    val exact = pairs(rows(SimilaritySearch.bruteForceTopK(emb, queries, k = 10)))
+    val multi = pairs(rows(SimilaritySearch.lshMultiProbeTopK(
+      spark, emb, queries, k = 10, probes = 2)))
+    val rSingle = (exact intersect pairs(single)).size.toDouble / exact.size
+    val rMulti = (exact intersect multi).size.toDouble / exact.size
+    assert(rMulti >= rSingle,
+      s"multi-probe recall $rMulti below single-probe $rSingle")
+    assert(rMulti >= 0.5, s"multi-probe recall $rMulti below 0.5")
+    // out-of-range probe counts fail loudly
+    assertThrows[IllegalArgumentException] {
+      SimilaritySearch.lshMultiProbeTopK(spark, emb, queries, k = 10, probes = 5)
+    }
+  }
+
   test("ivfTopK: recall >= 0.5 vs brute force; probes only nProbe cells") {
     VectorFunctions.register(spark)
     val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
