@@ -87,7 +87,11 @@ object SparkEntry {
     "x87_bigram_xent" ->
       "bigram model relation grows faster than the open vocabulary - use x101 (hashed 256-bucket fixed-width model) at scale",
     "x106_release_pipeline" ->
-      "near-dup/decontam stage work tracks the TRUE capped candidate mass of the GATED corpus (the quality gate reshapes the population content-dependently); the df cap bounds per-shingle work as in x62")
+      "near-dup/decontam stage work tracks the TRUE capped candidate mass of the GATED corpus (the quality gate reshapes the population content-dependently); the df cap bounds per-shingle work as in x62",
+    "x111_knn_jl" ->
+      "the only corpus-sized stage is the m-dim reduced scan (shuffle O(|Q|*k*overfetch), measured constant at 100x); recall tracks the corpus's neighbor margin against the JL noise sqrt(1/m) - raise m/overfetch or compose with x15 cells on diffuse spectra",
+    "x112_ccnet_buckets" ->
+      "inherits x87's open-vocabulary bigram-model growth - use x113 (x101's fixed-width 256-bucket model + t-digest thresholds) at scale")
 
   /** For every rows-only entry (registered without a SQL oracle —
     * learned models, sketches, or otherwise non-SQL-expressible), the
@@ -115,6 +119,8 @@ object SparkEntry {
       "lshTopK: recall >= 0.5"),
     "x110_knn_lsh_multiprobe" -> ("operators/SimilaritySearchSpec.scala",
       "multi-probe LSH: probes=0 equals lshTopK; probing never loses recall"),
+    "x113_ccnet_buckets_scaled" -> ("operators/CurationSpec.scala",
+      "x112 ccnet buckets: per-lang tercile monotonicity"),
     "x12_multimodal_features" -> ("operators/MultimodalSpec.scala",
       "features have the declared shape"),
     "x14_embedding_neardup_lsh" -> ("operators/DedupSpec.scala",

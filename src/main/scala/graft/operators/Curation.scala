@@ -938,6 +938,58 @@ object Curation {
       toks.agg(count(lit(1)).as("total")), lambda)
   }
 
+  /** x112: CCNet perplexity bucketing (Wenzek et al. 2020 §4.3) — the
+    * step the CCNet ladder ([[unigramScore]] → [[bigramScore]]) was
+    * building toward: split each LANGUAGE's corpus into head/middle/tail
+    * terciles by LM score, so downstream consumers can train on `head`,
+    * sample `middle`, and drop (or inspect) `tail` — the published
+    * recipe's exact shape, with [[bigramScore]] standing in for KenLM.
+    *
+    * Deliberately NOT an NTILE over the corpus: a rank window per
+    * language sorts corpus-sized partitions on one task each (languages
+    * are few and huge — the worst skew shape there is). Instead the two
+    * tercile THRESHOLDS per language are computed as percentile
+    * aggregates (a |langs|×2 model relation), broadcast, and applied as
+    * a row-local CASE — the bucketing pass is shuffle-free, so the whole
+    * operator costs [[bigramScore]]'s spine plus one model-sized agg.
+    * `approx = true` swaps the exact percentile for the mergeable
+    * t-digest sketch (`percentile_approx`): exact percentile's per-group
+    * state is O(distinct values); the sketch's is O(accuracy) forever.
+    * `hashed = true` swaps [[bigramScore]] for [[bigramScoreHashed]]'s
+    * fixed-width 256-bucket model (x87's open-vocabulary model relations
+    * are the spine's only scale liability — measured 40× shuffle rows at
+    * 30× on the disjoint-vocabulary replica). `hashed + approx` together
+    * are the 100 TB path: every stage's state is then corpus-size-
+    * independent; bucket agreement vs the exact twin is spec-measured at
+    * small SF. Boundary docs (xent exactly at a threshold) land on the
+    * lower bucket on both engines: thresholds are either exactly a data
+    * value or strictly between two 1e-6-grid values (xent rounds to 6
+    * decimals), so `<=` cannot diverge across engines.
+    *
+    * Docs [[bigramScore]] cannot score (< 2 tokens) are absent, as
+    * there; output (doc_id, lang, xent, bucket). */
+  def ccnetBuckets(docs: DataFrame, lambda: Double = 0.9,
+                   approx: Boolean = false, accuracy: Int = 10000,
+                   hashed: Boolean = false): DataFrame = {
+    val xent =
+      if (hashed) bigramScoreHashed(docs, lambda) else bigramScore(docs, lambda)
+    val scored = xent
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val p = array(lit(1.0) / lit(3.0), lit(2.0) / lit(3.0))
+    val thr =
+      if (approx)
+        scored.groupBy("lang")
+          .agg(percentile_approx(col("xent"), p, lit(accuracy)).as("ts"))
+      else
+        scored.groupBy("lang").agg(percentile(col("xent"), p).as("ts"))
+    scored.join(broadcast(thr), "lang")
+      .withColumn("bucket",
+        when(col("xent") <= col("ts").getItem(0), "head")
+          .when(col("xent") <= col("ts").getItem(1), "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("lang"), col("xent"), col("bucket"))
+  }
+
   // ---- x86: corpus snapshot diff ----------------------------------------
 
   /** Content diff between two corpus snapshots keyed by `doc_id`:

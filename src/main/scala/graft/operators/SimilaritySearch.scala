@@ -226,6 +226,110 @@ object SimilaritySearch {
     topKPerQuery(scored.select(col("query_id"), col("vec_id"), col("cosine")), k)
   }
 
+  /** Deterministic ±1 sign matrix for [[jlTopK]]'s Johnson–Lindenstrauss
+    * projection — `m × dim`, seeded. Shared with the oracle-SQL generator
+    * (the SQL is built from the SAME array, so both engines evaluate the
+    * literally identical left-associated term chain). */
+  private[graft] def jlSigns(dim: Int, m: Int, seed: Long): Array[Array[Int]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(m, dim)(if (rnd.nextBoolean()) 1 else -1)
+  }
+
+  /** The reduced coordinates rp_0..rp_{m−1} as named columns: each is ONE
+    * codegen'd [[VectorFunctions.dot_product]] against a literal ±1 sign
+    * vector — never an unrolled 64-term Add chain (a first cut inlined
+    * those chains and the OPTIMIZER, not the data, went quadratic: the
+    * x110 plan-cost lesson, amplified). dot_product accumulates
+    * left-to-right in double, the same fold order as the oracle's
+    * `list_sum(list_transform(list_zip(...)))` — the established cosine
+    * hash-parity contract. */
+  private def jlProjected(df: DataFrame, vecCol: String,
+                          signs: Array[Array[Int]], pfx: String): DataFrame = {
+    val rp = signs.zipWithIndex.map { case (row, j) =>
+      VectorFunctions.dot_product(col(vecCol),
+        array(row.map(s => lit(s.toFloat)): _*)).as(s"$pfx$j")
+    }
+    val withRp = df.select(col("*") +: rp.toSeq: _*)
+    val norm = sqrt(signs.indices.map(j => col(s"$pfx$j") * col(s"$pfx$j"))
+      .reduceLeft(_ + _))
+    withRp.withColumn(s"${pfx}norm", norm)
+  }
+
+  /** x111: Johnson–Lindenstrauss sign-projection ANN — compressed
+    * CANDIDATE generation with exact rerank. Every vector is projected to
+    * `m` dimensions through a seeded ±1 matrix (Achlioptas 2003: the
+    * database-friendly JL construction — no Gaussians, just sign flips);
+    * candidates are the `k·overfetch` reduced-space cosine top per query;
+    * the final top-k re-scores only those with the exact 64-dim cosine.
+    *
+    * Where this sits in the ANN family: [[lshTopK]]/[[ivfTopK]] prune WHO
+    * gets scored (buckets/cells) and [[pqTopK]] shrinks the scan via a
+    * LEARNED codebook; JL shrinks it with a DATA-INDEPENDENT linear map —
+    * no fit pass, no codebook state, valid from the first row of a stream,
+    * and (unlike k-means fits or hash-bucket membership) every stage is a
+    * closed-form deterministic expression, so the whole operator is
+    * value-level oracle-checkable end to end. The candidate scan does
+    * m-term dot products instead of dim-term (dim/m× fewer flops and —
+    * with the projections materialized — dim/m× fewer bytes); at 100 TB
+    * it composes with IVF/LSH (project, then bucket the projections).
+    *
+    * Recall is governed by the corpus's NEIGHBOR MARGIN against the JL
+    * noise σ ≈ √((1−cos²)/m): near-dup neighbors (cos ≈ 1) survive any
+    * reasonable m, while the fixture's smooth continuum (rank-10 cos
+    * 0.255 vs rank-20 0.217 — gaps of 0.04 against σ ≈ 0.17 at m = 32)
+    * is the hard case, measuring 0.78 at the defaults; the
+    * spectrum-vs-recall read is documented in SimilaritySearchSpec.
+    * `overfetch·k ≥ |items|` degenerates to exact brute force (the
+    * algebraic reduction the spec pins). Output shape identical to
+    * [[bruteForceTopK]]. */
+  def jlTopK(spark: SparkSession, items: DataFrame, queries: DataFrame, k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             dim: Int = 64, m: Int = 32, overfetch: Int = 10,
+             seed: Long = 7L): DataFrame = {
+    require(m >= 1 && overfetch >= 1, s"need m >= 1, overfetch >= 1")
+    val signs = jlSigns(dim, m, seed)
+
+    // The projected relations are MATERIALIZED before the join: the
+    // projection table is the operator's product (in production it
+    // persists as the compressed index — computing it per query would
+    // forfeit the whole point), and the barrier also fences Catalyst
+    // off the m projection expressions — constraint propagation
+    // (getAllValidConstraints → Add canonicalization) goes quadratic
+    // in them across the join and OOMed the driver at m = 32 when the
+    // plan was left fused.
+    val it = jlProjected(
+      items.select(col(idCol).as("vec_id"), col(vecCol).as("i_vec")),
+      "i_vec", signs, "ip").localCheckpoint()
+    val q = jlProjected(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      "q_vec", signs, "qp").localCheckpoint()
+
+    // reduced-space scoring: m-term dot over the named projection
+    // columns (never the raw vectors), |Q|-side broadcast like the
+    // exact baseline; the bounded-heap top-k caps the exchange at
+    // |Q|·k·overfetch rows
+    val rdot = signs.indices.map(j => col(s"qp$j") * col(s"ip$j"))
+      .reduceLeft(_ + _)
+    val cand = it.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("rcos", rdot / (col("qpnorm") * col("ipnorm")))
+    val shortlist =
+      topKPerQuery(cand.select(col("query_id"), col("vec_id"), col("rcos")),
+        k * overfetch, scoreCol = "rcos")
+      .select(col("query_id"), col("vec_id"))
+
+    // exact rerank of the shortlist only — the |Q|·k·overfetch shortlist
+    // BROADCASTS against the corpus-sized vector side (measured: the
+    // unhinted join re-shuffled the item table at 30×; hinted, the item
+    // side streams in place)
+    val reranked = items.select(col(idCol).as("vec_id"), col(vecCol).as("i_vec"))
+      .join(broadcast(shortlist), "vec_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("q_vec"))), "query_id")
+      .withColumn("cosine",
+        VectorFunctions.cosine_similarity(col("q_vec"), col("i_vec")))
+    topKPerQuery(reranked.select(col("query_id"), col("vec_id"), col("cosine")), k)
+  }
+
   /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
     * corpus into `nLists` cells; each query probes its `nProbe` nearest
     * cells and scores only those cells' members.

@@ -445,6 +445,47 @@ object CurationQueries {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x112 — CCNet perplexity bucketing (Wenzek et al. 2020): per-language
+  // head/middle/tail terciles of the x87 LM score, via broadcast
+  // percentile THRESHOLDS instead of a corpus-sorting NTILE window (the
+  // 100 TB skew answer — languages are few and huge). The oracle
+  // recomputes the x87 xent, the per-language tercile cut points
+  // (quantile_cont ↔ Spark exact percentile, the q02 parity), and the
+  // row-local CASE assignment.
+  // ---------------------------------------------------------------------
+  def ccnetBucketsQ(s: SparkSession, dir: String): DataFrame =
+    Curation.ccnetBuckets(Tables.documents(s, dir)).orderBy("doc_id")
+
+  lazy val ccnetBucketsSql: String =
+    s"""WITH big AS ($bigramXentSql),
+       |sc AS (
+       |  SELECT b.doc_id, d.lang, b.xent
+       |  FROM big b JOIN documents d USING (doc_id)),
+       |thr AS (
+       |  SELECT lang,
+       |         quantile_cont(xent, CAST(1 AS DOUBLE)/3) AS t1,
+       |         quantile_cont(xent, CAST(2 AS DOUBLE)/3) AS t2
+       |  FROM sc GROUP BY lang)
+       |SELECT doc_id, lang, xent,
+       |       CASE WHEN xent <= t1 THEN 'head'
+       |            WHEN xent <= t2 THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |FROM sc JOIN thr USING (lang) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x113 — x112's 100 TB composition AS A SERVED ENTRY (the x87→x101
+  // pattern): x101's fixed-width 256-bucket hashed bigram model +
+  // t-digest percentile thresholds, so every stage's state is
+  // corpus-size-independent. Rows-only: DuckDB's approx_quantile is a
+  // different sketch (thresholds are not value-portable across
+  // engines); the tercile-monotonicity/totality contracts are pinned by
+  // the x112 CurationSpec test, which runs this exact composition.
+  // ---------------------------------------------------------------------
+  def ccnetBucketsScaledQ(s: SparkSession, dir: String): DataFrame =
+    Curation.ccnetBuckets(Tables.documents(s, dir), approx = true, hashed = true)
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------------
   // x100 — SIGNAL-AGREEMENT audit: pairwise Pearson correlation between
   // the three per-doc quality signals (x02 heuristic composite, x35
   // unigram xent, x87 bigram xent) — the "are my filters measuring the
@@ -1597,5 +1638,7 @@ object CurationQueries {
     "x103_snapshot_drift"     -> ((snapshotDriftQ _, Some(snapshotDriftSql))),
     "x87_bigram_xent"         -> ((bigramXent _, Some(bigramXentSql))),
     "x101_bigram_xent_hashed" -> ((bigramXentHashed _, Some(bigramXentHashedSql))),
+    "x112_ccnet_buckets"      -> ((ccnetBucketsQ _, Some(ccnetBucketsSql))),
+    "x113_ccnet_buckets_scaled" -> ((ccnetBucketsScaledQ _, None)),
   )
 }

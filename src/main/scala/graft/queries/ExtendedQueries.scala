@@ -425,6 +425,77 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x111 — Johnson–Lindenstrauss sign-projection ANN (Achlioptas 2003):
+  // compressed candidate generation (16-dim reduced cosine, 4× fewer
+  // flops/bytes than the 64-dim scan) + exact rerank of the k·overfetch
+  // shortlist. Data-INDEPENDENT unlike IVF/PQ — no fit, no codebook —
+  // and therefore the one compressed-candidate ANN whose every stage is
+  // a closed-form expression: the oracle recomputes the ±1 projections,
+  // reduced norms and cosines, the candidate cut, and the exact rerank
+  // value-for-value (the family's learned paths are rows-only by
+  // nature; this pins the shared shortlist-then-rerank machinery).
+  // ---------------------------------------------------------------------
+  def knnJl(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    SimilaritySearch.jlTopK(s, emb, emb.filter(col("vec_id") < 5), k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** [[cosSql]] over arbitrary operand expressions (the x111 rerank
+    * re-scores carried arrays, not table-aliased columns). */
+  private def cosSqlOn(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+       |/ (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * x)))
+       |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * x))))""".stripMargin
+
+  val knnJlSql: String = {
+    val m = 32
+    val signs = SimilaritySearch.jlSigns(64, m, 7L)
+    // each projection is the SAME left-to-right double fold the Spark
+    // side's dot_product kernel runs (the cosine hash-parity contract),
+    // against the identical literal ±1 vector
+    def proj(row: Array[Int]): String = {
+      val lst = row.map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"""list_sum(list_transform(list_zip(embedding, $lst),
+         |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))""".stripMargin
+    }
+    val rpDefs = signs.zipWithIndex
+      .map { case (row, j) => s"${proj(row)} AS rp$j" }
+      .mkString(",\n       ")
+    val normSq = (0 until m).map(j => s"rp$j*rp$j").mkString(" + ")
+    val rdot = (0 until m).map(j => s"q.rp$j*i.rp$j").mkString(" + ")
+    s"""WITH p AS (
+       |  SELECT vec_id, embedding,
+       |       $rpDefs
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT *, sqrt($normSq) AS rnorm FROM p
+       |), cand0 AS (
+       |  SELECT q.vec_id AS query_id, i.vec_id AS vec_id,
+       |         ($rdot) / (q.rnorm * i.rnorm) AS rcos,
+       |         q.embedding AS qe, i.embedding AS ie
+       |  FROM (SELECT * FROM n WHERE vec_id < 5) q
+       |  JOIN n i ON q.vec_id <> i.vec_id
+       |), cand AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY rcos DESC, vec_id) AS crank
+       |  FROM cand0
+       |), rr AS (
+       |  SELECT query_id, vec_id,
+       |         ${cosSqlOn("qe", "ie")} AS cosine
+       |  FROM cand WHERE crank <= 100
+       |), fin AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |                 ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+       |  FROM rr
+       |)
+       |SELECT query_id, vec_id, cosine, rank FROM fin
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // x16 — winnowing (rolling-hash) fingerprint overlap pairs. Fully
   // hash-checked since the gram hash moved to engine-shared md5 top-60:
   // the oracle recomputes the positional gram hashes, the sliding-window
@@ -2791,6 +2862,7 @@ object ExtendedQueries {
     "x10_knn_bruteforce"     -> ((knnBruteForce _, Some(knnBruteForceSql))),
     "x11_knn_lsh"            -> ((knnLsh _, None)),
     "x110_knn_lsh_multiprobe" -> ((knnLshMultiProbe _, None)),
+    "x111_knn_jl"            -> ((knnJl _, Some(knnJlSql))),
     "x12_multimodal_features" -> ((multimodalFeatures _, None)),
     "x13_json_props"         -> ((jsonProps _, Some(jsonPropsSql))),
     "x14_embedding_neardup_lsh" -> ((embeddingNearDupLsh _, None)),

@@ -1735,4 +1735,66 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(g.getDouble(1) + 2.0) < 1e-6, s"slope ${g.getDouble(1)}")
     assert(g.getDouble(3) > 1.0 - 1e-9)
   }
+
+  test("x112 ccnet buckets: per-lang tercile monotonicity, totality, approx twin agrees, empty input") {
+    import spark.implicits._
+    val b = Curation.ccnetBuckets(docs).cache()
+    // totality: exactly the x87-scorable docs, each bucketed once
+    assert(b.count() == Curation.bigramScore(docs).count())
+    assert(b.select("doc_id").distinct().count() == b.count())
+    // tercile semantics: within every language, every head xent <= t1 <
+    // every middle xent <= t2 < every tail xent — so the bucket bands
+    // are totally ordered (max(head) <= min(middle) <= max(middle) <=
+    // min(tail) wherever both bands are non-empty)
+    val bands = b.groupBy("lang", "bucket")
+      .agg(min("xent").as("lo"), max("xent").as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val langs = bands.keys.map(_._1).toSet
+    for (l <- langs) {
+      for ((a, c) <- Seq(("head", "middle"), ("middle", "tail")))
+        (bands.get((l, a)), bands.get((l, c))) match {
+          case (Some((_, hiA)), Some((loC, _))) =>
+            assert(hiA <= loC, s"$l: $a band [$hiA] overlaps $c band [$loC]")
+          case _ => // a band may be empty on tiny language groups
+        }
+      // the dominant bands exist: at least head is always non-empty
+      assert(bands.contains((l, "head")), s"$l has no head bucket")
+    }
+    // the t-digest scale twin agrees with the exact thresholds on almost
+    // every doc (divergence is confined to docs at a tercile boundary)
+    val ap = Curation.ccnetBuckets(docs, approx = true)
+      .select(col("doc_id"), col("bucket").as("ab"))
+    val joined = b.join(ap, "doc_id")
+    val agree = joined.filter(col("bucket") === col("ab")).count().toDouble /
+      joined.count()
+    assert(agree >= 0.98, s"approx-percentile bucket agreement $agree below 0.98")
+    // the 100 TB composition (fixed-width hashed model + t-digest
+    // thresholds) honors the same contracts on ITS OWN score: total over
+    // the scorable docs, bands monotone per language (the hashed xent
+    // differs by design — collisions fold rare transitions — so
+    // value-agreement with the exact twin is not a contract)
+    val h = Curation.ccnetBuckets(docs, approx = true, hashed = true).cache()
+    assert(h.count() == b.count())
+    val hBands = h.groupBy("lang", "bucket")
+      .agg(min("xent").as("lo"), max("xent").as("hi"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val hLangs: Set[String] = hBands.keys.map(_._1).toSet
+    for (l <- hLangs) {
+      for ((a, c) <- Seq(("head", "middle"), ("middle", "tail")))
+        (hBands.get((l, a)), hBands.get((l, c))) match {
+          case (Some((_, hiA)), Some((loC, _))) =>
+            assert(hiA <= loC, s"hashed $l: $a band [$hiA] overlaps $c [$loC]")
+          case _ =>
+        }
+    }
+    h.unpersist()
+    // empty corpus: empty output, no throw (totality contract)
+    val empty = docs.filter(lit(false))
+    assert(Curation.ccnetBuckets(empty).count() == 0)
+    b.unpersist()
+  }
 }

@@ -59,6 +59,38 @@ class SimilaritySearchSpec extends AnyFunSuite {
     }
   }
 
+  test("jlTopK: corpus-covering overfetch IS brute force; rerank cosines exact") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Int)] =
+      df.select("query_id", "vec_id", "cosine", "rank")
+        .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = rows(SimilaritySearch.bruteForceTopK(emb, queries, k = 10))
+    // algebraic reduction: an overfetch covering the whole corpus makes
+    // the reduced-space cut a no-op — exact output, ranks AND cosines
+    val n = emb.count().toInt
+    val full = rows(SimilaritySearch.jlTopK(spark, emb, queries, k = 10,
+      overfetch = n))
+    assert(full == exact)
+    // default parameters: the JL candidate cut keeps most true neighbors
+    // EVEN on this fixture's hard spectrum (a smooth cosine continuum —
+    // rank-10 at 0.255 vs rank-20 at 0.217, gaps far below the JL noise
+    // σ ≈ 0.17 at m = 32; near-dup-structured corpora sit at recall ≈ 1),
+    // and every returned cosine is the EXACT 64-dim value (rerank never
+    // reports a reduced-space score) — any (q, i) pair shared with the
+    // exact baseline must carry the identical cosine
+    val jl = rows(SimilaritySearch.jlTopK(spark, emb, queries, k = 10))
+    val exactCos = exact.map(t => (t._1, t._2) -> t._3).toMap
+    jl.foreach { case (q, i, c, _) =>
+      exactCos.get((q, i)).foreach(e => assert(e == c,
+        s"rerank cosine $c != exact $e for ($q, $i)"))
+    }
+    val recall = jl.map(t => (t._1, t._2))
+      .count(exactCos.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"JL m=32 overfetch=10 recall $recall below 0.7")
+  }
+
   test("ivfTopK: recall >= 0.5 vs brute force; probes only nProbe cells") {
     VectorFunctions.register(spark)
     val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
