@@ -70,7 +70,16 @@ object Dedup {
     * family any SQL engine can replicate with literal seeds. Products
     * stay under 2^62, so plain BIGINT arithmetic is exact on both
     * engines. One md5 per shingle + k multiply-adds is also CHEAPER
-    * than k seeded string hashes. */
+    * than k seeded string hashes.
+    *
+    * Accuracy note: the mod-p reduction shrinks the shingle universe
+    * to Z_p (31 bits) — within a candidate pair's shingle union of
+    * size u, base collisions occur w.p. ~u²/2³² and bias signature
+    * similarity UPWARD for very large documents (u in the tens of
+    * thousands). The 60-bit md5 value itself loses essentially
+    * nothing; the reduction is what trades accuracy for exact BIGINT
+    * arithmetic. Final Jaccard is verified exactly downstream, so the
+    * bias only inflates candidate volume, never the output. */
   def minhashPrime: Long = 2147483647L
   def minhashSeedA(i: Int): Long = ((i * 2654435761L + 1013904223L) % (minhashPrime - 1)) + 1
   def minhashSeedB(i: Int): Long = (i * 1103515245L + 12345L) % minhashPrime

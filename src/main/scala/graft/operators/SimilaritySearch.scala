@@ -90,8 +90,11 @@ object SimilaritySearch {
               col("rrf"), col("rank"))
   }
 
-  /** Deterministic random hyperplanes: `tables × planes × dim`, seeded. */
-  private def hyperplanes(dim: Int, planes: Int, tables: Int, seed: Long): Array[Array[Array[Float]]] = {
+  /** Deterministic random hyperplanes: `tables × planes × dim`, seeded.
+    * `private[graft]` so the oracle-SQL generator derives its literal
+    * plane lists from the SAME array (the jlSigns sharing pattern) —
+    * both engines then evaluate identical plane constants. */
+  private[graft] def hyperplanes(dim: Int, planes: Int, tables: Int, seed: Long): Array[Array[Array[Float]]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(tables, planes, dim)(rnd.nextGaussian().toFloat)
   }

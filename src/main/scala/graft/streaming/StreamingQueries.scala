@@ -1255,13 +1255,21 @@ object StreamingQueries {
     // would silently split buckets and re-sort the corpus-sized store
     // side EVERY micro-batch (measured 2× wall). Fail loudly instead.
     val bucketOf = "_(\\d{5})\\.".r
+    // walk via Hadoop's FileSystem, not java.nio: the store path may be
+    // any Hadoop-supported URI (hdfs://, s3a://) in production — the
+    // same resolution the write itself used
     val files = {
-      import scala.jdk.CollectionConverters._
-      val st = Files.walk(Paths.get(path))
-      try st.iterator().asScala.map(_.getFileName.toString)
-        .filter(n => n.endsWith(".parquet") && !n.startsWith(".") &&
-                     !n.startsWith("_")).toVector
-      finally st.close()
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(
+        df.sparkSession.sessionState.newHadoopConf())
+      val it = fs.listFiles(hPath, true)
+      val buf = Vector.newBuilder[String]
+      while (it.hasNext) {
+        val n = it.next().getPath.getName
+        if (n.endsWith(".parquet") && !n.startsWith(".") &&
+            !n.startsWith("_")) buf += n
+      }
+      buf.result()
     }
     val perBucket = files.groupBy { n =>
       bucketOf.findFirstMatchIn(n).map(_.group(1))
@@ -1375,8 +1383,12 @@ object StreamingQueries {
       s"$work/wh/blk", blkTbl, "sh")
 
     if (!hasParquet(inDir))
+      // overwrite, not ErrorIfExists: hasParquet=false with the dir
+      // present means a crash mid-write left only _temporary — the
+      // guard already proved no committed data is being discarded, and
+      // the default mode would abort the resume with "path exists"
       incoming.select(col("doc_id"), col("text"))
-        .repartition(3).write.parquet(inDir)
+        .repartition(3).write.mode("overwrite").parquet(inDir)
 
     // the store-size gate for the per-batch scan prune: one blk count
     // per STREAM (not per batch), decided before the first trigger
