@@ -115,10 +115,6 @@ object SparkEntry {
       "m04 maintenance pass"),
     "q02a_latency_approx"    -> ("operators/MultimodalSpec.scala",
       "quantile sketch variant tracks the exact percentiles"),
-    "x11_knn_lsh"            -> ("operators/SimilaritySearchSpec.scala",
-      "lshTopK: recall >= 0.5"),
-    "x110_knn_lsh_multiprobe" -> ("operators/SimilaritySearchSpec.scala",
-      "multi-probe LSH: probes=0 equals lshTopK; probing never loses recall"),
     "x113_ccnet_buckets_scaled" -> ("operators/CurationSpec.scala",
       "x112 ccnet buckets: per-lang tercile monotonicity"),
     "x12_multimodal_features" -> ("operators/MultimodalSpec.scala",

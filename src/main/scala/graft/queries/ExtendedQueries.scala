@@ -398,7 +398,14 @@ object ExtendedQueries {
        |) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
-  // x11 — LSH-bucketed ANN (scale path; rows-only check + recall spec)
+  // x11 — LSH-bucketed ANN (scale path). HASH-CHECKED since r15 via the
+  // x111 literal-plane pattern: the seeded Gaussian hyperplanes are
+  // materialized as literal lists in the oracle SQL (generated from the
+  // SAME Scala array), so the oracle recomputes the sign-bit bucketing,
+  // the (table, bucket) candidate join, and the exact cosine rerank
+  // value-for-value. "Probabilistic buckets" was never the blocker —
+  // the buckets are deterministic given the planes; only the planes'
+  // PROVENANCE (a JVM RNG) was engine-private, and literals fix that.
   // ---------------------------------------------------------------------
   def knnLsh(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
@@ -407,14 +414,75 @@ object ExtendedQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** One hyperplane as a DuckDB literal list. Each Float is rendered as
+    * the shortest round-trip repr of its DOUBLE widening — NOT
+    * Float.toString ("0.1f" reads back as the double 0.1, which is a
+    * DIFFERENT value than (double)0.1f); printing the widened double
+    * makes DuckDB's correctly-rounded parse reproduce exactly the
+    * double the Spark kernel's (double) cast sees. */
+  private def planeLit(row: Array[Float]): String =
+    row.map(_.toDouble.toString).mkString("[", ", ", "]")
+
+  /** The [[planeLit]] projection as the same left-to-right double fold
+    * the dot_product kernel runs (the established cosine parity
+    * contract). */
+  private def planeProj(row: Array[Float]): String =
+    s"""list_sum(list_transform(list_zip(embedding, ${planeLit(row)}),
+       |           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))""".stripMargin
+
+  /** Shared tail of the two LSH oracles: exact-cosine scoring of the
+    * DISTINCT candidate pairs + the top-10 rank cut (identical to the
+    * Spark side's distinct → cosine → topKPerQuery contract). */
+  private def lshScoreAndRankSql(candCte: String): String =
+    s"""$candCte, scored AS (
+       |  SELECT c.query_id, c.vec_id,
+       |         ${cosSqlOn("qe.embedding", "ie.embedding")} AS cosine
+       |  FROM cand c
+       |  JOIN embeddings qe ON qe.vec_id = c.query_id
+       |  JOIN embeddings ie ON ie.vec_id = c.vec_id
+       |), fin AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |                 ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT query_id, vec_id, cosine, rank FROM fin
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  val knnLshSql: String = {
+    val hp = SimilaritySearch.hyperplanes(64, 4, 8, 42L)
+    val projDefs = (for { t <- hp.indices; j <- hp(t).indices } yield
+      s"${planeProj(hp(t)(j))} AS p_${t}_$j").mkString(",\n       ")
+    def bucket(t: Int): String = hp(t).indices
+      .map(j => s"(CASE WHEN p_${t}_$j >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    val arms = hp.indices
+      .map(t => s"SELECT vec_id, $t AS tbl, ${bucket(t)} AS bucket FROM p")
+      .mkString("\n  UNION ALL\n  ")
+    lshScoreAndRankSql(
+      s"""WITH p AS (
+         |  SELECT vec_id,
+         |       $projDefs
+         |  FROM embeddings
+         |), b AS (
+         |  $arms
+         |), cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, i.vec_id AS vec_id
+         |  FROM b q JOIN b i
+         |    ON q.tbl = i.tbl AND q.bucket = i.bucket AND q.vec_id <> i.vec_id
+         |  WHERE q.vec_id < 5
+         |)""".stripMargin)
+  }
+
   // ---------------------------------------------------------------------
   // x110 — multi-probe LSH ANN (Lv et al. 2007): x11 with each query
   // additionally probing the buckets reached by flipping its least-
   // confident planes. Recall amplification on the QUERY side instead of
   // more tables (which would re-bucket the corpus-sized item side).
-  // Rows-only like x11 (probabilistic buckets); the probes=0 ≡ x11
-  // algebraic reduction and the recall-dominance invariant are
-  // spec-asserted in SimilaritySearchSpec.
+  // HASH-CHECKED since r15 (same literal-plane pattern as x11): the
+  // oracle additionally recomputes the per-plane confidence ranks
+  // (|projection| order, index tie-break) and the XOR probe keys, so
+  // the probe-selection logic itself is value-level verified. The
+  // probes=0 ≡ x11 algebraic reduction and the recall-dominance
+  // invariant remain spec-asserted in SimilaritySearchSpec.
   // ---------------------------------------------------------------------
   def knnLshMultiProbe(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
@@ -422,6 +490,51 @@ object ExtendedQueries {
     SimilaritySearch.lshMultiProbeTopK(s, emb, emb.filter(col("vec_id") < 5),
         k = 10, probes = 2)
       .orderBy("query_id", "rank")
+  }
+
+  val knnLshMultiProbeSql: String = {
+    val hp = SimilaritySearch.hyperplanes(64, 4, 8, 42L)
+    val planes = hp(0).length; val probes = 2
+    val projDefs = (for { t <- hp.indices; j <- hp(t).indices } yield
+      s"${planeProj(hp(t)(j))} AS p_${t}_$j").mkString(",\n       ")
+    def bucket(t: Int): String = hp(t).indices
+      .map(j => s"(CASE WHEN p_${t}_$j >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    // plane j's confidence rank = how many OTHER planes have strictly
+    // smaller |projection| (index tie-break: j2 < j wins ties) — the
+    // exact comparison tree of lshMultiProbeTopK's rank column
+    def flipIncluded(t: Int, j: Int): String = {
+      val cnt = (0 until planes).filter(_ != j).map { j2 =>
+        val cmp = if (j2 < j) "<=" else "<"
+        s"(CASE WHEN abs(p_${t}_$j2) $cmp abs(p_${t}_$j) THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+      s"($cnt) < $probes"
+    }
+    val itemArms = hp.indices
+      .map(t => s"SELECT vec_id, $t AS tbl, ${bucket(t)} AS bucket FROM p")
+      .mkString("\n  UNION ALL\n  ")
+    val baseArms = hp.indices
+      .map(t => s"SELECT vec_id, $t AS tbl, ${bucket(t)} AS bucket FROM qp")
+    val flipArms = for { t <- hp.indices; j <- 0 until planes } yield
+      s"SELECT vec_id, $t AS tbl, xor(${bucket(t)}, ${1L << j}) AS bucket " +
+        s"FROM qp WHERE ${flipIncluded(t, j)}"
+    val probeArms = (baseArms ++ flipArms).mkString("\n  UNION ALL\n  ")
+    lshScoreAndRankSql(
+      s"""WITH p AS (
+         |  SELECT vec_id,
+         |       $projDefs
+         |  FROM embeddings
+         |), b AS (
+         |  $itemArms
+         |), qp AS (
+         |  SELECT * FROM p WHERE vec_id < 5
+         |), qk AS (
+         |  $probeArms
+         |), cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, i.vec_id AS vec_id
+         |  FROM qk q JOIN b i
+         |    ON q.tbl = i.tbl AND q.bucket = i.bucket AND q.vec_id <> i.vec_id
+         |)""".stripMargin)
   }
 
   // ---------------------------------------------------------------------
@@ -2860,8 +2973,8 @@ object ExtendedQueries {
     "x84_semantic_split_leakage" -> ((semanticSplitLeakage _, Some(semanticSplitLeakageSql))),
     "x85_semantic_split_leakage_lsh" -> ((semanticSplitLeakageLsh _, None)),
     "x10_knn_bruteforce"     -> ((knnBruteForce _, Some(knnBruteForceSql))),
-    "x11_knn_lsh"            -> ((knnLsh _, None)),
-    "x110_knn_lsh_multiprobe" -> ((knnLshMultiProbe _, None)),
+    "x11_knn_lsh"            -> ((knnLsh _, Some(knnLshSql))),
+    "x110_knn_lsh_multiprobe" -> ((knnLshMultiProbe _, Some(knnLshMultiProbeSql))),
     "x111_knn_jl"            -> ((knnJl _, Some(knnJlSql))),
     "x12_multimodal_features" -> ((multimodalFeatures _, None)),
     "x13_json_props"         -> ((jsonProps _, Some(jsonPropsSql))),
