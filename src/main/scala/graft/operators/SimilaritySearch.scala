@@ -639,6 +639,132 @@ object SimilaritySearch {
     topKPerQuery(reranked.select(col("query_id"), col("vec_id"), col("cosine")), k)
   }
 
+  /** x114: [[ivfPqTopK]]'s HASH-CHECKED twin — IVF×PQ with FIXED coarse
+    * centroids and FIXED codebooks (the x108 fixed-centroid pattern,
+    * applied to the PQ family). The only non-SQL-expressible pieces of
+    * x45/x46 are the k-means fits; freezing both quantizers to the raw
+    * embeddings of the first `nLists` / `codes` vec_ids makes every
+    * stage closed-form, so a DuckDB oracle recomputes cell assignment
+    * (argmax cosine, the x108 rule), per-subspace encode (argmin
+    * ||cb||² − 2·⟨slice, cb⟩ — the Euclidean-nearest rule with the
+    * common ‖slice‖² term dropped on BOTH engines), probe-cell
+    * selection, the ADC lookup-sum, the k·refine shortlist cut, and
+    * the exact rerank value-for-value. Deltas vs the learned path,
+    * on purpose: no unit normalization (it exists to make learned
+    * Euclidean cells track cosine; with cosine assignment it is
+    * redundant, and dropping it keeps the twin free of float-rounding
+    * mirroring) and cosine (not Euclidean) coarse assignment — the
+    * learned variants stay the quality path; the twin pins the shared
+    * encode/ADC/shortlist/rerank machinery.
+    *
+    * Scale shape: centroids and codebooks are bounded relations by
+    * construction (nLists + codes rows), collected once and inlined as
+    * literal expressions — cell + code assignment is then ROW-LOCAL
+    * over the corpus (exactly like the learned path's model.transform),
+    * the probe join broadcasts |Q|·nProbe rows, and the only exchanges
+    * are the bounded-heap top-k partials (O(|Q|·k·refine)). The
+    * encoded relation is localCheckpointed before the join — the
+    * fixed-width index is the operator's product, and the barrier
+    * fences Catalyst's constraint propagation off the m derived code
+    * columns (the x111 lesson). */
+  def ivfPqFixedTopK(items: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     nLists: Int = 8, nProbe: Int = 3,
+                     m: Int = 8, codes: Int = 16, refine: Int = 4): DataFrame = {
+    val src = items.select(col(idCol).cast("long").as("vec_id"),
+                           col(vecCol).as("vec"))
+    // bounded by construction: nLists + codes rows of the input table
+    val fixedRows = src.filter(col("vec_id") < math.max(nLists, codes))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray).toMap
+    require((0 until math.max(nLists, codes)).forall(i => fixedRows.contains(i.toLong)),
+      s"fixed quantizers need vec_ids 0..${math.max(nLists, codes) - 1} present")
+    val dim = fixedRows(0L).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    def litArr(a: Array[Float]): Column = array(a.map(x => lit(x)): _*)
+
+    // ---- row-local cell assignment: argmax cosine to the fixed
+    // centroids, ties to the LOWEST cid (array_min on (-cos, cid) —
+    // exact negation, so the ordering matches the oracle's
+    // ORDER BY cos DESC, cid)
+    def cellOf(vec: Column): Column = {
+      val arms = (0 until nLists).map { cid =>
+        struct((-VectorFunctions.cosine_similarity(vec, litArr(fixedRows(cid.toLong))))
+          .as("negcos"), lit(cid.toLong).as("cid"))
+      }
+      array_min(array(arms: _*)).getField("cid")
+    }
+
+    // ---- row-local per-subspace encode: argmin ‖cb‖² − 2⟨slice, cb⟩
+    // (Euclidean-nearest with the common ‖slice‖² dropped), ties to the
+    // lowest code. ‖cb‖² is computed BY THE KERNEL (dot_product of the
+    // literal against itself), never driver math — both engines fold
+    // the same literal floats left-to-right.
+    def codeOf(vec: Column, j: Int): Column = {
+      val s = slice(vec, j * dsub + 1, dsub)
+      val arms = (0 until codes).map { c =>
+        val cb = litArr(java.util.Arrays.copyOfRange(
+          fixedRows(c.toLong), j * dsub, (j + 1) * dsub))
+        struct((VectorFunctions.dot_product(cb, cb) -
+          lit(2.0d) * VectorFunctions.dot_product(s, cb)).as("score"),
+          lit(c).as("c"))
+      }
+      array_min(array(arms: _*)).getField("c")
+    }
+
+    val encoded = src
+      .select(col("vec_id") +: cellOf(col("vec")).as("cell") +:
+        (0 until m).map(j => codeOf(col("vec"), j).as(s"code_$j")): _*)
+      .localCheckpoint()
+
+    // ---- query side (|Q| rows): nProbe probe cells by cosine, plus the
+    // m×codes ADC table ⟨q-slice, cb⟩ — all row-local expressions
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+                           col(vecCol).as("q_vec"))
+    val cellArms = (0 until nLists).map { cid =>
+      struct((-VectorFunctions.cosine_similarity(col("q_vec"),
+        litArr(fixedRows(cid.toLong)))).as("negcos"), lit(cid.toLong).as("cid"))
+    }
+    val adcCols = (0 until m).flatMap { j =>
+      val s = slice(col("q_vec"), j * dsub + 1, dsub)
+      (0 until codes).map { c =>
+        VectorFunctions.dot_product(s, litArr(java.util.Arrays.copyOfRange(
+          fixedRows(c.toLong), j * dsub, (j + 1) * dsub)))
+      }
+    }
+    val probed = q
+      .select(col("query_id"), col("q_vec"),
+        transform(slice(sort_array(array(cellArms: _*)), 1, nProbe),
+          x => x.getField("cid")).as("cells"),
+        array(adcCols: _*).as("adc"))
+      .select(col("query_id"), col("q_vec"), col("adc"),
+        explode(col("cells")).as("cell"))
+      .localCheckpoint()
+
+    // ---- ADC scan: equi-join on the probed cell, approx = m ordered
+    // table lookups (left-associated double fold, j ascending — the
+    // oracle lists its addends ORDER BY j for the same fold)
+    val approx = (0 until m)
+      .map(j => element_at(col("adc"), col(s"code_$j") + lit(j * codes + 1)))
+      .reduce(_ + _)
+    val scoredApprox = encoded.join(broadcast(probed),
+        encoded("cell") === probed("cell") &&
+          col("query_id") =!= col("vec_id"))
+      .withColumn("approx", approx)
+      .select(col("query_id"), col("vec_id"), col("approx"))
+    val shortlist = topKPerQuery(scoredApprox, k * refine, scoreCol = "approx")
+      .select(col("query_id"), col("vec_id"))
+
+    // ---- exact rerank of the shortlist only (broadcast-hinted: the
+    // shortlist is |Q|·k·refine rows, the item side stays in place)
+    val reranked = src.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cosine",
+        VectorFunctions.cosine_similarity(col("q_vec"), col("vec")))
+    topKPerQuery(reranked.select(col("query_id"), col("vec_id"), col("cosine")), k)
+  }
+
   // -------------------------------------------------------------------
   // Embedding clustering (x40)
   // -------------------------------------------------------------------

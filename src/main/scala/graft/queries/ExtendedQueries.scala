@@ -685,6 +685,86 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x114 — x45/x46's HASH-CHECKED twin: IVF×PQ with FIXED coarse
+  // centroids (embeddings of vec_id 0..7) and FIXED codebooks (subspace
+  // slices of vec_id 0..15) — the x108 fixed-centroid pattern applied
+  // to the PQ family. The oracle recomputes cell assignment, the
+  // per-subspace Euclidean-nearest encode, probe-cell selection, the
+  // ADC lookup-sum (addends summed in subspace order for fold parity),
+  // the k·refine shortlist cut, and the exact rerank value-for-value.
+  // The learned x45/x46 stay the quality path (recall specs); the twin
+  // pins their shared machinery at value level.
+  // ---------------------------------------------------------------------
+  def knnIvfPqFixed(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    SimilaritySearch.ivfPqFixedTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val knnIvfPqFixedSql: String = {
+    val (nLists, nProbe, m, codes, dsub, kRefine) = (8, 3, 8, 16, 8, 40)
+    def cos(a: String, b: String) =
+      s"""(list_sum(list_transform(list_zip($a.embedding, $b.embedding),
+         |  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         |/ (sqrt(list_sum(list_transform($a.embedding, x -> CAST(x AS DOUBLE) * x)))
+         |   * sqrt(list_sum(list_transform($b.embedding, x -> CAST(x AS DOUBLE) * x)))))""".stripMargin
+    def sl(rel: String) = s"list_slice($rel.embedding, js.j*$dsub+1, js.j*$dsub+$dsub)"
+    def dotSl(a: String, b: String) =
+      s"""list_sum(list_transform(list_zip(${sl(a)}, ${sl(b)}),
+         |             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))""".stripMargin
+    lshScoreAndRankSql(
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < $nLists
+         |), cbk AS (
+         |  SELECT vec_id AS c, embedding FROM embeddings WHERE vec_id < $codes
+         |), assign AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cos("e", "c")} DESC, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) t
+         |  WHERE rn = 1
+         |), js AS (SELECT unnest(range($m)) AS j
+         |), enc AS (
+         |  SELECT vec_id, j, c AS code FROM (
+         |    SELECT e.vec_id, js.j, cbk.c,
+         |           row_number() OVER (PARTITION BY e.vec_id, js.j ORDER BY
+         |             (list_sum(list_transform(${sl("cbk")}, x -> CAST(x AS DOUBLE) * x))
+         |              - 2 * ${dotSl("e", "cbk")}) ASC, cbk.c) AS rn
+         |    FROM embeddings e CROSS JOIN js CROSS JOIN cbk) t
+         |  WHERE rn = 1
+         |), probes AS (
+         |  SELECT query_id, cid AS cell FROM (
+         |    SELECT q.vec_id AS query_id, c.cid,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${cos("q", "c")} DESC, c.cid) AS rn
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5) t
+         |  WHERE rn <= $nProbe
+         |), adcq AS (
+         |  SELECT q.vec_id AS query_id, js.j, cbk.c,
+         |         ${dotSl("q", "cbk")} AS dp
+         |  FROM embeddings q CROSS JOIN js CROSS JOIN cbk
+         |  WHERE q.vec_id < 5
+         |), approx AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         list_sum(list(adcq.dp ORDER BY adcq.j)) AS approx
+         |  FROM assign a
+         |  JOIN probes p ON a.cell = p.cell AND p.query_id <> a.vec_id
+         |  JOIN enc ON enc.vec_id = a.vec_id
+         |  JOIN adcq ON adcq.query_id = p.query_id AND adcq.j = enc.j
+         |           AND adcq.c = enc.code
+         |  GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |               ORDER BY approx DESC, vec_id) AS rn
+         |    FROM approx) t
+         |  WHERE rn <= $kRefine
+         |)""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------------
   // x48 — SemDeDup: semantic dedup within learned k-means cells
   // (cluster-as-blocking + components + keep-least-typical; learned
   // centroids ⇒ rows-only check; keeper rule + totality + in-cell
@@ -2982,6 +3062,7 @@ object ExtendedQueries {
     "x15_knn_ivf"            -> ((knnIvf _, None)),
     "x45_knn_pq"             -> ((knnPq _, None)),
     "x46_knn_ivfpq"          -> ((knnIvfPq _, None)),
+    "x114_knn_ivfpq_fixed"   -> ((knnIvfPqFixed _, Some(knnIvfPqFixedSql))),
     "x48_semdedup"           -> ((semDedup _, None)),
     "x102_semdedup_capped"   -> ((semDedupCapped _, None)),
     "x108_semdedup_fixed"    -> ((semDedupFixed _, Some(semDedupFixedSql))),

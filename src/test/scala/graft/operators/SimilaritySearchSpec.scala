@@ -229,6 +229,31 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(got == pairs(SimilaritySearch.ivfPqTopK(spark, emb, queries, k = 10)))
   }
 
+  test("ivfPqFixedTopK: planted nearest-cell routing — nProbe prunes exactly the other cells") {
+    VectorFunctions.register(spark)
+    // dim 4, m=2 subspaces, 2 cells: vec 0/1 donate centroids AND
+    // codebooks; 12 is the trap — visible to the query (cos 0.6) but
+    // ASSIGNED to cell 1, so nProbe=1 must never surface it
+    val items = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 0f, 1f, 0f)),
+      (10L, Array(0.9f, 0.1f, 0f, 0f)),
+      (11L, Array(0f, 0f, 0.9f, 0.1f)),
+      (12L, Array(0.6f, 0f, 0.8f, 0f))).toDF("vec_id", "embedding")
+    val query = Seq((20L, Array(1f, 0.05f, 0f, 0f))).toDF("vec_id", "embedding")
+    def top(k: Int, nProbe: Int) = SimilaritySearch.ivfPqFixedTopK(
+        items, query, k = k, nLists = 2, nProbe = nProbe,
+        m = 2, codes = 2, refine = 2)
+      .select("vec_id", "rank").as[(Long, Int)].collect().toMap
+    // single probe: only cell-0 members (0, 10) are candidates, exact order
+    assert(top(2, 1) == Map(0L -> 1, 10L -> 2))
+    // probing cell 1 adds its members as candidates but not into the top-2
+    assert(top(2, 2) == Map(0L -> 1, 10L -> 2))
+    // ...and the trap IS reachable once its cell is probed
+    assert(top(3, 2).contains(12L))
+    assert(!top(3, 1).contains(12L))
+  }
+
   test("ANN finalization plans as partial ObjectHashAggregate, never a rank window") {
     VectorFunctions.register(spark)
     val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
