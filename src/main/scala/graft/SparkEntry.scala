@@ -117,8 +117,6 @@ object SparkEntry {
       "quantile sketch variant tracks the exact percentiles"),
     "x113_ccnet_buckets_scaled" -> ("operators/CurationSpec.scala",
       "x112 ccnet buckets: per-lang tercile monotonicity"),
-    "x12_multimodal_features" -> ("operators/MultimodalSpec.scala",
-      "features have the declared shape"),
     "x14_embedding_neardup_lsh" -> ("operators/DedupSpec.scala",
       "embedding LSH near-dup: recall >= 0.5"),
     "x15_knn_ivf"            -> ("operators/SimilaritySearchSpec.scala",

@@ -38,18 +38,27 @@ object Multimodal {
   object FakeCodec {
     val FeatureDim = 16
 
-    /** "Decode" bytes to a feature vector: rolling-hash-seeded, unit-free,
-      * deterministic in the content — a fake embedding. */
+    /** "Decode" bytes to a feature vector: position-weighted byte values
+      * folded per lane — a fake embedding, deterministic in the content.
+      * The formula is deliberately ENGINE-SHARED closed form (r15: it
+      * replaced a 64-bit rolling hash no SQL engine can wrap-multiply):
+      * lane l accumulates ((b_i · (i+1)) mod 9973) / 9973 − 0.5 over the
+      * bytes at positions i ≡ l (mod 16), ascending, in DOUBLE — the
+      * list_sum fold-order contract — then casts to float. That makes
+      * the x12 registry entry value-level oracle-checkable end to end
+      * (the oracle recomputes lanes and norm per character; fixture
+      * texts are ASCII, so bytes ≡ code points there). A real
+      * deployment swaps this whole object for JNI/FFI codecs — the
+      * formula carries no semantic weight, only determinism. */
     def decodeFeatures(content: Array[Byte]): Array[Float] = {
-      val out = new Array[Float](FeatureDim)
-      var h = 1125899906842597L // FNV-ish rolling seed
+      val acc = new Array[Double](FeatureDim)
       var i = 0
       while (i < content.length) {
-        h = h * 31 + (content(i) & 0xff)
-        out(i % FeatureDim) += ((h >>> 16) & 0xffff) / 65536.0f - 0.5f
+        val v = ((content(i) & 0xff).toLong * (i + 1)) % 9973
+        acc(i % FeatureDim) += v / 9973.0 - 0.5
         i += 1
       }
-      out
+      acc.map(_.toFloat)
     }
 
     /** "Sample" every `everyMs` milliseconds: returns (offset ms, fake frame

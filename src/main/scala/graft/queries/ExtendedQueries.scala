@@ -879,14 +879,45 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
-  // x12 — multimodal feature extraction (stubbed codec, real plumbing;
-  // rows-only check + determinism spec)
+  // x12 — multimodal feature extraction (stubbed codec, real plumbing).
+  // HASH-CHECKED since r15: the fake-codec formula moved to an
+  // engine-shared closed form (position-weighted byte values folded per
+  // lane in double — see FakeCodec.decodeFeatures), so the oracle
+  // recomputes the modality routing, byte counts, the 16 lane sums, the
+  // float cast, and the norm value-for-value. The mapPartitions batch
+  // plumbing (the real subject of the entry) is unchanged.
   // ---------------------------------------------------------------------
   def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(s, Multimodal.assetsFromDocuments(Tables.documents(s, dir)))
       .toDF()
       .select(col("asset_id"), col("modality"), col("n_bytes"), col("feature_norm"))
       .orderBy("asset_id")
+
+  val multimodalFeaturesSql: String =
+    s"""WITH chars AS (
+       |  SELECT doc_id, CAST(i AS INT) AS i,
+       |         unicode(substr(text, CAST(i AS INT), 1)) AS b
+       |  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+       |), lanes AS (
+       |  SELECT doc_id, (i - 1) % 16 AS lane,
+       |         list_sum(list(CAST(b * i % 9973 AS DOUBLE) / 9973.0 - 0.5
+       |                       ORDER BY i)) AS f
+       |  FROM chars GROUP BY 1, 2
+       |), norms AS (
+       |  SELECT doc_id,
+       |         sqrt(list_sum(list(
+       |           CAST(CAST(f AS REAL) AS DOUBLE) * CAST(f AS REAL)
+       |           ORDER BY lane))) AS feature_norm
+       |  FROM lanes GROUP BY doc_id
+       |)
+       |SELECT d.doc_id AS asset_id,
+       |       CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+       |            WHEN d.doc_id % 3 = 1 THEN 'audio'
+       |            ELSE 'video' END AS modality,
+       |       CAST(octet_length(encode(d.text)) AS INT) AS n_bytes,
+       |       COALESCE(n.feature_norm, 0.0) AS feature_norm
+       |FROM documents d LEFT JOIN norms n USING (doc_id)
+       |ORDER BY asset_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // x13 — JSON payload parsing over events.props (A3 parse semantics,
@@ -3056,7 +3087,7 @@ object ExtendedQueries {
     "x11_knn_lsh"            -> ((knnLsh _, Some(knnLshSql))),
     "x110_knn_lsh_multiprobe" -> ((knnLshMultiProbe _, Some(knnLshMultiProbeSql))),
     "x111_knn_jl"            -> ((knnJl _, Some(knnJlSql))),
-    "x12_multimodal_features" -> ((multimodalFeatures _, None)),
+    "x12_multimodal_features" -> ((multimodalFeatures _, Some(multimodalFeaturesSql))),
     "x13_json_props"         -> ((jsonProps _, Some(jsonPropsSql))),
     "x14_embedding_neardup_lsh" -> ((embeddingNearDupLsh _, None)),
     "x15_knn_ivf"            -> ((knnIvf _, None)),
