@@ -64,6 +64,8 @@ object SparkEntry {
       "exact pairwise cosine pair generator — use x85 (LSH-bucketed composition) at scale",
     "x85_semantic_split_leakage_lsh" ->
       "candidate volume tracks TRUE cross-split near-dup count: mass-duplicated corpora grow pairs quadratically in the duplication factor (same regime as x14)",
+    "x115_semantic_split_leakage_probed" ->
+      "x85's item index unchanged (adaptive planes, corpus side never re-bucketed); probe keys add (1+probes)x QUERY-side rows only, and candidate volume still tracks the TRUE cross-split near-dup count (x85's regime)",
     "x10_knn_bruteforce" ->
       "exact full-scan baseline — use x15/x45/x46 (IVF/PQ) at scale",
     "x11_knn_lsh" ->
@@ -143,6 +145,8 @@ object SparkEntry {
       "PHash: independent noise images land far apart"),
     "x85_semantic_split_leakage_lsh" -> ("operators/CurationSpec.scala",
       "x85 LSH split leakage: planted twin found"),
+    "x115_semantic_split_leakage_probed" -> ("operators/CurationSpec.scala",
+      "x115 probed split leakage: probes=0 equals x85"),
     "x90_tokenizer_fertility" -> ("operators/CurationSpec.scala",
       "x90 tokenizerFertility: zero-merge = chars/word"),
     "x102_semdedup_capped"   -> ("operators/DedupSpec.scala",

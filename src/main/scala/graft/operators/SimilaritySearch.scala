@@ -163,31 +163,30 @@ object SimilaritySearch {
     * (bit-identical bucketing), candidates bounded at (1+probes)× per
     * table, `probes = 0` reproduces [[lshTopK]] exactly (spec-pinned).
     * Output shape identical to [[bruteForceTopK]]. */
-  def lshMultiProbeTopK(spark: SparkSession, items: DataFrame, queries: DataFrame,
-                        k: Int, idCol: String = "vec_id", vecCol: String = "embedding",
-                        dim: Int = 64, planes: Int = 4, tables: Int = 8,
-                        probes: Int = 2, seed: Long = 42L): DataFrame = {
+  /** Query-side multi-probe keys (the Lv 2007 probe set): for every
+    * table, the base key (always probed) and each single-plane flip
+    * tagged with its confidence rank — rank j = how many OTHER planes
+    * have strictly smaller |projection| (index tie-break); only ranks
+    * < probes are probed. The tables×planes projections are PROJECTED
+    * ONCE as named columns before any key/rank expression references
+    * them: inlining the 64-literal dot products into every struct
+    * multiplies the expression tree ~10× and the cost is all
+    * PLAN+CODEGEN time, not data (measured 4.35 s → sub-second on a
+    * 5-row query side). O(planes²) comparison expressions per table,
+    * query side only. Input needs columns (`idOut`, `vecOut`); output
+    * (`idOut`, `vecOut`, tbl, bucket) — one row per probed key.
+    * Shared by [[lshMultiProbeTopK]] and
+    * [[graft.operators.Dedup.embeddingNearDupsLshMultiProbe]]. */
+  private[graft] def multiProbeKeys(queries: DataFrame,
+                                    idOut: String, vecOut: String,
+                                    dim: Int, planes: Int, tables: Int,
+                                    probes: Int, seed: Long): DataFrame = {
     require(probes >= 0 && probes <= planes,
       s"probes must be in [0, planes=$planes], got $probes")
     val hp = hyperplanes(dim, planes, tables, seed)
-
-    val it = items.select(col(idCol).as("vec_id"), col(vecCol).as("i_vec"),
-      posexplode(array(hp.map(t => bucketExpr(col(vecCol), t)): _*))
-        .as(Seq("i_tbl", "i_bucket")))
-
-    // Query-side probe keys: for every table, the base key (always
-    // probed) and each single-plane flip tagged with its confidence
-    // rank — rank j = how many OTHER planes have strictly smaller
-    // |projection| (index tie-break); only ranks < probes are probed.
-    // The tables×planes projections are PROJECTED ONCE as named
-    // columns before any key/rank expression references them: inlining
-    // the 64-literal dot products into every struct multiplies the
-    // expression tree ~10× and the cost is all PLAN+CODEGEN time, not
-    // data (measured 4.35 s → sub-second on a 5-row query side).
-    // O(planes²) comparison expressions per table, query side only.
     val projCols: Seq[Column] = hp.zipWithIndex.toSeq.flatMap { case (table, t) =>
       table.zipWithIndex.map { case (plane, j) =>
-        VectorFunctions.dot_product(col("q_vec"), array(plane.map(x => lit(x)): _*))
+        VectorFunctions.dot_product(col(vecOut), array(plane.map(x => lit(x)): _*))
           .as(s"__p_${t}_$j")
       }
     }
@@ -211,14 +210,30 @@ object SimilaritySearch {
       }
       baseStruct +: flips
     }
-
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .select(col("query_id") +: col("q_vec") +: projCols: _*)
-      .select(col("query_id"), col("q_vec"),
+    queries
+      .select(col(idOut) +: col(vecOut) +: projCols: _*)
+      .select(col(idOut), col(vecOut),
         explode(array(probeStructs: _*)).as("pb"))
       .filter(col("pb.inc"))
-      .select(col("query_id"), col("q_vec"),
-        col("pb.tbl").as("q_tbl"), col("pb.key").as("q_bucket"))
+      .select(col(idOut), col(vecOut),
+        col("pb.tbl").as("tbl"), col("pb.key").as("bucket"))
+  }
+
+  def lshMultiProbeTopK(spark: SparkSession, items: DataFrame, queries: DataFrame,
+                        k: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+                        dim: Int = 64, planes: Int = 4, tables: Int = 8,
+                        probes: Int = 2, seed: Long = 42L): DataFrame = {
+    val hp = hyperplanes(dim, planes, tables, seed)
+
+    val it = items.select(col(idCol).as("vec_id"), col(vecCol).as("i_vec"),
+      posexplode(array(hp.map(t => bucketExpr(col(vecCol), t)): _*))
+        .as(Seq("i_tbl", "i_bucket")))
+
+    val q = multiProbeKeys(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+        "query_id", "q_vec", dim, planes, tables, probes, seed)
+      .withColumnRenamed("tbl", "q_tbl")
+      .withColumnRenamed("bucket", "q_bucket")
 
     val scored = it.join(broadcast(q),
         col("i_tbl") === col("q_tbl") && col("i_bucket") === col("q_bucket") &&

@@ -369,6 +369,33 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x115 — x85 with x110's MULTI-PROBED query side (r15, verdict #6):
+  // the eval split (val ∪ test — the small side by construction)
+  // probes its base bucket plus the 2 least-confident plane flips per
+  // table, against x85's BIT-IDENTICAL adaptive-plane item index. The
+  // adaptive planes keep buckets bounded as the corpus grows (x14's
+  // receipt); what they trade — wide-angle recall — the probing buys
+  // back on the query side at (1+probes)× eval keys, never touching
+  // the corpus-sized side. Total for cross-split auditing: every
+  // cross-split pair has a non-train member, so the asymmetric
+  // generator can't miss a pair class. Rows-only like x85 (adaptive
+  // plane count is data-dependent, so the planes aren't static SQL
+  // literals); spec pins probes=0 ≡ x85 and recall dominance over it.
+  // ---------------------------------------------------------------------
+  def semanticSplitLeakageProbed(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    Dedup.embeddingNearDupsLshMultiProbe(emb,
+        emb.filter(Curation.splitOf(col("vec_id")) =!= "train"),
+        threshold = 0.3, probes = 2)
+      .withColumn("split_a", Curation.splitOf(col("id_a")))
+      .withColumn("split_b", Curation.splitOf(col("id_b")))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("id_a", "split_a", "id_b", "split_b", "cosine")
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------------------
   // x14 — embedding near-dup, LSH-bucketed scale path (rows-only check;
   // recall-vs-exact invariant in DedupSpec)
   // ---------------------------------------------------------------------
@@ -3083,6 +3110,7 @@ object ExtendedQueries {
     "x09_embedding_neardup"  -> ((embeddingNearDup _, Some(embeddingNearDupSql))),
     "x84_semantic_split_leakage" -> ((semanticSplitLeakage _, Some(semanticSplitLeakageSql))),
     "x85_semantic_split_leakage_lsh" -> ((semanticSplitLeakageLsh _, None)),
+    "x115_semantic_split_leakage_probed" -> ((semanticSplitLeakageProbed _, None)),
     "x10_knn_bruteforce"     -> ((knnBruteForce _, Some(knnBruteForceSql))),
     "x11_knn_lsh"            -> ((knnLsh _, Some(knnLshSql))),
     "x110_knn_lsh_multiprobe" -> ((knnLshMultiProbe _, Some(knnLshMultiProbeSql))),

@@ -1241,6 +1241,28 @@ object StreamingQueries {
     * and the per-batch SMJ reads the store WITHOUT re-sorting it
     * (multi-file buckets force a full static-side sort every
     * micro-batch — measured 2× the s25 wall at 30× before this). */
+  /** The s36 blocking-store layout knob (the r14 "scan-bytes boundary"
+    * escape route made code): `bucketed` (default) stores blk bucketed
+    * by sh — exchange-free SMJ per batch, but every batch READS the
+    * whole store (no runtime bucket pruning in Spark); `partitioned`
+    * stores blk partitioned by the 2-char shingle prefix `shp`
+    * (≤ ~1.4k partitions on [a-z0-9 ]²) so DYNAMIC PARTITION PRUNING
+    * from the broadcast batch side cuts scan BYTES per batch to the
+    * partitions the batch's shingles actually touch. A/B receipts in
+    * COVERAGE.md round-15. */
+  private[graft] def s36Layout(s: SparkSession): String =
+    s.conf.get("spark.graft.s36.layout", "bucketed")
+
+  /** The partitioned-layout writer: one file per shp partition (the
+    * repartition keys rows by shp so each task owns whole partitions —
+    * the small-file bound is the partition count itself). */
+  private[graft] def writeShPartitionedBy(df: DataFrame, path: String,
+                                          tbl: String): Unit =
+    df.withColumn("shp", substring(col("sh"), 1, 2))
+      .repartition(col("shp"))
+      .write.mode("overwrite").option("path", path)
+      .partitionBy("shp").saveAsTable(tbl)
+
   private[graft] def writeBucketedBy(df: DataFrame, path: String,
                                      tbl: String, key: String): Unit = {
     df.repartition(S36Buckets, col(key))
@@ -1329,6 +1351,32 @@ object StreamingQueries {
       .select(col("id_in"), col("id_ref"), col("jaccard"))
   }
 
+  /** The `partitioned`-layout per-batch delta: the blk store carries a
+    * 2-char shingle-prefix partition column, the exploded batch side
+    * (micro-batch-sized by construction) is BROADCAST, and dynamic
+    * partition pruning derives the shp filter from the broadcast build
+    * side — the store scan reads only the partitions this batch's
+    * shingles touch, cutting scan BYTES where the bucketed layout's
+    * semi-prune could only cut merge ROWS. No semi-prune and no batch
+    * pin here: a BroadcastHashJoin emits only matching rows by itself,
+    * and the shingled batch has a single consumer. */
+  private[graft] def partitionedNearDupDelta(s: SparkSession, batch: DataFrame,
+                                             blkTbl: String, refTbl: String,
+                                             threshold: Double): DataFrame = {
+    val b = batch
+      .select(col("id_in"), col("in_sh"), explode(col("in_sh")).as("sh"))
+      .withColumn("shp", substring(col("sh"), 1, 2))
+    s.table(blkTbl)
+      .join(broadcast(b), Seq("shp", "sh"))
+      .join(s.table(refTbl), "id_ref")
+      .withColumn("inter",
+        size(array_intersect(col("in_sh"), col("ref_sh"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("in_sh")).cast("long") + size(col("ref_sh")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_in"), col("id_ref"), col("jaccard"))
+  }
+
   /** Engage the per-batch store-scan semi-prune only once the blocking
     * store is big enough to pay for the per-batch broadcast build +
     * batch pin: same-session A/B at the crossover's two sides measured
@@ -1371,16 +1419,19 @@ object StreamingQueries {
     try {
     // the one-time store build — the only corpus-sized shuffles that
     // ever happen
+    val layout = s36Layout(s)
     val refShingles = reference
       .select(col("doc_id").as("id_ref"), shArr(col("text")).as("ref_sh"))
     writeBucketedBy(refShingles, s"$work/wh/ref", refTbl, "id_ref")
-    writeBucketedBy(
-      refShingles
-        .select(col("id_ref"), explode(col("ref_sh")).as("sh"))
-        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-        .filter(col("__df") <= refCap)
-        .select(col("sh"), col("id_ref")),
-      s"$work/wh/blk", blkTbl, "sh")
+    val blkRows = refShingles
+      .select(col("id_ref"), explode(col("ref_sh")).as("sh"))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("__df") <= refCap)
+      .select(col("sh"), col("id_ref"))
+    if (layout == "partitioned")
+      writeShPartitionedBy(blkRows, s"$work/wh/blk", blkTbl)
+    else
+      writeBucketedBy(blkRows, s"$work/wh/blk", blkTbl, "sh")
 
     if (!hasParquet(inDir))
       // overwrite, not ErrorIfExists: hasParquet=false with the dir
@@ -1391,8 +1442,10 @@ object StreamingQueries {
         .repartition(3).write.mode("overwrite").parquet(inDir)
 
     // the store-size gate for the per-batch scan prune: one blk count
-    // per STREAM (not per batch), decided before the first trigger
-    val prune = s.table(blkTbl).count() >= pruneFloor
+    // per STREAM (not per batch), decided before the first trigger.
+    // Partitioned layout never row-prunes — DPP prunes scan bytes and
+    // the BroadcastHashJoin emits only matches by itself.
+    val prune = layout != "partitioned" && s.table(blkTbl).count() >= pruneFloor
 
     val stream = s.readStream
       .schema(StructType(Seq(StructField("doc_id", LongType),
@@ -1414,8 +1467,12 @@ object StreamingQueries {
         val shingled0 = b.repartition(nPart)
           .select(col("doc_id").as("id_in"), shArr(col("text")).as("in_sh"))
         val shingled = if (prune) shingled0.localCheckpoint() else shingled0
-        bucketedNearDupDelta(s, shingled, blkTbl, refTbl, threshold, prune)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        val delta =
+          if (layout == "partitioned")
+            partitionedNearDupDelta(s, shingled, blkTbl, refTbl, threshold)
+          else
+            bucketedNearDupDelta(s, shingled, blkTbl, refTbl, threshold, prune)
+        delta.write.mode("overwrite").parquet(s"$outDir/batch=$id")
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -255,6 +255,33 @@ class CurationSpec extends AnyFunSuite {
     assert(lsh.nonEmpty, "vacuous: no co-bucketed crossing on the fixture")
   }
 
+  test("x115 probed split leakage: probes=0 equals x85; probing is monotone and precise") {
+    import spark.implicits._
+    import graft.queries.ExtendedQueries
+    graft.functions.VectorFunctions.register(spark)
+    val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+    val evalSide = emb.filter(Curation.splitOf(col("vec_id")) =!= "train")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def probed(p: Int): Set[(Long, Long)] = pairs(
+      Dedup.embeddingNearDupsLshMultiProbe(emb, evalSide,
+          threshold = 0.3, probes = p)
+        .withColumn("sa", Curation.splitOf(col("id_a")))
+        .withColumn("sb", Curation.splitOf(col("id_b")))
+        .filter(col("sa") =!= col("sb")))
+    // algebraic reduction: base-bucket-only asymmetric generation over
+    // cross-split pairs IS x85 (every cross-split pair has an eval member)
+    val x85 = pairs(ExtendedQueries.semanticSplitLeakageLsh(spark, TestSpark.Sf0001))
+    assert(probed(0) == x85)
+    // probing only ADDS keys: monotone in probes; and precision stays 1.0
+    // (every emitted pair is cosine-verified against the exact x84 set)
+    val two = pairs(ExtendedQueries.semanticSplitLeakageProbed(spark, TestSpark.Sf0001))
+    assert(x85.subsetOf(two), s"probing lost pairs: ${x85.diff(two)}")
+    val exact = pairs(ExtendedQueries.semanticSplitLeakage(spark, TestSpark.Sf0001))
+    assert(two.subsetOf(exact), s"precision < 1: ${two.diff(exact)}")
+    assert(exact.nonEmpty && x85.nonEmpty, "vacuous fixture")
+  }
+
   test("x26 contamination: only train docs, every hit shares a real n-gram") {
     val out = Curation.contamination(docs).cache()
     assert(out.count() > 0, "vacuous: no contaminated docs in the fixture")

@@ -357,6 +357,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(pruned.nonEmpty, "fixture admitted nothing — vacuous equality")
   }
 
+  test("s36 partitioned (DPP) store layout is row-identical to the bucketed default") {
+    // the r15 scan-bytes escape route: blk partitioned by the 2-char
+    // shingle prefix, batch side broadcast, DPP prunes partitions —
+    // different physical story, ONE semantics
+    val srcNum = expr("CAST(substring(source, 4) AS INT)")
+    val docs = graft.Tables.documents(spark, TestSpark.Sf0001)
+    val inc = docs.filter(srcNum < 10)
+    val ref = docs.filter(srcNum >= 10)
+    def run(): Seq[(Long, Long, Double)] = graft.streaming.StreamingQueries
+      .nearDupStreamBucketed(spark, inc, ref, refCap = 4, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    val bucketed = run()
+    spark.conf.set("spark.graft.s36.layout", "partitioned")
+    val partitioned = try run()
+    finally spark.conf.unset("spark.graft.s36.layout")
+    assert(partitioned == bucketed,
+      s"layouts disagree:\n$partitioned\n$bucketed")
+    assert(bucketed.nonEmpty, "fixture admitted nothing — vacuous equality")
+  }
+
   test("s36 totality: empty reference / empty incoming yield empty admissions, tables still cleaned") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val none = docs.limit(0)
