@@ -168,46 +168,48 @@ object ScaleCheck {
     // suffixed-word corpus) inflates the byte ratio while the ROW ratio
     // stays honest — report both, diagnose on rows
     val shuffleRecs = new java.util.concurrent.atomic.AtomicLong(0L)
-    // scan-side accounting (r15): bytesRead is the receipt for layout
-    // experiments where the CLAIM is about scan bytes, not exchanges —
-    // e.g. the s36 partitioned-store DPP A/B
-    val inputBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         shuffleBytes.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
         shuffleRecs.addAndGet(e.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
-        inputBytes.addAndGet(e.stageInfo.taskMetrics.inputMetrics.bytesRead)
       }
     })
+    // NO scan-bytes column (r15): both candidate counters were
+    // calibrated against known parquet sizes and found blind to this
+    // build's local vectorized scans — stage
+    // taskMetrics.inputMetrics.bytesRead AND Hadoop's global
+    // file-scheme statistics each reported ~0 for j01 over an 11 MB
+    // lineitem — so a scan-bytes column would mislead. Layout
+    // experiments that claim scan-byte effects must argue from
+    // partition-pruning fractions computed on the DATA (the s36 DPP
+    // A/B did: every batch touches 31/31 prefix partitions).
     // per-batch streaming-state accounting for the s* entries: state
     // rows are the quantity plan-shape reasoning can't predict, so the
     // harness reports the PEAK across the entry's micro-batches
     val stateListener = new graft.streaming.PipelineMetrics.MetricsListener
     spark.streams.addListener(stateListener)
-    def measure(fn: (SparkSession, String) => DataFrame, dir: String): (Double, Long, Long, Long, Long) = {
+    def measure(fn: (SparkSession, String) => DataFrame, dir: String): (Double, Long, Long, Long) = {
       Thread.sleep(300)
       val b0 = shuffleBytes.get()
       val r0 = shuffleRecs.get()
-      val i0 = inputBytes.get()
       val n0 = stateListener.batches.size
       val sec = Bench.timeEntry(spark, dir, fn)
         .fold(err => { println(s"  FAILED: $err"); Double.NaN }, identity)
       Thread.sleep(300)
       val peakState = stateListener.batches.drop(n0)
         .foldLeft(0L)((m, b) => math.max(m, b.state_rows))
-      (sec, shuffleBytes.get() - b0, shuffleRecs.get() - r0, peakState,
-        inputBytes.get() - i0)
+      (sec, shuffleBytes.get() - b0, shuffleRecs.get() - r0, peakState)
     }
 
     Bench.warmup(spark, src)
-    println(f"${"entry"}%-28s ${"t_1x"}%8s ${"t_kx"}%8s ${"ratio"}%6s ${"shfl_1x"}%10s ${"shfl_kx"}%10s ${"shfl_r"}%6s ${"rows_r"}%6s ${"st_1x"}%9s ${"st_kx"}%9s ${"in_1x"}%10s ${"in_kx"}%10s")
+    println(f"${"entry"}%-28s ${"t_1x"}%8s ${"t_kx"}%8s ${"ratio"}%6s ${"shfl_1x"}%10s ${"shfl_kx"}%10s ${"shfl_r"}%6s ${"rows_r"}%6s ${"st_1x"}%9s ${"st_kx"}%9s")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => prefixes.isEmpty || prefixes.exists(n.startsWith) }
       .foreach { case (name, fn) =>
-        val (t1, s1, r1, st1, i1) = measure(fn, src)
-        val (tk, sk, rk, stk, ik) = measure(fn, dst)
+        val (t1, s1, r1, st1) = measure(fn, src)
+        val (tk, sk, rk, stk) = measure(fn, dst)
         val mb = (b: Long) => f"${b / 1048576.0}%.1fM"
-        println(f"$name%-28s $t1%8.2f $tk%8.2f ${tk / t1}%6.2f ${mb(s1)}%10s ${mb(sk)}%10s ${if (s1 > 0) f"${sk.toDouble / s1}%6.2f" else "   n/a"} ${if (r1 > 0) f"${rk.toDouble / r1}%6.2f" else "   n/a"} $st1%9d $stk%9d ${mb(i1)}%10s ${mb(ik)}%10s")
+        println(f"$name%-28s $t1%8.2f $tk%8.2f ${tk / t1}%6.2f ${mb(s1)}%10s ${mb(sk)}%10s ${if (s1 > 0) f"${sk.toDouble / s1}%6.2f" else "   n/a"} ${if (r1 > 0) f"${rk.toDouble / r1}%6.2f" else "   n/a"} $st1%9d $stk%9d")
       }
     // driver memory posture: sum of per-pool heap peaks — an UPPER
     // BOUND, not concurrent usage: G1 trades regions between eden/old

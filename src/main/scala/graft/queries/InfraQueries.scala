@@ -20,8 +20,19 @@ import graft.store.{EventStore, FingerprintStore, Scd2}
   */
 object InfraQueries {
 
-  private def tempDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+  private def tempDir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toFile
+    // delete at JVM exit — work dirs back lazily-read results during
+    // the run but leaked GBs per harness invocation otherwise (the
+    // StreamingQueries.tempDir rationale, r15)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d)
+    }
+    d.getAbsolutePath
+  }
 
   // ---------------------------------------------------------------------
   // s04 — partitioned warehouse round-trip with partition-pruned scan

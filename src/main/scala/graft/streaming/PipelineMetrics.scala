@@ -40,6 +40,19 @@ import graft.Tables
   */
 object PipelineMetrics {
 
+  /** Temp work dir deleted at JVM exit (the StreamingQueries.tempDir
+    * rationale, r15: per-invocation leaks accumulated GBs in /tmp). */
+  private def tempDir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toFile
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d)
+    }
+    d.getAbsolutePath
+  }
+
   /** One micro-batch's progress snapshot (StreamingQueryProgress
     * projection). `watermark_ms` is None until the first batch that
     * carries event-time columns; rates are NaN on zero-duration batches
@@ -179,7 +192,7 @@ object PipelineMetrics {
     * gauge table described in the object doc. */
   def selfMetrics(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = Files.createTempDirectory("graft_m01_").toFile.getAbsolutePath
+    val work = tempDir("graft_m01_")
     val listener = measuredRun(s, dir, work, parts = 4)
     val outDir = s"$work/out"
 
@@ -246,7 +259,7 @@ object PipelineMetrics {
     * rows = the difference. */
   def observedQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val work = Files.createTempDirectory("graft_m02_").toFile.getAbsolutePath
+    val work = tempDir("graft_m02_")
     val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
 
     Tables.clicks(s, dir).select(
@@ -355,7 +368,7 @@ object PipelineMetrics {
     * (the part a single entry invocation can't show) is spec-asserted
     * by MetricsSpec with two runs against one table. */
   def metricsHistory(s: SparkSession, dir: String): DataFrame = {
-    val work = Files.createTempDirectory("graft_m03_").toFile.getAbsolutePath
+    val work = tempDir("graft_m03_")
     val listener = measuredRun(s, dir, work, parts = 2)
     persistRun(s, listener.batches, s"$work/metrics", "run-001")
     runSummary(s, s"$work/metrics")

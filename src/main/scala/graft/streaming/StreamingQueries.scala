@@ -33,8 +33,23 @@ import graft.queries.ReferenceQueries
   */
 object StreamingQueries {
 
-  private def tempDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+  private def tempDir(prefix: String): String = {
+    val d = Files.createTempDirectory(prefix).toFile
+    // anonymous work dirs back lazily-read results, so they must
+    // outlive the entry's consumption — but not the JVM: without this
+    // every harness invocation leaked its work tree under /tmp
+    // (measured r15: one 100× ScaleCheck leg leaves 2.5 GB; the
+    // accumulation tipped a later leg into transient disk-full parquet
+    // corruption). Explicit workDir resume paths never come through
+    // here and are preserved.
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d)
+    }
+    d.getAbsolutePath
+  }
 
   /** Empty-input totality for foreachBatch read-backs (the s30–s34
     * family): a stream over an empty incoming relation fires zero
@@ -1358,8 +1373,18 @@ object StreamingQueries {
     * side — the store scan reads only the partitions this batch's
     * shingles touch, cutting scan BYTES where the bucketed layout's
     * semi-prune could only cut merge ROWS. No semi-prune and no batch
-    * pin here: a BroadcastHashJoin emits only matching rows by itself,
-    * and the shingled batch has a single consumer. */
+    * pin here: when the batch side broadcasts it emits only matching
+    * rows by itself. The batch side is deliberately NOT hint-forced:
+    * the exploded side carries the in_sh arrays (S² bytes per doc), so
+    * a forced broadcast OOMs the moment a trigger delivers a
+    * corpus-share-sized batch (measured: the 100× harness leg died on
+    * "Not enough memory to build and broadcast") — let AQE broadcast
+    * real streaming-sized batches and fall back to SMJ otherwise.
+    * MEASURED VERDICT (COVERAGE round-15): on this corpus class the
+    * layout is REJECTED — the 2-char prefix space is ~31 values and
+    * any batch blankets it, so DPP prunes nothing while the layout
+    * forfeits the bucketed scan's sortBy merge; it stays behind the
+    * flag as the documented negative receipt. */
   private[graft] def partitionedNearDupDelta(s: SparkSession, batch: DataFrame,
                                              blkTbl: String, refTbl: String,
                                              threshold: Double): DataFrame = {
@@ -1367,7 +1392,7 @@ object StreamingQueries {
       .select(col("id_in"), col("in_sh"), explode(col("in_sh")).as("sh"))
       .withColumn("shp", substring(col("sh"), 1, 2))
     s.table(blkTbl)
-      .join(broadcast(b), Seq("shp", "sh"))
+      .join(b, Seq("shp", "sh"))
       .join(s.table(refTbl), "id_ref")
       .withColumn("inter",
         size(array_intersect(col("in_sh"), col("ref_sh"))).cast("long"))
