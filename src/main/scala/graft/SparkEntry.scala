@@ -84,6 +84,8 @@ object SparkEntry {
       "wall grows with SHARD COUNT (total tokens / budget) via the partitioned write - size the token budget to the corpus",
     "x14_embedding_neardup_lsh" ->
       "plane count is ADAPTIVE (ceil(log2(n/64)), floor 4) so bucket granularity tracks the corpus; remaining candidate volume tracks TRUE near-dup pair count, which mass-duplicated corpora grow quadratically in the duplication factor - cluster-dedup first (x48) on such corpora",
+    "x117_embedding_neardup_lsh_fixed" ->
+      "fixed 4 planes = 128 bucket keys: bucket occupancy grows with n (the pre-adaptive x14 saturation - 80x wall measured at 30x before planes went adaptive) - this is the hash-parity twin only; use x14 (adaptive planes) at scale",
     "x48_semdedup" ->
       "within-cell pairwise: cells bound the quadratic, but heavy duplication still grows pair work - use the cellCap mode (x102) on pathological corpora",
     "x87_bigram_xent" ->

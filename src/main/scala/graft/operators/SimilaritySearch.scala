@@ -850,6 +850,31 @@ object SimilaritySearch {
     (assignments, centersDf)
   }
 
+  /** x116's core: [[clusterEmbeddings]] with FIXED centroids (the
+    * embeddings of vec_id 0..nClusters−1) instead of a learned fit —
+    * the x108/x114 pattern applied to the clustering entry, so the
+    * max_by partial-aggregate ARGMAX-COSINE assignment path (the exact
+    * code shape clusterEmbeddings uses, PlanSpec-pinned) gets a
+    * value-level oracle check its learned variant cannot have.
+    * cos_to_center is rounded 6 in-plan so the downstream per-cluster
+    * average sums IDENTICAL summands on both engines (the x108 assign
+    * rule). */
+  def clusterEmbeddingsFixed(items: DataFrame, nClusters: Int = 8,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding"): DataFrame = {
+    val cents = items.filter(col(idCol) < nClusters)
+      .select(col(idCol).cast("long").as("cluster"), col(vecCol).as("center"))
+    items.select(col(idCol).as("vec_id"), col(vecCol).as("i_vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos_to_center",
+        VectorFunctions.cosine_similarity(col("i_vec"), col("center")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cluster"), col("cos_to_center")),
+                  struct(col("cos_to_center"), -col("cluster"))).as("__best"))
+      .select(col("vec_id"), col("__best.cluster").as("cluster"),
+              round(col("__best.cos_to_center"), 6).as("cos_to_center"))
+  }
+
   // ---- x91: embedding-health audit --------------------------------------
 
   /** Per-label embedding-table health: the pre-flight audit every

@@ -906,6 +906,87 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x116 — x40's HASH-CHECKED twin (r15): clusterEmbeddings' exact
+  // max_by argmax-cosine assignment path with FIXED centroids
+  // (vec_id 0..7), then the same per-cluster size/cohesion rollup. The
+  // learned x40 stays the quality path; this pins the assignment
+  // aggregate (the PlanSpec-pinned no-window shape) at value level.
+  // cos_to_center rounds 6 in-plan so both engines average identical
+  // summands.
+  // ---------------------------------------------------------------------
+  def embeddingClustersFixed(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    SimilaritySearch.clusterEmbeddingsFixed(Tables.embeddings(s, dir), nClusters = 8)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("size"),
+           round(avg(col("cos_to_center")), 6).as("cohesion"))
+      .orderBy("cluster")
+  }
+
+  val embeddingClustersFixedSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8
+       |), assign AS (
+       |  SELECT vec_id, cluster, round(rawcos, 6) AS c6 FROM (
+       |    SELECT e.vec_id, c.cid AS cluster,
+       |           ${cosSqlOn("e.embedding", "c.embedding")} AS rawcos,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosSqlOn("e.embedding", "c.embedding")} DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c) t
+       |  WHERE rn = 1
+       |)
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS size,
+       |       round(avg(c6), 6) AS cohesion
+       |FROM assign GROUP BY cluster ORDER BY cluster""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x117 — the SYMMETRIC near-dup pair generator's HASH twin (r15):
+  // embeddingNearDupsLsh with the planes FIXED at 4 (the adaptive
+  // count is the only non-SQL-expressible piece — it depends on
+  // count(); x14/x85 keep it and stay rows-only), so the oracle
+  // recomputes bucketing, the co-bucket self-join, the DISTINCT pair
+  // union across tables, and the exact cosine threshold — the pair
+  // path x11/x110 (top-k) and x115 (asymmetric) do not cover.
+  // ---------------------------------------------------------------------
+  def embeddingNearDupLshFixed(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    Dedup.embeddingNearDupsLsh(Tables.embeddings(s, dir), threshold = 0.3,
+        planes = 4)
+      .orderBy("id_a", "id_b")
+  }
+
+  val embeddingNearDupLshFixedSql: String = {
+    val hp = SimilaritySearch.hyperplanes(64, 4, 8, 42L)
+    val projDefs = (for { t <- hp.indices; j <- hp(t).indices } yield
+      s"${planeProj(hp(t)(j))} AS p_${t}_$j").mkString(",\n       ")
+    def bucket(t: Int): String = hp(t).indices
+      .map(j => s"(CASE WHEN p_${t}_$j >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    val arms = hp.indices
+      .map(t => s"SELECT vec_id, $t AS tbl, ${bucket(t)} AS bucket FROM p")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH p AS (
+       |  SELECT vec_id,
+       |       $projDefs
+       |  FROM embeddings
+       |), b AS (
+       |  $arms
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+       |  FROM b a JOIN b b2
+       |    ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+       |), scored AS (
+       |  SELECT c.id_a, c.id_b,
+       |         ${cosSqlOn("ea.embedding", "eb.embedding")} AS cosine
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.id_a
+       |  JOIN embeddings eb ON eb.vec_id = c.id_b
+       |)
+       |SELECT id_a, id_b, cosine FROM scored
+       |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // x12 — multimodal feature extraction (stubbed codec, real plumbing).
   // HASH-CHECKED since r15: the fake-codec formula moved to an
   // engine-shared closed form (position-weighted byte values folded per
@@ -3122,6 +3203,8 @@ object ExtendedQueries {
     "x45_knn_pq"             -> ((knnPq _, None)),
     "x46_knn_ivfpq"          -> ((knnIvfPq _, None)),
     "x114_knn_ivfpq_fixed"   -> ((knnIvfPqFixed _, Some(knnIvfPqFixedSql))),
+    "x116_embedding_clusters_fixed" -> ((embeddingClustersFixed _, Some(embeddingClustersFixedSql))),
+    "x117_embedding_neardup_lsh_fixed" -> ((embeddingNearDupLshFixed _, Some(embeddingNearDupLshFixedSql))),
     "x48_semdedup"           -> ((semDedup _, None)),
     "x102_semdedup_capped"   -> ((semDedupCapped _, None)),
     "x108_semdedup_fixed"    -> ((semDedupFixed _, Some(semDedupFixedSql))),

@@ -110,6 +110,21 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall $recall below 0.5 (${lsh.size}/${exact.size})")
   }
 
+  test("x117 fixed-planes pair generator equals the adaptive path where adaptive resolves to 4") {
+    // at sf0.001 (500 vectors) the adaptive count is max(4, ceil(log2(500/64))) = 4,
+    // so the hash-checked fixed twin and the rows-only adaptive entry must
+    // be row-identical there — the algebraic reduction pinning that the twin
+    // exercises the SAME machinery
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    def rows(planes: Int): Set[(Long, Long)] =
+      Dedup.embeddingNearDupsLsh(emb, threshold = 0.3, planes = planes)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val adaptive = rows(0)
+    val fixed = rows(4)
+    assert(adaptive == fixed && fixed.nonEmpty)
+  }
+
   test("winnowing: a shared passage of >= w+k-1 tokens is always detected") {
     val passage = "quick brown foxes jump over the lazy sleeping dog tonight again"
     val docs = Seq(

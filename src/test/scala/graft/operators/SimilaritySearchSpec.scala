@@ -254,6 +254,25 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(!top(3, 1).contains(12L))
   }
 
+  test("clusterEmbeddingsFixed: total, argmax-cosine to the fixed centroids (independent recomputation)") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val out = SimilaritySearch.clusterEmbeddingsFixed(emb, nClusters = 8)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(out.size == emb.count(), "assignment must be total")
+    // independent recomputation through a rank window (a DIFFERENT plan
+    // shape than the operator's max_by aggregate)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos").desc, col("cid").asc)
+    val expected = emb.crossJoin(cents)
+      .withColumn("cos", VectorFunctions.cosine_similarity(col("embedding"), col("cv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "cid").as[(Long, Long)].collect().toMap
+    assert(out == expected)
+  }
+
   test("ANN finalization plans as partial ObjectHashAggregate, never a rank window") {
     VectorFunctions.register(spark)
     val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
