@@ -95,7 +95,9 @@ object SparkEntry {
     "x111_knn_jl" ->
       "the only corpus-sized stage is the m-dim reduced scan (shuffle O(|Q|*k*overfetch), measured constant at 100x); recall tracks the corpus's neighbor margin against the JL noise sqrt(1/m) - raise m/overfetch or compose with x15 cells on diffuse spectra",
     "x112_ccnet_buckets" ->
-      "inherits x87's open-vocabulary bigram-model growth - use x113 (x101's fixed-width 256-bucket model + t-digest thresholds) at scale")
+      "inherits x87's open-vocabulary bigram-model growth - use x113 (x101's fixed-width 256-bucket model + t-digest thresholds) at scale",
+    "x118_bigram_xent_kn" ->
+      "inherits x87's open-vocabulary bigram-model growth (the KN continuation/context relations live at the same model grain) - apply the x101 hashed-bucket fold at scale")
 
   /** For every rows-only entry (registered without a SQL oracle —
     * learned models, sketches, or otherwise non-SQL-expressible), the

@@ -755,6 +755,45 @@ object Curation {
         col("rank").cast("long").as("rank"))
   }
 
+  /** x119: classifier-score Pareto acceptance — the GPT-3 quality-
+    * sampling rule (Brown et al. 2020, Appendix A): keep a document iff
+    * `pareto(α=9) > 1 − score`, which keeps essentially all high-scored
+    * docs while still admitting a thin, diversity-preserving tail of
+    * low-scored ones (a hard threshold like x21/x30 admits none — the
+    * published rationale for the rule). With the standard Pareto draw
+    * p = u^(−1/α) − 1 the condition is algebra:
+    *
+    *   keep ⟺ u < (2 − score)^(−α)
+    *
+    * so for integer α the whole operator is CLOSED-FORM: no libm `pow`
+    * crosses the engine boundary — (2−score)⁹ is a fixed
+    * multiplication chain (g², g⁴=g²·g², g⁸=g⁴·g⁴, g⁹=g⁸·g) replayed
+    * verbatim in the oracle, `u` is the x47 md5-uniform (seeded
+    * "pareto:" so the draw is independent of x47's), and the keep test
+    * compares IEEE-identical doubles (u·g⁹ < 1 avoids even a division).
+    * The score is the shared x02 composite, round-6 BEFORE the chain so
+    * both engines fold the same starting double.
+    *
+    * Plan at 100 TB: entirely row-local — no model, no shuffle, no
+    * join; the only exchange is the presentation sort. Acceptance rate
+    * rises monotonically with score (score 1 ⇒ keep always; score 0 ⇒
+    * p(keep) = 2⁻⁹), spec-asserted per quality bucket. */
+  def paretoQualitySample(docs: DataFrame): DataFrame = {
+    val q = round(TF.qualityScore(col("text")), 6)
+    val v = conv(substring(md5(concat(lit("pareto:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val u = (v.cast("double") + lit(0.5)) / lit(1152921504606846976.0d) // 2^60
+    val g1 = lit(2.0) - col("quality")
+    val g2 = g1 * g1
+    val g9 = (g2 * g2) * (g2 * g2) * g1
+    docs
+      .select(col("doc_id"), col("lang"), q.as("quality"), u.as("u"))
+      .withColumn("accept_key", col("u") * g9)
+      .filter(col("accept_key") < 1.0)
+      .select(col("doc_id"), col("lang"), col("quality"),
+        round(col("accept_key"), 6).as("accept_key"))
+  }
+
   // ---- x24: heavy hitters per stratum ----------------------------------
 
   val TopK = 20
@@ -936,6 +975,64 @@ object Curation {
     // (measured: the unhinted 100× plan turned all three into SMJs)
     xentFrom(tfB, broadcast(bmB), broadcast(ctxB), broadcast(uniB),
       toks.agg(count(lit(1)).as("total")), lambda)
+  }
+
+  /** x118: Kneser–Ney smoothed bigram cross-entropy — the smoothing the
+    * production CCNet/KenLM stack actually ships (Kneser & Ney 1995;
+    * Chen & Goodman 1998 §2.7), replacing [[bigramScore]]'s unigram
+    * interpolation with absolute discounting + the CONTINUATION
+    * distribution:
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁·)
+    *            + (D·N₁₊(w₁·)/c(w₁·)) · N₁₊(·w₂)/N₁₊(··)
+    *
+    * where N₁₊(w₁·) = distinct continuations of w₁, N₁₊(·w₂) = distinct
+    * left-contexts of w₂, N₁₊(··) = total bigram types. The continuation
+    * term is KN's distinctive fix: a token frequent only inside one
+    * collocation ("francisco") backs off LOW, where x87's raw-frequency
+    * unigram term scores it high — so boilerplate-inflated tokens stop
+    * masking improbable transitions. Because the model IS the corpus,
+    * every scored bigram has c ≥ 1 > D, so probabilities stay positive
+    * without further smoothing.
+    *
+    * Shapes (x87's 100 TB posture, unchanged): bigrams row-local, the
+    * four model relations are independent aggregates over the same
+    * exploded spine — ctx adds a count_distinct partial to x87's context
+    * aggregate, cont replaces the unigram model at the SAME w₂-grain —
+    * and every arithmetic term is replayed verbatim in the DuckDB
+    * oracle (round-6 `ln` ulp contract). Docs with < 2 tokens have no
+    * bigrams and drop, exactly as x87. discount = 0 reduces P to the
+    * bigram MLE = [[bigramScore]] at λ = 1 (spec-asserted — the
+    * algebraic-reduction lever). */
+  /** The x118 absolute discount, shared with the DuckDB oracle
+    * (CurationQueries.bigramXentKNSql) so the two sides cannot
+    * silently desync (the ADVICE-r15 shared-constant rule). 0.75 is
+    * the Chen–Goodman-recommended fixed discount. */
+  val KnDiscount = 0.75
+
+  def bigramScoreKN(docs: DataFrame, discount: Double = KnDiscount): DataFrame = {
+    def bigrams = rawBigrams(docs)
+    val tf = bigrams.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val bm = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val ctx = bigrams.groupBy("w1")
+      .agg(count(lit(1)).as("cw1"), count_distinct(col("w2")).as("n1w1"))
+    val cont = bigrams.groupBy("w2")
+      .agg(count_distinct(col("w1")).as("rw2"))
+    val tot = bigrams.agg(
+      count_distinct(col("w1"), col("w2")).as("ntypes"))
+    tf.join(bm, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+           round(
+             sum(col("tf") * -log(
+               greatest(col("cb") - lit(discount), lit(0.0)) /
+                 col("cw1").cast("double") +
+               lit(discount) * col("n1w1") / col("cw1").cast("double") *
+                 (col("rw2") / col("ntypes").cast("double")))) /
+               sum(col("tf")), 6).as("xent"))
   }
 
   /** x112: CCNet perplexity bucketing (Wenzek et al. 2020 §4.3) — the

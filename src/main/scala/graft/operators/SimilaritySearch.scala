@@ -22,6 +22,18 @@ import graft.functions.{TopKAggregator, VectorFunctions}
   */
 object SimilaritySearch {
 
+  /** The x114 fixed-quantizer parameters, shared between
+    * [[ivfPqFixedTopK]]'s defaults and the DuckDB oracle
+    * (ExtendedQueries.knnIvfPqFixedSql) so a change to either side
+    * cannot silently desync the hash check (ADVICE r15). */
+  object IvfPqFixed {
+    val NLists = 8
+    val NProbe = 3
+    val M = 8
+    val Codes = 16
+    val Refine = 4
+  }
+
   /** Per-query top-k finalization shared by the whole ANN family:
     * bounded-heap partial aggregation ([[TopKAggregator]]) instead of a
     * rank window. Each map task emits ≤ k rows per query into the
@@ -684,8 +696,9 @@ object SimilaritySearch {
     * columns (the x111 lesson). */
   def ivfPqFixedTopK(items: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     nLists: Int = 8, nProbe: Int = 3,
-                     m: Int = 8, codes: Int = 16, refine: Int = 4): DataFrame = {
+                     nLists: Int = IvfPqFixed.NLists, nProbe: Int = IvfPqFixed.NProbe,
+                     m: Int = IvfPqFixed.M, codes: Int = IvfPqFixed.Codes,
+                     refine: Int = IvfPqFixed.Refine): DataFrame = {
     val src = items.select(col(idCol).cast("long").as("vec_id"),
                            col(vecCol).as("vec"))
     // bounded by construction: nLists + codes rows of the input table
@@ -864,6 +877,12 @@ object SimilaritySearch {
                              vecCol: String = "embedding"): DataFrame = {
     val cents = items.filter(col(idCol) < nClusters)
       .select(col(idCol).cast("long").as("cluster"), col(vecCol).as("center"))
+    // fail loudly on malformed input instead of silently degrading to
+    // fewer centroids (the ivfPqFixedTopK contract; ADVICE r15) — the
+    // relation is ≤ nClusters rows by the filter, so the count is cheap
+    val nCents = cents.count()
+    require(nCents == nClusters,
+      s"fixed clustering needs vec_ids 0..${nClusters - 1} present; found $nCents")
     items.select(col(idCol).as("vec_id"), col(vecCol).as("i_vec"))
       .crossJoin(broadcast(cents))
       .withColumn("cos_to_center",

@@ -445,6 +445,39 @@ object CurationQueries {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x118 — Kneser–Ney smoothed bigram cross-entropy: the smoothing the
+  // production CCNet/KenLM stack ships, replacing x87's interpolated
+  // unigram back-off with absolute discounting + the CONTINUATION
+  // distribution (distinct left-contexts / total bigram types). The
+  // oracle replays every arithmetic term verbatim (round-6 ln ulp
+  // contract); discount comes from the SAME constant the Scala default
+  // resolves to (Curation.KnDiscount), so the sides cannot desync.
+  // ---------------------------------------------------------------------
+  def bigramXentKN(s: SparkSession, dir: String): DataFrame =
+    Curation.bigramScoreKN(Tables.documents(s, dir)).orderBy("doc_id")
+
+  val bigramXentKNSql: String = {
+    val d = Curation.KnDiscount
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+       |  FROM documents),
+       |bg AS (SELECT doc_id, unnest(l[1:-2]) AS w1, unnest(l[2:]) AS w2 FROM toks),
+       |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+       |bm AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+       |ctx AS (SELECT w1, count(*) AS cw1, count(DISTINCT w2) AS n1w1
+       |        FROM bg GROUP BY 1),
+       |cont AS (SELECT w2, count(DISTINCT w1) AS rw2 FROM bg GROUP BY 1),
+       |tot AS (SELECT count(*) AS ntypes FROM (SELECT DISTINCT w1, w2 FROM bg))
+       |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       |  round(SUM(tf * -ln(greatest(cb - $d, 0.0) / CAST(cw1 AS DOUBLE)
+       |                     + $d * n1w1 / CAST(cw1 AS DOUBLE)
+       |                       * (rw2 / CAST(ntypes AS DOUBLE)))) / SUM(tf), 6) AS xent
+       |FROM tf JOIN bm USING (w1, w2) JOIN ctx USING (w1)
+       |     JOIN cont USING (w2) CROSS JOIN tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // x112 — CCNet perplexity bucketing (Wenzek et al. 2020): per-language
   // head/middle/tail terciles of the x87 LM score, via broadcast
   // percentile THRESHOLDS instead of a corpus-sorting NTILE window (the
@@ -892,6 +925,31 @@ object CurationQueries {
        |SELECT lang, doc_id, skey, rank FROM ranked WHERE rank <= 25
        |ORDER BY lang, rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // x119 — classifier-score Pareto acceptance (the GPT-3 quality-
+  // sampling rule): keep ⟺ u < (2−quality)^−9, closed-form for integer
+  // α so no libm pow crosses the engine boundary — the (2−q)⁹
+  // multiplication chain and the u·g⁹ < 1 comparison replay verbatim;
+  // u's BIGINT→DOUBLE cast happens BEFORE the +0.5 on both sides so the
+  // rounding order is IEEE-identical (the keep test is unrounded).
+  // ---------------------------------------------------------------------
+  def paretoQualitySampleQ(s: SparkSession, dir: String): DataFrame =
+    Curation.paretoQualitySample(Tables.documents(s, dir)).orderBy("doc_id")
+
+  val paretoQualitySampleSql: String =
+    s"""WITH sc AS (
+       |  SELECT doc_id, lang, round($qualitySqlExpr, 6) AS quality,
+       |         (CAST(CAST(concat('0x', substr(md5('pareto:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) + 0.5)
+       |           / 1152921504606846976.0 AS u
+       |  FROM documents),
+       |g AS (SELECT doc_id, lang, quality, u, 2.0 - quality AS g1 FROM sc),
+       |g2t AS (SELECT *, g1 * g1 AS gg2 FROM g),
+       |g4t AS (SELECT *, gg2 * gg2 AS gg4 FROM g2t),
+       |k AS (SELECT doc_id, lang, quality, u * (gg4 * gg4 * g1) AS accept_key
+       |      FROM g4t)
+       |SELECT doc_id, lang, quality, round(accept_key, 6) AS accept_key
+       |FROM k WHERE accept_key < 1.0 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // x51 — per-domain document cap (RefinedWeb-style host capping)
@@ -1640,5 +1698,7 @@ object CurationQueries {
     "x101_bigram_xent_hashed" -> ((bigramXentHashed _, Some(bigramXentHashedSql))),
     "x112_ccnet_buckets"      -> ((ccnetBucketsQ _, Some(ccnetBucketsSql))),
     "x113_ccnet_buckets_scaled" -> ((ccnetBucketsScaledQ _, None)),
+    "x118_bigram_xent_kn"     -> ((bigramXentKN _, Some(bigramXentKNSql))),
+    "x119_pareto_quality_sample" -> ((paretoQualitySampleQ _, Some(paretoQualitySampleSql))),
   )
 }

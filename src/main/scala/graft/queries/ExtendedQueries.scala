@@ -457,6 +457,24 @@ object ExtendedQueries {
     s"""list_sum(list_transform(list_zip(embedding, ${planeLit(row)}),
        |           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))""".stripMargin
 
+  /** Shared scaffolding of the three hyperplane-LSH oracles (x11, x110,
+    * x117): the per-plane projection column defs and, per table, the
+    * sign-bit bucket key and the UNION ALL bucket-key arms over a named
+    * source CTE. The genuinely distinct cand logic (top-k join, probe
+    * keys, symmetric pair join) stays at each call site (ADVICE r15). */
+  private def lshScaffold(hp: Array[Array[Array[Float]]])
+      : (String, Int => String, String => String) = {
+    val projDefs = (for { t <- hp.indices; j <- hp(t).indices } yield
+      s"${planeProj(hp(t)(j))} AS p_${t}_$j").mkString(",\n       ")
+    def bucket(t: Int): String = hp(t).indices
+      .map(j => s"(CASE WHEN p_${t}_$j >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    def arms(from: String): String = hp.indices
+      .map(t => s"SELECT vec_id, $t AS tbl, ${bucket(t)} AS bucket FROM $from")
+      .mkString("\n  UNION ALL\n  ")
+    (projDefs, bucket, arms)
+  }
+
   /** Shared tail of the two LSH oracles: exact-cosine scoring of the
     * DISTINCT candidate pairs + the top-10 rank cut (identical to the
     * Spark side's distinct → cosine → topKPerQuery contract). */
@@ -476,21 +494,14 @@ object ExtendedQueries {
 
   val knnLshSql: String = {
     val hp = SimilaritySearch.hyperplanes(64, 4, 8, 42L)
-    val projDefs = (for { t <- hp.indices; j <- hp(t).indices } yield
-      s"${planeProj(hp(t)(j))} AS p_${t}_$j").mkString(",\n       ")
-    def bucket(t: Int): String = hp(t).indices
-      .map(j => s"(CASE WHEN p_${t}_$j >= 0 THEN ${1L << j} ELSE 0 END)")
-      .mkString(" + ")
-    val arms = hp.indices
-      .map(t => s"SELECT vec_id, $t AS tbl, ${bucket(t)} AS bucket FROM p")
-      .mkString("\n  UNION ALL\n  ")
+    val (projDefs, _, arms) = lshScaffold(hp)
     lshScoreAndRankSql(
       s"""WITH p AS (
          |  SELECT vec_id,
          |       $projDefs
          |  FROM embeddings
          |), b AS (
-         |  $arms
+         |  ${arms("p")}
          |), cand AS (
          |  SELECT DISTINCT q.vec_id AS query_id, i.vec_id AS vec_id
          |  FROM b q JOIN b i
@@ -522,11 +533,7 @@ object ExtendedQueries {
   val knnLshMultiProbeSql: String = {
     val hp = SimilaritySearch.hyperplanes(64, 4, 8, 42L)
     val planes = hp(0).length; val probes = 2
-    val projDefs = (for { t <- hp.indices; j <- hp(t).indices } yield
-      s"${planeProj(hp(t)(j))} AS p_${t}_$j").mkString(",\n       ")
-    def bucket(t: Int): String = hp(t).indices
-      .map(j => s"(CASE WHEN p_${t}_$j >= 0 THEN ${1L << j} ELSE 0 END)")
-      .mkString(" + ")
+    val (projDefs, bucket, arms) = lshScaffold(hp)
     // plane j's confidence rank = how many OTHER planes have strictly
     // smaller |projection| (index tie-break: j2 < j wins ties) — the
     // exact comparison tree of lshMultiProbeTopK's rank column
@@ -537,9 +544,7 @@ object ExtendedQueries {
       }.mkString(" + ")
       s"($cnt) < $probes"
     }
-    val itemArms = hp.indices
-      .map(t => s"SELECT vec_id, $t AS tbl, ${bucket(t)} AS bucket FROM p")
-      .mkString("\n  UNION ALL\n  ")
+    val itemArms = arms("p")
     val baseArms = hp.indices
       .map(t => s"SELECT vec_id, $t AS tbl, ${bucket(t)} AS bucket FROM qp")
     val flipArms = for { t <- hp.indices; j <- 0 until planes } yield
@@ -722,15 +727,23 @@ object ExtendedQueries {
   // The learned x45/x46 stay the quality path (recall specs); the twin
   // pins their shared machinery at value level.
   // ---------------------------------------------------------------------
+  private val X114K = 10
+
   def knnIvfPqFixed(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
-    SimilaritySearch.ivfPqFixedTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+    SimilaritySearch.ivfPqFixedTopK(emb, emb.filter(col("vec_id") < 5), k = X114K)
       .orderBy("query_id", "rank")
   }
 
   val knnIvfPqFixedSql: String = {
-    val (nLists, nProbe, m, codes, dsub, kRefine) = (8, 3, 8, 16, 8, 40)
+    // derived from the SAME constants the entry's call resolves to
+    // (SimilaritySearch.IvfPqFixed + X114K), so a change to either side
+    // desyncs at compile time, not at hash-check time (ADVICE r15)
+    import SimilaritySearch.{IvfPqFixed => P}
+    val (nLists, nProbe, m, codes) = (P.NLists, P.NProbe, P.M, P.Codes)
+    val dsub = 64 / m // fixture embedding dim = 64 (TESTDATA.md)
+    val kRefine = X114K * P.Refine
     def cos(a: String, b: String) =
       s"""(list_sum(list_transform(list_zip($a.embedding, $b.embedding),
          |  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
@@ -957,20 +970,13 @@ object ExtendedQueries {
 
   val embeddingNearDupLshFixedSql: String = {
     val hp = SimilaritySearch.hyperplanes(64, 4, 8, 42L)
-    val projDefs = (for { t <- hp.indices; j <- hp(t).indices } yield
-      s"${planeProj(hp(t)(j))} AS p_${t}_$j").mkString(",\n       ")
-    def bucket(t: Int): String = hp(t).indices
-      .map(j => s"(CASE WHEN p_${t}_$j >= 0 THEN ${1L << j} ELSE 0 END)")
-      .mkString(" + ")
-    val arms = hp.indices
-      .map(t => s"SELECT vec_id, $t AS tbl, ${bucket(t)} AS bucket FROM p")
-      .mkString("\n  UNION ALL\n  ")
+    val (projDefs, _, arms) = lshScaffold(hp)
     s"""WITH p AS (
        |  SELECT vec_id,
        |       $projDefs
        |  FROM embeddings
        |), b AS (
-       |  $arms
+       |  ${arms("p")}
        |), cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
        |  FROM b a JOIN b b2

@@ -1,6 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -20,19 +19,7 @@ import graft.store.{EventStore, FingerprintStore, Scd2}
   */
 object InfraQueries {
 
-  private def tempDir(prefix: String): String = {
-    val d = Files.createTempDirectory(prefix).toFile
-    // delete at JVM exit — work dirs back lazily-read results during
-    // the run but leaked GBs per harness invocation otherwise (the
-    // StreamingQueries.tempDir rationale, r15)
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(d)
-    }
-    d.getAbsolutePath
-  }
+  private def tempDir(prefix: String): String = graft.WorkDirs.tempDir(prefix)
 
   // ---------------------------------------------------------------------
   // s04 — partitioned warehouse round-trip with partition-pruned scan

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.Files
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
@@ -40,18 +39,7 @@ import graft.Tables
   */
 object PipelineMetrics {
 
-  /** Temp work dir deleted at JVM exit (the StreamingQueries.tempDir
-    * rationale, r15: per-invocation leaks accumulated GBs in /tmp). */
-  private def tempDir(prefix: String): String = {
-    val d = Files.createTempDirectory(prefix).toFile
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(d)
-    }
-    d.getAbsolutePath
-  }
+  private def tempDir(prefix: String): String = graft.WorkDirs.tempDir(prefix)
 
   /** One micro-batch's progress snapshot (StreamingQueryProgress
     * projection). `watermark_ms` is None until the first batch that

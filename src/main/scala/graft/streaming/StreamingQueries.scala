@@ -33,23 +33,7 @@ import graft.queries.ReferenceQueries
   */
 object StreamingQueries {
 
-  private def tempDir(prefix: String): String = {
-    val d = Files.createTempDirectory(prefix).toFile
-    // anonymous work dirs back lazily-read results, so they must
-    // outlive the entry's consumption — but not the JVM: without this
-    // every harness invocation leaked its work tree under /tmp
-    // (measured r15: one 100× ScaleCheck leg leaves 2.5 GB; the
-    // accumulation tipped a later leg into transient disk-full parquet
-    // corruption). Explicit workDir resume paths never come through
-    // here and are preserved.
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(d)
-    }
-    d.getAbsolutePath
-  }
+  private def tempDir(prefix: String): String = graft.WorkDirs.tempDir(prefix)
 
   /** Empty-input totality for foreachBatch read-backs (the s30–s34
     * family): a stream over an empty incoming relation fires zero

@@ -103,4 +103,23 @@ class RegistrySpec extends AnyFunSuite {
   test("flagship entry returns rows on sf0.001 (the driver smoke check)") {
     assert(SparkEntry.entry(TestSpark.spark).count() > 0)
   }
+
+  test("x12 fixture boundary: documents text is ASCII (oracle parity precondition)") {
+    // the x12 oracle computes lanes from DuckDB code points at 1-based
+    // CHAR positions while the Spark side folds UTF-8 BYTES at byte
+    // positions — parity holds only while the fixture corpus is ASCII
+    // (code point == byte, char index == byte index). Assert the
+    // invariant AT the fixture boundary so a future non-ASCII fixture
+    // fails here with a clear message instead of as an opaque x12 hash
+    // diff (ADVICE r15).
+    import org.apache.spark.sql.functions.col
+    val nonAscii = Tables.documents(TestSpark.spark, TestSpark.Sf0001)
+      .filter(!col("text").rlike("^[\\x00-\\x7F]*$"))
+      .count()
+    assert(nonAscii == 0,
+      s"$nonAscii documents contain non-ASCII text: the x12 oracle's " +
+        "unicode()/substr() lane math no longer matches the Spark side's " +
+        "UTF-8 byte folds — regenerate the fixture or split x12 into a " +
+        "bytes-only core")
+  }
 }

@@ -1151,6 +1151,80 @@ class CurationSpec extends AnyFunSuite {
     assert(r.values.forall(_ >= 0.0), "interpolated p<=1 => xent >= 0")
   }
 
+  test("x118 bigramScoreKN: hand-computed KN xent; discount=0 reduces to the bigram MLE (x87 at lambda=1)") {
+    import spark.implicits._
+    // model: cb(a,b)=3 cb(b,a)=1; cw1(a)=3 n1+(a·)=1; cw1(b)=1 n1+(b·)=1;
+    // N1+(·a)=1 N1+(·b)=1; bigram types N=2
+    val corpus = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"), (4L, ""))
+      .toDF("doc_id", "text")
+    val r = Curation.bigramScoreKN(corpus).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2)))).toMap
+    val pBA = (3.0 - 0.75) / 3 + 0.75 * 1 / 3.0 * (1 / 2.0) // P(b|a) = 0.875
+    val pAB = (1.0 - 0.75) / 1 + 0.75 * 1 / 1.0 * (1 / 2.0) // P(a|b) = 0.625
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.keySet == Set(1L, 2L)) // <2-token docs absent, exactly as x87
+    assert(r(1L) == ((3L, r6(-(2 * math.log(pBA) + math.log(pAB)) / 3))))
+    assert(r(2L) == ((1L, r6(-math.log(pBA)))))
+
+    // algebraic-reduction lever: D=0 makes P the bigram MLE, which is
+    // bigramScore's lambda=1 arm exactly (0.0 * unigram adds nothing)
+    val kn0 = Curation.bigramScoreKN(docs, discount = 0.0)
+      .withColumnRenamed("xent", "kn").join(
+        Curation.bigramScore(docs, lambda = 1.0), Seq("doc_id", "n_bigrams"))
+    assert(kn0.count() > 0 && kn0.filter(col("kn") =!= col("xent")).count() == 0)
+  }
+
+  test("x118 bigramScoreKN: continuation back-off demotes single-collocation tokens (the francisco property)") {
+    import spark.implicits._
+    // 'francisco' is unigram-frequent but follows ONLY {san, of};
+    // 'q' is unigram-rare but follows six distinct contexts. Both test
+    // transitions are equally rare (cb=1) from the same context 'of'.
+    // x87's unigram back-off props up francisco; KN's continuation
+    // distribution inverts the ranking — the published rationale.
+    val corpus = (
+      (1L to 20L).map(i => (i, "san francisco")) ++
+      Seq(21L -> "a q", 22L -> "b q", 23L -> "c q", 24L -> "d q", 25L -> "e q",
+          101L -> "of francisco", 102L -> "of q")
+    ).toDF("doc_id", "text")
+    def xents(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    val x87 = xents(Curation.bigramScore(corpus))
+    val kn = xents(Curation.bigramScoreKN(corpus))
+    assert(x87(101L) < x87(102L),
+      s"x87 should favor the boilerplate-inflated token: ${x87(101L)} vs ${x87(102L)}")
+    assert(kn(101L) > kn(102L),
+      s"KN should favor the diverse-context token: ${kn(101L)} vs ${kn(102L)}")
+    assert(kn.values.forall(x => x > 0.0), "D<1 and every scored bigram has c>=1 => p in (0,1)")
+  }
+
+  test("x119 paretoQualitySample: acceptance monotone in quality, bounded by the alpha=9 floor") {
+    import graft.functions.{TextFunctions => TF}
+    val kept = Curation.paretoQualitySample(docs).cache()
+    val n = docs.count()
+    val k = kept.count()
+    // p(keep | q) = min(1, (2-q)^-9) in [2^-9, 1]: strictly inside
+    assert(k > n / 512 && k < n, s"kept $k of $n")
+    // every emitted row passed its own unrounded test; rounded key < 1 + eps
+    assert(kept.filter(col("accept_key") >= 1.0).count() == 0)
+    assert(kept.filter(col("quality") < 0.0 || col("quality") > 1.0).count() == 0)
+    // bucket-level monotonicity: acceptance rate in the top quality half
+    // strictly exceeds the bottom half (the Pareto rule's whole point —
+    // a hard threshold would make the bottom rate exactly 0)
+    val q = docs.select(col("doc_id"),
+      round(TF.qualityScore(col("text")), 6).as("q"))
+    val med = q.selectExpr("percentile(q, 0.5) AS m").collect()(0).getDouble(0)
+    val withKeep = q.join(kept.select(col("doc_id"), lit(1).as("kept")),
+      Seq("doc_id"), "left")
+    val rates = withKeep.groupBy((col("q") > med).as("hi"))
+      .agg(avg(coalesce(col("kept"), lit(0))).as("rate"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(rates(true) > rates(false),
+      s"top-half acceptance ${rates(true)} must exceed bottom-half ${rates(false)}")
+    assert(rates(false) > 0.0,
+      "the Pareto tail must admit SOME low-quality docs (vs a hard threshold)")
+  }
+
   test("x86 corpusDiff: delta rows only; whitespace-only edits are not changes") {
     import spark.implicits._
     val old = Seq((1L, "alpha beta"), (2L, "a  b"), (3L, "gamma"), (4L, "delta"))
