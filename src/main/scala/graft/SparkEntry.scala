@@ -97,7 +97,7 @@ object SparkEntry {
     "x112_ccnet_buckets" ->
       "inherits x87's open-vocabulary bigram-model growth - use x113 (x101's fixed-width 256-bucket model + t-digest thresholds) at scale",
     "x118_bigram_xent_kn" ->
-      "inherits x87's open-vocabulary bigram-model growth (the KN continuation/context relations live at the same model grain) - apply the x101 hashed-bucket fold at scale")
+      "inherits x87's open-vocabulary bigram-model growth (the KN continuation/context relations live at the same model grain) - use x120 (the x101 hashed-bucket fold applied to the KN model) at scale")
 
   /** For every rows-only entry (registered without a SQL oracle —
     * learned models, sketches, or otherwise non-SQL-expressible), the

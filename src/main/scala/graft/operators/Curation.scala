@@ -1010,16 +1010,12 @@ object Curation {
     * the Chen–Goodman-recommended fixed discount. */
   val KnDiscount = 0.75
 
-  def bigramScoreKN(docs: DataFrame, discount: Double = KnDiscount): DataFrame = {
-    def bigrams = rawBigrams(docs)
-    val tf = bigrams.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
-    val bm = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val ctx = bigrams.groupBy("w1")
-      .agg(count(lit(1)).as("cw1"), count_distinct(col("w2")).as("n1w1"))
-    val cont = bigrams.groupBy("w2")
-      .agg(count_distinct(col("w1")).as("rw2"))
-    val tot = bigrams.agg(
-      count_distinct(col("w1"), col("w2")).as("ntypes"))
+  /** The shared x118/x120 back end: KN cross-entropy over
+    * (tf, bigram model with n1w1-bearing context totals, continuation
+    * counts, bigram-type total) — the [[xentFrom]] analogue. */
+  private def knXentFrom(tf: DataFrame, bm: DataFrame, ctx: DataFrame,
+                         cont: DataFrame, tot: DataFrame,
+                         discount: Double): DataFrame =
     tf.join(bm, Seq("w1", "w2"))
       .join(ctx, Seq("w1"))
       .join(cont, Seq("w2"))
@@ -1033,6 +1029,52 @@ object Curation {
                lit(discount) * col("n1w1") / col("cw1").cast("double") *
                  (col("rw2") / col("ntypes").cast("double")))) /
                sum(col("tf")), 6).as("xent"))
+
+  def bigramScoreKN(docs: DataFrame, discount: Double = KnDiscount): DataFrame = {
+    def bigrams = rawBigrams(docs)
+    knXentFrom(
+      bigrams.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf")),
+      bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb")),
+      bigrams.groupBy("w1")
+        .agg(count(lit(1)).as("cw1"), count_distinct(col("w2")).as("n1w1")),
+      bigrams.groupBy("w2").agg(count_distinct(col("w1")).as("rw2")),
+      bigrams.agg(count_distinct(col("w1"), col("w2")).as("ntypes")),
+      discount)
+  }
+
+  /** x120: [[bigramScoreKN]] on HASHED token buckets — the x101 fold
+    * applied to the KN model, closing the loop x118's scale caveat
+    * names (exactly as x113 closes x112's). The KN model is DEFINED
+    * over the bucketed token stream, which makes every model relation
+    * provably bounded: the bigram model ≤ 16^(2·hexLen) rows, and —
+    * the part x101 didn't need — the KN continuation statistics
+    * (n₁₊(w₁·), n₁₊(·w₂), bigram-type total) are plain row counts OF
+    * that bounded model, so they stay closed-form under the fold
+    * (distinct-counts don't distribute over folding, but counts of the
+    * folded model's rows ARE its distinct counts). Occurrence totals
+    * fold associatively exactly as x101 (counts summed by bucket ==
+    * bucketed occurrence counts), so the md5 kernel stays at the
+    * (doc, bigram-type) grain. Every scored bucketed bigram has
+    * c ≥ 1 > D, so probabilities stay positive, exactly as x118. */
+  def bigramScoreKNHashed(docs: DataFrame, discount: Double = KnDiscount,
+                          hexLen: Int = 2): DataFrame = {
+    def b(c: Column) = substring(md5(c), 1, hexLen)
+    def bigrams = rawBigrams(docs)
+    val tfB = bigrams
+      .groupBy(col("doc_id"), b(col("w1")).as("w1"), b(col("w2")).as("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val bmB = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .select(b(col("w1")).as("w1"), b(col("w2")).as("w2"), col("cb"))
+      .groupBy("w1", "w2").agg(sum("cb").as("cb"))
+    // the continuation statistics are row counts of the bounded model
+    val ctxB = bmB.groupBy("w1")
+      .agg(sum("cb").as("cw1"), count(lit(1)).as("n1w1"))
+    val contB = bmB.groupBy("w2").agg(count(lit(1)).as("rw2"))
+    val totB = bmB.agg(count(lit(1)).as("ntypes"))
+    // bounded models => broadcast correct at ANY corpus size (the x101
+    // hint rationale: stop the size ESTIMATE flipping these to SMJ)
+    knXentFrom(tfB, broadcast(bmB), broadcast(ctxB), broadcast(contB),
+      totB, discount)
   }
 
   /** x112: CCNet perplexity bucketing (Wenzek et al. 2020 §4.3) — the

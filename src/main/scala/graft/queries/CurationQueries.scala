@@ -478,6 +478,40 @@ object CurationQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x120 — x118 on the HASHED fixed-width model (the x101 fold applied
+  // to KN): the bigram model is capped at 256² rows and the KN
+  // continuation statistics are row counts OF that bounded model, so
+  // every model join's build side broadcasts at any corpus size. The
+  // oracle computes the model directly over bucketed tokens (folding
+  // aggregated counts by bucket == counting bucketed occurrences).
+  // ---------------------------------------------------------------------
+  def bigramXentKNHashed(s: SparkSession, dir: String): DataFrame =
+    Curation.bigramScoreKNHashed(Tables.documents(s, dir)).orderBy("doc_id")
+
+  val bigramXentKNHashedSql: String = {
+    val d = Curation.KnDiscount
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+       |                        t -> substr(md5(t), 1, 2)) AS l
+       |  FROM documents),
+       |bg AS (SELECT doc_id, unnest(l[1:-2]) AS w1, unnest(l[2:]) AS w2 FROM toks),
+       |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+       |bm AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+       |ctx AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cw1, count(*) AS n1w1
+       |        FROM bm GROUP BY 1),
+       |cont AS (SELECT w2, count(*) AS rw2 FROM bm GROUP BY 1),
+       |tot AS (SELECT count(*) AS ntypes FROM bm)
+       |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       |  round(SUM(tf * -ln(greatest(cb - $d, 0.0) / CAST(cw1 AS DOUBLE)
+       |                     + $d * n1w1 / CAST(cw1 AS DOUBLE)
+       |                       * (rw2 / CAST(ntypes AS DOUBLE)))) / SUM(tf), 6) AS xent
+       |FROM tf JOIN bm USING (w1, w2) JOIN ctx USING (w1)
+       |     JOIN cont USING (w2) CROSS JOIN tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // x112 — CCNet perplexity bucketing (Wenzek et al. 2020): per-language
   // head/middle/tail terciles of the x87 LM score, via broadcast
   // percentile THRESHOLDS instead of a corpus-sorting NTILE window (the
@@ -1699,6 +1733,7 @@ object CurationQueries {
     "x112_ccnet_buckets"      -> ((ccnetBucketsQ _, Some(ccnetBucketsSql))),
     "x113_ccnet_buckets_scaled" -> ((ccnetBucketsScaledQ _, None)),
     "x118_bigram_xent_kn"     -> ((bigramXentKN _, Some(bigramXentKNSql))),
+    "x120_bigram_xent_kn_hashed" -> ((bigramXentKNHashed _, Some(bigramXentKNHashedSql))),
     "x119_pareto_quality_sample" -> ((paretoQualitySampleQ _, Some(paretoQualitySampleSql))),
   )
 }

@@ -1198,6 +1198,38 @@ class CurationSpec extends AnyFunSuite {
     assert(kn.values.forall(x => x > 0.0), "D<1 and every scored bigram has c>=1 => p in (0,1)")
   }
 
+  test("x120 hashed KN model: fixed-width bound; n_bigrams identical to x118") {
+    import spark.implicits._
+    val kn = Curation.bigramScoreKN(docs)
+      .select(col("doc_id"), col("n_bigrams").as("nb_kn"))
+    val knh = Curation.bigramScoreKNHashed(docs)
+      .select(col("doc_id"), col("n_bigrams").as("nb_h"), col("xent"))
+    val j = kn.join(knh, Seq("doc_id"), "full").cache()
+    assert(j.filter(col("nb_kn").isNull || col("nb_h").isNull).count() == 0,
+      "bucketing renames tokens, never drops them: same doc set")
+    assert(j.filter(col("nb_kn") =!= col("nb_h")).count() == 0,
+      "n_bigrams must be identical to x118's by construction")
+    assert(j.filter(col("xent") <= 0.0).count() == 0,
+      "every scored bucketed bigram has c >= 1 > D => p in (0,1) => xent > 0")
+
+    // exercise the FOLD itself (the 31-word fixture vocab can't): a
+    // 400-token vocabulary must collide into <= 256 buckets, so the
+    // bucketed model is strictly SMALLER than the open bigram-type set
+    // while per-doc bigram counts are preserved exactly
+    val big = Seq((1L, (0 until 400).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val openTypes = 399L // each adjacent pair is distinct by construction
+    val foldedTypes = big.select(explode(transform(
+        regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)),
+        t => substring(md5(t), 1, 2))).as("b"))
+      .distinct().count()
+    assert(foldedTypes <= 256, "bucket ids are 2-hex by key shape")
+    assert(foldedTypes < 400, "400 tokens cannot stay distinct in 256 buckets")
+    val hb = Curation.bigramScoreKNHashed(big).collect()
+    assert(hb.length == 1 && hb(0).getLong(1) == openTypes,
+      "folding renames model keys but never changes a doc's bigram count")
+  }
+
   test("x119 paretoQualitySample: acceptance monotone in quality, bounded by the alpha=9 floor") {
     import graft.functions.{TextFunctions => TF}
     val kept = Curation.paretoQualitySample(docs).cache()
