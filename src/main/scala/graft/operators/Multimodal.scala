@@ -169,8 +169,13 @@ object Multimodal {
       StrictMath.cos(StrictMath.PI * (2 * x + 1) * u / (2.0 * N))
     }
 
-    /** 63-bit signature of a decoded w×h RGB24 raster. */
-    def hash(w: Int, h: Int, rgb: Array[Byte]): Long = {
+    /** The 63 low-frequency AC coefficients (u,v < 8, (0,0) excluded,
+      * row-major) of the pooled grayscale DCT — [[hash]]'s shared front
+      * end, exposed so the x122 hash twin can pin the pool + DCT
+      * machinery at value level (the signature itself stays rows-only:
+      * a sign bit at a near-zero coefficient is fp-flippable across
+      * engines, a rounded coefficient is not). */
+    def lowFreqCoefs(w: Int, h: Int, rgb: Array[Byte]): Array[Double] = {
       require(w >= N && h >= N, s"pHash needs at least ${N}x$N pixels, got ${w}x$h")
       // grayscale (ITU-R 601 integer weights) + average-pool to 32×32.
       // Integer block sums — no float until the DCT.
@@ -226,10 +231,16 @@ object Multimodal {
         }
         u += 1
       }
+      coef
+    }
+
+    /** 63-bit signature of a decoded w×h RGB24 raster. */
+    def hash(w: Int, h: Int, rgb: Array[Byte]): Long = {
+      val coef = lowFreqCoefs(w, h, rgb)
       val sorted = coef.clone(); java.util.Arrays.sort(sorted)
       val median = (sorted(31) + sorted(32)) / 2.0
       var bits = 0L
-      i = 0
+      var i = 0
       while (i < 63) { if (coef(i) > median) bits |= 1L << i; i += 1 }
       bits
     }

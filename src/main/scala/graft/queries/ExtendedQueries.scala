@@ -3084,6 +3084,69 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x121 — x61's HASH twin at the dB grain: band energies in decibels,
+  // round(10·log10(e+1), 6). The FFT itself is not SQL-expressible, but
+  // a naive O(n²) DFT is — and the two agree to ~1e-13 relative (the
+  // radix-2 recombination only reorders fp additions), which the dB
+  // round-6 grain absorbs with ~7 orders of margin (the ln ulp
+  // contract, applied through log10's derivative: Δ(10·log10 e) ≈
+  // 4.3·Δe/e). x61 keeps the raw-power contract (rint at 1e12+ magnitude
+  // — a grain fp noise CAN flip, hence rows-only); this twin pins the
+  // whole decode → window → spectrum → band pipeline at value level,
+  // exactly as x108/x114/x116/x117 pin their learned/iterative families.
+  // Oracle: closed-form samples (the x60 pattern) → per-(window, bin)
+  // DFT via a 33-bin cross join → band fold → dB.
+  // ---------------------------------------------------------------------
+  def audioSpectrumDb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Dsp
+    import graft.operators.Multimodal.WavCodec
+    wavAssets(s).as[(Long, Array[Byte])].mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        val (_, samples) = WavCodec.decode(bytes)
+        samples.grouped(WavWindow).zipWithIndex
+          .filter(_._1.length == WavWindow)
+          .flatMap { case (win, w) =>
+            val ps = Dsp.powerSpectrum(win.map(_.toDouble))
+            (0 until 4).map { b =>
+              val hi = if (b == 3) ps.length else (b + 1) * 8
+              var e = 0.0
+              var k = b * 8
+              while (k < hi) { e += ps(k); k += 1 }
+              (id, w.toLong, b.toLong, e)
+            }
+          }
+      }
+    }.toDF("asset_id", "window_idx", "band", "e")
+      .select(col("asset_id"), col("window_idx"), col("band"),
+        round(log10(col("e") + lit(1.0)) * 10, 6).as("energy_db"))
+      .orderBy("asset_id", "window_idx", "band")
+  }
+
+  val audioSpectrumDbSql: String =
+    s"""WITH ids AS (SELECT unnest(range($WavAssets)) AS asset_id),
+       |dims AS (SELECT asset_id, 256 + 32 * (asset_id % 5) AS n FROM ids),
+       |idx AS (SELECT asset_id, unnest(range((n // $WavWindow) * $WavWindow)) AS i
+       |        FROM dims),
+       |sm AS (SELECT asset_id, i // $WavWindow AS window_idx, i % $WavWindow AS j,
+       |              CAST(((asset_id * 31 + i * i * 7) % 65536) - 32768 AS DOUBLE) AS s
+       |       FROM idx),
+       |bins AS (SELECT unnest(range(${WavWindow / 2 + 1})) AS k),
+       |dft AS (
+       |  SELECT asset_id, window_idx, k,
+       |         SUM(s * cos(2 * pi() * k * j / $WavWindow)) AS xre,
+       |         SUM(s * sin(2 * pi() * k * j / $WavWindow)) AS xim
+       |  FROM sm CROSS JOIN bins GROUP BY 1, 2, 3),
+       |band AS (
+       |  SELECT asset_id, window_idx, least(k // 8, 3) AS band,
+       |         SUM(xre * xre + xim * xim) AS e
+       |  FROM dft GROUP BY 1, 2, 3)
+       |SELECT asset_id, CAST(window_idx AS BIGINT) AS window_idx,
+       |       CAST(band AS BIGINT) AS band,
+       |       round(log10(e + 1.0) * 10, 6) AS energy_db
+       |FROM band ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x73 — perceptual-hash IMAGE near-dup: the multimodal member of the
   // dedup family. Real decode (PpmCodec) → pHash (Multimodal.PHash:
   // 32×32 pool → DCT → 63-bit sign-of-AC signature) → LSH band blocking
@@ -3100,6 +3163,79 @@ object ExtendedQueries {
   // noise, so non-planted signatures are ~independent 63-bit strings),
   // are what the spec asserts. Iterative float DCT → rows-only check.
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // x122 — the pHash family's HASH twin: the 63 low-frequency AC
+  // coefficients of the pooled-grayscale 2D DCT-II, value-level checked
+  // against a DuckDB recomputation (closed-form modular pixels — the
+  // x54/x59 fixture family — through encode → chunk-walk decode → 2×2
+  // integer pool → flat DCT double sum). The SIGNATURE stays rows-only
+  // in x73 (a sign bit at a near-zero coefficient is fp-flippable
+  // across engines); the coefficients are emitted at the /N² round-6
+  // grain, where the separable-vs-flat summation difference (~1e-12
+  // absolute after normalization) has ~5 orders of margin against the
+  // rounding boundary. Pins pool + DCT exactly as x121 pins the FFT
+  // path and x108/x114/x116/x117 pin their families.
+  // ---------------------------------------------------------------------
+  private val DctAssets = 16
+  private val DctSide = 64
+
+  def imageDctFixed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal.{PHash, PpmCodec}
+    s.range(DctAssets).flatMap { idBoxed =>
+      val id: Long = idBoxed
+      val w = DctSide; val h = DctSide
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = (y * w + x) * 3
+          rgb(p) = ((id + x * 3 + y * 7) % 256).toByte
+          rgb(p + 1) = ((id * 2 + x * 5 + y * 11) % 256).toByte
+          rgb(p + 2) = ((id * 3 + x * 7 + y * 13) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val (dw, dh, back) = PpmCodec.decode(PpmCodec.encode(w, h, rgb))
+      val coef = PHash.lowFreqCoefs(dw, dh, back)
+      var i = -1
+      for { u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0 } yield {
+        i += 1
+        (id, u.toLong, v.toLong, coef(i))
+      }
+    }.toDF("asset_id", "u", "v", "c")
+      .select(col("asset_id"), col("u"), col("v"),
+        round(col("c") / 1024.0, 6).as("coef"))
+      .orderBy("asset_id", "u", "v")
+  }
+
+  val imageDctFixedSql: String =
+    s"""WITH ids AS (SELECT unnest(range($DctAssets)) AS asset_id),
+       |xs AS (SELECT unnest(range($DctSide)) AS x),
+       |ys AS (SELECT unnest(range($DctSide)) AS y),
+       |px AS (
+       |  SELECT asset_id, x, y,
+       |         (asset_id     + x * 3 + y * 7 ) % 256 AS r,
+       |         (asset_id * 2 + x * 5 + y * 11) % 256 AS g,
+       |         (asset_id * 3 + x * 7 + y * 13) % 256 AS b
+       |  FROM ids CROSS JOIN xs CROSS JOIN ys),
+       |pool AS (
+       |  SELECT asset_id, y // 2 AS py, x // 2 AS pxx,
+       |         SUM(299 * r + 587 * g + 114 * b) / 4000.0 AS pv
+       |  FROM px GROUP BY 1, 2, 3),
+       |uv AS (SELECT us.u, vs.v
+       |       FROM (SELECT unnest(range(8)) AS u) us
+       |       CROSS JOIN (SELECT unnest(range(8)) AS v) vs
+       |       WHERE NOT (us.u = 0 AND vs.v = 0))
+       |SELECT asset_id, CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+       |       round(SUM(pv * cos(pi() * (2 * pxx + 1) * u / ${2 * 32})
+       |                    * cos(pi() * (2 * py + 1) * v / ${2 * 32})) / 1024.0,
+       |             6) AS coef
+       |FROM pool CROSS JOIN uv
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   private val PHashAssets = 48
   private val PHashHamMax = 2
 
@@ -3252,6 +3388,8 @@ object ExtendedQueries {
     "x59_frame_sample"       -> ((frameSample _, Some(frameSampleSql))),
     "x60_audio_energy"       -> ((audioEnergy _, Some(audioEnergySql))),
     "x61_audio_spectrum"     -> ((audioSpectrum _, None)),
+    "x121_audio_spectrum_db" -> ((audioSpectrumDb _, Some(audioSpectrumDbSql))),
+    "x122_image_dct_fixed"   -> ((imageDctFixed _, Some(imageDctFixedSql))),
     "x73_image_phash_dedup"  -> ((imagePhashDedup _, None)),
     "x56_funnel_report"      -> ((funnelReport _, Some(funnelReportSql))),
   )

@@ -85,6 +85,29 @@ class DspSpec extends AnyFunSuite {
     }
   }
 
+  test("x121 dB twin: same grain as x61, values agree through the dB map") {
+    val spark = graft.TestSpark.spark
+    val raw = graft.queries.ExtendedQueries
+      .audioSpectrum(spark, graft.TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val db = graft.queries.ExtendedQueries
+      .audioSpectrumDb(spark, graft.TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    // identical (asset, window, band) grain — the twin is the same
+    // pipeline, not a re-derivation
+    assert(db.keySet == raw.keySet && db.nonEmpty)
+    // x61's energy is rint(e): mapping it through the dB formula must
+    // land within the rint perturbation's dB radius (≤ 4.343/e, and the
+    // fixture's band energies are ≥ 1e6)
+    raw.foreach { case (k, e) =>
+      val expected = 10 * math.log10(e + 1.0)
+      assert(math.abs(db(k) - expected) < 1e-4,
+        s"$k: dB ${db(k)} vs rint-derived $expected")
+    }
+  }
+
   test("a pure tone concentrates its power in the matching bin") {
     val n = 64; val bin = 5
     val x = Array.tabulate(n)(t => math.cos(2.0 * math.Pi * bin * t / n))

@@ -200,6 +200,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("x122 DCT twin: coefficient block is the signature's exact front end; entry grain is 63 AC cells") {
+    import Multimodal.PHash
+    // kernel identity: hash == sign-of-median fold of lowFreqCoefs, so
+    // a value-level check on the coefficients pins the signature's
+    // entire front end (pool + separable DCT)
+    val w = 64; val h = 64
+    val rng = new scala.util.Random(11)
+    val rgb = Array.fill(w * h * 3)(rng.nextInt(256).toByte)
+    val coef = PHash.lowFreqCoefs(w, h, rgb)
+    assert(coef.length == 63)
+    val sorted = coef.clone(); java.util.Arrays.sort(sorted)
+    val median = (sorted(31) + sorted(32)) / 2.0
+    val bits = coef.zipWithIndex.foldLeft(0L) { case (acc, (c, i)) =>
+      if (c > median) acc | (1L << i) else acc
+    }
+    assert(bits == PHash.hash(w, h, rgb))
+
+    // entry grain: 63 rows per asset, the DC cell absent
+    val out = graft.queries.ExtendedQueries.imageDctFixed(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val perAsset = out.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perAsset.values.forall(_ == 63) && perAsset.size == 16)
+    assert(!out.exists(k => k._2 == 0L && k._3 == 0L), "DC must be excluded")
+  }
+
   test("x73: recovered pairs are exactly the planted brightness-shifted copies") {
     val out = graft.queries.ExtendedQueries.imagePhashDedup(spark, TestSpark.Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
