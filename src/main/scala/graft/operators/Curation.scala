@@ -777,7 +777,16 @@ object Curation {
     * Plan at 100 TB: entirely row-local — no model, no shuffle, no
     * join; the only exchange is the presentation sort. Acceptance rate
     * rises monotonically with score (score 1 ⇒ keep always; score 0 ⇒
-    * p(keep) = 2⁻⁹), spec-asserted per quality bucket. */
+    * p(keep) = 2⁻⁹), spec-asserted per quality bucket.
+    *
+    * The keep test runs as a TYPED filter on purpose: a relational
+    * `filter(accept_key < 1)` is pushed below the projections, and the
+    * substitution expands the 9-reference power chain into NINE copies
+    * of the quality composite (≈ 50 regex passes per row — measured
+    * 8.1 s → 0.9 s at sf0.1). The object boundary is pushdown-proof, so
+    * quality and the chain evaluate ONCE each in the codegen'd Projects
+    * upstream; the lambda itself is one double comparison — the heavy
+    * math never leaves whole-stage codegen. */
   def paretoQualitySample(docs: DataFrame): DataFrame = {
     val q = round(TF.qualityScore(col("text")), 6)
     val v = conv(substring(md5(concat(lit("pareto:"),
@@ -786,10 +795,15 @@ object Curation {
     val g1 = lit(2.0) - col("quality")
     val g2 = g1 * g1
     val g9 = (g2 * g2) * (g2 * g2) * g1
+    val spark = docs.sparkSession
+    import spark.implicits._
     docs
       .select(col("doc_id"), col("lang"), q.as("quality"), u.as("u"))
       .withColumn("accept_key", col("u") * g9)
-      .filter(col("accept_key") < 1.0)
+      .select(col("doc_id"), col("lang"), col("quality"), col("accept_key"))
+      .as[(Long, String, Double, Double)]
+      .filter(_._4 < 1.0)
+      .toDF("doc_id", "lang", "quality", "accept_key")
       .select(col("doc_id"), col("lang"), col("quality"),
         round(col("accept_key"), 6).as("accept_key"))
   }
