@@ -34,6 +34,40 @@ object SimilaritySearch {
     val Refine = 4
   }
 
+  /** The shared fixed-quantizer kernel of x114/x116/s37: literal-array
+    * centroids, row-local argmax-cosine cell assignment (ties → lowest
+    * cid via array_min over (−cos, cid) structs — exact negation, so
+    * the ordering matches the oracles' ORDER BY cos DESC, cid), and
+    * top-nProbe probe-cell selection by the same ordering. */
+  private[graft] def litVec(a: Array[Float]): Column =
+    array(a.map(x => lit(x)): _*)
+
+  private[graft] def cellArms(vec: Column,
+                              cents: IndexedSeq[Array[Float]]): Column =
+    array(cents.indices.map { cid =>
+      struct((-VectorFunctions.cosine_similarity(vec, litVec(cents(cid))))
+        .as("negcos"), lit(cid.toLong).as("cid"))
+    }: _*)
+
+  private[graft] def argmaxCell(vec: Column,
+                                cents: IndexedSeq[Array[Float]]): Column =
+    array_min(cellArms(vec, cents)).getField("cid")
+
+  private[graft] def probeCells(vec: Column, cents: IndexedSeq[Array[Float]],
+                                nProbe: Int): Column =
+    transform(slice(sort_array(cellArms(vec, cents)), 1, nProbe),
+      x => x.getField("cid"))
+
+  /** Collect the first `n` vec_ids of a (vec_id, vec) relation as the
+    * fixed-quantizer rows — bounded by construction, loud on gaps. */
+  private[graft] def collectFixedRows(src: DataFrame, n: Int): IndexedSeq[Array[Float]] = {
+    val m = src.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    require((0 until n).forall(i => m.contains(i.toLong)),
+      s"fixed quantizers need vec_ids 0..${n - 1} present")
+    IndexedSeq.tabulate(n)(i => m(i.toLong))
+  }
+
   /** Per-query top-k finalization shared by the whole ANN family:
     * bounded-heap partial aggregation ([[TopKAggregator]]) instead of a
     * rank window. Each map task emits ≤ k rows per query into the
@@ -710,19 +744,11 @@ object SimilaritySearch {
     val dim = fixedRows(0L).length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    def litArr(a: Array[Float]): Column = array(a.map(x => lit(x)): _*)
+    def litArr(a: Array[Float]): Column = litVec(a)
+    val cents = IndexedSeq.tabulate(nLists)(i => fixedRows(i.toLong))
 
-    // ---- row-local cell assignment: argmax cosine to the fixed
-    // centroids, ties to the LOWEST cid (array_min on (-cos, cid) —
-    // exact negation, so the ordering matches the oracle's
-    // ORDER BY cos DESC, cid)
-    def cellOf(vec: Column): Column = {
-      val arms = (0 until nLists).map { cid =>
-        struct((-VectorFunctions.cosine_similarity(vec, litArr(fixedRows(cid.toLong))))
-          .as("negcos"), lit(cid.toLong).as("cid"))
-      }
-      array_min(array(arms: _*)).getField("cid")
-    }
+    // row-local cell assignment: the shared argmaxCell kernel
+    def cellOf(vec: Column): Column = argmaxCell(vec, cents)
 
     // ---- row-local per-subspace encode: argmin ‖cb‖² − 2⟨slice, cb⟩
     // (Euclidean-nearest with the common ‖slice‖² dropped), ties to the
@@ -750,10 +776,6 @@ object SimilaritySearch {
     // m×codes ADC table ⟨q-slice, cb⟩ — all row-local expressions
     val q = queries.select(col(idCol).cast("long").as("query_id"),
                            col(vecCol).as("q_vec"))
-    val cellArms = (0 until nLists).map { cid =>
-      struct((-VectorFunctions.cosine_similarity(col("q_vec"),
-        litArr(fixedRows(cid.toLong)))).as("negcos"), lit(cid.toLong).as("cid"))
-    }
     val adcCols = (0 until m).flatMap { j =>
       val s = slice(col("q_vec"), j * dsub + 1, dsub)
       (0 until codes).map { c =>
@@ -763,8 +785,7 @@ object SimilaritySearch {
     }
     val probed = q
       .select(col("query_id"), col("q_vec"),
-        transform(slice(sort_array(array(cellArms: _*)), 1, nProbe),
-          x => x.getField("cid")).as("cells"),
+        probeCells(col("q_vec"), cents, nProbe).as("cells"),
         array(adcCols: _*).as("adc"))
       .select(col("query_id"), col("q_vec"), col("adc"),
         explode(col("cells")).as("cell"))

@@ -805,6 +805,40 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // s37 oracle — the streamed ANN serving pipeline's batch ground
+  // truth: IVF top-k with the x114 fixed centroids and NO PQ stage
+  // (assignment → probe cells → exact cosine on probed candidates →
+  // top-10 cut). Lives here to share cosSqlOn and the
+  // lshScoreAndRankSql tail with the rest of the ANN oracles.
+  // ---------------------------------------------------------------------
+  val annServeStreamSql: String = {
+    import SimilaritySearch.{IvfPqFixed => P}
+    def cos(a: String, b: String) = cosSqlOn(s"$a.embedding", s"$b.embedding")
+    lshScoreAndRankSql(
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < ${P.NLists}
+         |), assign AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT e.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cos("e", "c")} DESC, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cents c) t
+         |  WHERE rn = 1
+         |), probes AS (
+         |  SELECT query_id, cid AS cell FROM (
+         |    SELECT q.vec_id AS query_id, c.cid,
+         |           row_number() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${cos("q", "c")} DESC, c.cid) AS rn
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5) t
+         |  WHERE rn <= ${P.NProbe}
+         |), cand AS (
+         |  SELECT p.query_id, a.vec_id
+         |  FROM assign a JOIN probes p ON a.cell = p.cell
+         |                             AND p.query_id <> a.vec_id
+         |)""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------------
   // x48 — SemDeDup: semantic dedup within learned k-means cells
   // (cluster-as-blocking + components + keep-least-typical; learned
   // centroids ⇒ rows-only check; keeper rule + totality + in-cell

@@ -1513,6 +1513,123 @@ object StreamingQueries {
   }
 
   // ---------------------------------------------------------------------
+  // s37 — STREAMED ANN serving: the 100 TB similarity-search posture as
+  // an OPERATOR. The corpus is indexed ONCE — row-local argmax-cosine
+  // assignment to the x114/x116 fixed centroids, stored as a durable
+  // table PARTITIONED BY cell — and query batches stream against it:
+  // per batch, probe-cell selection is a row-local literal expression,
+  // the probed cell set (≤ nLists values BY CONSTRUCTION — index-sized,
+  // never corpus- or batch-sized) prunes the store scan at PLAN time
+  // via static partition filters, and only the probed cells' rows are
+  // read, scored, and bounded-heap top-k'd. Exactness is
+  // batching-independent (each query meets the complete static store
+  // exactly once), so the streamed result is value-identical to the
+  // batch IVF-fixed top-k — and the whole pipeline is HASH-CHECKED
+  // against a DuckDB oracle (the s01≡q14 twin discipline applied to
+  // the ANN family).
+  //
+  // The layout lesson INVERTS s36's: there, content-derived partition
+  // keys lost because any batch blankets the 31-value prefix space; a
+  // query batch probes nProbe cells per query against nLists
+  // partitions, so partition pruning has real selectivity — the
+  // partitioned layout that was REJECTED for the shingle store is the
+  // RIGHT one for the vector store (cells are few, bounded, and
+  // probe-local; and at nLists=thousands in production the same static
+  // IN-filter still prunes, no DPP needed).
+  // ---------------------------------------------------------------------
+
+  /** The s37 core. `workDir`/`onBatch`: the same restart-recovery hooks
+    * as s34/s36; the index build is overwrite-mode idempotent (in
+    * production the table persists and rebuilds once per corpus
+    * refresh, not once per stream). */
+  private[graft] def annServeStream(s: SparkSession, items: DataFrame,
+                                    queries: DataFrame, k: Int,
+                                    nLists: Int, nProbe: Int,
+                                    workDir: Option[String] = None,
+                                    onBatch: Long => Unit = _ => ())
+      : DataFrame = {
+    import graft.functions.VectorFunctions
+    import graft.operators.SimilaritySearch
+    val work = workDir.getOrElse(tempDir("graft_s37_"))
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+    val tag = new java.io.File(work).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    val idxTbl = s"${tag}_ivf"
+
+    val src = items.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"))
+    // bounded by construction: nLists rows of the input table, collected
+    // once per stream (the x114 contract — loud on missing quantizer ids)
+    val cents = SimilaritySearch.collectFixedRows(
+      src.filter(col("vec_id") < nLists), nLists)
+
+    try {
+      // the one-time index build — the only corpus-sized job that ever
+      // happens; assignment is a row-local literal expression, the write
+      // shuffles once on the bounded cell key
+      src.select(col("vec_id"), col("embedding"),
+          SimilaritySearch.argmaxCell(col("embedding"), cents).as("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").option("path", s"$work/wh/ivf")
+        .partitionBy("cell").saveAsTable(idxTbl)
+
+      if (!hasParquet(inDir))
+        queries.select(col("vec_id").cast("long").as("query_id"),
+            col("embedding"))
+          .repartition(3).write.mode("overwrite").parquet(inDir)
+
+      val stream = s.readStream
+        .schema(StructType(Seq(StructField("query_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+
+      val q = stream.writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          onBatch(id)
+          def probed = b.select(col("query_id"), col("embedding").as("q_vec"),
+              explode(SimilaritySearch.probeCells(col("embedding"), cents,
+                nProbe)).as("cell"))
+          // the driver-side probe set is ≤ nLists longs by construction
+          // (cells are the INDEX's grain, not the data's) — this is what
+          // turns the batch into static partition filters on the store
+          // scan. probed is rebuilt for the join rather than pinned:
+          // recompute-twice beats a localCheckpoint barrier on a
+          // batch-sized row-local relation.
+          val cells = probed.select("cell").distinct()
+            .collect().map(_.getLong(0)).sorted
+          val store = s.table(idxTbl)
+            .filter(col("cell").isin(cells.map(Long.box): _*))
+          val scored = store.join(broadcast(probed), Seq("cell"))
+            .filter(col("query_id") =!= col("vec_id"))
+            .withColumn("cosine", VectorFunctions.cosine_similarity(
+              col("q_vec"), col("embedding")))
+          SimilaritySearch.topKPerQuery(
+              scored.select(col("query_id"), col("vec_id"), col("cosine")), k)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $idxTbl")
+    }
+    readBatchesOr(s, outDir,
+        s.range(0).select(col("id").as("query_id"), col("id").as("vec_id"),
+          col("id").cast("double").as("cosine"), col("id").cast("int").as("rank")))
+      .select("query_id", "vec_id", "cosine", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  def streamAnnServe(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SimilaritySearch.{IvfPqFixed => P}
+    val emb = Tables.embeddings(s, dir)
+    annServeStream(s, emb, emb.filter(col("vec_id") < 5), k = 10,
+      nLists = P.NLists, nProbe = P.NProbe)
+  }
+
+  // ---------------------------------------------------------------------
   // s35 — STREAMED snapshot drift: x103's language-shift gauge computed
   // as the new crawl ARRIVES. Unigram counts are ALGEBRAIC — per-token
   // counts sum across micro-batches — so this is the s32 mergeable-
@@ -1910,6 +2027,8 @@ object StreamingQueries {
       Some(graft.queries.CurationQueries.approxHeavyHittersSql))),
     "s23_stream_static_join" -> ((streamStaticJoin _, Some(streamStaticJoinSql))),
     "s25_stream_neardup"    -> ((streamNearDup _, Some(streamNearDupSql))),
+    "s37_stream_ann_serve" -> ((streamAnnServe _,
+      Some(graft.queries.ExtendedQueries.annServeStreamSql))),
     "s36_stream_neardup_bucketed" -> ((streamNearDupBucketed _,
       Some(streamNearDupSql))),
     "s26_stream_span_clean" -> ((streamSpanClean _,

@@ -276,6 +276,47 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("s37: the probe set prunes the cell-partitioned ANN store at PLAN time (static partition filters)") {
+    import graft.operators.SimilaritySearch
+    import org.apache.spark.sql.functions.col
+    // the per-batch store read through the PRODUCTION layout: index
+    // partitioned by cell, probe set as a literal IN — the partition
+    // filter must reach the scan (this is what turns nProbe-locality
+    // into scan-bytes pruning; the s36 shingle layout could never get
+    // here because any batch blanketed its 31-value key space)
+    val emb = graft.Tables.embeddings(spark, dir)
+    val src = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val cents = SimilaritySearch.collectFixedRows(src.filter(col("vec_id") < 8), 8)
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_s37_plan_").toFile.getAbsolutePath
+    val tag = new java.io.File(work).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    val tbl = s"${tag}_ivf"
+    try {
+      src.select(col("vec_id"), col("embedding"),
+          SimilaritySearch.argmaxCell(col("embedding"), cents).as("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").option("path", s"$work/wh/ivf")
+        .partitionBy("cell").saveAsTable(tbl)
+      val probed = Seq(0L, 1L, 2L)
+      val store = spark.table(tbl)
+        .filter(col("cell").isin(probed.map(Long.box): _*))
+      store.collect()
+      val p = store.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("PartitionFilters: ["),
+        "store scan lost its partition filters:\n" + p)
+      assert(" IN \\(0,1,2\\)".r.findFirstIn(p).isDefined,
+        "the probe-cell IN filter must reach the scan as a partition filter:\n" + p)
+      // behavioral: the pruned read is exactly the probed cells' rows
+      val full = spark.table(tbl)
+      val expect = full.collect().count(r => probed.contains(r.getAs[Long]("cell")))
+      assert(store.count() == expect)
+      assert(expect < full.count(), "fixture degenerate: probing did not prune")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("x103/x104: drift gauge partial-aggregates map-side; pipeline broadcasts its bounded keep set, no cartesian") {
     import graft.queries.CurationQueries
     // x103: the corpus must collapse to the vocabulary BEFORE the

@@ -482,7 +482,7 @@ class StreamingSpec extends AnyFunSuite {
       s"s34 leaked ${after - before} catalog tables across 3 invocations")
   }
 
-  test("s30/s31/s33/s34/s35/s36 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
+  test("s30/s31/s33/s34/s35/s36/s37 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
     // A14's checkpoint discipline, proven for the WHOLE foreachBatch
     // read-back family: kill the query inside batch 1 (of 3), restart
     // against the SAME work dir, and require (a) the resumed run
@@ -522,6 +522,16 @@ class StreamingSpec extends AnyFunSuite {
           (3L, "reference only text never matched")).toDF("doc_id", "text")
         StreamingQueries.nearDupStreamBucketed(spark, inc, ref,
           refCap = 10, threshold = 0.3, workDir = w, onBatch = h)
+      },
+      "s37" -> { (w, h) =>
+        // its own fixture: the ANN store needs vec_ids 0..nLists-1
+        // present as the fixed centroids, non-degenerate 4-dim vectors
+        val emb = (0L until 16L).map { i =>
+          (i, Array.tabulate(4)(d => (((i * 7 + d * 3) % 11) - 5).toFloat))
+        }.toDF("vec_id", "embedding")
+        StreamingQueries.annServeStream(spark, emb,
+          emb.filter(col("vec_id") < 5), k = 3, nLists = 8, nProbe = 2,
+          workDir = w, onBatch = h)
       })
 
     cores.foreach { case (name, core) =>
