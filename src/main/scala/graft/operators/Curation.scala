@@ -285,6 +285,15 @@ object Curation {
     * lists (the query-term-budget analogue of WAND-style pruning). */
   val BmQTerms = 16
 
+  /** The Okapi BM25 per-(query, doc, token) weight over columns
+    * (tf, df, dl, n_docs, avgdl) — shared verbatim between [[bm25TopK]]
+    * and the s38 streamed serving twin so the two paths (and the DuckDB
+    * oracle both hash against) cannot desync. */
+  private[graft] def bm25Weight: Column =
+    log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+      (col("tf") * (BmK1 + 1.0)) /
+      (col("tf") + lit(BmK1) * (lit(1.0 - BmB) + lit(BmB) * col("dl") / col("avgdl")))
+
   /** BM25 top-K retrieval: for each benchmark-slice document (the same
     * deterministic `doc_id % benchMod == 0` eval-set stand-in x26 uses),
     * rank the remaining corpus by Okapi BM25 (Robertson et al., TREC-3;
@@ -398,10 +407,7 @@ object Curation {
     val w = Window.partitionBy("query_id").orderBy(col("bm25").desc, col("doc_id").asc)
     tf.join(broadcast(qsel), "token")
       .crossJoin(broadcast(stats))
-      .withColumn("w",
-        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-        (col("tf") * (BmK1 + 1.0)) /
-        (col("tf") + lit(BmK1) * (lit(1.0 - BmB) + lit(BmB) * col("dl") / col("avgdl"))))
+      .withColumn("w", bm25Weight)
       .groupBy("query_id", "doc_id")
       .agg(round(sum(col("w")), 6).as("bm25"))
       .withColumn("rnk", row_number().over(w))

@@ -317,6 +317,59 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("s38: the batch's literal IN reaches the postings store scan — pushed filter AND bucket pruning") {
+    import graft.streaming.StreamingQueries
+    import org.apache.spark.sql.functions.{col, count, explode, lit, lower, regexp_extract_all, size}
+    // the per-batch store read through the PRODUCTION bucketed-sorted
+    // writer: a LITERAL token IN (unlike s36's runtime set-membership)
+    // reaches the scan both as a parquet pushed filter (row-group
+    // stats on the sortBy'd token column) and as BUCKET pruning on the
+    // bucket column — the s36 boundary's escape route #2, pinned
+    val docs = graft.Tables.documents(spark, dir)
+    def toksCol = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_s38_plan_").toFile.getAbsolutePath
+    val tag = new java.io.File(work).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    val tbl = s"${tag}_tf"
+    try {
+      val tf = docs.select(col("doc_id"), toksCol.as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("dl"),
+          explode(col("toks")).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("tf"), org.apache.spark.sql.functions.max("dl").as("dl"))
+      StreamingQueries.writeBucketedBy(tf, s"$work/tf", tbl, "token")
+      def probePlan(): String = {
+        val probe = spark.table(tbl)
+          .filter(col("token").isin("the", "quick", "zebra"))
+        probe.collect()
+        probe.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+      }
+      // (a) the literal IN reaches parquet as a pushed filter — this is
+      // the row-group-stats path and works regardless of bucketing
+      val p1 = probePlan()
+      assert(p1.contains("PushedFilters: [In(token"),
+        "the literal IN must reach parquet as a pushed filter:\n" + p1)
+      // (b) when the planner keeps the bucketed scan (as it does in the
+      // per-batch JOIN plan; a bare filter-only probe auto-disables it),
+      // the same literal IN also prunes whole buckets
+      val prevAuto = spark.conf
+        .get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      try {
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", false)
+        val p2 = probePlan()
+        val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(p2)
+        assert(sel.isDefined, "expected a bucketed scan:\n" + p2)
+        assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+          "a 3-term literal IN must prune buckets, not scan all of them:\n" + p2)
+      } finally {
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
+      }
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("x103/x104: drift gauge partial-aggregates map-side; pipeline broadcasts its bounded keep set, no cartesian") {
     import graft.queries.CurationQueries
     // x103: the corpus must collapse to the vocabulary BEFORE the

@@ -482,7 +482,7 @@ class StreamingSpec extends AnyFunSuite {
       s"s34 leaked ${after - before} catalog tables across 3 invocations")
   }
 
-  test("s30/s31/s33/s34/s35/s36/s37 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
+  test("s30/s31/s33/s34/s35/s36/s37/s38 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
     // A14's checkpoint discipline, proven for the WHOLE foreachBatch
     // read-back family: kill the query inside batch 1 (of 3), restart
     // against the SAME work dir, and require (a) the resumed run
@@ -531,6 +531,16 @@ class StreamingSpec extends AnyFunSuite {
         }.toDF("vec_id", "embedding")
         StreamingQueries.annServeStream(spark, emb,
           emb.filter(col("vec_id") < 5), k = 3, nLists = 8, nProbe = 2,
+          workDir = w, onBatch = h)
+      },
+      "s38" -> { (w, h) =>
+        // its own fixture: benchMod=3 makes ids 0,3,6,9 the query slice
+        // (≥3 after the 3-way input split) with shared vocabulary so
+        // retrieval is non-trivial
+        val docs = (0L until 12L).map { i =>
+          (i, s"alpha w$i beta w${i % 4} gamma common text body")
+        }.toDF("doc_id", "text")
+        StreamingQueries.bm25ServeStream(spark, docs, benchMod = 3, k = 3,
           workDir = w, onBatch = h)
       })
 
