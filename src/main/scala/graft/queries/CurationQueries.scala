@@ -1384,7 +1384,7 @@ object CurationQueries {
   /** The BM25 ranking CTE chain, parameterized on the per-query cutoff so
     * x76's fusion oracle can reuse it at a deeper k. Yields
     * (query_id, doc_id, bm25, rnk ≤ k), no presentation sort. */
-  private def bm25CoreSql(k: Int): String = {
+  private[queries] def bm25CoreSql(k: Int): String = {
     val (k1, b, m) = (Curation.BmK1, Curation.BmB, Curation.BenchMod)
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
@@ -1576,9 +1576,9 @@ object CurationQueries {
   // fusion join touches O(|Q|·N) rows. vec_id ≡ doc_id in the fixtures,
   // which is what makes the two modalities fusible.
   // ---------------------------------------------------------------------
-  private val HybridListK = 20 // per-retriever depth fed into the fusion
-  private val HybridK     = 10 // fused list depth
-  private val RrfK0       = 60 // Cormack et al. 2009's constant
+  private[graft] val HybridListK = 20 // per-retriever depth fed into the fusion
+  private[graft] val HybridK     = 10 // fused list depth
+  private[graft] val RrfK0       = 60 // Cormack et al. 2009's constant
 
   def hybridRrf(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
@@ -1612,6 +1612,68 @@ object CurationQueries {
        |          WHERE vec_id % $m = 0 AND vec_id < ${Curation.BmQueryIdMax}) a
        |    JOIN (SELECT * FROM embeddings WHERE vec_id % $m <> 0) b ON true
        |  ) WHERE sem_rank <= $HybridListK),
+       |fused AS (
+       |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+       |         coalesce(l.doc_id, s.doc_id) AS doc_id,
+       |         CAST(l.rnk AS DOUBLE) AS lex_rank,
+       |         CAST(s.sem_rank AS DOUBLE) AS sem_rank,
+       |         coalesce(1.0 / ($RrfK0 + l.rnk), 0.0) +
+       |         coalesce(1.0 / ($RrfK0 + s.sem_rank), 0.0) AS rrf
+       |  FROM lex l FULL OUTER JOIN sem s
+       |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |            ORDER BY rrf DESC, doc_id ASC) AS rank FROM fused)
+       |SELECT query_id, doc_id, lex_rank, sem_rank, rrf, rank
+       |FROM ranked WHERE rank <= $HybridK ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // s39 oracle — the streamed HYBRID serving pipeline's batch ground
+  // truth: x71's BM25 CTE chain at the fusion depth, the s37 IVF-fixed
+  // ranking over the SAME eval-slice query set (probed candidates →
+  // exact cosine → per-query rank), fused with x76's exact 1/(k0+rank)
+  // arithmetic. Constants are the shared HybridListK/HybridK/RrfK0 and
+  // IvfPqFixed values the Spark side resolves to.
+  // ---------------------------------------------------------------------
+  lazy val hybridServeStreamSql: String = {
+    val m = Curation.BenchMod
+    import graft.operators.SimilaritySearch.{IvfPqFixed => P}
+    def cos(a: String, b: String) =
+      ExtendedQueries.cosSqlOn(s"$a.embedding", s"$b.embedding")
+    s"""WITH lex AS (${bm25CoreSql(HybridListK)}),
+       |cents AS (
+       |  SELECT vec_id AS cid, embedding FROM embeddings
+       |  WHERE vec_id < ${P.NLists}),
+       |assign AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT e.vec_id, c.cid,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cos("e", "c")} DESC, c.cid) AS rn
+       |    FROM embeddings e CROSS JOIN cents c
+       |    WHERE e.vec_id % $m <> 0) t
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, cid AS cell FROM (
+       |    SELECT q.vec_id AS query_id, c.cid,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${cos("q", "c")} DESC, c.cid) AS rn
+       |    FROM embeddings q CROSS JOIN cents c
+       |    WHERE q.vec_id % $m = 0 AND q.vec_id < ${Curation.BmQueryIdMax}) t
+       |  WHERE rn <= ${P.NProbe}),
+       |semscored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |         ${cos("qe", "ie")} AS cosine
+       |  FROM assign a
+       |  JOIN probes p ON a.cell = p.cell AND p.query_id <> a.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = p.query_id
+       |  JOIN embeddings ie ON ie.vec_id = a.vec_id),
+       |sem AS (
+       |  SELECT query_id, vec_id AS doc_id, sem_rank FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |               ORDER BY cosine DESC, vec_id ASC) AS sem_rank
+       |    FROM semscored) t
+       |  WHERE sem_rank <= $HybridListK),
        |fused AS (
        |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
        |         coalesce(l.doc_id, s.doc_id) AS doc_id,

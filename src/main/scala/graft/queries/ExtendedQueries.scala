@@ -589,7 +589,7 @@ object ExtendedQueries {
 
   /** [[cosSql]] over arbitrary operand expressions (the x111 rerank
     * re-scores carried arrays, not table-aliased columns). */
-  private def cosSqlOn(a: String, b: String): String =
+  private[queries] def cosSqlOn(a: String, b: String): String =
     s"""list_sum(list_transform(list_zip($a, $b),
        |  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
        |/ (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * x)))

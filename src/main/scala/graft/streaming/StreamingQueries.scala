@@ -1538,6 +1538,34 @@ object StreamingQueries {
   // IN-filter still prunes, no DPP needed).
   // ---------------------------------------------------------------------
 
+  /** The per-batch ANN serve against a cell-partitioned store — shared
+    * by s37 and the s39 hybrid's semantic arm. The driver-side probe
+    * set is ≤ nLists longs BY CONSTRUCTION (cells are the INDEX's
+    * grain, not the data's) — this is what turns the batch into static
+    * partition filters on the store scan. `probed` is rebuilt for the
+    * join rather than pinned: recompute-twice beats a localCheckpoint
+    * barrier on a batch-sized row-local relation. */
+  private[graft] def annBatchRank(s: SparkSession, b: DataFrame,
+                                  idxTbl: String,
+                                  cents: IndexedSeq[Array[Float]],
+                                  nProbe: Int, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions
+    import graft.operators.SimilaritySearch
+    def probed = b.select(col("query_id"), col("q_vec"),
+      explode(SimilaritySearch.probeCells(col("q_vec"), cents,
+        nProbe)).as("cell"))
+    val cells = probed.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val store = s.table(idxTbl)
+      .filter(col("cell").isin(cells.map(Long.box): _*))
+    val scored = store.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", VectorFunctions.cosine_similarity(
+        col("q_vec"), col("embedding")))
+    SimilaritySearch.topKPerQuery(
+      scored.select(col("query_id"), col("vec_id"), col("cosine")), k)
+  }
+
   /** The s37 core. `workDir`/`onBatch`: the same restart-recovery hooks
     * as s34/s36; the index build is overwrite-mode idempotent (in
     * production the table persists and rebuilds once per corpus
@@ -1587,25 +1615,8 @@ object StreamingQueries {
         .option("checkpointLocation", ck)
         .foreachBatch { (b: DataFrame, id: Long) =>
           onBatch(id)
-          def probed = b.select(col("query_id"), col("embedding").as("q_vec"),
-              explode(SimilaritySearch.probeCells(col("embedding"), cents,
-                nProbe)).as("cell"))
-          // the driver-side probe set is ≤ nLists longs by construction
-          // (cells are the INDEX's grain, not the data's) — this is what
-          // turns the batch into static partition filters on the store
-          // scan. probed is rebuilt for the join rather than pinned:
-          // recompute-twice beats a localCheckpoint barrier on a
-          // batch-sized row-local relation.
-          val cells = probed.select("cell").distinct()
-            .collect().map(_.getLong(0)).sorted
-          val store = s.table(idxTbl)
-            .filter(col("cell").isin(cells.map(Long.box): _*))
-          val scored = store.join(broadcast(probed), Seq("cell"))
-            .filter(col("query_id") =!= col("vec_id"))
-            .withColumn("cosine", VectorFunctions.cosine_similarity(
-              col("q_vec"), col("embedding")))
-          SimilaritySearch.topKPerQuery(
-              scored.select(col("query_id"), col("vec_id"), col("cosine")), k)
+          annBatchRank(s, b.select(col("query_id"),
+              col("embedding").as("q_vec")), idxTbl, cents, nProbe, k)
             .write.mode("overwrite").parquet(s"$outDir/batch=$id")
           ()
         }
@@ -1650,6 +1661,50 @@ object StreamingQueries {
   // same DuckDB oracle. Batching-independence: each query meets the
   // complete static index exactly once.
   // ---------------------------------------------------------------------
+
+  /** The per-batch BM25 serve against the bucketed-sorted inverted
+    * index — shared by s38 and the s39 hybrid's lexical arm. The
+    * batch-bounded driver token sets (distinct tokens of a micro-batch
+    * of queries; then the ≤ BmQTerms × |batch| budgeted subset) are
+    * pushed as LITERAL IN predicates into the df and tf store scans:
+    * row-group stats on the sortBy'd token column prune non-matching
+    * posting lists at the scan. Beyond IN-list scale (many thousands
+    * of terms per trigger) the fallback is the s36 semi-join prune —
+    * documented boundary. */
+  private[graft] def bm25BatchRank(s: SparkSession, b: DataFrame,
+                                   tfTbl: String, dfTbl: String,
+                                   nDocs: Long, avgdl: Double,
+                                   k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Curation
+    def toksCol = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    def qt = b.select(col("query_id"), explode(toksCol).as("token")).distinct()
+    val batchToks = qt.select("token").distinct()
+      .collect().map(_.getString(0)).sorted
+    val dfB = s.table(dfTbl)
+      .filter(col("token").isin(batchToks.toIndexedSeq: _*))
+    val qw = Window.partitionBy("query_id")
+      .orderBy(col("df").asc, col("token").asc)
+    val qsel = qt.join(dfB, "token")
+      .withColumn("tr", row_number().over(qw))
+      .filter(col("tr") <= Curation.BmQTerms)
+      .select("query_id", "token", "df")
+    val budget = qsel.select("token").distinct()
+      .collect().map(_.getString(0)).sorted
+    val tfB = s.table(tfTbl)
+      .filter(col("token").isin(budget.toIndexedSeq: _*))
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+    tfB.join(broadcast(qsel), "token")
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("avgdl", lit(avgdl))
+      .withColumn("w", Curation.bm25Weight)
+      .groupBy("query_id", "doc_id")
+      .agg(round(sum(col("w")), 6).as("bm25"))
+      .withColumn("rnk", row_number().over(rw))
+      .filter(col("rnk") <= k)
+      .select("query_id", "doc_id", "bm25", "rnk")
+  }
 
   /** The s38 core. `workDir`/`onBatch`: the s34/s36 restart-recovery
     * hooks; the index build is overwrite-mode idempotent (in production
@@ -1710,40 +1765,8 @@ object StreamingQueries {
         .option("checkpointLocation", ck)
         .foreachBatch { (b: DataFrame, id: Long) =>
           onBatch(id)
-          def qt = b.select(col("doc_id").as("query_id"),
-            explode(toksCol).as("token")).distinct()
-          // batch-bounded driver set (distinct tokens of a micro-batch
-          // of queries) → literal IN on the SORTED df store: row-group
-          // stats prune non-matching vocabulary at the scan. Beyond
-          // IN-list scale (many thousands of terms per trigger) the
-          // fallback is the s36 semi-join prune — documented boundary.
-          val batchToks = qt.select("token").distinct()
-            .collect().map(_.getString(0)).sorted
-          val dfB = s.table(dfTbl)
-            .filter(col("token").isin(batchToks.toIndexedSeq: _*))
-          val qw = Window.partitionBy("query_id")
-            .orderBy(col("df").asc, col("token").asc)
-          val qsel = qt.join(dfB, "token")
-            .withColumn("tr", row_number().over(qw))
-            .filter(col("tr") <= Curation.BmQTerms)
-            .select("query_id", "token", "df")
-          // budgeted terms: ≤ BmQTerms × |batch queries| strings —
-          // the posting lists actually read this trigger
-          val budget = qsel.select("token").distinct()
-            .collect().map(_.getString(0)).sorted
-          val tfB = s.table(tfTbl)
-            .filter(col("token").isin(budget.toIndexedSeq: _*))
-          val rw = Window.partitionBy("query_id")
-            .orderBy(col("bm25").desc, col("doc_id").asc)
-          tfB.join(broadcast(qsel), "token")
-            .withColumn("n_docs", lit(nDocs))
-            .withColumn("avgdl", lit(avgdl))
-            .withColumn("w", Curation.bm25Weight)
-            .groupBy("query_id", "doc_id")
-            .agg(round(sum(col("w")), 6).as("bm25"))
-            .withColumn("rnk", row_number().over(rw))
-            .filter(col("rnk") <= k)
-            .select("query_id", "doc_id", "bm25", "rnk")
+          bm25BatchRank(s, b.select(col("doc_id").as("query_id"),
+              col("text")), tfTbl, dfTbl, nDocs, avgdl, k)
             .write.mode("overwrite").parquet(s"$outDir/batch=$id")
           ()
         }
@@ -1764,6 +1787,127 @@ object StreamingQueries {
   def streamBm25Serve(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Curation
     bm25ServeStream(s, Tables.documents(s, dir), Curation.BenchMod, Curation.BmK)
+  }
+
+  // ---------------------------------------------------------------------
+  // s39 — STREAMED HYBRID serving: the full two-retriever read path of a
+  // RAG / contamination-triage stack as ONE stream. Three durable
+  // stores built once (s38's postings + df inverted index, s37's
+  // cell-partitioned IVF index); ONE query stream carrying both
+  // modalities (text + embedding, left-joined — a query without an
+  // embedding ranks lexically only, exactly x76's full-outer fusion
+  // semantics); per batch, both arms run their store-pruned rankings at
+  // the fusion depth and the reciprocal-rank fusion is BATCH-LOCAL
+  // EXACT, because one stream row carries a query's both modalities —
+  // both arms for a query always land in the same trigger. Arms reuse
+  // annBatchRank / bm25BatchRank verbatim and the fusion reuses
+  // SimilaritySearch.rrfFuse, so the streamed result hash-checks
+  // against a composed DuckDB oracle (x71's CTE chain at the fusion
+  // depth + the s37 IVF oracle at the eval-slice query set + x76's
+  // fusion arithmetic).
+  // ---------------------------------------------------------------------
+
+  /** The s39 core. `workDir`/`onBatch`: the s34–s38 restart hooks. */
+  private[graft] def hybridServeStream(s: SparkSession, docs: DataFrame,
+                                       emb: DataFrame, benchMod: Int,
+                                       listK: Int, k0: Int, k: Int,
+                                       nLists: Int, nProbe: Int,
+                                       workDir: Option[String] = None,
+                                       onBatch: Long => Unit = _ => ())
+      : DataFrame = {
+    import graft.operators.{Curation, SimilaritySearch}
+    val work = workDir.getOrElse(tempDir("graft_s39_"))
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+    val tag = new java.io.File(work).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    val tfTbl = s"${tag}_tf"; val dfTbl = s"${tag}_df"; val idxTbl = s"${tag}_ivf"
+    def toksCol = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val items = docs.filter(col("doc_id") % benchMod =!= 0)
+    val qDocs = docs.filter(col("doc_id") % benchMod === 0 &&
+      col("doc_id") < Curation.BmQueryIdMax)
+    val srcE = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"))
+    // fixed centroids from the table head (the x114 rule: quantizer ids
+    // 0..nLists-1 of the FULL table — a quantizer is a reference
+    // artifact, not a corpus member)
+    val cents = SimilaritySearch.collectFixedRows(
+      srcE.filter(col("vec_id") < nLists), nLists)
+
+    try {
+      // store builds — the only corpus-sized jobs (s38's + s37's)
+      val tf = items.select(col("doc_id"), toksCol.as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("dl"),
+          explode(col("toks")).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      writeBucketedBy(tf, s"$work/wh/tf", tfTbl, "token")
+      val df = s.table(tfTbl).groupBy("token").agg(count(lit(1)).as("df"))
+      writeBucketedBy(df, s"$work/wh/df", dfTbl, "token")
+      val statsRow = items.select(size(toksCol).as("doclen"))
+        .filter(col("doclen") > 0)
+        .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
+        .collect()(0)
+      val (nDocs, avgdl) = (statsRow.getLong(0), statsRow.getDouble(1))
+      srcE.filter(col("vec_id") % benchMod =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          SimilaritySearch.argmaxCell(col("embedding"), cents).as("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").option("path", s"$work/wh/ivf")
+        .partitionBy("cell").saveAsTable(idxTbl)
+
+      if (!hasParquet(inDir))
+        qDocs.select(col("doc_id"), col("text"))
+          .join(srcE.select(col("vec_id").as("doc_id"), col("embedding")),
+            Seq("doc_id"), "left")
+          .repartition(3).write.mode("overwrite").parquet(inDir)
+
+      val stream = s.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+
+      val q = stream.writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          onBatch(id)
+          val lex = bm25BatchRank(s,
+              b.select(col("doc_id").as("query_id"), col("text")),
+              tfTbl, dfTbl, nDocs, avgdl, listK)
+            .select(col("query_id"), col("doc_id"), col("rnk").as("rank"))
+          val sem = annBatchRank(s,
+              b.filter(col("embedding").isNotNull)
+                .select(col("doc_id").as("query_id"),
+                  col("embedding").as("q_vec")),
+              idxTbl, cents, nProbe, listK)
+            .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+          SimilaritySearch.rrfFuse(lex, sem, k0 = k0, k = k)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $tfTbl")
+      s.sql(s"DROP TABLE IF EXISTS $dfTbl")
+      s.sql(s"DROP TABLE IF EXISTS $idxTbl")
+    }
+    readBatchesOr(s, outDir,
+        s.range(0).select(col("id").as("query_id"), col("id").as("doc_id"),
+          col("id").cast("double").as("lex_rank"),
+          col("id").cast("double").as("sem_rank"),
+          col("id").cast("double").as("rrf"), col("id").cast("int").as("rank")))
+      .select("query_id", "doc_id", "lex_rank", "sem_rank", "rrf", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  def streamHybridServe(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    import graft.operators.SimilaritySearch.{IvfPqFixed => P}
+    import graft.queries.{CurationQueries => CQ}
+    hybridServeStream(s, Tables.documents(s, dir), Tables.embeddings(s, dir),
+      Curation.BenchMod, listK = CQ.HybridListK, k0 = CQ.RrfK0,
+      k = CQ.HybridK, nLists = P.NLists, nProbe = P.NProbe)
   }
 
   // ---------------------------------------------------------------------
@@ -2168,6 +2312,8 @@ object StreamingQueries {
       Some(graft.queries.ExtendedQueries.annServeStreamSql))),
     "s38_stream_bm25_serve" -> ((streamBm25Serve _,
       Some(graft.queries.CurationQueries.bm25Sql))),
+    "s39_stream_hybrid_serve" -> ((streamHybridServe _,
+      Some(graft.queries.CurationQueries.hybridServeStreamSql))),
     "s36_stream_neardup_bucketed" -> ((streamNearDupBucketed _,
       Some(streamNearDupSql))),
     "s26_stream_span_clean" -> ((streamSpanClean _,

@@ -482,7 +482,7 @@ class StreamingSpec extends AnyFunSuite {
       s"s34 leaked ${after - before} catalog tables across 3 invocations")
   }
 
-  test("s30/s31/s33/s34/s35/s36/s37/s38 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
+  test("s30/s31/s33/s34/s35/s36/s37/s38/s39 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
     // A14's checkpoint discipline, proven for the WHOLE foreachBatch
     // read-back family: kill the query inside batch 1 (of 3), restart
     // against the SAME work dir, and require (a) the resumed run
@@ -541,6 +541,19 @@ class StreamingSpec extends AnyFunSuite {
           (i, s"alpha w$i beta w${i % 4} gamma common text body")
         }.toDF("doc_id", "text")
         StreamingQueries.bm25ServeStream(spark, docs, benchMod = 3, k = 3,
+          workDir = w, onBatch = h)
+      },
+      "s39" -> { (w, h) =>
+        // both modalities: the s38 doc fixture + s37-style embeddings on
+        // the same ids (vec_ids 0..7 present for the fixed centroids)
+        val docs = (0L until 12L).map { i =>
+          (i, s"alpha w$i beta w${i % 4} gamma common text body")
+        }.toDF("doc_id", "text")
+        val emb = (0L until 12L).map { i =>
+          (i, Array.tabulate(4)(d => (((i * 7 + d * 3) % 11) - 5).toFloat))
+        }.toDF("vec_id", "embedding")
+        StreamingQueries.hybridServeStream(spark, docs, emb, benchMod = 3,
+          listK = 4, k0 = 60, k = 3, nLists = 8, nProbe = 2,
           workDir = w, onBatch = h)
       })
 
