@@ -1374,6 +1374,39 @@ object CurationQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x123 — x90's HASH twin at zero merges: with an empty merge table
+  // every BPE unit is one character, so the whole fertility relation is
+  // CLOSED-FORM (n_units ≡ n_chars, fertility = chars/word,
+  // chars_per_unit ≡ 1) and the word-split + per-language aggregation
+  // machinery gets a cross-engine value-level check the learned-merge
+  // entry cannot have (x68's iterative argmax is the documented
+  // blocker). Same typed kernel, same aggregation — only the merge
+  // table differs. ASCII fixture parity is guarded by the x12
+  // fixture-boundary assert (Spark UTF-16 length ↔ DuckDB codepoints).
+  // ---------------------------------------------------------------------
+  def tokenizerFertilityZeroQ(s: SparkSession, dir: String): DataFrame =
+    Curation.tokenizerFertility(Tables.documents(s, dir), Seq.empty)
+
+  val tokenizerFertilityZeroSql: String =
+    """WITH w AS (
+      |  SELECT lang, doc_id,
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |d AS (
+      |  SELECT lang, doc_id,
+      |         CAST(len(ws) AS BIGINT) AS n_words,
+      |         CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+      |              AS BIGINT) AS n_chars
+      |  FROM w)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(n_words) AS BIGINT) AS n_words,
+      |       CAST(SUM(n_chars) AS BIGINT) AS n_units,
+      |       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |       round(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_words), 6) AS fertility,
+      |       round(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_chars), 6) AS chars_per_unit
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x71 — BM25 ranked retrieval (eval-slice queries over the corpus)
   // ---------------------------------------------------------------------
   def bm25(s: SparkSession, dir: String): DataFrame =
@@ -1784,6 +1817,7 @@ object CurationQueries {
     "x109_bpe_merges_distributed" -> ((bpeMergesDistributedQ _, None)),
     "x69_bpe_encode"          -> ((bpeEncodeQ _, None)),
     "x90_tokenizer_fertility" -> ((tokenizerFertilityQ _, None)),
+    "x123_tokenizer_fertility_zero" -> ((tokenizerFertilityZeroQ _, Some(tokenizerFertilityZeroSql))),
     "x71_bm25"                -> ((bm25 _, Some(bm25Sql))),
     "x76_hybrid_rrf"          -> ((hybridRrf _, Some(hybridRrfSql))),
     "x77_phrase_search"       -> ((phraseSearch _, Some(phraseSearchSql))),
