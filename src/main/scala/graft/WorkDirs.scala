@@ -29,7 +29,11 @@ object WorkDirs {
   }
 
   private def rm(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    // never recurse through a symlink: deleting the LINK is correct,
+    // deleting the TARGET's contents is not (ADVICE r16)
+    if (!Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles).foreach(_.foreach(rm))
+    f.delete(); ()
   }
 
   /** Create a temp dir deleted (recursively) at JVM exit. */

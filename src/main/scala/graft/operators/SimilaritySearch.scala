@@ -34,6 +34,18 @@ object SimilaritySearch {
     val Refine = 4
   }
 
+  /** The ANN eval-harness frame, shared between every Scala entry and
+    * the DuckDB oracle tail (ExtendedQueries.lshScoreAndRankSql) so the
+    * query slice and top-k cut cannot desync across files — the
+    * annServeStreamSql ↔ streamAnnServe pair hard-coded both
+    * independently (ADVICE r16). */
+  object AnnEval {
+    /** eval queries = embeddings with vec_id < QuerySlice */
+    val QuerySlice = 5
+    /** the top-k cut applied by lshScoreAndRankSql's rank <= K tail */
+    val K = 10
+  }
+
   /** The shared fixed-quantizer kernel of x114/x116/s37: literal-array
     * centroids, row-local argmax-cosine cell assignment (ties → lowest
     * cid via array_min over (−cos, cid) structs — exact negation, so

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => TF, VectorFunctions}
 import graft.operators.{AsOfJoin, Components, Curation, Dedup, Multimodal, Sessionize, SimilaritySearch}
+import graft.operators.SimilaritySearch.{AnnEval => A}
 
 /** Beyond-reference operators (SURVEY.md §7.7 / north star): text
   * analysis, dedup family, similarity search, multimodal plumbing —
@@ -411,7 +412,7 @@ object ExtendedQueries {
   def knnBruteForce(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
-    SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+    SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < A.QuerySlice), k = A.K)
       .orderBy("query_id", "rank")
   }
 
@@ -420,9 +421,9 @@ object ExtendedQueries {
        |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, $cosSql AS cosine,
        |         CAST(row_number() OVER (PARTITION BY a.vec_id
        |                            ORDER BY $cosSql DESC, b.vec_id) AS BIGINT) AS rank
-       |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) a
+       |  FROM (SELECT * FROM embeddings WHERE vec_id < ${A.QuerySlice}) a
        |  JOIN embeddings b ON a.vec_id <> b.vec_id
-       |) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+       |) WHERE rank <= ${A.K} ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
   // x11 — LSH-bucketed ANN (scale path). HASH-CHECKED since r15 via the
@@ -437,7 +438,7 @@ object ExtendedQueries {
   def knnLsh(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
-    SimilaritySearch.lshTopK(s, emb, emb.filter(col("vec_id") < 5), k = 10)
+    SimilaritySearch.lshTopK(s, emb, emb.filter(col("vec_id") < A.QuerySlice), k = A.K)
       .orderBy("query_id", "rank")
   }
 
@@ -490,7 +491,7 @@ object ExtendedQueries {
        |                 ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
        |  FROM scored)
        |SELECT query_id, vec_id, cosine, rank FROM fin
-       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+       |WHERE rank <= ${A.K} ORDER BY query_id, rank""".stripMargin
 
   val knnLshSql: String = {
     val hp = SimilaritySearch.hyperplanes(64, 4, 8, 42L)
@@ -506,7 +507,7 @@ object ExtendedQueries {
          |  SELECT DISTINCT q.vec_id AS query_id, i.vec_id AS vec_id
          |  FROM b q JOIN b i
          |    ON q.tbl = i.tbl AND q.bucket = i.bucket AND q.vec_id <> i.vec_id
-         |  WHERE q.vec_id < 5
+         |  WHERE q.vec_id < ${A.QuerySlice}
          |)""".stripMargin)
   }
 
@@ -525,8 +526,8 @@ object ExtendedQueries {
   def knnLshMultiProbe(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
-    SimilaritySearch.lshMultiProbeTopK(s, emb, emb.filter(col("vec_id") < 5),
-        k = 10, probes = 2)
+    SimilaritySearch.lshMultiProbeTopK(s, emb, emb.filter(col("vec_id") < A.QuerySlice),
+        k = A.K, probes = 2)
       .orderBy("query_id", "rank")
   }
 
@@ -559,7 +560,7 @@ object ExtendedQueries {
          |), b AS (
          |  $itemArms
          |), qp AS (
-         |  SELECT * FROM p WHERE vec_id < 5
+         |  SELECT * FROM p WHERE vec_id < ${A.QuerySlice}
          |), qk AS (
          |  $probeArms
          |), cand AS (
@@ -583,7 +584,7 @@ object ExtendedQueries {
   def knnJl(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
-    SimilaritySearch.jlTopK(s, emb, emb.filter(col("vec_id") < 5), k = 10)
+    SimilaritySearch.jlTopK(s, emb, emb.filter(col("vec_id") < A.QuerySlice), k = A.K)
       .orderBy("query_id", "rank")
   }
 
@@ -621,7 +622,7 @@ object ExtendedQueries {
        |  SELECT q.vec_id AS query_id, i.vec_id AS vec_id,
        |         ($rdot) / (q.rnorm * i.rnorm) AS rcos,
        |         q.embedding AS qe, i.embedding AS ie
-       |  FROM (SELECT * FROM n WHERE vec_id < 5) q
+       |  FROM (SELECT * FROM n WHERE vec_id < ${A.QuerySlice}) q
        |  JOIN n i ON q.vec_id <> i.vec_id
        |), cand AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
@@ -637,7 +638,7 @@ object ExtendedQueries {
        |  FROM rr
        |)
        |SELECT query_id, vec_id, cosine, rank FROM fin
-       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+       |WHERE rank <= ${A.K} ORDER BY query_id, rank""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -690,7 +691,7 @@ object ExtendedQueries {
   def knnIvf(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
-    SimilaritySearch.ivfTopK(s, emb, emb.filter(col("vec_id") < 5), k = 10)
+    SimilaritySearch.ivfTopK(s, emb, emb.filter(col("vec_id") < A.QuerySlice), k = A.K)
       .orderBy("query_id", "rank")
   }
 
@@ -700,7 +701,7 @@ object ExtendedQueries {
   // ---------------------------------------------------------------------
   def knnPq(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    SimilaritySearch.pqTopK(s, emb, emb.filter(col("vec_id") < 5), k = 10)
+    SimilaritySearch.pqTopK(s, emb, emb.filter(col("vec_id") < A.QuerySlice), k = A.K)
       .orderBy("query_id", "rank")
   }
 
@@ -712,7 +713,7 @@ object ExtendedQueries {
   def knnIvfPq(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
-    SimilaritySearch.ivfPqTopK(s, emb, emb.filter(col("vec_id") < 5), k = 10)
+    SimilaritySearch.ivfPqTopK(s, emb, emb.filter(col("vec_id") < A.QuerySlice), k = A.K)
       .orderBy("query_id", "rank")
   }
 
@@ -732,7 +733,7 @@ object ExtendedQueries {
   def knnIvfPqFixed(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)
     val emb = Tables.embeddings(s, dir)
-    SimilaritySearch.ivfPqFixedTopK(emb, emb.filter(col("vec_id") < 5), k = X114K)
+    SimilaritySearch.ivfPqFixedTopK(emb, emb.filter(col("vec_id") < A.QuerySlice), k = X114K)
       .orderBy("query_id", "rank")
   }
 
@@ -779,13 +780,13 @@ object ExtendedQueries {
          |    SELECT q.vec_id AS query_id, c.cid,
          |           row_number() OVER (PARTITION BY q.vec_id
          |             ORDER BY ${cos("q", "c")} DESC, c.cid) AS rn
-         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5) t
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < ${A.QuerySlice}) t
          |  WHERE rn <= $nProbe
          |), adcq AS (
          |  SELECT q.vec_id AS query_id, js.j, cbk.c,
          |         ${dotSl("q", "cbk")} AS dp
          |  FROM embeddings q CROSS JOIN js CROSS JOIN cbk
-         |  WHERE q.vec_id < 5
+         |  WHERE q.vec_id < ${A.QuerySlice}
          |), approx AS (
          |  SELECT p.query_id, a.vec_id,
          |         list_sum(list(adcq.dp ORDER BY adcq.j)) AS approx
@@ -829,7 +830,7 @@ object ExtendedQueries {
          |    SELECT q.vec_id AS query_id, c.cid,
          |           row_number() OVER (PARTITION BY q.vec_id
          |             ORDER BY ${cos("q", "c")} DESC, c.cid) AS rn
-         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5) t
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < ${A.QuerySlice}) t
          |  WHERE rn <= ${P.NProbe}
          |), cand AS (
          |  SELECT p.query_id, a.vec_id

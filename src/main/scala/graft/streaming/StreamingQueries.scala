@@ -1634,10 +1634,10 @@ object StreamingQueries {
   }
 
   def streamAnnServe(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.SimilaritySearch.{IvfPqFixed => P}
+    import graft.operators.SimilaritySearch.{AnnEval, IvfPqFixed => P}
     val emb = Tables.embeddings(s, dir)
-    annServeStream(s, emb, emb.filter(col("vec_id") < 5), k = 10,
-      nLists = P.NLists, nProbe = P.NProbe)
+    annServeStream(s, emb, emb.filter(col("vec_id") < AnnEval.QuerySlice),
+      k = AnnEval.K, nLists = P.NLists, nProbe = P.NProbe)
   }
 
   // ---------------------------------------------------------------------
@@ -1749,6 +1749,8 @@ object StreamingQueries {
         .filter(col("doclen") > 0)
         .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
         .collect()(0)
+      require(!statsRow.isNullAt(1),
+        "BM25 index build: corpus has no tokenized item docs (avgdl undefined)")
       val (nDocs, avgdl) = (statsRow.getLong(0), statsRow.getDouble(1))
 
       if (!hasParquet(inDir))
@@ -1845,6 +1847,8 @@ object StreamingQueries {
         .filter(col("doclen") > 0)
         .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
         .collect()(0)
+      require(!statsRow.isNullAt(1),
+        "BM25 index build: corpus has no tokenized item docs (avgdl undefined)")
       val (nDocs, avgdl) = (statsRow.getLong(0), statsRow.getDouble(1))
       srcE.filter(col("vec_id") % benchMod =!= 0)
         .select(col("vec_id"), col("embedding"),
@@ -1853,11 +1857,28 @@ object StreamingQueries {
         .write.mode("overwrite").option("path", s"$work/wh/ivf")
         .partitionBy("cell").saveAsTable(idxTbl)
 
-      if (!hasParquet(inDir))
+      if (!hasParquet(inDir)) {
+        // fixture-boundary guard (ADVICE r16): the oracle's semantic arm
+        // probes EMBEDDINGS directly at the eval slice, while this stream
+        // carries only qDocs doc_ids — the two agree iff every eval-slice
+        // embedding vec_id has a documents row. Assert the subset loudly
+        // (an eval-slice-sized anti-join, two tiny relations) so a future
+        // fixture change fails here, not as an opaque s39 hash diff.
+        val orphanEvalVecs = srcE
+          .filter(col("vec_id") % benchMod === 0 &&
+            col("vec_id") < Curation.BmQueryIdMax)
+          .join(qDocs.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+            "left_anti")
+          .count()
+        require(orphanEvalVecs == 0,
+          s"s39 fixture boundary: $orphanEvalVecs eval-slice embedding " +
+            "vec_ids have no matching documents row (vec_id ≡ doc_id " +
+            "invariant broken — oracle and stream would diverge)")
         qDocs.select(col("doc_id"), col("text"))
           .join(srcE.select(col("vec_id").as("doc_id"), col("embedding")),
             Seq("doc_id"), "left")
           .repartition(3).write.mode("overwrite").parquet(inDir)
+      }
 
       val stream = s.readStream
         .schema(StructType(Seq(StructField("doc_id", LongType),
