@@ -284,6 +284,25 @@ object Curation {
     * by rarity bounds per-query candidates to the budgeted posting
     * lists (the query-term-budget analogue of WAND-style pruning). */
   val BmQTerms = 16
+  /** BM25 serving IN-list boundary (the s36 escape-route switch made
+    * code, r17): a per-trigger query token set at or below this size is
+    * pushed into the postings/df store scans as a LITERAL IN, which
+    * reaches parquet row-group stats on the sortBy'd token column and
+    * prunes non-matching posting lists at the SCAN; beyond it the serve
+    * falls back to the s36 broadcast left-semi prune, which bounds
+    * merge-input ROWS without a literal list in the plan. Crossover
+    * MEASURED (BmRouteCrossover on the 100× store — 11.6M posting rows,
+    * 500k docs; min of 2 warm serves per point): IN wins at streaming
+    * widths (32 terms: 1.26 s vs 1.79 s semi; 128: 1.51 vs 1.98) and
+    * ties at ~256 (1.72 vs 1.67); beyond it the literal list's
+    * PLAN-side weight grows superlinearly (the r14 giant-literal-tree
+    * lesson at filter grain: 1024 terms 3.81 s, 16k 30.1 s, 64k
+    * 112.8 s) while the semi-join stays flat (~1.8–2.4 s at every
+    * width). Real serve triggers are query-batch-sized (tens of
+    * distinct terms) and stay on the IN route; the cap routes
+    * wide-batch/analytic triggers to the flat fallback before the plan
+    * cost bites. */
+  val BmInMaxTerms = 256
 
   /** The Okapi BM25 per-(query, doc, token) weight over columns
     * (tf, df, dl, n_docs, avgdl) — shared verbatim between [[bm25TopK]]
@@ -1077,13 +1096,31 @@ object Curation {
     * (doc, bigram-type) grain. Every scored bucketed bigram has
     * c ≥ 1 > D, so probabilities stay positive, exactly as x118. */
   def bigramScoreKNHashed(docs: DataFrame, discount: Double = KnDiscount,
-                          hexLen: Int = 2): DataFrame = {
+                          hexLen: Int = 2,
+                          foldEarlyBm: Boolean = false): DataFrame = {
     def b(c: Column) = substring(md5(c), 1, hexLen)
     def bigrams = rawBigrams(docs)
     val tfB = bigrams
       .groupBy(col("doc_id"), b(col("w1")).as("w1"), b(col("w2")).as("w2"))
       .agg(count(lit(1)).as("tf"))
-    val bmB = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    // fold-early vs fold-late A/B, MEASURED r17 (the verdict-r16 ask):
+    // occurrence counts are associative, so bucketing BEFORE the type
+    // aggregation (early) and summing type counts by bucket (late)
+    // produce the IDENTICAL cb relation — the choice is pure plan
+    // cost. Same-session 100× legs: late 3.57× wall / 137.8 rows,
+    // early 3.73× / 138.2 — a tie with late marginally ahead, and the
+    // stage attribution says why: the raw-TYPE agg stages emit ~93k
+    // rows (2.2 MB) of a ~475 MB total exchange — map-side combine
+    // already collapses the type relation per partition, while the
+    // corpus-LINEAR tf spine (25.4M rows) dominates either way. Late
+    // stays the default (md5 at type grain, not per occurrence); early
+    // stays behind this flag as the measured-negative receipt (the
+    // s36 partitioned-layout discipline).
+    val bmB = if (foldEarlyBm)
+      bigrams.select(b(col("w1")).as("w1"), b(col("w2")).as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    else
+      bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
       .select(b(col("w1")).as("w1"), b(col("w2")).as("w2"), col("cb"))
       .groupBy("w1", "w2").agg(sum("cb").as("cb"))
     // the continuation statistics are row counts of the bounded model
@@ -1769,6 +1806,152 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).as("n_tokens"),
            round(sum(col("tf") * ratio), 6).as("log_w"))
+  }
+
+  // ---- x124/x125: quality classifier over hashed n-gram features --------
+
+  /** Feature geometry of the x124/x125 quality classifier, shared
+    * Scala↔oracle (the ADVICE-r15 shared-constant rule): 16^QcHexLen
+    * md5-prefix buckets — the CCNet/GPT-3 stack's hashed-n-gram
+    * featurization (Wenzek 2020 §4.3 trains fastText over hashed
+    * n-grams; Brown 2020 App. A a logistic classifier over the same),
+    * with the x96 md5 portability trick so the bucket ids are
+    * recomputable cross-engine. */
+  val QcHexLen = 2
+  val QcIters = 30
+  val QcLr = 1.0
+
+  /** Feature bucket id ∈ [0, 16^QcHexLen) of a token — md5-prefix hex
+    * parsed as an integer (engine-shared: DuckDB CAST('0x'||…)). */
+  private[graft] def qcBucket(token: Column): Column =
+    conv(substring(md5(token), 1, QcHexLen), 16, 10).cast("long")
+
+  /** The x124 fixed-weight affine-hash constants (LCG multiplier/
+    * increment/modulus), shared with the oracle SQL so neither side
+    * can silently desync. */
+  val QcWA = 1103515245L
+  val QcWB = 12345L
+  val QcWM = 2147483647L
+
+  /** The x124 FIXED per-bucket weight — a closed-form affine-hash ramp
+    * (w(j) ∈ [−0.5, 0.5)) replayed verbatim in the oracle SQL, so the
+    * pinned-weights serve path is value-level checkable. */
+  private[graft] def qcFixedWeight(j: Column): Column =
+    ((lit(QcWA) * j + lit(QcWB)) % lit(QcWM)).cast("double") /
+      lit(QcWM.toDouble) - lit(0.5)
+
+  /** x124: the quality-classifier SERVING path with PINNED weights —
+    * the x108/x114 hash-twin discipline applied to x125: the only
+    * non-SQL-expressible piece of the trained classifier is the
+    * fp-order-sensitive gradient fit, so a literal weight function
+    * lets the oracle recompute the whole serve machinery (tokenize →
+    * md5 bucket → mean per-token weight → sigmoid → round 6)
+    * value-for-value. Row-local except the one doc-grain aggregate;
+    * zero model state (the weight is a closed-form expression), so the
+    * serve path runs at any corpus size with no build side at all. */
+  def qualityClassifierFixed(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+          lit(0))).as("token"))
+      .groupBy("doc_id")
+      .agg(round(lit(1.0) / (lit(1.0) +
+        exp(-avg(qcFixedWeight(qcBucket(col("token")))))), 6).as("q_score"))
+      .orderBy("doc_id")
+
+  /** (doc, bucket) normalized bag-of-buckets features with the DSIR
+    * wiki-vs-corpus label convention (is_t ⇔ doc_id % benchMod == 0 —
+    * the x93/x96 target-slice stand-in): x = tf(bucket)/doclen, so
+    * ‖x‖₁ = 1 per doc. Docs with zero tokens have no feature rows and
+    * are absent from training and serving alike (the x87 drop rule). */
+  private[graft] def qcFeatures(docs: DataFrame,
+                                benchMod: Int = BenchMod): DataFrame =
+    docs.select(col("doc_id"),
+        (col("doc_id") % benchMod === 0).as("is_t"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+          lit(0))).as("token"))
+      .select(col("doc_id"), col("is_t"), qcBucket(col("token")).as("j"))
+      .groupBy("doc_id", "is_t", "j").agg(count(lit(1)).as("c"))
+      .withColumn("dl", sum("c").over(Window.partitionBy("doc_id")))
+      .select(col("doc_id"), col("is_t"), col("j"),
+        (col("c").cast("double") / col("dl")).as("x"))
+
+  /** DISTRIBUTED logistic-regression fit via MERGEABLE GRADIENT
+    * PARTIALS (the s32 algebraic-partials pattern): each iteration is
+    * ONE pass over the pinned feature relation — per-row error terms
+    * against the broadcast (constant-folded literal) weight vector,
+    * partial gradients summed BY BUCKET map-side, so only a
+    * model-sized relation (≤ 16^QcHexLen + 1 rows: per-bucket ∂w plus
+    * the bias/count/loss partials riding the rn=1 rows) ever reaches
+    * the driver. O(iters) jobs, O(model) driver memory — the x109
+    * distributed-learner shape with a convex objective. Returns
+    * (weights, bias, per-iteration mean log-loss) so specs can assert
+    * the descent, not just the endpoint. */
+  private[graft] def qcFit(feats: DataFrame, iters: Int = QcIters,
+                           lr: Double = QcLr)
+      : (Array[Double], Double, Seq[Double]) = {
+    val d = math.pow(16, QcHexLen).toInt
+    val w = Array.fill(d)(0.0)
+    var b = 0.0
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 0 until iters) {
+      val wLit = array(w.map(lit).toIndexedSeq: _*)
+      val byDoc = Window.partitionBy("doc_id")
+      val scored = feats
+        .withColumn("wx", element_at(wLit, (col("j") + 1).cast("int")) * col("x"))
+        .withColumn("p", lit(1.0) /
+          (lit(1.0) + exp(-(sum(col("wx")).over(byDoc) + lit(b)))))
+        .withColumn("y", when(col("is_t"), 1.0).otherwise(0.0))
+        .withColumn("e", col("p") - col("y"))
+        .withColumn("rn", row_number().over(byDoc.orderBy("j")))
+      val parts = scored.groupBy("j")
+        .agg(sum(col("e") * col("x")).as("gj"),
+          sum(when(col("rn") === 1, col("e")).otherwise(0.0)).as("gb"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("nd"),
+          sum(when(col("rn") === 1,
+            -(col("y") * log(col("p")) +
+              (lit(1.0) - col("y")) * log(lit(1.0) - col("p"))))
+            .otherwise(0.0)).as("ll"))
+        .collect()
+      val n = parts.map(_.getLong(3)).sum.toDouble
+      require(n > 0, "quality classifier: no tokenized docs to fit on")
+      losses += parts.map(_.getDouble(4)).sum / n
+      parts.foreach { r =>
+        w(r.getLong(0).toInt) -= lr * r.getDouble(1) / n
+      }
+      b -= lr * parts.map(_.getDouble(2)).sum / n
+    }
+    (w, b, losses.toSeq)
+  }
+
+  /** x125: the TRAINED quality classifier — CCNet's "looks like the
+    * target domain" gate as a fitted linear model instead of the x02
+    * heuristic composite: [[qcFit]] logistic regression over hashed
+    * n-gram features, labels from the DSIR wiki-vs-corpus split,
+    * served by the same machinery x124 hash-pins. Learned weights are
+    * fp-order-sensitive (gradient partials sum in partition order) ⇒
+    * rows-only; CurationSpec asserts the descent (loss strictly
+    * falls), separation on a constructed two-domain corpus (AUC), and
+    * that the score slots into x119's Pareto keep rule (the
+    * "x119/x21 can consume it" contract).
+    *
+    * Output (doc_id, is_target, q_score): scores for EVERY tokenized
+    * doc, target slice included — downstream samplers filter as they
+    * see fit. */
+  def qualityClassifierTrained(docs: DataFrame, benchMod: Int = BenchMod,
+                               iters: Int = QcIters, lr: Double = QcLr)
+      : DataFrame = {
+    // pinned: the fit re-scans the features `iters` times — the one
+    // regime where materialize beats recompute (the x111 rule)
+    val feats = qcFeatures(docs, benchMod).localCheckpoint()
+    val (w, b, _) = qcFit(feats, iters, lr)
+    val wLit = array(w.map(lit).toIndexedSeq: _*)
+    feats.groupBy("doc_id", "is_t")
+      .agg(round(lit(1.0) / (lit(1.0) +
+        exp(-(sum(element_at(wLit, (col("j") + 1).cast("int")) * col("x"))
+          + lit(b)))), 6).as("q_score"))
+      .select(col("doc_id"), col("is_t").cast("int").as("is_target"),
+        col("q_score"))
+      .orderBy("doc_id")
   }
 
   // ---- x52: collocation extraction (PMI-ranked bigrams) ----------------

@@ -32,6 +32,12 @@ object SimilaritySearch {
     val M = 8
     val Codes = 16
     val Refine = 4
+    /** s41's serve-time probe amplification (the x110 recall knob in
+      * the durable-index regime): the QUERY side probes more cells
+      * against the UNCHANGED index — recall rises, the index is never
+      * re-bucketed, and the probe set stays ≤ NLists by construction so
+      * the store read is still static partition filters. */
+    val NProbeWide = 6
   }
 
   /** The ANN eval-harness frame, shared between every Scala entry and

@@ -812,7 +812,7 @@ object ExtendedQueries {
   // top-10 cut). Lives here to share cosSqlOn and the
   // lshScoreAndRankSql tail with the rest of the ANN oracles.
   // ---------------------------------------------------------------------
-  val annServeStreamSql: String = {
+  private def annServeSqlAt(nProbe: Int): String = {
     import SimilaritySearch.{IvfPqFixed => P}
     def cos(a: String, b: String) = cosSqlOn(s"$a.embedding", s"$b.embedding")
     lshScoreAndRankSql(
@@ -831,13 +831,21 @@ object ExtendedQueries {
          |           row_number() OVER (PARTITION BY q.vec_id
          |             ORDER BY ${cos("q", "c")} DESC, c.cid) AS rn
          |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < ${A.QuerySlice}) t
-         |  WHERE rn <= ${P.NProbe}
+         |  WHERE rn <= $nProbe
          |), cand AS (
          |  SELECT p.query_id, a.vec_id
          |  FROM assign a JOIN probes p ON a.cell = p.cell
          |                             AND p.query_id <> a.vec_id
          |)""".stripMargin)
   }
+
+  val annServeStreamSql: String =
+    annServeSqlAt(SimilaritySearch.IvfPqFixed.NProbe)
+
+  /** s41 oracle — s37's pipeline at the amplified serve-time probe
+    * count; the index-side assignment CTE is byte-identical. */
+  val annServeProbedSql: String =
+    annServeSqlAt(SimilaritySearch.IvfPqFixed.NProbeWide)
 
   // ---------------------------------------------------------------------
   // x48 — SemDeDup: semantic dedup within learned k-means cells

@@ -1546,7 +1546,7 @@ object StreamingQueries {
     * join rather than pinned: recompute-twice beats a localCheckpoint
     * barrier on a batch-sized row-local relation. */
   private[graft] def annBatchRank(s: SparkSession, b: DataFrame,
-                                  idxTbl: String,
+                                  idxRel: DataFrame,
                                   cents: IndexedSeq[Array[Float]],
                                   nProbe: Int, k: Int): DataFrame = {
     import graft.functions.VectorFunctions
@@ -1556,7 +1556,7 @@ object StreamingQueries {
         nProbe)).as("cell"))
     val cells = probed.select("cell").distinct()
       .collect().map(_.getLong(0)).sorted
-    val store = s.table(idxTbl)
+    val store = idxRel
       .filter(col("cell").isin(cells.map(Long.box): _*))
     val scored = store.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -1616,7 +1616,7 @@ object StreamingQueries {
         .foreachBatch { (b: DataFrame, id: Long) =>
           onBatch(id)
           annBatchRank(s, b.select(col("query_id"),
-              col("embedding").as("q_vec")), idxTbl, cents, nProbe, k)
+              col("embedding").as("q_vec")), s.table(idxTbl), cents, nProbe, k)
             .write.mode("overwrite").parquet(s"$outDir/batch=$id")
           ()
         }
@@ -1638,6 +1638,24 @@ object StreamingQueries {
     val emb = Tables.embeddings(s, dir)
     annServeStream(s, emb, emb.filter(col("vec_id") < AnnEval.QuerySlice),
       k = AnnEval.K, nLists = P.NLists, nProbe = P.NProbe)
+  }
+
+  /** s41 — s37 with serve-time probe AMPLIFICATION (the x110 recall
+    * knob composed into the durable-index regime): the same
+    * cell-partitioned index, queried at [[graft.operators
+    * .SimilaritySearch.IvfPqFixed.NProbeWide]] cells per query instead
+    * of NProbe. Purely query-side — the index is built once and never
+    * re-bucketed; the enlarged probe set is still ≤ nLists driver longs
+    * by construction, so the store read keeps its static partition
+    * filters (PlanSpec pins it at both probe widths). Recall vs the
+    * exact x10 baseline is measured in SimilaritySearchSpec; the wide
+    * probe set CONTAINS the narrow one (same cosine-DESC cell ordering,
+    * longer prefix), so recall is monotone in the knob by construction. */
+  def streamAnnServeProbed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SimilaritySearch.{AnnEval, IvfPqFixed => P}
+    val emb = Tables.embeddings(s, dir)
+    annServeStream(s, emb, emb.filter(col("vec_id") < AnnEval.QuerySlice),
+      k = AnnEval.K, nLists = P.NLists, nProbe = P.NProbeWide)
   }
 
   // ---------------------------------------------------------------------
@@ -1662,37 +1680,75 @@ object StreamingQueries {
   // complete static index exactly once.
   // ---------------------------------------------------------------------
 
+  /** s39/s40 fixture-boundary guard (ADVICE r16): their oracle's
+    * semantic arm probes EMBEDDINGS directly at the eval slice, while
+    * the query set carries only qDocs doc_ids — the two agree iff every
+    * eval-slice embedding vec_id has a documents row. Assert the subset
+    * loudly (an eval-slice-sized anti-join, two tiny relations) so a
+    * future fixture change fails here, not as an opaque hash diff. */
+  private def requireEvalSliceCovered(srcE: DataFrame, qDocs: DataFrame,
+                                      benchMod: Int, entry: String): Unit = {
+    val orphanEvalVecs = srcE
+      .filter(col("vec_id") % benchMod === 0 &&
+        col("vec_id") < graft.operators.Curation.BmQueryIdMax)
+      .join(qDocs.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+        "left_anti")
+      .count()
+    require(orphanEvalVecs == 0,
+      s"$entry fixture boundary: $orphanEvalVecs eval-slice embedding " +
+        "vec_ids have no matching documents row (vec_id ≡ doc_id " +
+        "invariant broken — oracle and stream would diverge)")
+  }
+
+  /** Collect a batch-bounded token set for a literal-IN pushdown, up to
+    * the [[graft.operators.Curation.BmInMaxTerms]] cap: Some(sorted
+    * tokens) when the set fits (the limit(cap+1) probe collected
+    * everything, so the arbitrary-order limit is the complete set),
+    * None when it overflows and the caller must take the semi-join
+    * route. */
+  private def inListOrNone(toks: DataFrame, cap: Int): Option[Seq[String]] = {
+    val got = toks.limit(cap + 1).collect().map(_.getString(0))
+    if (got.length <= cap) Some(got.sorted.toIndexedSeq) else None
+  }
+
   /** The per-batch BM25 serve against the bucketed-sorted inverted
-    * index — shared by s38 and the s39 hybrid's lexical arm. The
-    * batch-bounded driver token sets (distinct tokens of a micro-batch
-    * of queries; then the ≤ BmQTerms × |batch| budgeted subset) are
-    * pushed as LITERAL IN predicates into the df and tf store scans:
-    * row-group stats on the sortBy'd token column prune non-matching
-    * posting lists at the scan. Beyond IN-list scale (many thousands
-    * of terms per trigger) the fallback is the s36 semi-join prune —
-    * documented boundary. */
+    * index — shared by s38, the s39 hybrid's lexical arm, and s40's
+    * incremental-index serve. The batch-bounded driver token sets
+    * (distinct tokens of a micro-batch of queries; then the
+    * ≤ BmQTerms × |batch| budgeted subset) are pushed as LITERAL IN
+    * predicates into the df and tf store scans: row-group stats on the
+    * sortBy'd token column prune non-matching posting lists at the
+    * scan. Beyond IN-list scale ([[graft.operators.Curation.BmInMaxTerms]]
+    * tokens per trigger) each site falls back to the s36 broadcast
+    * left-semi prune — merge-row pruning without a driver-sized literal
+    * list; both routes are value-identical (StreamingSpec pins it). */
   private[graft] def bm25BatchRank(s: SparkSession, b: DataFrame,
-                                   tfTbl: String, dfTbl: String,
+                                   tfRel: DataFrame, dfRel: DataFrame,
                                    nDocs: Long, avgdl: Double,
-                                   k: Int): DataFrame = {
+                                   k: Int,
+                                   inMaxTerms: Int =
+                                     graft.operators.Curation.BmInMaxTerms)
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.Curation
     def toksCol = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
     def qt = b.select(col("query_id"), explode(toksCol).as("token")).distinct()
-    val batchToks = qt.select("token").distinct()
-      .collect().map(_.getString(0)).sorted
-    val dfB = s.table(dfTbl)
-      .filter(col("token").isin(batchToks.toIndexedSeq: _*))
+    val dfB = inListOrNone(qt.select("token").distinct(), inMaxTerms) match {
+      case Some(toks) => dfRel.filter(col("token").isin(toks: _*))
+      case None => dfRel.join(broadcast(qt.select("token")),
+        Seq("token"), "left_semi")
+    }
     val qw = Window.partitionBy("query_id")
       .orderBy(col("df").asc, col("token").asc)
     val qsel = qt.join(dfB, "token")
       .withColumn("tr", row_number().over(qw))
       .filter(col("tr") <= Curation.BmQTerms)
       .select("query_id", "token", "df")
-    val budget = qsel.select("token").distinct()
-      .collect().map(_.getString(0)).sorted
-    val tfB = s.table(tfTbl)
-      .filter(col("token").isin(budget.toIndexedSeq: _*))
+    val tfB = inListOrNone(qsel.select("token").distinct(), inMaxTerms) match {
+      case Some(toks) => tfRel.filter(col("token").isin(toks: _*))
+      case None => tfRel.join(broadcast(qsel.select("token")),
+        Seq("token"), "left_semi")
+    }
     val rw = Window.partitionBy("query_id")
       .orderBy(col("bm25").desc, col("doc_id").asc)
     tfB.join(broadcast(qsel), "token")
@@ -1768,7 +1824,7 @@ object StreamingQueries {
         .foreachBatch { (b: DataFrame, id: Long) =>
           onBatch(id)
           bm25BatchRank(s, b.select(col("doc_id").as("query_id"),
-              col("text")), tfTbl, dfTbl, nDocs, avgdl, k)
+              col("text")), s.table(tfTbl), s.table(dfTbl), nDocs, avgdl, k)
             .write.mode("overwrite").parquet(s"$outDir/batch=$id")
           ()
         }
@@ -1858,22 +1914,7 @@ object StreamingQueries {
         .partitionBy("cell").saveAsTable(idxTbl)
 
       if (!hasParquet(inDir)) {
-        // fixture-boundary guard (ADVICE r16): the oracle's semantic arm
-        // probes EMBEDDINGS directly at the eval slice, while this stream
-        // carries only qDocs doc_ids — the two agree iff every eval-slice
-        // embedding vec_id has a documents row. Assert the subset loudly
-        // (an eval-slice-sized anti-join, two tiny relations) so a future
-        // fixture change fails here, not as an opaque s39 hash diff.
-        val orphanEvalVecs = srcE
-          .filter(col("vec_id") % benchMod === 0 &&
-            col("vec_id") < Curation.BmQueryIdMax)
-          .join(qDocs.select(col("doc_id").as("vec_id")), Seq("vec_id"),
-            "left_anti")
-          .count()
-        require(orphanEvalVecs == 0,
-          s"s39 fixture boundary: $orphanEvalVecs eval-slice embedding " +
-            "vec_ids have no matching documents row (vec_id ≡ doc_id " +
-            "invariant broken — oracle and stream would diverge)")
+        requireEvalSliceCovered(srcE, qDocs, benchMod, "s39")
         qDocs.select(col("doc_id"), col("text"))
           .join(srcE.select(col("vec_id").as("doc_id"), col("embedding")),
             Seq("doc_id"), "left")
@@ -1893,13 +1934,13 @@ object StreamingQueries {
           onBatch(id)
           val lex = bm25BatchRank(s,
               b.select(col("doc_id").as("query_id"), col("text")),
-              tfTbl, dfTbl, nDocs, avgdl, listK)
+              s.table(tfTbl), s.table(dfTbl), nDocs, avgdl, listK)
             .select(col("query_id"), col("doc_id"), col("rnk").as("rank"))
           val sem = annBatchRank(s,
               b.filter(col("embedding").isNotNull)
                 .select(col("doc_id").as("query_id"),
                   col("embedding").as("q_vec")),
-              idxTbl, cents, nProbe, listK)
+              s.table(idxTbl), cents, nProbe, listK)
             .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
           SimilaritySearch.rrfFuse(lex, sem, k0 = k0, k = k)
             .write.mode("overwrite").parquet(s"$outDir/batch=$id")
@@ -1929,6 +1970,192 @@ object StreamingQueries {
     hybridServeStream(s, Tables.documents(s, dir), Tables.embeddings(s, dir),
       Curation.BenchMod, listK = CQ.HybridListK, k0 = CQ.RrfK0,
       k = CQ.HybridK, nLists = P.NLists, nProbe = P.NProbe)
+  }
+
+  // ---------------------------------------------------------------------
+  // s40 — INCREMENTAL serving-index MAINTENANCE: the production posture
+  // the s37–s39 scaladocs only named in prose ("the table persists and
+  // rebuilds once per corpus refresh") made real — here the CORPUS is
+  // the stream, and the serving indexes are maintained incrementally as
+  // it arrives instead of rebuilt from scratch. Each micro-batch
+  // appends batch-grain deltas to four durable DeltaStores (postings
+  // rows and IVF cell rows are row-grain — a new doc only ADDS rows;
+  // df and the corpus stats are exact integer partial sums — the s32
+  // algebraic-partials argument at vocabulary grain), and every
+  // `compactEvery` batches each store folds base∪deltas into a fresh
+  // compacted base via the FingerprintStore staged swap (bucket-local
+  // layout: token-hash-partitioned sorted files for the inverted index,
+  // cell partitions for the IVF index), crash-recoverable at any point.
+  // Because every stored relation is either row-grain or an exact
+  // integer sum, the incrementally-maintained index is VALUE-IDENTICAL
+  // to a from-scratch rebuild regardless of batching or compaction
+  // schedule — so the final serve (both arms + RRF fusion, reusing
+  // bm25BatchRank / annBatchRank / rrfFuse against the merged
+  // base∪delta views) hash-checks against s39's oracle VERBATIM.
+  // At 100 TB: per-batch cost ∝ batch (appends never read the store);
+  // compaction is the only store-sized job and is amortized on the
+  // caller's schedule — the standard LSM contract.
+  // ---------------------------------------------------------------------
+
+  /** The s40 core. `workDir`/`onBatch`: the s34–s39 restart hooks; the
+    * checkpoint plus the DeltaStores' batch-id watermarking make every
+    * batch exactly-once across crash+resume (a replayed batch
+    * overwrites its own delta dirs, or is skipped where a compaction
+    * already folded it). */
+  private[graft] def incrementalIndexServe(s: SparkSession, docs: DataFrame,
+                                           emb: DataFrame, benchMod: Int,
+                                           listK: Int, k0: Int, k: Int,
+                                           nLists: Int, nProbe: Int,
+                                           compactEvery: Int = 2,
+                                           workDir: Option[String] = None,
+                                           onBatch: Long => Unit = _ => ())
+      : DataFrame = {
+    import graft.operators.{Curation, SimilaritySearch}
+    import graft.store.DeltaStore
+    val work = workDir.getOrElse(tempDir("graft_s40_"))
+    val inDir = s"$work/in"; val ck = s"$work/ck"
+    def toksCol = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val items = docs.filter(col("doc_id") % benchMod =!= 0)
+    val qDocs = docs.filter(col("doc_id") % benchMod === 0 &&
+      col("doc_id") < Curation.BmQueryIdMax)
+    val srcE = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"))
+    val itemE = srcE.filter(col("vec_id") % benchMod =!= 0)
+    val cents = SimilaritySearch.collectFixedRows(
+      srcE.filter(col("vec_id") < nLists), nLists)
+
+    val tfSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("token", StringType), StructField("tf", LongType),
+      StructField("dl", IntegerType)))
+    val dfSchema = StructType(Seq(StructField("token", StringType),
+      StructField("df", LongType)))
+    val statSchema = StructType(Seq(StructField("n_docs", LongType),
+      StructField("sum_dl", LongType)))
+    val ivfSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("cell", LongType)))
+
+    // base layout = the serve path's pruning contract: inverted-index
+    // stores are token-hash-partitioned files each SORTED on token
+    // (row-group stats selective under the literal-IN route); the IVF
+    // store is cell-PARTITIONED (probe sets become partition filters).
+    // Deltas are batch-grain and keep the same per-file sort/partition
+    // shape at a small file count.
+    def sortedBy(key: String, files: Int)(d: DataFrame, path: String): Unit =
+      d.repartition(files, col(key)).sortWithinPartitions(key)
+        .write.mode("overwrite").parquet(path)
+    def cellPartitioned(d: DataFrame, path: String): Unit =
+      d.repartition(col("cell")).write.mode("overwrite")
+        .partitionBy("cell").parquet(path)
+    def tinyRows(d: DataFrame, path: String): Unit =
+      d.coalesce(1).write.mode("overwrite").parquet(path)
+
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val tfStore = new DeltaStore(s"$work/store/tf", tfSchema,
+      sortedBy("token", nPart), sortedBy("token", 4), identity)
+    val dfStore = new DeltaStore(s"$work/store/df", dfSchema,
+      sortedBy("token", 4), sortedBy("token", 1),
+      _.groupBy("token").agg(sum("df").as("df")))
+    val statStore = new DeltaStore(s"$work/store/stats", statSchema,
+      tinyRows, tinyRows,
+      _.agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(sum("sum_dl"), lit(0L)).as("sum_dl")))
+    val ivfStore = new DeltaStore(s"$work/store/ivf", ivfSchema,
+      cellPartitioned, cellPartitioned, identity)
+
+    if (!hasParquet(inDir)) {
+      requireEvalSliceCovered(srcE, qDocs, benchMod, "s40")
+      // the corpus stream: item docs FULL-OUTER item embeddings, so an
+      // embedding without a document row (and vice versa) still arrives
+      items.select(col("doc_id"), col("text"))
+        .join(itemE.select(col("vec_id").as("doc_id"), col("embedding")),
+          Seq("doc_id"), "full_outer")
+        .repartition(3).write.mode("overwrite").parquet(inDir)
+    }
+
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        onBatch(id)
+        // batch-grain index deltas — none of these reads a store
+        val withText = b.filter(col("text").isNotNull)
+        val tf = withText.select(col("doc_id"), toksCol.as("toks"))
+          .select(col("doc_id"), size(col("toks")).as("dl"),
+            explode(col("toks")).as("token"))
+          .groupBy("doc_id", "token")
+          .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+          .select("doc_id", "token", "tf", "dl")
+        tfStore.append(s, id, tf)
+        // df partial DERIVED from the batch postings (the s38 argument:
+        // postings rows are (doc, token)-grain, so count-per-token IS
+        // this batch's df contribution)
+        dfStore.append(s, id, tf.groupBy("token").agg(count(lit(1)).as("df")))
+        statStore.append(s, id,
+          withText.select(size(toksCol).as("doclen"))
+            .filter(col("doclen") > 0)
+            .agg(count(lit(1)).as("n_docs"),
+              coalesce(sum(col("doclen")), lit(0L)).cast("long").as("sum_dl")))
+        ivfStore.append(s, id,
+          b.filter(col("embedding").isNotNull)
+            .select(col("doc_id").as("vec_id"), col("embedding"),
+              SimilaritySearch.argmaxCell(col("embedding"), cents).as("cell")))
+        if ((id + 1) % compactEvery == 0) {
+          tfStore.compact(s); dfStore.compact(s)
+          statStore.compact(s); ivfStore.compact(s)
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // the serve: both arms against the merged base∪delta views — the
+    // literal-IN / partition filters push below the union to every
+    // base and delta scan
+    val tfView = tfStore.read(s)
+    val dfView = dfStore.read(s).groupBy("token").agg(sum("df").as("df"))
+    val st = statStore.read(s)
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"))
+      .collect()(0)
+    val nDocs = st.getLong(0)
+    require(nDocs > 0,
+      "s40 serve: corpus has no tokenized item docs (avgdl undefined)")
+    val avgdl = st.getLong(1).toDouble / nDocs
+    val ivfView = ivfStore.read(s)
+    val queries = qDocs.select(col("doc_id"), col("text"))
+      .join(srcE.select(col("vec_id").as("doc_id"), col("embedding")),
+        Seq("doc_id"), "left")
+    val lex = bm25BatchRank(s,
+        queries.select(col("doc_id").as("query_id"), col("text")),
+        tfView, dfView, nDocs, avgdl, listK)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("rank"))
+    val sem = annBatchRank(s,
+        queries.filter(col("embedding").isNotNull)
+          .select(col("doc_id").as("query_id"),
+            col("embedding").as("q_vec")),
+        ivfView, cents, nProbe, listK)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    SimilaritySearch.rrfFuse(lex, sem, k0 = k0, k = k)
+      .select("query_id", "doc_id", "lex_rank", "sem_rank", "rrf", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  def streamIndexMaintain(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    import graft.operators.SimilaritySearch.{IvfPqFixed => P}
+    import graft.queries.{CurationQueries => CQ}
+    incrementalIndexServe(s, Tables.documents(s, dir),
+      Tables.embeddings(s, dir), Curation.BenchMod,
+      listK = CQ.HybridListK, k0 = CQ.RrfK0, k = CQ.HybridK,
+      nLists = P.NLists, nProbe = P.NProbe)
   }
 
   // ---------------------------------------------------------------------
@@ -2335,6 +2562,10 @@ object StreamingQueries {
       Some(graft.queries.CurationQueries.bm25Sql))),
     "s39_stream_hybrid_serve" -> ((streamHybridServe _,
       Some(graft.queries.CurationQueries.hybridServeStreamSql))),
+    "s40_stream_index_maintain" -> ((streamIndexMaintain _,
+      Some(graft.queries.CurationQueries.hybridServeStreamSql))),
+    "s41_stream_ann_serve_probed" -> ((streamAnnServeProbed _,
+      Some(graft.queries.ExtendedQueries.annServeProbedSql))),
     "s36_stream_neardup_bucketed" -> ((streamNearDupBucketed _,
       Some(streamNearDupSql))),
     "s26_stream_span_clean" -> ((streamSpanClean _,

@@ -53,6 +53,34 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(rMulti >= rSingle,
       s"multi-probe recall $rMulti below single-probe $rSingle")
     assert(rMulti >= 0.5, s"multi-probe recall $rMulti below 0.5")
+  }
+
+  test("s41 probe-amplified serving: recall vs exact is monotone in the serve-time probe count; index untouched") {
+    // the x110 recall knob in the DURABLE-INDEX regime: the same
+    // cell-partitioned store queried at NProbe vs NProbeWide cells —
+    // the wide probe set CONTAINS the narrow one (same cosine-DESC cell
+    // ordering, longer prefix), so the candidate sets nest and recall
+    // vs the exact x10 baseline is monotone; measured here at the gate
+    // fixture so the knob's value is a number, not a claim
+    import graft.streaming.StreamingQueries
+    import graft.operators.SimilaritySearch.{AnnEval, IvfPqFixed => P}
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < AnnEval.QuerySlice)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(SimilaritySearch.bruteForceTopK(emb, queries, k = AnnEval.K))
+    val narrow = pairs(StreamingQueries.annServeStream(spark, emb, queries,
+      k = AnnEval.K, nLists = P.NLists, nProbe = P.NProbe))
+    val wide = pairs(StreamingQueries.annServeStream(spark, emb, queries,
+      k = AnnEval.K, nLists = P.NLists, nProbe = P.NProbeWide))
+    val rNarrow = (exact intersect narrow).size.toDouble / exact.size
+    val rWide = (exact intersect wide).size.toDouble / exact.size
+    info(s"serve recall@${AnnEval.K}: nProbe=${P.NProbe} -> $rNarrow, " +
+      s"nProbe=${P.NProbeWide} -> $rWide")
+    assert(rWide >= rNarrow,
+      s"probe amplification lost recall: $rWide < $rNarrow")
+    assert(rWide >= 0.7, s"wide-probe serve recall $rWide below 0.7")
     // out-of-range probe counts fail loudly
     assertThrows[IllegalArgumentException] {
       SimilaritySearch.lshMultiProbeTopK(spark, emb, queries, k = 10, probes = 5)

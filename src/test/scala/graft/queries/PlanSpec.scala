@@ -297,21 +297,30 @@ class PlanSpec extends AnyFunSuite {
         .repartition(col("cell"))
         .write.mode("overwrite").option("path", s"$work/wh/ivf")
         .partitionBy("cell").saveAsTable(tbl)
-      val probed = Seq(0L, 1L, 2L)
-      val store = spark.table(tbl)
-        .filter(col("cell").isin(probed.map(Long.box): _*))
-      store.collect()
-      val p = store.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==").head
-      assert(p.contains("PartitionFilters: ["),
-        "store scan lost its partition filters:\n" + p)
-      assert(" IN \\(0,1,2\\)".r.findFirstIn(p).isDefined,
-        "the probe-cell IN filter must reach the scan as a partition filter:\n" + p)
-      // behavioral: the pruned read is exactly the probed cells' rows
-      val full = spark.table(tbl)
-      val expect = full.collect().count(r => probed.contains(r.getAs[Long]("cell")))
-      assert(store.count() == expect)
-      assert(expect < full.count(), "fixture degenerate: probing did not prune")
+      // both serve regimes: s37's narrow probe set and s41's amplified
+      // one — partition filters must reach the scan and still prune at
+      // the wide width (6 of 8 cells), because the probe set is ≤
+      // nLists by construction at ANY knob setting
+      val widths = Seq(
+        "s37" -> (0L until graft.operators.SimilaritySearch.IvfPqFixed.NProbe.toLong),
+        "s41" -> (0L until graft.operators.SimilaritySearch.IvfPqFixed.NProbeWide.toLong))
+      for ((regime, probed) <- widths) {
+        val store = spark.table(tbl)
+          .filter(col("cell").isin(probed.map(Long.box): _*))
+        store.collect()
+        val p = store.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert(p.contains("PartitionFilters: ["),
+          s"$regime: store scan lost its partition filters:\n" + p)
+        assert((" IN \\(" + probed.mkString(",") + "\\)").r.findFirstIn(p).isDefined,
+          s"$regime: the probe-cell IN filter must reach the scan as a partition filter:\n" + p)
+        // behavioral: the pruned read is exactly the probed cells' rows
+        val full = spark.table(tbl)
+        val expect = full.collect().count(r => probed.contains(r.getAs[Long]("cell")))
+        assert(store.count() == expect)
+        assert(expect < full.count(),
+          s"$regime: fixture degenerate: probing did not prune")
+      }
     } finally {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
     }

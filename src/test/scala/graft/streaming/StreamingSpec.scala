@@ -482,7 +482,7 @@ class StreamingSpec extends AnyFunSuite {
       s"s34 leaked ${after - before} catalog tables across 3 invocations")
   }
 
-  test("s30/s31/s33/s34/s35/s36/s37/s38/s39 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
+  test("s30/s31/s33/s34/s35/s36/s37/s38/s39/s40 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
     // A14's checkpoint discipline, proven for the WHOLE foreachBatch
     // read-back family: kill the query inside batch 1 (of 3), restart
     // against the SAME work dir, and require (a) the resumed run
@@ -555,6 +555,20 @@ class StreamingSpec extends AnyFunSuite {
         StreamingQueries.hybridServeStream(spark, docs, emb, benchMod = 3,
           listK = 4, k0 = 60, k = 3, nLists = 8, nProbe = 2,
           workDir = w, onBatch = h)
+      },
+      "s40" -> { (w, h) =>
+        // the s39 fixture with the CORPUS as the stream; compactEvery=2
+        // puts a store compaction inside the resumed batch 1, so the
+        // recovery contract covers the fold + watermark-skip path too
+        val docs = (0L until 12L).map { i =>
+          (i, s"alpha w$i beta w${i % 4} gamma common text body")
+        }.toDF("doc_id", "text")
+        val emb = (0L until 12L).map { i =>
+          (i, Array.tabulate(4)(d => (((i * 7 + d * 3) % 11) - 5).toFloat))
+        }.toDF("vec_id", "embedding")
+        StreamingQueries.incrementalIndexServe(spark, docs, emb, benchMod = 3,
+          listK = 4, k0 = 60, k = 3, nLists = 8, nProbe = 2,
+          compactEvery = 2, workDir = w, onBatch = h)
       })
 
     cores.foreach { case (name, core) =>
@@ -721,5 +735,65 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("s40 incremental index maintenance == s39 from-scratch rebuild (value-identical serve)") {
+    // the s40 contract: because every stored relation is row-grain or an
+    // exact integer partial sum, the incrementally-maintained indexes
+    // answer EXACTLY like a from-scratch build — same fixture through
+    // both cores must match row-for-row, across a compaction boundary
+    // (compactEvery=2 folds mid-stream) and without one (compactEvery
+    // beyond the batch count leaves delta-only stores)
+    val docs = (0L until 12L).map { i =>
+      (i, s"alpha w$i beta w${i % 4} gamma common text body")
+    }.toDF("doc_id", "text")
+    val emb = (0L until 12L).map { i =>
+      (i, Array.tabulate(4)(d => (((i * 7 + d * 3) % 11) - 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val rebuild = StreamingQueries.hybridServeStream(spark, docs, emb,
+      benchMod = 3, listK = 4, k0 = 60, k = 3, nLists = 8, nProbe = 2)
+      .collect().toSeq
+    for (ce <- Seq(2, 100)) {
+      val inc = StreamingQueries.incrementalIndexServe(spark, docs, emb,
+        benchMod = 3, listK = 4, k0 = 60, k = 3, nLists = 8, nProbe = 2,
+        compactEvery = ce).collect().toSeq
+      assert(inc == rebuild,
+        s"incremental (compactEvery=$ce) diverged from rebuild:\n" +
+          s"inc:     $inc\nrebuild: $rebuild")
+    }
+  }
+
+  test("bm25 serve IN-list boundary: literal-IN and semi-join routes are value-identical") {
+    // the BmInMaxTerms switch must be a pure PLAN choice: forcing the
+    // fallback (cap 0 — every token set overflows) must serve the same
+    // rows as the literal-IN route (cap high enough for everything)
+    val docs = (0L until 12L).map { i =>
+      (i, s"alpha w$i beta w${i % 4} gamma common text body")
+    }.toDF("doc_id", "text")
+    def run(cap: Int) = {
+      val work = Files.createTempDirectory(s"bm25_route_$cap").toString
+      val tf = docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"),
+          regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)).as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("dl"),
+          explode(col("toks")).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+        .localCheckpoint()
+      val dfRel = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val stats = tf.groupBy("doc_id").agg(max("dl").as("dl"))
+        .agg(count(lit(1)), sum("dl")).collect()(0)
+      val (n, sumDl) = (stats.getLong(0), stats.getLong(1))
+      val b = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("query_id"), col("text"))
+      StreamingQueries.bm25BatchRank(spark, b, tf, dfRel, n,
+          sumDl.toDouble / n, k = 3, inMaxTerms = cap)
+        .orderBy("query_id", "rnk").collect().toSeq
+    }
+    val viaIn = run(1 << 20)
+    val viaSemi = run(0)
+    assert(viaIn.nonEmpty, "route-identity check is vacuous")
+    assert(viaIn == viaSemi,
+      s"IN and semi-join routes diverged:\nin:   $viaIn\nsemi: $viaSemi")
   }
 }
