@@ -154,5 +154,7 @@ object SparkEntry {
     "x90_tokenizer_fertility" -> ("operators/CurationSpec.scala",
       "x90 tokenizerFertility: zero-merge = chars/word"),
     "x102_semdedup_capped"   -> ("operators/DedupSpec.scala",
-      "x102 semdedup cellCap: a planted 50-clique's pair work is bounded"))
+      "x102 semdedup cellCap: a planted 50-clique's pair work is bounded"),
+    "x125_quality_classifier_trained" -> ("operators/CurationSpec.scala",
+      "x125 trained quality classifier: loss descends, separates a two-domain corpus"))
 }

@@ -827,6 +827,41 @@ object CurationQueries {
        |GROUP BY doc_id
        |ORDER BY log_w DESC, doc_id LIMIT ${Curation.DsirK}""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x124 — quality classifier with PINNED weights: the hash twin of
+  // x125's serve path (tokenize → md5 bucket → mean per-token weight →
+  // sigmoid), weights a closed-form affine ramp the oracle recomputes.
+  // ---------------------------------------------------------------------
+  def qualityClassifierFixedQ(s: SparkSession, dir: String): DataFrame =
+    Curation.qualityClassifierFixed(Tables.documents(s, dir))
+
+  val qualityClassifierFixedSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |  FROM documents),
+       |feat AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substr(md5(token), 1, ${Curation.QcHexLen})
+       |              AS BIGINT) AS j
+       |  FROM toks)
+       |SELECT doc_id,
+       |       round(1.0 / (1.0 + exp(-avg(
+       |         ((${Curation.QcWA} * j + ${Curation.QcWB}) % ${Curation.QcWM})
+       |           / ${Curation.QcWM}.0 - 0.5))), 6) AS q_score
+       |FROM feat GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x125 — the TRAINED quality classifier (distributed logistic
+  // regression via mergeable gradient partials; labels = the DSIR
+  // wiki-vs-corpus split). Learned weights are fp-order-sensitive ⇒
+  // rows-only; CurationSpec asserts descent + AUC on a constructed
+  // two-domain corpus + the x119 Pareto-rule composition; x124 pins
+  // the shared serve machinery value-level.
+  // ---------------------------------------------------------------------
+  def qualityClassifierTrainedQ(s: SparkSession, dir: String): DataFrame =
+    Curation.qualityClassifierTrained(Tables.documents(s, dir))
+
   /** s31's admission threshold — binds at both SFs (sf0.01: 58/494
     * admitted, sf0.1: 664/4948). */
   val DsirTau = 0.5
@@ -1801,6 +1836,9 @@ object CurationQueries {
     "x89_zipf_fit"            -> ((zipfFit _, Some(zipfFitSql))),
     "x93_dsir_selection"      -> ((dsirSelect _, Some(dsirSelectSql))),
     "x96_dsir_hashed"         -> ((dsirSelectHashed _, Some(dsirSelectHashedSql))),
+    "x124_quality_classifier_fixed" -> ((qualityClassifierFixedQ _,
+      Some(qualityClassifierFixedSql))),
+    "x125_quality_classifier_trained" -> ((qualityClassifierTrainedQ _, None)),
     "x98_decontam_dashboard"  -> ((decontamDashboard _, Some(decontamDashboardSql))),
     "x100_signal_agreement"   -> ((signalAgreement _, Some(signalAgreementSql))),
     "x41_datacard"            -> ((datacard _, Some(datacardSql))),

@@ -1930,4 +1930,52 @@ class CurationSpec extends AnyFunSuite {
     assert(Curation.ccnetBuckets(empty).count() == 0)
     b.unpersist()
   }
+
+  test("x125 trained quality classifier: loss descends, separates a two-domain corpus, score feeds the Pareto keep rule") {
+    import spark.implicits._
+    // a corpus with REAL separation (the fixture's target slice is a
+    // distributional stand-in, so the learner is proven on constructed
+    // domains): target-slice docs speak wiki-ish vocabulary, the rest
+    // spam-ish, with per-doc noise tokens so the fit can't just memorize
+    val docsT = (0L until 80L).map { i =>
+      val t =
+        if (i % 4 == 0)
+          s"reference article citation neutral summary section v$i prose"
+        else
+          s"buy cheap click winner prize now offer${i % 7} deal$i"
+      (i, t)
+    }.toDF("doc_id", "text")
+    // (a) the descent is real: mean log-loss strictly falls over the fit
+    val feats = Curation.qcFeatures(docsT, benchMod = 4).localCheckpoint()
+    val (_, _, losses) = Curation.qcFit(feats, iters = 30, lr = 1.0)
+    assert(losses.head > losses.last,
+      s"loss did not descend: ${losses.head} -> ${losses.last}")
+    assert(losses.last < losses.head * 0.7,
+      s"descent too shallow: $losses")
+    // (b) separation: rank the trained scores by label (AUC)
+    val scored = Curation.qualityClassifierTrained(docsT, benchMod = 4,
+        iters = 30, lr = 1.0)
+      .collect().map(r => (r.getInt(1), r.getDouble(2)))
+    val pos = scored.filter(_._1 == 1).map(_._2)
+    val neg = scored.filter(_._1 == 0).map(_._2)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    val auc = pos.map(p =>
+      neg.count(_ < p) + 0.5 * neg.count(_ == p)).sum /
+      (pos.length.toDouble * neg.length)
+    assert(auc >= 0.9, s"trained classifier AUC $auc below 0.9")
+    // (c) the x119 consumption contract: the score is a valid Pareto q —
+    // the keep rule u·(2−q)^9 < 1 rejects classifier-preferred docs
+    // LESS at every u, i.e. their rejection mass (2−q)^9 is smaller
+    val mass = scored.map { case (y, q) => (y, math.pow(2.0 - q, 9)) }
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    val mT = mean(mass.filter(_._1 == 1).map(_._2).toSeq)
+    val mO = mean(mass.filter(_._1 == 0).map(_._2).toSeq)
+    assert(mT < mO,
+      s"target docs carry MORE Pareto rejection mass ($mT >= $mO)")
+    // (d) the real-fixture entry path runs end-to-end and scores every
+    // tokenized doc exactly once
+    val fixture = Curation.qualityClassifierTrained(docs, iters = 5)
+    assert(fixture.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
+    assert(fixture.count() > 0)
+  }
 }
