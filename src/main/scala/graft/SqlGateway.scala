@@ -250,6 +250,124 @@ object SqlGateway {
     * from the returned gateway). Loopback-only unless `bindAll`.
     * `metricsDir` (optional) is a durable m03 metrics table to roll up
     * under /metrics. Call `.stop()` to shut down. */
+  /** The gateway's serving indexes — the s38 bucketed-sorted postings +
+    * df tables and the s37 cell-partitioned IVF table, built ONCE per
+    * process over the ITEM split (doc_id % BenchMod != 0, the s38/s39
+    * convention: the eval slice queries, the rest is indexed), plus the
+    * corpus stats and the fixed coarse quantizer. `emb` rides along for
+    * /search's vec_id query-embedding lookups. */
+  private[graft] final case class SearchIndexes(
+      tf: org.apache.spark.sql.DataFrame,
+      df: org.apache.spark.sql.DataFrame,
+      ivf: org.apache.spark.sql.DataFrame,
+      emb: org.apache.spark.sql.DataFrame,
+      nDocs: Long, avgdl: Double,
+      cents: IndexedSeq[Array[Float]]) {
+    /** Caller-named persisted tables override the gateway-owned ones;
+      * BM25 corpus stats are re-derived FROM the named postings table
+      * (stats must describe the corpus actually being served). */
+    def overridden(spark: SparkSession, tfTbl: Option[String],
+                   dfTbl: Option[String], ivfTbl: Option[String]): SearchIndexes = {
+      import org.apache.spark.sql.functions._
+      val t = tfTbl.map(spark.table).getOrElse(tf)
+      val d = dfTbl.map(spark.table).getOrElse(df)
+      val i = ivfTbl.map(spark.table).getOrElse(ivf)
+      if (tfTbl.isEmpty) copy(df = d, ivf = i)
+      else {
+        val st = t.groupBy("doc_id").agg(max("dl").as("dl"))
+          .agg(count(lit(1)).as("n"), avg("dl").as("avgdl")).collect()(0)
+        require(!st.isNullAt(1), s"postings table ${tfTbl.get} is empty")
+        copy(tf = t, df = d, ivf = i, nDocs = st.getLong(0),
+          avgdl = st.getDouble(1))
+      }
+    }
+  }
+
+  private[graft] def buildSearchIndexes(spark: SparkSession,
+                                        dir: String): SearchIndexes = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Curation, SimilaritySearch}
+    import graft.operators.SimilaritySearch.{IvfPqFixed => P}
+    import graft.streaming.StreamingQueries
+    def toksCol = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val docs = Tables.documents(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val items = docs.filter(col("doc_id") % Curation.BenchMod =!= 0)
+    val cents = SimilaritySearch.collectFixedRows(
+      emb.filter(col("vec_id") < P.NLists), P.NLists)
+    val work = WorkDirs.tempDir("graft_gateway_idx_")
+    val tf = items.select(col("doc_id"), toksCol.as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    StreamingQueries.writeBucketedBy(tf, s"$work/tf", "gateway_search_tf", "token")
+    val df = spark.table("gateway_search_tf")
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    StreamingQueries.writeBucketedBy(df, s"$work/df", "gateway_search_df", "token")
+    val st = items.select(size(toksCol).as("doclen"))
+      .filter(col("doclen") > 0)
+      .agg(count(lit(1)).as("n"), avg("doclen").as("avgdl")).collect()(0)
+    require(!st.isNullAt(1), "gateway search index: corpus has no tokenized docs")
+    emb.filter(col("vec_id") % Curation.BenchMod =!= 0)
+      .select(col("vec_id"), col("embedding"),
+        SimilaritySearch.argmaxCell(col("embedding"), cents).as("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").option("path", s"$work/ivf")
+      .partitionBy("cell").saveAsTable("gateway_search_ivf")
+    SearchIndexes(spark.table("gateway_search_tf"),
+      spark.table("gateway_search_df"), spark.table("gateway_search_ivf"),
+      emb, st.getLong(0), st.getDouble(1), cents)
+  }
+
+  /** One /search request: build the 1-row query batch and run the
+    * requested arms through the stream-serving rank helpers, fusing at
+    * the s39 depth for hybrid. query_id = vec_id when given (so an
+    * in-index query vector excludes itself, the s37 rule), else 0. */
+  private[graft] def searchTopK(spark: SparkSession, idx: SearchIndexes,
+                                searchMode: String, text: String,
+                                vecId: Option[Long], k: Int): String = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SimilaritySearch
+    import graft.operators.SimilaritySearch.{IvfPqFixed => P}
+    import graft.streaming.StreamingQueries
+    import graft.queries.{CurationQueries => CQ}
+    import spark.implicits._
+    val qid = vecId.getOrElse(0L)
+    def lexArm(depth: Int) = {
+      require(text.nonEmpty, s"mode=$searchMode needs query text in the body")
+      StreamingQueries.bm25BatchRank(spark,
+        Seq((qid, text)).toDF("query_id", "text"),
+        idx.tf, idx.df, idx.nDocs, idx.avgdl, depth)
+    }
+    def semArm(depth: Int) = {
+      val id = vecId.getOrElse(
+        throw new IllegalArgumentException(s"mode=$searchMode needs vec_id=<id>"))
+      val q = idx.emb.filter(col("vec_id") === id)
+        .select(lit(qid).as("query_id"), col("embedding").as("q_vec"))
+      require(q.count() == 1, s"vec_id $id not found in embeddings")
+      StreamingQueries.annBatchRank(spark, q, idx.ivf, idx.cents,
+        P.NProbe, depth)
+    }
+    val out = searchMode match {
+      case "lexical" => lexArm(k)
+      case "semantic" => semArm(k)
+      case "hybrid" =>
+        val depth = math.max(k, CQ.HybridListK)
+        SimilaritySearch.rrfFuse(
+          lexArm(depth).select(col("query_id"), col("doc_id"),
+            col("rnk").as("rank")),
+          semArm(depth).select(col("query_id"),
+            col("vec_id").as("doc_id"), col("rank")),
+          k0 = CQ.RrfK0, k = k)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown mode '$other' (hybrid|lexical|semantic)")
+    }
+    out.toJSON.collect().mkString("", "\n", "\n")
+  }
+
   def serve(spark: SparkSession, port: Int, bindAll: Boolean = false,
             defaultTimeoutSec: Int = 300,
             metricsDir: Option[String] = None,
@@ -417,6 +535,65 @@ object SqlGateway {
       })
     }
 
+    // POST /search — the serving stack's interactive read path (the
+    // /sql analogue for the durable indexes): text and/or a query
+    // embedding (named by vec_id) → lexical / semantic / hybrid top-k
+    // through the SAME per-batch rank helpers the s37–s40 streams use
+    // (bm25BatchRank / annBatchRank / rrfFuse), against gateway-owned
+    // index tables built once per process from the fixture dir (the
+    // production per-corpus-refresh build), or caller-named persisted
+    // tables via tf=/df=/ivf= params. Same job-group + watchdog
+    // discipline as /sql; POST-only (a GET that builds indexes and runs
+    // retrieval is a crawler-prefetch denial-of-service under bindAll).
+    entriesDir.foreach { dir =>
+      lazy val searchIdx: SearchIndexes = buildSearchIndexes(spark, dir)
+      server.createContext("/search", (ex: HttpExchange) => {
+        requests.incrementAndGet()
+        if (ex.getRequestMethod != "POST")
+          respond(ex, 405,
+            """{"error":"POST query text to /search (params: k, mode=hybrid|lexical|semantic, vec_id, tf, df, ivf)"}""" + "\n")
+        else {
+          val text = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
+          val k = queryParam(ex, "k")
+            .flatMap(_.toIntOption).filter(_ > 0).getOrElse(10)
+          val mode = queryParam(ex, "mode").map(_.toLowerCase)
+            .getOrElse("hybrid")
+          val vecId = queryParam(ex, "vec_id").flatMap(_.toLongOption)
+          val timeoutSec = queryParam(ex, "timeout")
+            .flatMap(_.toIntOption).filter(_ > 0).getOrElse(defaultTimeoutSec)
+          val group = s"gateway-search-${reqSeq.incrementAndGet()}"
+          val sc = spark.sparkContext
+          val timedOut = new AtomicBoolean(false)
+          sc.setJobGroup(group, s"/search[$mode]: ${text.take(80)}",
+            interruptOnCancel = true)
+          val timer = watchdog.schedule(new Runnable {
+            override def run(): Unit = {
+              timedOut.set(true); sc.cancelJobGroupAndFutureJobs(group)
+            }
+          }, timeoutSec.toLong, TimeUnit.SECONDS)
+          try {
+            val idx = searchIdx.overridden(spark,
+              queryParam(ex, "tf"), queryParam(ex, "df"), queryParam(ex, "ivf"))
+            val body = searchTopK(spark, idx, mode, text, vecId, k)
+            respond(ex, 200, body)
+          } catch {
+            case _: Throwable if timedOut.get() =>
+              respond(ex, 408,
+                s"""{"error":"search cancelled after $timeoutSec s (timeout)"}""" + "\n")
+            case e: IllegalArgumentException =>
+              respond(ex, 400,
+                s"""{"error":"${jsonEscape(Option(e.getMessage).getOrElse("bad request"))}"}""" + "\n")
+            case e: Throwable =>
+              val msg = jsonEscape(Option(e.getMessage).getOrElse(e.getClass.getName))
+              respond(ex, 400, s"""{"error":"$msg"}""" + "\n")
+          } finally {
+            timer.cancel(false)
+            sc.clearJobGroup()
+          }
+        }
+      })
+    }
+
     server.createContext("/explain", (ex: HttpExchange) => {
       requests.incrementAndGet()
       if (ex.getRequestMethod != "POST")
@@ -457,7 +634,7 @@ object SqlGateway {
     register(spark, dir)
     val gw = serve(spark, port, bindAll, timeoutSec, metricsDir, Some(dir))
     println(s"graft SQL gateway on :${gw.port} " +
-      s"(POST /sql /explain /entries/<name>, GET /health /metrics /entries) over $dir" +
+      s"(POST /sql /explain /search /entries/<name>, GET /health /metrics /entries) over $dir" +
       (if (bindAll) " [ALL INTERFACES]" else " [loopback]"))
     Thread.currentThread.join()
   }

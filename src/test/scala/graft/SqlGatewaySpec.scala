@@ -315,4 +315,63 @@ class SqlGatewaySpec extends AnyFunSuite {
       assert(ns == 404 && nf.contains("no registry entry"))
     }
   }
+
+  test("/search: hybrid route parity with s39's batch result; lexical parity with x71; errors are 4xx") {
+    import org.apache.spark.sql.functions.col
+    withServer() { port =>
+      // ground truth #1: the s39 streamed hybrid serve on the same
+      // fixture (hash-checked against the composed DuckDB oracle)
+      val s39 = graft.streaming.StreamingQueries
+        .streamHybridServe(spark, TestSpark.Sf0001)
+        .filter(col("query_id") === 0L)
+        .select("doc_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong)).sortBy(_._2)
+      assert(s39.nonEmpty, "fixture degenerate: s39 served nothing for query 0")
+      val doc0 = Tables.documents(spark, TestSpark.Sf0001)
+        .filter(col("doc_id") === 0L).select("text").collect()(0).getString(0)
+
+      val (hs, hb) = http(port, "/search?mode=hybrid&vec_id=0&k=10", "POST",
+        Some(doc0))
+      assert(hs == 200, hb)
+      val got = hb.trim.split("\n").toSeq.map { line =>
+        def num(k: String) =
+          s""""$k":(-?[0-9]+)""".r.findFirstMatchIn(line).map(_.group(1).toLong)
+        (num("doc_id").get, num("rank").get)
+      }.sortBy(_._2)
+      assert(got == s39.toSeq,
+        s"/search hybrid diverged from s39:\ngot:  $got\ns39:  ${s39.toSeq}")
+
+      // ground truth #2: the lexical route against the batch x71 path
+      // (independently hash-checked); bm25TopK's eval slice includes
+      // query 0 with k = BmK
+      import graft.operators.Curation
+      val x71 = Curation.bm25TopK(Tables.documents(spark, TestSpark.Sf0001))
+        .filter(col("query_id") === 0L)
+        .select("doc_id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong)).sortBy(_._2)
+      val (ls, lb) = http(port,
+        s"/search?mode=lexical&vec_id=0&k=${Curation.BmK}", "POST", Some(doc0))
+      assert(ls == 200, lb)
+      val lexGot = lb.trim.split("\n").toSeq.map { line =>
+        def num(k: String) =
+          s""""$k":(-?[0-9]+)""".r.findFirstMatchIn(line).map(_.group(1).toLong)
+        (num("doc_id").get, num("rnk").get)
+      }.sortBy(_._2)
+      assert(lexGot == x71.toSeq,
+        s"/search lexical diverged from x71:\ngot: $lexGot\nx71: ${x71.toSeq}")
+
+      // contract errors surface as 4xx JSON, not 500s
+      val (e1, b1) = http(port, "/search?mode=semantic", "POST", Some("text"))
+      assert(e1 == 400 && b1.contains("vec_id"), s"$e1 $b1")
+      val (e2, b2) = http(port, "/search?mode=lexical&vec_id=1", "POST", Some(""))
+      assert(e2 == 400 && b2.contains("query text"), s"$e2 $b2")
+      val (e3, b3) = http(port, "/search?mode=nope&vec_id=1", "POST", Some("x"))
+      assert(e3 == 400 && b3.contains("unknown mode"), s"$e3 $b3")
+      val (e4, _) = http(port, "/search", "GET", None)
+      assert(e4 == 405)
+      val (e5, b5) = http(port, "/search?mode=semantic&vec_id=99999999", "POST",
+        Some(""))
+      assert(e5 == 400 && b5.contains("not found"), s"$e5 $b5")
+    }
+  }
 }
