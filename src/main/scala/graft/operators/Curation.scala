@@ -833,6 +833,54 @@ object Curation {
         round(col("accept_key"), 6).as("accept_key"))
   }
 
+  /** x126: the CLASSIFIER-driven Pareto sampler — x119's GPT-3 keep
+    * rule (Brown et al. 2020, Appendix A) fed by the x124 pinned-weight
+    * classifier score instead of the x02 heuristic composite. This is
+    * the published pipeline's actual shape: GPT-3 scores documents with
+    * a trained logistic classifier and THEN applies the Pareto
+    * acceptance — the composition closes the "x119/x21 can consume the
+    * classifier score" contract as a hash-checked registry entry.
+    *
+    * Both stages stay closed-form: the score is x124's machinery
+    * verbatim (tokenize → md5 bucket → mean affine-ramp weight →
+    * sigmoid → round 6, lang riding the doc-grain groupBy so no
+    * join-back is ever needed), u is an independent md5-uniform (seeded
+    * "paretoc:" so the draw is uncorrelated with x119's), and the keep
+    * test is the same integer-α multiplication chain compared
+    * unrounded. Docs with zero tokens have no score and are absent (the
+    * x124/x87 drop rule).
+    *
+    * The keep test is a RELATIONAL filter here, unlike x119's typed
+    * one, deliberately: x119's hazard was `PushPredicateThroughNonJoin`
+    * re-expanding the 9-reference power chain into nine copies of the
+    * quality composite, but here q_score is an Aggregate output — the
+    * predicate cannot push below the aggregation barrier, so the
+    * expansion is nine cheap column references and the whole chain
+    * stays inside one whole-stage-codegen span above the agg.
+    *
+    * Plan at 100 TB: one map-side-combined shuffle at (doc, lang) grain
+    * (the same exchange x124 already pays), then row-local math; the
+    * only other exchange is the presentation sort. */
+  def paretoClassifierSample(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("lang"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+          lit(0))).as("token"))
+      .groupBy("doc_id", "lang")
+      .agg(round(lit(1.0) / (lit(1.0) +
+        exp(-avg(qcFixedWeight(qcBucket(col("token")))))), 6).as("q_score"))
+    val v = conv(substring(md5(concat(lit("paretoc:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val u = (v.cast("double") + lit(0.5)) / lit(1152921504606846976.0d) // 2^60
+    val g1 = lit(2.0) - col("q_score")
+    val g2 = g1 * g1
+    val g9 = (g2 * g2) * (g2 * g2) * g1
+    scored
+      .withColumn("accept_key", u * g9)
+      .filter(col("accept_key") < 1.0)
+      .select(col("doc_id"), col("lang"), col("q_score"),
+        round(col("accept_key"), 6).as("accept_key"))
+  }
+
   // ---- x24: heavy hitters per stratum ----------------------------------
 
   val TopK = 20

@@ -1021,6 +1021,42 @@ object CurationQueries {
        |FROM k WHERE accept_key < 1.0 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x126 — the classifier-driven Pareto sampler: x119's keep rule fed
+  // by the x124 pinned-weight classifier score (the GPT-3 pipeline's
+  // actual composition). Score CTE is x124's verbatim with lang riding
+  // the doc grain; the chain and unrounded keep test are x119's with an
+  // independent "paretoc:" seed.
+  // ---------------------------------------------------------------------
+  def paretoClassifierSampleQ(s: SparkSession, dir: String): DataFrame =
+    Curation.paretoClassifierSample(Tables.documents(s, dir)).orderBy("doc_id")
+
+  val paretoClassifierSampleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |  FROM documents),
+       |feat AS (
+       |  SELECT doc_id, lang,
+       |         CAST('0x' || substr(md5(token), 1, ${Curation.QcHexLen})
+       |              AS BIGINT) AS j
+       |  FROM toks),
+       |sc AS (
+       |  SELECT doc_id, lang,
+       |         round(1.0 / (1.0 + exp(-avg(
+       |           ((${Curation.QcWA} * j + ${Curation.QcWB}) % ${Curation.QcWM})
+       |             / ${Curation.QcWM}.0 - 0.5))), 6) AS q_score,
+       |         (CAST(CAST(concat('0x', substr(md5('paretoc:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) + 0.5)
+       |           / 1152921504606846976.0 AS u
+       |  FROM feat GROUP BY doc_id, lang),
+       |g AS (SELECT doc_id, lang, q_score, u, 2.0 - q_score AS g1 FROM sc),
+       |g2t AS (SELECT *, g1 * g1 AS gg2 FROM g),
+       |g4t AS (SELECT *, gg2 * gg2 AS gg4 FROM g2t),
+       |k AS (SELECT doc_id, lang, q_score, u * (gg4 * gg4 * g1) AS accept_key
+       |      FROM g4t)
+       |SELECT doc_id, lang, q_score, round(accept_key, 6) AS accept_key
+       |FROM k WHERE accept_key < 1.0 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x51 — per-domain document cap (RefinedWeb-style host capping)
   // ---------------------------------------------------------------------
   def domainCapQ(s: SparkSession, dir: String): DataFrame =
@@ -1869,5 +1905,7 @@ object CurationQueries {
     "x118_bigram_xent_kn"     -> ((bigramXentKN _, Some(bigramXentKNSql))),
     "x120_bigram_xent_kn_hashed" -> ((bigramXentKNHashed _, Some(bigramXentKNHashedSql))),
     "x119_pareto_quality_sample" -> ((paretoQualitySampleQ _, Some(paretoQualitySampleSql))),
+    "x126_pareto_classifier_sample" -> ((paretoClassifierSampleQ _,
+      Some(paretoClassifierSampleSql))),
   )
 }

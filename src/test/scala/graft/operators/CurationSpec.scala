@@ -1257,6 +1257,45 @@ class CurationSpec extends AnyFunSuite {
       "the Pareto tail must admit SOME low-quality docs (vs a hard threshold)")
   }
 
+  test("x126 paretoClassifierSample: exact composition of the x124 score and the x119 keep rule") {
+    import spark.implicits._
+    val kept = Curation.paretoClassifierSample(docs).cache()
+    val x124 = Curation.qualityClassifierFixed(docs).cache()
+    // (a) the score column IS x124's, value for value (the lang-riding
+    // groupBy renames no groups: lang is functionally dependent on doc_id)
+    val joined = kept.join(
+      x124.withColumnRenamed("q_score", "q124"), "doc_id")
+    assert(joined.count() == kept.count(), "a kept doc is missing an x124 score")
+    assert(joined.filter(col("q_score") =!= col("q124")).count() == 0,
+      "x126's score diverged from x124's")
+    // (b) driver-side replay of the full keep rule over EVERY scored doc:
+    // md5-uniform (independent "paretoc:" seed), the (2-q)^9 chain in the
+    // exact multiplication order, the unrounded u*g9 < 1 test
+    def md5u(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"paretoc:$id".getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 1152921504606846976.0
+    }
+    val expected = x124.collect().collect {
+      case r if {
+        val q = r.getDouble(1); val g1 = 2.0 - q; val g2 = g1 * g1
+        md5u(r.getLong(0)) * ((g2 * g2) * (g2 * g2) * g1) < 1.0
+      } => r.getLong(0)
+    }.toSet
+    val got = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"keep set diverged from the driver replay: ${got.size} vs ${expected.size}")
+    assert(got.nonEmpty && got.size < x124.count(),
+      "degenerate acceptance: the Pareto rule must keep a strict subset")
+    // (c) the x124/x87 drop rule: a zero-token doc is scoreless and absent
+    val tiny = Seq((1L, "en", "alpha beta"), (2L, "en", "!!! ???"))
+      .toDF("doc_id", "lang", "text")
+    assert(Curation.paretoClassifierSample(tiny)
+      .filter(col("doc_id") === 2L).count() == 0)
+    kept.unpersist(); x124.unpersist()
+  }
+
   test("x86 corpusDiff: delta rows only; whitespace-only edits are not changes") {
     import spark.implicits._
     val old = Seq((1L, "alpha beta"), (2L, "a  b"), (3L, "gamma"), (4L, "delta"))
