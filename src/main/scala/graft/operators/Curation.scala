@@ -2002,6 +2002,50 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Calibration table over any (…, is_t: boolean, q_score: double)
+    * scored relation: score-decile → (count, target count, mean score,
+    * target rate) — the reliability diagram of Guo et al. 2017, the
+    * standard evaluation for a probabilistic quality gate (a calibrated
+    * classifier has target_rate ≈ mean_score per decile; ECE is one
+    * weighted fold of the two columns). target_rate is computed as the
+    * exact integer-count ratio, not an avg of doubles, so the only
+    * fp-order-sensitive column is the round-6 mean. */
+  private[graft] def calibrationTable(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("decile",
+        least(floor(col("q_score") * 10), lit(9)).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("n_target"),
+        round(avg(col("q_score")), 6).as("mean_score"),
+        round(sum(when(col("is_t"), 1.0).otherwise(0.0)) /
+          count(lit(1)), 6).as("target_rate"))
+      .orderBy("decile")
+
+  /** x127: the classifier family's EVALUATION rung — the calibration
+    * table of the x124 pinned-weight scorer against the DSIR
+    * wiki-vs-corpus label (the same label x125 trains on). With the
+    * fixed affine-ramp weights the table honestly shows a flat,
+    * uninformative scorer concentrated near 0.5 — the entry's value is
+    * the hash-pinned MACHINERY (score → decile → count/rate fold);
+    * CurationSpec runs the identical fold over x125's TRAINED scores
+    * and asserts the separation the fixed twin cannot have (the
+    * x124/x125 twin discipline applied to evaluation).
+    *
+    * Plan at 100 TB: the x124 doc-grain agg (map-side combined) then a
+    * ≤10-row decile agg — nothing downstream of the first exchange
+    * exceeds model size. */
+  def classifierCalibration(docs: DataFrame,
+                            benchMod: Int = BenchMod): DataFrame =
+    calibrationTable(
+      docs.select(col("doc_id"),
+          (col("doc_id") % benchMod === 0).as("is_t"),
+          explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+            lit(0))).as("token"))
+        .groupBy("doc_id", "is_t")
+        .agg(round(lit(1.0) / (lit(1.0) +
+          exp(-avg(qcFixedWeight(qcBucket(col("token")))))), 6).as("q_score")))
+
   // ---- x52: collocation extraction (PMI-ranked bigrams) ----------------
 
   val CollocMinCount = 5

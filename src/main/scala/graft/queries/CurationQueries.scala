@@ -1057,6 +1057,39 @@ object CurationQueries {
        |FROM k WHERE accept_key < 1.0 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x127 — classifier calibration table (the Guo 2017 reliability
+  // diagram): x124's pinned scorer against the DSIR label, folded to
+  // score deciles. target_rate is an exact integer-count ratio; the
+  // one round-6 avg is mean_score.
+  // ---------------------------------------------------------------------
+  def classifierCalibrationQ(s: SparkSession, dir: String): DataFrame =
+    Curation.classifierCalibration(Tables.documents(s, dir))
+
+  val classifierCalibrationSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, doc_id % ${Curation.BenchMod} = 0 AS is_t,
+       |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+       |  FROM documents),
+       |feat AS (
+       |  SELECT doc_id, is_t,
+       |         CAST('0x' || substr(md5(token), 1, ${Curation.QcHexLen})
+       |              AS BIGINT) AS j
+       |  FROM toks),
+       |sc AS (
+       |  SELECT doc_id, is_t,
+       |         round(1.0 / (1.0 + exp(-avg(
+       |           ((${Curation.QcWA} * j + ${Curation.QcWB}) % ${Curation.QcWM})
+       |             / ${Curation.QcWM}.0 - 0.5))), 6) AS q_score
+       |  FROM feat GROUP BY doc_id, is_t)
+       |SELECT CAST(least(floor(q_score * 10), 9) AS BIGINT) AS decile,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_target,
+       |       round(AVG(q_score), 6) AS mean_score,
+       |       round(SUM(CASE WHEN is_t THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
+       |         AS target_rate
+       |FROM sc GROUP BY 1 ORDER BY decile""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x51 — per-domain document cap (RefinedWeb-style host capping)
   // ---------------------------------------------------------------------
   def domainCapQ(s: SparkSession, dir: String): DataFrame =
@@ -1907,5 +1940,7 @@ object CurationQueries {
     "x119_pareto_quality_sample" -> ((paretoQualitySampleQ _, Some(paretoQualitySampleSql))),
     "x126_pareto_classifier_sample" -> ((paretoClassifierSampleQ _,
       Some(paretoClassifierSampleSql))),
+    "x127_classifier_calibration" -> ((classifierCalibrationQ _,
+      Some(classifierCalibrationSql))),
   )
 }

@@ -2288,6 +2288,60 @@ object StreamingQueries {
       graft.queries.CurationQueries.DsirTau)
 
   // ---------------------------------------------------------------------
+  // s42 — STREAMED classifier-Pareto admission: x126 (the GPT-3 ingest
+  // gate — x124's pinned-weight score into the Pareto keep rule) run
+  // where the published pipeline actually ran it, at crawl INGESTION.
+  // Strictly more state-free than s31: the classifier weight is an
+  // EXPRESSION (x124's closed-form ramp), so there is no build side at
+  // all — no pinned model relations, nothing to localCheckpoint, and
+  // per-batch cost depends on the batch alone at ANY corpus size. The
+  // keep decision is per-doc closed-form, so the stream is exact and
+  // batching-invariant (a doc never spans files); the oracle is x126's
+  // SQL VERBATIM (the s38-reuses-x71's-oracle discipline).
+  // ---------------------------------------------------------------------
+
+  /** The s42 core: stream `allDocs`, admit per micro-batch by the x126
+    * keep rule. `workDir`/`onBatch`: the s30–s40 restart hooks. */
+  private[graft] def paretoAdmissionStream(s: SparkSession, allDocs: DataFrame,
+                                           workDir: Option[String] = None,
+                                           onBatch: Long => Unit = _ => ())
+      : DataFrame = {
+    import graft.operators.Curation
+    val work = workDir.getOrElse(tempDir("graft_s42_"))
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    if (!hasParquet(inDir))
+      allDocs.select(col("doc_id"), col("lang"), col("text"))
+        .repartition(3).write.parquet(inDir)
+
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+
+    def admit(b: DataFrame): DataFrame = Curation.paretoClassifierSample(b)
+
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        onBatch(id)
+        admit(b).write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    readBatchesOr(s, outDir,
+      admit(allDocs.select(col("doc_id"), col("lang"), col("text"))))
+      .select(col("doc_id"), col("lang"), col("q_score"), col("accept_key"))
+      .orderBy("doc_id")
+  }
+
+  def streamParetoAdmission(s: SparkSession, dir: String): DataFrame =
+    paretoAdmissionStream(s, Tables.documents(s, dir))
+
+  // ---------------------------------------------------------------------
   // s32 — STREAMED embedding-table health (x91 as a monitor): the
   // audit statistics are ALGEBRAIC — counts, min/max, and a norm sum
   // all merge associatively — so the stream emits per-batch PARTIALS
@@ -2579,6 +2633,8 @@ object StreamingQueries {
       Some(graft.queries.CurationQueries.snapshotDriftSql))),
     "s31_stream_dsir_admission" -> ((streamDsirAdmission _,
       Some(graft.queries.CurationQueries.dsirAdmissionSql))),
+    "s42_stream_pareto_admission" -> ((streamParetoAdmission _,
+      Some(graft.queries.CurationQueries.paretoClassifierSampleSql))),
     "s32_stream_embedding_health" -> ((streamEmbeddingHealth _,
       Some(graft.queries.ExtendedQueries.embeddingHealthSql))),
     "s33_stream_shared_span" -> ((streamMaxSharedSpan _,

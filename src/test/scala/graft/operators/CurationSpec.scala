@@ -1296,6 +1296,44 @@ class CurationSpec extends AnyFunSuite {
     kept.unpersist(); x124.unpersist()
   }
 
+  test("x127 classifierCalibration: total exact fold; the trained twin separates where the fixed ramp cannot") {
+    import spark.implicits._
+    val cal = Curation.classifierCalibration(docs).cache()
+    // totality: the decile fold partitions exactly the scored (tokenized)
+    // docs — nothing dropped, nothing double-counted
+    val scoredN = Curation.qualityClassifierFixed(docs).count()
+    assert(cal.agg(sum("n_docs")).collect()(0).getLong(0) == scoredN)
+    assert(cal.filter(col("decile") < 0 || col("decile") > 9).count() == 0)
+    // exactness: target_rate IS the integer-count ratio, per row
+    assert(cal.filter(col("n_target") > col("n_docs")).count() == 0)
+    assert(cal.filter(round(col("n_target").cast("double") / col("n_docs"), 6)
+      =!= col("target_rate")).count() == 0)
+    // the evaluation twin: the IDENTICAL fold over x125's TRAINED scores
+    // (constructed two-domain corpus) shows the separation the fixed
+    // affine ramp cannot have — targets sit in strictly higher deciles
+    val docsT = (0L until 80L).map { i =>
+      val t =
+        if (i % 4 == 0)
+          s"reference article citation neutral summary section v$i prose"
+        else
+          s"buy cheap click winner prize now offer${i % 7} deal$i"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val trained = Curation.qualityClassifierTrained(docsT, benchMod = 4,
+        iters = 30, lr = 1.0)
+      .select(col("doc_id"), (col("is_target") === 1).as("is_t"),
+        col("q_score"))
+    val t = Curation.calibrationTable(trained).collect()
+    val nT = t.map(_.getLong(2)).sum.toDouble
+    val nO = t.map(r => r.getLong(1) - r.getLong(2)).sum.toDouble
+    assert(nT > 0 && nO > 0)
+    val meanDecT = t.map(r => r.getLong(0) * r.getLong(2)).sum / nT
+    val meanDecO = t.map(r => r.getLong(0) * (r.getLong(1) - r.getLong(2))).sum / nO
+    assert(meanDecT > meanDecO + 1.0,
+      s"trained targets do not separate by decile: $meanDecT vs $meanDecO")
+    cal.unpersist()
+  }
+
   test("x86 corpusDiff: delta rows only; whitespace-only edits are not changes") {
     import spark.implicits._
     val old = Seq((1L, "alpha beta"), (2L, "a  b"), (3L, "gamma"), (4L, "delta"))

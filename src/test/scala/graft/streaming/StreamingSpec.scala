@@ -482,7 +482,7 @@ class StreamingSpec extends AnyFunSuite {
       s"s34 leaked ${after - before} catalog tables across 3 invocations")
   }
 
-  test("s30/s31/s33/s34/s35/s36/s37/s38/s39/s40 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
+  test("s30/s31/s33/s34/s35/s36/s37/s38/s39/s40/s42 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
     // A14's checkpoint discipline, proven for the WHOLE foreachBatch
     // read-back family: kill the query inside batch 1 (of 3), restart
     // against the SAME work dir, and require (a) the resumed run
@@ -569,6 +569,17 @@ class StreamingSpec extends AnyFunSuite {
         StreamingQueries.incrementalIndexServe(spark, docs, emb, benchMod = 3,
           listK = 4, k0 = 60, k = 3, nLists = 8, nProbe = 2,
           compactEvery = 2, workDir = w, onBatch = h)
+      },
+      "s42" -> { (w, h) =>
+        // its own fixture: ids 39/117/136/217 carry md5-uniforms below
+        // the Pareto rule's minimum keep threshold (u < 0.01 vs the
+        // (2−q)^−9 ≥ 0.013 floor over the scorer's reachable q range),
+        // so the recovery contract is checked over non-empty admission
+        val docs = Seq(0L, 2L, 3L, 5L, 6L, 7L, 8L, 9L, 39L, 117L, 136L, 217L)
+          .map(i => (i, if (i % 2 == 0) "en" else "de",
+            s"alpha w$i beta w${i % 4} gamma common text body"))
+          .toDF("doc_id", "lang", "text")
+        StreamingQueries.paretoAdmissionStream(spark, docs, w, h)
       })
 
     cores.foreach { case (name, core) =>
@@ -604,6 +615,21 @@ class StreamingSpec extends AnyFunSuite {
       assert(tablesAfter == tablesBefore,
         s"$name leaked ${tablesAfter - tablesBefore} catalog tables across crash+resume")
     }
+  }
+
+  test("s42 streamed Pareto admission == batch x126 (build-free: the keep decision is per-doc closed form)") {
+    val docs = Seq(0L, 2L, 3L, 5L, 6L, 7L, 8L, 9L, 39L, 117L, 136L, 217L)
+      .map(i => (i, if (i % 2 == 0) "en" else "de",
+        s"alpha w$i beta w${i % 4} gamma common text body"))
+      .toDF("doc_id", "lang", "text")
+    val streamed = StreamingQueries.paretoAdmissionStream(spark, docs)
+      .collect().toSeq
+    val batch = graft.operators.Curation.paretoClassifierSample(docs)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed.nonEmpty, "vacuous fixture: nothing admitted")
+    assert(streamed.size < docs.count(), "degenerate fixture: everything admitted")
+    assert(streamed == batch,
+      s"streamed admission diverged from x126:\n$streamed\nvs\n$batch")
   }
 
   test("s35 streamed snapshot drift == batch x103 (vocabulary-grain partials merge exactly)") {
