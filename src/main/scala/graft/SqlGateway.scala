@@ -368,6 +368,44 @@ object SqlGateway {
     out.toJSON.collect().mkString("", "\n", "\n")
   }
 
+  /** One /score request: the quality-gate signals for a posted text,
+    * through the SAME engine expressions the batch entries hash-check —
+    * x124's pinned-weight classifier score, the x02 heuristic
+    * composite, and the x126 Pareto admission (u drawn from `docId`
+    * with the "paretoc:" seed, so /score?doc_id=i over a corpus row's
+    * text reproduces that row's x126 verdict exactly — the route-parity
+    * contract SqlGatewaySpec pins). A tokenless text is a loud 400
+    * (the x124/x87 drop rule: there is nothing to score). */
+  private[graft] def scoreDoc(spark: SparkSession, docId: Long,
+                              text: String): String = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Curation
+    import graft.functions.{TextFunctions => TF}
+    import spark.implicits._
+    val df = Seq((docId, "", text)).toDF("doc_id", "lang", "text")
+    val scored = Curation.qualityClassifierFixed(df).collect()
+    require(scored.nonEmpty, "text has no [a-z0-9]+ tokens to score")
+    val q = scored(0).getDouble(1)
+    // x126's draw and chain verbatim, with the engine's round-6 score
+    // folded in as the literal it is on both engines
+    val v = conv(substring(md5(concat(lit("paretoc:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val u = (v.cast("double") + lit(0.5)) / lit(1152921504606846976.0d)
+    val g1 = lit(2.0) - lit(q)
+    val g2 = g1 * g1
+    val g9 = (g2 * g2) * (g2 * g2) * g1
+    val row = df.select(
+        round(TF.qualityScore(col("text")), 6).as("quality"),
+        (u * g9).as("accept_key"))
+      .collect()(0)
+    val quality = row.getDouble(0)
+    val acceptKey = row.getDouble(1)
+    val acceptR = BigDecimal(acceptKey)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    s"""{"doc_id":$docId,"q_score":$q,"quality":$quality,""" +
+      s""""accept_key":$acceptR,"keep":${acceptKey < 1.0}}""" + "\n"
+  }
+
   def serve(spark: SparkSession, port: Int, bindAll: Boolean = false,
             defaultTimeoutSec: Int = 300,
             metricsDir: Option[String] = None,
@@ -594,6 +632,46 @@ object SqlGateway {
       })
     }
 
+    // /score: the quality-gate read path — POST text (+ doc_id=<id> for
+    // the admission draw) → x124 classifier score, x02 quality, x126
+    // Pareto verdict as one JSON object. The interactive twin of the
+    // s42 ingest gate, same engine expressions; POST-only, job-grouped,
+    // watchdogged like /sql.
+    server.createContext("/score", (ex: HttpExchange) => {
+      requests.incrementAndGet()
+      if (ex.getRequestMethod != "POST")
+        respond(ex, 405,
+          """{"error":"POST document text to /score (params: doc_id)"}""" + "\n")
+      else {
+        val text = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+        val docId = queryParam(ex, "doc_id").flatMap(_.toLongOption).getOrElse(0L)
+        val timeoutSec = queryParam(ex, "timeout")
+          .flatMap(_.toIntOption).filter(_ > 0).getOrElse(defaultTimeoutSec)
+        val group = s"gateway-score-${reqSeq.incrementAndGet()}"
+        val sc = spark.sparkContext
+        val timedOut = new AtomicBoolean(false)
+        sc.setJobGroup(group, s"/score: ${text.take(80)}",
+          interruptOnCancel = true)
+        val timer = watchdog.schedule(new Runnable {
+          override def run(): Unit = {
+            timedOut.set(true); sc.cancelJobGroupAndFutureJobs(group)
+          }
+        }, timeoutSec.toLong, TimeUnit.SECONDS)
+        try respond(ex, 200, scoreDoc(spark, docId, text))
+        catch {
+          case _: Throwable if timedOut.get() =>
+            respond(ex, 408,
+              s"""{"error":"score cancelled after $timeoutSec s (timeout)"}""" + "\n")
+          case e: Throwable =>
+            val msg = jsonEscape(Option(e.getMessage).getOrElse(e.getClass.getName))
+            respond(ex, 400, s"""{"error":"$msg"}""" + "\n")
+        } finally {
+          timer.cancel(false)
+          sc.clearJobGroup()
+        }
+      }
+    })
+
     server.createContext("/explain", (ex: HttpExchange) => {
       requests.incrementAndGet()
       if (ex.getRequestMethod != "POST")
@@ -634,7 +712,7 @@ object SqlGateway {
     register(spark, dir)
     val gw = serve(spark, port, bindAll, timeoutSec, metricsDir, Some(dir))
     println(s"graft SQL gateway on :${gw.port} " +
-      s"(POST /sql /explain /search /entries/<name>, GET /health /metrics /entries) over $dir" +
+      s"(POST /sql /explain /search /score /entries/<name>, GET /health /metrics /entries) over $dir" +
       (if (bindAll) " [ALL INTERFACES]" else " [loopback]"))
     Thread.currentThread.join()
   }

@@ -316,6 +316,52 @@ class SqlGatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("/score: route parity with the hash-checked x124/x126 batch entries; tokenless text is a 400") {
+    import org.apache.spark.sql.functions.{col, round}
+    withServer() { port =>
+      def num(k: String, line: String): Option[Double] =
+        (s""""$k":(-?[0-9][0-9.eE+-]*)""").r
+          .findFirstMatchIn(line).map(_.group(1).toDouble)
+      val docs = Tables.documents(spark, TestSpark.Sf0001)
+      val x126 = graft.operators.Curation.paretoClassifierSample(docs)
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .collect()
+      assert(x126.nonEmpty, "fixture degenerate: x126 kept nothing")
+      // a KEPT doc: POSTing its text with its doc_id must reproduce the
+      // hash-checked x126 row field for field
+      val kept = x126.head
+      val (st, body) = http(port, s"/score?doc_id=${kept.getLong(0)}",
+        "POST", Some(kept.getString(4)))
+      assert(st == 200, body)
+      assert(num("q_score", body).contains(kept.getDouble(2)),
+        s"/score q_score diverged from x126: $body vs $kept")
+      assert(num("accept_key", body).contains(kept.getDouble(3)),
+        s"/score accept_key diverged from x126: $body vs $kept")
+      assert(body.contains("\"keep\":true"), body)
+      // the quality field is the x02 composite, round 6
+      val expQ = docs.filter(col("doc_id") === kept.getLong(0))
+        .select(round(graft.functions.TextFunctions.qualityScore(col("text")), 6))
+        .collect()(0).getDouble(0)
+      assert(num("quality", body).contains(expQ), body)
+      // a DROPPED doc: keep=false, the score still x124's value
+      val keptIds = x126.map(_.getLong(0)).toSet
+      val drop = graft.operators.Curation.qualityClassifierFixed(docs)
+        .join(docs.select("doc_id", "text"), "doc_id").collect()
+        .find(r => !keptIds.contains(r.getLong(0))).get
+      val (st2, b2) = http(port, s"/score?doc_id=${drop.getLong(0)}",
+        "POST", Some(drop.getString(2)))
+      assert(st2 == 200, b2)
+      assert(num("q_score", b2).contains(drop.getDouble(1)),
+        s"/score q_score diverged from x124: $b2 vs $drop")
+      assert(b2.contains("\"keep\":false"), b2)
+      // contract errors: tokenless text is a loud 400, GET a 405
+      val (e1, b1) = http(port, "/score", "POST", Some("!!! ???"))
+      assert(e1 == 400 && b1.contains("tokens"), s"$e1 $b1")
+      val (e2, _) = http(port, "/score", "GET", None)
+      assert(e2 == 405)
+    }
+  }
+
   test("/search: hybrid route parity with s39's batch result; lexical parity with x71; errors are 4xx") {
     import org.apache.spark.sql.functions.col
     withServer() { port =>
