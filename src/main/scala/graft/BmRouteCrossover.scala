@@ -30,25 +30,13 @@ object BmRouteCrossover {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def toksCol = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
     val docs = Tables.documents(spark, dir)
     val work = WorkDirs.tempDir("graft_bmxover_")
     val tfTbl = "bmxover_tf"; val dfTbl = "bmxover_df"
     try {
-      // the s38 index build, verbatim shape
-      val tf = docs.select(col("doc_id"), toksCol.as("toks"))
-        .select(col("doc_id"), size(col("toks")).as("dl"),
-          explode(col("toks")).as("token"))
-        .groupBy("doc_id", "token")
-        .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-      StreamingQueries.writeBucketedBy(tf, s"$work/tf", tfTbl, "token")
-      val dfRel = spark.table(tfTbl).groupBy("token")
-        .agg(count(lit(1)).as("df"))
-      StreamingQueries.writeBucketedBy(dfRel, s"$work/df", dfTbl, "token")
-      val stats = docs.select(size(toksCol).as("doclen"))
-        .filter(col("doclen") > 0)
-        .agg(count(lit(1)).as("n"), avg("doclen").as("avgdl")).collect()(0)
-      val (nDocs, avgdl) = (stats.getLong(0), stats.getDouble(1))
+      // the s38 index build — the SHARED builder, not a copy
+      val (nDocs, avgdl) =
+        StreamingQueries.buildBm25Index(spark, docs, work, tfTbl, dfTbl)
       val vocab = spark.table(dfTbl).select("token")
         .collect().map(_.getString(0)).sorted
 

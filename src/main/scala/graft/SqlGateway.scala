@@ -133,6 +133,7 @@ object SqlGateway {
     * per-server counter would inherit the ban and have its first
     * query cancelled on arrival. */
   private val reqSeq = new AtomicLong(0L)
+  private val idxSeq = new AtomicLong(0L)
 
   /** One daemon thread arms/disarms per-request cancel timers for every
     * gateway instance in the JVM (the cancellation itself is Spark's
@@ -265,23 +266,55 @@ object SqlGateway {
       cents: IndexedSeq[Array[Float]]) {
     /** Caller-named persisted tables override the gateway-owned ones;
       * BM25 corpus stats are re-derived FROM the named postings table
-      * (stats must describe the corpus actually being served). */
+      * (stats must describe the corpus actually being served) and
+      * MEMOIZED per table name — (nDocs, avgdl) is a pure function of
+      * the named table, so recomputing the full-postings aggregate per
+      * interactive request would make the constant dominate latency.
+      * An overridden ivf table is CHECKED against the gateway's fixed
+      * quantizer on first use (sampled argmaxCell == stored cell): a
+      * table built with different centroids would otherwise serve
+      * silently wrong cells. vec_id query lookups still resolve
+      * against the gateway corpus's embeddings — an override is a
+      * different INDEX over the same vector space, not a different
+      * corpus. */
     def overridden(spark: SparkSession, tfTbl: Option[String],
                    dfTbl: Option[String], ivfTbl: Option[String]): SearchIndexes = {
       import org.apache.spark.sql.functions._
       val t = tfTbl.map(spark.table).getOrElse(tf)
       val d = dfTbl.map(spark.table).getOrElse(df)
       val i = ivfTbl.map(spark.table).getOrElse(ivf)
+      ivfTbl.foreach { name =>
+        SqlGateway.checkedIvf.getOrElseUpdate(name, {
+          val bad = i.limit(256)
+            .filter(graft.operators.SimilaritySearch
+              .argmaxCell(col("embedding"), cents) =!= col("cell"))
+            .count()
+          require(bad == 0, s"ivf table $name was not built with the " +
+            s"gateway's fixed quantizer ($bad of <=256 sampled rows sit " +
+            "in the wrong cell) — probing it would serve wrong neighbors")
+          true
+        })
+      }
       if (tfTbl.isEmpty) copy(df = d, ivf = i)
       else {
-        val st = t.groupBy("doc_id").agg(max("dl").as("dl"))
-          .agg(count(lit(1)).as("n"), avg("dl").as("avgdl")).collect()(0)
-        require(!st.isNullAt(1), s"postings table ${tfTbl.get} is empty")
-        copy(tf = t, df = d, ivf = i, nDocs = st.getLong(0),
-          avgdl = st.getDouble(1))
+        val (n, adl) = SqlGateway.postingsStats.getOrElseUpdate(tfTbl.get, {
+          val st = t.groupBy("doc_id").agg(max("dl").as("dl"))
+            .agg(count(lit(1)).as("n"), avg("dl").as("avgdl")).collect()(0)
+          require(!st.isNullAt(1), s"postings table ${tfTbl.get} is empty")
+          (st.getLong(0), st.getDouble(1))
+        })
+        copy(tf = t, df = d, ivf = i, nDocs = n, avgdl = adl)
       }
     }
   }
+
+  /** Memoized corpus stats per caller-named postings table, and the
+    * per-name one-shot quantizer checks for caller-named ivf tables —
+    * both pure functions of the named table's content at first use. */
+  private val postingsStats =
+    new scala.collection.concurrent.TrieMap[String, (Long, Double)]
+  private val checkedIvf =
+    new scala.collection.concurrent.TrieMap[String, Boolean]
 
   private[graft] def buildSearchIndexes(spark: SparkSession,
                                         dir: String): SearchIndexes = {
@@ -289,7 +322,6 @@ object SqlGateway {
     import graft.operators.{Curation, SimilaritySearch}
     import graft.operators.SimilaritySearch.{IvfPqFixed => P}
     import graft.streaming.StreamingQueries
-    def toksCol = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
     val docs = Tables.documents(spark, dir)
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
@@ -297,28 +329,25 @@ object SqlGateway {
     val cents = SimilaritySearch.collectFixedRows(
       emb.filter(col("vec_id") < P.NLists), P.NLists)
     val work = WorkDirs.tempDir("graft_gateway_idx_")
-    val tf = items.select(col("doc_id"), toksCol.as("toks"))
-      .select(col("doc_id"), size(col("toks")).as("dl"),
-        explode(col("toks")).as("token"))
-      .groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-    StreamingQueries.writeBucketedBy(tf, s"$work/tf", "gateway_search_tf", "token")
-    val df = spark.table("gateway_search_tf")
-      .groupBy("token").agg(count(lit(1)).as("df"))
-    StreamingQueries.writeBucketedBy(df, s"$work/df", "gateway_search_df", "token")
-    val st = items.select(size(toksCol).as("doclen"))
-      .filter(col("doclen") > 0)
-      .agg(count(lit(1)).as("n"), avg("doclen").as("avgdl")).collect()(0)
-    require(!st.isNullAt(1), "gateway search index: corpus has no tokenized docs")
+    // per-build table names: two gateways (or a rebuild) sharing one
+    // SparkSession must not clobber each other's serving indexes —
+    // fixed names would let B's overwrite delete files under A's
+    // in-flight scans, or leave A's stats describing B's corpus
+    val uid = idxSeq.incrementAndGet()
+    val (tfTbl, dfTbl, ivfTbl) =
+      (s"gateway_search_tf_$uid", s"gateway_search_df_$uid",
+        s"gateway_search_ivf_$uid")
+    val (nDocs, avgdl) =
+      StreamingQueries.buildBm25Index(spark, items, work, tfTbl, dfTbl)
     emb.filter(col("vec_id") % Curation.BenchMod =!= 0)
       .select(col("vec_id"), col("embedding"),
         SimilaritySearch.argmaxCell(col("embedding"), cents).as("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").option("path", s"$work/ivf")
-      .partitionBy("cell").saveAsTable("gateway_search_ivf")
-    SearchIndexes(spark.table("gateway_search_tf"),
-      spark.table("gateway_search_df"), spark.table("gateway_search_ivf"),
-      emb, st.getLong(0), st.getDouble(1), cents)
+      .partitionBy("cell").saveAsTable(ivfTbl)
+    SearchIndexes(spark.table(tfTbl),
+      spark.table(dfTbl), spark.table(ivfTbl),
+      emb, nDocs, avgdl, cents)
   }
 
   /** One /search request: build the 1-row query batch and run the
@@ -337,6 +366,11 @@ object SqlGateway {
     val qid = vecId.getOrElse(0L)
     def lexArm(depth: Int) = {
       require(text.nonEmpty, s"mode=$searchMode needs query text in the body")
+      // tokenless text would tokenize to an empty IN-list and silently
+      // degrade to empty/semantic-only results — fail as loudly as
+      // /score does for the same input
+      require("[a-z0-9]".r.findFirstIn(text.toLowerCase).isDefined,
+        s"mode=$searchMode needs query text with [a-z0-9]+ tokens in the body")
       StreamingQueries.bm25BatchRank(spark,
         Seq((qid, text)).toDF("query_id", "text"),
         idx.tf, idx.df, idx.nDocs, idx.avgdl, depth)
@@ -382,24 +416,23 @@ object SqlGateway {
     import graft.operators.Curation
     import graft.functions.{TextFunctions => TF}
     import spark.implicits._
-    val df = Seq((docId, "", text)).toDF("doc_id", "lang", "text")
-    val scored = Curation.qualityClassifierFixed(df).collect()
-    require(scored.nonEmpty, "text has no [a-z0-9]+ tokens to score")
-    val q = scored(0).getDouble(1)
-    // x126's draw and chain verbatim, with the engine's round-6 score
-    // folded in as the literal it is on both engines
-    val v = conv(substring(md5(concat(lit("paretoc:"),
-      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
-    val u = (v.cast("double") + lit(0.5)) / lit(1152921504606846976.0d)
-    val g1 = lit(2.0) - lit(q)
-    val g2 = g1 * g1
-    val g9 = (g2 * g2) * (g2 * g2) * g1
-    val row = df.select(
-        round(TF.qualityScore(col("text")), 6).as("quality"),
-        (u * g9).as("accept_key"))
-      .collect()(0)
-    val quality = row.getDouble(0)
-    val acceptKey = row.getDouble(1)
+    // ONE engine action for the whole interactive request: the x02
+    // composite rides the doc-grain groupBy as a carried (per-doc
+    // constant) column, and the draw + chain are the SAME shared
+    // expressions x126 hash-checks — no literal re-folding, no second
+    // job. keep tests the UNROUNDED key, exactly as x126's filter does.
+    val rows = Curation.qcFixedScored(
+        Seq((docId, text)).toDF("doc_id", "text")
+          .withColumn("quality", round(TF.qualityScore(col("text")), 6)),
+        Seq("quality"))
+      .withColumn("accept_key", Curation.paretoAcceptKey(col("q_score"),
+        Curation.paretoUniform("paretoc:", col("doc_id"))))
+      .collect()
+    require(rows.nonEmpty, "text has no [a-z0-9]+ tokens to score")
+    val r = rows(0)
+    val q = r.getDouble(2)
+    val quality = r.getDouble(1)
+    val acceptKey = r.getDouble(3)
     val acceptR = BigDecimal(acceptKey)
       .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     s"""{"doc_id":$docId,"q_score":$q,"quality":$quality,""" +

@@ -812,19 +812,36 @@ object Curation {
     * quality and the chain evaluate ONCE each in the codegen'd Projects
     * upstream; the lambda itself is one double comparison — the heavy
     * math never leaves whole-stage codegen. */
-  def paretoQualitySample(docs: DataFrame): DataFrame = {
-    val q = round(TF.qualityScore(col("text")), 6)
-    val v = conv(substring(md5(concat(lit("pareto:"),
-      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
-    val u = (v.cast("double") + lit(0.5)) / lit(1152921504606846976.0d) // 2^60
-    val g1 = lit(2.0) - col("quality")
+  /** The Pareto rule's md5-uniform draw: u(seed, id) ∈ (0, 1) from the
+    * top 60 bits of md5(seed || id). ONE definition for every site that
+    * must stay bit-identical to the oracle SQL (x119, x126, s42, the
+    * gateway /score path) — the chain is exact-parity-critical, so
+    * copies are desync waiting to happen. */
+  private[graft] def paretoUniform(seed: String, idCol: Column): Column = {
+    val v = conv(substring(md5(concat(lit(seed), idCol.cast("string"))),
+      1, 15), 16, 10).cast("long")
+    (v.cast("double") + lit(0.5)) / lit(1152921504606846976.0d) // 2^60
+  }
+
+  /** The Pareto accept key u·(2−q)⁹ as the closed-form integer-α
+    * multiplication chain (g², g⁴=g²·g², g⁸=g⁴·g⁴, g⁹=g⁸·g) — the
+    * exact association the oracle replays; keep ⟺ this < 1 unrounded.
+    * Shared by every site for the same reason as [[paretoUniform]]. */
+  private[graft] def paretoAcceptKey(q: Column, u: Column): Column = {
+    val g1 = lit(2.0) - q
     val g2 = g1 * g1
     val g9 = (g2 * g2) * (g2 * g2) * g1
+    u * g9
+  }
+
+  def paretoQualitySample(docs: DataFrame): DataFrame = {
+    val q = round(TF.qualityScore(col("text")), 6)
     val spark = docs.sparkSession
     import spark.implicits._
     docs
-      .select(col("doc_id"), col("lang"), q.as("quality"), u.as("u"))
-      .withColumn("accept_key", col("u") * g9)
+      .select(col("doc_id"), col("lang"), q.as("quality"),
+        paretoUniform("pareto:", col("doc_id")).as("u"))
+      .withColumn("accept_key", paretoAcceptKey(col("quality"), col("u")))
       .select(col("doc_id"), col("lang"), col("quality"), col("accept_key"))
       .as[(Long, String, Double, Double)]
       .filter(_._4 < 1.0)
@@ -861,25 +878,13 @@ object Curation {
     * Plan at 100 TB: one map-side-combined shuffle at (doc, lang) grain
     * (the same exchange x124 already pays), then row-local math; the
     * only other exchange is the presentation sort. */
-  def paretoClassifierSample(docs: DataFrame): DataFrame = {
-    val scored = docs.select(col("doc_id"), col("lang"),
-        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
-          lit(0))).as("token"))
-      .groupBy("doc_id", "lang")
-      .agg(round(lit(1.0) / (lit(1.0) +
-        exp(-avg(qcFixedWeight(qcBucket(col("token")))))), 6).as("q_score"))
-    val v = conv(substring(md5(concat(lit("paretoc:"),
-      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
-    val u = (v.cast("double") + lit(0.5)) / lit(1152921504606846976.0d) // 2^60
-    val g1 = lit(2.0) - col("q_score")
-    val g2 = g1 * g1
-    val g9 = (g2 * g2) * (g2 * g2) * g1
-    scored
-      .withColumn("accept_key", u * g9)
+  def paretoClassifierSample(docs: DataFrame): DataFrame =
+    qcFixedScored(docs, Seq("lang"))
+      .withColumn("accept_key", paretoAcceptKey(col("q_score"),
+        paretoUniform("paretoc:", col("doc_id"))))
       .filter(col("accept_key") < 1.0)
       .select(col("doc_id"), col("lang"), col("q_score"),
         round(col("accept_key"), 6).as("accept_key"))
-  }
 
   // ---- x24: heavy hitters per stratum ----------------------------------
 
@@ -1888,23 +1893,34 @@ object Curation {
     ((lit(QcWA) * j + lit(QcWB)) % lit(QcWM)).cast("double") /
       lit(QcWM.toDouble) - lit(0.5)
 
+  /** The x124 pinned-weight serve agg in ONE place (tokenize → md5
+    * bucket → mean ramp weight → sigmoid → round 6): x124, x126, x127,
+    * s42 and the gateway /score path all score through this expression,
+    * so the hash-twin machinery cannot desync across sites. `carry`
+    * columns must be functionally dependent on doc_id (lang, a derived
+    * label, a per-doc constant) — they ride the doc-grain groupBy so no
+    * join-back is ever needed; zero-token docs have no rows and are
+    * absent (the x87 drop rule). */
+  private[graft] def qcFixedScored(docs: DataFrame,
+                                   carry: Seq[String] = Nil): DataFrame =
+    docs.select(col("doc_id") +: carry.map(col) :+
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
+          lit(0))).as("token"): _*)
+      .groupBy("doc_id", carry: _*)
+      .agg(round(lit(1.0) / (lit(1.0) +
+        exp(-avg(qcFixedWeight(qcBucket(col("token")))))), 6).as("q_score"))
+
   /** x124: the quality-classifier SERVING path with PINNED weights —
     * the x108/x114 hash-twin discipline applied to x125: the only
     * non-SQL-expressible piece of the trained classifier is the
     * fp-order-sensitive gradient fit, so a literal weight function
-    * lets the oracle recompute the whole serve machinery (tokenize →
-    * md5 bucket → mean per-token weight → sigmoid → round 6)
-    * value-for-value. Row-local except the one doc-grain aggregate;
-    * zero model state (the weight is a closed-form expression), so the
-    * serve path runs at any corpus size with no build side at all. */
+    * lets the oracle recompute the whole serve machinery
+    * ([[qcFixedScored]]) value-for-value. Row-local except the one
+    * doc-grain aggregate; zero model state (the weight is a closed-form
+    * expression), so the serve path runs at any corpus size with no
+    * build side at all. */
   def qualityClassifierFixed(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
-          lit(0))).as("token"))
-      .groupBy("doc_id")
-      .agg(round(lit(1.0) / (lit(1.0) +
-        exp(-avg(qcFixedWeight(qcBucket(col("token")))))), 6).as("q_score"))
-      .orderBy("doc_id")
+    qcFixedScored(docs).orderBy("doc_id")
 
   /** (doc, bucket) normalized bag-of-buckets features with the DSIR
     * wiki-vs-corpus label convention (is_t ⇔ doc_id % benchMod == 0 —
@@ -2037,14 +2053,8 @@ object Curation {
     * exceeds model size. */
   def classifierCalibration(docs: DataFrame,
                             benchMod: Int = BenchMod): DataFrame =
-    calibrationTable(
-      docs.select(col("doc_id"),
-          (col("doc_id") % benchMod === 0).as("is_t"),
-          explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"),
-            lit(0))).as("token"))
-        .groupBy("doc_id", "is_t")
-        .agg(round(lit(1.0) / (lit(1.0) +
-          exp(-avg(qcFixedWeight(qcBucket(col("token")))))), 6).as("q_score")))
+    calibrationTable(qcFixedScored(
+      docs.withColumn("is_t", col("doc_id") % benchMod === 0), Seq("is_t")))
 
   // ---- x52: collocation extraction (PMI-ranked bigrams) ----------------
 

@@ -1711,6 +1711,39 @@ object StreamingQueries {
     if (got.length <= cap) Some(got.sorted.toIndexedSeq) else None
   }
 
+  /** The one-time BM25 inverted-index build — ONE definition of the
+    * serving-index format, shared by s38, the s39 hybrid's lexical arm,
+    * the gateway /search build, and the BmRouteCrossover harness (four
+    * hand-kept copies would let a tokenizer or dl-semantics change
+    * silently desync the gateway from the hash-checked stream path).
+    * Postings (doc_id, token, tf, dl) written bucketed+sorted on token
+    * at `$whDir/tf`; df DERIVED from the postings store (tf rows are
+    * (doc, token)-grain, so count-per-token IS df — and grouping the
+    * bucketed table on its own bucket key aggregates bucket-locally,
+    * no exchange; measured ~10% off the s38 entry wall at sf0.1 vs a
+    * second corpus tokenize pass) at `$whDir/df`; corpus stats
+    * collected once and returned as the two scalars every serve
+    * inlines as literals. */
+  private[graft] def buildBm25Index(s: SparkSession, items: DataFrame,
+                                    whDir: String, tfTbl: String,
+                                    dfTbl: String): (Long, Double) = {
+    def toksCol = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val tf = items.select(col("doc_id"), toksCol.as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    writeBucketedBy(tf, s"$whDir/tf", tfTbl, "token")
+    val df = s.table(tfTbl).groupBy("token").agg(count(lit(1)).as("df"))
+    writeBucketedBy(df, s"$whDir/df", dfTbl, "token")
+    val statsRow = items.select(size(toksCol).as("doclen"))
+      .filter(col("doclen") > 0)
+      .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
+      .collect()(0)
+    require(!statsRow.isNullAt(1),
+      "BM25 index build: corpus has no tokenized item docs (avgdl undefined)")
+    (statsRow.getLong(0), statsRow.getDouble(1))
+  }
+
   /** The per-batch BM25 serve against the bucketed-sorted inverted
     * index — shared by s38, the s39 hybrid's lexical arm, and s40's
     * incremental-index serve. The batch-bounded driver token sets
@@ -1776,38 +1809,16 @@ object StreamingQueries {
     val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
     val tag = new java.io.File(work).getName.replaceAll("[^A-Za-z0-9_]", "_")
     val tfTbl = s"${tag}_tf"; val dfTbl = s"${tag}_df"
-    def toksCol = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
     val items = docs.filter(col("doc_id") % benchMod =!= 0)
     val queries = docs.filter(col("doc_id") % benchMod === 0 &&
       col("doc_id") < Curation.BmQueryIdMax)
 
     try {
-      // the one-time index build — the only corpus-sized shuffles: the
-      // postings aggregation (dl rides it, the x71 shape) and the
-      // vocabulary df aggregation, each written bucketed+sorted on token
-      val tf = items.select(col("doc_id"), toksCol.as("toks"))
-        .select(col("doc_id"), size(col("toks")).as("dl"),
-          explode(col("toks")).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-      writeBucketedBy(tf, s"$work/wh/tf", tfTbl, "token")
-      // df DERIVED from the postings store, not a second corpus pass:
-      // tf rows are (doc, token)-grain, so count-per-token IS df — and
-      // grouping the bucketed table on its own bucket key aggregates
-      // bucket-locally, no exchange (measured ~10% off the entry wall
-      // at sf0.1 vs the raw-text second tokenize+explode+shuffle pass;
-      // at corpus scale the replaced pass is the bigger term)
-      val df = s.table(tfTbl).groupBy("token").agg(count(lit(1)).as("df"))
-      writeBucketedBy(df, s"$work/wh/df", dfTbl, "token")
-      // corpus stats: two scalars, collected once per stream and inlined
-      // as literals (x71 crossJoins the same values; identical doubles
-      // flow into the shared weight expression)
-      val statsRow = items.select(size(toksCol).as("doclen"))
-        .filter(col("doclen") > 0)
-        .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
-        .collect()(0)
-      require(!statsRow.isNullAt(1),
-        "BM25 index build: corpus has no tokenized item docs (avgdl undefined)")
-      val (nDocs, avgdl) = (statsRow.getLong(0), statsRow.getDouble(1))
+      // the one-time index build — the only corpus-sized shuffles
+      // (corpus stats: two scalars, collected once per stream and
+      // inlined as literals — x71 crossJoins the same values; identical
+      // doubles flow into the shared weight expression)
+      val (nDocs, avgdl) = buildBm25Index(s, items, s"$work/wh", tfTbl, dfTbl)
 
       if (!hasParquet(inDir))
         queries.select(col("doc_id"), col("text"))
@@ -1878,7 +1889,6 @@ object StreamingQueries {
     val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
     val tag = new java.io.File(work).getName.replaceAll("[^A-Za-z0-9_]", "_")
     val tfTbl = s"${tag}_tf"; val dfTbl = s"${tag}_df"; val idxTbl = s"${tag}_ivf"
-    def toksCol = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
     val items = docs.filter(col("doc_id") % benchMod =!= 0)
     val qDocs = docs.filter(col("doc_id") % benchMod === 0 &&
       col("doc_id") < Curation.BmQueryIdMax)
@@ -1892,20 +1902,7 @@ object StreamingQueries {
 
     try {
       // store builds — the only corpus-sized jobs (s38's + s37's)
-      val tf = items.select(col("doc_id"), toksCol.as("toks"))
-        .select(col("doc_id"), size(col("toks")).as("dl"),
-          explode(col("toks")).as("token"))
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-      writeBucketedBy(tf, s"$work/wh/tf", tfTbl, "token")
-      val df = s.table(tfTbl).groupBy("token").agg(count(lit(1)).as("df"))
-      writeBucketedBy(df, s"$work/wh/df", dfTbl, "token")
-      val statsRow = items.select(size(toksCol).as("doclen"))
-        .filter(col("doclen") > 0)
-        .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
-        .collect()(0)
-      require(!statsRow.isNullAt(1),
-        "BM25 index build: corpus has no tokenized item docs (avgdl undefined)")
-      val (nDocs, avgdl) = (statsRow.getLong(0), statsRow.getDouble(1))
+      val (nDocs, avgdl) = buildBm25Index(s, items, s"$work/wh", tfTbl, dfTbl)
       srcE.filter(col("vec_id") % benchMod =!= 0)
         .select(col("vec_id"), col("embedding"),
           SimilaritySearch.argmaxCell(col("embedding"), cents).as("cell"))

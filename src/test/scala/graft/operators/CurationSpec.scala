@@ -1257,6 +1257,19 @@ class CurationSpec extends AnyFunSuite {
       "the Pareto tail must admit SOME low-quality docs (vs a hard threshold)")
   }
 
+  test("x120 foldEarlyBm: bucketing before the type aggregation is value-identical (the measured-negative branch cannot rot)") {
+    // the A/B receipt claims the two fold orders build the IDENTICAL
+    // bucketed-bigram model (occurrence counts are associative); this
+    // pins the unwired branch to that claim so it stays correct code,
+    // not decaying prose
+    val late = Curation.bigramScoreKNHashed(docs).collect().map(_.toSeq).toSet
+    val early = Curation.bigramScoreKNHashed(docs, foldEarlyBm = true)
+      .collect().map(_.toSeq).toSet
+    assert(late.nonEmpty)
+    assert(late == early,
+      s"fold orders diverged: ${late.size} vs ${early.size} distinct rows")
+  }
+
   test("x126 paretoClassifierSample: exact composition of the x124 score and the x119 keep rule") {
     import spark.implicits._
     val kept = Curation.paretoClassifierSample(docs).cache()
