@@ -316,6 +316,38 @@ class SqlGatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("/search overrides: caller-named index tables serve identically; a foreign-quantizer ivf table is a loud 400") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.SimilaritySearch.{IvfPqFixed => P}
+    withServer() { port =>
+      val doc0 = Tables.documents(spark, TestSpark.Sf0001)
+        .filter(col("doc_id") === 0L).select("text").collect()(0).getString(0)
+      val (ds, db) = http(port, "/search?mode=hybrid&vec_id=0&k=10", "POST",
+        Some(doc0))
+      assert(ds == 200, db)
+      // persist value-identical copies under caller names: the override
+      // route must serve the same rows the gateway-owned tables do
+      val idx = SqlGateway.buildSearchIndexes(spark, TestSpark.Sf0001)
+      idx.tf.write.mode("overwrite").saveAsTable("spec_ovr_tf")
+      idx.df.write.mode("overwrite").saveAsTable("spec_ovr_df")
+      idx.ivf.write.mode("overwrite").saveAsTable("spec_ovr_ivf")
+      val (os, ob) = http(port,
+        "/search?mode=hybrid&vec_id=0&k=10&tf=spec_ovr_tf&df=spec_ovr_df&ivf=spec_ovr_ivf",
+        "POST", Some(doc0))
+      assert(os == 200, ob)
+      assert(ob == db,
+        s"override route diverged from the gateway-owned tables:\n$ob\nvs\n$db")
+      // a table whose cells came from a different quantizer must be
+      // rejected on first use, not silently probed
+      idx.ivf.withColumn("cell",
+          (col("cell").cast("int") + 1) % P.NLists)
+        .write.mode("overwrite").saveAsTable("spec_bad_ivf")
+      val (bs, bb) = http(port,
+        "/search?mode=semantic&vec_id=0&k=5&ivf=spec_bad_ivf", "POST", Some(""))
+      assert(bs == 400 && bb.contains("quantizer"), s"$bs $bb")
+    }
+  }
+
   test("/score: route parity with the hash-checked x124/x126 batch entries; tokenless text is a 400") {
     import org.apache.spark.sql.functions.{col, round}
     withServer() { port =>
