@@ -326,25 +326,36 @@ class SqlGatewaySpec extends AnyFunSuite {
         Some(doc0))
       assert(ds == 200, db)
       // persist value-identical copies under caller names: the override
-      // route must serve the same rows the gateway-owned tables do
+      // route must serve the same rows the gateway-owned tables do.
+      // EXTERNAL tables at a fresh temp path — a managed saveAsTable
+      // leaves its spark-warehouse location behind after the suite's
+      // catalog is gone, failing the NEXT run with LOCATION_ALREADY_EXISTS
       val idx = SqlGateway.buildSearchIndexes(spark, TestSpark.Sf0001)
-      idx.tf.write.mode("overwrite").saveAsTable("spec_ovr_tf")
-      idx.df.write.mode("overwrite").saveAsTable("spec_ovr_df")
-      idx.ivf.write.mode("overwrite").saveAsTable("spec_ovr_ivf")
-      val (os, ob) = http(port,
-        "/search?mode=hybrid&vec_id=0&k=10&tf=spec_ovr_tf&df=spec_ovr_df&ivf=spec_ovr_ivf",
-        "POST", Some(doc0))
-      assert(os == 200, ob)
-      assert(ob == db,
-        s"override route diverged from the gateway-owned tables:\n$ob\nvs\n$db")
-      // a table whose cells came from a different quantizer must be
-      // rejected on first use, not silently probed
-      idx.ivf.withColumn("cell",
-          (col("cell").cast("int") + 1) % P.NLists)
-        .write.mode("overwrite").saveAsTable("spec_bad_ivf")
-      val (bs, bb) = http(port,
-        "/search?mode=semantic&vec_id=0&k=5&ivf=spec_bad_ivf", "POST", Some(""))
-      assert(bs == 400 && bb.contains("quantizer"), s"$bs $bb")
+      val wh = java.nio.file.Files.createTempDirectory("spec_ovr_").toString
+      val names = Seq("spec_ovr_tf", "spec_ovr_df", "spec_ovr_ivf", "spec_bad_ivf")
+      try {
+        idx.tf.write.mode("overwrite").option("path", s"$wh/tf")
+          .saveAsTable("spec_ovr_tf")
+        idx.df.write.mode("overwrite").option("path", s"$wh/df")
+          .saveAsTable("spec_ovr_df")
+        idx.ivf.write.mode("overwrite").option("path", s"$wh/ivf")
+          .saveAsTable("spec_ovr_ivf")
+        val (os, ob) = http(port,
+          "/search?mode=hybrid&vec_id=0&k=10&tf=spec_ovr_tf&df=spec_ovr_df&ivf=spec_ovr_ivf",
+          "POST", Some(doc0))
+        assert(os == 200, ob)
+        assert(ob == db,
+          s"override route diverged from the gateway-owned tables:\n$ob\nvs\n$db")
+        // a table whose cells came from a different quantizer must be
+        // rejected on first use, not silently probed
+        idx.ivf.withColumn("cell",
+            (col("cell").cast("int") + 1) % P.NLists)
+          .write.mode("overwrite").option("path", s"$wh/bad")
+          .saveAsTable("spec_bad_ivf")
+        val (bs, bb) = http(port,
+          "/search?mode=semantic&vec_id=0&k=5&ivf=spec_bad_ivf", "POST", Some(""))
+        assert(bs == 400 && bb.contains("quantizer"), s"$bs $bb")
+      } finally names.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
 
