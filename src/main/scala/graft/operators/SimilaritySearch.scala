@@ -326,15 +326,66 @@ object SimilaritySearch {
     * `list_sum(list_transform(list_zip(...)))` — the established cosine
     * hash-parity contract. */
   private def jlProjected(df: DataFrame, vecCol: String,
-                          signs: Array[Array[Int]], pfx: String): DataFrame = {
-    val rp = signs.zipWithIndex.map { case (row, j) =>
+                          weights: Array[Array[Float]], pfx: String): DataFrame = {
+    val rp = weights.zipWithIndex.map { case (row, j) =>
       VectorFunctions.dot_product(col(vecCol),
-        array(row.map(s => lit(s.toFloat)): _*)).as(s"$pfx$j")
+        array(row.map(w => lit(w)): _*)).as(s"$pfx$j")
     }
     val withRp = df.select(col("*") +: rp.toSeq: _*)
-    val norm = sqrt(signs.indices.map(j => col(s"$pfx$j") * col(s"$pfx$j"))
+    val norm = sqrt(weights.indices.map(j => col(s"$pfx$j") * col(s"$pfx$j"))
       .reduceLeft(_ + _))
     withRp.withColumn(s"${pfx}norm", norm)
+  }
+
+  /** The shared reduced-scan-then-exact-rerank spine of [[jlTopK]] (the
+    * data-independent ±1 map) and [[pcaTopK]] (the learned principal
+    * basis): project both sides onto `weights` (m literal-coefficient
+    * dot_product columns, materialized — see jlTopK's plan notes),
+    * shortlist the k·overfetch reduced-cosine top per query, rerank the
+    * shortlist with the exact full-dim cosine. */
+  private[graft] def reducedScanTopK(items: DataFrame, queries: DataFrame,
+                                     weights: Array[Array[Float]],
+                                     k: Int, overfetch: Int,
+                                     idCol: String, vecCol: String): DataFrame = {
+    // The projected relations are MATERIALIZED before the join: the
+    // projection table is the operator's product (in production it
+    // persists as the compressed index — computing it per query would
+    // forfeit the whole point), and the barrier also fences Catalyst
+    // off the m projection expressions — constraint propagation
+    // (getAllValidConstraints → Add canonicalization) goes quadratic
+    // in them across the join and OOMed the driver at m = 32 when the
+    // plan was left fused.
+    val it = jlProjected(
+      items.select(col(idCol).as("vec_id"), col(vecCol).as("i_vec")),
+      "i_vec", weights, "ip").localCheckpoint()
+    val q = jlProjected(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      "q_vec", weights, "qp").localCheckpoint()
+
+    // reduced-space scoring: m-term dot over the named projection
+    // columns (never the raw vectors), |Q|-side broadcast like the
+    // exact baseline; the bounded-heap top-k caps the exchange at
+    // |Q|·k·overfetch rows
+    val rdot = weights.indices.map(j => col(s"qp$j") * col(s"ip$j"))
+      .reduceLeft(_ + _)
+    val cand = it.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("rcos", rdot / (col("qpnorm") * col("ipnorm")))
+    val shortlist =
+      topKPerQuery(cand.select(col("query_id"), col("vec_id"), col("rcos")),
+        k * overfetch, scoreCol = "rcos")
+      .select(col("query_id"), col("vec_id"))
+
+    // exact rerank of the shortlist only — the |Q|·k·overfetch shortlist
+    // BROADCASTS against the corpus-sized vector side (measured: the
+    // unhinted join re-shuffled the item table at 30×; hinted, the item
+    // side streams in place)
+    val reranked = items.select(col(idCol).as("vec_id"), col(vecCol).as("i_vec"))
+      .join(broadcast(shortlist), "vec_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("q_vec"))), "query_id")
+      .withColumn("cosine",
+        VectorFunctions.cosine_similarity(col("q_vec"), col("i_vec")))
+    topKPerQuery(reranked.select(col("query_id"), col("vec_id"), col("cosine")), k)
   }
 
   /** x111: Johnson–Lindenstrauss sign-projection ANN — compressed
@@ -369,47 +420,175 @@ object SimilaritySearch {
              dim: Int = 64, m: Int = 32, overfetch: Int = 10,
              seed: Long = 7L): DataFrame = {
     require(m >= 1 && overfetch >= 1, s"need m >= 1, overfetch >= 1")
-    val signs = jlSigns(dim, m, seed)
+    val weights = jlSigns(dim, m, seed).map(_.map(_.toFloat))
+    reducedScanTopK(items, queries, weights, k, overfetch, idCol, vecCol)
+  }
 
-    // The projected relations are MATERIALIZED before the join: the
-    // projection table is the operator's product (in production it
-    // persists as the compressed index — computing it per query would
-    // forfeit the whole point), and the barrier also fences Catalyst
-    // off the m projection expressions — constraint propagation
-    // (getAllValidConstraints → Add canonicalization) goes quadratic
-    // in them across the join and OOMed the driver at m = 32 when the
-    // plan was left fused.
-    val it = jlProjected(
-      items.select(col(idCol).as("vec_id"), col(vecCol).as("i_vec")),
-      "i_vec", signs, "ip").localCheckpoint()
-    val q = jlProjected(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
-      "q_vec", signs, "qp").localCheckpoint()
+  /** The x128/x129 PCA-rung constants, shared between the Scala entries
+    * and the x128 oracle-SQL generator (the IvfPqFixed/AnnEval desync
+    * discipline). `Quant` is the fixed-point grid of the scatter
+    * statistics: 2^20 — fine enough that quantization error (≤ 2^-21
+    * per coordinate) is far below the fixture's coordinate scale
+    * (~0.15), coarse enough that every product and every corpus-sized
+    * sum of products stays inside a 64-bit long (|q| ≤ 2^21 ⇒ a product
+    * ≤ 2^42 ⇒ headroom for 2^20 ≈ 10^6× the sf1 corpus). */
+  object PcaFixed {
+    val Dim = 64
+    val Quant = 1048576.0 // 2^20
+    /** reduced dimensionality of the x129 principal-subspace scan —
+      * HALF x111's JL width (the learned basis needs fewer coordinates
+      * than the random one for the same recall; the spec measures both
+      * at equal m) */
+    val M = 16
+    val Overfetch = 10
+  }
 
-    // reduced-space scoring: m-term dot over the named projection
-    // columns (never the raw vectors), |Q|-side broadcast like the
-    // exact baseline; the bounded-heap top-k caps the exchange at
-    // |Q|·k·overfetch rows
-    val rdot = signs.indices.map(j => col(s"qp$j") * col(s"ip$j"))
-      .reduceLeft(_ + _)
-    val cand = it.join(broadcast(q), col("query_id") =!= col("vec_id"))
-      .withColumn("rcos", rdot / (col("qpnorm") * col("ipnorm")))
-    val shortlist =
-      topKPerQuery(cand.select(col("query_id"), col("vec_id"), col("rcos")),
-        k * overfetch, scoreCol = "rcos")
-      .select(col("query_id"), col("vec_id"))
+  /** x128: the exact integer-quantized second-moment sufficient
+    * statistics of the embedding corpus — the distributed "fit pass" of
+    * PCA as a value-checkable relation. Coordinates are snapped to the
+    * fixed grid q = floor(x·Quant + 0.5) (identical double arithmetic
+    * in both engines), so every emitted statistic is an INTEGER sum —
+    * exact under any summation order, which is what makes a cross-row
+    * aggregate of float data hash-checkable at all (double sums are
+    * reorder-sensitive; Spark's partial-aggregate merge order is not
+    * deterministic, so a double-summed scatter could not hash).
+    *
+    * Output rows (i, j, s):
+    *   0 ≤ i ≤ j < dim : s = Σ q_i·q_j   (upper-triangle scatter)
+    *   (i, dim)        : s = Σ q_i        (per-dimension sums)
+    *   (dim, dim)      : s = n            (corpus count)
+    * — count, means and the full second-moment/covariance matrix are
+    * all recoverable downstream at model grain (dim²/2 + dim + 1 rows
+    * REGARDLESS of corpus size).
+    *
+    * Plan shape at scale: one row-local explode of the dim(dim+1)/2
+    * products per vector, partial-aggregated map-side to ≤ 2 145 rows
+    * per task before the only exchange — the s32 algebraic-partials
+    * pattern at d² grain. No driver collection, no iteration. */
+  def embeddingScatter(emb: DataFrame, dim: Int = PcaFixed.Dim,
+                       quant: Double = PcaFixed.Quant): DataFrame = {
+    val qv = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(quant) + lit(0.5d)).cast("long"))
+    val base = emb.select(qv.as("qv"))
+    val pairStructs = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.as("i"), j.as("j"),
+          (element_at(col("qv"), i + 1) * element_at(col("qv"), j + 1)).as("p")))))
+    val scatter = base.select(explode(pairStructs).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.p").as("p"))
+      .groupBy("i", "j").agg(sum("p").as("s"))
+    val dimSums = base.select(posexplode(col("qv")).as(Seq("i", "v")))
+      .groupBy("i").agg(sum("v").as("s"))
+      .select(col("i"), lit(dim).as("j"), col("s"))
+    val n = base.agg(count(lit(1)).as("s"))
+      .select(lit(dim).as("i"), lit(dim).as("j"), col("s"))
+    scatter.unionByName(dimSums).unionByName(n)
+  }
 
-    // exact rerank of the shortlist only — the |Q|·k·overfetch shortlist
-    // BROADCASTS against the corpus-sized vector side (measured: the
-    // unhinted join re-shuffled the item table at 30×; hinted, the item
-    // side streams in place)
-    val reranked = items.select(col(idCol).as("vec_id"), col(vecCol).as("i_vec"))
-      .join(broadcast(shortlist), "vec_id")
-      .join(broadcast(queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("q_vec"))), "query_id")
-      .withColumn("cosine",
-        VectorFunctions.cosine_similarity(col("q_vec"), col("i_vec")))
-    topKPerQuery(reranked.select(col("query_id"), col("vec_id"), col("cosine")), k)
+  /** Cyclic Jacobi eigensolver for a symmetric matrix — driver-side and
+    * model-sized by construction (dim × dim, the x109 O(model)-memory
+    * argument: the corpus never comes near the driver, only the scatter
+    * statistics do). Returns (eigenvalues, eigenvector ROWS), sorted by
+    * eigenvalue descending, each vector sign-normalized so its
+    * largest-magnitude coordinate is positive (a deterministic
+    * representative of the ± ambiguity). */
+  private[graft] def jacobiEigen(sym: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = sym.length
+    val a = sym.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def offDiag: Double = {
+      var s = 0.0
+      for (i <- 0 until d; j <- i + 1 until d) s += a(i)(j) * a(i)(j)
+      s
+    }
+    var sweep = 0
+    while (sweep < 100 && offDiag > 1e-20) {
+      for (p <- 0 until d; q <- p + 1 until d if math.abs(a(p)(q)) > 0) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t =
+          if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+          else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val sn = t * c
+        for (i <- 0 until d) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - sn * aiq
+          a(i)(q) = sn * aip + c * aiq
+        }
+        for (j <- 0 until d) {
+          val apj = a(p)(j); val aqj = a(q)(j)
+          a(p)(j) = c * apj - sn * aqj
+          a(q)(j) = sn * apj + c * aqj
+        }
+        for (i <- 0 until d) {
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - sn * viq
+          v(i)(q) = sn * vip + c * viq
+        }
+      }
+      sweep += 1
+    }
+    val pairs = (0 until d).map { j =>
+      val vec = Array.tabulate(d)(i => v(i)(j))
+      val dom = vec.indices.maxBy(i => math.abs(vec(i)))
+      (a(j)(j), if (vec(dom) < 0) vec.map(-_) else vec)
+    }.sortBy(-_._1)
+    (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+  }
+
+  /** Top-`m` principal basis of the UNCENTERED second-moment matrix,
+    * recovered from an [[embeddingScatter]] relation. Uncentered is the
+    * deliberate choice for COSINE retrieval: the optimal rank-m linear
+    * map for preserving dot products/norms is the principal subspace of
+    * E[xxᵀ], not of the covariance — centering would shift every vector
+    * by the corpus mean and distort the angles the reduced scan ranks
+    * by (the means are in the relation for consumers that do want the
+    * centered variant). */
+  private[graft] def pcaBasis(scatterRows: Array[org.apache.spark.sql.Row],
+                              dim: Int, m: Int,
+                              quant: Double): (Array[Double], Array[Array[Float]]) = {
+    val cells = scatterRows.map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val n = cells.getOrElse((dim, dim),
+      throw new IllegalArgumentException("scatter relation has no count row"))
+    require(n > 0, "pca basis: empty corpus")
+    val mom = Array.tabulate(dim, dim) { (i, j) =>
+      val key = (math.min(i, j), math.max(i, j))
+      cells(key).toDouble / (quant * quant) / n
+    }
+    val (vals, vecs) = jacobiEigen(mom)
+    (vals.take(m), vecs.take(m).map(_.map(_.toFloat)))
+  }
+
+  /** x129: PCA reduced-scan ANN — [[jlTopK]]'s compressed-candidate
+    * spine with the LEARNED principal basis in place of the random ±1
+    * map. One distributed pass builds the [[embeddingScatter]]
+    * sufficient statistics (exact integer sums, the hash-checked x128
+    * relation), a model-sized Jacobi eigensolve on the driver extracts
+    * the top-m subspace, and the scan/shortlist/rerank machinery is
+    * [[reducedScanTopK]] verbatim — so x129's moving parts are pinned
+    * by x111's value-level hash and only the basis itself is learned
+    * (fp-order-sensitive eigensolve ⇒ rows-only, spec-checked:
+    * orthonormality, descending captured moments, recall ≥ the JL map
+    * at equal m, and the overfetch-degenerate ≡ exact reduction).
+    *
+    * Why it earns its place next to x111: the principal basis captures
+    * the corpus's actual spectral mass, so at equal m the reduced
+    * cosine is a strictly better neighbor estimate on anisotropic
+    * corpora (real embedding spectra decay; the fixture measures
+    * 16-dim PCA ≈ 32-dim JL) — i.e. half the compressed-index bytes
+    * and half the reduced-scan flops for the same recall, which at
+    * 100 TB is the difference that pays for the one extra fit pass. */
+  def pcaTopK(spark: SparkSession, items: DataFrame, queries: DataFrame,
+              k: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+              dim: Int = PcaFixed.Dim, m: Int = PcaFixed.M,
+              overfetch: Int = PcaFixed.Overfetch): DataFrame = {
+    require(m >= 1 && m <= dim && overfetch >= 1,
+      s"need 1 <= m <= dim, overfetch >= 1")
+    val scatter = embeddingScatter(
+      items.select(col(vecCol).as("embedding")), dim).collect()
+    val (_, basis) = pcaBasis(scatter, dim, m, PcaFixed.Quant)
+    reducedScanTopK(items, queries, basis, k, overfetch, idCol, vecCol)
   }
 
   /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the

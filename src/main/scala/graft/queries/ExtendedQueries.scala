@@ -642,6 +642,60 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x128 — the PCA fit pass as a hash-checked relation: exact
+  // integer-quantized second-moment sufficient statistics (upper
+  // triangle + per-dim sums + count) of the embedding corpus. Integer
+  // sums are exact under ANY summation order — the property that lets a
+  // cross-row aggregate of float-derived data hash at all (a
+  // double-summed scatter would be at the mercy of Spark's
+  // nondeterministic partial-merge order AND of catastrophic
+  // cancellation in near-zero cross moments). The oracle re-quantizes
+  // with the identical floor(x·2^20 + 0.5) double arithmetic and
+  // re-sums in BIGINT. x129 consumes this exact relation as its fit.
+  // ---------------------------------------------------------------------
+  def embeddingScatterQ(s: SparkSession, dir: String): DataFrame =
+    SimilaritySearch.embeddingScatter(Tables.embeddings(s, dir))
+      .orderBy("i", "j")
+
+  val embeddingScatterSql: String = {
+    val dim = SimilaritySearch.PcaFixed.Dim
+    val q = SimilaritySearch.PcaFixed.Quant
+    s"""WITH q AS (
+       |  SELECT vec_id AS vid, list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * $q + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings
+       |), v AS (
+       |  SELECT vid, CAST(unnest(range($dim)) AS INTEGER) AS i, qv
+       |  FROM q
+       |), w AS (
+       |  SELECT vid, i, qv[i + 1] AS val FROM v
+       |)
+       |SELECT a.i AS i, b.i AS j, CAST(SUM(a.val * b.val) AS BIGINT) AS s
+       |FROM w a JOIN w b ON a.vid = b.vid AND b.i >= a.i
+       |GROUP BY 1, 2
+       |UNION ALL
+       |SELECT i, $dim, CAST(SUM(val) AS BIGINT) FROM w GROUP BY 1
+       |UNION ALL
+       |SELECT $dim, $dim, (SELECT COUNT(*) FROM q)
+       |ORDER BY i, j""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // x129 — PCA reduced-scan ANN (learned principal basis over x128's
+  // hash-checked fit statistics; eigensolve is fp-order-sensitive ⇒
+  // rows-only, machinery pinned by x111's hash + the SimilaritySearchSpec
+  // battery: orthonormality, descending moments, recall ≥ JL at equal m,
+  // overfetch-degenerate ≡ exact).
+  // ---------------------------------------------------------------------
+  def knnPca(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    SimilaritySearch.pcaTopK(s, emb, emb.filter(col("vec_id") < A.QuerySlice),
+        k = A.K)
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------------
   // x16 — winnowing (rolling-hash) fingerprint overlap pairs. Fully
   // hash-checked since the gram hash moved to engine-shared md5 top-60:
   // the oracle recomputes the positional gram hashes, the sliding-window
@@ -3381,6 +3435,8 @@ object ExtendedQueries {
     "x11_knn_lsh"            -> ((knnLsh _, Some(knnLshSql))),
     "x110_knn_lsh_multiprobe" -> ((knnLshMultiProbe _, Some(knnLshMultiProbeSql))),
     "x111_knn_jl"            -> ((knnJl _, Some(knnJlSql))),
+    "x128_embedding_scatter" -> ((embeddingScatterQ _, Some(embeddingScatterSql))),
+    "x129_knn_pca"           -> ((knnPca _, None)),
     "x12_multimodal_features" -> ((multimodalFeatures _, Some(multimodalFeaturesSql))),
     "x13_json_props"         -> ((jsonProps _, Some(jsonPropsSql))),
     "x14_embedding_neardup_lsh" -> ((embeddingNearDupLsh _, None)),

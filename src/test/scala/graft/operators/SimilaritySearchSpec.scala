@@ -119,6 +119,68 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"JL m=32 overfetch=10 recall $recall below 0.7")
   }
 
+  test("x128 embeddingScatter: hand-checkable statistics on a 2-vector set") {
+    // quantized at 2^20: 1.0 -> 1048576, 0.5 -> 524288, -0.25 -> -262144
+    val emb = Seq((0L, Array(1f, 0.5f)), (1L, Array(-0.25f, 1f)))
+      .toDF("vec_id", "embedding")
+    val rows = SimilaritySearch.embeddingScatter(emb, dim = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val (a, b, c) = (1048576L, 524288L, -262144L)
+    assert(rows((0, 0)) == a * a + c * c)         // sum q0*q0
+    assert(rows((0, 1)) == a * b + c * a)         // sum q0*q1
+    assert(rows((1, 1)) == b * b + a * a)         // sum q1*q1
+    assert(rows((0, 2)) == a + c && rows((1, 2)) == b + a) // per-dim sums
+    assert(rows((2, 2)) == 2L)                    // count
+    assert(rows.size == 6)
+  }
+
+  test("pcaTopK: basis orthonormal with descending moments") {
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val scatter = SimilaritySearch.embeddingScatter(
+      emb.select(col("embedding"))).collect()
+    val (moments, basis) = SimilaritySearch.pcaBasis(
+      scatter, dim = 64, m = 16, quant = SimilaritySearch.PcaFixed.Quant)
+    // captured second moments come out of the eigensolve sorted
+    moments.sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi >= lo - 1e-12, s"moments not descending: $hi then $lo")
+    }
+    assert(moments.head > 0, "corpus has zero spectral mass")
+    // rows are orthonormal (the rotation property the reduced cosine
+    // relies on): B·Bᵀ = I up to float-cast tolerance
+    for (i <- basis.indices; j <- i until basis.length) {
+      val dot = basis(i).zip(basis(j)).map { case (x, y) =>
+        x.toDouble * y.toDouble }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-5,
+        s"basis rows $i,$j: dot $dot != $want")
+    }
+  }
+
+  test("pcaTopK: corpus-covering overfetch IS brute force; recall beats JL at equal m") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(SimilaritySearch.bruteForceTopK(emb, queries, k = 10))
+    // the same algebraic reduction jlTopK pins: full overfetch = exact
+    val n = emb.count().toInt
+    assert(pairs(SimilaritySearch.pcaTopK(spark, emb, queries, k = 10,
+      overfetch = n)) == exact)
+    // the learned basis must not lose to the random ±1 map at the SAME
+    // reduced width (PCA captures the corpus's actual spectral mass;
+    // JL at m = 16 carries noise σ ≈ √(1/16) ≈ 0.25 against this
+    // fixture's 0.04 neighbor gaps)
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      pairs(df).count(exact.contains).toDouble / exact.size
+    val rPca = recall(SimilaritySearch.pcaTopK(spark, emb, queries, k = 10))
+    val rJl = recall(SimilaritySearch.jlTopK(spark, emb, queries, k = 10,
+      m = SimilaritySearch.PcaFixed.M))
+    info(s"recall@10 at m=16: pca=$rPca jl=$rJl")
+    assert(rPca >= rJl, s"PCA recall $rPca below JL $rJl at equal m")
+    assert(rPca >= 0.5, s"PCA recall $rPca below 0.5")
+  }
+
   test("ivfTopK: recall >= 0.5 vs brute force; probes only nProbe cells") {
     VectorFunctions.register(spark)
     val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
