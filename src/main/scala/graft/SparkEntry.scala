@@ -97,7 +97,11 @@ object SparkEntry {
     "x112_ccnet_buckets" ->
       "inherits x87's open-vocabulary bigram-model growth - use x113 (x101's fixed-width 256-bucket model + t-digest thresholds) at scale",
     "x118_bigram_xent_kn" ->
-      "inherits x87's open-vocabulary bigram-model growth (the KN continuation/context relations live at the same model grain) - use x120 (the x101 hashed-bucket fold applied to the KN model) at scale")
+      "inherits x87's open-vocabulary bigram-model growth (the KN continuation/context relations live at the same model grain) - use x120 (the x101 hashed-bucket fold applied to the KN model) at scale",
+    "x129_knn_pca" ->
+      "x111's reduced-scan regime with a learned basis: the fit pass is one corpus scan whose only exchange is d^2/2 integer partials (the x128 relation), and the m-dim candidate scan's shuffle is O(|Q|*k*overfetch) - compose with x15 cells (project, then bucket the projections) when the reduced scan itself is the bottleneck",
+    "x130_pareto_classifier_trained" ->
+      "inherits x125's fit cost (QcIters passes over the pinned feature relation, model-sized exchanges); the admission itself is row-local math above the existing doc-grain agg - use x126 (pinned weights, hash-checked, build-free) when the fitted model is not required")
 
   /** For every rows-only entry (registered without a SQL oracle —
     * learned models, sketches, or otherwise non-SQL-expressible), the
@@ -156,5 +160,9 @@ object SparkEntry {
     "x102_semdedup_capped"   -> ("operators/DedupSpec.scala",
       "x102 semdedup cellCap: a planted 50-clique's pair work is bounded"),
     "x125_quality_classifier_trained" -> ("operators/CurationSpec.scala",
-      "x125 trained quality classifier: loss descends, separates a two-domain corpus"))
+      "x125 trained quality classifier: loss descends, separates a two-domain corpus"),
+    "x129_knn_pca"           -> ("operators/SimilaritySearchSpec.scala",
+      "pcaTopK: basis orthonormal with descending moments"),
+    "x130_pareto_classifier_trained" -> ("operators/CurationSpec.scala",
+      "x130 trained Pareto sample"))
 }

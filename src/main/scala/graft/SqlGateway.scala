@@ -316,6 +316,47 @@ object SqlGateway {
   private val checkedIvf =
     new scala.collection.concurrent.TrieMap[String, Boolean]
 
+  /** SearchIndexes over a LIVE s40/s43 serving-store root (the
+    * `<workDir>/store` directory holding the four DeltaStores) — the
+    * production read path where the gateway serves an index a
+    * maintenance stream is still writing. Reads are strictly
+    * [[graft.store.DeltaStore.readOnly]] (a non-owner must never run
+    * recover(): it would delete the writer's in-progress compaction
+    * staging), and NOTHING is memoized — a live store changes between
+    * requests, so corpus stats and the quantizer sample are re-derived
+    * per request (both are model-grain: the stats relation is
+    * O(batches) rows, the guard samples ≤ 256). */
+  private[graft] def liveStoreIndexes(spark: SparkSession,
+                                      base: SearchIndexes,
+                                      root: String): SearchIndexes = {
+    import org.apache.spark.sql.functions._
+    val h = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    require(h.exists(new org.apache.hadoop.fs.Path(root)),
+      s"store root $root does not exist")
+    val (tfS, dfS, statS, ivfS) =
+      graft.streaming.StreamingQueries.servingDeltaStores(spark, root)
+    val st = statS.readOnly(spark)
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"))
+      .collect()(0)
+    val nDocs = st.getLong(0)
+    require(nDocs > 0,
+      s"store root $root holds no tokenized item docs (avgdl undefined)")
+    val avgdl = st.getLong(1).toDouble / nDocs
+    val ivf = ivfS.readOnly(spark)
+    val bad = ivf.limit(256)
+      .filter(graft.operators.SimilaritySearch
+        .argmaxCell(col("embedding"), base.cents) =!= col("cell"))
+      .count()
+    require(bad == 0, s"store root $root was not built with the gateway's " +
+      s"fixed quantizer ($bad of <=256 sampled rows sit in the wrong cell) " +
+      "— probing it would serve wrong neighbors")
+    base.copy(tf = tfS.readOnly(spark),
+      df = dfS.readOnly(spark).groupBy("token").agg(sum("df").as("df")),
+      ivf = ivf, nDocs = nDocs, avgdl = avgdl)
+  }
+
   private[graft] def buildSearchIndexes(spark: SparkSession,
                                         dir: String): SearchIndexes = {
     import org.apache.spark.sql.functions._
@@ -622,7 +663,7 @@ object SqlGateway {
         requests.incrementAndGet()
         if (ex.getRequestMethod != "POST")
           respond(ex, 405,
-            """{"error":"POST query text to /search (params: k, mode=hybrid|lexical|semantic, vec_id, tf, df, ivf)"}""" + "\n")
+            """{"error":"POST query text to /search (params: k, mode=hybrid|lexical|semantic, vec_id, tf, df, ivf, store)"}""" + "\n")
         else {
           val text = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
           val k = queryParam(ex, "k")
@@ -643,8 +684,18 @@ object SqlGateway {
             }
           }, timeoutSec.toLong, TimeUnit.SECONDS)
           try {
-            val idx = searchIdx.overridden(spark,
-              queryParam(ex, "tf"), queryParam(ex, "df"), queryParam(ex, "ivf"))
+            val idx = queryParam(ex, "store") match {
+              case Some(root) =>
+                // a live DeltaStore root replaces ALL index relations —
+                // mixing it with per-table overrides would serve a
+                // chimera index, so the combination is rejected
+                require(Seq("tf", "df", "ivf")
+                    .forall(queryParam(ex, _).isEmpty),
+                  "store= replaces tf/df/ivf — the params cannot be combined")
+                liveStoreIndexes(spark, searchIdx, root)
+              case None => searchIdx.overridden(spark,
+                queryParam(ex, "tf"), queryParam(ex, "df"), queryParam(ex, "ivf"))
+            }
             val body = searchTopK(spark, idx, mode, text, vecId, k)
             respond(ex, 200, body)
           } catch {

@@ -879,12 +879,46 @@ object Curation {
     * (the same exchange x124 already pays), then row-local math; the
     * only other exchange is the presentation sort. */
   def paretoClassifierSample(docs: DataFrame): DataFrame =
-    qcFixedScored(docs, Seq("lang"))
+    paretoKeepStage(qcFixedScored(docs, Seq("lang")), Seq("lang"))
+
+  /** The classifier-Pareto ADMISSION stage in one place: given any
+    * (doc_id, …, q_score) scored relation, draw the "paretoc:"-seeded
+    * md5-uniform, apply the x119 keep rule (u·(2−q)⁹ < 1, the
+    * integer-α chain compared unrounded), and return the kept rows —
+    * shared by x126 (pinned-weight scores), x130 (trained scores) and
+    * the spec's replay harness, so the admission semantics cannot
+    * desync across scorers. */
+  private[graft] def paretoKeepStage(scored: DataFrame,
+                                     carry: Seq[String]): DataFrame =
+    scored
       .withColumn("accept_key", paretoAcceptKey(col("q_score"),
         paretoUniform("paretoc:", col("doc_id"))))
       .filter(col("accept_key") < 1.0)
-      .select(col("doc_id"), col("lang"), col("q_score"),
-        round(col("accept_key"), 6).as("accept_key"))
+      .select(col("doc_id") +: carry.map(col) :+ col("q_score") :+
+        round(col("accept_key"), 6).as("accept_key"): _*)
+
+  /** x130: the GPT-3 data-curation composition in its PUBLISHED form —
+    * Brown 2020 App. A scores Common Crawl with the TRAINED quality
+    * classifier and keeps a document iff the Pareto rule admits it;
+    * x126 proved the composition with the pinned-weight twin, this
+    * entry runs it with x125's fitted model. [[paretoKeepStage]] is
+    * shared verbatim (one definition of the admission semantics), so
+    * the only unchecked-by-hash piece is the score itself — learned
+    * weights are fp-order-sensitive ⇒ rows-only; CurationSpec replays
+    * the keep rule over the entry's OWN carried scores (u is a
+    * deterministic md5 of doc_id, the chain is closed-form, so every
+    * output row is independently re-derivable) and pins the stage
+    * against a hand-scored relation.
+    *
+    * Plan at 100 TB: the fit is x125's O(iters) passes with model-sized
+    * exchanges; the admission adds row-local math above the existing
+    * doc-grain agg — no new corpus-sized stage. */
+  def paretoClassifierSampleTrained(docs: DataFrame,
+                                    benchMod: Int = BenchMod,
+                                    iters: Int = QcIters,
+                                    lr: Double = QcLr): DataFrame =
+    paretoKeepStage(
+      qualityClassifierTrained(docs, benchMod, iters, lr), Seq("is_target"))
 
   // ---- x24: heavy hitters per stratum ----------------------------------
 

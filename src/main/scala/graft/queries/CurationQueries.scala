@@ -862,6 +862,17 @@ object CurationQueries {
   def qualityClassifierTrainedQ(s: SparkSession, dir: String): DataFrame =
     Curation.qualityClassifierTrained(Tables.documents(s, dir))
 
+  // ---------------------------------------------------------------------
+  // x130 — the GPT-3 composition at TRAINED weights (score with the
+  // fitted classifier, then Pareto-admit): x126's admission stage
+  // verbatim over x125's learned scores. Rows-only (the fit);
+  // CurationSpec replays the closed-form keep rule over the entry's own
+  // carried scores and pins the shared stage on a hand-scored relation.
+  // ---------------------------------------------------------------------
+  def paretoClassifierSampleTrainedQ(s: SparkSession, dir: String): DataFrame =
+    Curation.paretoClassifierSampleTrained(Tables.documents(s, dir))
+      .orderBy("doc_id")
+
   /** s31's admission threshold — binds at both SFs (sf0.01: 58/494
     * admitted, sf0.1: 664/4948). */
   val DsirTau = 0.5
@@ -1521,11 +1532,15 @@ object CurationQueries {
   /** The BM25 ranking CTE chain, parameterized on the per-query cutoff so
     * x76's fusion oracle can reuse it at a deeper k. Yields
     * (query_id, doc_id, bm25, rnk ≤ k), no presentation sort. */
-  private[queries] def bm25CoreSql(k: Int): String = {
+  /** `itemPred`: extra SQL predicate restricting the ITEM (indexed)
+    * corpus — "TRUE" for the full split; s43's prefix oracle passes the
+    * as-of stage cut so each serve point is checked against exactly the
+    * corpus that had arrived. */
+  private[queries] def bm25CoreSql(k: Int, itemPred: String = "TRUE"): String = {
     val (k1, b, m) = (Curation.BmK1, Curation.BmB, Curation.BenchMod)
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
-       |  FROM documents WHERE doc_id % $m <> 0),
+       |  FROM documents WHERE doc_id % $m <> 0 AND ($itemPred)),
        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
@@ -1773,12 +1788,21 @@ object CurationQueries {
   // arithmetic. Constants are the shared HybridListK/HybridK/RrfK0 and
   // IvfPqFixed values the Spark side resolves to.
   // ---------------------------------------------------------------------
-  lazy val hybridServeStreamSql: String = {
+  lazy val hybridServeStreamSql: String = hybridServeSqlFor("TRUE", "TRUE")
+
+  /** The s39 serve SQL parameterized by the ITEM-corpus cut: `docPred`
+    * restricts the lexical arm's indexed documents (over `doc_id`),
+    * `vecPred` the semantic arm's indexed vectors (over `e.vec_id`) —
+    * "TRUE"/"TRUE" is s39/s40's full item split; s43's as-of oracle
+    * passes the arrived-prefix predicates per serve stage. ONE
+    * definition of the serve semantics for all three entries. */
+  private[queries] def hybridServeSqlFor(docPred: String,
+                                         vecPred: String): String = {
     val m = Curation.BenchMod
     import graft.operators.SimilaritySearch.{IvfPqFixed => P}
     def cos(a: String, b: String) =
       ExtendedQueries.cosSqlOn(s"$a.embedding", s"$b.embedding")
-    s"""WITH lex AS (${bm25CoreSql(HybridListK)}),
+    s"""WITH lex AS (${bm25CoreSql(HybridListK, docPred)}),
        |cents AS (
        |  SELECT vec_id AS cid, embedding FROM embeddings
        |  WHERE vec_id < ${P.NLists}),
@@ -1788,7 +1812,7 @@ object CurationQueries {
        |           row_number() OVER (PARTITION BY e.vec_id
        |             ORDER BY ${cos("e", "c")} DESC, c.cid) AS rn
        |    FROM embeddings e CROSS JOIN cents c
-       |    WHERE e.vec_id % $m <> 0) t
+       |    WHERE e.vec_id % $m <> 0 AND ($vecPred)) t
        |  WHERE rn = 1),
        |probes AS (
        |  SELECT query_id, cid AS cell FROM (
@@ -1825,6 +1849,30 @@ object CurationQueries {
        |            ORDER BY rrf DESC, doc_id ASC) AS rank FROM fused)
        |SELECT query_id, doc_id, lex_rank, sem_rank, rrf, rank
        |FROM ranked WHERE rank <= $HybridK ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** s43 serve-while-maintain's as-of stage count and split: item docs
+    * stream in [[AsofStages]] deterministic files (stage = doc_id %
+    * AsofStages), and a serve runs after EVERY maintenance batch — so
+    * each stage's result must equal a from-scratch serve over exactly
+    * the arrived prefix. Shared Scala↔SQL (the desync discipline). */
+  private[graft] val AsofStages = 3
+
+  // ---------------------------------------------------------------------
+  // s43 oracle — one hybrid serve per as-of point, each over the
+  // arrived-prefix item corpus (doc_id % AsofStages <= stage; the query
+  // slice and the fixed quantizer are static by construction). The
+  // incremental store's integer-sum/row-grain contract is what makes
+  // every intermediate state — not just the final one — equal the
+  // from-scratch rebuild this SQL computes.
+  // ---------------------------------------------------------------------
+  lazy val serveWhileMaintainSql: String = {
+    val stages = (0 until AsofStages).map { st =>
+      val body = hybridServeSqlFor(
+        s"doc_id % $AsofStages <= $st", s"e.vec_id % $AsofStages <= $st")
+      s"SELECT CAST($st AS INTEGER) AS stage, q.* FROM (\n$body\n) q"
+    }
+    stages.mkString("", "\nUNION ALL\n", "\nORDER BY stage, query_id, rank")
   }
 
   // ---------------------------------------------------------------------
@@ -1908,6 +1956,7 @@ object CurationQueries {
     "x124_quality_classifier_fixed" -> ((qualityClassifierFixedQ _,
       Some(qualityClassifierFixedSql))),
     "x125_quality_classifier_trained" -> ((qualityClassifierTrainedQ _, None)),
+    "x130_pareto_classifier_trained" -> ((paretoClassifierSampleTrainedQ _, None)),
     "x98_decontam_dashboard"  -> ((decontamDashboard _, Some(decontamDashboardSql))),
     "x100_signal_agreement"   -> ((signalAgreement _, Some(signalAgreementSql))),
     "x41_datacard"            -> ((datacard _, Some(datacardSql))),

@@ -142,6 +142,42 @@ final class DeltaStore(
     else parts.map(_.select(cols: _*)).reduce(_.unionByName(_))
   }
 
+  /** The current store relation WITHOUT repairing anything — the
+    * READER-side twin of [[read]] for processes that do not own the
+    * store (the gateway serving a live index while a maintenance stream
+    * writes it). [[recover]] mutates (it deletes dead staging, rolls
+    * forward completed swaps, re-sweeps folded deltas), so a non-owner
+    * calling [[read]] could destroy a writer's in-progress compaction
+    * staging. This method instead RESOLVES every crash/in-flight state
+    * read-only:
+    *  - staging WITHOUT `_STAGED` is a dead or in-progress rewrite —
+    *    ignored (base + deltas are untouched and authoritative);
+    *  - staging WITH `_STAGED` is the complete merged relation — it is
+    *    the base-elect, and is read AS the base (covers the window
+    *    where the owner has deleted the old base but not finished the
+    *    rename);
+    *  - deltas at or below the effective base's `_FOLDED_UPTO`
+    *    watermark are already folded into it (crash mid-sweep) —
+    *    excluded, so nothing double-counts.
+    * The one inconsistency window is file-grain: a scan planned against
+    * a delta dir the owner deletes mid-read can fail transiently — the
+    * caller retries; nothing is ever silently wrong. */
+  def readOnly(s: SparkSession): DataFrame = {
+    val h = fs(s); val st = new Path(stagingPath)
+    val staged = h.exists(st) && h.exists(new Path(st, StagedMarker))
+    val effBase = if (staged) stagingPath else basePath
+    val upto = readMarker(s, effBase)
+    val parts =
+      (if (h.exists(new Path(effBase)))
+         Seq(s.read.schema(schema).parquet(effBase)) else Seq.empty) ++
+      deltaIds(s).filter(_ > upto)
+        .map(id => s.read.schema(schema).parquet(deltaDir(id)))
+    val cols = schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq
+    if (parts.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else parts.map(_.select(cols: _*)).reduce(_.unionByName(_))
+  }
+
   /** Fold all live deltas (and the current base) into a fresh base via
     * the staged swap. No-op when no deltas exist. */
   def compact(s: SparkSession): Unit = {

@@ -1994,33 +1994,24 @@ object StreamingQueries {
   // caller's schedule — the standard LSM contract.
   // ---------------------------------------------------------------------
 
-  /** The s40 core. `workDir`/`onBatch`: the s34–s39 restart hooks; the
-    * checkpoint plus the DeltaStores' batch-id watermarking make every
-    * batch exactly-once across crash+resume (a replayed batch
-    * overwrites its own delta dirs, or is skipped where a compaction
-    * already folded it). */
-  private[graft] def incrementalIndexServe(s: SparkSession, docs: DataFrame,
-                                           emb: DataFrame, benchMod: Int,
-                                           listK: Int, k0: Int, k: Int,
-                                           nLists: Int, nProbe: Int,
-                                           compactEvery: Int = 2,
-                                           workDir: Option[String] = None,
-                                           onBatch: Long => Unit = _ => ())
-      : DataFrame = {
-    import graft.operators.{Curation, SimilaritySearch}
+  /** The four serving-index DeltaStores of s40/s43 under `root` — ONE
+    * definition of their schemas, base/delta layouts, and merge
+    * semantics, shared by the maintenance stream (the store OWNER,
+    * which appends/compacts/recovers) and the gateway's live read path
+    * (a NON-owner, which must use [[graft.store.DeltaStore.readOnly]]).
+    *
+    * Base layout = the serve path's pruning contract: inverted-index
+    * stores are token-hash-partitioned files each SORTED on token
+    * (row-group stats selective under the literal-IN route); the IVF
+    * store is cell-PARTITIONED (probe sets become partition filters).
+    * Deltas are batch-grain and keep the same per-file sort/partition
+    * shape at a small file count. df and corpus stats fold by exact
+    * integer SUM at compaction (the s32 algebraic-partials argument);
+    * postings and IVF rows are row-grain (a new doc only adds rows). */
+  private[graft] def servingDeltaStores(s: SparkSession, root: String)
+      : (graft.store.DeltaStore, graft.store.DeltaStore,
+         graft.store.DeltaStore, graft.store.DeltaStore) = {
     import graft.store.DeltaStore
-    val work = workDir.getOrElse(tempDir("graft_s40_"))
-    val inDir = s"$work/in"; val ck = s"$work/ck"
-    def toksCol = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
-    val items = docs.filter(col("doc_id") % benchMod =!= 0)
-    val qDocs = docs.filter(col("doc_id") % benchMod === 0 &&
-      col("doc_id") < Curation.BmQueryIdMax)
-    val srcE = emb.select(col("vec_id").cast("long").as("vec_id"),
-      col("embedding"))
-    val itemE = srcE.filter(col("vec_id") % benchMod =!= 0)
-    val cents = SimilaritySearch.collectFixedRows(
-      srcE.filter(col("vec_id") < nLists), nLists)
-
     val tfSchema = StructType(Seq(StructField("doc_id", LongType),
       StructField("token", StringType), StructField("tf", LongType),
       StructField("dl", IntegerType)))
@@ -2031,13 +2022,6 @@ object StreamingQueries {
     val ivfSchema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)),
       StructField("cell", LongType)))
-
-    // base layout = the serve path's pruning contract: inverted-index
-    // stores are token-hash-partitioned files each SORTED on token
-    // (row-group stats selective under the literal-IN route); the IVF
-    // store is cell-PARTITIONED (probe sets become partition filters).
-    // Deltas are batch-grain and keep the same per-file sort/partition
-    // shape at a small file count.
     def sortedBy(key: String, files: Int)(d: DataFrame, path: String): Unit =
       d.repartition(files, col(key)).sortWithinPartitions(key)
         .write.mode("overwrite").parquet(path)
@@ -2046,28 +2030,124 @@ object StreamingQueries {
         .partitionBy("cell").parquet(path)
     def tinyRows(d: DataFrame, path: String): Unit =
       d.coalesce(1).write.mode("overwrite").parquet(path)
-
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val tfStore = new DeltaStore(s"$work/store/tf", tfSchema,
-      sortedBy("token", nPart), sortedBy("token", 4), identity)
-    val dfStore = new DeltaStore(s"$work/store/df", dfSchema,
-      sortedBy("token", 4), sortedBy("token", 1),
-      _.groupBy("token").agg(sum("df").as("df")))
-    val statStore = new DeltaStore(s"$work/store/stats", statSchema,
-      tinyRows, tinyRows,
-      _.agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
-        coalesce(sum("sum_dl"), lit(0L)).as("sum_dl")))
-    val ivfStore = new DeltaStore(s"$work/store/ivf", ivfSchema,
-      cellPartitioned, cellPartitioned, identity)
+    (new DeltaStore(s"$root/tf", tfSchema,
+       sortedBy("token", nPart), sortedBy("token", 4), identity),
+     new DeltaStore(s"$root/df", dfSchema,
+       sortedBy("token", 4), sortedBy("token", 1),
+       _.groupBy("token").agg(sum("df").as("df"))),
+     new DeltaStore(s"$root/stats", statSchema,
+       tinyRows, tinyRows,
+       _.agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+         coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"))),
+     new DeltaStore(s"$root/ivf", ivfSchema,
+       cellPartitioned, cellPartitioned, identity))
+  }
+
+  /** The s40 core. `workDir`/`onBatch`: the s34–s39 restart hooks; the
+    * checkpoint plus the DeltaStores' batch-id watermarking make every
+    * batch exactly-once across crash+resume (a replayed batch
+    * overwrites its own delta dirs, or is skipped where a compaction
+    * already folded it). */
+  private[graft] def incrementalIndexServe(s: SparkSession, docs: DataFrame,
+                                           emb: DataFrame, benchMod: Int,
+                                           listK: Int, k0: Int, k: Int,
+                                           nLists: Int, nProbe: Int,
+                                           compactEvery: Int = 2,
+                                           serveEachBatch: Boolean = false,
+                                           workDir: Option[String] = None,
+                                           onBatch: Long => Unit = _ => ())
+      : DataFrame = {
+    import graft.operators.{Curation, SimilaritySearch}
+    import graft.store.DeltaStore
+    val work = workDir.getOrElse(
+      tempDir(if (serveEachBatch) "graft_s43_" else "graft_s40_"))
+    val inDir = s"$work/in"; val ck = s"$work/ck"
+    val outDir = s"$work/out"
+    val stages = graft.queries.CurationQueries.AsofStages
+    def toksCol = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val items = docs.filter(col("doc_id") % benchMod =!= 0)
+    val qDocs = docs.filter(col("doc_id") % benchMod === 0 &&
+      col("doc_id") < Curation.BmQueryIdMax)
+    val srcE = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"))
+    val itemE = srcE.filter(col("vec_id") % benchMod =!= 0)
+    val cents = SimilaritySearch.collectFixedRows(
+      srcE.filter(col("vec_id") < nLists), nLists)
+
+    val (tfStore, dfStore, statStore, ivfStore) =
+      servingDeltaStores(s, s"$work/store")
 
     if (!hasParquet(inDir)) {
-      requireEvalSliceCovered(srcE, qDocs, benchMod, "s40")
+      requireEvalSliceCovered(srcE, qDocs, benchMod,
+        if (serveEachBatch) "s43" else "s40")
       // the corpus stream: item docs FULL-OUTER item embeddings, so an
       // embedding without a document row (and vice versa) still arrives
-      items.select(col("doc_id"), col("text"))
+      val joined = items.select(col("doc_id"), col("text"))
         .join(itemE.select(col("vec_id").as("doc_id"), col("embedding")),
           Seq("doc_id"), "full_outer")
-        .repartition(3).write.mode("overwrite").parquet(inDir)
+      if (serveEachBatch) {
+        // s43 needs DETERMINISTIC batch contents (each serve is
+        // hash-checked against its arrived-prefix oracle), so the input
+        // is one file per stage (stage = doc_id % AsofStages), written
+        // sequentially with EXPLICIT ascending modification times —
+        // FileStreamSource orders new files by mod time, and the
+        // per-batch stage assert below makes any ordering drift loud
+        // instead of a silent hash diff
+        val h = new org.apache.hadoop.fs.Path(inDir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        h.mkdirs(new org.apache.hadoop.fs.Path(inDir))
+        (0 until stages).foreach { st =>
+          val tmp = s"$work/in_stage$st"
+          joined.filter(pmod(col("doc_id"), lit(stages.toLong)) === st)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = h.listStatus(new org.apache.hadoop.fs.Path(tmp))
+            .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+          require(part.length == 1, s"s43: stage $st wrote ${part.length} files")
+          val dst = new org.apache.hadoop.fs.Path(inDir, s"stage-$st.parquet")
+          require(h.rename(part.head, dst), s"s43: rename to $dst failed")
+          // fixed epoch base (not wall clock): only the ORDER matters,
+          // and a fixed base keeps reruns byte-stable
+          h.setTimes(dst, 1000000000000L + st * 60000L, -1)
+          h.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        }
+      } else {
+        joined.repartition(3).write.mode("overwrite").parquet(inDir)
+      }
+    }
+
+    // the serve: both arms against the merged base∪delta views — the
+    // literal-IN / partition filters push below the union to every base
+    // and delta scan. A local def because s43 runs it after EVERY
+    // maintenance batch (serve-while-maintain), s40 once at the end —
+    // ONE definition of the serve semantics either way.
+    def serveNow(entry: String): DataFrame = {
+      val tfView = tfStore.read(s)
+      val dfView = dfStore.read(s).groupBy("token").agg(sum("df").as("df"))
+      val st = statStore.read(s)
+        .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"))
+        .collect()(0)
+      val nDocs = st.getLong(0)
+      require(nDocs > 0,
+        s"$entry serve: corpus has no tokenized item docs (avgdl undefined)")
+      val avgdl = st.getLong(1).toDouble / nDocs
+      val ivfView = ivfStore.read(s)
+      val queries = qDocs.select(col("doc_id"), col("text"))
+        .join(srcE.select(col("vec_id").as("doc_id"), col("embedding")),
+          Seq("doc_id"), "left")
+      val lex = bm25BatchRank(s,
+          queries.select(col("doc_id").as("query_id"), col("text")),
+          tfView, dfView, nDocs, avgdl, listK)
+        .select(col("query_id"), col("doc_id"), col("rnk").as("rank"))
+      val sem = annBatchRank(s,
+          queries.filter(col("embedding").isNotNull)
+            .select(col("doc_id").as("query_id"),
+              col("embedding").as("q_vec")),
+          ivfView, cents, nProbe, listK)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      SimilaritySearch.rrfFuse(lex, sem, k0 = k0, k = k)
+        .select("query_id", "doc_id", "lex_rank", "sem_rank", "rrf", "rank")
     }
 
     val stream = s.readStream
@@ -2107,42 +2187,36 @@ object StreamingQueries {
           tfStore.compact(s); dfStore.compact(s)
           statStore.compact(s); ivfStore.compact(s)
         }
+        if (serveEachBatch) {
+          // the file-order contract made loud: every batch must be
+          // exactly its stage's file (a scrambled arrival would serve a
+          // NON-prefix corpus and fail here, not as an opaque hash diff)
+          val seen = b.select(pmod(col("doc_id"), lit(stages.toLong))
+              .cast("int").as("st")).distinct()
+            .collect().map(_.getInt(0)).toSet
+          require(seen == Set(id.toInt),
+            s"s43: batch $id carried stages $seen (file order broken)")
+          serveNow("s43").withColumn("stage", lit(id.toInt))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        }
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
 
-    // the serve: both arms against the merged base∪delta views — the
-    // literal-IN / partition filters push below the union to every
-    // base and delta scan
-    val tfView = tfStore.read(s)
-    val dfView = dfStore.read(s).groupBy("token").agg(sum("df").as("df"))
-    val st = statStore.read(s)
-      .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
-        coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"))
-      .collect()(0)
-    val nDocs = st.getLong(0)
-    require(nDocs > 0,
-      "s40 serve: corpus has no tokenized item docs (avgdl undefined)")
-    val avgdl = st.getLong(1).toDouble / nDocs
-    val ivfView = ivfStore.read(s)
-    val queries = qDocs.select(col("doc_id"), col("text"))
-      .join(srcE.select(col("vec_id").as("doc_id"), col("embedding")),
-        Seq("doc_id"), "left")
-    val lex = bm25BatchRank(s,
-        queries.select(col("doc_id").as("query_id"), col("text")),
-        tfView, dfView, nDocs, avgdl, listK)
-      .select(col("query_id"), col("doc_id"), col("rnk").as("rank"))
-    val sem = annBatchRank(s,
-        queries.filter(col("embedding").isNotNull)
-          .select(col("doc_id").as("query_id"),
-            col("embedding").as("q_vec")),
-        ivfView, cents, nProbe, listK)
-      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
-    SimilaritySearch.rrfFuse(lex, sem, k0 = k0, k = k)
-      .select("query_id", "doc_id", "lex_rank", "sem_rank", "rrf", "rank")
-      .orderBy("query_id", "rank")
+    if (serveEachBatch)
+      readBatchesOr(s, outDir,
+          s.range(0).select(col("id").as("query_id"), col("id").as("doc_id"),
+            col("id").cast("double").as("lex_rank"),
+            col("id").cast("double").as("sem_rank"),
+            col("id").cast("double").as("rrf"), col("id").cast("int").as("rank"),
+            col("id").cast("int").as("stage")))
+        .select("stage", "query_id", "doc_id", "lex_rank", "sem_rank",
+          "rrf", "rank")
+        .orderBy("stage", "query_id", "rank")
+    else
+      serveNow("s40").orderBy("query_id", "rank")
   }
 
   def streamIndexMaintain(s: SparkSession, dir: String): DataFrame = {
@@ -2153,6 +2227,31 @@ object StreamingQueries {
       Tables.embeddings(s, dir), Curation.BenchMod,
       listK = CQ.HybridListK, k0 = CQ.RrfK0, k = CQ.HybridK,
       nLists = P.NLists, nProbe = P.NProbe)
+  }
+
+  /** s43 — SERVE-WHILE-MAINTAIN: s40's incremental maintenance with a
+    * hybrid serve after EVERY micro-batch, each result tagged with its
+    * as-of stage — the live posture where queries do not wait for the
+    * corpus refresh to finish. The incremental stores' row-grain /
+    * exact-integer-sum contract is what makes every INTERMEDIATE state
+    * (not just the final one) value-identical to a from-scratch rebuild
+    * over the arrived prefix, and the oracle checks exactly that: one
+    * prefix-restricted s39 serve per as-of point
+    * ([[graft.queries.CurationQueries.serveWhileMaintainSql]]). Batch
+    * contents are DETERMINISTIC here (one file per doc_id%AsofStages
+    * stage, explicit ascending mod times) because intermediate results
+    * are part of the checked output — s40 stays batching-invariant, s43
+    * pins the batching and asserts it per batch. With compactEvery = 2
+    * the three serves cover all store states: pure-delta (asof 0),
+    * freshly-compacted base (asof 1), and base∪delta (asof 2). */
+  def streamServeWhileMaintain(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    import graft.operators.SimilaritySearch.{IvfPqFixed => P}
+    import graft.queries.{CurationQueries => CQ}
+    incrementalIndexServe(s, Tables.documents(s, dir),
+      Tables.embeddings(s, dir), Curation.BenchMod,
+      listK = CQ.HybridListK, k0 = CQ.RrfK0, k = CQ.HybridK,
+      nLists = P.NLists, nProbe = P.NProbe, serveEachBatch = true)
   }
 
   // ---------------------------------------------------------------------
@@ -2339,6 +2438,64 @@ object StreamingQueries {
     paretoAdmissionStream(s, Tables.documents(s, dir))
 
   // ---------------------------------------------------------------------
+  // s44 — STREAMED scatter-statistics maintenance: x128's PCA fit
+  // relation computed as the embedding stream ARRIVES. Every row of the
+  // scatter relation is an exact INTEGER sum (pair products, per-dim
+  // sums, count — the property that makes x128 hashable at all), so
+  // per-batch partials merge associatively and the streamed fold is
+  // BATCHING-INVARIANT: the oracle is x128's SQL verbatim (the s38↔x71
+  // / s42↔x126 discipline). This is the missing streaming leg of the
+  // x128→x129 PCA rung — the principal basis becomes refreshable at any
+  // watermark of a live corpus without a batch re-scan, because the
+  // sufficient statistics are maintained, not recomputed.
+  // At 100 TB: each batch contributes one row-local explode collapsed
+  // map-side to ≤ 2 145 rows; the cross-batch merge is model-grain.
+  // ---------------------------------------------------------------------
+
+  /** The s44 core. `workDir`/`onBatch`: the s30–s43 restart hooks; the
+    * per-batch-dir overwrite makes a replayed batch idempotent. */
+  private[graft] def embeddingScatterStream(s: SparkSession, embs: DataFrame,
+                                            dim: Int =
+                                              graft.operators.SimilaritySearch.PcaFixed.Dim,
+                                            workDir: Option[String] = None,
+                                            onBatch: Long => Unit = _ => ())
+      : DataFrame = {
+    import graft.operators.SimilaritySearch
+    val work = workDir.getOrElse(tempDir("graft_s44_"))
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    if (!hasParquet(inDir))
+      embs.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+        .repartition(3).write.mode("overwrite").parquet(inDir)
+
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        onBatch(id)
+        SimilaritySearch.embeddingScatter(b, dim)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    readBatchesOr(s, outDir,
+        s.range(0).select(col("id").cast("int").as("i"),
+          col("id").cast("int").as("j"), col("id").as("s")))
+      .groupBy("i", "j").agg(sum("s").as("s"))
+      .orderBy("i", "j")
+  }
+
+  def streamEmbeddingScatter(s: SparkSession, dir: String): DataFrame =
+    embeddingScatterStream(s, Tables.embeddings(s, dir))
+
   // s32 — STREAMED embedding-table health (x91 as a monitor): the
   // audit statistics are ALGEBRAIC — counts, min/max, and a norm sum
   // all merge associatively — so the stream emits per-batch PARTIALS
@@ -2615,6 +2772,10 @@ object StreamingQueries {
       Some(graft.queries.CurationQueries.hybridServeStreamSql))),
     "s40_stream_index_maintain" -> ((streamIndexMaintain _,
       Some(graft.queries.CurationQueries.hybridServeStreamSql))),
+    "s43_serve_while_maintain" -> ((streamServeWhileMaintain _,
+      Some(graft.queries.CurationQueries.serveWhileMaintainSql))),
+    "s44_stream_scatter" -> ((streamEmbeddingScatter _,
+      Some(graft.queries.ExtendedQueries.embeddingScatterSql))),
     "s41_stream_ann_serve_probed" -> ((streamAnnServeProbed _,
       Some(graft.queries.ExtendedQueries.annServeProbedSql))),
     "s36_stream_neardup_bucketed" -> ((streamNearDupBucketed _,

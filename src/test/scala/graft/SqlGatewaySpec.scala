@@ -359,6 +359,57 @@ class SqlGatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("/search store=: a live DeltaStore root serves identically to the s40 batch result; combining with table overrides or a missing root is a 400") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.SimilaritySearch.{IvfPqFixed => P}
+    import graft.queries.{CurationQueries => CQ}
+    withServer() { port =>
+      // run the maintenance stream with a KEPT work dir and a
+      // compaction interval beyond the batch count, leaving the store
+      // in its live delta-only state (no base at all — the read-only
+      // path's least-compacted shape); the returned serve result is the
+      // hash-checked s40 ground truth for the same store
+      val work = java.nio.file.Files
+        .createTempDirectory("spec_live_store_").toString
+      val s40 = graft.streaming.StreamingQueries.incrementalIndexServe(
+          spark, Tables.documents(spark, TestSpark.Sf0001),
+          Tables.embeddings(spark, TestSpark.Sf0001),
+          graft.operators.Curation.BenchMod,
+          listK = CQ.HybridListK, k0 = CQ.RrfK0, k = CQ.HybridK,
+          nLists = P.NLists, nProbe = P.NProbe,
+          compactEvery = 99, workDir = Some(work))
+        .filter(col("query_id") === 0L)
+        .select("doc_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong)).sortBy(_._2)
+      assert(s40.nonEmpty, "fixture degenerate: s40 served nothing for query 0")
+      val doc0 = Tables.documents(spark, TestSpark.Sf0001)
+        .filter(col("doc_id") === 0L).select("text").collect()(0).getString(0)
+
+      val (hs, hb) = http(port,
+        s"/search?mode=hybrid&vec_id=0&k=10&store=$work/store", "POST",
+        Some(doc0))
+      assert(hs == 200, hb)
+      val got = hb.trim.split("\n").toSeq.map { line =>
+        def num(k: String) =
+          s""""$k":(-?[0-9]+)""".r.findFirstMatchIn(line).map(_.group(1).toLong)
+        (num("doc_id").get, num("rank").get)
+      }.sortBy(_._2)
+      assert(got == s40.toSeq,
+        s"store= route diverged from the s40 serve:\ngot: $got\ns40: ${s40.toSeq}")
+
+      // a chimera index (live store + per-table override) is rejected
+      val (cs, cb) = http(port,
+        s"/search?mode=hybrid&vec_id=0&store=$work/store&tf=whatever",
+        "POST", Some(doc0))
+      assert(cs == 400 && cb.contains("cannot be combined"), s"$cs $cb")
+      // a nonexistent root is a loud 400, not an empty result
+      val (ms, mb) = http(port,
+        "/search?mode=hybrid&vec_id=0&store=/nonexistent/store", "POST",
+        Some(doc0))
+      assert(ms == 400 && mb.contains("does not exist"), s"$ms $mb")
+    }
+  }
+
   test("/score: route parity with the hash-checked x124/x126 batch entries; tokenless text is a 400") {
     import org.apache.spark.sql.functions.{col, round}
     withServer() { port =>

@@ -1309,6 +1309,51 @@ class CurationSpec extends AnyFunSuite {
     kept.unpersist(); x124.unpersist()
   }
 
+  test("x130 trained Pareto sample: the shared admission stage replays exactly; the entry's rows are self-consistent under the closed-form rule") {
+    import spark.implicits._
+    def md5u(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"paretoc:$id".getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 1152921504606846976.0
+    }
+    def chain(q: Double): Double = {
+      val g1 = 2.0 - q; val g2 = g1 * g1
+      (g2 * g2) * (g2 * g2) * g1
+    }
+    // (a) the shared paretoKeepStage on a HAND-scored relation (scores
+    // are inputs, so the whole stage is deterministic): keep set equals
+    // the driver replay of u·(2−q)⁹ < 1 exactly — this is the stage
+    // x126's hash pins at fixed weights and x130 reuses at trained ones
+    val hand = (0L until 400L).map(i => (i, (i % 100).toDouble / 100.0))
+    val kept = Curation.paretoKeepStage(
+      hand.toDF("doc_id", "q_score"), Nil).collect()
+    val expected = hand.collect {
+      case (id, q) if md5u(id) * chain(q) < 1.0 => id
+    }.toSet
+    assert(kept.map(_.getLong(0)).toSet == expected,
+      s"stage keep set diverged: ${kept.length} vs ${expected.size}")
+    assert(expected.nonEmpty && expected.size < hand.size,
+      "degenerate hand fixture: need both kept and rejected docs")
+    // (b) the real entry at trained weights: every output row is
+    // independently re-derivable from its OWN carried score (u is a
+    // deterministic md5 of doc_id; the chain is closed-form), rejected
+    // docs exist, and the carried label matches the DSIR convention
+    val out = Curation.paretoClassifierSampleTrained(docs).collect()
+    assert(out.nonEmpty, "trained sampler kept nothing")
+    assert(out.length < docs.count(), "trained sampler kept everything")
+    out.foreach { r =>
+      val (id, isT, q, key) =
+        (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3))
+      val exact = md5u(id) * chain(q)
+      assert(exact < 1.0, s"doc $id kept with accept key $exact >= 1")
+      assert(math.abs(exact - key) <= 5e-7,
+        s"doc $id accept_key $key != recomputed $exact")
+      assert(isT == (if (id % Curation.BenchMod == 0) 1 else 0),
+        s"doc $id carried label $isT breaks the DSIR convention")
+    }
+  }
+
   test("x127 classifierCalibration: total exact fold; the trained twin separates where the fixed ramp cannot") {
     import spark.implicits._
     val cal = Curation.classifierCalibration(docs).cache()

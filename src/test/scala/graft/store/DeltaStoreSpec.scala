@@ -124,6 +124,65 @@ class DeltaStoreSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(zombie)), "zombie folded delta not re-swept")
   }
 
+  test("readOnly: resolves every crash/in-flight state WITHOUT mutating the store (the non-owner contract)") {
+    def roContents(st: DeltaStore): Map[String, Long] =
+      st.readOnly(spark).groupBy("token").agg(sum("df").as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val h = fs
+
+    // normal state: readOnly == read
+    val st = mkStore()
+    st.append(spark, 0L, Seq(("a", 1L)).toDF("token", "df"))
+    st.append(spark, 1L, Seq(("b", 2L)).toDF("token", "df"))
+    assert(roContents(st) == Map("a" -> 1L, "b" -> 2L))
+
+    // dead staging (a writer mid-rewrite, or a crash): IGNORED but — the
+    // critical difference from recover() — NOT deleted; a non-owner
+    // clearing it would destroy the owner's in-progress compaction
+    val staging = s"${st.root}/base.compact"
+    Seq(("junk", 99L)).toDF("token", "df")
+      .write.mode("overwrite").parquet(staging)
+    assert(roContents(st) == Map("a" -> 1L, "b" -> 2L),
+      "dead staging leaked into a read-only view")
+    assert(h.exists(new Path(staging)),
+      "readOnly mutated the store: deleted the owner's staging")
+
+    // staged-complete (crash between marker write and swap, or the
+    // owner mid-swap): the staging is the base-elect — read AS the
+    // base, deltas at/below its watermark excluded, nothing touched
+    Seq(("a", 1L), ("b", 2L)).toDF("token", "df")
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val out1 = h.create(new Path(staging, "_FOLDED_UPTO"), true)
+    out1.write("1".getBytes("UTF-8")); out1.close()
+    val out2 = h.create(new Path(staging, "_STAGED"), true)
+    out2.close()
+    st.append(spark, 2L, Seq(("c", 3L)).toDF("token", "df"))
+    // (append ran recover() first, finishing the swap — rebuild the
+    // staged state around the new base to test readOnly against it)
+    Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("token", "df")
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val out3 = h.create(new Path(staging, "_FOLDED_UPTO"), true)
+    out3.write("2".getBytes("UTF-8")); out3.close()
+    val out4 = h.create(new Path(staging, "_STAGED"), true)
+    out4.close()
+    // a zombie delta the staged fold already consumed
+    Seq(("c", 3L)).toDF("token", "df")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${st.root}/delta/batch=2")
+    assert(roContents(st) == Map("a" -> 1L, "b" -> 2L, "c" -> 3L),
+      "staged-complete state misread (double-count or stale base)")
+    assert(h.exists(new Path(staging)) &&
+      h.exists(new Path(s"${st.root}/delta/batch=2")),
+      "readOnly mutated the store during the staged-complete state")
+
+    // a delta ABOVE the staged watermark still unions in
+    Seq(("d", 4L)).toDF("token", "df")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${st.root}/delta/batch=3")
+    assert(roContents(st) ==
+      Map("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L))
+  }
+
   test("empty store reads as an empty typed relation; compact with no deltas is a no-op") {
     val st = mkStore()
     assert(st.read(spark).collect().isEmpty)

@@ -482,7 +482,7 @@ class StreamingSpec extends AnyFunSuite {
       s"s34 leaked ${after - before} catalog tables across 3 invocations")
   }
 
-  test("s30/s31/s33/s34/s35/s36/s37/s38/s39/s40/s42 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
+  test("s30/s31/s33/s34/s35/s36/s37/s38/s39/s40/s42/s43/s44 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
     // A14's checkpoint discipline, proven for the WHOLE foreachBatch
     // read-back family: kill the query inside batch 1 (of 3), restart
     // against the SAME work dir, and require (a) the resumed run
@@ -569,6 +569,33 @@ class StreamingSpec extends AnyFunSuite {
         StreamingQueries.incrementalIndexServe(spark, docs, emb, benchMod = 3,
           listK = 4, k0 = 60, k = 3, nLists = 8, nProbe = 2,
           compactEvery = 2, workDir = w, onBatch = h)
+      },
+      "s43" -> { (w, h) =>
+        // serve-while-maintain over the s40 fixture at benchMod = 4:
+        // the stage split (doc_id % AsofStages = % 3) must not align
+        // with the query split — %3-aligned queries would leave stage 0
+        // with no items and the as-of serve nothing to rank. The crash
+        // lands in batch 1, whose replay re-runs BOTH the compaction
+        // (compactEvery = 2) and that stage's hash-checked serve.
+        val docs = (0L until 12L).map { i =>
+          (i, s"alpha w$i beta w${i % 4} gamma common text body")
+        }.toDF("doc_id", "text")
+        val emb = (0L until 12L).map { i =>
+          (i, Array.tabulate(4)(d => (((i * 7 + d * 3) % 11) - 5).toFloat))
+        }.toDF("vec_id", "embedding")
+        StreamingQueries.incrementalIndexServe(spark, docs, emb, benchMod = 4,
+          listK = 4, k0 = 60, k = 3, nLists = 8, nProbe = 2,
+          compactEvery = 2, serveEachBatch = true, workDir = w, onBatch = h)
+      },
+      "s44" -> { (w, h) =>
+        // streamed scatter maintenance: the s37 embedding fixture at a
+        // small dim — integer partials make the resumed fold exactly
+        // the uninterrupted one
+        val emb = (0L until 16L).map { i =>
+          (i, Array.tabulate(4)(d => (((i * 7 + d * 3) % 11) - 5).toFloat))
+        }.toDF("vec_id", "embedding")
+        StreamingQueries.embeddingScatterStream(spark, emb, dim = 4,
+          workDir = w, onBatch = h)
       },
       "s42" -> { (w, h) =>
         // its own fixture: ids 39/117/136/217 carry md5-uniforms below
