@@ -101,7 +101,9 @@ object SparkEntry {
     "x129_knn_pca" ->
       "x111's reduced-scan regime with a learned basis: the fit pass is one corpus scan whose only exchange is d^2/2 integer partials (the x128 relation), and the m-dim candidate scan's shuffle is O(|Q|*k*overfetch) - compose with x15 cells (project, then bucket the projections) when the reduced scan itself is the bottleneck",
     "x130_pareto_classifier_trained" ->
-      "inherits x125's fit cost (QcIters passes over the pinned feature relation, model-sized exchanges); the admission itself is row-local math above the existing doc-grain agg - use x126 (pinned weights, hash-checked, build-free) when the fitted model is not required")
+      "inherits x125's fit cost (QcIters passes over the pinned feature relation, model-sized exchanges); the admission itself is row-local math above the existing doc-grain agg - use x126 (pinned weights, hash-checked, build-free) when the fitted model is not required",
+    "x131_knn_pca_ivf" ->
+      "the composed regime: per-query scans touch nProbe cells of m-float projected rows (dim/m x cell-pruning savings multiply); recall now depends on BOTH the principal subspace capturing the neighbor geometry and the cell quantizer - widen nProbe or m on diffuse spectra")
 
   /** For every rows-only entry (registered without a SQL oracle —
     * learned models, sketches, or otherwise non-SQL-expressible), the
@@ -164,5 +166,7 @@ object SparkEntry {
     "x129_knn_pca"           -> ("operators/SimilaritySearchSpec.scala",
       "pcaTopK: basis orthonormal with descending moments"),
     "x130_pareto_classifier_trained" -> ("operators/CurationSpec.scala",
-      "x130 trained Pareto sample"))
+      "x130 trained Pareto sample"),
+    "x131_knn_pca_ivf"       -> ("operators/SimilaritySearchSpec.scala",
+      "pcaIvfTopK"))
 }

@@ -920,6 +920,57 @@ object Curation {
     paretoKeepStage(
       qualityClassifierTrained(docs, benchMod, iters, lr), Seq("is_target"))
 
+  // ---- x132: temperature (α) sampling -----------------------------------
+
+  /** x132: TEMPERATURE SAMPLING — the multilingual-pretraining rebalance
+    * rule (Lample & Conneau 2019 §3.1; mBERT's exponent trick): sample
+    * strata to the tempered distribution q_l ∝ p_l^α, which lifts rare
+    * languages and damps dominant ones without the hard caps of x29/x51.
+    * α is FIXED at 1/2 (τ = 2) deliberately: sqrt and division are
+    * correctly-rounded IEEE operations in BOTH engines (pow(x, 0.3) is
+    * not), so every step of the rate computation is bit-identical
+    * cross-engine and the keep decision u < rate hashes — the x119
+    * integer-α-chain lesson applied to a fractional exponent.
+    *
+    * Rates follow x34's largest-feasible-corpus convention: the scale s
+    * = min_l p_l/q_l makes the most-lifted stratum (the rarest language
+    * — p/q = √p̄·Z is minimized there) keep EVERYTHING (rate exactly
+    * 1.0) and every other stratum downsample to match q in expectation.
+    * The per-stratum rates are computed ON THE DRIVER over the
+    * model-grain count relation with an ORDERED left fold (stratum asc)
+    * for the Σ√p̄ normalizer — the same association the oracle's
+    * `list_sum(list(sq ORDER BY lang))` computes, because a cross-row
+    * double sum is the one step where engine-side aggregation order
+    * would break parity. Keep draw: the shared md5-uniform at seed
+    * "tsample:" (independent of the x119/x126 draws by seed).
+    *
+    * Plan at 100 TB: one map-side-combined count shuffle (|strata|
+    * rows), a |strata|-row broadcast back, then a row-local filter —
+    * no corpus-sized exchange anywhere. */
+  val TsampleSeed = "tsample:"
+
+  def temperatureSample(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(counts.nonEmpty, "temperature sample: empty corpus")
+    val nTot = counts.map(_._2).sum.toDouble
+    val withSq = counts.map { case (l, n) =>
+      val p = n / nTot
+      (l, p, math.sqrt(p))
+    }
+    val z = withSq.foldLeft(0.0)(_ + _._3) // ordered left fold, lang asc
+    val withQ = withSq.map { case (l, p, sq) => (l, p, sq / z) }
+    val s = withQ.map { case (_, p, q) => p / q }.min
+    val ratesDf = withQ.map { case (l, p, q) => (l, (q * s) / p) }
+      .toSeq.toDF("lang", "rate")
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(ratesDf), "lang")
+      .filter(paretoUniform(TsampleSeed, col("doc_id")) < col("rate"))
+      .select(col("doc_id"), col("lang"), round(col("rate"), 6).as("rate"))
+  }
+
   // ---- x24: heavy hitters per stratum ----------------------------------
 
   val TopK = 20

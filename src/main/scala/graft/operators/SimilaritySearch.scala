@@ -591,6 +591,59 @@ object SimilaritySearch {
     reducedScanTopK(items, queries, basis, k, overfetch, idCol, vecCol)
   }
 
+  /** x131: the composed scale path x129's caveat names — "project, then
+    * bucket the projections". [[pcaTopK]]'s reduced scan still touches
+    * every item's m coordinates; here IVF cells are learned IN the
+    * m-dim principal space, so a query scans only its nProbe cells of
+    * PROJECTED vectors (dim/m× smaller rows AND cell-pruned row count —
+    * the two savings multiply), and the reduced-space shortlist is
+    * re-scored with the exact full-dim cosine. The principal space is
+    * the right place to bucket: k-means distortion lives where the
+    * variance lives, and after the rotation that is the first m
+    * coordinates by construction.
+    *
+    * All three stages are learned (scatter→basis, k-means cells) ⇒
+    * rows-only; the spec measures recall vs the exact baseline and pins
+    * the candidate pruning. At 100 TB: one scatter pass (the hashed
+    * x128 relation), one sampled k-means fit in m dims, one row-local
+    * assignment pass, then per-query cell-pruned scans of m-float rows. */
+  def pcaIvfTopK(spark: SparkSession, items: DataFrame, queries: DataFrame,
+                 k: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+                 dim: Int = PcaFixed.Dim, m: Int = PcaFixed.M,
+                 overfetch: Int = PcaFixed.Overfetch,
+                 nLists: Int = 16, nProbe: Int = 6): DataFrame = {
+    require(m >= 1 && m <= dim && overfetch >= 1,
+      s"need 1 <= m <= dim, overfetch >= 1")
+    val scatter = embeddingScatter(
+      items.select(col(vecCol).as("embedding")), dim).collect()
+    val (_, basis) = pcaBasis(scatter, dim, m, PcaFixed.Quant)
+    // m-float principal coordinates as the indexed vector — the
+    // compressed index relation (localCheckpoint for the same two
+    // reasons as reducedScanTopK: it IS the persisted product, and it
+    // fences the optimizer off the m projection expressions)
+    def projected(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol),
+          array(basis.map(row =>
+            VectorFunctions.dot_product(col(vecCol), litVec(row))
+              .cast("float")): _*).as("pvec"))
+        .localCheckpoint()
+    val itP = projected(items, "vec_id")
+    val qP = projected(queries, "query_id")
+    val shortlist = ivfTopK(spark,
+        itP.select(col("vec_id"), col("pvec")),
+        qP.select(col("query_id").as("vec_id"), col("pvec")),
+        k * overfetch, vecCol = "pvec", nLists = nLists, nProbe = nProbe)
+      .select(col("query_id"), col("vec_id"))
+    val reranked = items
+      .select(col(idCol).as("vec_id"), col(vecCol).as("i_vec"))
+      .join(broadcast(shortlist), "vec_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("q_vec"))), "query_id")
+      .withColumn("cosine",
+        VectorFunctions.cosine_similarity(col("q_vec"), col("i_vec")))
+    topKPerQuery(reranked.select(col("query_id"), col("vec_id"), col("cosine")), k)
+  }
+
   /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
     * corpus into `nLists` cells; each query probes its `nProbe` nearest
     * cells and scores only those cells' members.

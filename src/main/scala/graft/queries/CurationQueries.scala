@@ -1068,6 +1068,35 @@ object CurationQueries {
        |FROM k WHERE accept_key < 1.0 ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x132 — temperature (α = 1/2) sampling: the multilingual rebalance
+  // rule as a HASH entry — sqrt/division are correctly-rounded IEEE in
+  // both engines, the Σ√p̄ normalizer is an ordered left fold on both
+  // sides, and the keep draw is the shared md5-uniform, so the whole
+  // keep decision is bit-identical cross-engine.
+  // ---------------------------------------------------------------------
+  def temperatureSampleQ(s: SparkSession, dir: String): DataFrame =
+    Curation.temperatureSample(Tables.documents(s, dir)).orderBy("doc_id")
+
+  val temperatureSampleSql: String =
+    s"""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM c),
+       |w AS (SELECT lang, CAST(n AS DOUBLE) / nn AS p,
+       |             sqrt(CAST(n AS DOUBLE) / nn) AS sq
+       |      FROM c, tot),
+       |z AS (SELECT list_sum(list(sq ORDER BY lang)) AS zs FROM w),
+       |r0 AS (SELECT lang, p, sq / zs AS q FROM w, z),
+       |sm AS (SELECT MIN(p / q) AS s FROM r0),
+       |r AS (SELECT lang, (q * s) / p AS rate FROM r0, sm),
+       |u AS (SELECT doc_id, lang,
+       |        (CAST(CAST(concat('0x', substr(md5('${Curation.TsampleSeed}' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) + 0.5)
+       |          / 1152921504606846976.0 AS u
+       |      FROM documents)
+       |SELECT u.doc_id, u.lang, round(r.rate, 6) AS rate
+       |FROM u JOIN r USING (lang)
+       |WHERE u.u < r.rate
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x127 — classifier calibration table (the Guo 2017 reliability
   // diagram): x124's pinned scorer against the DSIR label, folded to
   // score deciles. target_rate is an exact integer-count ratio; the
@@ -1957,6 +1986,7 @@ object CurationQueries {
       Some(qualityClassifierFixedSql))),
     "x125_quality_classifier_trained" -> ((qualityClassifierTrainedQ _, None)),
     "x130_pareto_classifier_trained" -> ((paretoClassifierSampleTrainedQ _, None)),
+    "x132_temperature_sample" -> ((temperatureSampleQ _, Some(temperatureSampleSql))),
     "x98_decontam_dashboard"  -> ((decontamDashboard _, Some(decontamDashboardSql))),
     "x100_signal_agreement"   -> ((signalAgreement _, Some(signalAgreementSql))),
     "x41_datacard"            -> ((datacard _, Some(datacardSql))),

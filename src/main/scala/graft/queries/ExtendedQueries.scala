@@ -696,6 +696,19 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x131 — PCA × IVF composition (project, then bucket the projections —
+  // x129's named scale path made real; all stages learned ⇒ rows-only,
+  // recall + pruning specs in SimilaritySearchSpec).
+  // ---------------------------------------------------------------------
+  def knnPcaIvf(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    SimilaritySearch.pcaIvfTopK(s, emb,
+        emb.filter(col("vec_id") < A.QuerySlice), k = A.K)
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------------
   // x16 — winnowing (rolling-hash) fingerprint overlap pairs. Fully
   // hash-checked since the gram hash moved to engine-shared md5 top-60:
   // the oracle recomputes the positional gram hashes, the sliding-window
@@ -3437,6 +3450,7 @@ object ExtendedQueries {
     "x111_knn_jl"            -> ((knnJl _, Some(knnJlSql))),
     "x128_embedding_scatter" -> ((embeddingScatterQ _, Some(embeddingScatterSql))),
     "x129_knn_pca"           -> ((knnPca _, None)),
+    "x131_knn_pca_ivf"       -> ((knnPcaIvf _, None)),
     "x12_multimodal_features" -> ((multimodalFeatures _, Some(multimodalFeaturesSql))),
     "x13_json_props"         -> ((jsonProps _, Some(jsonPropsSql))),
     "x14_embedding_neardup_lsh" -> ((embeddingNearDupLsh _, None)),

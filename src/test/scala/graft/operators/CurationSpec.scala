@@ -1354,6 +1354,49 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("x132 temperatureSample: rarest stratum keeps (essentially) everything, rates fall with stratum size, keep set replays exactly") {
+    val out = Curation.temperatureSample(docs).cache()
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    // re-derive the rates with the operator's documented arithmetic
+    val nTot = counts.map(_._2).sum.toDouble
+    val withSq = counts.map { case (l, n) =>
+      val p = n / nTot; (l, p, math.sqrt(p))
+    }
+    val z = withSq.foldLeft(0.0)(_ + _._3)
+    val withQ = withSq.map { case (l, p, sq) => (l, p, sq / z) }
+    val sMin = withQ.map { case (_, p, q) => p / q }.min
+    val rates = withQ.map { case (l, p, q) => l -> (q * sMin) / p }.toMap
+    // the rarest stratum IS the feasibility binder: rate 1 up to the two
+    // roundings of q·(p/q)/p
+    val rarest = counts.minBy(_._2)._1
+    assert(math.abs(rates(rarest) - 1.0) < 1e-12,
+      s"rarest stratum '$rarest' rate ${rates(rarest)} != 1")
+    // temperature damps by 1/√p̄: strictly larger strata get strictly
+    // smaller keep rates
+    counts.sortBy(_._2).sliding(2).foreach { case Array((l1, n1), (l2, n2)) =>
+      if (n2 > n1) assert(rates(l2) < rates(l1),
+        s"rate not decreasing: $l1($n1)=${rates(l1)} vs $l2($n2)=${rates(l2)}")
+    }
+    // exact keep-set replay: the same md5-uniform + the same rate per
+    // stratum decides every document
+    def md5u(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"tsample:$id".getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 1152921504606846976.0
+    }
+    val expected = docs.select("doc_id", "lang").collect().collect {
+      case r if md5u(r.getLong(0)) < rates(r.getString(1)) => r.getLong(0)
+    }.toSet
+    val got = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"keep set diverged from the replay: ${got.size} vs ${expected.size}")
+    assert(got.nonEmpty && got.size < docs.count(),
+      "degenerate sampling: need both kept and dropped docs")
+    out.unpersist()
+  }
+
   test("x127 classifierCalibration: total exact fold; the trained twin separates where the fixed ramp cannot") {
     import spark.implicits._
     val cal = Curation.classifierCalibration(docs).cache()

@@ -181,6 +181,30 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(rPca >= 0.5, s"PCA recall $rPca below 0.5")
   }
 
+  test("pcaIvfTopK: recall >= 0.5 vs brute force; full-probe/full-overfetch degenerates to PCA's own shortlist regime") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(SimilaritySearch.bruteForceTopK(emb, queries, k = 10))
+    // composed pruning: cells in the principal space + reduced-width
+    // rows; recall vs exact must survive both approximations
+    val got = pairs(SimilaritySearch.pcaIvfTopK(spark, emb, queries, k = 10))
+    val recall = got.count(exact.contains).toDouble / exact.size
+    info(s"pca+ivf recall@10: $recall")
+    assert(recall >= 0.5, s"pca+ivf recall $recall below 0.5")
+    // algebraic reduction: probing EVERY cell with corpus-covering
+    // overfetch removes the cell pruning and the shortlist cut — what
+    // remains is the principal-space candidate ordering + exact rerank,
+    // i.e. at least pcaTopK's recall at the same m
+    val n = emb.count().toInt
+    val full = pairs(SimilaritySearch.pcaIvfTopK(spark, emb, queries, k = 10,
+      overfetch = n, nLists = 4, nProbe = 4))
+    assert(full == exact,
+      "full-probe, corpus-covering overfetch must be exact (rerank is full-dim)")
+  }
+
   test("ivfTopK: recall >= 0.5 vs brute force; probes only nProbe cells") {
     VectorFunctions.register(spark)
     val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
