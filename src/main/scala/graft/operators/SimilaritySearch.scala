@@ -32,6 +32,9 @@ object SimilaritySearch {
     val M = 8
     val Codes = 16
     val Refine = 4
+    /** the x114/s45 top-k cut — shared so the streamed PQ serve (s45)
+      * can hash against x114's oracle verbatim */
+    val K = 10
     /** s41's serve-time probe amplification (the x110 recall knob in
       * the durable-index regime): the QUERY side probes more cells
       * against the UNCHANGED index — recall rises, the index is never
@@ -978,14 +981,10 @@ object SimilaritySearch {
     * fixed-width index is the operator's product, and the barrier
     * fences Catalyst's constraint propagation off the m derived code
     * columns (the x111 lesson). */
-  def ivfPqFixedTopK(items: DataFrame, queries: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding",
-                     nLists: Int = IvfPqFixed.NLists, nProbe: Int = IvfPqFixed.NProbe,
-                     m: Int = IvfPqFixed.M, codes: Int = IvfPqFixed.Codes,
-                     refine: Int = IvfPqFixed.Refine): DataFrame = {
-    val src = items.select(col(idCol).cast("long").as("vec_id"),
-                           col(vecCol).as("vec"))
-    // bounded by construction: nLists + codes rows of the input table
+  /** Collect the x114 fixed-quantizer rows (vec_ids 0..max(nLists,
+    * codes)−1) with the loud-on-gaps contract, returning (rows, dsub). */
+  private[graft] def pqFixedRows(src: DataFrame, nLists: Int, m: Int,
+                                 codes: Int): (Map[Long, Array[Float]], Int) = {
     val fixedRows = src.filter(col("vec_id") < math.max(nLists, codes))
       .collect().map(r => r.getLong(0) ->
         r.getSeq[Float](1).toArray).toMap
@@ -993,57 +992,72 @@ object SimilaritySearch {
       s"fixed quantizers need vec_ids 0..${math.max(nLists, codes) - 1} present")
     val dim = fixedRows(0L).length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val dsub = dim / m
-    def litArr(a: Array[Float]): Column = litVec(a)
-    val cents = IndexedSeq.tabulate(nLists)(i => fixedRows(i.toLong))
+    (fixedRows, dim / m)
+  }
 
-    // row-local cell assignment: the shared argmaxCell kernel
-    def cellOf(vec: Column): Column = argmaxCell(vec, cents)
-
-    // ---- row-local per-subspace encode: argmin ‖cb‖² − 2⟨slice, cb⟩
-    // (Euclidean-nearest with the common ‖slice‖² dropped), ties to the
-    // lowest code. ‖cb‖² is computed BY THE KERNEL (dot_product of the
-    // literal against itself), never driver math — both engines fold
-    // the same literal floats left-to-right.
-    def codeOf(vec: Column, j: Int): Column = {
-      val s = slice(vec, j * dsub + 1, dsub)
-      val arms = (0 until codes).map { c =>
-        val cb = litArr(java.util.Arrays.copyOfRange(
-          fixedRows(c.toLong), j * dsub, (j + 1) * dsub))
-        struct((VectorFunctions.dot_product(cb, cb) -
-          lit(2.0d) * VectorFunctions.dot_product(s, cb)).as("score"),
-          lit(c).as("c"))
-      }
-      array_min(array(arms: _*)).getField("c")
+  /** Row-local per-subspace PQ encode: argmin ‖cb‖² − 2⟨slice, cb⟩
+    * (Euclidean-nearest with the common ‖slice‖² dropped), ties to the
+    * lowest code. ‖cb‖² is computed BY THE KERNEL (dot_product of the
+    * literal against itself), never driver math — both engines fold
+    * the same literal floats left-to-right. */
+  private[graft] def pqCodeOf(vec: Column, fixedRows: Map[Long, Array[Float]],
+                              j: Int, dsub: Int, codes: Int): Column = {
+    val s = slice(vec, j * dsub + 1, dsub)
+    val arms = (0 until codes).map { c =>
+      val cb = litVec(java.util.Arrays.copyOfRange(
+        fixedRows(c.toLong), j * dsub, (j + 1) * dsub))
+      struct((VectorFunctions.dot_product(cb, cb) -
+        lit(2.0d) * VectorFunctions.dot_product(s, cb)).as("score"),
+        lit(c).as("c"))
     }
+    array_min(array(arms: _*)).getField("c")
+  }
 
-    val encoded = src
-      .select(col("vec_id") +: cellOf(col("vec")).as("cell") +:
-        (0 until m).map(j => codeOf(col("vec"), j).as(s"code_$j")): _*)
-      .localCheckpoint()
+  /** The PQ code relation (vec_id, cell, code_0..code_{m−1}) — the
+    * compressed index: m small integers per vector instead of dim
+    * floats. Cell assignment is the shared argmaxCell kernel. */
+  private[graft] def pqEncoded(src: DataFrame,
+                               fixedRows: Map[Long, Array[Float]],
+                               nLists: Int, m: Int, codes: Int,
+                               dsub: Int): DataFrame = {
+    val cents = IndexedSeq.tabulate(nLists)(i => fixedRows(i.toLong))
+    src.select(col("vec_id") +: argmaxCell(col("vec"), cents).as("cell") +:
+      (0 until m).map(j =>
+        pqCodeOf(col("vec"), fixedRows, j, dsub, codes).as(s"code_$j")): _*)
+  }
 
-    // ---- query side (|Q| rows): nProbe probe cells by cosine, plus the
-    // m×codes ADC table ⟨q-slice, cb⟩ — all row-local expressions
-    val q = queries.select(col(idCol).cast("long").as("query_id"),
-                           col(vecCol).as("q_vec"))
+  /** Query-side probe + ADC relation: per query, the nProbe probe cells
+    * (exploded) and the m×codes ADC lookup table ⟨q-slice, cb⟩ — all
+    * row-local expressions. */
+  private[graft] def pqProbed(q: DataFrame,
+                              fixedRows: Map[Long, Array[Float]],
+                              nLists: Int, nProbe: Int, m: Int, codes: Int,
+                              dsub: Int): DataFrame = {
+    val cents = IndexedSeq.tabulate(nLists)(i => fixedRows(i.toLong))
     val adcCols = (0 until m).flatMap { j =>
       val s = slice(col("q_vec"), j * dsub + 1, dsub)
       (0 until codes).map { c =>
-        VectorFunctions.dot_product(s, litArr(java.util.Arrays.copyOfRange(
+        VectorFunctions.dot_product(s, litVec(java.util.Arrays.copyOfRange(
           fixedRows(c.toLong), j * dsub, (j + 1) * dsub)))
       }
     }
-    val probed = q
-      .select(col("query_id"), col("q_vec"),
+    q.select(col("query_id"), col("q_vec"),
         probeCells(col("q_vec"), cents, nProbe).as("cells"),
         array(adcCols: _*).as("adc"))
       .select(col("query_id"), col("q_vec"), col("adc"),
         explode(col("cells")).as("cell"))
-      .localCheckpoint()
+  }
 
-    // ---- ADC scan: equi-join on the probed cell, approx = m ordered
-    // table lookups (left-associated double fold, j ascending — the
-    // oracle lists its addends ORDER BY j for the same fold)
+  /** ADC scan + shortlist + exact rerank: the serve tail shared by the
+    * x114 batch entry and the s45 streamed PQ serving. `approx` = m
+    * ordered table lookups (left-associated double fold, j ascending —
+    * the oracle lists its addends ORDER BY j for the same fold);
+    * rerank fetches the ORIGINAL vectors from `srcVec` (the code store
+    * never carries them — that is the PQ memory contract). */
+  private[graft] def pqAdcRank(encoded: DataFrame, probed: DataFrame,
+                               srcVec: DataFrame, q: DataFrame,
+                               k: Int, m: Int, codes: Int,
+                               refine: Int): DataFrame = {
     val approx = (0 until m)
       .map(j => element_at(col("adc"), col(s"code_$j") + lit(j * codes + 1)))
       .reduce(_ + _)
@@ -1054,14 +1068,31 @@ object SimilaritySearch {
       .select(col("query_id"), col("vec_id"), col("approx"))
     val shortlist = topKPerQuery(scoredApprox, k * refine, scoreCol = "approx")
       .select(col("query_id"), col("vec_id"))
-
-    // ---- exact rerank of the shortlist only (broadcast-hinted: the
+    // exact rerank of the shortlist only (broadcast-hinted: the
     // shortlist is |Q|·k·refine rows, the item side stays in place)
-    val reranked = src.join(broadcast(shortlist), "vec_id")
+    val reranked = srcVec.join(broadcast(shortlist), "vec_id")
       .join(broadcast(q), "query_id")
       .withColumn("cosine",
         VectorFunctions.cosine_similarity(col("q_vec"), col("vec")))
     topKPerQuery(reranked.select(col("query_id"), col("vec_id"), col("cosine")), k)
+  }
+
+  def ivfPqFixedTopK(items: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     nLists: Int = IvfPqFixed.NLists, nProbe: Int = IvfPqFixed.NProbe,
+                     m: Int = IvfPqFixed.M, codes: Int = IvfPqFixed.Codes,
+                     refine: Int = IvfPqFixed.Refine): DataFrame = {
+    val src = items.select(col(idCol).cast("long").as("vec_id"),
+                           col(vecCol).as("vec"))
+    // bounded by construction: nLists + codes rows of the input table
+    val (fixedRows, dsub) = pqFixedRows(src, nLists, m, codes)
+    val encoded = pqEncoded(src, fixedRows, nLists, m, codes, dsub)
+      .localCheckpoint()
+    val q = queries.select(col(idCol).cast("long").as("query_id"),
+                           col(vecCol).as("q_vec"))
+    val probed = pqProbed(q, fixedRows, nLists, nProbe, m, codes, dsub)
+      .localCheckpoint()
+    pqAdcRank(encoded, probed, src, q, k, m, codes, refine)
   }
 
   // -------------------------------------------------------------------

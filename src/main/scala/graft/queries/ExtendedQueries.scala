@@ -795,7 +795,7 @@ object ExtendedQueries {
   // The learned x45/x46 stay the quality path (recall specs); the twin
   // pins their shared machinery at value level.
   // ---------------------------------------------------------------------
-  private val X114K = 10
+  private val X114K = SimilaritySearch.IvfPqFixed.K
 
   def knnIvfPqFixed(s: SparkSession, dir: String): DataFrame = {
     VectorFunctions.register(s)

@@ -1659,6 +1659,103 @@ object StreamingQueries {
   }
 
   // ---------------------------------------------------------------------
+  // s45 — STREAMED PQ-ADC serving: the serving stack's MEMORY-scale
+  // rung. s37's durable index stores every raw vector (dim floats per
+  // row); here the durable store carries only the x114 fixed-quantizer
+  // PQ CODES (cell + m small integers per vector — at 10⁹ × 64-dim
+  // that is ~8 GB of codes vs ~256 GB of floats), cell-partitioned so
+  // probe sets stay static partition filters. Per query batch: probe
+  // cells + the m×codes ADC table are row-local expressions, the scan
+  // is ADC lookup-sums over the probed cells' CODES, and only the
+  // k·refine shortlist ever touches the raw vectors again (the exact
+  // rerank reads the STATIC embeddings relation — the PQ contract: the
+  // serving index never carries what it exists to avoid storing).
+  // Every stage is the x114 kernel verbatim (pqEncoded / pqProbed /
+  // pqAdcRank — one definition), and each query meets the static index
+  // exactly once, so the streamed result hash-checks against x114's
+  // DuckDB oracle VERBATIM (the s38↔x71 discipline).
+  // ---------------------------------------------------------------------
+
+  /** The s45 core. `workDir`/`onBatch`: the s34–s44 restart hooks; the
+    * index build is overwrite-mode idempotent. */
+  private[graft] def pqServeStream(s: SparkSession, items: DataFrame,
+                                   queries: DataFrame, k: Int,
+                                   nLists: Int, nProbe: Int, m: Int,
+                                   codes: Int, refine: Int,
+                                   workDir: Option[String] = None,
+                                   onBatch: Long => Unit = _ => ())
+      : DataFrame = {
+    import graft.operators.SimilaritySearch
+    val work = workDir.getOrElse(tempDir("graft_s45_"))
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+    val tag = new java.io.File(work).getName.replaceAll("[^A-Za-z0-9_]", "_")
+    val idxTbl = s"${tag}_pq"
+
+    val src = items.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").as("vec"))
+    val (fixedRows, dsub) = SimilaritySearch.pqFixedRows(src, nLists, m, codes)
+
+    try {
+      // the one-time CODE-store build — the only job that ever reads
+      // the full corpus besides the rerank's shortlist fetch; encode is
+      // row-local, the write shuffles once on the bounded cell key
+      SimilaritySearch.pqEncoded(src, fixedRows, nLists, m, codes, dsub)
+        .repartition(col("cell"))
+        .write.mode("overwrite").option("path", s"$work/wh/pq")
+        .partitionBy("cell").saveAsTable(idxTbl)
+
+      if (!hasParquet(inDir))
+        queries.select(col("vec_id").cast("long").as("query_id"),
+            col("embedding"))
+          .repartition(3).write.mode("overwrite").parquet(inDir)
+
+      val stream = s.readStream
+        .schema(StructType(Seq(StructField("query_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(inDir)
+
+      val q = stream.writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          onBatch(id)
+          val qB = b.select(col("query_id"), col("embedding").as("q_vec"))
+          val probed = SimilaritySearch.pqProbed(qB, fixedRows, nLists,
+            nProbe, m, codes, dsub).localCheckpoint()
+          // batch-grain probe-cell set (≤ nLists longs) pushed as
+          // static partition filters into the code store's scan — the
+          // s37 pattern
+          val cells = probed.select("cell").distinct()
+            .collect().map(_.getLong(0)).sorted
+          val store = s.table(idxTbl)
+            .filter(col("cell").isin(cells.map(Long.box): _*))
+          SimilaritySearch.pqAdcRank(store, probed, src, qB, k, m, codes,
+              refine)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $idxTbl")
+    }
+    readBatchesOr(s, outDir,
+        s.range(0).select(col("id").as("query_id"), col("id").as("vec_id"),
+          col("id").cast("double").as("cosine"), col("id").cast("int").as("rank")))
+      .select("query_id", "vec_id", "cosine", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  def streamPqServe(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SimilaritySearch.{AnnEval, IvfPqFixed => P}
+    val emb = Tables.embeddings(s, dir)
+    pqServeStream(s, emb, emb.filter(col("vec_id") < AnnEval.QuerySlice),
+      k = P.K, nLists = P.NLists, nProbe = P.NProbe, m = P.M,
+      codes = P.Codes, refine = P.Refine)
+  }
+
+  // ---------------------------------------------------------------------
   // s38 — STREAMED BM25 serving: s37's lexical sibling. The inverted
   // index is built ONCE as durable bucketed-sorted tables — postings
   // (token, doc_id, tf, dl) and the vocabulary df relation, both
@@ -2776,6 +2873,8 @@ object StreamingQueries {
       Some(graft.queries.CurationQueries.serveWhileMaintainSql))),
     "s44_stream_scatter" -> ((streamEmbeddingScatter _,
       Some(graft.queries.ExtendedQueries.embeddingScatterSql))),
+    "s45_stream_pq_serve" -> ((streamPqServe _,
+      Some(graft.queries.ExtendedQueries.knnIvfPqFixedSql))),
     "s41_stream_ann_serve_probed" -> ((streamAnnServeProbed _,
       Some(graft.queries.ExtendedQueries.annServeProbedSql))),
     "s36_stream_neardup_bucketed" -> ((streamNearDupBucketed _,

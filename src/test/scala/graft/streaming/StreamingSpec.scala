@@ -482,7 +482,7 @@ class StreamingSpec extends AnyFunSuite {
       s"s34 leaked ${after - before} catalog tables across 3 invocations")
   }
 
-  test("s30/s31/s33/s34/s35/s36/s37/s38/s39/s40/s42/s43/s44 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
+  test("s30/s31/s33/s34/s35/s36/s37/s38/s39/s40/s42/s43/s44/s45 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
     // A14's checkpoint discipline, proven for the WHOLE foreachBatch
     // read-back family: kill the query inside batch 1 (of 3), restart
     // against the SAME work dir, and require (a) the resumed run
@@ -586,6 +586,17 @@ class StreamingSpec extends AnyFunSuite {
         StreamingQueries.incrementalIndexServe(spark, docs, emb, benchMod = 4,
           listK = 4, k0 = 60, k = 3, nLists = 8, nProbe = 2,
           compactEvery = 2, serveEachBatch = true, workDir = w, onBatch = h)
+      },
+      "s45" -> { (w, h) =>
+        // the s37 embedding fixture: 16 vectors cover the fixed
+        // quantizer's vec_ids 0..max(nLists, codes)-1; dim 4 splits
+        // into m = 2 subspaces
+        val emb = (0L until 16L).map { i =>
+          (i, Array.tabulate(4)(d => (((i * 7 + d * 3) % 11) - 5).toFloat))
+        }.toDF("vec_id", "embedding")
+        StreamingQueries.pqServeStream(spark, emb,
+          emb.filter(col("vec_id") < 5), k = 3, nLists = 8, nProbe = 2,
+          m = 2, codes = 16, refine = 2, workDir = w, onBatch = h)
       },
       "s44" -> { (w, h) =>
         // streamed scatter maintenance: the s37 embedding fixture at a
