@@ -140,9 +140,30 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => " "; case c => c.toString
     }
-    val qs = timings.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = timings.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    // per-entry quiet bands (BenchBands, regenerated from quiet runs
+    // each round close): the artifact itself classifies a loaded run's
+    // per-entry outliers — no side files, no judge re-run (VERDICT r17
+    // task 4). An entry outside its band appears in "out_of_band" with
+    // the band it missed; entries without a band (added since the last
+    // regeneration) get no verdict. Bands are measured at sf0.1 (the
+    // driver's bench scale) — at any other sfDir they would flag noise,
+    // so no verdicts are emitted there (bands_covered: 0 says why).
+    val bandOf: Map[String, (Double, Double)] =
+      if (sfDir.contains("sf0.1")) BenchBands.bands else Map.empty
+    val outOfBand = timings.collect {
+      case (k, v) if bandOf.get(k).exists(b => v < b._1 || v > b._2) =>
+        val (lo, hi) = bandOf(k)
+        s"\"" + k + s"""":{"sec":${r3(v)},"band":[${r3(lo)},${r3(hi)}]}"""
+    }.mkString("{", ",", "}")
+    val nBanded = timings.keys.count(bandOf.contains)
     val stats = timings.map { case (k, v) =>
-      s"\"" + k + s"""":{"median":$v,"min":${mins(k)},"runs":$runs}"""
+      val band = bandOf.get(k).map { case (lo, hi) =>
+        s""","band":[${r3(lo)},${r3(hi)}],"in_band":${v >= lo && v <= hi}"""
+      }.getOrElse("")
+      s"\"" + k + s"""":{"median":${r3(v)},"min":${r3(mins(k))},"runs":$runs$band}"""
     }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
     val total = timings.values.sum
@@ -162,15 +183,29 @@ object Bench {
         s""","stream_eps_quiet_band":[${StreamEpsQuietBand._1},${StreamEpsQuietBand._2}]""" +
         f""","stream_eps_loadavg":{"before":$epsLoadBefore%.2f,"after":$epsLoadAfter%.2f}"""
     }.getOrElse("")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stats":$stats,"errors":$es,"n_failed":${errors.size}$epsField,"sf":"$sfDir"}"""
+    // Two artifact forms (VERDICT r17 task 8): since r13 the driver's
+    // BENCH_r*.json carried only a log tail ("parsed": null) because
+    // the single printed line outgrew its capture. The PRINTED metric
+    // line is therefore the COMPACT form — per-entry medians rounded to
+    // ms, the band verdicts only where an entry is OUT of band, no
+    // per-run stats (~9 KB at 220 entries) — while the full form
+    // (stats with min/runs/band/in_band per entry) goes to
+    // target/bench_last.json as before.
+    val shared = s""""unit":"sec","errors":$es,"n_failed":${errors.size}""" +
+      s""","out_of_band":$outOfBand,"bands_covered":$nBanded""" +
+      s""","band_rule":"quiet [0.5*min,2.0*max]; see BenchBands"$epsField,"sf":"$sfDir""""
+    val json =
+      s"""{"metric":"total","value":$total,$shared,"queries":$qs,"stats":$stats}"""
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},$shared,"queries":$qs}"""
     // The artifact must survive a bounded tail capture: persist the full
-    // JSON to a file, print it, and END with a compact per-group summary
-    // (group = entry-name prefix up to the first digit run) so even a few
-    // captured lines identify where the time went.
+    // JSON to a file, print the compact line, and END with a per-group
+    // summary (group = entry-name prefix up to the first digit run) so
+    // even a few captured lines identify where the time went.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_last.json"), json)
     catch { case _: Throwable => () }
-    println(json)
+    println(compact)
     val groups = timings.groupBy { case (k, _) => k.takeWhile(!_.isDigit) }
       .toSeq.sortBy(_._1)
       .map { case (g, m) => f"$g${m.size}%d=${m.values.sum}%.1fs" }

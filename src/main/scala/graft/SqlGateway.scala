@@ -325,7 +325,17 @@ object SqlGateway {
     * staging), and NOTHING is memoized — a live store changes between
     * requests, so corpus stats and the quantizer sample are re-derived
     * per request (both are model-grain: the stats relation is
-    * O(batches) rows, the guard samples ≤ 256). */
+    * O(batches) rows, the guard samples ≤ 256).
+    *
+    * All four stores are pinned to ONE corpus as-of point — the minimum
+    * over their [[graft.store.DeltaStore.readOnlyMaxBatch]]s — so a
+    * request landing mid-maintenance-batch cannot see a torn index
+    * whose tf already carries a batch the ivf (or df) store does not:
+    * BM25 idf/avgdl and the fused ranks always describe a single
+    * prefix of the owner stream (ADVICE r17). The owner appends every
+    * batch tf→df→stats→ivf before any compaction, so each store's
+    * folded watermark is ≤ the common minimum; readOnly enforces that
+    * invariant loudly rather than serving a rewound base. */
   private[graft] def liveStoreIndexes(spark: SparkSession,
                                       base: SearchIndexes,
                                       root: String): SearchIndexes = {
@@ -336,7 +346,8 @@ object SqlGateway {
       s"store root $root does not exist")
     val (tfS, dfS, statS, ivfS) =
       graft.streaming.StreamingQueries.servingDeltaStores(spark, root)
-    val st = statS.readOnly(spark)
+    val asOf = Seq(tfS, dfS, statS, ivfS).map(_.readOnlyMaxBatch(spark)).min
+    val st = statS.readOnly(spark, asOf)
       .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
         coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"))
       .collect()(0)
@@ -344,7 +355,7 @@ object SqlGateway {
     require(nDocs > 0,
       s"store root $root holds no tokenized item docs (avgdl undefined)")
     val avgdl = st.getLong(1).toDouble / nDocs
-    val ivf = ivfS.readOnly(spark)
+    val ivf = ivfS.readOnly(spark, asOf)
     val bad = ivf.limit(256)
       .filter(graft.operators.SimilaritySearch
         .argmaxCell(col("embedding"), base.cents) =!= col("cell"))
@@ -352,10 +363,36 @@ object SqlGateway {
     require(bad == 0, s"store root $root was not built with the gateway's " +
       s"fixed quantizer ($bad of <=256 sampled rows sit in the wrong cell) " +
       "— probing it would serve wrong neighbors")
-    base.copy(tf = tfS.readOnly(spark),
-      df = dfS.readOnly(spark).groupBy("token").agg(sum("df").as("df")),
+    base.copy(tf = tfS.readOnly(spark, asOf),
+      df = dfS.readOnly(spark, asOf).groupBy("token").agg(sum("df").as("df")),
       ivf = ivf, nDocs = nDocs, avgdl = avgdl)
   }
+
+  /** store= points the gateway at a filesystem path; unrestricted, that
+    * is a read/probe surface over the whole filesystem if the gateway
+    * is ever bound non-loopback (ADVICE r17). Live-store roots must
+    * resolve under one of the allowlisted prefixes — by default the
+    * JVM temp dir, where every graft work tree lives;
+    * `GRAFT_GATEWAY_STORE_ROOTS` (path-separator-joined) overrides.
+    * Canonical paths on both sides, so `..` segments and symlinked
+    * escapes fail the prefix test rather than dodge it. */
+  private[graft] def requireAllowedStoreRoot(root: String,
+                                             allowed: Seq[String]): Unit = {
+    val canon = new java.io.File(root).getCanonicalPath
+    val ok = allowed.exists { a =>
+      val ac = new java.io.File(a).getCanonicalPath
+      canon == ac || canon.startsWith(ac + java.io.File.separator)
+    }
+    require(ok, s"store root $root is outside the allowlisted roots " +
+      s"(${allowed.mkString(java.io.File.pathSeparator)}) — set " +
+      "GRAFT_GATEWAY_STORE_ROOTS to serve stores from elsewhere")
+  }
+
+  /** The allowlist [[requireAllowedStoreRoot]] checks against. */
+  private[graft] def allowedStoreRoots: Seq[String] =
+    sys.env.get("GRAFT_GATEWAY_STORE_ROOTS")
+      .map(_.split(java.io.File.pathSeparator).toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq(System.getProperty("java.io.tmpdir")))
 
   private[graft] def buildSearchIndexes(spark: SparkSession,
                                         dir: String): SearchIndexes = {
@@ -692,6 +729,7 @@ object SqlGateway {
                 require(Seq("tf", "df", "ivf")
                     .forall(queryParam(ex, _).isEmpty),
                   "store= replaces tf/df/ivf — the params cannot be combined")
+                requireAllowedStoreRoot(root, allowedStoreRoots)
                 liveStoreIndexes(spark, searchIdx, root)
               case None => searchIdx.overridden(spark,
                 queryParam(ex, "tf"), queryParam(ex, "df"), queryParam(ex, "ivf"))

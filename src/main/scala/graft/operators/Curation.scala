@@ -952,8 +952,22 @@ object Curation {
   def temperatureSample(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val raw = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1))
+    // The Σ√p̄ normalizer is an ORDERED driver fold whose order must
+    // match the oracle's binary ORDER BY lang: Scala String sorting is
+    // UTF-16 code-unit order, which diverges from UTF-8 byte order for
+    // supplementary-plane vs >= U+E000 code points, and a null stratum
+    // would NPE the sort while the rate join silently dropped its docs
+    // (ADVICE r17). Strata are language tags — require non-null ASCII
+    // loudly instead of mirroring a collation.
+    raw.foreach { case (l, _) =>
+      require(l != null && l.nonEmpty && l.forall(_ < 0x80),
+        s"temperature sample: stratum '$l' is null/empty/non-ASCII — the " +
+          "driver's ordered fold and the oracle's binary collation would " +
+          "disagree; normalize lang tags to ASCII upstream")
+    }
+    val counts = raw.sortBy(_._1)
     require(counts.nonEmpty, "temperature sample: empty corpus")
     val nTot = counts.map(_._2).sum.toDouble
     val withSq = counts.map { case (l, n) =>

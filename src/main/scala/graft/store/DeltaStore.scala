@@ -93,6 +93,21 @@ final class DeltaStore(
     * skipped. */
   def foldedUpto(s: SparkSession): Long = readMarker(s, basePath)
 
+  /** Highest batch id this store can serve a consistent reader-side
+    * view at: max(effective base's folded watermark, newest live
+    * delta); -1 for an empty store. Reader-side (no recover) — the
+    * effective base resolves a completed-but-unswapped staging exactly
+    * like [[readOnly]]. A group of stores written by one owner stream
+    * agrees on a COMMON as-of point at `min` over their values
+    * (the gateway's torn-read fix, ADVICE r17). */
+  def readOnlyMaxBatch(s: SparkSession): Long = {
+    val h = fs(s); val st = new Path(stagingPath)
+    val staged = h.exists(st) && h.exists(new Path(st, StagedMarker))
+    val effBase = if (staged) stagingPath else basePath
+    val ids = deltaIds(s)
+    math.max(readMarker(s, effBase), if (ids.isEmpty) -1L else ids.max)
+  }
+
   /** Repair a compaction interrupted at any point; called before every
     * read/append/compact. See the class doc for the case analysis. */
   def recover(s: SparkSession): Unit = {
@@ -161,16 +176,28 @@ final class DeltaStore(
     *    excluded, so nothing double-counts.
     * The one inconsistency window is file-grain: a scan planned against
     * a delta dir the owner deletes mid-read can fail transiently — the
-    * caller retries; nothing is ever silently wrong. */
-  def readOnly(s: SparkSession): DataFrame = {
+    * caller retries; nothing is ever silently wrong.
+    *
+    * `asOf` (default unbounded) excludes deltas ABOVE the given batch
+    * id, so a reader of several stores written by one owner stream can
+    * pin them all to one corpus as-of point (`min` of their
+    * [[readOnlyMaxBatch]]s) instead of seeing a torn cross-store state
+    * where one store already carries a batch another does not (ADVICE
+    * r17). The base cannot be rewound — callers must pass
+    * asOf ≥ this store's folded watermark, enforced loudly here. */
+  def readOnly(s: SparkSession, asOf: Long = Long.MaxValue): DataFrame = {
     val h = fs(s); val st = new Path(stagingPath)
     val staged = h.exists(st) && h.exists(new Path(st, StagedMarker))
     val effBase = if (staged) stagingPath else basePath
     val upto = readMarker(s, effBase)
+    require(asOf >= upto,
+      s"DeltaStore $root: readOnly asOf=$asOf precedes the base's folded " +
+        s"watermark $upto — a compacted base cannot be rewound; re-derive " +
+        "the common as-of point and retry")
     val parts =
       (if (h.exists(new Path(effBase)))
          Seq(s.read.schema(schema).parquet(effBase)) else Seq.empty) ++
-      deltaIds(s).filter(_ > upto)
+      deltaIds(s).filter(id => id > upto && id <= asOf)
         .map(id => s.read.schema(schema).parquet(deltaDir(id)))
     val cols = schema.fieldNames.map(org.apache.spark.sql.functions.col).toSeq
     if (parts.isEmpty)
@@ -179,16 +206,39 @@ final class DeltaStore(
   }
 
   /** Fold all live deltas (and the current base) into a fresh base via
-    * the staged swap. No-op when no deltas exist. */
-  def compact(s: SparkSession): Unit = {
+    * the staged swap. No-op when no deltas exist unless `force` (a
+    * retention pass must be able to expire base rows with no new data —
+    * the ClickHouse TTL-at-merge posture, s46).
+    *
+    * `extra` composes AFTER the store's merge fn — the retention hook:
+    * a caller-supplied filter applied to the fully merged relation at
+    * the one point the store is already being rewritten, so expiry
+    * costs nothing beyond the compaction that was happening anyway
+    * (the B3 `EventStore.dropOlderThan` semantic at the index layer). */
+  def compact(s: SparkSession, extra: DataFrame => DataFrame = identity,
+              force: Boolean = false): Unit = {
+    recover(s)
+    if (deltaIds(s).isEmpty && !force) return
+    rebase(s, extra(merge(read(s))))
+  }
+
+  /** Replace the base with `rows` via the same staged swap, folding all
+    * live deltas' ids into the watermark — the compaction form for
+    * DERIVED stores: a store whose exact post-expiry value is a
+    * function of ANOTHER store's retained rows (s46's df/stats, which
+    * are integer sums over expired-doc contributions that a row filter
+    * cannot subtract) rebases onto the re-derived relation instead of
+    * folding its own rows. Crash-recoverable at every point exactly
+    * like [[compact]] — same staging, markers, swap, and sweep. */
+  def rebase(s: SparkSession, rows: DataFrame): Unit = {
     recover(s)
     val ids = deltaIds(s)
-    if (ids.isEmpty) return
+    val upto = math.max(foldedUpto(s), ids.foldLeft(-1L)(math.max))
     val h = fs(s)
-    // stage the full merged relation first — the store is not touched
-    // until the staging carries its completeness marker
-    writeBase(merge(read(s)), stagingPath)
-    writeMarkerFile(s, stagingPath, FoldedMarker, ids.max.toString)
+    // stage the full replacement relation first — the store is not
+    // touched until the staging carries its completeness marker
+    writeBase(rows, stagingPath)
+    writeMarkerFile(s, stagingPath, FoldedMarker, upto.toString)
     writeMarkerFile(s, stagingPath, StagedMarker, "")
     h.delete(new Path(basePath), true)
     if (!h.rename(new Path(stagingPath), new Path(basePath)))
