@@ -103,7 +103,9 @@ object SparkEntry {
     "x130_pareto_classifier_trained" ->
       "inherits x125's fit cost (QcIters passes over the pinned feature relation, model-sized exchanges); the admission itself is row-local math above the existing doc-grain agg - use x126 (pinned weights, hash-checked, build-free) when the fitted model is not required",
     "x131_knn_pca_ivf" ->
-      "the composed regime: per-query scans touch nProbe cells of m-float projected rows (dim/m x cell-pruning savings multiply); recall now depends on BOTH the principal subspace capturing the neighbor geometry and the cell quantizer - widen nProbe or m on diffuse spectra")
+      "the composed regime: per-query scans touch nProbe cells of m-float projected rows (dim/m x cell-pruning savings multiply); recall now depends on BOTH the principal subspace capturing the neighbor geometry and the cell quantizer - x134 ships the measured query-side probe-amplification knob (recall 0.76 -> >=0.9, index untouched)",
+    "x133_pareto_classifier_stored" ->
+      "the fit (x125's O(iters) model-sized-exchange passes) is paid once per corpus REFRESH and amortized through the durable ModelStore; steady-state wall is x126's regime (score + row-local admission), and a corpus-fingerprint mismatch triggers exactly one refit - never a silently stale serve")
 
   /** For every rows-only entry (registered without a SQL oracle —
     * learned models, sketches, or otherwise non-SQL-expressible), the
@@ -167,6 +169,8 @@ object SparkEntry {
       "pcaTopK: basis orthonormal with descending moments"),
     "x130_pareto_classifier_trained" -> ("operators/CurationSpec.scala",
       "x130 trained Pareto sample"),
+    "x133_pareto_classifier_stored" -> ("operators/CurationSpec.scala",
+      "x133 stored model"),
     "x131_knn_pca_ivf"       -> ("operators/SimilaritySearchSpec.scala",
       "pcaIvfTopK"))
 }

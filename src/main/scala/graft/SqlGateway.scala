@@ -517,6 +517,34 @@ object SqlGateway {
       s""""accept_key":$acceptR,"keep":${acceptKey < 1.0}}""" + "\n"
   }
 
+  /** One /score?model=trained request: the x130/x133 composition for a
+    * posted text — the STORED-model score (qcFeatures → qcServeScores,
+    * the exact expressions x133 serves the corpus with, so a corpus
+    * row's text + doc_id reproduces its x133 verdict) and the Pareto
+    * admission drawn from `docId`. No x02 quality field here: the
+    * trained route mirrors x130's composition, which scores with the
+    * classifier alone. */
+  private[graft] def scoreDocTrained(spark: SparkSession, docId: Long,
+                                     text: String, w: Array[Double],
+                                     b: Double): String = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Curation
+    import spark.implicits._
+    val rows = Curation.qcServeScores(
+        Curation.qcFeatures(Seq((docId, text)).toDF("doc_id", "text")), w, b)
+      .withColumn("accept_key", Curation.paretoAcceptKey(col("q_score"),
+        Curation.paretoUniform("paretoc:", col("doc_id"))))
+      .collect()
+    require(rows.nonEmpty, "text has no [a-z0-9]+ tokens to score")
+    val r = rows(0)
+    val q = r.getDouble(2)
+    val key = r.getDouble(3)
+    val keyR = BigDecimal(key)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    s"""{"doc_id":$docId,"model":"trained","q_score":$q,""" +
+      s""""accept_key":$keyR,"keep":${key < 1.0}}""" + "\n"
+  }
+
   def serve(spark: SparkSession, port: Int, bindAll: Boolean = false,
             defaultTimeoutSec: Int = 300,
             metricsDir: Option[String] = None,
@@ -758,15 +786,29 @@ object SqlGateway {
     // the admission draw) → x124 classifier score, x02 quality, x126
     // Pareto verdict as one JSON object. The interactive twin of the
     // s42 ingest gate, same engine expressions; POST-only, job-grouped,
-    // watchdogged like /sql.
+    // watchdogged like /sql. model=trained serves the DURABLE x133
+    // model instead of the pinned twin: weights load-or-fit ONCE per
+    // process from the ModelStore keyed by the gateway's fixture dir
+    // (fingerprint-guarded at that first use — the gateway corpus is a
+    // static fixture, so per-request re-checks would re-buy a corpus
+    // scan for nothing).
+    lazy val trainedModel: (Array[Double], Double) = {
+      val dir = entriesDir.getOrElse(throw new IllegalArgumentException(
+        "model=trained needs the gateway started over a fixture dir"))
+      val (w, b, _) = graft.operators.Curation.qcLoadOrFit(
+        Tables.documents(spark, dir),
+        graft.queries.CurationQueries.modelStoreRoot(dir))
+      (w, b)
+    }
     server.createContext("/score", (ex: HttpExchange) => {
       requests.incrementAndGet()
       if (ex.getRequestMethod != "POST")
         respond(ex, 405,
-          """{"error":"POST document text to /score (params: doc_id)"}""" + "\n")
+          """{"error":"POST document text to /score (params: doc_id, model=pinned|trained)"}""" + "\n")
       else {
         val text = new String(ex.getRequestBody.readAllBytes(), UTF_8)
         val docId = queryParam(ex, "doc_id").flatMap(_.toLongOption).getOrElse(0L)
+        val model = queryParam(ex, "model").map(_.toLowerCase).getOrElse("pinned")
         val timeoutSec = queryParam(ex, "timeout")
           .flatMap(_.toIntOption).filter(_ > 0).getOrElse(defaultTimeoutSec)
         val group = s"gateway-score-${reqSeq.incrementAndGet()}"
@@ -779,7 +821,14 @@ object SqlGateway {
             timedOut.set(true); sc.cancelJobGroupAndFutureJobs(group)
           }
         }, timeoutSec.toLong, TimeUnit.SECONDS)
-        try respond(ex, 200, scoreDoc(spark, docId, text))
+        try respond(ex, 200, model match {
+          case "trained" =>
+            val (w, b) = trainedModel
+            scoreDocTrained(spark, docId, text, w, b)
+          case "pinned" => scoreDoc(spark, docId, text)
+          case other => throw new IllegalArgumentException(
+            s"unknown model '$other' (pinned|trained)")
+        })
         catch {
           case _: Throwable if timedOut.get() =>
             respond(ex, 408,

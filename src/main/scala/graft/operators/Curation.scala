@@ -2107,6 +2107,17 @@ object Curation {
     // regime where materialize beats recompute (the x111 rule)
     val feats = qcFeatures(docs, benchMod).localCheckpoint()
     val (w, b, _) = qcFit(feats, iters, lr)
+    qcServeScores(feats, w, b).orderBy("doc_id")
+  }
+
+  /** The trained-classifier SERVE tail in one place — sigmoid(Σ wⱼxⱼ + b)
+    * over the (doc, bucket) feature relation, round 6 — shared by the
+    * in-session fit (x125/x130), the stored-model path (x133) and the
+    * gateway's `model=trained` scoring, so "stored weights score
+    * exactly what the fit scored" is true by construction (one
+    * expression, the same doubles). */
+  private[graft] def qcServeScores(feats: DataFrame, w: Array[Double],
+                                   b: Double): DataFrame = {
     val wLit = array(w.map(lit).toIndexedSeq: _*)
     feats.groupBy("doc_id", "is_t")
       .agg(round(lit(1.0) / (lit(1.0) +
@@ -2114,8 +2125,56 @@ object Curation {
           + lit(b)))), 6).as("q_score"))
       .select(col("doc_id"), col("is_t").cast("int").as("is_target"),
         col("q_score"))
-      .orderBy("doc_id")
   }
+
+  /** Load-don't-refit (x133): the fitted (weights, bias) for `docs`
+    * from the durable [[graft.store.ModelStore]] at `storeRoot` when
+    * its fingerprint matches the corpus; otherwise fit (x125's qcFit)
+    * and persist. Returns (w, b, fitted?) — fitted=false is the
+    * amortized path where x130's 30-pass cost is NOT paid again. The
+    * staleness contract: a fingerprint mismatch always refits and
+    * overwrites — stored weights are never served against a corpus
+    * they were not fitted on (never silently stale). */
+  private[graft] def qcLoadOrFit(docs: DataFrame, storeRoot: String,
+                                 benchMod: Int = BenchMod,
+                                 iters: Int = QcIters, lr: Double = QcLr)
+      : (Array[Double], Double, Boolean) = {
+    import graft.store.ModelStore
+    val s = docs.sparkSession
+    val fp = ModelStore.corpusFingerprint(docs.select(col("doc_id"), col("text")))
+    ModelStore.load(s, storeRoot) match {
+      case Some((w, b, storedFp)) if storedFp == fp => (w, b, false)
+      case _ =>
+        val feats = qcFeatures(docs, benchMod).localCheckpoint()
+        val (w, b, _) = qcFit(feats, iters, lr)
+        ModelStore.save(s, storeRoot, w, b, fp)
+        (w, b, true)
+    }
+  }
+
+  /** x133: x125's serve path against the DURABLE model — score every
+    * tokenized doc with the stored weights (fitting only when the store
+    * is absent or stale). One corpus pass at serve; the O(iters)-pass
+    * fit is paid once per corpus refresh instead of once per run. */
+  def qualityClassifierStored(docs: DataFrame, storeRoot: String,
+                              benchMod: Int = BenchMod,
+                              iters: Int = QcIters, lr: Double = QcLr)
+      : DataFrame = {
+    val (w, b, _) = qcLoadOrFit(docs, storeRoot, benchMod, iters, lr)
+    qcServeScores(qcFeatures(docs, benchMod), w, b).orderBy("doc_id")
+  }
+
+  /** x133's registry shape: the x130 composition (trained score →
+    * Pareto admission, [[paretoKeepStage]] verbatim) with the model
+    * loaded from the durable store — the production posture where the
+    * sampler's wall is the SCORE, not the fit. */
+  def paretoClassifierSampleStored(docs: DataFrame, storeRoot: String,
+                                   benchMod: Int = BenchMod,
+                                   iters: Int = QcIters,
+                                   lr: Double = QcLr): DataFrame =
+    paretoKeepStage(
+      qualityClassifierStored(docs, storeRoot, benchMod, iters, lr),
+      Seq("is_target"))
 
   /** Calibration table over any (…, is_t: boolean, q_score: double)
     * scored relation: score-decile → (count, target count, mean score,

@@ -871,6 +871,24 @@ object CurationQueries {
   // ---------------------------------------------------------------------
   def paretoClassifierSampleTrainedQ(s: SparkSession, dir: String): DataFrame =
     Curation.paretoClassifierSampleTrained(Tables.documents(s, dir))
+
+  // x133 — the x130 composition against the DURABLE model store: the
+  // classifier is fitted once per corpus refresh and persisted
+  // (ModelStore, fingerprint-guarded); subsequent runs LOAD, so the
+  // sampler's wall drops to the score + admission (x126's regime) while
+  // still serving trained weights. Rows-only (learned weights);
+  // CurationSpec pins stored-scores ≡ fit-scores exactly and the
+  // staleness guard (mutated corpus → refit, never silently stale).
+  // The store root is keyed by the fixture dir and lives OUTSIDE the
+  // WorkDirs registry on purpose — it must survive the JVM, that is
+  // the point of the entry (a few hundred rows of parquet).
+  private[graft] def modelStoreRoot(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_model_store/" +
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  def paretoClassifierSampleStoredQ(s: SparkSession, dir: String): DataFrame =
+    Curation.paretoClassifierSampleStored(Tables.documents(s, dir),
+      modelStoreRoot(dir))
       .orderBy("doc_id")
 
   /** s31's admission threshold — binds at both SFs (sf0.01: 58/494
@@ -1905,6 +1923,22 @@ object CurationQueries {
   }
 
   // ---------------------------------------------------------------------
+  // s46 oracle — the hybrid serve over the RETAINED item corpus: the
+  // s39/s40 serve SQL with both arms' item sides restricted by the
+  // retention watermark max(doc_id)//4 (BIGINT floor division = the
+  // Scala long division the stream derives; the query slice and the
+  // fixed quantizer are reference artifacts, never retention-filtered).
+  // A hash match proves merge-time expiry — row filters on the
+  // row-grain stores plus df/stats REBASED from the retained postings —
+  // left the serving state value-identical to a from-scratch build over
+  // the retained corpus.
+  // ---------------------------------------------------------------------
+  lazy val retainedServeSql: String = {
+    val w = "(SELECT max(doc_id) // 4 FROM documents)"
+    hybridServeSqlFor(s"doc_id >= $w", s"e.vec_id >= $w")
+  }
+
+  // ---------------------------------------------------------------------
   // x77 — EXACT PHRASE search over a positional inverted index: for each
   // eval-slice query phrase (a fixed 3-token window of the query doc),
   // every corpus document containing the phrase verbatim, with
@@ -1986,6 +2020,7 @@ object CurationQueries {
       Some(qualityClassifierFixedSql))),
     "x125_quality_classifier_trained" -> ((qualityClassifierTrainedQ _, None)),
     "x130_pareto_classifier_trained" -> ((paretoClassifierSampleTrainedQ _, None)),
+    "x133_pareto_classifier_stored" -> ((paretoClassifierSampleStoredQ _, None)),
     "x132_temperature_sample" -> ((temperatureSampleQ _, Some(temperatureSampleSql))),
     "x98_decontam_dashboard"  -> ((decontamDashboard _, Some(decontamDashboardSql))),
     "x100_signal_agreement"   -> ((signalAgreement _, Some(signalAgreementSql))),

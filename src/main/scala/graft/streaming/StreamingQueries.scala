@@ -1756,6 +1756,106 @@ object StreamingQueries {
   }
 
   // ---------------------------------------------------------------------
+  // s47 — INCREMENTALLY MAINTAINED PQ-code store: s45's memory-scale
+  // serving with its one-shot code-store build replaced by the s40
+  // DeltaStore discipline. PQ encoding against the FIXED quantizer is
+  // row-local, so arriving vectors encode to batch-grain deltas BY
+  // CONSTRUCTION (an append never reads the store); the cell-partitioned
+  // layout is restored at every staged compaction, and the serve reads
+  // base∪delta with the probe-cell set still pushed as static partition
+  // filters into every scan below the union (PlanSpec pins it). Codes
+  // are integers and rows are row-grain, so the incrementally
+  // maintained store is value-identical to the one-shot build at any
+  // batching/compaction schedule — the final serve (pqProbed/pqAdcRank,
+  // the x114 kernel verbatim; exact rerank against the STATIC
+  // embeddings relation — the code store never carries raw vectors)
+  // hash-checks against x114's DuckDB oracle VERBATIM.
+  // At 100 TB: per-refresh cost ∝ new data (encode + a batch-grain
+  // write), compaction amortized on the caller's schedule; the durable
+  // index stays m bytes-ish per vector (~8 GB of codes vs ~256 GB of
+  // floats at 10⁹ × 64-dim).
+  // ---------------------------------------------------------------------
+
+  /** The s47 core. `workDir`/`onBatch`: the s34–s46 restart hooks; the
+    * checkpoint plus the DeltaStore batch-id watermark make every batch
+    * exactly-once across crash+resume. */
+  private[graft] def pqMaintainServe(s: SparkSession, items: DataFrame,
+                                     queries: DataFrame, k: Int,
+                                     nLists: Int, nProbe: Int, m: Int,
+                                     codes: Int, refine: Int,
+                                     compactEvery: Int = 2,
+                                     workDir: Option[String] = None,
+                                     onBatch: Long => Unit = _ => ())
+      : DataFrame = {
+    import graft.operators.SimilaritySearch
+    import graft.store.DeltaStore
+    val work = workDir.getOrElse(tempDir("graft_s47_"))
+    val inDir = s"$work/in"; val ck = s"$work/ck"
+
+    val src = items.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").as("vec"))
+    val (fixedRows, dsub) = SimilaritySearch.pqFixedRows(src, nLists, m, codes)
+
+    val codeSchema = StructType(
+      StructField("vec_id", LongType) +:
+      (0 until m).map(j => StructField(s"code_$j", IntegerType)) :+
+      StructField("cell", LongType))
+    def cellPartitioned(d: DataFrame, path: String): Unit =
+      d.repartition(col("cell")).write.mode("overwrite")
+        .partitionBy("cell").parquet(path)
+    val codeStore = new DeltaStore(s"$work/store/codes", codeSchema,
+      cellPartitioned, cellPartitioned, identity)
+
+    if (!hasParquet(inDir))
+      src.select(col("vec_id"), col("vec").as("embedding"))
+        .repartition(3).write.mode("overwrite").parquet(inDir)
+
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        onBatch(id)
+        // row-local encode against the fixed quantizer — batch-grain by
+        // construction, never reads the store
+        codeStore.append(s, id, SimilaritySearch.pqEncoded(
+          b.select(col("vec_id"), col("embedding").as("vec")),
+          fixedRows, nLists, m, codes, dsub))
+        if ((id + 1) % compactEvery == 0) codeStore.compact(s)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val qB = queries.select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").as("q_vec"))
+    val probed = SimilaritySearch.pqProbed(qB, fixedRows, nLists, nProbe,
+      m, codes, dsub).localCheckpoint()
+    // the bounded probe-cell set (≤ nLists longs by construction) pushed
+    // as static partition filters below the base∪delta union — every
+    // scan, base and deltas alike, prunes to the probed cells
+    val cells = probed.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val store = codeStore.read(s)
+      .filter(col("cell").isin(cells.map(Long.box): _*))
+    SimilaritySearch.pqAdcRank(store, probed, src, qB, k, m, codes, refine)
+      .orderBy("query_id", "rank")
+  }
+
+  def streamPqMaintain(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SimilaritySearch.{AnnEval, IvfPqFixed => P}
+    val emb = Tables.embeddings(s, dir)
+    pqMaintainServe(s, emb, emb.filter(col("vec_id") < AnnEval.QuerySlice),
+      k = P.K, nLists = P.NLists, nProbe = P.NProbe, m = P.M,
+      codes = P.Codes, refine = P.Refine)
+  }
+
+  // ---------------------------------------------------------------------
   // s38 — STREAMED BM25 serving: s37's lexical sibling. The inverted
   // index is built ONCE as durable bucketed-sorted tables — postings
   // (token, doc_id, tf, dl) and the vocabulary df relation, both
@@ -2141,6 +2241,44 @@ object StreamingQueries {
        cellPartitioned, cellPartitioned, identity))
   }
 
+  /** ONE definition of the hybrid serve against however-maintained
+    * index views — s40/s43's serveNow and s46's retained serve all rank
+    * through this: BM25 arm over (tfView, dfView re-grouped — deltas
+    * may carry per-batch partial rows for a token), ANN arm over
+    * ivfView, corpus stats folded from statView's exact integer
+    * partials, RRF fusion at the s39 depths. `queries` carries
+    * (doc_id, text, embedding). */
+  private[graft] def serveHybridViews(s: SparkSession, entry: String,
+                                      tfView: DataFrame, dfView: DataFrame,
+                                      statView: DataFrame, ivfView: DataFrame,
+                                      queries: DataFrame,
+                                      cents: IndexedSeq[Array[Float]],
+                                      nProbe: Int, listK: Int, k0: Int,
+                                      k: Int): DataFrame = {
+    import graft.operators.SimilaritySearch
+    val dfG = dfView.groupBy("token").agg(sum("df").as("df"))
+    val st = statView
+      .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"))
+      .collect()(0)
+    val nDocs = st.getLong(0)
+    require(nDocs > 0,
+      s"$entry serve: corpus has no tokenized item docs (avgdl undefined)")
+    val avgdl = st.getLong(1).toDouble / nDocs
+    val lex = bm25BatchRank(s,
+        queries.select(col("doc_id").as("query_id"), col("text")),
+        tfView, dfG, nDocs, avgdl, listK)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("rank"))
+    val sem = annBatchRank(s,
+        queries.filter(col("embedding").isNotNull)
+          .select(col("doc_id").as("query_id"),
+            col("embedding").as("q_vec")),
+        ivfView, cents, nProbe, listK)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    SimilaritySearch.rrfFuse(lex, sem, k0 = k0, k = k)
+      .select("query_id", "doc_id", "lex_rank", "sem_rank", "rrf", "rank")
+  }
+
   /** The s40 core. `workDir`/`onBatch`: the s34–s39 restart hooks; the
     * checkpoint plus the DeltaStores' batch-id watermarking make every
     * batch exactly-once across crash+resume (a replayed batch
@@ -2215,37 +2353,17 @@ object StreamingQueries {
 
     // the serve: both arms against the merged base∪delta views — the
     // literal-IN / partition filters push below the union to every base
-    // and delta scan. A local def because s43 runs it after EVERY
-    // maintenance batch (serve-while-maintain), s40 once at the end —
-    // ONE definition of the serve semantics either way.
-    def serveNow(entry: String): DataFrame = {
-      val tfView = tfStore.read(s)
-      val dfView = dfStore.read(s).groupBy("token").agg(sum("df").as("df"))
-      val st = statStore.read(s)
-        .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
-          coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"))
-        .collect()(0)
-      val nDocs = st.getLong(0)
-      require(nDocs > 0,
-        s"$entry serve: corpus has no tokenized item docs (avgdl undefined)")
-      val avgdl = st.getLong(1).toDouble / nDocs
-      val ivfView = ivfStore.read(s)
-      val queries = qDocs.select(col("doc_id"), col("text"))
-        .join(srcE.select(col("vec_id").as("doc_id"), col("embedding")),
-          Seq("doc_id"), "left")
-      val lex = bm25BatchRank(s,
-          queries.select(col("doc_id").as("query_id"), col("text")),
-          tfView, dfView, nDocs, avgdl, listK)
-        .select(col("query_id"), col("doc_id"), col("rnk").as("rank"))
-      val sem = annBatchRank(s,
-          queries.filter(col("embedding").isNotNull)
-            .select(col("doc_id").as("query_id"),
-              col("embedding").as("q_vec")),
-          ivfView, cents, nProbe, listK)
-        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
-      SimilaritySearch.rrfFuse(lex, sem, k0 = k0, k = k)
-        .select("query_id", "doc_id", "lex_rank", "sem_rank", "rrf", "rank")
-    }
+    // and delta scan. s43 runs it after EVERY maintenance batch
+    // (serve-while-maintain), s40 once at the end, s46 over the
+    // retention-filtered views — ONE definition of the serve semantics
+    // for all of them (serveHybridViews).
+    def serveNow(entry: String): DataFrame =
+      serveHybridViews(s, entry, tfStore.read(s), dfStore.read(s),
+        statStore.read(s), ivfStore.read(s),
+        qDocs.select(col("doc_id"), col("text"))
+          .join(srcE.select(col("vec_id").as("doc_id"), col("embedding")),
+            Seq("doc_id"), "left"),
+        cents, nProbe, listK, k0, k)
 
     val stream = s.readStream
       .schema(StructType(Seq(StructField("doc_id", LongType),
@@ -2349,6 +2467,155 @@ object StreamingQueries {
       Tables.embeddings(s, dir), Curation.BenchMod,
       listK = CQ.HybridListK, k0 = CQ.RrfK0, k = CQ.HybridK,
       nLists = P.NLists, nProbe = P.NProbe, serveEachBatch = true)
+  }
+
+  // ---------------------------------------------------------------------
+  // s46 — RETENTION at the serving-index layer: the B3 TTL semantic
+  // (clickhouse_tables.sql:19,36,53,71 — ClickHouse enforces TTL when
+  // parts MERGE) applied to s40's four serving DeltaStores, which until
+  // now grew forever (VERDICT r17 "what's missing"). Expiry happens at
+  // compaction — the one moment each store is already being rewritten —
+  // so it costs nothing beyond the merge that was happening anyway:
+  // the row-grain stores (postings, IVF vectors) drop expired-doc rows
+  // through compact's retention hook; df and the corpus stats are
+  // integer SUMS over doc contributions a row filter cannot subtract,
+  // so they REBASE onto relations re-derived from the retained postings
+  // (a bucket-local groupBy of the freshly compacted token-sorted base
+  // — the buildBm25Index df-derivation argument at compaction time).
+  // The retention watermark ADVANCES across compactions (wFinal/2
+  // in-stream, wFinal at the final merge), so rows admitted and even
+  // already-compacted earlier genuinely expire at a later merge — not
+  // just ingress filtering. Age axis: doc_id, the fixture's
+  // ingest-order key (production would use an ingest timestamp column;
+  // identical mechanics). The final serve is value-identical to a
+  // from-scratch s39 build over the RETAINED corpus, and hash-checks
+  // against the s39/s40 oracle restricted by the same watermark
+  // (CurationQueries.retainedServeSql — max(doc_id)//4 on both
+  // engines). At 100 TB: post-expiry serve cost tracks the RETAINED
+  // corpus, not the lifetime one — the receipt ScaleCheck measures.
+  // ---------------------------------------------------------------------
+
+  /** The s46 core. `workDir`/`onBatch`: the s34–s45 restart hooks; every
+    * retention step is the DeltaStore staged swap, so a crash at any
+    * point of an expiry pass recovers exactly like a plain compaction. */
+  private[graft] def retainedIndexServe(s: SparkSession, docs: DataFrame,
+                                        emb: DataFrame, benchMod: Int,
+                                        listK: Int, k0: Int, k: Int,
+                                        nLists: Int, nProbe: Int,
+                                        compactEvery: Int = 2,
+                                        workDir: Option[String] = None,
+                                        onBatch: Long => Unit = _ => ())
+      : DataFrame = {
+    import graft.operators.{Curation, SimilaritySearch}
+    val work = workDir.getOrElse(tempDir("graft_s46_"))
+    val inDir = s"$work/in"; val ck = s"$work/ck"
+    def toksCol = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val items = docs.filter(col("doc_id") % benchMod =!= 0)
+    val qDocs = docs.filter(col("doc_id") % benchMod === 0 &&
+      col("doc_id") < Curation.BmQueryIdMax)
+    val srcE = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"))
+    val itemE = srcE.filter(col("vec_id") % benchMod =!= 0)
+    val cents = SimilaritySearch.collectFixedRows(
+      srcE.filter(col("vec_id") < nLists), nLists)
+    // the retention horizon, derived from the corpus on BOTH engines
+    // (Scala long division here, BIGINT // in the oracle): retain the
+    // newest 3/4 of the id range; the mid-stream watermark is half that,
+    // so the final merge expires rows an earlier merge retained
+    val wFinal = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 4
+    val wMid = wFinal / 2
+
+    val (tfStore, dfStore, statStore, ivfStore) =
+      servingDeltaStores(s, s"$work/store")
+
+    /** One retention merge at watermark `w`: row-grain stores filter
+      * inside their compaction; df/stats rebase onto relations
+      * re-derived from the retained postings. Every step is the staged
+      * swap — interruptible anywhere, recovered by the next pass. */
+    def retentionPass(w: Long, force: Boolean): Unit = {
+      tfStore.compact(s, _.filter(col("doc_id") >= w), force)
+      ivfStore.compact(s, _.filter(col("vec_id") >= w), force)
+      val tfView = tfStore.read(s)
+      dfStore.rebase(s, tfView.groupBy("token").agg(count(lit(1)).as("df")))
+      statStore.rebase(s,
+        tfView.groupBy("doc_id").agg(max("dl").as("dl"))
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl")))
+    }
+
+    if (!hasParquet(inDir)) {
+      requireEvalSliceCovered(srcE, qDocs, benchMod, "s46")
+      items.select(col("doc_id"), col("text"))
+        .join(itemE.select(col("vec_id").as("doc_id"), col("embedding")),
+          Seq("doc_id"), "full_outer")
+        .repartition(3).write.mode("overwrite").parquet(inDir)
+    }
+
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        onBatch(id)
+        // batch-grain appends, s40's exactly (retention is
+        // merge-enforced, the ClickHouse posture: nothing is filtered
+        // at ingest — rows expire when a merge crosses the watermark)
+        val withText = b.filter(col("text").isNotNull)
+        val tf = withText.select(col("doc_id"), toksCol.as("toks"))
+          .select(col("doc_id"), size(col("toks")).as("dl"),
+            explode(col("toks")).as("token"))
+          .groupBy("doc_id", "token")
+          .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+          .select("doc_id", "token", "tf", "dl")
+        tfStore.append(s, id, tf)
+        dfStore.append(s, id, tf.groupBy("token").agg(count(lit(1)).as("df")))
+        statStore.append(s, id,
+          withText.select(size(toksCol).as("doclen"))
+            .filter(col("doclen") > 0)
+            .agg(count(lit(1)).as("n_docs"),
+              coalesce(sum(col("doclen")), lit(0L)).cast("long").as("sum_dl")))
+        ivfStore.append(s, id,
+          b.filter(col("embedding").isNotNull)
+            .select(col("doc_id").as("vec_id"), col("embedding"),
+              SimilaritySearch.argmaxCell(col("embedding"), cents).as("cell")))
+        if ((id + 1) % compactEvery == 0) retentionPass(wMid, force = false)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // the final retention merge advances the watermark to wFinal —
+    // forced, because expiry must run even when no new deltas arrived
+    // since the last compaction
+    retentionPass(wFinal, force = true)
+
+    // serve over the retained views; the row-grain filters are no-ops
+    // right after the forced merge but state the contract explicitly
+    // (a mid-epoch serve sees retained-as-of-last-merge ∪ newer deltas)
+    serveHybridViews(s, "s46",
+        tfStore.read(s).filter(col("doc_id") >= wFinal),
+        dfStore.read(s), statStore.read(s),
+        ivfStore.read(s).filter(col("vec_id") >= wFinal),
+        qDocs.select(col("doc_id"), col("text"))
+          .join(srcE.select(col("vec_id").as("doc_id"), col("embedding")),
+            Seq("doc_id"), "left"),
+        cents, nProbe, listK, k0, k)
+      .orderBy("query_id", "rank")
+  }
+
+  def streamIndexRetention(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    import graft.operators.SimilaritySearch.{IvfPqFixed => P}
+    import graft.queries.{CurationQueries => CQ}
+    retainedIndexServe(s, Tables.documents(s, dir), Tables.embeddings(s, dir),
+      Curation.BenchMod, listK = CQ.HybridListK, k0 = CQ.RrfK0,
+      k = CQ.HybridK, nLists = P.NLists, nProbe = P.NProbe)
   }
 
   // ---------------------------------------------------------------------
@@ -2871,9 +3138,13 @@ object StreamingQueries {
       Some(graft.queries.CurationQueries.hybridServeStreamSql))),
     "s43_serve_while_maintain" -> ((streamServeWhileMaintain _,
       Some(graft.queries.CurationQueries.serveWhileMaintainSql))),
+    "s46_stream_index_retention" -> ((streamIndexRetention _,
+      Some(graft.queries.CurationQueries.retainedServeSql))),
     "s44_stream_scatter" -> ((streamEmbeddingScatter _,
       Some(graft.queries.ExtendedQueries.embeddingScatterSql))),
     "s45_stream_pq_serve" -> ((streamPqServe _,
+      Some(graft.queries.ExtendedQueries.knnIvfPqFixedSql))),
+    "s47_stream_pq_maintain" -> ((streamPqMaintain _,
       Some(graft.queries.ExtendedQueries.knnIvfPqFixedSql))),
     "s41_stream_ann_serve_probed" -> ((streamAnnServeProbed _,
       Some(graft.queries.ExtendedQueries.annServeProbedSql))),

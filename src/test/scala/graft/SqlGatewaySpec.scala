@@ -453,6 +453,29 @@ class SqlGatewaySpec extends AnyFunSuite {
       assert(e1 == 400 && b1.contains("tokens"), s"$e1 $b1")
       val (e2, _) = http(port, "/score", "GET", None)
       assert(e2 == 405)
+
+      // model=trained: the x133 route — the stored-model verdict for a
+      // corpus row's text + doc_id must reproduce that row's x133
+      // output field for field (same ModelStore root, same fingerprint,
+      // so the gateway serves the exact weights the entry persisted)
+      val x133 = graft.operators.Curation.paretoClassifierSampleStored(
+          docs, graft.queries.CurationQueries.modelStoreRoot(TestSpark.Sf0001))
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .collect()
+      assert(x133.nonEmpty, "fixture degenerate: x133 kept nothing")
+      val tk = x133.head
+      val (ts, tb) = http(port, s"/score?doc_id=${tk.getLong(0)}&model=trained",
+        "POST", Some(tk.getString(4)))
+      assert(ts == 200, tb)
+      assert(tb.contains("\"model\":\"trained\""), tb)
+      assert(num("q_score", tb).contains(tk.getDouble(2)),
+        s"/score?model=trained q_score diverged from x133: $tb vs $tk")
+      assert(num("accept_key", tb).contains(tk.getDouble(3)),
+        s"/score?model=trained accept_key diverged from x133: $tb vs $tk")
+      assert(tb.contains("\"keep\":true"), tb)
+      // an unknown model name is a loud 400
+      val (us, ub) = http(port, "/score?model=bogus", "POST", Some("some text"))
+      assert(us == 400 && ub.contains("unknown model"), s"$us $ub")
     }
   }
 

@@ -2156,4 +2156,61 @@ class CurationSpec extends AnyFunSuite {
     assert(fixture.groupBy("doc_id").count().filter(col("count") > 1).count() == 0)
     assert(fixture.count() > 0)
   }
+
+  test("x133 stored model: load-don't-refit serves the fit's exact scores; a stale fingerprint refits, never serves silently") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_x133_spec_").toString + "/model"
+    val docsT = (0L until 40L).map { i =>
+      val t =
+        if (i % 4 == 0) s"reference article citation neutral summary v$i"
+        else s"buy cheap click winner prize offer${i % 7} deal$i"
+      (i, t)
+    }.toDF("doc_id", "text")
+    // first use fits and persists
+    val (w1, b1, fitted1) = Curation.qcLoadOrFit(docsT, root,
+      benchMod = 4, iters = 10, lr = 1.0)
+    assert(fitted1, "empty store must fit")
+    // second use LOADS — the doubles round-trip parquet losslessly, so
+    // the stored-weights scores equal the fit-run scores EXACTLY
+    val (w2, b2, fitted2) = Curation.qcLoadOrFit(docsT, root,
+      benchMod = 4, iters = 10, lr = 1.0)
+    assert(!fitted2, "matching fingerprint must load, not refit")
+    assert(w1.toSeq == w2.toSeq && b1 == b2,
+      "stored weights diverged from the fitted ones")
+    val run1 = Curation.qualityClassifierStored(docsT, root, benchMod = 4,
+      iters = 10, lr = 1.0).collect().toSeq
+    val run2 = Curation.qualityClassifierStored(docsT, root, benchMod = 4,
+      iters = 10, lr = 1.0).collect().toSeq
+    assert(run1 == run2, "stored-model serves must be run-identical")
+    // x125 twin at the same weights: the serve tail is ONE definition
+    val viaServe = Curation.qcServeScores(
+        Curation.qcFeatures(docsT, benchMod = 4), w1, b1)
+      .orderBy("doc_id").collect().toSeq
+    assert(run1 == viaServe)
+    // staleness: a mutated corpus must REFIT (fingerprint mismatch) —
+    // never score the new corpus with the old weights
+    val mutated = docsT.withColumn("text",
+      concat(col("text"), lit(" drifted")))
+    val (_, _, fitted3) = Curation.qcLoadOrFit(mutated, root,
+      benchMod = 4, iters = 10, lr = 1.0)
+    assert(fitted3, "stale fingerprint must refit")
+    // and the refit overwrote the store: the ORIGINAL corpus now
+    // mismatches and refits in turn
+    val (_, _, fitted4) = Curation.qcLoadOrFit(docsT, root,
+      benchMod = 4, iters = 10, lr = 1.0)
+    assert(fitted4, "store must hold the LAST-fitted corpus's model")
+    // a torn save (marker removed) is treated as absent, not served
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_FP"), false)
+    assert(graft.store.ModelStore.load(spark, root).isEmpty,
+      "a store without its completeness marker must read as absent")
+    // the registry composition keeps the x130 admission stage verbatim:
+    // every kept row's accept_key re-derives under the closed-form rule
+    val kept = Curation.paretoClassifierSampleStored(docsT, root,
+      benchMod = 4, iters = 10, lr = 1.0).collect()
+    assert(kept.nonEmpty)
+    kept.foreach { r => assert(r.getDouble(3) < 1.0) }
+  }
 }

@@ -183,6 +183,50 @@ class DeltaStoreSpec extends AnyFunSuite {
       Map("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L))
   }
 
+  test("retention at merge (s46): compact's extra hook drops expired rows; force expires with no deltas; rebase replaces a derived store and folds its deltas") {
+    val st = mkStore()
+    // token doubles as the age axis here: "old" rows expire
+    st.append(spark, 0L, Seq(("old", 1L), ("new", 2L)).toDF("token", "df"))
+    st.append(spark, 1L, Seq(("old", 3L), ("new", 4L)).toDF("token", "df"))
+    st.compact(spark, extra = _.filter(col("token") =!= "old"))
+    assert(contents(st) == Map("new" -> 6L),
+      "expired rows must be dropped AT the merge")
+    assert(st.foldedUpto(spark) == 1L)
+    // watermark advance with NO new deltas: a plain compact would
+    // no-op; force must still rewrite the base through the filter
+    st.compact(spark, extra = _.filter(col("df") < 100L), force = true)
+    assert(contents(st) == Map("new" -> 6L) && st.foldedUpto(spark) == 1L,
+      "forced expiry must keep the folded watermark")
+    // rebase: the derived-store compaction — replaces the base wholesale
+    // and sweeps live deltas into the watermark
+    st.append(spark, 2L, Seq(("c", 9L)).toDF("token", "df"))
+    st.rebase(spark, Seq(("derived", 42L)).toDF("token", "df"))
+    assert(contents(st) == Map("derived" -> 42L))
+    assert(st.foldedUpto(spark) == 2L,
+      "rebase must fold the swept deltas' ids into the watermark")
+    // a replay of the swept batch is skipped by that watermark
+    st.append(spark, 2L, Seq(("c", 9L)).toDF("token", "df"))
+    assert(contents(st) == Map("derived" -> 42L))
+  }
+
+  test("readOnly(asOf): excludes deltas above the pinned batch; refuses an asOf behind the folded base") {
+    val st = mkStore()
+    st.append(spark, 0L, Seq(("a", 1L)).toDF("token", "df"))
+    st.append(spark, 1L, Seq(("a", 2L)).toDF("token", "df"))
+    assert(st.readOnlyMaxBatch(spark) == 1L)
+    val at0 = st.readOnly(spark, asOf = 0L)
+      .groupBy("token").agg(sum("df").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(at0 == Map("a" -> 1L), "asOf=0 must exclude batch 1's delta")
+    st.compact(spark)
+    assert(st.readOnlyMaxBatch(spark) == 1L)
+    val err = intercept[IllegalArgumentException] {
+      st.readOnly(spark, asOf = 0L).count()
+    }
+    assert(err.getMessage.contains("cannot be rewound"),
+      s"expected the loud rewind refusal, got: ${err.getMessage}")
+  }
+
   test("empty store reads as an empty typed relation; compact with no deltas is a no-op") {
     val st = mkStore()
     assert(st.read(spark).collect().isEmpty)

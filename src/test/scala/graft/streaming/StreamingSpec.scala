@@ -482,7 +482,7 @@ class StreamingSpec extends AnyFunSuite {
       s"s34 leaked ${after - before} catalog tables across 3 invocations")
   }
 
-  test("s30/s31/s33/s34/s35/s36/s37/s38/s39/s40/s42/s43/s44/s45 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
+  test("s30/s31/s33/s34/s35/s36/s37/s38/s39/s40/s42/s43/s44/s45/s46/s47 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
     // A14's checkpoint discipline, proven for the WHOLE foreachBatch
     // read-back family: kill the query inside batch 1 (of 3), restart
     // against the SAME work dir, and require (a) the resumed run
@@ -618,6 +618,35 @@ class StreamingSpec extends AnyFunSuite {
             s"alpha w$i beta w${i % 4} gamma common text body"))
           .toDF("doc_id", "lang", "text")
         StreamingQueries.paretoAdmissionStream(spark, docs, w, h)
+      },
+      "s47" -> { (w, h) =>
+        // the s45 fixture; compactEvery=2 puts a code-store compaction
+        // inside the resumed batch 1, so the recovery contract covers
+        // the fold + watermark-skip path of the incremental code store
+        val emb = (0L until 16L).map { i =>
+          (i, Array.tabulate(4)(d => (((i * 7 + d * 3) % 11) - 5).toFloat))
+        }.toDF("vec_id", "embedding")
+        StreamingQueries.pqMaintainServe(spark, emb,
+          emb.filter(col("vec_id") < 5), k = 3, nLists = 8, nProbe = 2,
+          m = 2, codes = 16, refine = 2, compactEvery = 2,
+          workDir = w, onBatch = h)
+      },
+      "s46" -> { (w, h) =>
+        // the s40 fixture; maxDoc 11 → wFinal = 2, wMid = 1: item doc 1
+        // expires at the mid-stream merge, the resumed batch 1 replays
+        // a full retention pass (row filters + df/stats rebases), and
+        // the final forced merge advances the watermark — the recovery
+        // contract covers every staged-swap interruption surface the
+        // retention path adds
+        val docs = (0L until 12L).map { i =>
+          (i, s"alpha w$i beta w${i % 4} gamma common text body")
+        }.toDF("doc_id", "text")
+        val emb = (0L until 12L).map { i =>
+          (i, Array.tabulate(4)(d => (((i * 7 + d * 3) % 11) - 5).toFloat))
+        }.toDF("vec_id", "embedding")
+        StreamingQueries.retainedIndexServe(spark, docs, emb, benchMod = 3,
+          listK = 4, k0 = 60, k = 3, nLists = 8, nProbe = 2,
+          compactEvery = 2, workDir = w, onBatch = h)
       })
 
     cores.foreach { case (name, core) =>
