@@ -394,6 +394,92 @@ object SqlGateway {
       .map(_.split(java.io.File.pathSeparator).toSeq.filter(_.nonEmpty))
       .getOrElse(Seq(System.getProperty("java.io.tmpdir")))
 
+  /** The gateway's PQ serving surface (`/search?mode=pq`): the x114
+    * fixed-quantizer rows plus a cell-partitioned CODE table over the
+    * FULL embeddings table (the x114/s45/s47 convention — queries are
+    * corpus members, self-excluded at scoring), built once per process.
+    * `src` (the raw vectors) rides along for the exact rerank and the
+    * query lookups — the code table itself never carries them (the PQ
+    * memory contract). */
+  private[graft] final case class PqIndexes(
+      fixedRows: Map[Long, Array[Float]], dsub: Int,
+      codes: org.apache.spark.sql.DataFrame,
+      src: org.apache.spark.sql.DataFrame)
+
+  private[graft] def buildPqIndexes(spark: SparkSession,
+                                    dir: String): PqIndexes = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SimilaritySearch
+    import graft.operators.SimilaritySearch.{IvfPqFixed => P}
+    val src = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").as("vec"))
+    val (fixedRows, dsub) =
+      SimilaritySearch.pqFixedRows(src, P.NLists, P.M, P.Codes)
+    val work = WorkDirs.tempDir("graft_gateway_pq_")
+    val tbl = s"gateway_search_pq_${idxSeq.incrementAndGet()}"
+    SimilaritySearch.pqEncoded(src, fixedRows, P.NLists, P.M, P.Codes, dsub)
+      .repartition(col("cell"))
+      .write.mode("overwrite").option("path", s"$work/pq")
+      .partitionBy("cell").saveAsTable(tbl)
+    PqIndexes(fixedRows, dsub, spark.table(tbl), src)
+  }
+
+  /** pq_store= sanity, the foreign-quantizer guard extended to the
+    * CODEBOOKS (VERDICT r17 task 5): re-encode ≤ 256 sampled store rows
+    * with the gateway's quantizer and compare the stored cell AND every
+    * stored code column — a store built with foreign centroids or
+    * codebooks would make the ADC lookup-sums silently meaningless.
+    * Also refuses a store sharing no vec_ids with the gateway corpus
+    * (nothing to rerank against). Re-derived per request, the
+    * liveStoreIndexes posture — a live store changes between calls. */
+  private[graft] def checkPqStore(idx: PqIndexes,
+                                  store: org.apache.spark.sql.DataFrame,
+                                  root: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SimilaritySearch
+    import graft.operators.SimilaritySearch.{IvfPqFixed => P}
+    val cents = IndexedSeq.tabulate(P.NLists)(i => idx.fixedRows(i.toLong))
+    val sampled = store.limit(256).join(idx.src, "vec_id")
+    require(sampled.count() > 0,
+      s"pq store $root shares no vec_ids with the gateway corpus — " +
+        "a foreign-corpus store cannot be reranked")
+    val bad = sampled.filter(
+        SimilaritySearch.argmaxCell(col("vec"), cents) =!= col("cell") ||
+          (0 until P.M).map(j =>
+            SimilaritySearch.pqCodeOf(col("vec"), idx.fixedRows, j,
+              idx.dsub, P.Codes) =!= col(s"code_$j")).reduce(_ || _))
+      .count()
+    require(bad == 0,
+      s"pq store $root was not built with the gateway's quantizer/" +
+        s"codebooks ($bad of <=256 sampled rows re-encode differently) " +
+        "— ADC over it would serve wrong neighbors")
+  }
+
+  /** One /search?mode=pq request: the s45/s47 ADC serve for a 1-row
+    * query batch — probe cells and the m×codes ADC table are row-local
+    * expressions, the code-store scan is pruned to the probed cells
+    * (static partition filters, below the base∪delta union for a live
+    * store), and only the k·refine shortlist touches raw vectors. */
+  private[graft] def searchPqTopK(spark: SparkSession, idx: PqIndexes,
+                                  store: org.apache.spark.sql.DataFrame,
+                                  vecId: Long, k: Int): String = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SimilaritySearch
+    import graft.operators.SimilaritySearch.{IvfPqFixed => P}
+    val q = idx.src.filter(col("vec_id") === vecId)
+      .select(col("vec_id").as("query_id"), col("vec").as("q_vec"))
+    require(q.count() == 1, s"vec_id $vecId not found in embeddings")
+    val probed = SimilaritySearch.pqProbed(q, idx.fixedRows, P.NLists,
+      P.NProbe, P.M, P.Codes, idx.dsub).localCheckpoint()
+    val cells = probed.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val pruned = store.filter(col("cell").isin(cells.map(Long.box): _*))
+    SimilaritySearch.pqAdcRank(pruned, probed, idx.src, q, k, P.M,
+        P.Codes, P.Refine)
+      .orderBy("rank").toJSON.collect().mkString("", "\n", "\n")
+  }
+
   private[graft] def buildSearchIndexes(spark: SparkSession,
                                         dir: String): SearchIndexes = {
     import org.apache.spark.sql.functions._
@@ -475,7 +561,7 @@ object SqlGateway {
           k0 = CQ.RrfK0, k = k)
       case other =>
         throw new IllegalArgumentException(
-          s"unknown mode '$other' (hybrid|lexical|semantic)")
+          s"unknown mode '$other' (hybrid|lexical|semantic|pq)")
     }
     out.toJSON.collect().mkString("", "\n", "\n")
   }
@@ -724,11 +810,12 @@ object SqlGateway {
     // retrieval is a crawler-prefetch denial-of-service under bindAll).
     entriesDir.foreach { dir =>
       lazy val searchIdx: SearchIndexes = buildSearchIndexes(spark, dir)
+      lazy val pqIdx: PqIndexes = buildPqIndexes(spark, dir)
       server.createContext("/search", (ex: HttpExchange) => {
         requests.incrementAndGet()
         if (ex.getRequestMethod != "POST")
           respond(ex, 405,
-            """{"error":"POST query text to /search (params: k, mode=hybrid|lexical|semantic, vec_id, tf, df, ivf, store)"}""" + "\n")
+            """{"error":"POST query text to /search (params: k, mode=hybrid|lexical|semantic|pq, vec_id, tf, df, ivf, store, pq_store)"}""" + "\n")
         else {
           val text = new String(ex.getRequestBody.readAllBytes(), UTF_8).trim
           val k = queryParam(ex, "k")
@@ -749,21 +836,49 @@ object SqlGateway {
             }
           }, timeoutSec.toLong, TimeUnit.SECONDS)
           try {
-            val idx = queryParam(ex, "store") match {
-              case Some(root) =>
-                // a live DeltaStore root replaces ALL index relations —
-                // mixing it with per-table overrides would serve a
-                // chimera index, so the combination is rejected
-                require(Seq("tf", "df", "ivf")
-                    .forall(queryParam(ex, _).isEmpty),
-                  "store= replaces tf/df/ivf — the params cannot be combined")
-                requireAllowedStoreRoot(root, allowedStoreRoots)
-                liveStoreIndexes(spark, searchIdx, root)
-              case None => searchIdx.overridden(spark,
-                queryParam(ex, "tf"), queryParam(ex, "df"), queryParam(ex, "ivf"))
+            if (mode == "pq") {
+              // the ADC route serves the CODE store — the inverted-index
+              // and raw-vector-IVF params do not apply to it
+              require(Seq("tf", "df", "ivf", "store")
+                  .forall(queryParam(ex, _).isEmpty),
+                "mode=pq serves the PQ code store — tf/df/ivf/store do not apply (pq_store= names a live s47 code store)")
+              val id = vecId.getOrElse(throw new IllegalArgumentException(
+                "mode=pq needs vec_id=<id>"))
+              val storeRel = queryParam(ex, "pq_store") match {
+                case Some(root) =>
+                  requireAllowedStoreRoot(root, allowedStoreRoots)
+                  val h = new org.apache.hadoop.fs.Path(root)
+                    .getFileSystem(spark.sessionState.newHadoopConf())
+                  require(h.exists(new org.apache.hadoop.fs.Path(root)),
+                    s"pq store root $root does not exist")
+                  // a NON-owner of a live s47 store: strictly readOnly
+                  val st = graft.streaming.StreamingQueries
+                    .pqCodeStore(spark,
+                      root, graft.operators.SimilaritySearch.IvfPqFixed.M)
+                    .readOnly(spark)
+                  checkPqStore(pqIdx, st, root)
+                  st
+                case None => pqIdx.codes
+              }
+              respond(ex, 200, searchPqTopK(spark, pqIdx, storeRel, id, k))
+            } else {
+              require(queryParam(ex, "pq_store").isEmpty,
+                "pq_store= applies to mode=pq only")
+              val idx = queryParam(ex, "store") match {
+                case Some(root) =>
+                  // a live DeltaStore root replaces ALL index relations —
+                  // mixing it with per-table overrides would serve a
+                  // chimera index, so the combination is rejected
+                  require(Seq("tf", "df", "ivf")
+                      .forall(queryParam(ex, _).isEmpty),
+                    "store= replaces tf/df/ivf — the params cannot be combined")
+                  requireAllowedStoreRoot(root, allowedStoreRoots)
+                  liveStoreIndexes(spark, searchIdx, root)
+                case None => searchIdx.overridden(spark,
+                  queryParam(ex, "tf"), queryParam(ex, "df"), queryParam(ex, "ivf"))
+              }
+              respond(ex, 200, searchTopK(spark, idx, mode, text, vecId, k))
             }
-            val body = searchTopK(spark, idx, mode, text, vecId, k)
-            respond(ex, 200, body)
           } catch {
             case _: Throwable if timedOut.get() =>
               respond(ex, 408,

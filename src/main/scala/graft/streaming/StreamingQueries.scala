@@ -1776,6 +1776,24 @@ object StreamingQueries {
   // floats at 10⁹ × 64-dim).
   // ---------------------------------------------------------------------
 
+  /** The s47 PQ-code DeltaStore at `root` — ONE definition of its
+    * schema (vec_id, code_0..code_{m−1}, cell), cell-partitioned
+    * base/delta layout and identity merge, shared by the maintenance
+    * stream (the OWNER) and the gateway's `pq_store=` live read path (a
+    * NON-owner, strictly [[graft.store.DeltaStore.readOnly]]). */
+  private[graft] def pqCodeStore(s: SparkSession, root: String,
+                                 m: Int): graft.store.DeltaStore = {
+    val codeSchema = StructType(
+      StructField("vec_id", LongType) +:
+      (0 until m).map(j => StructField(s"code_$j", IntegerType)) :+
+      StructField("cell", LongType))
+    def cellPartitioned(d: DataFrame, path: String): Unit =
+      d.repartition(col("cell")).write.mode("overwrite")
+        .partitionBy("cell").parquet(path)
+    new graft.store.DeltaStore(root, codeSchema,
+      cellPartitioned, cellPartitioned, identity)
+  }
+
   /** The s47 core. `workDir`/`onBatch`: the s34–s46 restart hooks; the
     * checkpoint plus the DeltaStore batch-id watermark make every batch
     * exactly-once across crash+resume. */
@@ -1795,16 +1813,7 @@ object StreamingQueries {
     val src = items.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding").as("vec"))
     val (fixedRows, dsub) = SimilaritySearch.pqFixedRows(src, nLists, m, codes)
-
-    val codeSchema = StructType(
-      StructField("vec_id", LongType) +:
-      (0 until m).map(j => StructField(s"code_$j", IntegerType)) :+
-      StructField("cell", LongType))
-    def cellPartitioned(d: DataFrame, path: String): Unit =
-      d.repartition(col("cell")).write.mode("overwrite")
-        .partitionBy("cell").parquet(path)
-    val codeStore = new DeltaStore(s"$work/store/codes", codeSchema,
-      cellPartitioned, cellPartitioned, identity)
+    val codeStore = pqCodeStore(s, s"$work/store/codes", m)
 
     if (!hasParquet(inDir))
       src.select(col("vec_id"), col("vec").as("embedding"))

@@ -410,6 +410,88 @@ class SqlGatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("/search mode=pq: route parity with the hash-checked x114 batch result; pq_store= serves a live s47 code store; foreign quantizer/codebook is a 400") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.SimilaritySearch
+    import graft.operators.SimilaritySearch.{AnnEval, IvfPqFixed => P}
+    withServer() { port =>
+      // ground truth: the x114 batch entry on the same fixture (the
+      // oracle s45/s47 hash against)
+      val emb = Tables.embeddings(spark, TestSpark.Sf0001)
+      val x114 = SimilaritySearch.ivfPqFixedTopK(emb,
+          emb.filter(col("vec_id") === 0L), k = P.K)
+        .select("vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong)).sortBy(_._2)
+      assert(x114.nonEmpty, "fixture degenerate: x114 ranked nothing for query 0")
+      def ranks(body: String) = body.trim.split("\n").toSeq.map { line =>
+        def num(k: String) =
+          s""""$k":(-?[0-9]+)""".r.findFirstMatchIn(line).map(_.group(1).toLong)
+        (num("vec_id").get, num("rank").get)
+      }.sortBy(_._2)
+
+      // gateway-owned code table
+      val (ps, pb) = http(port, s"/search?mode=pq&vec_id=0&k=${P.K}",
+        "POST", Some(""))
+      assert(ps == 200, pb)
+      assert(ranks(pb) == x114.toSeq,
+        s"mode=pq diverged from x114:\ngot: ${ranks(pb)}\nx114: ${x114.toSeq}")
+
+      // pq_store=: a live s47 code store (kept work dir, delta-only
+      // state — compactEvery beyond the batch count) must serve the
+      // identical ranking through DeltaStore.readOnly
+      val work = java.nio.file.Files
+        .createTempDirectory("spec_pq_store_").toString
+      graft.streaming.StreamingQueries.pqMaintainServe(spark, emb,
+        emb.filter(col("vec_id") < AnnEval.QuerySlice),
+        k = P.K, nLists = P.NLists, nProbe = P.NProbe, m = P.M,
+        codes = P.Codes, refine = P.Refine, compactEvery = 99,
+        workDir = Some(work)).collect()
+      val (ls, lb) = http(port,
+        s"/search?mode=pq&vec_id=0&k=${P.K}&pq_store=$work/store/codes",
+        "POST", Some(""))
+      assert(ls == 200, lb)
+      assert(ranks(lb) == x114.toSeq,
+        s"pq_store= route diverged from x114:\ngot: ${ranks(lb)}")
+
+      // foreign QUANTIZER (cells shifted) and foreign CODEBOOK (codes
+      // shifted) must both be rejected on the sampled re-encode, not
+      // silently ADC'd
+      val codesRel = graft.streaming.StreamingQueries
+        .pqCodeStore(spark, s"$work/store/codes", P.M).readOnly(spark)
+      def corrupt(name: String, mutate: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame): String = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"spec_pq_$name").toString + "/codes"
+        val st = graft.streaming.StreamingQueries.pqCodeStore(spark, root, P.M)
+        st.append(spark, 0L, mutate(codesRel))
+        root
+      }
+      val badCell = corrupt("cell", _.withColumn("cell",
+        (col("cell") + 1) % P.NLists))
+      val (c1, b1) = http(port,
+        s"/search?mode=pq&vec_id=0&pq_store=$badCell", "POST", Some(""))
+      assert(c1 == 400 && b1.contains("quantizer"), s"$c1 $b1")
+      val badCode = corrupt("code", _.withColumn("code_0",
+        (col("code_0") + 1) % P.Codes))
+      val (c2, b2) = http(port,
+        s"/search?mode=pq&vec_id=0&pq_store=$badCode", "POST", Some(""))
+      assert(c2 == 400 && b2.contains("codebook"), s"$c2 $b2")
+
+      // param hygiene: pq_store on a non-pq mode, and store params on
+      // mode=pq, are loud 400s; so is a pq_store outside the allowlist
+      val (m1, mb1) = http(port,
+        s"/search?mode=hybrid&vec_id=0&pq_store=$work/store/codes",
+        "POST", Some("text"))
+      assert(m1 == 400 && mb1.contains("mode=pq only"), s"$m1 $mb1")
+      val (m2, mb2) = http(port,
+        "/search?mode=pq&vec_id=0&tf=whatever", "POST", Some(""))
+      assert(m2 == 400 && mb2.contains("do not apply"), s"$m2 $mb2")
+      val (m3, mb3) = http(port,
+        "/search?mode=pq&vec_id=0&pq_store=/etc", "POST", Some(""))
+      assert(m3 == 400 && mb3.contains("allowlisted"), s"$m3 $mb3")
+    }
+  }
+
   test("/score: route parity with the hash-checked x124/x126 batch entries; tokenless text is a 400") {
     import org.apache.spark.sql.functions.{col, round}
     withServer() { port =>

@@ -326,6 +326,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("s47: the probe-cell IN prunes BOTH the code-store base and its live deltas below the union (static partition filters)") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.StreamingQueries
+    // the serve-time store read in the store's mixed state (compacted
+    // base PLUS a live delta): the probe-cell literal IN must push
+    // through the DeltaStore's unionByName to EVERY child scan — both
+    // sides are cell-partitioned, so each becomes partition pruning
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_s47_plan_").toString + "/codes"
+    val st = StreamingQueries.pqCodeStore(spark, root, m = 2)
+    import spark.implicits._
+    def rows(ids: Range) = ids.map(i =>
+      (i.toLong, i % 16, (i * 3) % 16, (i % 4).toLong))
+      .toDF("vec_id", "code_0", "code_1", "cell")
+    st.append(spark, 0L, rows(0 until 32))
+    st.compact(spark)                      // → base
+    st.append(spark, 1L, rows(32 until 48)) // → live delta
+    val probed = Seq(0L, 2L)
+    val read = st.read(spark)
+      .filter(col("cell").isin(probed.map(Long.box): _*))
+    read.collect()
+    val p = read.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "PartitionFilters: \\[".r.findAllIn(p).size
+    assert(scans == 2,
+      s"expected partition filters on BOTH the base and delta scans, found $scans:\n$p")
+    assert((" IN \\(" + probed.mkString(",") + "\\)").r
+        .findAllIn(p).size == 2,
+      s"the probe-cell IN must reach both scans as a partition filter:\n$p")
+    // behavioral: exactly the probed cells' rows, from both layers
+    assert(read.count() == (0 until 48).count(i => probed.contains((i % 4).toLong)))
+  }
+
   test("s38: the batch's literal IN reaches the postings store scan — pushed filter AND bucket pruning") {
     import graft.streaming.StreamingQueries
     import org.apache.spark.sql.functions.{col, count, explode, lit, lower, regexp_extract_all, size}
