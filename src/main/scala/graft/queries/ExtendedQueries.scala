@@ -822,7 +822,15 @@ object ExtendedQueries {
       .orderBy("query_id", "rank")
   }
 
-  val knnIvfPqFixedSql: String = {
+  val knnIvfPqFixedSql: String = knnIvfPqFixedSqlFor("TRUE")
+
+  /** The x114/s45/s47 PQ-ADC oracle parameterized by the INDEXED-item
+    * cut: `vecPred` (over `e.vec_id`) restricts which vectors the code
+    * store carries — "TRUE" is the full-table x114 convention; s49's
+    * retention oracle passes the watermark predicate. The quantizer
+    * CTEs (cents/cbk) and the query side stay unrestricted: the fixed
+    * quantizer is a reference artifact, never retention-filtered. */
+  private[queries] def knnIvfPqFixedSqlFor(vecPred: String): String = {
     // derived from the SAME constants the entry's call resolves to
     // (SimilaritySearch.IvfPqFixed + X114K), so a change to either side
     // desyncs at compile time, not at hash-check time (ADVICE r15)
@@ -849,7 +857,7 @@ object ExtendedQueries {
          |    SELECT e.vec_id, c.cid,
          |           row_number() OVER (PARTITION BY e.vec_id
          |             ORDER BY ${cos("e", "c")} DESC, c.cid) AS rn
-         |    FROM embeddings e CROSS JOIN cents c) t
+         |    FROM embeddings e CROSS JOIN cents c WHERE ($vecPred)) t
          |  WHERE rn = 1
          |), js AS (SELECT unnest(range($m)) AS j
          |), enc AS (
@@ -889,6 +897,15 @@ object ExtendedQueries {
          |  WHERE rn <= $kRefine
          |)""".stripMargin)
   }
+
+  // ---------------------------------------------------------------------
+  // s49 oracle — the PQ-ADC serve over the RETAINED code store: the
+  // x114 SQL with the indexed-vector side restricted by the retention
+  // watermark max(vec_id)//4 (the s46 discipline at the code grain —
+  // BIGINT floor division matches the stream's Scala long division).
+  // ---------------------------------------------------------------------
+  lazy val retainedPqServeSql: String = knnIvfPqFixedSqlFor(
+    "e.vec_id >= (SELECT max(vec_id) // 4 FROM embeddings)")
 
   // ---------------------------------------------------------------------
   // s37 oracle — the streamed ANN serving pipeline's batch ground

@@ -1794,26 +1794,45 @@ object StreamingQueries {
       cellPartitioned, cellPartitioned, identity)
   }
 
-  /** The s47 core. `workDir`/`onBatch`: the s34–s46 restart hooks; the
-    * checkpoint plus the DeltaStore batch-id watermark make every batch
-    * exactly-once across crash+resume. */
+  /** The s47 core (s49 with `retention = true`). `workDir`/`onBatch`:
+    * the s34–s46 restart hooks; the checkpoint plus the DeltaStore
+    * batch-id watermark make every batch exactly-once across
+    * crash+resume.
+    *
+    * `retention` applies the s46 TTL-at-merge discipline to the code
+    * store — and because PQ codes are row-grain (no derived integer-sum
+    * stores at this layer), expiry is NOTHING BUT the compact-time row
+    * filter: mid-stream merges expire below max(vec_id)/8, the final
+    * forced merge advances to max(vec_id)/4, and the serve hash-checks
+    * against the x114 oracle restricted by the same watermark
+    * (ExtendedQueries.retainedPqServeSql). The fixed quantizer stays a
+    * reference artifact of the full table, never expired. */
   private[graft] def pqMaintainServe(s: SparkSession, items: DataFrame,
                                      queries: DataFrame, k: Int,
                                      nLists: Int, nProbe: Int, m: Int,
                                      codes: Int, refine: Int,
                                      compactEvery: Int = 2,
+                                     retention: Boolean = false,
                                      workDir: Option[String] = None,
                                      onBatch: Long => Unit = _ => ())
       : DataFrame = {
     import graft.operators.SimilaritySearch
     import graft.store.DeltaStore
-    val work = workDir.getOrElse(tempDir("graft_s47_"))
+    val work = workDir.getOrElse(
+      tempDir(if (retention) "graft_s49_" else "graft_s47_"))
     val inDir = s"$work/in"; val ck = s"$work/ck"
 
     val src = items.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding").as("vec"))
     val (fixedRows, dsub) = SimilaritySearch.pqFixedRows(src, nLists, m, codes)
     val codeStore = pqCodeStore(s, s"$work/store/codes", m)
+    val wFinal =
+      if (retention) {
+        val r = src.agg(max(col("vec_id"))).collect()(0)
+        require(!r.isNullAt(0), "s49: empty corpus — no retention horizon")
+        r.getLong(0) / 4
+      } else Long.MinValue
+    val wMid = wFinal / 2
 
     if (!hasParquet(inDir))
       src.select(col("vec_id"), col("vec").as("embedding"))
@@ -1834,12 +1853,19 @@ object StreamingQueries {
         codeStore.append(s, id, SimilaritySearch.pqEncoded(
           b.select(col("vec_id"), col("embedding").as("vec")),
           fixedRows, nLists, m, codes, dsub))
-        if ((id + 1) % compactEvery == 0) codeStore.compact(s)
+        if ((id + 1) % compactEvery == 0)
+          codeStore.compact(s,
+            if (retention) _.filter(col("vec_id") >= wMid) else identity)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+
+    // s49's final retention merge: advance the watermark, forced (expiry
+    // must run even with no new deltas since the last compaction)
+    if (retention)
+      codeStore.compact(s, _.filter(col("vec_id") >= wFinal), force = true)
 
     val qB = queries.select(col("vec_id").cast("long").as("query_id"),
       col("embedding").as("q_vec"))
@@ -1852,7 +1878,8 @@ object StreamingQueries {
       .collect().map(_.getLong(0)).sorted
     val store = codeStore.read(s)
       .filter(col("cell").isin(cells.map(Long.box): _*))
-    SimilaritySearch.pqAdcRank(store, probed, src, qB, k, m, codes, refine)
+    val served = if (retention) store.filter(col("vec_id") >= wFinal) else store
+    SimilaritySearch.pqAdcRank(served, probed, src, qB, k, m, codes, refine)
       .orderBy("query_id", "rank")
   }
 
@@ -1862,6 +1889,17 @@ object StreamingQueries {
     pqMaintainServe(s, emb, emb.filter(col("vec_id") < AnnEval.QuerySlice),
       k = P.K, nLists = P.NLists, nProbe = P.NProbe, m = P.M,
       codes = P.Codes, refine = P.Refine)
+  }
+
+  /** s49 — RETENTION for the PQ code store: the last of the serving
+    * stores that grew forever (VERDICT r17 named postings/df/stats/IVF
+    * — closed by s46 — and the s45 code store — closed here). */
+  def streamPqRetention(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.SimilaritySearch.{AnnEval, IvfPqFixed => P}
+    val emb = Tables.embeddings(s, dir)
+    pqMaintainServe(s, emb, emb.filter(col("vec_id") < AnnEval.QuerySlice),
+      k = P.K, nLists = P.NLists, nProbe = P.NProbe, m = P.M,
+      codes = P.Codes, refine = P.Refine, retention = true)
   }
 
   // ---------------------------------------------------------------------
@@ -2531,7 +2569,9 @@ object StreamingQueries {
     // (Scala long division here, BIGINT // in the oracle): retain the
     // newest 3/4 of the id range; the mid-stream watermark is half that,
     // so the final merge expires rows an earlier merge retained
-    val wFinal = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) / 4
+    val maxRow = docs.agg(max(col("doc_id"))).collect()(0)
+    require(!maxRow.isNullAt(0), "s46: empty corpus — no retention horizon")
+    val wFinal = maxRow.getLong(0) / 4
     val wMid = wFinal / 2
 
     val (tfStore, dfStore, statStore, ivfStore) =
@@ -3219,6 +3259,8 @@ object StreamingQueries {
       Some(graft.queries.ExtendedQueries.knnIvfPqFixedSql))),
     "s47_stream_pq_maintain" -> ((streamPqMaintain _,
       Some(graft.queries.ExtendedQueries.knnIvfPqFixedSql))),
+    "s49_stream_pq_retention" -> ((streamPqRetention _,
+      Some(graft.queries.ExtendedQueries.retainedPqServeSql))),
     "s41_stream_ann_serve_probed" -> ((streamAnnServeProbed _,
       Some(graft.queries.ExtendedQueries.annServeProbedSql))),
     "s36_stream_neardup_bucketed" -> ((streamNearDupBucketed _,

@@ -402,11 +402,19 @@ class SqlGatewaySpec extends AnyFunSuite {
         s"/search?mode=hybrid&vec_id=0&store=$work/store&tf=whatever",
         "POST", Some(doc0))
       assert(cs == 400 && cb.contains("cannot be combined"), s"$cs $cb")
-      // a nonexistent root is a loud 400, not an empty result
+      // a nonexistent root (inside the allowlist) is a loud 400, not an
+      // empty result
+      val tmp = System.getProperty("java.io.tmpdir")
       val (ms, mb) = http(port,
+        s"/search?mode=hybrid&vec_id=0&store=$tmp/nonexistent_graft_store",
+        "POST", Some(doc0))
+      assert(ms == 400 && mb.contains("does not exist"), s"$ms $mb")
+      // a root OUTSIDE the allowlist is refused before any probe —
+      // store= must not be a filesystem existence oracle (ADVICE r17)
+      val (as, ab) = http(port,
         "/search?mode=hybrid&vec_id=0&store=/nonexistent/store", "POST",
         Some(doc0))
-      assert(ms == 400 && mb.contains("does not exist"), s"$ms $mb")
+      assert(as == 400 && ab.contains("allowlisted"), s"$as $ab")
     }
   }
 

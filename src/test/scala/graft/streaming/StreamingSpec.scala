@@ -482,7 +482,7 @@ class StreamingSpec extends AnyFunSuite {
       s"s34 leaked ${after - before} catalog tables across 3 invocations")
   }
 
-  test("s30/s31/s33/s34/s35/s36/s37/s38/s39/s40/s42/s43/s44/s45/s46/s47/s48 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
+  test("s30/s31/s33/s34/s35/s36/s37/s38/s39/s40/s42/s43/s44/s45/s46/s47/s48/s49 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
     // A14's checkpoint discipline, proven for the WHOLE foreachBatch
     // read-back family: kill the query inside batch 1 (of 3), restart
     // against the SAME work dir, and require (a) the resumed run
@@ -640,6 +640,18 @@ class StreamingSpec extends AnyFunSuite {
           emb.filter(col("vec_id") < 5), k = 3, nLists = 8, nProbe = 2,
           m = 2, codes = 16, refine = 2, compactEvery = 2,
           workDir = w, onBatch = h)
+      },
+      "s49" -> { (w, h) =>
+        // s47's fixture with retention on: max vec_id 15 → wFinal 3,
+        // wMid 1 — codes 0..2 genuinely expire across the merges the
+        // resumed batch replays
+        val emb = (0L until 16L).map { i =>
+          (i, Array.tabulate(4)(d => (((i * 7 + d * 3) % 11) - 5).toFloat))
+        }.toDF("vec_id", "embedding")
+        StreamingQueries.pqMaintainServe(spark, emb,
+          emb.filter(col("vec_id") < 5), k = 3, nLists = 8, nProbe = 2,
+          m = 2, codes = 16, refine = 2, compactEvery = 2,
+          retention = true, workDir = w, onBatch = h)
       },
       "s46" -> { (w, h) =>
         // the s40 fixture; maxDoc 11 → wFinal = 2, wMid = 1: item doc 1
