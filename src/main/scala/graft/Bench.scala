@@ -82,6 +82,46 @@ object Bench {
       .foreach(_.unpersist(blocking = false))
   }
 
+  /** Host-stall canaries (r18): the VM loadavg marker classifies
+    * concurrent IN-VM load, but a shared-host CPU-steal or IO stall
+    * inflates entries while loadavg stays clean (observed r18: eps
+    * 9.4k at loadavg 1.6 with individual entries at 3-5x their quiet
+    * medians in DIFFERENT runs). Two fixed-work probes timed before
+    * and after the sweep make that state self-classifying from the
+    * artifact: a slow CPU canary = host steal; a slow IO canary =
+    * storage stall; both fast + entries slow = a real regression. */
+  private[graft] def cpuCanaryMs(): Double = {
+    val t0 = System.nanoTime()
+    var x = 1.0; var i = 0
+    while (i < 20000000) { x = x * 1.0000001 + 1e-9; i += 1 }
+    if (x == Double.MinValue) print("") // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e6
+  }
+
+  private[graft] def ioCanaryMs(): Double = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_iocanary_")
+    val buf = java.nio.ByteBuffer.wrap(Array.fill(1024)(1.toByte))
+    val t0 = System.nanoTime()
+    (0 until 200).foreach { i =>
+      val ch = java.nio.channels.FileChannel.open(dir.resolve(s"f$i"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try { buf.rewind(); ch.write(buf); ch.force(true) } finally ch.close()
+    }
+    val ms = (System.nanoTime() - t0) / 1e6
+    (0 until 200).foreach(i => java.nio.file.Files.deleteIfExists(dir.resolve(s"f$i")))
+    java.nio.file.Files.deleteIfExists(dir)
+    ms
+  }
+
+  /** Quiet-machine reference values for the two canaries (measured on
+    * the build machine in an idle window: cpu 42 ms, io 314 ms for the
+    * 200-fsync probe; same hardware class as the driver's). A canary
+    * several times its reference marks the RUN as degraded, not the
+    * code — r18's own close runs recorded io_ms spiking 314→955 across
+    * one sweep while VM loadavg stayed clean. */
+  private[graft] val CanaryQuietRef = (45.0, 300.0) // (cpu_ms, io_ms)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -112,6 +152,7 @@ object Bench {
     // figure is classifiable from the artifact alone.
     def loadAvg: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    val (cpuBefore, ioBefore) = (cpuCanaryMs(), ioCanaryMs())
     val epsLoadBefore = loadAvg
     val epsSecs = (1 to runs)
       .map(_ => timeEntry(spark, sfDir,
@@ -191,9 +232,14 @@ object Bench {
     // per-run stats (~9 KB at 220 entries) — while the full form
     // (stats with min/runs/band/in_band per entry) goes to
     // target/bench_last.json as before.
+    val (cpuAfter, ioAfter) = (cpuCanaryMs(), ioCanaryMs())
+    val canaries = f""""machine_canary":{"cpu_ms":[$cpuBefore%.0f,$cpuAfter%.0f],""" +
+      f""""io_ms":[$ioBefore%.0f,$ioAfter%.0f],""" +
+      f""""quiet_ref":{"cpu_ms":${CanaryQuietRef._1}%.0f,"io_ms":${CanaryQuietRef._2}%.0f}}"""
     val shared = s""""unit":"sec","errors":$es,"n_failed":${errors.size}""" +
       s""","out_of_band":$outOfBand,"bands_covered":$nBanded""" +
-      s""","band_rule":"quiet [0.5*min,2.0*max]; see BenchBands"$epsField,"sf":"$sfDir""""
+      s""","band_rule":"quiet [0.5*min,2.0*max]; see BenchBands"""" +
+      s""",$canaries$epsField,"sf":"$sfDir""""
     val json =
       s"""{"metric":"total","value":$total,$shared,"queries":$qs,"stats":$stats}"""
     val compact =
