@@ -154,20 +154,41 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val (cpuBefore, ioBefore) = (cpuCanaryMs(), ioCanaryMs())
     val epsLoadBefore = loadAvg
-    val epsSecs = (1 to runs)
-      .map(_ => timeEntry(spark, sfDir,
-        SparkEntry.queries("s01_stream_minute_agg")))
-      .collect { case Right(sec) => sec }.sorted
+    // eps repeats carry per-repeat (sec, loadavg-after) markers
+    // (VERDICT r18 task 7): the headline stays the median, and a single
+    // stalled repeat is identifiable in-artifact instead of condemning
+    // the figure.
+    val epsRepeats = (1 to runs).map { _ =>
+      (timeEntry(spark, sfDir,
+        SparkEntry.queries("s01_stream_minute_agg")), loadAvg)
+    }
+    val epsSecs = epsRepeats.collect { case (Right(sec), _) => sec }.sorted
     val epsLoadAfter = loadAvg
     val streamEps = epsSecs.lift(epsSecs.size / 2).map { sec =>
       val n = spark.read.parquet(s"$sfDir/events.parquet").count()
       math.round(n / sec)
     }
 
+    // Continuous canaries (VERDICT r18 task 3): the r18 pre/post point
+    // samples read CLEAN while a mid-sweep storage stall inflated four
+    // consecutive entries 6–15×. Sampling every CanaryEvery entries
+    // (~15 extra probe-seconds over the whole sweep) gives the artifact
+    // a timeline, and each out-of-band entry is tagged with the nearest
+    // sample — a stall window self-adjudicates from the artifact alone.
+    val CanaryEvery = 15
+    val canarySamples =
+      scala.collection.mutable.ArrayBuffer[(Int, Double, Double)]()
+    canarySamples += ((-1, cpuBefore, ioBefore))
+
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val mins = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val sweepIdx = scala.collection.mutable.HashMap[String, Int]()
+    var idx = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (idx > 0 && idx % CanaryEvery == 0)
+        canarySamples += ((idx, cpuCanaryMs(), ioCanaryMs()))
+      sweepIdx(name) = idx
       val results = (1 to runs).map(_ => timeEntry(spark, sfDir, fn))
       val secs = results.collect { case Right(s) => s }.sorted
       results.collectFirst { case Left(e) => e } match {
@@ -176,6 +197,7 @@ object Bench {
           timings(name) = secs(secs.size / 2)
           mins(name) = secs.head
       }
+      idx += 1
     }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
@@ -192,13 +214,31 @@ object Bench {
     // regeneration) get no verdict. Bands are measured at sf0.1 (the
     // driver's bench scale) — at any other sfDir they would flag noise,
     // so no verdicts are emitted there (bands_covered: 0 says why).
+    // Bands are measured at sf0.1 exactly — match the terminal path
+    // component, not a substring (a future sf0.12 fixture dir would
+    // otherwise get false out_of_band verdicts; ADVICE r18).
     val bandOf: Map[String, (Double, Double)] =
-      if (sfDir.contains("sf0.1")) BenchBands.bands else Map.empty
-    val outOfBand = timings.collect {
-      case (k, v) if bandOf.get(k).exists(b => v < b._1 || v > b._2) =>
-        val (lo, hi) = bandOf(k)
-        s"\"" + k + s"""":{"sec":${r3(v)},"band":[${r3(lo)},${r3(hi)}]}"""
-    }.mkString("{", ",", "}")
+      if (new java.io.File(sfDir).getName == "sf0.1") BenchBands.bands
+      else Map.empty
+    // nearest canary sample to a sweep position — the per-entry stall
+    // tag for out-of-band verdicts
+    def nearestCanary(i: Int): (Int, Double, Double) =
+      canarySamples.minBy(sm => math.abs(sm._1 - i))
+    def outOfBandJson(detail: Int): String = {
+      val oob = timings.toSeq.collect {
+        case (k, v) if bandOf.get(k).exists(b => v < b._1 || v > b._2) =>
+          val (lo, hi) = bandOf(k)
+          val c = nearestCanary(sweepIdx.getOrElse(k, 0))
+          (k, s"\"" + k + s"""":{"sec":${r3(v)},"band":[${r3(lo)},${r3(hi)}],""" +
+            f""""canary":{"at":${c._1},"cpu_ms":${c._2}%.0f,"io_ms":${c._3}%.0f}}""")
+      }
+      val shown = oob.take(detail).map(_._2)
+      val more =
+        if (oob.size > detail) Seq(s""""_more":${oob.size - detail}""")
+        else Seq.empty
+      (shown ++ more).mkString("{", ",", "}")
+    }
+    val outOfBand = outOfBandJson(Int.MaxValue)
     val nBanded = timings.keys.count(bandOf.contains)
     val stats = timings.map { case (k, v) =>
       val band = bandOf.get(k).map { case (lo, hi) =>
@@ -232,22 +272,38 @@ object Bench {
     // per-run stats (~9 KB at 220 entries) — while the full form
     // (stats with min/runs/band/in_band per entry) goes to
     // target/bench_last.json as before.
-    val (cpuAfter, ioAfter) = (cpuCanaryMs(), ioCanaryMs())
-    val canaries = f""""machine_canary":{"cpu_ms":[$cpuBefore%.0f,$cpuAfter%.0f],""" +
-      f""""io_ms":[$ioBefore%.0f,$ioAfter%.0f],""" +
+    canarySamples += ((idx, cpuCanaryMs(), ioCanaryMs()))
+    // a canary reading over 2× its quiet reference marks a degraded
+    // window (r18's own stall readings were 2–3× io-ref while VM
+    // loadavg stayed clean); counts + max make the timeline one glance
+    val overCpu = canarySamples.count(_._2 > 2 * CanaryQuietRef._1)
+    val overIo = canarySamples.count(_._3 > 2 * CanaryQuietRef._2)
+    val canaryTimeline = canarySamples
+      .map(c => f"[${c._1},${c._2}%.0f,${c._3}%.0f]").mkString("[", ",", "]")
+    val canaries = f""""machine_canary":{"samples_at_cpu_io":$canaryTimeline,""" +
+      f""""every":$CanaryEvery,"over_cpu":$overCpu,"over_io":$overIo,""" +
+      f""""over_rule":"> 2x quiet_ref",""" +
       f""""quiet_ref":{"cpu_ms":${CanaryQuietRef._1}%.0f,"io_ms":${CanaryQuietRef._2}%.0f}}"""
+    val epsRepeatJson = epsRepeats.map {
+      case (Right(sec), l) => f"""{"sec":${r3(sec)},"load":$l%.2f}"""
+      case (Left(_), l)    => f"""{"sec":null,"load":$l%.2f}"""
+    }.mkString("[", ",", "]")
     val shared = s""""unit":"sec","errors":$es,"n_failed":${errors.size}""" +
       s""","out_of_band":$outOfBand,"bands_covered":$nBanded""" +
       s""","band_rule":"quiet [0.5*min,2.0*max]; see BenchBands"""" +
-      s""",$canaries$epsField,"sf":"$sfDir""""
+      s""",$canaries$epsField,"eps_repeats":$epsRepeatJson,"sf":"$sfDir""""
     val json =
       s"""{"metric":"total","value":$total,$shared,"queries":$qs,"stats":$stats}"""
     val compact =
       s"""{"metric":"total","value":${r3(total)},$shared,"queries":$qs}"""
     // The artifact must survive a bounded tail capture: persist the full
-    // JSON to a file, print the compact line, and END with a per-group
-    // summary (group = entry-name prefix up to the first digit run) so
-    // even a few captured lines identify where the time went.
+    // JSON to a file, print the compact line, then a per-group summary,
+    // and END with one short adjudication line (VERDICT r18 task 2) —
+    // the driver keeps only the last ~2.2 KB of stdout, and the tail
+    // keeps the END, so the final line is what reliably survives: it
+    // carries everything a judge needs to adjudicate a loaded run
+    // (band verdicts with their nearest canary, the canary timeline,
+    // eps + its repeats) with no side file.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_last.json"), json)
     catch { case _: Throwable => () }
@@ -257,6 +313,12 @@ object Bench {
       .map { case (g, m) => f"$g${m.size}%d=${m.values.sum}%.1fs" }
     println(s"bench summary: total=${f"$total%.1f"}s n=${timings.size} " +
       s"failed=${errors.size} ${groups.mkString(" ")} -> target/bench_last.json")
+    val adjudication =
+      s"""{"adjudication":{"value":${r3(total)},"n":${timings.size}""" +
+      s""","n_failed":${errors.size},"bands_covered":$nBanded""" +
+      s""","out_of_band":${outOfBandJson(8)}""" +
+      s""",$canaries$epsField,"eps_repeats":$epsRepeatJson,"sf":"$sfDir"}}"""
+    println(adjudication)
     if (errors.nonEmpty) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -105,7 +105,7 @@ object SparkEntry {
     "x131_knn_pca_ivf" ->
       "the composed regime: per-query scans touch nProbe cells of m-float projected rows (dim/m x cell-pruning savings multiply); recall now depends on BOTH the principal subspace capturing the neighbor geometry and the cell quantizer - x134 ships the measured query-side probe-amplification knob (recall 0.76 -> >=0.9, index untouched)",
     "x133_pareto_classifier_stored" ->
-      "the fit (x125's O(iters) model-sized-exchange passes) is paid once per corpus REFRESH and amortized through the durable ModelStore; steady-state wall is x126's regime (score + row-local admission), and a corpus-fingerprint mismatch triggers exactly one refit - never a silently stale serve",
+      "the fit (x125's O(iters) model-sized-exchange passes) is paid once per corpus REFRESH and amortized through the durable ModelStore; steady-state staleness checks are O(file-metadata) (driver-side listing, no row scan - the full-corpus fingerprint runs only when the file list changed), and a mismatch triggers exactly one refit - never a silently stale serve",
     "x134_knn_pca_ivf_probed" ->
       "x131's index and regime, queried at 12/16 cells: per-query reduced-row scans grow by the probe ratio and nothing else (no re-bucketing, no new corpus-sized stage); recall@10 recovers the x129 basis ceiling (0.90) - the measured knob x131's caveat used to name in prose")
 

@@ -2154,14 +2154,32 @@ object Curation {
       : (Array[Double], Double, Boolean) = {
     import graft.store.ModelStore
     val s = docs.sparkSession
-    val fp = ModelStore.corpusFingerprint(docs.select(col("doc_id"), col("text")))
+    val corpus = docs.select(col("doc_id"), col("text"))
+    // Two-tier staleness check (VERDICT r18 task 4): validate against
+    // the corpus's FILE metadata first — driver-side listing, no row
+    // scan — and only fall back to the full-corpus row fingerprint when
+    // the file list changed (or the relation has no file lineage). A
+    // rewritten-but-identical corpus then re-validates once by rows and
+    // refreshes the meta record, so steady state never runs a
+    // corpus-sized job; mutation is still loud (meta mismatch → row
+    // fingerprint → mismatch → refit).
+    val meta = ModelStore.metaFingerprint(corpus)
     ModelStore.load(s, storeRoot) match {
-      case Some((w, b, storedFp)) if storedFp == fp => (w, b, false)
-      case _ =>
-        val feats = qcFeatures(docs, benchMod).localCheckpoint()
-        val (w, b, _) = qcFit(feats, iters, lr)
-        ModelStore.save(s, storeRoot, w, b, fp)
-        (w, b, true)
+      case Some((w, b, _))
+          if meta.isDefined && ModelStore.loadMeta(s, storeRoot) == meta =>
+        (w, b, false)
+      case loaded =>
+        val fp = ModelStore.corpusFingerprint(corpus)
+        loaded match {
+          case Some((w, b, storedFp)) if storedFp == fp =>
+            ModelStore.saveMeta(s, storeRoot, meta) // revalidated by rows
+            (w, b, false)
+          case _ =>
+            val feats = qcFeatures(docs, benchMod).localCheckpoint()
+            val (w, b, _) = qcFit(feats, iters, lr)
+            ModelStore.save(s, storeRoot, w, b, fp, meta)
+            (w, b, true)
+        }
     }
   }
 

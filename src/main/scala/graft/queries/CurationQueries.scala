@@ -871,6 +871,7 @@ object CurationQueries {
   // ---------------------------------------------------------------------
   def paretoClassifierSampleTrainedQ(s: SparkSession, dir: String): DataFrame =
     Curation.paretoClassifierSampleTrained(Tables.documents(s, dir))
+      .orderBy("doc_id")
 
   // x133 — the x130 composition against the DURABLE model store: the
   // classifier is fitted once per corpus refresh and persisted
@@ -1844,12 +1845,13 @@ object CurationQueries {
     * passes the arrived-prefix predicates per serve stage. ONE
     * definition of the serve semantics for all three entries. */
   private[queries] def hybridServeSqlFor(docPred: String,
-                                         vecPred: String): String = {
+                                         vecPred: String,
+                                         extraCtes: String = ""): String = {
     val m = Curation.BenchMod
     import graft.operators.SimilaritySearch.{IvfPqFixed => P}
     def cos(a: String, b: String) =
       ExtendedQueries.cosSqlOn(s"$a.embedding", s"$b.embedding")
-    s"""WITH lex AS (${bm25CoreSql(HybridListK, docPred)}),
+    s"""WITH ${extraCtes}lex AS (${bm25CoreSql(HybridListK, docPred)}),
        |cents AS (
        |  SELECT vec_id AS cid, embedding FROM embeddings
        |  WHERE vec_id < ${P.NLists}),
@@ -1936,6 +1938,61 @@ object CurationQueries {
   lazy val retainedServeSql: String = {
     val w = "(SELECT max(doc_id) // 4 FROM documents)"
     hybridServeSqlFor(s"doc_id >= $w", s"e.vec_id >= $w")
+  }
+
+  // ---------------------------------------------------------------------
+  // s50 oracle — the COMPOSED release pipeline as one batch SQL: the
+  // hybrid serve over the admitted ∩ deduped ∩ retained item corpus.
+  // Stage semantics, each the shared fragment of its standalone entry:
+  //  - admission: x132's temperature (α = 1/2) keep — rates from the
+  //    ordered Σ√p̄ fold over the FULL corpus (the calibration corpus),
+  //    keep ⟺ the shared md5-uniform draw < rate (verbatim from
+  //    temperatureSampleSql);
+  //  - dedup: first-arrival winner per content fingerprint among the
+  //    ADMITTED item docs. The stream's input is staged as ASCENDING
+  //    doc_id ranges (one file per stage, explicit mod times), so
+  //    arrival order ≡ doc_id order and the winner is exactly
+  //    min(doc_id) per fp — row_number() OVER (PARTITION BY fp
+  //    ORDER BY doc_id) = 1, the s24 keeper rule;
+  //  - retention: winners below max(doc_id)//4 expire at the merges
+  //    (the s46 watermark). Winners are computed over the PRE-retention
+  //    admitted corpus on purpose: an expired winner's later-arriving
+  //    duplicate was never admitted, so its content does NOT resurrect —
+  //    the stage-interaction semantic this entry exists to pin.
+  // A hash match proves the composed streamed run (durable fp store +
+  // four serving DeltaStores + retention rebases) is value-identical to
+  // this from-scratch batch build over the surviving corpus.
+  // ---------------------------------------------------------------------
+  lazy val releaseServeSql: String = {
+    val m = Curation.BenchMod
+    val w = "(SELECT max(doc_id) // 4 FROM documents)"
+    val extra =
+      s"""tcounts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         |ttot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM tcounts),
+         |tw AS (SELECT lang, CAST(n AS DOUBLE) / nn AS p,
+         |              sqrt(CAST(n AS DOUBLE) / nn) AS sq FROM tcounts, ttot),
+         |tz AS (SELECT list_sum(list(sq ORDER BY lang)) AS zs FROM tw),
+         |tr0 AS (SELECT lang, p, sq / zs AS q FROM tw, tz),
+         |tsm AS (SELECT MIN(p / q) AS s FROM tr0),
+         |trate AS (SELECT lang, (q * s) / p AS rate FROM tr0, tsm),
+         |admit AS (
+         |  SELECT d.doc_id, d.text
+         |  FROM documents d JOIN trate r USING (lang)
+         |  WHERE d.doc_id % $m <> 0 AND d.text IS NOT NULL
+         |    AND (CAST(CAST(concat('0x', substr(md5('${Curation.TsampleSeed}' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) + 0.5)
+         |          / 1152921504606846976.0 < r.rate),
+         |winners AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |      PARTITION BY md5(${ExtendedQueries.normalizedSql})
+         |      ORDER BY doc_id) AS rn
+         |    FROM admit) t
+         |  WHERE rn = 1),
+         |""".stripMargin
+    hybridServeSqlFor(
+      s"doc_id >= $w AND doc_id IN (SELECT doc_id FROM winners)",
+      s"e.vec_id >= $w AND e.vec_id IN (SELECT doc_id FROM winners)",
+      extra)
   }
 
   // ---------------------------------------------------------------------

@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
 object ModelStore {
 
   private val FpMarker = "_FP"
+  private val MetaMarker = "_FP_META"
+
+  /** Count of full-corpus fingerprint scans this JVM has run — the
+    * spec hook for the O(metadata) steady-state contract (a counter,
+    * not behavior). */
+  private[graft] val fpScans = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def fs(s: SparkSession, root: String) =
     new Path(root).getFileSystem(s.sessionState.newHadoopConf())
@@ -38,6 +44,7 @@ object ModelStore {
     * the failure mode this guards (it guards serving LAST refresh's
     * weights against THIS refresh's corpus). */
   def corpusFingerprint(docs: DataFrame): String = {
+    fpScans.incrementAndGet()
     val r = docs
       .agg(count(lit(1)).as("n"),
         coalesce(sum(crc32(concat_ws(":", col("doc_id"), col("text")))),
@@ -46,20 +53,73 @@ object ModelStore {
     s"${r.getLong(0)}:${r.getLong(1)}"
   }
 
+  /** O(metadata) staleness tier (VERDICT r18 task 4): a fingerprint of
+    * the corpus's UNDERLYING FILES — sorted (path, length, mtime)
+    * triples, driver-side FS listing only, no Spark job, no row scan.
+    * Parquet files are immutable, so an unchanged file list implies an
+    * unchanged corpus; a changed list says nothing either way (a
+    * rewrite may hold identical rows), so callers fall back to the
+    * row-level [[corpusFingerprint]] exactly then. None for relations
+    * with no file lineage (in-memory test frames) — those always take
+    * the full-scan path. */
+  def metaFingerprint(docs: DataFrame): Option[String] = {
+    val files = docs.inputFiles
+    if (files.isEmpty) None
+    else {
+      val s = docs.sparkSession
+      val conf = s.sessionState.newHadoopConf()
+      val crc = new java.util.zip.CRC32()
+      files.sorted.foreach { f =>
+        val p = new Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        crc.update(s"$f:${st.getLen}:${st.getModificationTime};"
+          .getBytes("UTF-8"))
+      }
+      Some(s"${files.length}:${crc.getValue}")
+    }
+  }
+
+  /** The stored meta-fingerprint, if the last save/refresh recorded
+    * one. */
+  def loadMeta(s: SparkSession, root: String): Option[String] = {
+    val h = fs(s, root)
+    val mk = new Path(root, MetaMarker)
+    if (!h.exists(mk)) None
+    else {
+      val in = h.open(mk)
+      try Some(scala.io.Source.fromInputStream(in).mkString.trim)
+      finally in.close()
+    }
+  }
+
+  /** Record (or refresh) the meta-fingerprint — written AFTER the row
+    * fingerprint marker, so a crash between the two only costs the next
+    * consumer one full-scan validation, never a stale load. */
+  def saveMeta(s: SparkSession, root: String, meta: Option[String]): Unit = {
+    val h = fs(s, root)
+    h.delete(new Path(root, MetaMarker), false)
+    meta.foreach { m =>
+      val out = h.create(new Path(root, MetaMarker), true)
+      try out.write(m.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Persist (weights, bias, fingerprint). Crash-safe ordering: the old
     * marker is deleted FIRST (readers refit rather than load a model
     * mid-rewrite), the weight relation is rewritten, the marker lands
     * last. */
   def save(s: SparkSession, root: String, w: Array[Double], b: Double,
-           fp: String): Unit = {
+           fp: String, meta: Option[String] = None): Unit = {
     import s.implicits._
     val h = fs(s, root)
     h.delete(new Path(root, FpMarker), false)
+    h.delete(new Path(root, MetaMarker), false)
     (w.zipWithIndex.map { case (v, j) => (j, v) } :+ (w.length, b))
       .toSeq.toDF("j", "w")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/weights")
     val out = h.create(new Path(root, FpMarker), true)
     try out.write(fp.getBytes("UTF-8")) finally out.close()
+    saveMeta(s, root, meta)
   }
 
   /** Load (weights, bias, fingerprint); None when absent or torn (no

@@ -2213,4 +2213,51 @@ class CurationSpec extends AnyFunSuite {
     assert(kept.nonEmpty)
     kept.foreach { r => assert(r.getDouble(3) < 1.0) }
   }
+
+  test("x133 O(metadata) staleness: steady-state load runs NO corpus-sized fingerprint scan; a rewritten-identical corpus revalidates by rows once; mutation still refits") {
+    import spark.implicits._
+    import graft.store.ModelStore
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_x133_meta_").toString
+    val corpusDir = s"$base/corpus"; val root = s"$base/model"
+    def rows(suffix: String) = (0L until 40L).map { i =>
+      val t =
+        if (i % 4 == 0) s"reference article citation neutral summary v$i$suffix"
+        else s"buy cheap click winner prize offer${i % 7} deal$i$suffix"
+      (i, t)
+    }
+    rows("").toDF("doc_id", "text").coalesce(1).write.parquet(corpusDir)
+    def docs = spark.read.parquet(corpusDir)
+    def fitOnce() = Curation.qcLoadOrFit(docs, root,
+      benchMod = 4, iters = 5, lr = 1.0)
+
+    val (w1, _, fitted1) = fitOnce()
+    assert(fitted1, "empty store must fit")
+    val scans0 = ModelStore.fpScans.get()
+    // steady state: the file-metadata record validates the store with
+    // no Spark job — the VERDICT r18 contract (at 100 TB the row
+    // fingerprint would dwarf the serve it amortizes)
+    val (w2, _, fitted2) = fitOnce()
+    assert(!fitted2 && w1.toSeq == w2.toSeq)
+    assert(ModelStore.fpScans.get() == scans0,
+      "steady-state load ran a corpus-sized fingerprint scan")
+    // rewrite with IDENTICAL rows: file list changes, rows do not — one
+    // full-scan revalidation, NO refit, and the meta record refreshes
+    rows("").toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(corpusDir)
+    val (w3, _, fitted3) = fitOnce()
+    assert(!fitted3, "identical rows after a file rewrite must load, not refit")
+    assert(w1.toSeq == w3.toSeq)
+    assert(ModelStore.fpScans.get() == scans0 + 1,
+      "a file rewrite must revalidate by rows exactly once")
+    val (_, _, fitted4) = fitOnce()
+    assert(!fitted4)
+    assert(ModelStore.fpScans.get() == scans0 + 1,
+      "the refreshed meta record must restore the no-scan steady state")
+    // mutation: staleness stays loud through the metadata tier
+    rows(" drifted").toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(corpusDir)
+    val (_, _, fitted5) = fitOnce()
+    assert(fitted5, "a mutated corpus must refit — never silently stale")
+  }
 }
