@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run stdout through VERBATIM: sbt's default logger prefixes
+// every line with "[info] ", which breaks any consumer that json-parses
+// the printed metric/adjudication lines (the driver's bench capture has
+// recorded "parsed": null since round 1 — even when the line was tiny).
+run / outputStrategy := Some(StdoutOutput)
 // All suites share one SparkSession (TestSpark); running them in
 // parallel intermittently aborted a suite mid-plan-inspection. Serial
 // execution is deterministic, and Spark parallelizes within each test

@@ -2668,6 +2668,238 @@ object StreamingQueries {
   }
 
   // ---------------------------------------------------------------------
+  // s50 — the STREAMED RELEASE PIPELINE: every production stage the
+  // registry carries as its own entry, composed into ONE foreachBatch
+  // run (VERDICT r18 task 1) — per micro-batch:
+  //   admission (s48's pinned temperature rates, per-doc closed form)
+  //   → exact dedup against a DURABLE fingerprint DeltaStore (the s24
+  //     semantics with batch-id exactly-once instead of blind appends)
+  //   → incremental index maintenance (s40's four serving DeltaStores)
+  //   → retention merges (s46's watermark-advancing expiry + df/stats
+  //     rebases), finishing with the hybrid serve over the surviving
+  //     corpus. The stage INTERACTIONS this pins:
+  //   - the dedup winner is chosen among ADMITTED docs only (a rejected
+  //     doc can never shadow an admitted duplicate);
+  //   - retention expires winners, and an expired winner's
+  //     later-arriving duplicate does NOT resurrect the content (it was
+  //     dropped at ingest — dedup history outlives index retention,
+  //     which is why the fp store compacts WITHOUT a retention filter);
+  //   - a crash between the fp append and any index append must replay
+  //     to the SAME admission (the fp store is read as-of the previous
+  //     batch, so a half-applied batch recomputes identical winners).
+  // Input is staged as ascending doc_id ranges (one file per stage,
+  // explicit mod times — the s43 determinism machinery), so arrival
+  // order ≡ doc_id order and the composed batch oracle can state the
+  // winner rule as min(doc_id) per fingerprint
+  // (CurationQueries.releaseServeSql). At 100 TB: per-batch cost is the
+  // batch-sized admission filter + one anti-join against the fp store +
+  // s40's batch-grain index deltas; the only store-sized jobs are the
+  // scheduled merges — the same LSM amortization every stage already
+  // carries alone.
+  // ---------------------------------------------------------------------
+
+  /** The s50 core. `workDir`/`onBatch`: the s30–s49 restart hooks;
+    * `onStage(batchId, stage)` fires after each intra-batch stage
+    * commits ("fp", "tf", "df", "stats", "ivf", "retain") so the
+    * crash-resume spec can kill the run at a STAGE boundary — the
+    * half-applied-batch states no single-store entry can reach. */
+  private[graft] def releasePipelineStream(s: SparkSession, docs: DataFrame,
+                                           emb: DataFrame, benchMod: Int,
+                                           listK: Int, k0: Int, k: Int,
+                                           nLists: Int, nProbe: Int,
+                                           stages: Int = 4,
+                                           compactEvery: Int = 2,
+                                           workDir: Option[String] = None,
+                                           onBatch: Long => Unit = _ => (),
+                                           onStage: (Long, String) => Unit =
+                                             (_, _) => ())
+      : DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.{Curation, SimilaritySearch}
+    import graft.store.DeltaStore
+    val work = workDir.getOrElse(tempDir("graft_s50_"))
+    val inDir = s"$work/in"; val ck = s"$work/ck"
+    def toksCol = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    val items = docs.filter(col("doc_id") % benchMod =!= 0)
+    val qDocs = docs.filter(col("doc_id") % benchMod === 0 &&
+      col("doc_id") < Curation.BmQueryIdMax)
+    val srcE = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"))
+    val itemE = srcE.filter(col("vec_id") % benchMod =!= 0)
+    val cents = SimilaritySearch.collectFixedRows(
+      srcE.filter(col("vec_id") < nLists), nLists)
+    // s46's retention horizon (max over the FULL corpus — the oracle's
+    // max(doc_id) // 4) and s43's determinism requirement: input files
+    // are ASCENDING doc_id ranges so arrival order ≡ id order and the
+    // dedup winner is min(doc_id) per fp on both engines
+    val maxRow = docs.agg(max(col("doc_id"))).collect()(0)
+    require(!maxRow.isNullAt(0), "s50: empty corpus — no retention horizon")
+    val maxId = maxRow.getLong(0)
+    val wFinal = maxId / 4
+    val wMid = wFinal / 2
+    val chunk = maxId / stages + 1
+
+    // the admission policy, pinned once per stream from the calibration
+    // corpus (= the full corpus here, x132's rates verbatim — s48)
+    val rates = Curation.temperatureRates(docs).localCheckpoint()
+
+    val (tfStore, dfStore, statStore, ivfStore) =
+      servingDeltaStores(s, s"$work/store")
+    // the durable dedup history — fingerprints only (~32 B/doc at
+    // 100 TB, the FingerprintStore argument) with DeltaStore batch-id
+    // exactly-once on top: a replayed batch overwrites its own delta,
+    // and admission reads the store AS-OF the previous batch so the
+    // replay recomputes the identical winner set
+    val fpStore = new DeltaStore(s"$work/store/fp",
+      StructType(Seq(StructField("fp", StringType))),
+      (d, p) => d.repartition(4, col("fp")).sortWithinPartitions("fp")
+        .write.mode("overwrite").parquet(p),
+      (d, p) => d.coalesce(1).write.mode("overwrite").parquet(p),
+      _.distinct())
+
+    /** One retention merge at watermark `w` — s46's pass plus the fp
+      * store's filter-FREE compaction: dedup history must outlive index
+      * retention, or an expired winner's duplicate would re-enter. */
+    def retentionPass(w: Long, force: Boolean): Unit = {
+      fpStore.compact(s)
+      tfStore.compact(s, _.filter(col("doc_id") >= w), force)
+      ivfStore.compact(s, _.filter(col("vec_id") >= w), force)
+      val tfView = tfStore.read(s)
+      dfStore.rebase(s, tfView.groupBy("token").agg(count(lit(1)).as("df")))
+      statStore.rebase(s,
+        tfView.groupBy("doc_id").agg(max("dl").as("dl"))
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl")))
+    }
+
+    if (!hasParquet(inDir)) {
+      requireEvalSliceCovered(srcE, qDocs, benchMod, "s50")
+      val joined = items.select(col("doc_id"), col("lang"), col("text"))
+        .join(itemE.select(col("vec_id").as("doc_id"), col("embedding")),
+          Seq("doc_id"), "left")
+      val h = new org.apache.hadoop.fs.Path(inDir)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      h.mkdirs(new org.apache.hadoop.fs.Path(inDir))
+      (0 until stages).foreach { st =>
+        val tmp = s"$work/in_stage$st"
+        joined.filter(col("doc_id") >= st * chunk &&
+            col("doc_id") < (st + 1) * chunk)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = h.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        require(part.length == 1, s"s50: stage $st wrote ${part.length} files")
+        val dst = new org.apache.hadoop.fs.Path(inDir, s"stage-$st.parquet")
+        require(h.rename(part.head, dst), s"s50: rename to $dst failed")
+        h.setTimes(dst, 1000000000000L + st * 60000L, -1)
+        h.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      }
+    }
+
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("text", StringType),
+        StructField("embedding", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        onBatch(id)
+        // the arrival-order contract made loud (s43's discipline): every
+        // batch must be exactly its ascending id-range file
+        val rng = b.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+        if (!rng.isNullAt(0))
+          require(rng.getLong(0) >= id * chunk && rng.getLong(1) < (id + 1) * chunk,
+            s"s50: batch $id carried ids [${rng.getLong(0)}, ${rng.getLong(1)}] " +
+              s"outside its range (file order broken)")
+        // replay of a batch the fp store already FOLDED: every store
+        // either folded this id or still holds its delta (compactions
+        // run strictly after all appends), and the pre-batch fp view
+        // needed to recompute winners no longer exists — skip straight
+        // to the scheduled merge
+        fpStore.recover(s)
+        if (fpStore.foldedUpto(s) < id) {
+          // admission — per-doc closed form against the pinned rates
+          val admitted = b.filter(col("text").isNotNull)
+            .join(broadcast(rates), "lang")
+            .filter(Curation.paretoUniform(Curation.TsampleSeed,
+              col("doc_id")) < col("rate"))
+            .select(col("doc_id"), col("text"), col("embedding"))
+          // dedup — within-batch keeper (min doc_id per fp), then one
+          // anti-join against history AS-OF the previous batch (replay-
+          // stable: the store below this id is immutable), then the
+          // winners' fps become this batch's fp delta. localCheckpoint
+          // pins the winner set across the five store writes.
+          val withFp = admitted.withColumn("fp", TF.fingerprint(col("text")))
+          val firstPer = withFp.groupBy(col("fp"))
+            .agg(min_by(struct(col("doc_id"), col("text"),
+              col("embedding")), col("doc_id")).as("__r"))
+            .select(col("fp"), col("__r.doc_id").as("doc_id"),
+              col("__r.text").as("text"), col("__r.embedding").as("embedding"))
+          val winners = firstPer
+            .join(fpStore.readOnly(s, asOf = id - 1), Seq("fp"), "left_anti")
+            .localCheckpoint()
+          fpStore.append(s, id, winners.select(col("fp")))
+          onStage(id, "fp")
+          // index maintenance — s40's batch-grain deltas over the winners
+          val tf = winners.select(col("doc_id"), toksCol.as("toks"))
+            .select(col("doc_id"), size(col("toks")).as("dl"),
+              explode(col("toks")).as("token"))
+            .groupBy("doc_id", "token")
+            .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+            .select("doc_id", "token", "tf", "dl")
+          tfStore.append(s, id, tf)
+          onStage(id, "tf")
+          dfStore.append(s, id, tf.groupBy("token").agg(count(lit(1)).as("df")))
+          onStage(id, "df")
+          statStore.append(s, id,
+            winners.select(size(toksCol).as("doclen"))
+              .filter(col("doclen") > 0)
+              .agg(count(lit(1)).as("n_docs"),
+                coalesce(sum(col("doclen")), lit(0L)).cast("long").as("sum_dl")))
+          onStage(id, "stats")
+          ivfStore.append(s, id,
+            winners.filter(col("embedding").isNotNull)
+              .select(col("doc_id").as("vec_id"), col("embedding"),
+                SimilaritySearch.argmaxCell(col("embedding"), cents).as("cell")))
+          onStage(id, "ivf")
+        }
+        if ((id + 1) % compactEvery == 0) {
+          retentionPass(wMid, force = false)
+          onStage(id, "retain")
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // the final retention merge advances the watermark to wFinal (s46)
+    retentionPass(wFinal, force = true)
+
+    serveHybridViews(s, "s50",
+        tfStore.read(s).filter(col("doc_id") >= wFinal),
+        dfStore.read(s), statStore.read(s),
+        ivfStore.read(s).filter(col("vec_id") >= wFinal),
+        qDocs.select(col("doc_id"), col("text"))
+          .join(srcE.select(col("vec_id").as("doc_id"), col("embedding")),
+            Seq("doc_id"), "left"),
+        cents, nProbe, listK, k0, k)
+      .orderBy("query_id", "rank")
+  }
+
+  def streamReleasePipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    import graft.operators.SimilaritySearch.{IvfPqFixed => P}
+    import graft.queries.{CurationQueries => CQ}
+    releasePipelineStream(s, Tables.documents(s, dir),
+      Tables.embeddings(s, dir), Curation.BenchMod,
+      listK = CQ.HybridListK, k0 = CQ.RrfK0, k = CQ.HybridK,
+      nLists = P.NLists, nProbe = P.NProbe)
+  }
+
+  // ---------------------------------------------------------------------
   // s35 — STREAMED snapshot drift: x103's language-shift gauge computed
   // as the new crawl ARRIVES. Unigram counts are ALGEBRAIC — per-token
   // counts sum across micro-batches — so this is the s32 mergeable-
@@ -3253,6 +3485,8 @@ object StreamingQueries {
       Some(graft.queries.CurationQueries.serveWhileMaintainSql))),
     "s46_stream_index_retention" -> ((streamIndexRetention _,
       Some(graft.queries.CurationQueries.retainedServeSql))),
+    "s50_stream_release_pipeline" -> ((streamReleasePipeline _,
+      Some(graft.queries.CurationQueries.releaseServeSql))),
     "s44_stream_scatter" -> ((streamEmbeddingScatter _,
       Some(graft.queries.ExtendedQueries.embeddingScatterSql))),
     "s45_stream_pq_serve" -> ((streamPqServe _,

@@ -482,7 +482,7 @@ class StreamingSpec extends AnyFunSuite {
       s"s34 leaked ${after - before} catalog tables across 3 invocations")
   }
 
-  test("s30/s31/s33/s34/s35/s36/s37/s38/s39/s40/s42/s43/s44/s45/s46/s47/s48/s49 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
+  test("s30/s31/s33/s34/s35/s36/s37/s38/s39/s40/s42/s43/s44/s45/s46/s47/s48/s49/s50 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
     // A14's checkpoint discipline, proven for the WHOLE foreachBatch
     // read-back family: kill the query inside batch 1 (of 3), restart
     // against the SAME work dir, and require (a) the resumed run
@@ -669,6 +669,25 @@ class StreamingSpec extends AnyFunSuite {
         StreamingQueries.retainedIndexServe(spark, docs, emb, benchMod = 3,
           listK = 4, k0 = 60, k = 3, nLists = 8, nProbe = 2,
           compactEvery = 2, workDir = w, onBatch = h)
+      },
+      "s50" -> { (w, h) =>
+        // the composed release pipeline over the s46 fixture plus a
+        // lang column (two strata: en keeps ~0.707, de keeps 1.0 — the
+        // admission drops a real subset) and duplicate texts (i % 5 —
+        // dup pairs span batches, so the fp-store anti-join does real
+        // cross-batch work). stages = 3 matches this test's 3-batch
+        // protocol; the resumed batch 1 replays admission + dedup +
+        // all four index appends + a full retention pass.
+        val docs = (0L until 12L).map { i =>
+          (i, if (i % 3 == 0) "de" else "en",
+            s"alpha w${i % 5} beta gamma common text body")
+        }.toDF("doc_id", "lang", "text")
+        val emb = (0L until 12L).map { i =>
+          (i, Array.tabulate(4)(d => (((i * 7 + d * 3) % 11) - 5).toFloat))
+        }.toDF("vec_id", "embedding")
+        StreamingQueries.releasePipelineStream(spark, docs, emb, benchMod = 3,
+          listK = 4, k0 = 60, k = 3, nLists = 8, nProbe = 2,
+          stages = 3, compactEvery = 2, workDir = w, onBatch = h)
       })
 
     cores.foreach { case (name, core) =>
@@ -704,6 +723,100 @@ class StreamingSpec extends AnyFunSuite {
       assert(tablesAfter == tablesBefore,
         s"$name leaked ${tablesAfter - tablesBefore} catalog tables across crash+resume")
     }
+  }
+
+  test("s50 stage-boundary crashes: a kill between the fp append and the index appends (fp), mid-index (stats), and after the retention merge (retain) each resumes to the identical composed result") {
+    // the interaction the single-store entries cannot reach: batch 1
+    // dies AFTER the fingerprint store admitted its winners but BEFORE
+    // (or half-way through) the index appends — the replay must
+    // recompute the IDENTICAL winner set (fp store read as-of batch 0)
+    // and finish the half-applied batch; "retain" crashes after the
+    // full retention pass, exercising the folded-batch skip guard.
+    val docs = (0L until 12L).map { i =>
+      (i, if (i % 3 == 0) "de" else "en",
+        s"alpha w${i % 5} beta gamma common text body")
+    }.toDF("doc_id", "lang", "text")
+    val emb = (0L until 12L).map { i =>
+      (i, Array.tabulate(4)(d => (((i * 7 + d * 3) % 11) - 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    def run(w: Option[String], hook: (Long, String) => Unit) =
+      StreamingQueries.releasePipelineStream(spark, docs, emb, benchMod = 3,
+        listK = 4, k0 = 60, k = 3, nLists = 8, nProbe = 2,
+        stages = 3, compactEvery = 2, workDir = w, onStage = hook)
+    val clean = run(None, (_, _) => ()).collect().toSeq
+    assert(clean.nonEmpty, "vacuous fixture: the composed serve is empty")
+    Seq("fp", "stats", "retain").foreach { crashAt =>
+      val work = Files
+        .createTempDirectory(s"graft_s50_stage_${crashAt}_")
+        .toFile.getAbsolutePath
+      val crashed = intercept[Exception] {
+        run(Some(work), (id, st) =>
+          if (id == 1L && st == crashAt)
+            sys.error(s"induced s50 crash after stage $crashAt of batch 1"))
+      }
+      assert(crashed.getMessage != null)
+      val resumed = run(Some(work), (_, _) => ()).collect().toSeq
+      assert(resumed == clean,
+        s"s50 crash-after-$crashAt resume diverged from the clean run:\n" +
+          s"resumed: $resumed\nclean:   $clean")
+    }
+  }
+
+  test("s50 stage interactions: an expired winner's later duplicate does not resurrect; a rejected doc never shadows an admitted duplicate") {
+    val emb = (0L until 12L).map { i =>
+      (i, Array.tabulate(4)(d => (((i * 7 + d * 3) % 11) - 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    def finalTfDocs(docs: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val work = Files.createTempDirectory("graft_s50_sem_")
+        .toFile.getAbsolutePath
+      StreamingQueries.releasePipelineStream(spark, docs, emb, benchMod = 3,
+        listK = 4, k0 = 60, k = 3, nLists = 8, nProbe = 2,
+        stages = 3, compactEvery = 2, workDir = Some(work)).collect()
+      val (tfStore, _, _, ivfStore) =
+        StreamingQueries.servingDeltaStores(spark, s"$work/store")
+      // the final forced merge ran at wFinal = 2 — retention must have
+      // expired the ivf arm's sub-watermark vectors too
+      val ivfIds = ivfStore.read(spark).select("vec_id")
+        .distinct().as[Long].collect().toSet
+      assert(!ivfIds.exists(_ < 2L),
+        s"ivf store retained sub-watermark vectors: $ivfIds")
+      tfStore.read(spark).select("doc_id").distinct().as[Long].collect().toSet
+    }
+
+    // (a) single stratum → rate exactly 1.0, everything admitted:
+    // isolates dedup × retention. Docs 1 and 5 are exact duplicates;
+    // winner 1 < wFinal = 2 expires at the merge, and 5 — admitted,
+    // retained, but dropped at ingest by the fp store — must NOT
+    // resurrect the content. Dedup history outlives index retention.
+    val dupDocs = (0L until 12L).map { i =>
+      val text = if (i == 1L || i == 5L) "duplicated content body here"
+                 else s"unique w$i text body number ${i * 17}"
+      (i, "en", text)
+    }.toDF("doc_id", "lang", "text")
+    val tf1 = finalTfDocs(dupDocs)
+    assert(!tf1.contains(1L), "expired winner 1 still indexed")
+    assert(!tf1.contains(5L),
+      "doc 5 resurrected the expired winner's content — dedup history " +
+        "must outlive index retention")
+    assert(Set(2L, 4L, 7L, 8L, 10L, 11L).subsetOf(tf1),
+      s"retained unique items missing from the postings: $tf1")
+
+    // (b) two strata → en keeps at rate ≈ 0.70705: item 5 (draw 0.7645)
+    // is REJECTED by admission, item 8 (draw 0.6662) is admitted; they
+    // share a text. The winner must be 8 — a doc the admission filter
+    // rejected can never shadow an admitted duplicate (dedup runs over
+    // ADMITTED docs only). Items 7/10 are rejected with unique texts —
+    // plain admission drops.
+    val shadowDocs = (0L until 12L).map { i =>
+      val text = if (i == 5L || i == 8L) "shared shadow content body"
+                 else s"unique w$i text body number ${i * 17}"
+      (i, if (i % 3 == 0) "de" else "en", text)
+    }.toDF("doc_id", "lang", "text")
+    val tf2 = finalTfDocs(shadowDocs)
+    assert(tf2.contains(8L),
+      "admitted duplicate 8 missing — the rejected doc 5 shadowed it")
+    assert(!tf2.contains(5L) && !tf2.contains(7L) && !tf2.contains(10L),
+      s"rejected docs leaked into the index: $tf2")
   }
 
   test("s42 streamed Pareto admission == batch x126 (build-free: the keep decision is per-doc closed form)") {
