@@ -335,7 +335,18 @@ object SqlGateway {
     * prefix of the owner stream (ADVICE r17). The owner appends every
     * batch tf→df→stats→ivf before any compaction, so each store's
     * folded watermark is ≤ the common minimum; readOnly enforces that
-    * invariant loudly rather than serving a rewound base. */
+    * invariant loudly rather than serving a rewound base.
+    *
+    * RETENTION-window caveat (ADVICE r18): for an s46/s50 owner, one
+    * retention pass compacts tf/ivf at the new watermark BEFORE df and
+    * the corpus stats are rebased from the retained postings. Batch ids
+    * do not change across that window, so the common as-of pin cannot
+    * detect it: a request landing between the tf compact and the
+    * df/stats rebase serves retained postings against PRE-expiry
+    * df/stats (idf/avgdl skewed toward the lifetime corpus). The window
+    * is one merge long, self-heals at the rebase, and mis-weights
+    * scores rather than serving wrong rows — the documented trade of
+    * serving a live store mid-merge without an owner-side epoch. */
   private[graft] def liveStoreIndexes(spark: SparkSession,
                                       base: SearchIndexes,
                                       root: String): SearchIndexes = {
@@ -440,7 +451,19 @@ object SqlGateway {
     import graft.operators.SimilaritySearch
     import graft.operators.SimilaritySearch.{IvfPqFixed => P}
     val cents = IndexedSeq.tabulate(P.NLists)(i => idx.fixedRows(i.toLong))
-    val sampled = store.limit(256).join(idx.src, "vec_id")
+    // pin the sample: the two joins below must see the SAME ≤256 rows
+    val sample = store.limit(256).localCheckpoint()
+    // rows whose vec_ids the gateway corpus does not know would be
+    // silently EXCLUDED from the re-encode check below yet still
+    // compete in the ADC shortlist (and die at the exact-rerank join,
+    // shrinking results below k) — a foreign-id store is refused the
+    // same way a foreign quantizer is (ADVICE r18)
+    val unknown = sample.join(idx.src, Seq("vec_id"), "left_anti").count()
+    require(unknown == 0,
+      s"pq store $root carries $unknown sampled rows with vec_ids " +
+        "unknown to the gateway corpus — foreign-corpus codes cannot " +
+        "be verified or reranked")
+    val sampled = sample.join(idx.src, "vec_id")
     require(sampled.count() > 0,
       s"pq store $root shares no vec_ids with the gateway corpus — " +
         "a foreign-corpus store cannot be reranked")

@@ -2900,6 +2900,142 @@ object StreamingQueries {
   }
 
   // ---------------------------------------------------------------------
+  // s51 — RETENTION ON THE INGEST-TIME AXIS: s46 proved merge-time
+  // expiry on doc_id as the age proxy and COVERAGE asserted "production
+  // would use an ingest timestamp; identical mechanics" — this entry
+  // PROVES it instead of stating it (VERDICT r18 task 5), against the
+  // events store (B3's actual TTL-in-days semantic,
+  // clickhouse_tables.sql:19 `TTL timestamp + INTERVAL 90 DAY`).
+  // Two DeltaStores maintained per micro-batch:
+  //   - (event_type, minute) counts — ROW-grain on the retention axis,
+  //     expired by the compact-time filter `minute_ms >= w` (s46's tf);
+  //   - per-type lifetime totals — integer SUMS a row filter cannot
+  //     subtract, REBASED from the retained minute store at each merge
+  //     (s46's df/stats).
+  // The watermark is DERIVED FROM THE DATA on both engines
+  // (max(minute) − 15 days; the mid-stream pass retains 23 days, so
+  // already-compacted rows genuinely expire at the later merge). The
+  // final report serves the totals FROM the rebased derived store —
+  // hash-matching the ts-watermarked oracle proves the rebase math on
+  // the time axis, not just the row filter.
+  // ---------------------------------------------------------------------
+
+  private[graft] val TsRetainMs = 15L * 86400000L
+  private[graft] val TsMidRetainMs = 23L * 86400000L
+
+  /** The s51 core. `events` must carry (ts timestamp, event_type);
+    * `workDir`/`onBatch`: the s30–s50 restart hooks. Batching-invariant
+    * by construction (counts are algebraic; retention is merge-time),
+    * so the batch oracle applies to any input split. */
+  private[graft] def tsRetainedEventStats(s: SparkSession, events: DataFrame,
+                                          retainMs: Long = TsRetainMs,
+                                          midRetainMs: Long = TsMidRetainMs,
+                                          compactEvery: Int = 2,
+                                          workDir: Option[String] = None,
+                                          onBatch: Long => Unit = _ => ())
+      : DataFrame = {
+    import graft.store.DeltaStore
+    val work = workDir.getOrElse(tempDir("graft_s51_"))
+    val inDir = s"$work/in"; val ck = s"$work/ck"
+
+    val ev = events.select(col("event_type"),
+      (expr("unix_millis(ts) DIV 60000") * 60000L).as("minute_ms"))
+    val maxRow = ev.agg(max(col("minute_ms"))).collect()(0)
+    require(!maxRow.isNullAt(0), "s51: empty event stream — no TTL horizon")
+    val wFinal = maxRow.getLong(0) - retainMs
+    val wMid = maxRow.getLong(0) - midRetainMs
+
+    def tiny(d: DataFrame, p: String): Unit =
+      d.coalesce(1).write.mode("overwrite").parquet(p)
+    val minuteStore = new DeltaStore(s"$work/store/minute",
+      StructType(Seq(StructField("event_type", StringType),
+        StructField("minute_ms", LongType), StructField("cnt", LongType))),
+      (d, p) => d.repartition(4, col("event_type"))
+        .sortWithinPartitions("event_type", "minute_ms")
+        .write.mode("overwrite").parquet(p),
+      tiny,
+      _.groupBy("event_type", "minute_ms")
+        .agg(sum("cnt").cast("long").as("cnt")))
+    val typeStore = new DeltaStore(s"$work/store/type",
+      StructType(Seq(StructField("event_type", StringType),
+        StructField("n_events", LongType))),
+      tiny, tiny,
+      _.groupBy("event_type").agg(sum("n_events").cast("long").as("n_events")))
+
+    /** One TTL merge at watermark `w`: the row-grain store filters
+      * inside its compaction; the totals rebase onto the retained
+      * minutes — s46's pass on the time axis. */
+    def retentionPass(w: Long, force: Boolean): Unit = {
+      minuteStore.compact(s, _.filter(col("minute_ms") >= w), force)
+      typeStore.rebase(s,
+        minuteStore.read(s).groupBy("event_type")
+          .agg(sum("cnt").cast("long").as("n_events")))
+    }
+
+    if (!hasParquet(inDir))
+      ev.repartition(3).write.mode("overwrite").parquet(inDir)
+
+    val stream = s.readStream
+      .schema(StructType(Seq(StructField("event_type", StringType),
+        StructField("minute_ms", LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        onBatch(id)
+        // batch-grain appends; nothing is filtered at ingest — rows
+        // expire when a merge crosses the watermark (the ClickHouse
+        // TTL-at-merge posture, B3)
+        minuteStore.append(s, id,
+          b.groupBy("event_type", "minute_ms").agg(count(lit(1)).as("cnt")))
+        typeStore.append(s, id,
+          b.groupBy("event_type").agg(count(lit(1)).as("n_events")))
+        if ((id + 1) % compactEvery == 0) retentionPass(wMid, force = false)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // the final TTL merge advances the watermark (wMid → wFinal):
+    // minutes an earlier merge retained genuinely expire here
+    retentionPass(wFinal, force = true)
+
+    val mRet = minuteStore.read(s).filter(col("minute_ms") >= wFinal)
+      .groupBy("event_type", "minute_ms").agg(sum("cnt").as("cnt"))
+    val perType = mRet.groupBy("event_type")
+      .agg(count(lit(1)).as("n_minutes"),
+        min("minute_ms").as("min_minute_ms"),
+        max("minute_ms").as("max_minute_ms"))
+    // n_events comes FROM the rebased derived store on purpose — the
+    // hash match proves the rebase, not just the row filter
+    typeStore.read(s).groupBy("event_type")
+      .agg(sum("n_events").cast("long").as("n_events"))
+      .join(perType, Seq("event_type"))
+      .select("event_type", "n_events", "n_minutes",
+        "min_minute_ms", "max_minute_ms")
+      .orderBy("event_type")
+  }
+
+  def streamTsRetention(s: SparkSession, dir: String): DataFrame =
+    tsRetainedEventStats(s, Tables.events(s, dir))
+
+  val streamTsRetentionSql: String =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |         (epoch_ms(CAST(ts AS TIMESTAMP)) // 60000) * 60000 AS minute_ms
+       |  FROM events),
+       |w AS (SELECT max(minute_ms) - $TsRetainMs AS wm FROM e),
+       |r AS (SELECT event_type, minute_ms FROM e, w WHERE minute_ms >= wm)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(count(DISTINCT minute_ms) AS BIGINT) AS n_minutes,
+       |       min(minute_ms) AS min_minute_ms,
+       |       max(minute_ms) AS max_minute_ms
+       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
   // s35 — STREAMED snapshot drift: x103's language-shift gauge computed
   // as the new crawl ARRIVES. Unigram counts are ALGEBRAIC — per-token
   // counts sum across micro-batches — so this is the s32 mergeable-
@@ -3487,6 +3623,8 @@ object StreamingQueries {
       Some(graft.queries.CurationQueries.retainedServeSql))),
     "s50_stream_release_pipeline" -> ((streamReleasePipeline _,
       Some(graft.queries.CurationQueries.releaseServeSql))),
+    "s51_stream_ts_retention" -> ((streamTsRetention _,
+      Some(streamTsRetentionSql))),
     "s44_stream_scatter" -> ((streamEmbeddingScatter _,
       Some(graft.queries.ExtendedQueries.embeddingScatterSql))),
     "s45_stream_pq_serve" -> ((streamPqServe _,

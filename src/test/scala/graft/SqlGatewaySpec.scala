@@ -418,6 +418,76 @@ class SqlGatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("/search store=: an s46 retention root serves identically ACROSS rebase crash states — dead staging ignored, completed-but-unswapped staging read as base-elect (VERDICT r18 task 6)") {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    import org.apache.spark.sql.functions.col
+    import graft.operators.SimilaritySearch.{IvfPqFixed => P}
+    import graft.queries.{CurationQueries => CQ}
+    withServer() { port =>
+      // the retention entry with a kept work dir: its return is the
+      // hash-checked retained serve over the SAME store the gateway is
+      // about to read live
+      val work = java.nio.file.Files
+        .createTempDirectory("spec_retention_store_").toString
+      val s46 = graft.streaming.StreamingQueries.retainedIndexServe(
+          spark, Tables.documents(spark, TestSpark.Sf0001),
+          Tables.embeddings(spark, TestSpark.Sf0001),
+          graft.operators.Curation.BenchMod,
+          listK = CQ.HybridListK, k0 = CQ.RrfK0, k = CQ.HybridK,
+          nLists = P.NLists, nProbe = P.NProbe, workDir = Some(work))
+        .filter(col("query_id") === 0L)
+        .select("doc_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong)).sortBy(_._2)
+      assert(s46.nonEmpty, "fixture degenerate: s46 served nothing for query 0")
+      val doc0 = Tables.documents(spark, TestSpark.Sf0001)
+        .filter(col("doc_id") === 0L).select("text").collect()(0).getString(0)
+
+      def serveNow(tag: String): Seq[(Long, Long)] = {
+        val (st, body) = http(port,
+          s"/search?mode=hybrid&vec_id=0&k=10&store=$work/store", "POST",
+          Some(doc0))
+        assert(st == 200, s"[$tag] $body")
+        body.trim.split("\n").toSeq.map { line =>
+          def num(k: String) =
+            s""""$k":(-?[0-9]+)""".r.findFirstMatchIn(line).map(_.group(1).toLong)
+          (num("doc_id").get, num("rank").get)
+        }.sortBy(_._2)
+      }
+      // post-retention steady state: the gateway's raw readOnly view
+      // equals the entry's retained serve because the final forced
+      // merge physically expired the sub-watermark rows
+      assert(serveNow("steady") == s46.toSeq)
+
+      val conf = spark.sessionState.newHadoopConf()
+      val dfBase = new Path(s"$work/store/df/base")
+      val dfStaging = new Path(s"$work/store/df/base.compact")
+      val fs = dfBase.getFileSystem(conf)
+
+      // state A — DEAD rebase staging (no _STAGED): an owner crashed
+      // mid-rewrite; base and deltas are untouched and authoritative,
+      // and a non-owner read must IGNORE the staging (and must not
+      // delete it — that is the owner's recover())
+      assert(FileUtil.copy(fs, dfBase, fs, dfStaging, false, conf))
+      fs.delete(new Path(dfStaging, "_STAGED"), false)
+      assert(serveNow("dead-staging") == s46.toSeq)
+      assert(fs.exists(dfStaging),
+        "a non-owner read deleted the owner's in-progress staging")
+      fs.delete(dfStaging, true)
+
+      // state B — COMPLETED-but-unswapped rebase (_STAGED present, base
+      // gone): the one window where staging IS the store; readOnly must
+      // serve it as the base-elect, and the common as-of pin must hold
+      // with the df store mid-swap while tf/stats/ivf are settled
+      assert(FileUtil.copy(fs, dfBase, fs, dfStaging, false, conf))
+      val stagedMarker = fs.create(new Path(dfStaging, "_STAGED"), true)
+      stagedMarker.close()
+      fs.delete(dfBase, true)
+      assert(serveNow("base-elect") == s46.toSeq)
+      assert(fs.rename(dfStaging, dfBase), "state-B restore failed")
+      assert(serveNow("restored") == s46.toSeq)
+    }
+  }
+
   test("/search mode=pq: route parity with the hash-checked x114 batch result; pq_store= serves a live s47 code store; foreign quantizer/codebook is a 400") {
     import org.apache.spark.sql.functions.col
     import graft.operators.SimilaritySearch

@@ -482,7 +482,7 @@ class StreamingSpec extends AnyFunSuite {
       s"s34 leaked ${after - before} catalog tables across 3 invocations")
   }
 
-  test("s30/s31/s33/s34/s35/s36/s37/s38/s39/s40/s42/s43/s44/s45/s46/s47/s48/s49/s50 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
+  test("s30/s31/s33/s34/s35/s36/s37/s38/s39/s40/s42/s43/s44/s45/s46/s47/s48/s49/s50/s51 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
     // A14's checkpoint discipline, proven for the WHOLE foreachBatch
     // read-back family: kill the query inside batch 1 (of 3), restart
     // against the SAME work dir, and require (a) the resumed run
@@ -688,6 +688,19 @@ class StreamingSpec extends AnyFunSuite {
         StreamingQueries.releasePipelineStream(spark, docs, emb, benchMod = 3,
           listK = 4, k0 = 60, k = 3, nLists = 8, nProbe = 2,
           stages = 3, compactEvery = 2, workDir = w, onBatch = h)
+      },
+      "s51" -> { (w, h) =>
+        // an events fixture spanning 30 days at two events/day: the
+        // mid-stream merge (23-day retention) and the final 15-day
+        // merge both expire real minutes, so the resumed batch 1
+        // replays a genuine TTL pass (row filter + totals rebase) on
+        // the TIME axis
+        val ev = (0L until 60L).map { i =>
+          (new java.sql.Timestamp(1704067200000L + i * 12L * 3600000L),
+            s"t${i % 3}")
+        }.toDF("ts", "event_type")
+        StreamingQueries.tsRetainedEventStats(spark, ev,
+          workDir = w, onBatch = h)
       })
 
     cores.foreach { case (name, core) =>
@@ -817,6 +830,37 @@ class StreamingSpec extends AnyFunSuite {
       "admitted duplicate 8 missing — the rejected doc 5 shadowed it")
     assert(!tf2.contains(5L) && !tf2.contains(7L) && !tf2.contains(10L),
       s"rejected docs leaked into the index: $tf2")
+  }
+
+  test("s51 ts retention: merge-enforced expiry equals the batch TTL cut, with the watermark advancing across merges") {
+    val ev = (0L until 60L).map { i =>
+      (new java.sql.Timestamp(1704067200000L + i * 12L * 3600000L),
+        s"t${i % 3}")
+    }.toDF("ts", "event_type")
+    val streamed = StreamingQueries.tsRetainedEventStats(spark, ev)
+      .collect().toSeq
+    // the batch TTL cut, computed independently
+    val minuteOf = (expr("unix_millis(ts) DIV 60000") * 60000L)
+    val maxMin = ev.agg(max(minuteOf)).collect()(0).getLong(0)
+    val wFinal = maxMin - StreamingQueries.TsRetainMs
+    val wMid = maxMin - StreamingQueries.TsMidRetainMs
+    val batch = ev.select(col("event_type"), minuteOf.as("m"))
+      .filter(col("m") >= wFinal)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("m").as("n_minutes"),
+        min("m").as("min_minute_ms"), max("m").as("max_minute_ms"))
+      .orderBy("event_type").collect().toSeq
+    assert(streamed == batch,
+      s"streamed TTL stats diverged from the batch cut:\n$streamed\nvs\n$batch")
+    // the watermark genuinely ADVANCED: the fixture has minutes the mid
+    // merge retained (>= wMid) that the final merge expired (< wFinal)
+    val between = ev.select(minuteOf.as("m"))
+      .filter(col("m") >= wMid && col("m") < wFinal).count()
+    assert(between > 0,
+      "fixture degenerate: no rows between the mid and final watermarks")
+    assert(streamed.map(_.getLong(1)).sum < 60L,
+      "nothing expired — the TTL merges were vacuous")
   }
 
   test("s42 streamed Pareto admission == batch x126 (build-free: the keep decision is per-doc closed form)") {
