@@ -488,6 +488,60 @@ class SqlGatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("/search store=: the gateway serves the s50 composed-pipeline store LIVE mid-run (between stage appends) and matches the retained serve at steady state") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.SimilaritySearch.{IvfPqFixed => P}
+    import graft.queries.{CurationQueries => CQ}
+    withServer() { port =>
+      val work = java.nio.file.Files
+        .createTempDirectory("spec_live_s50_store_").toString
+      val doc0 = Tables.documents(spark, TestSpark.Sf0001)
+        .filter(col("doc_id") === 0L).select("text").collect()(0).getString(0)
+      def serveNow(tag: String): (Int, String) = http(port,
+        s"/search?mode=hybrid&vec_id=0&k=10&store=$work/store", "POST",
+        Some(doc0))
+      // issue LIVE requests from inside the owner stream, at stage
+      // boundaries of batch 2: after the fp append (index stores one
+      // batch BEHIND the fp store — the as-of pin must still resolve)
+      // and after the ivf append (all four stores at batch 2). The
+      // serve-while-the-composed-pipeline-maintains posture.
+      val liveResults = scala.collection.mutable.ArrayBuffer.empty[(String, Int, String)]
+      val s50 = graft.streaming.StreamingQueries.releasePipelineStream(
+          spark, Tables.documents(spark, TestSpark.Sf0001),
+          Tables.embeddings(spark, TestSpark.Sf0001),
+          graft.operators.Curation.BenchMod,
+          listK = CQ.HybridListK, k0 = CQ.RrfK0, k = CQ.HybridK,
+          nLists = P.NLists, nProbe = P.NProbe, workDir = Some(work),
+          onStage = (id, st) =>
+            if (id == 2L && (st == "fp" || st == "ivf")) {
+              val (code, body) = serveNow(s"live-$st")
+              liveResults += ((st, code, body))
+            })
+        .filter(col("query_id") === 0L)
+        .select("doc_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong)).sortBy(_._2)
+      assert(s50.nonEmpty, "fixture degenerate: s50 served nothing for query 0")
+      assert(liveResults.map(_._1).toSeq == Seq("fp", "ivf"),
+        s"live hooks did not fire: $liveResults")
+      liveResults.foreach { case (st, code, body) =>
+        assert(code == 200, s"mid-run serve after stage $st failed: $body")
+        assert(body.trim.split("\n").forall(_.contains("\"rank\"")),
+          s"mid-run serve after $st returned malformed rows: $body")
+      }
+      // steady state: the gateway's readOnly view over the finished
+      // store equals the entry's own retained serve
+      val (fs2, fb) = serveNow("steady")
+      assert(fs2 == 200, fb)
+      val got = fb.trim.split("\n").toSeq.map { line =>
+        def num(k: String) =
+          s""""$k":(-?[0-9]+)""".r.findFirstMatchIn(line).map(_.group(1).toLong)
+        (num("doc_id").get, num("rank").get)
+      }.sortBy(_._2)
+      assert(got == s50.toSeq,
+        s"store= route diverged from the s50 serve:\ngot: $got\ns50: ${s50.toSeq}")
+    }
+  }
+
   test("/search mode=pq: route parity with the hash-checked x114 batch result; pq_store= serves a live s47 code store; foreign quantizer/codebook is a 400") {
     import org.apache.spark.sql.functions.col
     import graft.operators.SimilaritySearch
