@@ -154,15 +154,18 @@ object Bench {
       .getOperatingSystemMXBean.getSystemLoadAverage
     val (cpuBefore, ioBefore) = (cpuCanaryMs(), ioCanaryMs())
     val epsLoadBefore = loadAvg
-    // eps repeats carry per-repeat (sec, loadavg-after) markers
-    // (VERDICT r18 task 7): the headline stays the median, and a single
+    // eps repeats carry per-repeat (sec, loadavg-after, io-canary-after)
+    // markers (VERDICT r18 task 7): the headline stays the median, and a
     // stalled repeat is identifiable in-artifact instead of condemning
-    // the figure.
+    // the figure. The per-repeat io canary exists because the eps
+    // window sits BETWEEN the sweep's periodic samples — a burst can
+    // land entirely inside it and leave every sweep sample clean
+    // (observed on the r19 close runs).
     val epsRepeats = (1 to runs).map { _ =>
       (timeEntry(spark, sfDir,
-        SparkEntry.queries("s01_stream_minute_agg")), loadAvg)
+        SparkEntry.queries("s01_stream_minute_agg")), loadAvg, ioCanaryMs())
     }
-    val epsSecs = epsRepeats.collect { case (Right(sec), _) => sec }.sorted
+    val epsSecs = epsRepeats.collect { case (Right(sec), _, _) => sec }.sorted
     val epsLoadAfter = loadAvg
     val streamEps = epsSecs.lift(epsSecs.size / 2).map { sec =>
       val n = spark.read.parquet(s"$sfDir/events.parquet").count()
@@ -285,8 +288,10 @@ object Bench {
       f""""over_rule":"> 2x quiet_ref",""" +
       f""""quiet_ref":{"cpu_ms":${CanaryQuietRef._1}%.0f,"io_ms":${CanaryQuietRef._2}%.0f}}"""
     val epsRepeatJson = epsRepeats.map {
-      case (Right(sec), l) => f"""{"sec":${r3(sec)},"load":$l%.2f}"""
-      case (Left(_), l)    => f"""{"sec":null,"load":$l%.2f}"""
+      case (Right(sec), l, io) =>
+        f"""{"sec":${r3(sec)},"load":$l%.2f,"io_ms":$io%.0f}"""
+      case (Left(_), l, io) =>
+        f"""{"sec":null,"load":$l%.2f,"io_ms":$io%.0f}"""
     }.mkString("[", ",", "]")
     val shared = s""""unit":"sec","errors":$es,"n_failed":${errors.size}""" +
       s""","out_of_band":$outOfBand,"bands_covered":$nBanded""" +

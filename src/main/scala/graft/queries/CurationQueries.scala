@@ -1963,11 +1963,13 @@ object CurationQueries {
   // four serving DeltaStores + retention rebases) is value-identical to
   // this from-scratch batch build over the surviving corpus.
   // ---------------------------------------------------------------------
-  lazy val releaseServeSql: String = {
+  /** The s50/s52 admission+dedup CTE chain — ONE definition of the
+    * composed pipeline's corpus cut for both readouts (the serve and
+    * the attrition report). Ends with a trailing comma: callers append
+    * their own CTEs after it. */
+  private lazy val releasePipelineCtes: String = {
     val m = Curation.BenchMod
-    val w = "(SELECT max(doc_id) // 4 FROM documents)"
-    val extra =
-      s"""tcounts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+    s"""tcounts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
          |ttot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn FROM tcounts),
          |tw AS (SELECT lang, CAST(n AS DOUBLE) / nn AS p,
          |              sqrt(CAST(n AS DOUBLE) / nn) AS sq FROM tcounts, ttot),
@@ -1989,10 +1991,43 @@ object CurationQueries {
          |    FROM admit) t
          |  WHERE rn = 1),
          |""".stripMargin
+  }
+
+  lazy val releaseServeSql: String = {
+    val w = "(SELECT max(doc_id) // 4 FROM documents)"
     hybridServeSqlFor(
       s"doc_id >= $w AND doc_id IN (SELECT doc_id FROM winners)",
       s"e.vec_id >= $w AND e.vec_id IN (SELECT doc_id FROM winners)",
-      extra)
+      releasePipelineCtes)
+  }
+
+  // ---------------------------------------------------------------------
+  // s52 oracle — the release ATTRITION REPORT over the same composed
+  // cut: stage counts (input → admitted → winners → retained), their
+  // ratios (single IEEE divisions, exact-rounded cross-engine), and the
+  // gate verdict. The Spark side reads these from the pipeline's OWN
+  // audit/winner stores (appended exactly-once per batch, the winner
+  // store retention-filtered at the merges); a hash match proves the
+  // maintained metrics equal the from-scratch recount.
+  // ---------------------------------------------------------------------
+  lazy val releaseReportSql: String = {
+    val m = Curation.BenchMod
+    val w = "(SELECT max(doc_id) // 4 FROM documents)"
+    s"""WITH ${releasePipelineCtes}icount AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_input
+       |  FROM documents WHERE doc_id % $m <> 0),
+       |acount AS (SELECT CAST(count(*) AS BIGINT) AS n_admitted FROM admit),
+       |wcount AS (SELECT CAST(count(*) AS BIGINT) AS n_winners FROM winners),
+       |rcount AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_retained
+       |  FROM winners WHERE doc_id >= $w)
+       |SELECT n_input, n_admitted, n_winners, n_retained,
+       |  round(CAST(n_admitted AS DOUBLE) / n_input, 6) AS admit_rate,
+       |  round(CAST(n_winners AS DOUBLE) / n_admitted, 6) AS dedup_keep_rate,
+       |  round(CAST(n_retained AS DOUBLE) / n_winners, 6) AS retain_rate,
+       |  n_retained > 0 AND CAST(n_retained AS DOUBLE) / n_winners >= 0.5
+       |    AS gate_pass
+       |FROM icount, acount, wcount, rcount""".stripMargin
   }
 
   // ---------------------------------------------------------------------

@@ -2709,6 +2709,7 @@ object StreamingQueries {
                                            nLists: Int, nProbe: Int,
                                            stages: Int = 4,
                                            compactEvery: Int = 2,
+                                           report: Boolean = false,
                                            workDir: Option[String] = None,
                                            onBatch: Long => Unit = _ => (),
                                            onStage: (Long, String) => Unit =
@@ -2756,12 +2757,31 @@ object StreamingQueries {
         .write.mode("overwrite").parquet(p),
       (d, p) => d.coalesce(1).write.mode("overwrite").parquet(p),
       _.distinct())
+    def tinyRows(d: DataFrame, p: String): Unit =
+      d.coalesce(1).write.mode("overwrite").parquet(p)
+    // the release AUDIT: per-batch stage-attrition counts (batch-grain
+    // integer rows, exactly-once by batch id like every other delta) —
+    // the pipeline's own metrics are first-class data, and s52's gated
+    // report reads THEM, not a recomputation
+    val auditStore = new DeltaStore(s"$work/store/audit",
+      StructType(Seq(StructField("batch_id", LongType),
+        StructField("n_input", LongType), StructField("n_admitted", LongType),
+        StructField("n_winners", LongType))),
+      tinyRows, tinyRows, identity)
+    // retained-winner ids at row grain: the report's n_retained must
+    // come from a store the retention merges actually filter (tf/ivf
+    // would under-count winners with no tokens / no embedding)
+    val winnerStore = new DeltaStore(s"$work/store/winners",
+      StructType(Seq(StructField("doc_id", LongType))),
+      tinyRows, tinyRows, identity)
 
     /** One retention merge at watermark `w` — s46's pass plus the fp
       * store's filter-FREE compaction: dedup history must outlive index
       * retention, or an expired winner's duplicate would re-enter. */
     def retentionPass(w: Long, force: Boolean): Unit = {
       fpStore.compact(s)
+      auditStore.compact(s) // metrics record: compacts, never expires
+      winnerStore.compact(s, _.filter(col("doc_id") >= w), force)
       tfStore.compact(s, _.filter(col("doc_id") >= w), force)
       ivfStore.compact(s, _.filter(col("vec_id") >= w), force)
       val tfView = tfStore.read(s)
@@ -2842,6 +2862,15 @@ object StreamingQueries {
             .localCheckpoint()
           fpStore.append(s, id, winners.select(col("fp")))
           onStage(id, "fp")
+          // the audit row — three batch-grain counts (winners is pinned,
+          // so its count is free; the admission recount is one more
+          // row-local pass over the batch)
+          val (nIn, nAdm, nWin) = (b.count(), admitted.count(), winners.count())
+          auditStore.append(s, id, s.range(1).select(lit(id).as("batch_id"),
+            lit(nIn).as("n_input"), lit(nAdm).as("n_admitted"),
+            lit(nWin).as("n_winners")))
+          winnerStore.append(s, id, winners.select(col("doc_id")))
+          onStage(id, "audit")
           // index maintenance — s40's batch-grain deltas over the winners
           val tf = winners.select(col("doc_id"), toksCol.as("toks"))
             .select(col("doc_id"), size(col("toks")).as("dl"),
@@ -2878,15 +2907,38 @@ object StreamingQueries {
     // the final retention merge advances the watermark to wFinal (s46)
     retentionPass(wFinal, force = true)
 
-    serveHybridViews(s, "s50",
-        tfStore.read(s).filter(col("doc_id") >= wFinal),
-        dfStore.read(s), statStore.read(s),
-        ivfStore.read(s).filter(col("vec_id") >= wFinal),
-        qDocs.select(col("doc_id"), col("text"))
-          .join(srcE.select(col("vec_id").as("doc_id"), col("embedding")),
-            Seq("doc_id"), "left"),
-        cents, nProbe, listK, k0, k)
-      .orderBy("query_id", "rank")
+    if (report) {
+      // s52 — the release ATTRITION REPORT, read from the pipeline's
+      // own audit/winner stores (not recomputed): stage counts, their
+      // ratios (single IEEE divisions — exact-rounded cross-engine),
+      // and the gate verdict. All integers until the final ratios.
+      val a = auditStore.read(s)
+        .agg(coalesce(sum("n_input"), lit(0L)).as("n_input"),
+          coalesce(sum("n_admitted"), lit(0L)).as("n_admitted"),
+          coalesce(sum("n_winners"), lit(0L)).as("n_winners"))
+      val r = winnerStore.read(s).filter(col("doc_id") >= wFinal)
+        .agg(count(lit(1)).as("n_retained"))
+      a.crossJoin(r).select(
+        col("n_input"), col("n_admitted"), col("n_winners"), col("n_retained"),
+        round(col("n_admitted").cast("double") / col("n_input"), 6)
+          .as("admit_rate"),
+        round(col("n_winners").cast("double") / col("n_admitted"), 6)
+          .as("dedup_keep_rate"),
+        round(col("n_retained").cast("double") / col("n_winners"), 6)
+          .as("retain_rate"),
+        (col("n_retained") > 0 &&
+          col("n_retained").cast("double") / col("n_winners") >= 0.5)
+          .as("gate_pass"))
+    } else
+      serveHybridViews(s, "s50",
+          tfStore.read(s).filter(col("doc_id") >= wFinal),
+          dfStore.read(s), statStore.read(s),
+          ivfStore.read(s).filter(col("vec_id") >= wFinal),
+          qDocs.select(col("doc_id"), col("text"))
+            .join(srcE.select(col("vec_id").as("doc_id"), col("embedding")),
+              Seq("doc_id"), "left"),
+          cents, nProbe, listK, k0, k)
+        .orderBy("query_id", "rank")
   }
 
   def streamReleasePipeline(s: SparkSession, dir: String): DataFrame = {
@@ -2897,6 +2949,23 @@ object StreamingQueries {
       Tables.embeddings(s, dir), Curation.BenchMod,
       listK = CQ.HybridListK, k0 = CQ.RrfK0, k = CQ.HybridK,
       nLists = P.NLists, nProbe = P.NProbe)
+  }
+
+  /** s52 — the release ATTRITION REPORT: the same composed pipeline,
+    * read out through its own audit/winner stores — per-batch stage
+    * counts appended exactly-once, the winner-id store
+    * retention-filtered at the merges — with ratio + gate columns. The
+    * production posture: every release run reports what each stage
+    * dropped, from maintained metrics rather than a recount, and the
+    * gate refuses a release whose retention cut ate the corpus. */
+  def streamReleaseReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    import graft.operators.SimilaritySearch.{IvfPqFixed => P}
+    import graft.queries.{CurationQueries => CQ}
+    releasePipelineStream(s, Tables.documents(s, dir),
+      Tables.embeddings(s, dir), Curation.BenchMod,
+      listK = CQ.HybridListK, k0 = CQ.RrfK0, k = CQ.HybridK,
+      nLists = P.NLists, nProbe = P.NProbe, report = true)
   }
 
   // ---------------------------------------------------------------------
@@ -3625,6 +3694,8 @@ object StreamingQueries {
       Some(graft.queries.CurationQueries.releaseServeSql))),
     "s51_stream_ts_retention" -> ((streamTsRetention _,
       Some(streamTsRetentionSql))),
+    "s52_stream_release_report" -> ((streamReleaseReport _,
+      Some(graft.queries.CurationQueries.releaseReportSql))),
     "s44_stream_scatter" -> ((streamEmbeddingScatter _,
       Some(graft.queries.ExtendedQueries.embeddingScatterSql))),
     "s45_stream_pq_serve" -> ((streamPqServe _,

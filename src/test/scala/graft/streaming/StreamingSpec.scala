@@ -832,6 +832,31 @@ class StreamingSpec extends AnyFunSuite {
       s"rejected docs leaked into the index: $tf2")
   }
 
+  test("s52 release report: the maintained audit/winner stores equal the hand-derived attrition counts; the gate verdict follows the retention ratio") {
+    // the s50 crash fixture: items {1,2,4,5,7,8,10,11}; en keep rate
+    // ≈ 0.70705 rejects ids 5 (u=.7645), 7 (.8594), 10 (.9982) and
+    // admits {1,2,4,8,11}; texts repeat at i % 5, so the admitted fp
+    // groups are {1,11} (winner 1), {2}, {4}, {8} → 4 winners; the
+    // wFinal = 11/4 = 2 retention cut expires winner 1 → 3 retained;
+    // retain_rate 0.75 ≥ 0.5 → gate passes.
+    val docs = (0L until 12L).map { i =>
+      (i, if (i % 3 == 0) "de" else "en",
+        s"alpha w${i % 5} beta gamma common text body")
+    }.toDF("doc_id", "lang", "text")
+    val emb = (0L until 12L).map { i =>
+      (i, Array.tabulate(4)(d => (((i * 7 + d * 3) % 11) - 5).toFloat))
+    }.toDF("vec_id", "embedding")
+    val row = StreamingQueries.releasePipelineStream(spark, docs, emb,
+      benchMod = 3, listK = 4, k0 = 60, k = 3, nLists = 8, nProbe = 2,
+      stages = 3, compactEvery = 2, report = true).collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      == ((8L, 5L, 4L, 3L)),
+      s"attrition counts diverged from the hand derivation: $row")
+    assert(row.getDouble(4) == 0.625 && row.getDouble(5) == 0.8 &&
+      row.getDouble(6) == 0.75, s"ratios wrong: $row")
+    assert(row.getBoolean(7), "gate must pass at retain_rate 0.75")
+  }
+
   test("s51 ts retention: merge-enforced expiry equals the batch TTL cut, with the watermark advancing across merges") {
     val ev = (0L until 60L).map { i =>
       (new java.sql.Timestamp(1704067200000L + i * 12L * 3600000L),
