@@ -337,16 +337,19 @@ object SqlGateway {
     * folded watermark is ≤ the common minimum; readOnly enforces that
     * invariant loudly rather than serving a rewound base.
     *
-    * RETENTION-window caveat (ADVICE r18): for an s46/s50 owner, one
-    * retention pass compacts tf/ivf at the new watermark BEFORE df and
-    * the corpus stats are rebased from the retained postings. Batch ids
-    * do not change across that window, so the common as-of pin cannot
-    * detect it: a request landing between the tf compact and the
-    * df/stats rebase serves retained postings against PRE-expiry
-    * df/stats (idf/avgdl skewed toward the lifetime corpus). The window
-    * is one merge long, self-heals at the rebase, and mis-weights
-    * scores rather than serving wrong rows — the documented trade of
-    * serving a live store mid-merge without an owner-side epoch. */
+    * RETENTION-window consistency (ADVICE r18 → built r20): for an
+    * s46/s50 owner, one retention pass compacts tf/ivf at the new
+    * watermark BEFORE df and the corpus stats are rebased from the
+    * retained postings. Batch ids do not change across that window, so
+    * the common as-of pin cannot detect it. The owner therefore
+    * brackets every pass with the store-group
+    * [[graft.store.StoreEpoch]] seqlock, and this reader checks it
+    * like the batch watermarks: epoch read before assembly and again
+    * after the eager stats/quantizer work — consistent iff both are
+    * the same EVEN value. A mid-merge request retries briefly (merges
+    * are seconds-scale), then REFUSES with
+    * [[SqlGateway.StoreMidMergeException]] (HTTP 409) instead of
+    * serving retained postings against pre-expiry idf/avgdl. */
   private[graft] def liveStoreIndexes(spark: SparkSession,
                                       base: SearchIndexes,
                                       root: String): SearchIndexes = {
@@ -355,29 +358,57 @@ object SqlGateway {
       .getFileSystem(spark.sessionState.newHadoopConf())
     require(h.exists(new org.apache.hadoop.fs.Path(root)),
       s"store root $root does not exist")
-    val (tfS, dfS, statS, ivfS) =
-      graft.streaming.StreamingQueries.servingDeltaStores(spark, root)
-    val asOf = Seq(tfS, dfS, statS, ivfS).map(_.readOnlyMaxBatch(spark)).min
-    val st = statS.readOnly(spark, asOf)
-      .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
-        coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"))
-      .collect()(0)
-    val nDocs = st.getLong(0)
-    require(nDocs > 0,
-      s"store root $root holds no tokenized item docs (avgdl undefined)")
-    val avgdl = st.getLong(1).toDouble / nDocs
-    val ivf = ivfS.readOnly(spark, asOf)
-    val bad = ivf.limit(256)
-      .filter(graft.operators.SimilaritySearch
-        .argmaxCell(col("embedding"), base.cents) =!= col("cell"))
-      .count()
-    require(bad == 0, s"store root $root was not built with the gateway's " +
-      s"fixed quantizer ($bad of <=256 sampled rows sit in the wrong cell) " +
-      "— probing it would serve wrong neighbors")
-    base.copy(tf = tfS.readOnly(spark, asOf),
-      df = dfS.readOnly(spark, asOf).groupBy("token").agg(sum("df").as("df")),
-      ivf = ivf, nDocs = nDocs, avgdl = avgdl)
+    val attempts = 3
+    var last = -1L
+    var result: Option[SearchIndexes] = None
+    var attempt = 0
+    while (result.isEmpty && attempt < attempts) {
+      attempt += 1
+      val e1 = graft.store.StoreEpoch.read(spark, root)
+      last = e1
+      if (e1 % 2 == 0) {
+        val (tfS, dfS, statS, ivfS) =
+          graft.streaming.StreamingQueries.servingDeltaStores(spark, root)
+        val asOf = Seq(tfS, dfS, statS, ivfS).map(_.readOnlyMaxBatch(spark)).min
+        val st = statS.readOnly(spark, asOf)
+          .agg(coalesce(sum("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(sum("sum_dl"), lit(0L)).as("sum_dl"))
+          .collect()(0)
+        val nDocs = st.getLong(0)
+        require(nDocs > 0,
+          s"store root $root holds no tokenized item docs (avgdl undefined)")
+        val avgdl = st.getLong(1).toDouble / nDocs
+        val ivf = ivfS.readOnly(spark, asOf)
+        val bad = ivf.limit(256)
+          .filter(graft.operators.SimilaritySearch
+            .argmaxCell(col("embedding"), base.cents) =!= col("cell"))
+          .count()
+        require(bad == 0, s"store root $root was not built with the gateway's " +
+          s"fixed quantizer ($bad of <=256 sampled rows sit in the wrong cell) " +
+          "— probing it would serve wrong neighbors")
+        // the seqlock validate: no retention pass began during the
+        // eager assembly above, so the stats the request will score
+        // with describe the same corpus cut as the postings it reads
+        val e2 = graft.store.StoreEpoch.read(spark, root)
+        if (e2 == e1)
+          result = Some(base.copy(tf = tfS.readOnly(spark, asOf),
+            df = dfS.readOnly(spark, asOf).groupBy("token")
+              .agg(sum("df").as("df")),
+            ivf = ivf, nDocs = nDocs, avgdl = avgdl))
+        else last = e2
+      }
+      if (result.isEmpty && attempt < attempts) Thread.sleep(120L * attempt)
+    }
+    result.getOrElse(throw new StoreMidMergeException(
+      s"store root $root is mid-retention-merge (epoch $last) — retried " +
+        s"$attempts times; retry once the owner's pass completes"))
   }
+
+  /** A live-store read refused because the owner's retention merge is
+    * in progress — surfaced as HTTP 409 (retryable), never as a wrong
+    * or skew-scored result. */
+  private[graft] final class StoreMidMergeException(msg: String)
+      extends RuntimeException(msg)
 
   /** store= points the gateway at a filesystem path; unrestricted, that
     * is a read/probe surface over the whole filesystem if the gateway
@@ -906,6 +937,11 @@ object SqlGateway {
             case _: Throwable if timedOut.get() =>
               respond(ex, 408,
                 s"""{"error":"search cancelled after $timeoutSec s (timeout)"}""" + "\n")
+            case e: StoreMidMergeException =>
+              // retryable consistency refusal, not a bad request: the
+              // owner's retention pass is mid-flight (StoreEpoch odd)
+              respond(ex, 409,
+                s"""{"error":"${jsonEscape(Option(e.getMessage).getOrElse("store mid-merge"))}"}""" + "\n")
             case e: IllegalArgumentException =>
               respond(ex, 400,
                 s"""{"error":"${jsonEscape(Option(e.getMessage).getOrElse("bad request"))}"}""" + "\n")

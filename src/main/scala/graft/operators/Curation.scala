@@ -512,6 +512,21 @@ object Curation {
   val SpanGramN  = 4
   val BenchMod   = 97
 
+  /** s53's near-dup admission gate (the streamed twin of x106 stage 3):
+    * 3-word-shingle jaccard against the winner history, candidates
+    * blocked on shingles whose document frequency over the CALIBRATION
+    * corpus (the full item slice, the s48/x132 pinning posture) is at
+    * most [[RelNdCap]] — time-invariant blocking keys are what keep the
+    * streamed gate equal to the batch oracle at every arrival split. */
+  val RelNdCap = 4
+  val RelNdThreshold = 0.5
+
+  /** s53's contamination quarantine threshold: a shared-span island
+    * strictly longer than one [[SpanGramN]]-gram (≥ n+1 tokens chains at
+    * least two overlapping grams — single-gram collisions are common
+    * phrases, chained islands are copied eval content). */
+  val RelQuarMinSpan = SpanGramN + 1
+
   /** Which corpus documents share a full word n-gram with any document
     * of the benchmark set (here: the deterministic `id % BenchMod == 0`
     * subset, standing in for an eval suite). The n-gram equi-join IS the

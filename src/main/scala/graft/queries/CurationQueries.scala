@@ -2031,6 +2031,108 @@ object CurationQueries {
   }
 
   // ---------------------------------------------------------------------
+  // s53 oracle — the GATED release pipeline: s50's admission+dedup cut
+  // extended with the two gates x106's batch pipeline runs between
+  // exact dedup and release, each the shared fragment of its standalone
+  // entry:
+  //  - NEAR-DUP gate (capped-candidate CTEs): winner d is dropped iff
+  //    SOME earlier exact winner a (a.doc_id < d.doc_id — the stream's
+  //    ascending-id staging makes arrival order ≡ id order) shares a
+  //    blocking shingle and has 3-word-shingle jaccard ≥ RelNdThreshold.
+  //    Blocking keys are shingles whose df over the CALIBRATION corpus
+  //    (the full item slice — time-invariant, the s48 pinning posture)
+  //    is ≤ RelNdCap. The rule checks ALL earlier exact winners, not
+  //    just gate survivors — every admitted representative's content is
+  //    in the history — so it is non-recursive and one SQL pass.
+  //  - QUARANTINE (containment CTEs): x95's island-window max shared
+  //    span of each gate survivor vs the eval slice's SpanGramN-gram
+  //    set; a worst island ≥ RelQuarMinSpan tokens quarantines the doc.
+  //    Quarantined docs are excluded from the SERVE's corpus predicate,
+  //    which also re-derives df/n_docs/avgdl over the served corpus —
+  //    matching the stream's serve-time re-derivation exactly.
+  // A hash match proves the composed streamed run (fp + nd-history +
+  // quarantine DeltaStores, serving indexes, retention rebases, and the
+  // serve-time policy filter) is value-identical to this from-scratch
+  // batch build over the surviving corpus.
+  // ---------------------------------------------------------------------
+  private lazy val releaseGatedCtes: String = {
+    val m = Curation.BenchMod
+    val n = Curation.SpanGramN
+    s"""${releasePipelineCtes}ndg AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(greatest(len(w) - 2, 0)),
+       |                i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |        WHERE doc_id % $m <> 0)),
+       |ndhot AS (
+       |  SELECT sh FROM (SELECT sh, COUNT(*) AS c FROM ndg GROUP BY 1)
+       |  WHERE c > ${Curation.RelNdCap}),
+       |wg AS (SELECT g.doc_id, g.sh FROM ndg g JOIN winners USING (doc_id)),
+       |wsz AS (SELECT doc_id, COUNT(*) AS sz FROM wg GROUP BY 1),
+       |wblk AS (SELECT doc_id, sh FROM wg
+       |         WHERE sh NOT IN (SELECT sh FROM ndhot)),
+       |ndcand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM wblk a JOIN wblk b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+       |ndinter AS (
+       |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+       |  FROM wg ga JOIN ndcand c ON ga.doc_id = c.id_a
+       |  JOIN wg gb ON gb.doc_id = c.id_b AND gb.sh = ga.sh
+       |  GROUP BY 1, 2),
+       |nddrop AS (
+       |  SELECT DISTINCT id_b AS doc_id
+       |  FROM ndinter JOIN wsz za ON id_a = za.doc_id
+       |               JOIN wsz zb ON id_b = zb.doc_id
+       |  WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i)
+       |        >= ${Curation.RelNdThreshold}),
+       |kept AS (
+       |  SELECT doc_id FROM winners
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM nddrop)),
+       |eref AS (
+       |  SELECT DISTINCT array_to_string(w[i+1:i+$n], ' ') AS sh
+       |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+       |        WHERE doc_id % $m = 0 AND doc_id < ${Curation.BmQueryIdMax}),
+       |       LATERAL unnest(range(greatest(len(w) - ${n - 1}, 0))) AS t(i)),
+       |kgr AS (
+       |  SELECT doc_id, i AS pos, array_to_string(w[i+1:i+$n], ' ') AS sh
+       |  FROM (SELECT d0.doc_id, string_split(d0.text, ' ') AS w
+       |        FROM documents d0 JOIN kept k ON d0.doc_id = k.doc_id),
+       |       LATERAL unnest(range(greatest(len(w) - ${n - 1}, 0))) AS t(i)),
+       |km AS (SELECT DISTINCT g.doc_id, g.pos FROM kgr g JOIN eref USING (sh)),
+       |kw1 AS (
+       |  SELECT doc_id, pos,
+       |         MAX(pos + ${n - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM km),
+       |kw2 AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM kw1),
+       |kw3 AS (
+       |  SELECT doc_id, pos,
+       |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM kw2),
+       |kspans AS (
+       |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + ${n - 1} AS e
+       |  FROM kw3 GROUP BY doc_id, island),
+       |quar AS (
+       |  SELECT doc_id FROM kspans GROUP BY doc_id
+       |  HAVING MAX(e - s + 1) >= ${Curation.RelQuarMinSpan}),
+       |""".stripMargin
+  }
+
+  lazy val releaseGatedServeSql: String = {
+    val w = "(SELECT max(doc_id) // 4 FROM documents)"
+    hybridServeSqlFor(
+      s"doc_id >= $w AND doc_id IN (SELECT doc_id FROM kept) " +
+        "AND doc_id NOT IN (SELECT doc_id FROM quar)",
+      s"e.vec_id >= $w AND e.vec_id IN (SELECT doc_id FROM kept) " +
+        "AND e.vec_id NOT IN (SELECT doc_id FROM quar)",
+      releaseGatedCtes)
+  }
+
+  // ---------------------------------------------------------------------
   // x77 — EXACT PHRASE search over a positional inverted index: for each
   // eval-slice query phrase (a fixed 3-token window of the query doc),
   // every corpus document containing the phrase verbatim, with

@@ -570,6 +570,100 @@ object TpchQueries {
        | AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
        |GROUP BY 1, 2 ORDER BY tier, yr""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // j17 — TPC-H Q17 shape (VERDICT r19 task 6): small-quantity revenue
+  // behind a CORRELATED SCALAR SUBQUERY against a per-group average —
+  // the most common analyst shape the j-family lacked. The oracle
+  // states it correlated (DuckDB decorrelates it); the Spark side IS
+  // the decorrelated plan an optimizer should reach: the brand/size
+  // part filter BROADCASTS onto lineitem, the per-part avg is ONE
+  // partial-agg'd aggregate over the same filtered join (part-count
+  // rows — broadcast back), and the threshold compare is row-local.
+  // No cartesian anywhere (PlanSpec pins it). The j11 rounding
+  // discipline: the avg is round(…, 6) on both engines before the
+  // 0.2× compare, so partial-agg summation order can never flip a
+  // boundary row; revenue sums as DECIMAL (the j16 precedent).
+  // ---------------------------------------------------------------------
+  def smallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#12" && col("p_size") <= 25)
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgQ = li.groupBy(col("l_partkey"))
+      .agg(round(avg(col("l_quantity")), 6).as("avg_qty"))
+    li.join(broadcast(avgQ), "l_partkey")
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+               .cast("double") / 7.0, 2).as("avg_yearly"),
+           count(lit(1)).as("n_small_lines"))
+  }
+
+  val smallQtyRevenueSql: String =
+    """SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+      |         AS avg_yearly,
+      |       CAST(COUNT(*) AS BIGINT) AS n_small_lines
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_brand = 'Brand#12' AND p.p_size <= 25
+      |  AND l.l_quantity < 0.2 * (
+      |    SELECT round(AVG(l2.l_quantity), 6) FROM lineitem l2
+      |    WHERE l2.l_partkey = p.p_partkey)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // j18 — TPC-H Q20 shape: the NESTED SEMI-JOIN chain — suppliers
+  // (outer semi) who dominate a part's annual volume (inner correlated
+  // share test) for a name-filtered part family (innermost semi). This
+  // corpus has no partsupp table, so lineitem's 1996 shipments stand in
+  // for availqty — same chain depth, same decorrelation demands: the
+  // part filter broadcasts onto the date-pruned lineitem scan, the
+  // per-(part,supplier) and per-part sums are two partial-agg'd
+  // aggregates over that one join (part×supplier-bounded rows), the
+  // share compare is row-local after a broadcast join, and the
+  // survivor supplier ids reach supplier as a LEFT SEMI — never a
+  // cartesian, never a per-row subquery loop. Quantities are
+  // integer-valued doubles, so every sum and the 0.5× compare are
+  // exact on both engines.
+  // ---------------------------------------------------------------------
+  def volumeLeaders(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_name").startsWith("red "))
+      .select(col("p_partkey"))
+    val li96 = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+              col("l_shipdate") < lit("1997-01-01"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val perSupp = li96.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val perPart = perSupp.groupBy(col("l_partkey"))
+      .agg(sum(col("qty")).as("tot"))
+    val heavy = perSupp.join(broadcast(perPart), "l_partkey")
+      .filter(col("qty") > lit(0.5) * col("tot"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, dir)
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy("s_name")
+  }
+
+  val volumeLeadersSql: String =
+    """WITH l96 AS (
+      |  SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+      |), ps AS (
+      |  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+      |  FROM l96 GROUP BY 1, 2)
+      |SELECT s.s_name, s.s_acctbal
+      |FROM supplier s
+      |WHERE s.s_suppkey IN (
+      |  SELECT ps.l_suppkey FROM ps
+      |  WHERE ps.qty > 0.5 * (
+      |    SELECT SUM(ps2.qty) FROM ps ps2
+      |    WHERE ps2.l_partkey = ps.l_partkey))
+      |ORDER BY s.s_name""".stripMargin
+
   val all: Seq[(String, ((SparkSession, String) => DataFrame, Option[String]))] = Seq(
     "j01_pricing_summary"   -> ((pricingSummary _, Some(pricingSummarySql))),
     "j02_revenue_by_nation" -> ((revenueByNation _, Some(revenueByNationSql))),
@@ -587,5 +681,7 @@ object TpchQueries {
     "j14_waiting_suppliers" -> ((waitingSuppliers _, Some(waitingSuppliersSql))),
     "j15_revenue_pivot"     -> ((revenuePivot _, Some(revenuePivotSql))),
     "j16_asof_dimension"    -> ((asofDimension _, Some(asofDimensionSql))),
+    "j17_small_qty_revenue" -> ((smallQtyRevenue _, Some(smallQtyRevenueSql))),
+    "j18_volume_leaders"    -> ((volumeLeaders _, Some(volumeLeadersSql))),
   )
 }

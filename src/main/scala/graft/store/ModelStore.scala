@@ -56,26 +56,53 @@ object ModelStore {
   /** O(metadata) staleness tier (VERDICT r18 task 4): a fingerprint of
     * the corpus's UNDERLYING FILES — sorted (path, length, mtime)
     * triples, driver-side FS listing only, no Spark job, no row scan.
-    * Parquet files are immutable, so an unchanged file list implies an
-    * unchanged corpus; a changed list says nothing either way (a
-    * rewrite may hold identical rows), so callers fall back to the
-    * row-level [[corpusFingerprint]] exactly then. None for relations
-    * with no file lineage (in-memory test frames) — those always take
-    * the full-scan path. */
+    *
+    * CONTRACT (ADVICE r19): the equivalence "unchanged (path, length,
+    * mtime) list ⇒ unchanged corpus" requires an IMMUTABLE-FILE layout
+    * — writers create fresh file names and never rewrite a path in
+    * place. Spark/Hive parquet writers satisfy this (part-files carry
+    * fresh UUIDs every commit). Do NOT point this at sources that
+    * mutate files in place (CSV drops, manually-edited files): mtime
+    * granularity is a full second on several stores, so a same-path
+    * same-length in-place rewrite inside that window would silently
+    * serve a stale model — the exact failure the row fingerprint
+    * exists to prevent. When in doubt, skip this tier; a changed list
+    * already falls back to the row-level [[corpusFingerprint]].
+    *
+    * Listing is BATCHED per parent directory (ADVICE r19): one
+    * `listStatus` RPC per directory instead of one `getFileStatus` per
+    * file — at the many-thousand-part-file scale this tier exists for,
+    * per-file round trips against a namenode/object store would erode
+    * the very saving it was added for. None for relations with no file
+    * lineage (in-memory test frames) — those always take the full-scan
+    * path. */
   def metaFingerprint(docs: DataFrame): Option[String] = {
     val files = docs.inputFiles
     if (files.isEmpty) None
     else {
       val s = docs.sparkSession
       val conf = s.sessionState.newHadoopConf()
+      // normalize through Path: inputFiles says file:///x, a qualified
+      // FileStatus path says file:/x — compare one canonical form
+      val wanted = files.map(f => new Path(f).toString).toSet
+      // one listStatus per parent directory; keep only the lineage's
+      // own files (a directory may hold other writers' output)
+      val stats = files.map(f => new Path(f)).groupBy(_.getParent)
+        .flatMap { case (dir, _) =>
+          dir.getFileSystem(conf).listStatus(dir).toSeq
+            .filter(st => wanted.contains(st.getPath.toString))
+        }
       val crc = new java.util.zip.CRC32()
-      files.sorted.foreach { f =>
-        val p = new Path(f)
-        val st = p.getFileSystem(conf).getFileStatus(p)
-        crc.update(s"$f:${st.getLen}:${st.getModificationTime};"
-          .getBytes("UTF-8"))
+      stats.toSeq.sortBy(_.getPath.toString).foreach { st =>
+        crc.update(
+          s"${st.getPath}:${st.getLen}:${st.getModificationTime};"
+            .getBytes("UTF-8"))
       }
-      Some(s"${files.length}:${crc.getValue}")
+      // count the files the LINEAGE names, not the listing: a file the
+      // lineage references but the listing missed (renamed mid-probe)
+      // must change the fingerprint rather than vanish silently
+      if (stats.size != files.length) None
+      else Some(s"${files.length}:${crc.getValue}")
     }
   }
 

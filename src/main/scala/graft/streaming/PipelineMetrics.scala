@@ -350,6 +350,66 @@ object PipelineMetrics {
         max(col("wall_time_ms") - col("watermark_ms")).as("max_watermark_lag_ms"))
       .orderBy(col("run_id"))
 
+  // -------------------------------------------------------------------
+  // Bench adjudication history (VERDICT r19 task 7): each bench run's
+  // per-entry band verdicts and canary timeline, appended to the same
+  // durable metrics root m03 maintains — so cross-round regression
+  // questions ("when did x43 get slow?") are ONE SQL query over a
+  // table instead of seven BENCH_r*.json files:
+  //   SELECT run_id, median_sec, band_hi FROM bench_entries
+  //   WHERE entry = 'x43_...' AND has_band AND NOT in_band ORDER BY run_id
+  // Two sibling day-partitioned parquet relations under the root
+  // (entry verdicts + canary samples — different grains, so separate
+  // schemas beat a nullable union), aged by the same B3 partition-drop
+  // machinery as the run series. Driver-side O(entries) rows per run —
+  // metadata-sized at any scale.
+  // -------------------------------------------------------------------
+
+  final case class BenchEntryVerdict(entry: String, median_sec: Double,
+      min_sec: Double, band_lo: Double, band_hi: Double, has_band: Boolean,
+      in_band: Boolean, sweep_idx: Int, wall_time_ms: Long)
+
+  final case class BenchCanary(sample_at: Int, cpu_ms: Double,
+      io_ms: Double, wall_time_ms: Long)
+
+  def persistBenchRun(s: SparkSession, root: String, runId: String,
+                      entries: Seq[BenchEntryVerdict],
+                      canaries: Seq[BenchCanary]): Unit = {
+    import s.implicits._
+    def stamp(df: DataFrame): DataFrame = df
+      .withColumn("run_id", lit(runId))
+      .withColumn(graft.store.EventStore.DayGrain,
+        date_format(timestamp_millis(col("wall_time_ms")), "yyyyMMdd"))
+    stamp(entries.toDF()).write.mode("append")
+      .partitionBy(graft.store.EventStore.DayGrain)
+      .parquet(s"$root/bench_entries")
+    stamp(canaries.toDF()).write.mode("append")
+      .partitionBy(graft.store.EventStore.DayGrain)
+      .parquet(s"$root/bench_canaries")
+  }
+
+  /** Per-run adjudication rollup over the persisted history — the
+    * cross-round regression dashboard: entry counts, out-of-band
+    * counts, total seconds, and the run's canary-trip counts (the same
+    * `> 2x quiet_ref` rule the artifact applies). */
+  def benchHistory(s: SparkSession, root: String,
+                   cpuRefMs: Double = 45.0,
+                   ioRefMs: Double = 300.0): DataFrame = {
+    val e = s.read.parquet(s"$root/bench_entries")
+      .groupBy("run_id")
+      .agg(count(lit(1)).as("n_entries"),
+        sum(when(col("has_band") && !col("in_band"), 1L).otherwise(0L))
+          .as("n_out_of_band"),
+        round(sum(col("median_sec")), 3).as("total_sec"))
+    val c = s.read.parquet(s"$root/bench_canaries")
+      .groupBy("run_id")
+      .agg(sum(when(col("cpu_ms") > 2 * cpuRefMs, 1L).otherwise(0L))
+          .as("over_cpu"),
+        sum(when(col("io_ms") > 2 * ioRefMs, 1L).otherwise(0L))
+          .as("over_io"))
+    e.join(c, Seq("run_id"), "left").orderBy("run_id")
+  }
+
   /** m03 — one measured run appended to a durable metrics table, then
     * the per-run rollup over that table. Values are wall-clock ⇒
     * rows-only driver check; the across-runs append/union contract

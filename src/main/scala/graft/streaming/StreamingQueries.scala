@@ -2580,8 +2580,13 @@ object StreamingQueries {
     /** One retention merge at watermark `w`: row-grain stores filter
       * inside their compaction; df/stats rebase onto relations
       * re-derived from the retained postings. Every step is the staged
-      * swap — interruptible anywhere, recovered by the next pass. */
+      * swap — interruptible anywhere, recovered by the next pass. The
+      * whole pass is bracketed by the store-group [[StoreEpoch]] so a
+      * non-owner reader (the gateway) can detect — and refuse — the
+      * window where tf/ivf are already expired but df/stats still
+      * describe the lifetime corpus (VERDICT r19 task 2). */
     def retentionPass(w: Long, force: Boolean): Unit = {
+      graft.store.StoreEpoch.begin(s, s"$work/store")
       tfStore.compact(s, _.filter(col("doc_id") >= w), force)
       ivfStore.compact(s, _.filter(col("vec_id") >= w), force)
       val tfView = tfStore.read(s)
@@ -2590,6 +2595,7 @@ object StreamingQueries {
         tfView.groupBy("doc_id").agg(max("dl").as("dl"))
           .agg(count(lit(1)).as("n_docs"),
             coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl")))
+      graft.store.StoreEpoch.end(s, s"$work/store")
     }
 
     if (!hasParquet(inDir)) {
@@ -2698,11 +2704,48 @@ object StreamingQueries {
   // carries alone.
   // ---------------------------------------------------------------------
 
-  /** The s50 core. `workDir`/`onBatch`: the s30–s49 restart hooks;
+  /** The s50/s53 core. `workDir`/`onBatch`: the s30–s49 restart hooks;
     * `onStage(batchId, stage)` fires after each intra-batch stage
-    * commits ("fp", "tf", "df", "stats", "ivf", "retain") so the
-    * crash-resume spec can kill the run at a STAGE boundary — the
-    * half-applied-batch states no single-store entry can reach. */
+    * commits ("fp", then with `gates` "nd"/"quar", then "audit", "tf",
+    * "df", "stats", "ivf", "retain") so the crash-resume spec can kill
+    * the run at a STAGE boundary — the half-applied-batch states no
+    * single-store entry can reach.
+    *
+    * `gates = true` (s53) inserts the two production gates x106 runs
+    * between exact dedup and indexing:
+    *  - NEAR-DUP gate: each exact-dedup winner is checked against the
+    *    winner HISTORY (every earlier admitted content representative —
+    *    prior batches' winners via two durable DeltaStores, plus this
+    *    batch's smaller-id winners) at 3-word-shingle jaccard ≥
+    *    [[Curation.RelNdThreshold]]; candidates are blocked on shingles
+    *    whose df over the CALIBRATION corpus is ≤ [[Curation.RelNdCap]]
+    *    (pinned once per stream, the s48 rates posture — time-invariant
+    *    blocking is what makes the streamed gate equal the batch oracle
+    *    at any arrival split). ALL exact winners enter the history —
+    *    a gated-out doc's content is already represented by the winner
+    *    that gated it — so the drop rule is non-recursive: drop d iff
+    *    SOME earlier exact winner is jaccard-close. The history
+    *    compacts WITHOUT a retention filter, exactly like the fp store:
+    *    dedup history outlives index retention, so a near-dup of an
+    *    EXPIRED winner is still dropped (the s50 non-resurrect semantic
+    *    extended to near-duplicates).
+    *  - CONTAMINATION quarantine: s33's max-shared-span triage of the
+    *    nd survivors against the pinned eval-slice gram set; docs whose
+    *    worst island is ≥ [[Curation.RelQuarMinSpan]] tokens are
+    *    recorded in a quarantine DeltaStore. Quarantined docs still
+    *    enter the serving indexes — quarantine is POLICY, not data
+    *    (eval sets evolve; re-triage must not reindex) — and the SERVE
+    *    consults the store: tf/ivf rows anti-joined out, df/avgdl
+    *    re-derived from the filtered postings (the same tf-grain agg
+    *    the retention rebase already runs, so the served scores carry
+    *    no quarantine skew).
+    * At 100 TB the gate adds per batch: one anti-join against the
+    * blocking history (df-capped rows, LSM-compacted), one verify join
+    * against the winner shingle arrays (the s36 ref-store posture,
+    * ~corpus-sized but winners-only), and the batch-sized span triage
+    * against broadcast eval grams. Production pins the hot-shingle
+    * exclusion set as a bucketed table or Bloom filter (the
+    * Dedup broadcast-Bloom precedent) instead of a driver pin. */
   private[graft] def releasePipelineStream(s: SparkSession, docs: DataFrame,
                                            emb: DataFrame, benchMod: Int,
                                            listK: Int, k0: Int, k: Int,
@@ -2710,10 +2753,13 @@ object StreamingQueries {
                                            stages: Int = 4,
                                            compactEvery: Int = 2,
                                            report: Boolean = false,
+                                           gates: Boolean = false,
                                            workDir: Option[String] = None,
                                            onBatch: Long => Unit = _ => (),
                                            onStage: (Long, String) => Unit =
-                                             (_, _) => ())
+                                             (_, _) => (),
+                                           onMergeStage: String => Unit =
+                                             _ => ())
       : DataFrame = {
     import graft.functions.{TextFunctions => TF}
     import graft.operators.{Curation, SimilaritySearch}
@@ -2770,26 +2816,82 @@ object StreamingQueries {
       tinyRows, tinyRows, identity)
     // retained-winner ids at row grain: the report's n_retained must
     // come from a store the retention merges actually filter (tf/ivf
-    // would under-count winners with no tokens / no embedding)
+    // would under-count winners with no tokens / no embedding).
+    // BOUNDED at 100 TB (VERDICT r19 task 5): unlike the fp store —
+    // dedup history, deliberately unfiltered — the winner-id store is
+    // expired at every merge (`doc_id >= w` below), so it tracks the
+    // RETAINED corpus, not lifetime winners; between merges it grows by
+    // one delta per batch (~8 B/winner, ids only), the LSM window every
+    // serving store already carries. Non-resurrection does not depend
+    // on it: that is the fp store's job, spec-pinned.
     val winnerStore = new DeltaStore(s"$work/store/winners",
       StructType(Seq(StructField("doc_id", LongType))),
       tinyRows, tinyRows, identity)
+
+    // the s53 gate stores — near-dup winner history (blocking rows +
+    // full shingle arrays, the s36 blk/ref split as DeltaStores) and
+    // the serve-time quarantine. All three compact WITHOUT a retention
+    // filter: dedup history and triage policy outlive index retention.
+    import graft.functions.TextKernels.word_shingles
+    def shArr(text: org.apache.spark.sql.Column) =
+      array_distinct(word_shingles(text, 3))
+    val ndBlkStore = new DeltaStore(s"$work/store/ndblk",
+      StructType(Seq(StructField("sh", StringType),
+        StructField("doc_id", LongType))),
+      (d, p) => d.repartition(4, col("sh")).sortWithinPartitions("sh")
+        .write.mode("overwrite").parquet(p),
+      (d, p) => d.coalesce(1).write.mode("overwrite").parquet(p),
+      _.distinct())
+    val ndRefStore = new DeltaStore(s"$work/store/ndref",
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("sh", ArrayType(StringType)))),
+      (d, p) => d.repartition(4, col("doc_id"))
+        .write.mode("overwrite").parquet(p),
+      (d, p) => d.coalesce(1).write.mode("overwrite").parquet(p),
+      identity)
+    val quarStore = new DeltaStore(s"$work/store/quar",
+      StructType(Seq(StructField("doc_id", LongType))),
+      tinyRows, tinyRows, _.distinct())
+    // the gate pins, once per stream (the s48 calibration posture):
+    // hot shingles (calibration df > cap) are EXCLUDED from blocking —
+    // the exclusion set is the small side of the cut; and the eval
+    // slice's distinct gram set for the span triage (s33's pin)
+    val hotSh = if (!gates) null else items
+      .select(col("doc_id"), explode(shArr(col("text"))).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("c"))
+      .filter(col("c") > Curation.RelNdCap).select("sh")
+      .localCheckpoint()
+    val evalGrams = if (!gates) null else qDocs
+      .select(explode(graft.functions.TextKernels
+        .word_gram_seq(col("text"), Curation.SpanGramN)).as("sh"))
+      .distinct().localCheckpoint()
 
     /** One retention merge at watermark `w` — s46's pass plus the fp
       * store's filter-FREE compaction: dedup history must outlive index
       * retention, or an expired winner's duplicate would re-enter. */
     def retentionPass(w: Long, force: Boolean): Unit = {
+      // epoch-bracketed like s46's pass: a non-owner reader can refuse
+      // the tf-expired/df-not-yet-rebased window instead of serving
+      // skewed idf/avgdl (VERDICT r19 task 2)
+      graft.store.StoreEpoch.begin(s, s"$work/store")
       fpStore.compact(s)
       auditStore.compact(s) // metrics record: compacts, never expires
+      if (gates) {
+        ndBlkStore.compact(s)  // near-dup history outlives retention
+        ndRefStore.compact(s)  // (the fp-store argument, s50)
+        quarStore.compact(s)   // policy record: compacts, never expires
+      }
       winnerStore.compact(s, _.filter(col("doc_id") >= w), force)
       tfStore.compact(s, _.filter(col("doc_id") >= w), force)
       ivfStore.compact(s, _.filter(col("vec_id") >= w), force)
+      onMergeStage("mid") // between the tf/ivf expiry and the rebases
       val tfView = tfStore.read(s)
       dfStore.rebase(s, tfView.groupBy("token").agg(count(lit(1)).as("df")))
       statStore.rebase(s,
         tfView.groupBy("doc_id").agg(max("dl").as("dl"))
           .agg(count(lit(1)).as("n_docs"),
             coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl")))
+      graft.store.StoreEpoch.end(s, s"$work/store")
     }
 
     if (!hasParquet(inDir)) {
@@ -2862,6 +2964,60 @@ object StreamingQueries {
             .localCheckpoint()
           fpStore.append(s, id, winners.select(col("fp")))
           onStage(id, "fp")
+          // s53's two gates (no-ops when !gates): the near-dup drop
+          // against the winner history, then the span-triage quarantine
+          // of the survivors. Replay-stable exactly like the fp gate:
+          // both history stores are read AS-OF the previous batch.
+          val survivors = if (!gates) winners else {
+            val wsh = winners
+              .select(col("doc_id"), shArr(col("text")).as("in_sh"))
+              .localCheckpoint() // feeds blocking, verify, and appends
+            val blkBatch = wsh
+              .select(col("doc_id"), explode(col("in_sh")).as("sh"))
+              .join(hotSh, Seq("sh"), "left_anti")
+            // candidates: this batch's winner d vs every earlier exact
+            // winner a — prior batches from the store (ascending-id
+            // staging makes earlier-batch ≡ smaller-id), plus this
+            // batch's smaller-id winners
+            val cand = blkBatch
+              .join(ndBlkStore.readOnly(s, asOf = id - 1)
+                  .select(col("sh"), col("doc_id").as("id_ref"))
+                .unionAll(blkBatch
+                  .select(col("sh"), col("doc_id").as("id_ref"))),
+                "sh")
+              .filter(col("id_ref") < col("doc_id"))
+              .select(col("doc_id"), col("id_ref")).distinct()
+            val refArr = ndRefStore.readOnly(s, asOf = id - 1)
+              .select(col("doc_id").as("id_ref"), col("sh").as("ref_sh"))
+              .unionAll(wsh.select(col("doc_id").as("id_ref"),
+                col("in_sh").as("ref_sh")))
+            val drops = cand
+              .join(refArr, "id_ref")
+              .join(wsh, "doc_id")
+              .withColumn("inter",
+                size(array_intersect(col("in_sh"), col("ref_sh")))
+                  .cast("long"))
+              .filter(col("inter").cast("double") /
+                  (size(col("in_sh")).cast("long") + size(col("ref_sh"))
+                    - col("inter")) >= Curation.RelNdThreshold)
+              .select("doc_id").distinct()
+            // ALL exact winners enter the history — a gated-out doc's
+            // content is represented by the winner that gated it
+            ndBlkStore.append(s, id, blkBatch.select("sh", "doc_id"))
+            ndRefStore.append(s, id,
+              wsh.select(col("doc_id"), col("in_sh").as("sh")))
+            val surv = winners.join(drops, Seq("doc_id"), "left_anti")
+              .localCheckpoint()
+            onStage(id, "nd")
+            quarStore.append(s, id,
+              graft.operators.Dedup.maxSharedSpanAgainst(
+                  surv.select(col("doc_id"), col("text")),
+                  evalGrams, "doc_id", "text", Curation.SpanGramN)
+                .filter(col("max_shared_tokens") >= Curation.RelQuarMinSpan)
+                .select("doc_id"))
+            onStage(id, "quar")
+            surv
+          }
           // the audit row — three batch-grain counts (winners is pinned,
           // so its count is free; the admission recount is one more
           // row-local pass over the batch)
@@ -2869,10 +3025,10 @@ object StreamingQueries {
           auditStore.append(s, id, s.range(1).select(lit(id).as("batch_id"),
             lit(nIn).as("n_input"), lit(nAdm).as("n_admitted"),
             lit(nWin).as("n_winners")))
-          winnerStore.append(s, id, winners.select(col("doc_id")))
+          winnerStore.append(s, id, survivors.select(col("doc_id")))
           onStage(id, "audit")
           // index maintenance — s40's batch-grain deltas over the winners
-          val tf = winners.select(col("doc_id"), toksCol.as("toks"))
+          val tf = survivors.select(col("doc_id"), toksCol.as("toks"))
             .select(col("doc_id"), size(col("toks")).as("dl"),
               explode(col("toks")).as("token"))
             .groupBy("doc_id", "token")
@@ -2883,13 +3039,13 @@ object StreamingQueries {
           dfStore.append(s, id, tf.groupBy("token").agg(count(lit(1)).as("df")))
           onStage(id, "df")
           statStore.append(s, id,
-            winners.select(size(toksCol).as("doclen"))
+            survivors.select(size(toksCol).as("doclen"))
               .filter(col("doclen") > 0)
               .agg(count(lit(1)).as("n_docs"),
                 coalesce(sum(col("doclen")), lit(0L)).cast("long").as("sum_dl")))
           onStage(id, "stats")
           ivfStore.append(s, id,
-            winners.filter(col("embedding").isNotNull)
+            survivors.filter(col("embedding").isNotNull)
               .select(col("doc_id").as("vec_id"), col("embedding"),
                 SimilaritySearch.argmaxCell(col("embedding"), cents).as("cell")))
           onStage(id, "ivf")
@@ -2929,6 +3085,28 @@ object StreamingQueries {
         (col("n_retained") > 0 &&
           col("n_retained").cast("double") / col("n_winners") >= 0.5)
           .as("gate_pass"))
+    } else if (gates) {
+      // s53's serve consults the quarantine: tf/ivf rows anti-joined
+      // out, df/avgdl RE-DERIVED from the filtered postings (the same
+      // tf-grain agg the retention rebase runs) — the served scores
+      // carry no quarantine skew, and a re-triage never reindexes
+      val quar = quarStore.read(s).select("doc_id")
+      val tfServe = tfStore.read(s).filter(col("doc_id") >= wFinal)
+        .join(quar, Seq("doc_id"), "left_anti")
+      serveHybridViews(s, "s53",
+          tfServe,
+          tfServe.groupBy("token").agg(count(lit(1)).as("df")),
+          tfServe.groupBy("doc_id").agg(max("dl").as("dl"))
+            .agg(count(lit(1)).as("n_docs"),
+              coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl")),
+          ivfStore.read(s).filter(col("vec_id") >= wFinal)
+            .join(quar.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_anti"),
+          qDocs.select(col("doc_id"), col("text"))
+            .join(srcE.select(col("vec_id").as("doc_id"), col("embedding")),
+              Seq("doc_id"), "left"),
+          cents, nProbe, listK, k0, k)
+        .orderBy("query_id", "rank")
     } else
       serveHybridViews(s, "s50",
           tfStore.read(s).filter(col("doc_id") >= wFinal),
@@ -2966,6 +3144,23 @@ object StreamingQueries {
       Tables.embeddings(s, dir), Curation.BenchMod,
       listK = CQ.HybridListK, k0 = CQ.RrfK0, k = CQ.HybridK,
       nLists = P.NLists, nProbe = P.NProbe, report = true)
+  }
+
+  /** s53 — the FULLY GATED streamed release pipeline: s50 plus the two
+    * gates x106's batch pipeline runs between exact dedup and release —
+    * the near-dup drop against the (never-expiring) winner history and
+    * s33's shared-span contamination triage, with the quarantine
+    * consulted at SERVE time (x97/x105's eval-hygiene semantics live in
+    * the composed stream). See [[releasePipelineStream]]'s `gates` doc
+    * for the stage semantics and the scale posture. */
+  def streamGatedRelease(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Curation
+    import graft.operators.SimilaritySearch.{IvfPqFixed => P}
+    import graft.queries.{CurationQueries => CQ}
+    releasePipelineStream(s, Tables.documents(s, dir),
+      Tables.embeddings(s, dir), Curation.BenchMod,
+      listK = CQ.HybridListK, k0 = CQ.RrfK0, k = CQ.HybridK,
+      nLists = P.NLists, nProbe = P.NProbe, gates = true)
   }
 
   // ---------------------------------------------------------------------
@@ -3696,6 +3891,8 @@ object StreamingQueries {
       Some(streamTsRetentionSql))),
     "s52_stream_release_report" -> ((streamReleaseReport _,
       Some(graft.queries.CurationQueries.releaseReportSql))),
+    "s53_stream_gated_release" -> ((streamGatedRelease _,
+      Some(graft.queries.CurationQueries.releaseGatedServeSql))),
     "s44_stream_scatter" -> ((streamEmbeddingScatter _,
       Some(graft.queries.ExtendedQueries.embeddingScatterSql))),
     "s45_stream_pq_serve" -> ((streamPqServe _,

@@ -418,6 +418,55 @@ class SqlGatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("/search store= mid-merge: a request landing between the tf expiry and the df rebase is a 409 (StoreEpoch seqlock), then serves consistently after the pass") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.SimilaritySearch.{IvfPqFixed => P}
+    import graft.queries.{CurationQueries => CQ}
+    withServer() { port =>
+      val work = java.nio.file.Files
+        .createTempDirectory("spec_midmerge_").toString
+      val doc0 = Tables.documents(spark, TestSpark.Sf0001)
+        .filter(col("doc_id") === 0L).select("text").collect()(0).getString(0)
+      // land a live request INSIDE the owner's retention pass — after
+      // tf/ivf expired, before the df/stats rebases (the exact window
+      // the r18/r19 verdicts documented as served-skew): the gateway
+      // must refuse with 409, never serve pre-expiry idf/avgdl
+      val midResponses = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+      val s50 = graft.streaming.StreamingQueries.releasePipelineStream(
+          spark, Tables.documents(spark, TestSpark.Sf0001),
+          Tables.embeddings(spark, TestSpark.Sf0001),
+          graft.operators.Curation.BenchMod,
+          listK = CQ.HybridListK, k0 = CQ.RrfK0, k = CQ.HybridK,
+          nLists = P.NLists, nProbe = P.NProbe,
+          workDir = Some(work),
+          onMergeStage = st =>
+            if (st == "mid" && midResponses.isEmpty)
+              midResponses += http(port,
+                s"/search?mode=hybrid&vec_id=0&k=10&store=$work/store",
+                "POST", Some(doc0)))
+        .filter(col("query_id") === 0L)
+        .select("doc_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong)).sortBy(_._2)
+      val (ms, mb) = midResponses.head
+      assert(ms == 409 && mb.contains("mid-retention-merge"),
+        s"mid-merge request was not refused: $ms $mb")
+      // refusal-then-consistency: after the owner's pass completes the
+      // same request serves, and equals the pipeline's own final serve
+      val (hs, hb) = http(port,
+        s"/search?mode=hybrid&vec_id=0&k=10&store=$work/store", "POST",
+        Some(doc0))
+      assert(hs == 200, hb)
+      val got = hb.trim.split("\n").toSeq.map { line =>
+        def num(k: String) =
+          s""""$k":(-?[0-9]+)""".r.findFirstMatchIn(line).map(_.group(1).toLong)
+        (num("doc_id").get, num("rank").get)
+      }.sortBy(_._2)
+      assert(got == s50.toSeq,
+        s"post-merge store= serve diverged from the s50 result:\n" +
+          s"got: $got\ns50: ${s50.toSeq}")
+    }
+  }
+
   test("/search store=: an s46 retention root serves identically ACROSS rebase crash states — dead staging ignored, completed-but-unswapped staging read as base-elect (VERDICT r18 task 6)") {
     import org.apache.hadoop.fs.{FileUtil, Path}
     import org.apache.spark.sql.functions.col

@@ -44,6 +44,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("j17 decorrelated scalar subquery: filtered part side broadcasts, per-part avg broadcasts back, no cartesian") {
+    val p = plan(TpchQueries.smallQtyRevenue(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), "Q17 shape plans a cartesian")
+    // the decorrelation contract: the avg never runs as a per-row
+    // subquery loop — exactly the partial-agg'd HashAggregate pair
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("j18 nested semi-join chain: part filter broadcasts, supplier side is a semi join, no cartesian") {
+    val p = plan(TpchQueries.volumeLeaders(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.toLowerCase.contains("leftsemi"), "supplier gate lost its semi-join shape")
+    assert(!p.contains("CartesianProduct"), "Q20 shape plans a cartesian")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      "the 1996 date slice did not reach the lineitem scan")
+  }
+
   test("j06 anti join: plans as a hash anti join, never cartesian") {
     val p = plan(TpchQueries.customersWithoutOrders(spark, dir))
     assert(p.contains("LeftAnti"), "NOT EXISTS must plan as a LeftAnti hash join: " + p)

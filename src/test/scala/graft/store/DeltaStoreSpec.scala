@@ -252,4 +252,24 @@ class DeltaStoreSpec extends AnyFunSuite {
     assert(view.filter(col("cell") === 1L).collect().map(_.getLong(0)).sorted
       .toSeq == Seq(10L, 12L))
   }
+
+  test("StoreEpoch seqlock: absent reads 0 (even), begin/end alternate odd/even, both idempotent across a crashed pass") {
+    val root = Files.createTempDirectory("store_epoch_spec_").toString
+    // a never-merged store group is always serveable
+    assert(StoreEpoch.read(spark, root) == 0L)
+    StoreEpoch.begin(spark, root)
+    assert(StoreEpoch.read(spark, root) == 1L, "begin must flip to odd")
+    // a crashed pass resumes with another begin — idempotent, no
+    // double increment (a reader would otherwise see a phantom epoch)
+    StoreEpoch.begin(spark, root)
+    assert(StoreEpoch.read(spark, root) == 1L)
+    StoreEpoch.end(spark, root)
+    assert(StoreEpoch.read(spark, root) == 2L, "end must flip to even")
+    StoreEpoch.end(spark, root)
+    assert(StoreEpoch.read(spark, root) == 2L)
+    // the next full pass advances the counter — two consistent reads
+    // around it can never match across the pass boundary
+    StoreEpoch.begin(spark, root); StoreEpoch.end(spark, root)
+    assert(StoreEpoch.read(spark, root) == 4L)
+  }
 }

@@ -190,6 +190,43 @@ class MetricsSpec extends AnyFunSuite {
     assert(left == Seq("run-new"), s"recent run must survive retention: $left")
   }
 
+  test("m03 bench adjudication history: two runs append, the rollup counts out-of-band and canary trips, and a per-entry regression point-query works") {
+    import graft.streaming.PipelineMetrics.{BenchCanary, BenchEntryVerdict}
+    val root =
+      Files.createTempDirectory("graft_m03_bench_").toFile.getAbsolutePath + "/metrics"
+    def ev(entry: String, sec: Double, lo: Double, hi: Double, idx: Int,
+           wall: Long) =
+      BenchEntryVerdict(entry, sec, sec * 0.9, lo, hi, has_band = true,
+        in_band = sec >= lo && sec <= hi, sweep_idx = idx,
+        wall_time_ms = wall)
+
+    // run 1: everything in band, quiet canaries; run 2: x43 regresses
+    // out of band and one io canary trips
+    PipelineMetrics.persistBenchRun(spark, root, "r-001",
+      Seq(ev("q01", 1.0, 0.5, 2.0, 0, 1000L),
+          ev("x43", 3.0, 1.5, 6.0, 1, 1000L)),
+      Seq(BenchCanary(-1, 42.0, 310.0, 1000L)))
+    PipelineMetrics.persistBenchRun(spark, root, "r-002",
+      Seq(ev("q01", 1.1, 0.5, 2.0, 0, 2000L),
+          ev("x43", 9.0, 1.5, 6.0, 1, 2000L)),
+      Seq(BenchCanary(-1, 40.0, 950.0, 2000L)))
+
+    val hist = PipelineMetrics.benchHistory(spark, root)
+      .collect().map(r => r.getAs[String]("run_id") -> r).toMap
+    assert(hist("r-001").getAs[Long]("n_entries") == 2)
+    assert(hist("r-001").getAs[Long]("n_out_of_band") == 0)
+    assert(hist("r-002").getAs[Long]("n_out_of_band") == 1)
+    assert(hist("r-001").getAs[Long]("over_io") == 0)
+    assert(hist("r-002").getAs[Long]("over_io") == 1,
+      "the 950 ms io canary (> 2x 300 ms ref) must count as a trip")
+
+    // "when did x43 get slow?" — one query over the table
+    val slow = spark.read.parquet(s"$root/bench_entries")
+      .filter(col("entry") === "x43" && col("has_band") && !col("in_band"))
+      .select("run_id").as[String].collect().toSeq
+    assert(slow == Seq("r-002"), s"regression point-query returned $slow")
+  }
+
   test("m03 entry produces a one-run summary with positive throughput") {
     val out = PipelineMetrics.metricsHistory(spark, TestSpark.Sf0001).collect()
     assert(out.length == 1)

@@ -482,7 +482,7 @@ class StreamingSpec extends AnyFunSuite {
       s"s34 leaked ${after - before} catalog tables across 3 invocations")
   }
 
-  test("s30/s31/s33/s34/s35/s36/s37/s38/s39/s40/s42/s43/s44/s45/s46/s47/s48/s49/s50/s51 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
+  test("s30/s31/s33/s34/s35/s36/s37/s38/s39/s40/s42/s43/s44/s45/s46/s47/s48/s49/s50/s51/s53 restart recovery: crash at batch k resumes from the checkpoint — committed batches never re-run, result identical, catalog clean") {
     // A14's checkpoint discipline, proven for the WHOLE foreachBatch
     // read-back family: kill the query inside batch 1 (of 3), restart
     // against the SAME work dir, and require (a) the resumed run
@@ -701,6 +701,16 @@ class StreamingSpec extends AnyFunSuite {
         }.toDF("ts", "event_type")
         StreamingQueries.tsRetainedEventStats(spark, ev,
           workDir = w, onBatch = h)
+      },
+      "s53" -> { (w, h) =>
+        // the GATED pipeline over the s53 gate fixture: the resumed
+        // batch 1 replays admission + exact dedup + the near-dup gate
+        // (cross-batch: doc 4 gated by batch-0 winner 2) + the span
+        // quarantine + all index appends + a full retention pass
+        StreamingQueries.releasePipelineStream(spark, s53GateDocs,
+          s53GateEmb, benchMod = 3, listK = 4, k0 = 60, k = 3,
+          nLists = 8, nProbe = 2, stages = 3, compactEvery = 2,
+          gates = true, workDir = w, onBatch = h)
       })
 
     cores.foreach { case (name, core) =>
@@ -830,6 +840,109 @@ class StreamingSpec extends AnyFunSuite {
       "admitted duplicate 8 missing — the rejected doc 5 shadowed it")
     assert(!tf2.contains(5L) && !tf2.contains(7L) && !tf2.contains(10L),
       s"rejected docs leaked into the index: $tf2")
+  }
+
+  // the s53 gate fixture (benchMod = 3 → eval slice {0,3,6,9}, items
+  // {1,2,4,5,7,8,10,11}; single lang → admission rate exactly 1.0,
+  // isolating the gates; maxId 11 → wFinal = 2, chunk = 4 → batches
+  // {1,2} {4,5,7} {8,10,11}). Planted interactions:
+  //  - 5 ≡ 11 exact duplicates (fp gate, cross-batch);
+  //  - 4 near-dups batch-0 winner 2 (3-shingle jaccard 3/5 = 0.6);
+  //  - 10 near-dups winner 1, which EXPIRES at the merges (wFinal = 2)
+  //    — 10 arrives in batch 2, after the mid-stream retention pass
+  //    compacted the nd history, pinning history-outlives-retention;
+  //  - 8 shares the 5-token span "c1..c5" with eval doc 0 (two chained
+  //    4-grams → max island = RelQuarMinSpan) — quarantined, yet kept
+  //    in the INDEX stores; only the serve excludes it.
+  private def s53GateDocs = Seq(
+    0L  -> "e0a e0b c1 c2 c3 c4 c5 e0c",
+    1L  -> "n1 n2 n3 n4 n5 n6",
+    2L  -> "q r s t u v",
+    3L  -> "e3a e3b e3c e3d e3e",
+    4L  -> "q r s t u w",
+    5L  -> "shared exact duplicate text body5",
+    6L  -> "e6a e6b e6c e6d e6e",
+    7L  -> "u7a u7b u7c u7d u7e u7f",
+    8L  -> "g8a c1 c2 c3 c4 c5 g8b g8c",
+    9L  -> "e9a e9b e9c e9d e9e",
+    10L -> "n1 n2 n3 n4 n5 x9",
+    11L -> "shared exact duplicate text body5"
+  ).map { case (i, t) => (i, "en", t) }.toDF("doc_id", "lang", "text")
+
+  private def s53GateEmb = (0L until 12L).map { i =>
+    (i, Array.tabulate(4)(d => (((i * 7 + d * 3) % 11) - 5).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("s53 stage-boundary crashes: a kill after the near-dup gate (nd) and after the quarantine append (quar) each resumes to the identical gated result") {
+    // the two boundaries s50 cannot reach: batch 1 dies AFTER the nd
+    // history absorbed its winners but BEFORE the quarantine/index
+    // appends — the replay must recompute the IDENTICAL winner set and
+    // gate verdicts (all three histories read as-of batch 0)
+    def run(w: Option[String], hook: (Long, String) => Unit) =
+      StreamingQueries.releasePipelineStream(spark, s53GateDocs, s53GateEmb,
+        benchMod = 3, listK = 4, k0 = 60, k = 3, nLists = 8, nProbe = 2,
+        stages = 3, compactEvery = 2, gates = true, workDir = w,
+        onStage = hook)
+    val clean = run(None, (_, _) => ()).collect().toSeq
+    assert(clean.nonEmpty, "vacuous fixture: the gated serve is empty")
+    Seq("nd", "quar").foreach { crashAt =>
+      val work = Files
+        .createTempDirectory(s"graft_s53_stage_${crashAt}_")
+        .toFile.getAbsolutePath
+      val crashed = intercept[Exception] {
+        run(Some(work), (id, st) =>
+          if (id == 1L && st == crashAt)
+            sys.error(s"induced s53 crash after stage $crashAt of batch 1"))
+      }
+      assert(crashed.getMessage != null)
+      val resumed = run(Some(work), (_, _) => ()).collect().toSeq
+      assert(resumed == clean,
+        s"s53 crash-after-$crashAt resume diverged from the clean run:\n" +
+          s"resumed: $resumed\nclean:   $clean")
+    }
+  }
+
+  test("s53 gate interactions: a near-dup of an EXPIRED winner is still dropped; a quarantined doc stays indexed but is never served") {
+    val work = Files.createTempDirectory("graft_s53_sem_")
+      .toFile.getAbsolutePath
+    val served = StreamingQueries.releasePipelineStream(spark, s53GateDocs,
+      s53GateEmb, benchMod = 3, listK = 4, k0 = 60, k = 3, nLists = 8,
+      nProbe = 2, stages = 3, compactEvery = 2, gates = true,
+      workDir = Some(work)).collect().toSeq
+    val (tfStore, _, _, _) =
+      StreamingQueries.servingDeltaStores(spark, s"$work/store")
+    val tfIds = tfStore.read(spark).select("doc_id")
+      .distinct().as[Long].collect().toSet
+    // exact-dup 11 never entered; near-dup 4 gated by live winner 2;
+    // near-dup 10 gated by winner 1 EVEN THOUGH 1 expired at the
+    // retention merges before batch 2 arrived — the nd history
+    // compacts without a retention filter, so content never resurrects
+    // through a near-duplicate either
+    assert(!tfIds.contains(11L), "exact duplicate 11 leaked past the fp gate")
+    assert(!tfIds.contains(4L), "near-dup 4 leaked past the nd gate")
+    assert(!tfIds.contains(10L),
+      "near-dup 10 of the EXPIRED winner 1 entered the index — the nd " +
+        "history must outlive index retention")
+    assert(!tfIds.contains(1L), "expired winner 1 still indexed")
+    // the quarantine is serve-time POLICY: 8 is contaminated (5-token
+    // shared span with eval doc 0) yet stays IN the index stores —
+    // only the serve excludes it
+    assert(tfIds.contains(8L),
+      s"quarantined doc 8 was dropped from the index — quarantine must " +
+        s"be consulted at serve time, not ingest: $tfIds")
+    import graft.store.DeltaStore
+    import org.apache.spark.sql.types._
+    val quar = new DeltaStore(s"$work/store/quar",
+      StructType(Seq(StructField("doc_id", LongType))),
+      (d, p) => d.coalesce(1).write.mode("overwrite").parquet(p),
+      (d, p) => d.coalesce(1).write.mode("overwrite").parquet(p),
+      _.distinct())
+    assert(quar.read(spark).as[Long].collect().toSet == Set(8L),
+      "quarantine store must hold exactly the contaminated doc 8")
+    val servedDocs = served.map(_.getLong(1)).toSet
+    assert(servedDocs.nonEmpty && servedDocs.subsetOf(Set(2L, 5L, 7L)),
+      s"served corpus must be the retained gate survivors minus the " +
+        s"quarantine {2,5,7}; got $servedDocs")
   }
 
   test("s52 release report: the maintained audit/winner stores equal the hand-derived attrition counts; the gate verdict follows the retention ratio") {
