@@ -2972,9 +2972,14 @@ object StreamingQueries {
             val wsh = winners
               .select(col("doc_id"), shArr(col("text")).as("in_sh"))
               .localCheckpoint() // feeds blocking, verify, and appends
+            // pinned: feeds the candidate join TWICE (probe side +
+            // within-batch union) and the history append — unpinned,
+            // the explode + hot-key anti-join would run three times
+            // per batch (the s25 shingled-batch pin precedent)
             val blkBatch = wsh
               .select(col("doc_id"), explode(col("in_sh")).as("sh"))
               .join(hotSh, Seq("sh"), "left_anti")
+              .localCheckpoint()
             // candidates: this batch's winner d vs every earlier exact
             // winner a — prior batches from the store (ascending-id
             // staging makes earlier-batch ≡ smaller-id), plus this
