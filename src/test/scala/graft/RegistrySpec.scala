@@ -87,6 +87,19 @@ class RegistrySpec extends AnyFunSuite {
         missing.toSeq.sorted.mkString(", "))
   }
 
+  test("COVERAGE.md header is current-first: the live entry count appears in the first 10 lines and equals the registry") {
+    // VERDICT r19 task 8: the canonical decision table must read
+    // current-first — a header opening with a years-old count sends
+    // every reader to the wrong baseline. Enforced, not hoped: the
+    // header's bold entry count must equal SparkEntry.queries.size.
+    val head = scala.io.Source.fromFile("COVERAGE.md").getLines()
+      .take(10).mkString("\n")
+    val n = SparkEntry.queries.size
+    assert(head.contains(s"**$n registry entries**"),
+      s"COVERAGE.md header must state the CURRENT registry size " +
+        s"($n entries) in its first 10 lines — update the status block")
+  }
+
   test("oracle SQL strings are non-empty and DuckDB-shaped (no Spark-only syntax)") {
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       assert(sql.trim.nonEmpty, s"$name: empty oracle")

@@ -39,13 +39,29 @@ force = "--force" in sys.argv[1:]
 
 
 def _degradation(r):
-    """Why this artifact disqualifies itself as a band input, or None."""
+    """Why this artifact disqualifies itself as a band input, or None.
+
+    Canary trips are judged over the IN-SWEEP samples only (index >= 0):
+    the pre-sweep baseline (at = -1) runs adjacent to the untimed warmup
+    and regularly reads hot on a genuinely idle host, while no timed
+    entry can be inflated by a stall that ended before the first entry
+    ran. Artifacts without a timeline fall back to the summary counts.
+    """
     reasons = []
     can = r.get("machine_canary") or {}
-    if can.get("over_io", 0) > 0:
-        reasons.append(f"over_io={can['over_io']}")
-    if can.get("over_cpu", 0) > 0:
-        reasons.append(f"over_cpu={can['over_cpu']}")
+    ref = can.get("quiet_ref") or {}
+    timeline = can.get("samples_at_cpu_io")
+    if timeline and ref:
+        sweep = [s for s in timeline if s[0] >= 0]
+        over_cpu = sum(1 for s in sweep if s[1] > 2 * ref.get("cpu_ms", 45))
+        over_io = sum(1 for s in sweep if s[2] > 2 * ref.get("io_ms", 300))
+    else:
+        over_cpu = can.get("over_cpu", 0) or 0
+        over_io = can.get("over_io", 0) or 0
+    if over_io > 0:
+        reasons.append(f"over_io={over_io}")
+    if over_cpu > 0:
+        reasons.append(f"over_cpu={over_cpu}")
     load = r.get("stream_eps_loadavg") or {}
     loads = [v for v in (load.get("before"), load.get("after"))
              if isinstance(v, (int, float))]
