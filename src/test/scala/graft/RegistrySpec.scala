@@ -92,8 +92,9 @@ class RegistrySpec extends AnyFunSuite {
     // current-first — a header opening with a years-old count sends
     // every reader to the wrong baseline. Enforced, not hoped: the
     // header's bold entry count must equal SparkEntry.queries.size.
-    val head = scala.io.Source.fromFile("COVERAGE.md").getLines()
-      .take(10).mkString("\n")
+    val head = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("COVERAGE.md")), "UTF-8")
+      .linesIterator.take(10).mkString("\n")
     val n = SparkEntry.queries.size
     assert(head.contains(s"**$n registry entries**"),
       s"COVERAGE.md header must state the CURRENT registry size " +
