@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -112,6 +112,51 @@ case class CosineSimilarity(left: Expression, right: Expression) extends FloatVe
     copy(left = l, right = r)
 }
 
+/** margin(js, xs, ws) = Σ ws[js(i)] · xs(i) — the per-doc linear-model
+  * margin over array-packed sparse features (parallel arrays: bucket
+  * ids `js: array<int>`, values `xs: array<double>`) against a dense
+  * weight vector `ws: array<double>` (a constant-folded literal in the
+  * classifier paths). The row-local form of the x125 fit/serve margin:
+  * evaluating it per doc row removes the per-iteration doc-grain
+  * window (shuffle + sort) the flat (doc, j, x) layout needed — the
+  * iteration's only exchange left is the model-sized gradient-partial
+  * aggregation. Same double-precision accumulation discipline as the
+  * expressions above; summation order is the array order (j-ascending
+  * after sort_array), which makes the fit MORE deterministic than the
+  * window-order sum it replaces. No bounds guard on js: the classifier
+  * packs j ∈ [0, 16^QcHexLen) by construction and ws is exactly that
+  * long — an out-of-range id is a build bug and should throw. */
+case class IndexedDot(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "indexed_dot"
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val js = a.asInstanceOf[ArrayData]; val xs = b.asInstanceOf[ArrayData]
+    val ws = c.asInstanceOf[ArrayData]
+    val n = math.min(js.numElements(), xs.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += ws.getDouble(js.getInt(i)) * xs.getDouble(i); i += 1 }
+    s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $c.getDouble($a.getInt($i)) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+         |""".stripMargin
+    })
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** Column/SQL facade. `Column ↔ Expression` bridging is sql-private in
   * Spark 4, so construction goes through the session FunctionRegistry +
   * the public `call_function` — same analysis path as built-ins. */
@@ -132,4 +177,6 @@ object VectorFunctions {
     B.column(DotProduct(B.expression(a), B.expression(b)))
   def cosine_similarity(a: Column, b: Column): Column =
     B.column(CosineSimilarity(B.expression(a), B.expression(b)))
+  def indexed_dot(js: Column, xs: Column, ws: Column): Column =
+    B.column(IndexedDot(B.expression(js), B.expression(xs), B.expression(ws)))
 }

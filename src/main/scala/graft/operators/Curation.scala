@@ -2066,39 +2066,59 @@ object Curation {
       .select(col("doc_id"), col("is_t"), col("j"),
         (col("c").cast("double") / col("dl")).as("x"))
 
+  /** The (doc, bucket) features packed to ONE ROW PER DOC as parallel
+    * arrays (js: bucket ids ascending, xs: tf fractions) — the fit and
+    * serve layout (r20 optimization). Row width is bounded by the MODEL
+    * (≤ 16^QcHexLen distinct buckets per doc), never the corpus, so the
+    * packing is scale-safe; `sort_array` makes the per-doc summation
+    * order deterministic (j-ascending), which the flat layout's
+    * window-order sum was not. */
+  private[graft] def qcDocFeatures(feats: DataFrame): DataFrame =
+    feats.groupBy("doc_id", "is_t")
+      .agg(sort_array(collect_list(struct(col("j").cast("int").as("j"),
+        col("x")))).as("fs"))
+      .select(col("doc_id"), col("is_t"),
+        col("fs").getField("j").as("js"), col("fs").getField("x").as("xs"))
+
   /** DISTRIBUTED logistic-regression fit via MERGEABLE GRADIENT
-    * PARTIALS (the s32 algebraic-partials pattern): each iteration is
-    * ONE pass over the pinned feature relation — per-row error terms
-    * against the broadcast (constant-folded literal) weight vector,
-    * partial gradients summed BY BUCKET map-side, so only a
-    * model-sized relation (≤ 16^QcHexLen + 1 rows: per-bucket ∂w plus
-    * the bias/count/loss partials riding the rn=1 rows) ever reaches
-    * the driver. O(iters) jobs, O(model) driver memory — the x109
-    * distributed-learner shape with a convex objective. Returns
+    * PARTIALS (the s32 algebraic-partials pattern) over the doc-packed
+    * feature relation: each iteration is ONE job — the per-doc margin
+    * is ROW-LOCAL ([[graft.functions.VectorFunctions.indexed_dot]]
+    * against the constant-folded literal weight vector), so the
+    * doc-grain window (an exchange + sort per iteration in the flat
+    * (doc, j, x) layout this replaces — measured ~0.3 s × 30 iterations
+    * at sf0.1) is gone entirely; the gradient partials explode to
+    * (j, e·x) rows and map-side-combine, so the iteration's only
+    * exchange is the model-sized partial relation (≤ 16^QcHexLen + 1
+    * rows: per-bucket ∂w plus the bias/count/loss partials riding each
+    * doc's pos=0 row — the same smallest-j attribution the old rn=1
+    * window rule used). O(iters) jobs, O(model) driver memory — the
+    * x109 distributed-learner shape with a convex objective. Returns
     * (weights, bias, per-iteration mean log-loss) so specs can assert
     * the descent, not just the endpoint. */
-  private[graft] def qcFit(feats: DataFrame, iters: Int = QcIters,
-                           lr: Double = QcLr)
+  private[graft] def qcFitDoc(docFeats: DataFrame, iters: Int = QcIters,
+                              lr: Double = QcLr)
       : (Array[Double], Double, Seq[Double]) = {
+    import graft.functions.VectorFunctions
     val d = math.pow(16, QcHexLen).toInt
     val w = Array.fill(d)(0.0)
     var b = 0.0
     val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (_ <- 0 until iters) {
       val wLit = array(w.map(lit).toIndexedSeq: _*)
-      val byDoc = Window.partitionBy("doc_id")
-      val scored = feats
-        .withColumn("wx", element_at(wLit, (col("j") + 1).cast("int")) * col("x"))
-        .withColumn("p", lit(1.0) /
-          (lit(1.0) + exp(-(sum(col("wx")).over(byDoc) + lit(b)))))
+      val scored = docFeats
+        .withColumn("p", lit(1.0) / (lit(1.0) + exp(
+          -(VectorFunctions.indexed_dot(col("js"), col("xs"), wLit) + lit(b)))))
         .withColumn("y", when(col("is_t"), 1.0).otherwise(0.0))
         .withColumn("e", col("p") - col("y"))
-        .withColumn("rn", row_number().over(byDoc.orderBy("j")))
-      val parts = scored.groupBy("j")
-        .agg(sum(col("e") * col("x")).as("gj"),
-          sum(when(col("rn") === 1, col("e")).otherwise(0.0)).as("gb"),
-          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("nd"),
-          sum(when(col("rn") === 1,
+      val parts = scored
+        .select(col("p"), col("y"), col("e"),
+          posexplode(arrays_zip(col("js"), col("xs"))))
+        .groupBy(col("col.js").cast("long").as("j"))
+        .agg(sum(col("e") * col("col.xs")).as("gj"),
+          sum(when(col("pos") === 0, col("e")).otherwise(0.0)).as("gb"),
+          sum(when(col("pos") === 0, 1L).otherwise(0L)).as("nd"),
+          sum(when(col("pos") === 0,
             -(col("y") * log(col("p")) +
               (lit(1.0) - col("y")) * log(lit(1.0) - col("p"))))
             .otherwise(0.0)).as("ll"))
@@ -2113,6 +2133,13 @@ object Curation {
     }
     (w, b, losses.toSeq)
   }
+
+  /** [[qcFitDoc]] behind the flat-features signature (spec surface):
+    * packs, PINS (the fit re-scans `iters` times), fits. */
+  private[graft] def qcFit(feats: DataFrame, iters: Int = QcIters,
+                           lr: Double = QcLr)
+      : (Array[Double], Double, Seq[Double]) =
+    qcFitDoc(qcDocFeatures(feats).localCheckpoint(), iters, lr)
 
   /** x125: the TRAINED quality classifier — CCNet's "looks like the
     * target domain" gate as a fitted linear model instead of the x02
@@ -2132,10 +2159,12 @@ object Curation {
                                iters: Int = QcIters, lr: Double = QcLr)
       : DataFrame = {
     // pinned: the fit re-scans the features `iters` times — the one
-    // regime where materialize beats recompute (the x111 rule)
-    val feats = qcFeatures(docs, benchMod).localCheckpoint()
-    val (w, b, _) = qcFit(feats, iters, lr)
-    qcServeScores(feats, w, b).orderBy("doc_id")
+    // regime where materialize beats recompute (the x111 rule). The
+    // doc-packed layout is pinned (not the flat one): both the fit and
+    // the serve read it, and it is the smaller relation.
+    val docFeats = qcDocFeatures(qcFeatures(docs, benchMod)).localCheckpoint()
+    val (w, b, _) = qcFitDoc(docFeats, iters, lr)
+    qcScoreDoc(docFeats, w, b).orderBy("doc_id")
   }
 
   /** The trained-classifier SERVE tail in one place — sigmoid(Σ wⱼxⱼ + b)
@@ -2153,6 +2182,26 @@ object Curation {
           + lit(b)))), 6).as("q_score"))
       .select(col("doc_id"), col("is_t").cast("int").as("is_target"),
         col("q_score"))
+  }
+
+  /** The serve tail over the doc-packed layout — the [[qcServeScores]]
+    * weight/sigmoid/round-6 shape evaluated ROW-LOCALLY via
+    * [[graft.functions.VectorFunctions.indexed_dot]], for callers that
+    * already hold the pinned docFeats relation (the x125/x130 fit
+    * path): zero exchanges, and the per-doc summation order is the
+    * deterministic j-ascending one the fit itself uses. The flat
+    * [[qcServeScores]] stays for single-pass serve-only callers (x133,
+    * the gateway /score route), where a direct partial-agg'd sum is
+    * one collect-free pass and the packing groupBy would only add
+    * per-doc array state. */
+  private[graft] def qcScoreDoc(docFeats: DataFrame, w: Array[Double],
+                                b: Double): DataFrame = {
+    import graft.functions.VectorFunctions
+    val wLit = array(w.map(lit).toIndexedSeq: _*)
+    docFeats.select(col("doc_id"), col("is_t").cast("int").as("is_target"),
+      round(lit(1.0) / (lit(1.0) + exp(
+        -(VectorFunctions.indexed_dot(col("js"), col("xs"), wLit) + lit(b)))),
+        6).as("q_score"))
   }
 
   /** Load-don't-refit (x133): the fitted (weights, bias) for `docs`
@@ -2190,8 +2239,9 @@ object Curation {
             ModelStore.saveMeta(s, storeRoot, meta) // revalidated by rows
             (w, b, false)
           case _ =>
-            val feats = qcFeatures(docs, benchMod).localCheckpoint()
-            val (w, b, _) = qcFit(feats, iters, lr)
+            val (w, b, _) = qcFitDoc(
+              qcDocFeatures(qcFeatures(docs, benchMod)).localCheckpoint(),
+              iters, lr)
             ModelStore.save(s, storeRoot, w, b, fp, meta)
             (w, b, true)
         }
