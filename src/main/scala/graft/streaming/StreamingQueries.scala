@@ -35,6 +35,37 @@ object StreamingQueries {
 
   private def tempDir(prefix: String): String = graft.WorkDirs.tempDir(prefix)
 
+  /** Run independent store actions CONCURRENTLY (optimization-guide
+    * §2.6 — overlap independent jobs): Spark's scheduler happily runs
+    * jobs submitted from several driver threads at once, so N
+    * batch-sized appends (or store-sized compactions) that would
+    * otherwise serialize behind one another's task tails back-fill the
+    * idle cores instead. Callers may only pass actions with NO
+    * dependencies between them (disjoint store roots, or reads of
+    * relations pinned before the call); commit ORDER between the
+    * actions is deliberately unspecified — every DeltaStore commit is
+    * individually idempotent and crash-recoverable, so any interleaving
+    * a crash exposes is a state the per-store recovery already handles
+    * (the same argument the restart specs rely on). Exceptions
+    * propagate to the caller after all actions settle. */
+  private[graft] def inParallel(work: (() => Unit)*): Unit =
+    if (work.sizeIs <= 1) work.foreach(_.apply())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
+      try {
+        val futs = work.map(w => pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = w()
+        }))
+        var first: Throwable = null
+        futs.foreach { f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException =>
+            if (first == null) first = e.getCause }
+        }
+        if (first != null) throw first
+      } finally pool.shutdown()
+    }
+
   /** Empty-input totality for foreachBatch read-backs (the s30–s34
     * family): a stream over an empty incoming relation fires zero
     * micro-batches and writes no batch parquet, so a plain
@@ -1979,6 +2010,14 @@ object StreamingQueries {
     writeBucketedBy(tf, s"$whDir/tf", tfTbl, "token")
     val df = s.table(tfTbl).groupBy("token").agg(count(lit(1)).as("df"))
     writeBucketedBy(df, s"$whDir/df", dfTbl, "token")
+    // stats stay a SCAN-ONLY regex pass (no explode, no shuffle).
+    // Deriving them from the materialized tf table was tried in r20 and
+    // MEASURED A LOSS (s38 warm median 7.7 s → 13.1 s): the
+    // doc-grain agg over the token-bucketed postings pays a read of the
+    // whole postings relation plus a doc-keyed exchange, which at this
+    // corpus-to-vocabulary ratio costs more than one more cheap regex
+    // scan of the text — the x71 in-plan argument holds for the
+    // materialized form too.
     val statsRow = items.select(size(toksCol).as("doclen"))
       .filter(col("doclen") > 0)
       .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
@@ -2423,7 +2462,14 @@ object StreamingQueries {
       .option("checkpointLocation", ck)
       .foreachBatch { (b: DataFrame, id: Long) =>
         onBatch(id)
-        // batch-grain index deltas — none of these reads a store
+        // batch-grain index deltas — none of these reads a store. The
+        // batch is TOKENIZED ONCE (tf pinned): df and the corpus stats
+        // are both derived from the pinned postings (df: count per
+        // token — the s38 argument; stats: n_docs = docs present in tf,
+        // sum_dl = Σ per-doc dl — the same exact-integer derivation the
+        // s46 retention rebase runs), where each previously re-ran the
+        // regex tokenize over the batch. The four appends write
+        // disjoint stores from pinned/batch inputs → concurrent (§2.6).
         val withText = b.filter(col("text").isNotNull)
         val tf = withText.select(col("doc_id"), toksCol.as("toks"))
           .select(col("doc_id"), size(col("toks")).as("dl"),
@@ -2431,24 +2477,22 @@ object StreamingQueries {
           .groupBy("doc_id", "token")
           .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
           .select("doc_id", "token", "tf", "dl")
-        tfStore.append(s, id, tf)
-        // df partial DERIVED from the batch postings (the s38 argument:
-        // postings rows are (doc, token)-grain, so count-per-token IS
-        // this batch's df contribution)
-        dfStore.append(s, id, tf.groupBy("token").agg(count(lit(1)).as("df")))
-        statStore.append(s, id,
-          withText.select(size(toksCol).as("doclen"))
-            .filter(col("doclen") > 0)
-            .agg(count(lit(1)).as("n_docs"),
-              coalesce(sum(col("doclen")), lit(0L)).cast("long").as("sum_dl")))
-        ivfStore.append(s, id,
-          b.filter(col("embedding").isNotNull)
-            .select(col("doc_id").as("vec_id"), col("embedding"),
-              SimilaritySearch.argmaxCell(col("embedding"), cents).as("cell")))
-        if ((id + 1) % compactEvery == 0) {
-          tfStore.compact(s); dfStore.compact(s)
-          statStore.compact(s); ivfStore.compact(s)
-        }
+          .localCheckpoint()
+        inParallel(
+          () => tfStore.append(s, id, tf),
+          () => dfStore.append(s, id,
+            tf.groupBy("token").agg(count(lit(1)).as("df"))),
+          () => statStore.append(s, id,
+            tf.groupBy("doc_id").agg(max("dl").as("dl"))
+              .agg(count(lit(1)).as("n_docs"),
+                coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))),
+          () => ivfStore.append(s, id,
+            b.filter(col("embedding").isNotNull)
+              .select(col("doc_id").as("vec_id"), col("embedding"),
+                SimilaritySearch.argmaxCell(col("embedding"), cents).as("cell"))))
+        if ((id + 1) % compactEvery == 0) inParallel(
+          () => tfStore.compact(s), () => dfStore.compact(s),
+          () => statStore.compact(s), () => ivfStore.compact(s))
         if (serveEachBatch) {
           // the file-order contract made loud: every batch must be
           // exactly its stage's file (a scrambled arrival would serve a
@@ -2587,14 +2631,20 @@ object StreamingQueries {
       * describe the lifetime corpus (VERDICT r19 task 2). */
     def retentionPass(w: Long, force: Boolean): Unit = {
       graft.store.StoreEpoch.begin(s, s"$work/store")
-      tfStore.compact(s, _.filter(col("doc_id") >= w), force)
-      ivfStore.compact(s, _.filter(col("vec_id") >= w), force)
+      // tf and ivf expire independently (disjoint stores) → concurrent;
+      // both must COMPLETE before the rebases read the retained tf
+      // (§2.6 overlap with an explicit barrier at the dependency)
+      inParallel(
+        () => tfStore.compact(s, _.filter(col("doc_id") >= w), force),
+        () => ivfStore.compact(s, _.filter(col("vec_id") >= w), force))
       val tfView = tfStore.read(s)
-      dfStore.rebase(s, tfView.groupBy("token").agg(count(lit(1)).as("df")))
-      statStore.rebase(s,
-        tfView.groupBy("doc_id").agg(max("dl").as("dl"))
-          .agg(count(lit(1)).as("n_docs"),
-            coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl")))
+      inParallel(
+        () => dfStore.rebase(s,
+          tfView.groupBy("token").agg(count(lit(1)).as("df"))),
+        () => statStore.rebase(s,
+          tfView.groupBy("doc_id").agg(max("dl").as("dl"))
+            .agg(count(lit(1)).as("n_docs"),
+              coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))))
       graft.store.StoreEpoch.end(s, s"$work/store")
     }
 
@@ -2619,7 +2669,10 @@ object StreamingQueries {
         onBatch(id)
         // batch-grain appends, s40's exactly (retention is
         // merge-enforced, the ClickHouse posture: nothing is filtered
-        // at ingest — rows expire when a merge crosses the watermark)
+        // at ingest — rows expire when a merge crosses the watermark).
+        // One tokenize per batch (tf pinned; df + stats derived from
+        // it) and the four disjoint-store appends run concurrently —
+        // the s40 r20 optimization, same derivations.
         val withText = b.filter(col("text").isNotNull)
         val tf = withText.select(col("doc_id"), toksCol.as("toks"))
           .select(col("doc_id"), size(col("toks")).as("dl"),
@@ -2627,17 +2680,19 @@ object StreamingQueries {
           .groupBy("doc_id", "token")
           .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
           .select("doc_id", "token", "tf", "dl")
-        tfStore.append(s, id, tf)
-        dfStore.append(s, id, tf.groupBy("token").agg(count(lit(1)).as("df")))
-        statStore.append(s, id,
-          withText.select(size(toksCol).as("doclen"))
-            .filter(col("doclen") > 0)
-            .agg(count(lit(1)).as("n_docs"),
-              coalesce(sum(col("doclen")), lit(0L)).cast("long").as("sum_dl")))
-        ivfStore.append(s, id,
-          b.filter(col("embedding").isNotNull)
-            .select(col("doc_id").as("vec_id"), col("embedding"),
-              SimilaritySearch.argmaxCell(col("embedding"), cents).as("cell")))
+          .localCheckpoint()
+        inParallel(
+          () => tfStore.append(s, id, tf),
+          () => dfStore.append(s, id,
+            tf.groupBy("token").agg(count(lit(1)).as("df"))),
+          () => statStore.append(s, id,
+            tf.groupBy("doc_id").agg(max("dl").as("dl"))
+              .agg(count(lit(1)).as("n_docs"),
+                coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))),
+          () => ivfStore.append(s, id,
+            b.filter(col("embedding").isNotNull)
+              .select(col("doc_id").as("vec_id"), col("embedding"),
+                SimilaritySearch.argmaxCell(col("embedding"), cents).as("cell"))))
         if ((id + 1) % compactEvery == 0) retentionPass(wMid, force = false)
         ()
       }
@@ -2874,23 +2929,32 @@ object StreamingQueries {
       // the tf-expired/df-not-yet-rebased window instead of serving
       // skewed idf/avgdl (VERDICT r19 task 2)
       graft.store.StoreEpoch.begin(s, s"$work/store")
-      fpStore.compact(s)
-      auditStore.compact(s) // metrics record: compacts, never expires
-      if (gates) {
-        ndBlkStore.compact(s)  // near-dup history outlives retention
-        ndRefStore.compact(s)  // (the fp-store argument, s50)
-        quarStore.compact(s)   // policy record: compacts, never expires
-      }
-      winnerStore.compact(s, _.filter(col("doc_id") >= w), force)
-      tfStore.compact(s, _.filter(col("doc_id") >= w), force)
-      ivfStore.compact(s, _.filter(col("vec_id") >= w), force)
+      // every pre-"mid" compaction touches its own store and none reads
+      // another's output → one concurrent group (§2.6), with the
+      // barrier exactly where the semantics need it: onMergeStage("mid")
+      // still fires only after ALL expiries committed and before any
+      // rebase starts, so the epoch-window spec's observable states are
+      // unchanged. Commit order inside the group is unspecified — each
+      // staged swap recovers individually (the inParallel contract).
+      inParallel(Seq(
+        () => fpStore.compact(s),
+        () => auditStore.compact(s), // metrics record: never expires
+        () => winnerStore.compact(s, _.filter(col("doc_id") >= w), force),
+        () => tfStore.compact(s, _.filter(col("doc_id") >= w), force),
+        () => ivfStore.compact(s, _.filter(col("vec_id") >= w), force)) ++
+        (if (!gates) Seq.empty[() => Unit] else Seq(
+          () => ndBlkStore.compact(s), // near-dup history outlives
+          () => ndRefStore.compact(s), // retention (the fp-store
+          () => quarStore.compact(s))): _*) // argument, s50)
       onMergeStage("mid") // between the tf/ivf expiry and the rebases
       val tfView = tfStore.read(s)
-      dfStore.rebase(s, tfView.groupBy("token").agg(count(lit(1)).as("df")))
-      statStore.rebase(s,
-        tfView.groupBy("doc_id").agg(max("dl").as("dl"))
-          .agg(count(lit(1)).as("n_docs"),
-            coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl")))
+      inParallel(
+        () => dfStore.rebase(s,
+          tfView.groupBy("token").agg(count(lit(1)).as("df"))),
+        () => statStore.rebase(s,
+          tfView.groupBy("doc_id").agg(max("dl").as("dl"))
+            .agg(count(lit(1)).as("n_docs"),
+              coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))))
       graft.store.StoreEpoch.end(s, s"$work/store")
     }
 
@@ -3032,22 +3096,30 @@ object StreamingQueries {
             lit(nWin).as("n_winners")))
           winnerStore.append(s, id, survivors.select(col("doc_id")))
           onStage(id, "audit")
-          // index maintenance — s40's batch-grain deltas over the winners
+          // index maintenance — s40's batch-grain deltas over the
+          // winners. One tokenize per batch: tf is PINNED and df + the
+          // corpus stats derive from it (stats: n_docs = docs present
+          // in tf, sum_dl = Σ per-doc dl — the exact-integer derivation
+          // the retention rebase below already runs), where each
+          // previously re-ran the regex tokenize over the survivors.
+          // The appends stay SEQUENTIAL here: each onStage hook is a
+          // spec-pinned crash boundary and must fire after exactly its
+          // store's commit.
           val tf = survivors.select(col("doc_id"), toksCol.as("toks"))
             .select(col("doc_id"), size(col("toks")).as("dl"),
               explode(col("toks")).as("token"))
             .groupBy("doc_id", "token")
             .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
             .select("doc_id", "token", "tf", "dl")
+            .localCheckpoint()
           tfStore.append(s, id, tf)
           onStage(id, "tf")
           dfStore.append(s, id, tf.groupBy("token").agg(count(lit(1)).as("df")))
           onStage(id, "df")
           statStore.append(s, id,
-            survivors.select(size(toksCol).as("doclen"))
-              .filter(col("doclen") > 0)
+            tf.groupBy("doc_id").agg(max("dl").as("dl"))
               .agg(count(lit(1)).as("n_docs"),
-                coalesce(sum(col("doclen")), lit(0L)).cast("long").as("sum_dl")))
+                coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl")))
           onStage(id, "stats")
           ivfStore.append(s, id,
             survivors.filter(col("embedding").isNotNull)
