@@ -1632,10 +1632,18 @@ object Curation {
         struct((-col("quality")).as("nq"), col("doc_id"))).as("k"))
       .select(col("k.doc_id").as("doc_id"), col("k.source").as("source"),
               col("k.text").as("text"), col("k.quality").as("quality"))
-    // `kept` is corpus-sized with several consumers: recompute-per-arm
-    // beats a materialization barrier (the x104 precedent — the arms
-    // are one row-local pass + one partial-agg'd exchange each). The
-    // PAIR relation is pair-sized with two consumers: pin that one.
+      // PINNED (r20 re-measure): `kept` feeds five consumers (the pair
+      // kernel, the component labeling, the survivor anti-joins, the
+      // domain cap, the final budget window), each of which otherwise
+      // re-runs the quality kernel + the fingerprint-dedup EXCHANGE —
+      // the earlier "recompute-per-arm beats a materialization barrier"
+      // note predated stages 3/4 and no longer holds: A/B at sf0.1,
+      // same session shape, unpinned median 8.88 s / min 8.05 vs pinned
+      // 7.41 / 6.80. At 100 TB the trade is one disk-backed
+      // materialization of the deduped corpus vs FIVE corpus-wide
+      // fp-shuffle re-executions — the pin wins harder, not less.
+      .localCheckpoint()
+    // The PAIR relation is pair-sized with two consumers: pinned too.
     val pairs = Dedup.ngramJaccardPairsCapped(kept,
         n = 3, threshold = threshold, maxDf = maxDf)
       .localCheckpoint()

@@ -2910,16 +2910,22 @@ object StreamingQueries {
     // the gate pins, once per stream (the s48 calibration posture):
     // hot shingles (calibration df > cap) are EXCLUDED from blocking —
     // the exclusion set is the small side of the cut; and the eval
-    // slice's distinct gram set for the span triage (s33's pin)
-    val hotSh = if (!gates) null else items
-      .select(col("doc_id"), explode(shArr(col("text"))).as("sh"))
-      .groupBy("sh").agg(count(lit(1)).as("c"))
-      .filter(col("c") > Curation.RelNdCap).select("sh")
-      .localCheckpoint()
-    val evalGrams = if (!gates) null else qDocs
-      .select(explode(graft.functions.TextKernels
-        .word_gram_seq(col("text"), Curation.SpanGramN)).as("sh"))
-      .distinct().localCheckpoint()
+    // slice's distinct gram set for the span triage (s33's pin).
+    // Both pins and the input staging below run CONCURRENTLY (§2.6) —
+    // three independent one-time corpus jobs that otherwise serialize
+    // at stream setup; the values and files are byte-identical.
+    var hotSh: DataFrame = null
+    var evalGrams: DataFrame = null
+    val pinJobs: Seq[() => Unit] = if (!gates) Seq.empty else Seq(
+      () => hotSh = items
+        .select(col("doc_id"), explode(shArr(col("text"))).as("sh"))
+        .groupBy("sh").agg(count(lit(1)).as("c"))
+        .filter(col("c") > Curation.RelNdCap).select("sh")
+        .localCheckpoint(),
+      () => evalGrams = qDocs
+        .select(explode(graft.functions.TextKernels
+          .word_gram_seq(col("text"), Curation.SpanGramN)).as("sh"))
+        .distinct().localCheckpoint())
 
     /** One retention merge at watermark `w` — s46's pass plus the fp
       * store's filter-FREE compaction: dedup history must outlive index
@@ -2958,7 +2964,7 @@ object StreamingQueries {
       graft.store.StoreEpoch.end(s, s"$work/store")
     }
 
-    if (!hasParquet(inDir)) {
+    val stageInput: () => Unit = () => if (!hasParquet(inDir)) {
       requireEvalSliceCovered(srcE, qDocs, benchMod, "s50")
       val joined = items.select(col("doc_id"), col("lang"), col("text"))
         .join(itemE.select(col("vec_id").as("doc_id"), col("embedding")),
@@ -2966,7 +2972,11 @@ object StreamingQueries {
       val h = new org.apache.hadoop.fs.Path(inDir)
         .getFileSystem(s.sessionState.newHadoopConf())
       h.mkdirs(new org.apache.hadoop.fs.Path(inDir))
-      (0 until stages).foreach { st =>
+      // per-stage staging writes are independent (disjoint ranges, tmp
+      // dirs and destination names; the ARRIVAL order is pinned by the
+      // explicit mtime stamps, not by write completion order) →
+      // concurrent
+      inParallel((0 until stages).map(st => () => {
         val tmp = s"$work/in_stage$st"
         joined.filter(col("doc_id") >= st * chunk &&
             col("doc_id") < (st + 1) * chunk)
@@ -2978,8 +2988,10 @@ object StreamingQueries {
         require(h.rename(part.head, dst), s"s50: rename to $dst failed")
         h.setTimes(dst, 1000000000000L + st * 60000L, -1)
         h.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      }
+        ()
+      }): _*)
     }
+    inParallel(pinJobs :+ stageInput: _*)
 
     val stream = s.readStream
       .schema(StructType(Seq(StructField("doc_id", LongType),
@@ -2992,13 +3004,27 @@ object StreamingQueries {
       .option("checkpointLocation", ck)
       .foreachBatch { (b: DataFrame, id: Long) =>
         onBatch(id)
-        // the arrival-order contract made loud (s43's discipline): every
-        // batch must be exactly its ascending id-range file
-        val rng = b.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+        // ONE batch-head pass (r20): the arrival-order check (s43's
+        // discipline) and the audit's n_input/n_admitted counts ride
+        // the same aggregate — they were three separate batch scans.
+        // n_admitted via left join ≡ the admission's inner join + rate
+        // filter: `rates` is one row per lang, so the left join
+        // preserves row count, a null rate marks a lang with no
+        // calibration row (never admitted — null comparisons are
+        // false), and the when() applies the identical text/draw
+        // predicates.
+        val rng = b.join(broadcast(rates), Seq("lang"), "left")
+          .agg(min(col("doc_id")), max(col("doc_id")), count(lit(1)),
+            sum(when(col("text").isNotNull &&
+              (Curation.paretoUniform(Curation.TsampleSeed,
+                col("doc_id")) < col("rate")), 1L).otherwise(0L)))
+          .collect()(0)
         if (!rng.isNullAt(0))
           require(rng.getLong(0) >= id * chunk && rng.getLong(1) < (id + 1) * chunk,
             s"s50: batch $id carried ids [${rng.getLong(0)}, ${rng.getLong(1)}] " +
               s"outside its range (file order broken)")
+        val nIn = rng.getLong(2)
+        val nAdm = if (rng.isNullAt(3)) 0L else rng.getLong(3)
         // replay of a batch the fp store already FOLDED: every store
         // either folded this id or still holds its delta (compactions
         // run strictly after all appends), and the pre-batch fp view
@@ -3071,12 +3097,19 @@ object StreamingQueries {
                     - col("inter")) >= Curation.RelNdThreshold)
               .select("doc_id").distinct()
             // ALL exact winners enter the history — a gated-out doc's
-            // content is represented by the winner that gated it
-            ndBlkStore.append(s, id, blkBatch.select("sh", "doc_id"))
-            ndRefStore.append(s, id,
-              wsh.select(col("doc_id"), col("in_sh").as("sh")))
-            val surv = winners.join(drops, Seq("doc_id"), "left_anti")
-              .localCheckpoint()
+            // content is represented by the winner that gated it.
+            // The two history appends and the survivor pin share the
+            // "nd" crash boundary (one hook after all three) and read
+            // only pinned inputs / pre-resolved as-of views → one
+            // concurrent group; any partial state a crash exposes was
+            // already reachable and replays idempotently.
+            var surv: DataFrame = null
+            inParallel(
+              () => ndBlkStore.append(s, id, blkBatch.select("sh", "doc_id")),
+              () => ndRefStore.append(s, id,
+                wsh.select(col("doc_id"), col("in_sh").as("sh"))),
+              () => surv = winners.join(drops, Seq("doc_id"), "left_anti")
+                .localCheckpoint())
             onStage(id, "nd")
             quarStore.append(s, id,
               graft.operators.Dedup.maxSharedSpanAgainst(
@@ -3087,14 +3120,19 @@ object StreamingQueries {
             onStage(id, "quar")
             surv
           }
-          // the audit row — three batch-grain counts (winners is pinned,
-          // so its count is free; the admission recount is one more
-          // row-local pass over the batch)
-          val (nIn, nAdm, nWin) = (b.count(), admitted.count(), winners.count())
-          auditStore.append(s, id, s.range(1).select(lit(id).as("batch_id"),
-            lit(nIn).as("n_input"), lit(nAdm).as("n_admitted"),
-            lit(nWin).as("n_winners")))
-          winnerStore.append(s, id, survivors.select(col("doc_id")))
+          // the audit row — n_input/n_admitted came from the batch-head
+          // aggregate; winners is pinned, so its count reads pinned
+          // blocks. The audit and winner appends share the "audit"
+          // crash boundary (one hook after both), so they run
+          // concurrently — a crash between the two was already a
+          // recoverable state (per-store idempotent replay).
+          val nWin = winners.count()
+          inParallel(
+            () => auditStore.append(s, id,
+              s.range(1).select(lit(id).as("batch_id"),
+                lit(nIn).as("n_input"), lit(nAdm).as("n_admitted"),
+                lit(nWin).as("n_winners"))),
+            () => winnerStore.append(s, id, survivors.select(col("doc_id"))))
           onStage(id, "audit")
           // index maintenance — s40's batch-grain deltas over the
           // winners. One tokenize per batch: tf is PINNED and df + the
