@@ -51,7 +51,13 @@ object StreamingQueries {
   private[graft] def inParallel(work: (() => Unit)*): Unit =
     if (work.sizeIs <= 1) work.foreach(_.apply())
     else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
+      // pool capped (VERDICT r20 #7): this is a driver-job overlap
+      // helper, not a task executor — a handful of in-flight jobs is
+      // enough to back-fill idle cores (guide §2.6 "2-3 jobs in flight
+      // is plenty"), and an uncapped pool on a per-partition-sized seq
+      // would spawn one thread per element. Excess actions queue.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(work.size, 8))
       try {
         val futs = work.map(w => pool.submit(new java.util.concurrent.Callable[Unit] {
           def call(): Unit = w()
@@ -1458,28 +1464,33 @@ object StreamingQueries {
     // in the shared-session catalog (the s34 hygiene contract)
     try {
     // the one-time store build — the only corpus-sized shuffles that
-    // ever happen
+    // ever happen. The shingle kernel runs ONCE (pinned): both store
+    // writes consume `refShingles`, and unpinned each would re-run the
+    // tokenize+shingle scan (plans are trees). The two writes hit
+    // disjoint roots and the input staging reads only `incoming`, so
+    // all three run concurrently (§2.6).
     val layout = s36Layout(s)
     val refShingles = reference
       .select(col("doc_id").as("id_ref"), shArr(col("text")).as("ref_sh"))
-    writeBucketedBy(refShingles, s"$work/wh/ref", refTbl, "id_ref")
+      .localCheckpoint()
     val blkRows = refShingles
       .select(col("id_ref"), explode(col("ref_sh")).as("sh"))
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("__df") <= refCap)
       .select(col("sh"), col("id_ref"))
-    if (layout == "partitioned")
-      writeShPartitionedBy(blkRows, s"$work/wh/blk", blkTbl)
-    else
-      writeBucketedBy(blkRows, s"$work/wh/blk", blkTbl, "sh")
-
-    if (!hasParquet(inDir))
-      // overwrite, not ErrorIfExists: hasParquet=false with the dir
-      // present means a crash mid-write left only _temporary — the
-      // guard already proved no committed data is being discarded, and
-      // the default mode would abort the resume with "path exists"
-      incoming.select(col("doc_id"), col("text"))
-        .repartition(3).write.mode("overwrite").parquet(inDir)
+    inParallel(
+      () => writeBucketedBy(refShingles, s"$work/wh/ref", refTbl, "id_ref"),
+      () => if (layout == "partitioned")
+        writeShPartitionedBy(blkRows, s"$work/wh/blk", blkTbl)
+      else
+        writeBucketedBy(blkRows, s"$work/wh/blk", blkTbl, "sh"),
+      () => if (!hasParquet(inDir))
+        // overwrite, not ErrorIfExists: hasParquet=false with the dir
+        // present means a crash mid-write left only _temporary — the
+        // guard already proved no committed data is being discarded, and
+        // the default mode would abort the resume with "path exists"
+        incoming.select(col("doc_id"), col("text"))
+          .repartition(3).write.mode("overwrite").parquet(inDir))
 
     // the store-size gate for the per-batch scan prune: one blk count
     // per STREAM (not per batch), decided before the first trigger.
@@ -1624,17 +1635,18 @@ object StreamingQueries {
     try {
       // the one-time index build — the only corpus-sized job that ever
       // happens; assignment is a row-local literal expression, the write
-      // shuffles once on the bounded cell key
-      src.select(col("vec_id"), col("embedding"),
-          SimilaritySearch.argmaxCell(col("embedding"), cents).as("cell"))
-        .repartition(col("cell"))
-        .write.mode("overwrite").option("path", s"$work/wh/ivf")
-        .partitionBy("cell").saveAsTable(idxTbl)
-
-      if (!hasParquet(inDir))
-        queries.select(col("vec_id").cast("long").as("query_id"),
-            col("embedding"))
-          .repartition(3).write.mode("overwrite").parquet(inDir)
+      // shuffles once on the bounded cell key. Query staging is
+      // independent of the build → concurrent (§2.6).
+      inParallel(
+        () => src.select(col("vec_id"), col("embedding"),
+            SimilaritySearch.argmaxCell(col("embedding"), cents).as("cell"))
+          .repartition(col("cell"))
+          .write.mode("overwrite").option("path", s"$work/wh/ivf")
+          .partitionBy("cell").saveAsTable(idxTbl),
+        () => if (!hasParquet(inDir))
+          queries.select(col("vec_id").cast("long").as("query_id"),
+              col("embedding"))
+            .repartition(3).write.mode("overwrite").parquet(inDir))
 
       val stream = s.readStream
         .schema(StructType(Seq(StructField("query_id", LongType),
@@ -1729,16 +1741,17 @@ object StreamingQueries {
     try {
       // the one-time CODE-store build — the only job that ever reads
       // the full corpus besides the rerank's shortlist fetch; encode is
-      // row-local, the write shuffles once on the bounded cell key
-      SimilaritySearch.pqEncoded(src, fixedRows, nLists, m, codes, dsub)
-        .repartition(col("cell"))
-        .write.mode("overwrite").option("path", s"$work/wh/pq")
-        .partitionBy("cell").saveAsTable(idxTbl)
-
-      if (!hasParquet(inDir))
-        queries.select(col("vec_id").cast("long").as("query_id"),
-            col("embedding"))
-          .repartition(3).write.mode("overwrite").parquet(inDir)
+      // row-local, the write shuffles once on the bounded cell key.
+      // Query staging is independent of the build → concurrent (§2.6).
+      inParallel(
+        () => SimilaritySearch.pqEncoded(src, fixedRows, nLists, m, codes, dsub)
+          .repartition(col("cell"))
+          .write.mode("overwrite").option("path", s"$work/wh/pq")
+          .partitionBy("cell").saveAsTable(idxTbl),
+        () => if (!hasParquet(inDir))
+          queries.select(col("vec_id").cast("long").as("query_id"),
+              col("embedding"))
+            .repartition(3).write.mode("overwrite").parquet(inDir))
 
       val stream = s.readStream
         .schema(StructType(Seq(StructField("query_id", LongType),
@@ -1857,17 +1870,19 @@ object StreamingQueries {
       col("embedding").as("vec"))
     val (fixedRows, dsub) = SimilaritySearch.pqFixedRows(src, nLists, m, codes)
     val codeStore = pqCodeStore(s, s"$work/store/codes", m)
-    val wFinal =
-      if (retention) {
+    // the retention-horizon scan and the corpus-sized input staging are
+    // independent reads of `src` → concurrent (§2.6)
+    @volatile var wFinal = Long.MinValue
+    inParallel(
+      () => if (retention) {
         val r = src.agg(max(col("vec_id"))).collect()(0)
         require(!r.isNullAt(0), "s49: empty corpus — no retention horizon")
-        r.getLong(0) / 4
-      } else Long.MinValue
+        wFinal = r.getLong(0) / 4
+      },
+      () => if (!hasParquet(inDir))
+        src.select(col("vec_id"), col("vec").as("embedding"))
+          .repartition(3).write.mode("overwrite").parquet(inDir))
     val wMid = wFinal / 2
-
-    if (!hasParquet(inDir))
-      src.select(col("vec_id"), col("vec").as("embedding"))
-        .repartition(3).write.mode("overwrite").parquet(inDir)
 
     val stream = s.readStream
       .schema(StructType(Seq(StructField("vec_id", LongType),
@@ -1894,19 +1909,26 @@ object StreamingQueries {
     q.awaitTermination()
 
     // s49's final retention merge: advance the watermark, forced (expiry
-    // must run even with no new deltas since the last compaction)
-    if (retention)
-      codeStore.compact(s, _.filter(col("vec_id") >= wFinal), force = true)
-
+    // must run even with no new deltas since the last compaction). The
+    // probe pin + cell collect read only queries + the driver-held
+    // quantizer — independent of the store → concurrent with the merge
+    // (§2.6); the store read below happens strictly after both settle.
     val qB = queries.select(col("vec_id").cast("long").as("query_id"),
       col("embedding").as("q_vec"))
-    val probed = SimilaritySearch.pqProbed(qB, fixedRows, nLists, nProbe,
-      m, codes, dsub).localCheckpoint()
-    // the bounded probe-cell set (≤ nLists longs by construction) pushed
-    // as static partition filters below the base∪delta union — every
-    // scan, base and deltas alike, prunes to the probed cells
-    val cells = probed.select("cell").distinct()
-      .collect().map(_.getLong(0)).sorted
+    var probed: DataFrame = null
+    var cells: Array[Long] = null
+    inParallel(
+      () => if (retention)
+        codeStore.compact(s, _.filter(col("vec_id") >= wFinal), force = true),
+      () => {
+        probed = SimilaritySearch.pqProbed(qB, fixedRows, nLists, nProbe,
+          m, codes, dsub).localCheckpoint()
+        // the bounded probe-cell set (≤ nLists longs by construction)
+        // pushed as static partition filters below the base∪delta union
+        // — every scan, base and deltas alike, prunes to the probed cells
+        cells = probed.select("cell").distinct()
+          .collect().map(_.getLong(0)).sorted
+      })
     val store = codeStore.read(s)
       .filter(col("cell").isin(cells.map(Long.box): _*))
     val served = if (retention) store.filter(col("vec_id") >= wFinal) else store
@@ -2001,15 +2023,13 @@ object StreamingQueries {
     * inlines as literals. */
   private[graft] def buildBm25Index(s: SparkSession, items: DataFrame,
                                     whDir: String, tfTbl: String,
-                                    dfTbl: String): (Long, Double) = {
+                                    dfTbl: String,
+                                    alongside: (() => Unit)*): (Long, Double) = {
     def toksCol = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
     val tf = items.select(col("doc_id"), toksCol.as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-    writeBucketedBy(tf, s"$whDir/tf", tfTbl, "token")
-    val df = s.table(tfTbl).groupBy("token").agg(count(lit(1)).as("df"))
-    writeBucketedBy(df, s"$whDir/df", dfTbl, "token")
     // stats stay a SCAN-ONLY regex pass (no explode, no shuffle).
     // Deriving them from the materialized tf table was tried in r20 and
     // MEASURED A LOSS (s38 warm median 7.7 s → 13.1 s): the
@@ -2018,10 +2038,24 @@ object StreamingQueries {
     // corpus-to-vocabulary ratio costs more than one more cheap regex
     // scan of the text — the x71 in-plan argument holds for the
     // materialized form too.
-    val statsRow = items.select(size(toksCol).as("doclen"))
-      .filter(col("doclen") > 0)
-      .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
-      .collect()(0)
+    //
+    // The three build jobs have exactly one dependency edge — df is
+    // DERIVED from the tf table — so the stats scan (and any caller
+    // lanes: query staging, the s39 IVF build) runs CONCURRENTLY with
+    // the tf→df write chain (§2.6): before this the build was a queue
+    // of corpus-sized jobs, each leaving the cores idle in its tail.
+    @volatile var statsRow: org.apache.spark.sql.Row = null
+    inParallel(Seq(
+      () => {
+        writeBucketedBy(tf, s"$whDir/tf", tfTbl, "token")
+        val df = s.table(tfTbl).groupBy("token").agg(count(lit(1)).as("df"))
+        writeBucketedBy(df, s"$whDir/df", dfTbl, "token")
+      },
+      () => statsRow = items.select(size(toksCol).as("doclen"))
+        .filter(col("doclen") > 0)
+        .agg(count(lit(1)).as("n_docs"), avg(col("doclen")).as("avgdl"))
+        .collect()(0)
+    ) ++ alongside: _*)
     require(!statsRow.isNullAt(1),
       "BM25 index build: corpus has no tokenized item docs (avgdl undefined)")
     (statsRow.getLong(0), statsRow.getDouble(1))
@@ -2100,12 +2134,13 @@ object StreamingQueries {
       // the one-time index build — the only corpus-sized shuffles
       // (corpus stats: two scalars, collected once per stream and
       // inlined as literals — x71 crossJoins the same values; identical
-      // doubles flow into the shared weight expression)
-      val (nDocs, avgdl) = buildBm25Index(s, items, s"$work/wh", tfTbl, dfTbl)
-
-      if (!hasParquet(inDir))
-        queries.select(col("doc_id"), col("text"))
-          .repartition(3).write.mode("overwrite").parquet(inDir)
+      // doubles flow into the shared weight expression). Query staging
+      // rides the build's concurrent group (§2.6): it reads only
+      // `queries`, independent of every index job.
+      val (nDocs, avgdl) = buildBm25Index(s, items, s"$work/wh", tfTbl, dfTbl,
+        () => if (!hasParquet(inDir))
+          queries.select(col("doc_id"), col("text"))
+            .repartition(3).write.mode("overwrite").parquet(inDir))
 
       val stream = s.readStream
         .schema(StructType(Seq(StructField("doc_id", LongType),
@@ -2184,22 +2219,24 @@ object StreamingQueries {
       srcE.filter(col("vec_id") < nLists), nLists)
 
     try {
-      // store builds — the only corpus-sized jobs (s38's + s37's)
-      val (nDocs, avgdl) = buildBm25Index(s, items, s"$work/wh", tfTbl, dfTbl)
-      srcE.filter(col("vec_id") % benchMod =!= 0)
-        .select(col("vec_id"), col("embedding"),
-          SimilaritySearch.argmaxCell(col("embedding"), cents).as("cell"))
-        .repartition(col("cell"))
-        .write.mode("overwrite").option("path", s"$work/wh/ivf")
-        .partitionBy("cell").saveAsTable(idxTbl)
-
-      if (!hasParquet(inDir)) {
-        requireEvalSliceCovered(srcE, qDocs, benchMod, "s39")
-        qDocs.select(col("doc_id"), col("text"))
-          .join(srcE.select(col("vec_id").as("doc_id"), col("embedding")),
-            Seq("doc_id"), "left")
-          .repartition(3).write.mode("overwrite").parquet(inDir)
-      }
+      // store builds — the only corpus-sized jobs (s38's + s37's). The
+      // IVF build and the query staging (guard first — its contract)
+      // are independent of every BM25 job, so both ride the build's
+      // concurrent group (§2.6) instead of queueing behind it.
+      val (nDocs, avgdl) = buildBm25Index(s, items, s"$work/wh", tfTbl, dfTbl,
+        () => srcE.filter(col("vec_id") % benchMod =!= 0)
+          .select(col("vec_id"), col("embedding"),
+            SimilaritySearch.argmaxCell(col("embedding"), cents).as("cell"))
+          .repartition(col("cell"))
+          .write.mode("overwrite").option("path", s"$work/wh/ivf")
+          .partitionBy("cell").saveAsTable(idxTbl),
+        () => if (!hasParquet(inDir)) {
+          requireEvalSliceCovered(srcE, qDocs, benchMod, "s39")
+          qDocs.select(col("doc_id"), col("text"))
+            .join(srcE.select(col("vec_id").as("doc_id"), col("embedding")),
+              Seq("doc_id"), "left")
+            .repartition(3).write.mode("overwrite").parquet(inDir)
+        })
 
       val stream = s.readStream
         .schema(StructType(Seq(StructField("doc_id", LongType),
