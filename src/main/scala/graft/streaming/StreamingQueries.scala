@@ -2865,22 +2865,17 @@ object StreamingQueries {
     val srcE = emb.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding"))
     val itemE = srcE.filter(col("vec_id") % benchMod =!= 0)
-    val cents = SimilaritySearch.collectFixedRows(
-      srcE.filter(col("vec_id") < nLists), nLists)
-    // s46's retention horizon (max over the FULL corpus — the oracle's
-    // max(doc_id) // 4) and s43's determinism requirement: input files
-    // are ASCENDING doc_id ranges so arrival order ≡ id order and the
-    // dedup winner is min(doc_id) per fp on both engines
-    val maxRow = docs.agg(max(col("doc_id"))).collect()(0)
-    require(!maxRow.isNullAt(0), "s50: empty corpus — no retention horizon")
-    val maxId = maxRow.getLong(0)
-    val wFinal = maxId / 4
-    val wMid = wFinal / 2
-    val chunk = maxId / stages + 1
-
-    // the admission policy, pinned once per stream from the calibration
-    // corpus (= the full corpus here, x132's rates verbatim — s48)
-    val rates = Curation.temperatureRates(docs).localCheckpoint()
+    // stream-setup one-time jobs — quantizer collect, retention-horizon
+    // scan (s46's max(doc_id)//4 + s43's ascending-range determinism),
+    // admission-rates pin (x132's rates verbatim — s48), gate pins, and
+    // input staging — are all independent reads of the sources, except
+    // that staging needs the horizon for its stage ranges; they run as
+    // ONE concurrent group (§2.6) with that single dependency chained
+    // inside its lane. Values and files are byte-identical to the old
+    // sequential setup.
+    @volatile var cents: IndexedSeq[Array[Float]] = null
+    @volatile var maxId = 0L
+    @volatile var rates: DataFrame = null
 
     val (tfStore, dfStore, statStore, ivfStore) =
       servingDeltaStores(s, s"$work/store")
@@ -3001,34 +2996,49 @@ object StreamingQueries {
       graft.store.StoreEpoch.end(s, s"$work/store")
     }
 
-    val stageInput: () => Unit = () => if (!hasParquet(inDir)) {
-      requireEvalSliceCovered(srcE, qDocs, benchMod, "s50")
-      val joined = items.select(col("doc_id"), col("lang"), col("text"))
-        .join(itemE.select(col("vec_id").as("doc_id"), col("embedding")),
-          Seq("doc_id"), "left")
-      val h = new org.apache.hadoop.fs.Path(inDir)
-        .getFileSystem(s.sessionState.newHadoopConf())
-      h.mkdirs(new org.apache.hadoop.fs.Path(inDir))
-      // per-stage staging writes are independent (disjoint ranges, tmp
-      // dirs and destination names; the ARRIVAL order is pinned by the
-      // explicit mtime stamps, not by write completion order) →
-      // concurrent
-      inParallel((0 until stages).map(st => () => {
-        val tmp = s"$work/in_stage$st"
-        joined.filter(col("doc_id") >= st * chunk &&
-            col("doc_id") < (st + 1) * chunk)
-          .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = h.listStatus(new org.apache.hadoop.fs.Path(tmp))
-          .map(_.getPath).filter(_.getName.endsWith(".parquet"))
-        require(part.length == 1, s"s50: stage $st wrote ${part.length} files")
-        val dst = new org.apache.hadoop.fs.Path(inDir, s"stage-$st.parquet")
-        require(h.rename(part.head, dst), s"s50: rename to $dst failed")
-        h.setTimes(dst, 1000000000000L + st * 60000L, -1)
-        h.delete(new org.apache.hadoop.fs.Path(tmp), true)
-        ()
-      }): _*)
+    // the horizon scan feeds the staging ranges, so the two are chained
+    // inside one lane; everything else in the group is independent
+    val horizonThenStage: () => Unit = () => {
+      val maxRow = docs.agg(max(col("doc_id"))).collect()(0)
+      require(!maxRow.isNullAt(0), "s50: empty corpus — no retention horizon")
+      maxId = maxRow.getLong(0)
+      val chunk = maxId / stages + 1
+      if (!hasParquet(inDir)) {
+        requireEvalSliceCovered(srcE, qDocs, benchMod, "s50")
+        val joined = items.select(col("doc_id"), col("lang"), col("text"))
+          .join(itemE.select(col("vec_id").as("doc_id"), col("embedding")),
+            Seq("doc_id"), "left")
+        val h = new org.apache.hadoop.fs.Path(inDir)
+          .getFileSystem(s.sessionState.newHadoopConf())
+        h.mkdirs(new org.apache.hadoop.fs.Path(inDir))
+        // per-stage staging writes are independent (disjoint ranges, tmp
+        // dirs and destination names; the ARRIVAL order is pinned by the
+        // explicit mtime stamps, not by write completion order) →
+        // concurrent
+        inParallel((0 until stages).map(st => () => {
+          val tmp = s"$work/in_stage$st"
+          joined.filter(col("doc_id") >= st * chunk &&
+              col("doc_id") < (st + 1) * chunk)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = h.listStatus(new org.apache.hadoop.fs.Path(tmp))
+            .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+          require(part.length == 1, s"s50: stage $st wrote ${part.length} files")
+          val dst = new org.apache.hadoop.fs.Path(inDir, s"stage-$st.parquet")
+          require(h.rename(part.head, dst), s"s50: rename to $dst failed")
+          h.setTimes(dst, 1000000000000L + st * 60000L, -1)
+          h.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          ()
+        }): _*)
+      }
     }
-    inParallel(pinJobs :+ stageInput: _*)
+    inParallel(pinJobs ++ Seq(
+      horizonThenStage,
+      () => cents = SimilaritySearch.collectFixedRows(
+        srcE.filter(col("vec_id") < nLists), nLists),
+      () => rates = Curation.temperatureRates(docs).localCheckpoint()): _*)
+    val wFinal = maxId / 4
+    val wMid = wFinal / 2
+    val chunk = maxId / stages + 1
 
     val stream = s.readStream
       .schema(StructType(Seq(StructField("doc_id", LongType),
