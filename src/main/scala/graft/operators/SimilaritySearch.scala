@@ -639,8 +639,13 @@ object SimilaritySearch {
             VectorFunctions.dot_product(col(vecCol), litVec(row))
               .cast("float")): _*).as("pvec"))
         .localCheckpoint()
-    val itP = projected(items, "vec_id")
-    val qP = projected(queries, "query_id")
+    // the two projection pins are independent (items vs queries) →
+    // overlap the materialization jobs (guide §2.6)
+    var itP: DataFrame = null
+    var qP: DataFrame = null
+    graft.streaming.StreamingQueries.inParallel(
+      () => itP = projected(items, "vec_id"),
+      () => qP = projected(queries, "query_id"))
     val shortlist = ivfTopK(spark,
         itP.select(col("vec_id"), col("pvec")),
         qP.select(col("query_id").as("vec_id"), col("pvec")),
